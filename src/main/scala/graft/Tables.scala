@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All tables are plain parquet except `events`, whose `ts` column is
+  * written as parquet TIMESTAMP(NANOS) — a physical type Spark does not
+  * map to TimestampType. We read it as nanosecond epoch longs
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions]])
+  * and expose BOTH:
+  *   - `ts_ns`  — raw nanosecond epoch (LongType), exactly what DuckDB's
+  *                `epoch_ns(ts)` returns, for oracle parity;
+  *   - `ts`     — TimestampType truncated to microseconds.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(path(sfDir, name))
+    name match {
+      case "events" =>
+        // `ts` arrives as LongType nanos (legacy.parquet.nanosAsLong).
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Register every table as a temp view named after itself. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** One place to construct sessions so every entry point (Verify, Bench,
+  * tests) gets identical, oracle-parity-critical configuration.
+  */
+object Sessions {
+  def builderDefaults(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builderDefaults(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

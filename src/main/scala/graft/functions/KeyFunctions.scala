@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic key / hash / time-bucket functions (SURVEY §2.2).
+  *
+  * Everything here is built from codegen'd built-ins (`sha2`, `sha1`,
+  * `md5`, arithmetic) so keys are reproducible across engines — the
+  * DuckDB oracle computes the identical hex digests.
+  */
+object KeyFunctions {
+
+  /** Event time bucket: floor epoch seconds to `bucketSec` (default 600)
+    * — reference api/events.py:175-184 (F6).
+    */
+  def tsBucket(epochSec: Column, bucketSec: Long = 600L): Column =
+    (epochSec.cast("long") / bucketSec).cast("long") * bucketSec
+
+  /** Event key v1 (F5 — reference api/events.py:414-470):
+    * `sha256(type|SYMBOL|ca|text_norm|bucket)[:40]` over `|`-joined
+    * parts with nulls encoded as empty strings.
+    */
+  def eventKeyV1(typ: Column, symbol: Column, tokenCa: Column,
+      textNorm: Column, bucket: Column): Column =
+    substring(
+      sha2(concat_ws("|",
+        coalesce(typ, lit("")),
+        upper(coalesce(symbol, lit(""))),
+        coalesce(tokenCa, lit("")),
+        coalesce(textNorm, lit("")),
+        bucket.cast("string")), 256),
+      1, 40)
+
+  /** Topic hash (F8 — reference api/events.py:313-341, sha256 variant):
+    * `sha256("kw1||kw2||...")[:12]` over the sorted keyword list.
+    */
+  def topicHash(keywords: Column): Column =
+    substring(sha2(array_join(array_sort(keywords), "||"), 256), 1, 12)
+
+  /** Post fingerprint for window dedup (D1 — reference
+    * worker/jobs/x_kol_poll.py:82-117): `sha1(source|author|ts|text[:30])`.
+    */
+  def postFingerprint(source: Column, author: Column, tsIso: Column,
+      text: Column): Column =
+    sha1(concat_ws("|",
+      coalesce(source, lit("")),
+      coalesce(author, lit("")),
+      coalesce(tsIso, lit("")),
+      substring(coalesce(text, lit("")), 1, 30)))
+}

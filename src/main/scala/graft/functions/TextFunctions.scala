@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text / normalization column functions (SURVEY §2.2).
+  *
+  * Pure `Column => Column` builders over Spark built-ins so everything
+  * stays inside whole-stage codegen. Semantics derived from the
+  * reference pipeline (cited per function); no code is ported.
+  */
+object TextFunctions {
+
+  /** EVM contract address extraction — reference api/normalize/x.py:17-105 (F1). */
+  val CaPattern = "0x[a-fA-F0-9]{40}"
+
+  /** `$SYMBOL` cashtag extraction — reference api/normalize/x.py (F1). */
+  val SymbolPattern = "\\$[A-Za-z][A-Za-z0-9]{1,9}"
+
+  def extractCa(text: Column): Column =
+    nullifEmpty(regexp_extract(text, CaPattern, 0))
+
+  def extractSymbol(text: Column): Column =
+    nullifEmpty(regexp_extract(text, SymbolPattern, 0))
+
+  private def nullifEmpty(c: Column): Column = when(c =!= "", c)
+
+  /** Candidate gate flag: has CA, cashtag, or crypto keyword (F1/P3). */
+  def isCandidate(text: Column, keywords: Seq[String]): Column = {
+    val kwHit = keywords
+      .map(k => lower(text).contains(k.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    extractCa(text).isNotNull || extractSymbol(text).isNotNull || kwHit
+  }
+
+  /** Text normalization: lowercase, strip URLs and @handles (keep
+    * #hashtags), collapse whitespace — reference api/events.py:380-411 (F2).
+    * NFC unicode normalization is the custom-expression variant
+    * ([[graft.expressions.NfcNormalize]]); this built-in path covers the
+    * ASCII-dominant flow and stays codegen'd.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "https?://\\S+", " "),
+        "@\\w+", " "),
+      "\\s+", " "))
+
+  /** Token symbol canonical form: trim, lowercase, ensure single `$`
+    * prefix — reference api/events.py:187-207 (F4).
+    */
+  def normalizeSymbol(symbol: Column): Column =
+    when(symbol.isNull || trim(symbol) === "", lit(null))
+      .otherwise(concat(lit("$"), regexp_replace(lower(trim(symbol)), "^\\$+", "")))
+
+  /** Candidate score `0.6*((sentiment+1)/2) + 0.4*min(|keywords|/5, 1)`,
+    * clamped to [0,1] — reference api/events.py:344-377 (F9).
+    */
+  def candidateScore(sentimentScore: Column, keywords: Column): Column = {
+    val s = coalesce(sentimentScore, lit(0.0))
+    val kw = when(keywords.isNull, lit(0)).otherwise(size(keywords))
+    val raw = lit(0.6) * ((s + 1.0) / 2.0) +
+      lit(0.4) * least(kw.cast("double") / 5.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0), raw))
+  }
+
+  /** Lexicon sentiment (F11 — reference api/rules_sentiment.py:11-84).
+    * Tokens are whitespace-split lowercase words; score =
+    * clamp((pos-neg)/n_tokens * 3, -1, 1); label at ±0.1.
+    * Counts token OCCURRENCES (not distinct), matching the reference's
+    * per-token loop.
+    */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def sentimentScore(text: Column, pos: Seq[String], neg: Seq[String]): Column = {
+    val toks = tokenize(text)
+    val posN = size(filter(toks, t => t.isInCollection(pos)))
+    val negN = size(filter(toks, t => t.isInCollection(neg)))
+    val n = size(toks)
+    val raw = when(n > 0, (posN - negN).cast("double") / n.cast("double") * 3.0)
+      .otherwise(lit(0.0))
+    greatest(lit(-1.0), least(lit(1.0), raw))
+  }
+
+  def sentimentLabel(score: Column): Column =
+    when(score > 0.1, "pos").when(score < -0.1, "neg").otherwise("neu")
+
+  /** Rules keyphrases (F13 — reference api/keyphrases.py:80-90): regex
+    * tokens `$word | letters{2,}`, stopword filter, order-preserving
+    * dedup, top-k.
+    */
+  def keyphrases(text: Column, stopwords: Seq[String], topK: Int): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\$\\w+|[a-z]{2,}"))
+    slice(filter(array_distinct(toks), t => !t.isInCollection(stopwords)), 1, topK)
+  }
+
+  /** Chain detection from scan-site URLs (F19 — reference
+    * worker/jobs/events_compact.py:26-50).
+    */
+  def chainFromUrl(url: Column): Column = {
+    val u = lower(coalesce(url, lit("")))
+    when(u.contains("etherscan"), "eth")
+      .when(u.contains("bscscan"), "bsc")
+      .when(u.contains("arbiscan"), "arb")
+      .when(u.contains("optimistic"), "op")
+      .when(u.contains("basescan"), "base")
+      .when(u.contains("solscan"), "sol")
+      .otherwise(lit(null))
+  }
+
+  /** Evidence strength grading (F20 — reference
+    * worker/jobs/events_compact.py:69-97).
+    */
+  def evidenceStrength(url: Column): Column = {
+    val u = lower(coalesce(url, lit("")))
+    when(chainFromUrl(url).isNotNull, "strong")
+      .when(u.contains("dexscreener") || u.contains("geckoterminal"), "medium")
+      .otherwise("weak")
+  }
+
+  /** Memeable-topic confidence `min(1, 0.3*n_entities)` (F15 —
+    * reference worker/pipeline/is_memeable_topic.py:94-151).
+    */
+  def memeableConfidence(nEntities: Column): Column =
+    least(lit(1.0), lit(0.3) * nEntities.cast("double"))
+
+  /** GoPlus risk labeling (F10 — reference
+    * api/providers/goplus_provider.py:279-379): honeypot → red;
+    * buy/sell tax ≥ 10% → red; lp_lock_days < 30 → yellow; green if any
+    * data present; unknown otherwise. Tax ratios ≤ 1 are scaled ×100.
+    */
+  def goplusRisk(honeypot: Column, buyTax: Column, sellTax: Column,
+      lpLockDays: Column): Column = {
+    def pct(t: Column): Column =
+      when(t.isNull, lit(null)).when(t <= 1.0, t * 100.0).otherwise(t)
+    val bt = pct(buyTax)
+    val st = pct(sellTax)
+    when(honeypot === true, "red")
+      .when(bt >= 10.0 || st >= 10.0, "red")
+      .when(lpLockDays.isNotNull && (lpLockDays < 30), "yellow")
+      .when(honeypot.isNotNull || bt.isNotNull || st.isNotNull ||
+        lpLockDays.isNotNull, "green")
+      .otherwise("unknown")
+  }
+}

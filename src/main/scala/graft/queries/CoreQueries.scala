@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{KeyFunctions, TextFunctions}
+
+/** Core relational / analytic operators (SURVEY §2.5-§2.7) expressed
+  * over the TPC-H-ish testdata, each paired with an ANSI-SQL oracle for
+  * the DuckDB correctness gate.
+  *
+  * Determinism rules used throughout (shared with every other query
+  * pack):
+  *   - time buckets computed with INTEGER division on nanosecond epochs
+  *     (`ts_ns div ...`), never through doubles;
+  *   - every window has a TOTAL order (unique tie-break column);
+  *   - doubles that pass through accumulation are `round(_, 4..6)`;
+  *   - outputs avoid raw TimestampType — formatted strings or epoch
+  *     longs travel to the oracle compare instead.
+  */
+object CoreQueries {
+
+  private val Pos = Seq("fast", "big", "spark", "join", "merge")
+  private val Neg = Seq("slow", "small", "dup", "error", "scan")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A13: status rollup — groupBy + count/sum (map-side partial agg).
+    "q_a13_status_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // A6: active-addrs-style window agg: count / exact distinct / max
+    // per key within a time range (reference
+    // templates/sql/eth/active_addrs_window.sql:6-14).
+    "q_a6_active_window" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_partkey")
+        .agg(
+          count(lit(1)).as("tx_count"),
+          countDistinct(col("l_suppkey")).as("uniq_suppliers"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+        .orderBy("l_partkey")
+    }),
+
+    // A8: top-holders snapshot: global share + row_number top-N
+    // (reference templates/sql/eth/top_holders_snapshot.sql:7-44).
+    "q_a8_top_holders" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val wSum = Window.partitionBy()
+      val wRank = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      c.withColumn("total", sum("c_acctbal").over(wSum))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 20)
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(col("c_acctbal") / col("total"), 6).as("share"), col("rn"))
+        .orderBy("rn")
+    }),
+
+    // A9: growth_ratio via lag over ordered per-key time series
+    // (reference api/jobs/onchain/enrich_features.py:60-106).
+    "q_a9_growth_ratio" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      o.withColumn("prev_cnt", lag("cnt", 1).over(w))
+        .withColumn("growth_ratio",
+          round((col("cnt") - col("prev_cnt")).cast("double") /
+            col("prev_cnt").cast("double"), 6))
+        .orderBy("o_orderpriority", "month")
+    }),
+
+    // J4: latest-row-per-key (as-of resolution) — row_number desc = 1
+    // (reference api/signals/heat.py:409-425).
+    "q_j4_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // J1: anti-join — keys with no matching row on the other side
+    // within a time window (reference worker/jobs/topic_signal_scan.py:56-74:
+    // events with no existing topic signal).
+    "q_j1_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // A3: heat buckets + slope vs previous bucket (reference
+    // api/signals/heat.py:98-370): tumbling 10-min counts per type,
+    // slope = (cnt - prev)/10 per minute.
+    "q_a3_heat_buckets" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("bucket",
+          expr("ts_ns div 1000000000 div 600 * 600"))
+      val counts = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      counts.withColumn("prev_cnt", lag("cnt", 1).over(w))
+        .withColumn("slope",
+          round((col("cnt") - col("prev_cnt")).cast("double") / 10.0, 6))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // A4: least-squares slope of per-minute counts, closed form over
+    // integer sums (reference api/services/topic_analyzer.py:202-252:
+    // slope of count vs time). Integer Σ keeps both engines bit-exact;
+    // x is minutes-since-first-minute per group.
+    "q_a4_topic_slope" -> ((s, dir) => {
+      val perMin = Tables.load(s, dir, "events")
+        .withColumn("minute", expr("ts_ns div 60000000000"))
+        .groupBy("event_type", "minute").agg(count(lit(1)).as("cnt"))
+      val wMin = Window.partitionBy("event_type")
+      val xy = perMin
+        .withColumn("x", col("minute") - min("minute").over(wMin))
+        .withColumn("y", col("cnt"))
+      xy.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+        .select("event_type", "n", "slope")
+        .orderBy("event_type")
+    }),
+
+    // F11: lexicon sentiment over documents (reference
+    // api/rules_sentiment.py:11-84).
+    "q_f11_sentiment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val score = TextFunctions.sentimentScore(col("text"), Pos, Neg)
+      d.select(col("doc_id"), round(score, 4).as("score"),
+          TextFunctions.sentimentLabel(score).as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // F5/F6: deterministic event key v1 — sha256 over '|'-joined parts
+    // + 600s time bucket (reference api/events.py:414-470,175-184).
+    "q_f5_event_key" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("bucket", expr("ts_ns div 1000000000 div 600 * 600"))
+      e.select(col("event_id"),
+          KeyFunctions.eventKeyV1(col("event_type"),
+            col("user_id").cast("string"), lit(null).cast("string"),
+            lit(null).cast("string"), col("bucket")).as("event_key"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a13_status_rollup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_a6_active_window" ->
+      """SELECT l_partkey,
+                count(*) AS tx_count,
+                count(DISTINCT l_suppkey) AS uniq_suppliers,
+                strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-01-01'
+         GROUP BY l_partkey ORDER BY l_partkey""",
+
+    "q_a8_top_holders" ->
+      """SELECT c_custkey, c_acctbal,
+                round(c_acctbal / sum(c_acctbal) OVER (), 6) AS share,
+                row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+         FROM customer
+         QUALIFY rn <= 20 ORDER BY rn""",
+
+    "q_a9_growth_ratio" ->
+      """WITH m AS (
+           SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+                  count(*) AS cnt
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, month, cnt,
+                lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_cnt,
+                round((cnt - lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month))
+                      / CAST(lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month) AS DOUBLE), 6) AS growth_ratio
+         FROM m ORDER BY o_orderpriority, month""",
+
+    "q_j4_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+                o_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q_j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         ORDER BY c_custkey""",
+
+    "q_a3_heat_buckets" ->
+      """WITH b AS (
+           SELECT event_type, epoch_ns(ts) // 1000000000 // 600 * 600 AS bucket,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, bucket, cnt,
+                lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_cnt,
+                round((cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket))
+                      / 10.0, 6) AS slope
+         FROM b ORDER BY event_type, bucket""",
+
+    "q_a4_topic_slope" ->
+      """WITH m AS (
+           SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         x AS (
+           SELECT event_type,
+                  minute - min(minute) OVER (PARTITION BY event_type) AS x,
+                  cnt AS y
+           FROM m),
+         agg AS (
+           SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x*y) AS sxy, sum(x*x) AS sxx
+           FROM x GROUP BY event_type)
+         SELECT event_type, n,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+         FROM agg ORDER BY event_type""",
+
+    "q_f11_sentiment" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  len(list_filter(toks, x -> list_contains(${sqlList(Pos)}, x))) AS pos_n,
+                  len(list_filter(toks, x -> list_contains(${sqlList(Neg)}, x))) AS neg_n,
+                  len(toks) AS n
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+                  greatest(-1.0, least(1.0,
+                    CASE WHEN n > 0
+                         THEN CAST(pos_n - neg_n AS DOUBLE) / CAST(n AS DOUBLE) * 3.0
+                         ELSE 0.0 END)) AS raw
+           FROM c)
+         SELECT doc_id, round(raw, 4) AS score,
+                CASE WHEN raw > 0.1 THEN 'pos'
+                     WHEN raw < -0.1 THEN 'neg'
+                     ELSE 'neu' END AS label
+         FROM sc ORDER BY doc_id""",
+
+    "q_f5_event_key" ->
+      """SELECT event_id,
+                substr(sha256(concat_ws('|', event_type, CAST(user_id AS VARCHAR),
+                  '', '', CAST(epoch_ns(ts) // 1000000000 // 600 * 600 AS VARCHAR))), 1, 40)
+                  AS event_key
+         FROM events ORDER BY event_id"""
+  )
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}
