@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    QueryPack(CoreQueries.queries, CoreQueries.oracleSql)
+    QueryPack(CoreQueries.queries, CoreQueries.oracleSql),
+    QueryPack(DataOpsQueries.queries, DataOpsQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -91,7 +91,7 @@ object TextFunctions {
     * dedup, top-k.
     */
   def keyphrases(text: Column, stopwords: Seq[String], topK: Int): Column = {
-    val toks = regexp_extract_all(lower(text), lit("\\$\\w+|[a-z]{2,}"))
+    val toks = regexp_extract_all(lower(text), lit("\\$\\w+|[a-z]{2,}"), lit(0))
     slice(filter(array_distinct(toks), t => !t.isInCollection(stopwords)), 1, topK)
   }
 

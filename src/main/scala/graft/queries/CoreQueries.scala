@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{KeyFunctions, TextFunctions}
+import graft.functions.{KeyFunctions, Parity, TextFunctions}
 
 /** Core relational / analytic operators (SURVEY §2.5-§2.7) expressed
   * over the TPC-H-ish testdata, each paired with an ANSI-SQL oracle for
@@ -16,7 +16,8 @@ import graft.functions.{KeyFunctions, TextFunctions}
   *   - time buckets computed with INTEGER division on nanosecond epochs
   *     (`ts_ns div ...`), never through doubles;
   *   - every window has a TOTAL order (unique tie-break column);
-  *   - doubles that pass through accumulation are `round(_, 4..6)`;
+  *   - doubles that pass through accumulation use Parity.roundHalfUp
+  *     (floor-based; `round` itself is not engine-portable);
   *   - outputs avoid raw TimestampType — formatted strings or epoch
   *     longs travel to the oracle compare instead.
   */
@@ -31,7 +32,7 @@ object CoreQueries {
     "q_a13_status_rollup" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Parity.roundHalfUp(sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -60,7 +61,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 20)
         .select(col("c_custkey"), col("c_acctbal"),
-          round(col("c_acctbal") / col("total"), 6).as("share"), col("rn"))
+          Parity.roundHalfUp(col("c_acctbal") / col("total"), 6).as("share"), col("rn"))
         .orderBy("rn")
     }),
 
@@ -74,7 +75,7 @@ object CoreQueries {
       val w = Window.partitionBy("o_orderpriority").orderBy("month")
       o.withColumn("prev_cnt", lag("cnt", 1).over(w))
         .withColumn("growth_ratio",
-          round((col("cnt") - col("prev_cnt")).cast("double") /
+          Parity.roundHalfUp((col("cnt") - col("prev_cnt")).cast("double") /
             col("prev_cnt").cast("double"), 6))
         .orderBy("o_orderpriority", "month")
     }),
@@ -116,7 +117,7 @@ object CoreQueries {
       val w = Window.partitionBy("event_type").orderBy("bucket")
       counts.withColumn("prev_cnt", lag("cnt", 1).over(w))
         .withColumn("slope",
-          round((col("cnt") - col("prev_cnt")).cast("double") / 10.0, 6))
+          Parity.roundHalfUp((col("cnt") - col("prev_cnt")).cast("double") / 10.0, 6))
         .orderBy("event_type", "bucket")
     }),
 
@@ -137,7 +138,7 @@ object CoreQueries {
           sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
-        .withColumn("slope", round(
+        .withColumn("slope", Parity.roundHalfUp(
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
         .select("event_type", "n", "slope")
@@ -149,7 +150,7 @@ object CoreQueries {
     "q_f11_sentiment" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val score = TextFunctions.sentimentScore(col("text"), Pos, Neg)
-      d.select(col("doc_id"), round(score, 4).as("score"),
+      d.select(col("doc_id"), Parity.roundHalfUp(score, 4).as("score"),
           TextFunctions.sentimentLabel(score).as("label"))
         .orderBy("doc_id")
     }),
@@ -169,7 +170,7 @@ object CoreQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_a13_status_rollup" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      """SELECT event_type, count(*) AS n, floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_a6_active_window" ->
@@ -184,7 +185,7 @@ object CoreQueries {
 
     "q_a8_top_holders" ->
       """SELECT c_custkey, c_acctbal,
-                round(c_acctbal / sum(c_acctbal) OVER (), 6) AS share,
+                floor(c_acctbal / sum(c_acctbal) OVER () * 1000000.0 + 0.5) / 1000000.0 AS share,
                 row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
          FROM customer
          QUALIFY rn <= 20 ORDER BY rn""",
@@ -196,8 +197,9 @@ object CoreQueries {
            FROM orders GROUP BY 1, 2)
          SELECT o_orderpriority, month, cnt,
                 lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_cnt,
-                round((cnt - lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month))
-                      / CAST(lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month) AS DOUBLE), 6) AS growth_ratio
+                floor((cnt - lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month))
+                      / CAST(lag(cnt) OVER (PARTITION BY o_orderpriority ORDER BY month) AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS growth_ratio
          FROM m ORDER BY o_orderpriority, month""",
 
     "q_j4_latest_per_key" ->
@@ -222,8 +224,8 @@ object CoreQueries {
            FROM events GROUP BY 1, 2)
          SELECT event_type, bucket, cnt,
                 lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_cnt,
-                round((cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket))
-                      / 10.0, 6) AS slope
+                floor((cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket))
+                      / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS slope
          FROM b ORDER BY event_type, bucket""",
 
     "q_a4_topic_slope" ->
@@ -241,8 +243,8 @@ object CoreQueries {
                   sum(x*y) AS sxy, sum(x*x) AS sxx
            FROM x GROUP BY event_type)
          SELECT event_type, n,
-                round(CAST(n*sxy - sx*sy AS DOUBLE) /
-                      CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+                floor(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      CAST(n*sxx - sx*sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS slope
          FROM agg ORDER BY event_type""",
 
     "q_f11_sentiment" ->
@@ -263,7 +265,7 @@ object CoreQueries {
                          THEN CAST(pos_n - neg_n AS DOUBLE) / CAST(n AS DOUBLE) * 3.0
                          ELSE 0.0 END)) AS raw
            FROM c)
-         SELECT doc_id, round(raw, 4) AS score,
+         SELECT doc_id, floor(raw * 10000.0 + 0.5) / 10000.0 AS score,
                 CASE WHEN raw > 0.1 THEN 'pos'
                      WHEN raw < -0.1 THEN 'neg'
                      ELSE 'neu' END AS label

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis — over the `documents` / `embeddings` tables.
+  *
+  * The MinHash-LSH query shares its oracle with the exact all-pairs
+  * Jaccard query ON PURPOSE: with 16 hashes in 8 bands of 2, the
+  * probability of missing a planted near-dup (j ≥ 0.9) is
+  * (1-j²)^8 ≈ 2e-6, and the exact-Jaccard verify step removes all
+  * false candidates — so LSH output == exact output, and the driver's
+  * hash compare doubles as a recall proof.
+  */
+object DataOpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-shuffle on the content fingerprint.
+    "q_d_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDuplicates(docs(s, dir), "doc_id", "text").orderBy("fp")),
+
+    // Exact all-pairs n-gram Jaccard near-dup baseline (quadratic —
+    // the correctness oracle for the LSH path).
+    "q_d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.5)
+        .orderBy("ida", "idb")),
+
+    // MinHash+LSH near-dup pairs (linear scale path; see scaladoc).
+    "q_d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, numHashes = 16, rowsPerBand = 2)
+        .orderBy("ida", "idb")),
+
+    // SimHash fingerprint per document.
+    "q_d_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // SimHash near-dup pairs via byte-banding + hamming verify.
+    "q_d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("ida", "idb")),
+
+    // Brute-force cosine top-k ANN for a broadcast query subset.
+    "q_s_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5).orderBy("qid", "rank")),
+
+    // Embedding-cosine nearest neighbor + near-dup flag for EVERY vector.
+    "q_s_embedding_nn" -> ((s, dir) =>
+      Similarity.nearestNeighborAll(embs(s, dir), "vec_id", "embedding",
+        dupThreshold = 0.4).orderBy("vec_id")),
+
+    // Sign-LSH bucketed ANN (scale path; rows-only check — recall vs
+    // brute force is asserted in AnnSpec instead of a SQL oracle).
+    "q_s_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5, dim = 64, planes = 2)
+        .orderBy("qid", "rank")),
+
+    // Language ID (stopword heuristic).
+    "q_t_langid" -> ((s, dir) => {
+      val lid = TextAnalysis.langId(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        lid.getField("lang").as("lang"), lid.getField("conf").as("conf"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic quality score.
+    "q_t_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
+    "q_t_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"),
+        TextAnalysis.tokenEstimateChars(col("text")).as("n_est"))
+        .orderBy("doc_id")),
+
+    // Document fingerprints: whole-doc md5 + winnowing-style min-shingle.
+    "q_t_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text")).as("min_shingle_fp"))
+        .orderBy("doc_id"))
+  )
+
+  private val ShinglesCte =
+    """sh AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text,' ')) >= 3
+                     THEN list_distinct(list_transform(
+                            range(1, len(string_split(text,' ')) - 1),
+                            i -> string_split(text,' ')[i] || ' ' ||
+                                 string_split(text,' ')[i+1] || ' ' ||
+                                 string_split(text,' ')[i+2]))
+                     ELSE [] END AS sh
+         FROM documents)"""
+
+  private val JaccardPairsSql =
+    s"""WITH $ShinglesCte,
+        p AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        SELECT ida, idb, jaccard FROM p
+        WHERE jaccard >= 0.5 ORDER BY ida, idb"""
+
+  private val SimhashCte =
+    """fp AS (
+         SELECT doc_id,
+                list_sum(list_transform(range(0, 32), b -> CASE
+                  WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         FROM (
+           SELECT doc_id,
+                  list_transform(
+                    list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')),
+                    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+           FROM documents))"""
+
+  private val PreparedVecsCte =
+    """n AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings)"""
+
+  private val EnStop =
+    TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_d_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q_d_ngram_jaccard" -> JaccardPairsSql,
+
+    // LSH output provably equals the exact pairs at these parameters
+    // (see object scaladoc) — same oracle.
+    "q_d_minhash_lsh" -> JaccardPairsSql,
+
+    "q_d_simhash" ->
+      s"""WITH $SimhashCte
+          SELECT doc_id, simhash FROM fp ORDER BY doc_id""",
+
+    "q_d_simhash_pairs" ->
+      s"""WITH $SimhashCte
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY ida, idb""",
+
+    "q_s_ann_topk" ->
+      s"""WITH $PreparedVecsCte,
+          q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+          p AS (
+            SELECT q.qid, n.vec_id AS nn_id,
+                   list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) AS c
+            FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+          r AS (
+            SELECT qid, nn_id, c,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+            FROM p)
+          SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_s_embedding_nn" ->
+      s"""WITH $PreparedVecsCte,
+          p AS (
+            SELECT a.vec_id, b.vec_id AS nn_id,
+                   list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS c
+            FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+          r AS (
+            SELECT vec_id, nn_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id ASC) AS rank
+            FROM p)
+          SELECT vec_id, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, c >= 0.4 AS is_dup
+          FROM r WHERE rank = 1 ORDER BY vec_id""",
+
+    // q_s_ann_lsh intentionally omitted: bucket recall is asserted in
+    // AnnSpec against the brute-force result (rows-only driver check).
+
+    "q_t_langid" -> {
+      val scores = TextAnalysis.Stopwords.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
+      }.mkString(",\n                  ")
+      val langs = TextAnalysis.Stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM documents),
+          sc AS (
+            SELECT doc_id, len(toks) AS n,
+                  $scores
+            FROM t),
+          b AS (SELECT *, $best AS best FROM sc)
+          SELECT doc_id,
+                 CASE $cases ELSE 'und' END AS lang,
+                 CASE WHEN n > 0 THEN floor(CAST(best AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS conf
+          FROM b ORDER BY doc_id"""
+    },
+
+    "q_t_quality" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) AS n,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq,
+                   CAST(len(list_filter(toks, t -> list_contains($EnStop, t))) AS DOUBLE) AS stops,
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS total_len
+            FROM t)
+          SELECT doc_id,
+                 floor((0.3 * least(n / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END)
+                     + 0.2 * least((CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 5.0, 1.0)
+                     + 0.2 * least((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) / 8.0, 1.0))
+                   * 10000.0 + 0.5) / 10000.0 AS quality
+          FROM m ORDER BY doc_id""",
+
+    "q_t_token_counts" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+                CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est
+         FROM documents ORDER BY doc_id""",
+
+    "q_t_fingerprint" ->
+      s"""WITH $ShinglesCte
+          SELECT d.doc_id, md5(d.text) AS fp,
+                 list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_fp
+          FROM documents d JOIN sh s ON d.doc_id = s.doc_id
+          ORDER BY d.doc_id"""
+  )
+}

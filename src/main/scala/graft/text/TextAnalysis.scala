@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure `Column` pipelines over codegen'd built-ins — no UDFs — so
+  * they run inside whole-stage codegen and are DuckDB-oracle checkable.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Tiny by design: language ID at 100 TB must be a cheap
+    * map-side expression; a model-backed classifier would slot in via
+    * mapPartitions behind the same column contract.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du", "est", "dans", "pour", "ce"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "人", "这"))
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language ID: argmax of per-language stopword hit counts with a
+    * fixed priority order on ties; "und" when no list hits at all.
+    * Returns a struct(lang, conf) with conf = hits/n_tokens.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = Stopwords.map { case (l, ws) => l -> hitCount(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declared priority order) achieving the max
+    val lang = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, l).otherwise(acc)
+    }
+    val conf = when(size(toks) > 0,
+      Parity.roundHalfUp(best.cast("double") / size(toks).cast("double"), 4))
+      .otherwise(0.0)
+    struct(lang.as("lang"), conf.as("conf"))
+  }
+
+  /** Heuristic document quality score in [0,1] (Gopher/C4-style
+    * length / repetition / stopword-density gates):
+    * 0.3*min(n/100,1) + 0.3*uniq_ratio + 0.2*min(5*stop_ratio,1)
+    * + 0.2*min(avg_len/8,1).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stops = hitCount(toks, Stopwords.head._2).cast("double")
+    val totalLen = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, x) => acc + x).cast("double")
+    val score =
+      lit(0.3) * least(n / 100.0, lit(1.0)) +
+      lit(0.3) * when(n > 0, uniq / n).otherwise(0.0) +
+      lit(0.2) * least(when(n > 0, stops / n).otherwise(0.0) * 5.0, lit(1.0)) +
+      lit(0.2) * least(when(n > 0, totalLen / n).otherwise(0.0) / 8.0, lit(1.0))
+    Parity.roundHalfUp(score, 4)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, single
+    * punctuation — a cheap proxy for subword tokenizer counts.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** chars/4 estimator used widely as an LLM-token heuristic. */
+  def tokenEstimateChars(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Word n-gram shingles (distinct), the base for MinHash / Jaccard /
+    * winnowing fingerprints. Empty array when the doc is shorter than n.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Whole-document fingerprint (md5) + winnowing-style min-shingle
+    * fingerprint: min over md5(shingle) — stable under small
+    * permutations, the rolling-hash-fingerprint analog.
+    */
+  def docFingerprint(text: Column): Column = md5(text)
+
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}
