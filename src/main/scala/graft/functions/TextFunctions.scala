@@ -56,11 +56,15 @@ object TextFunctions {
   /** Candidate score `0.6*((sentiment+1)/2) + 0.4*min(|keywords|/5, 1)`,
     * clamped to [0,1] — reference api/events.py:344-377 (F9).
     */
-  def candidateScore(sentimentScore: Column, keywords: Column): Column = {
+  def candidateScore(sentimentScore: Column, keywords: Column): Column =
+    candidateScoreN(sentimentScore,
+      when(keywords.isNull, lit(0)).otherwise(size(keywords)))
+
+  /** [[candidateScore]] with a keyword COUNT instead of an array. */
+  def candidateScoreN(sentimentScore: Column, keywordCount: Column): Column = {
     val s = coalesce(sentimentScore, lit(0.0))
-    val kw = when(keywords.isNull, lit(0)).otherwise(size(keywords))
     val raw = lit(0.6) * ((s + 1.0) / 2.0) +
-      lit(0.4) * least(kw.cast("double") / 5.0, lit(1.0))
+      lit(0.4) * least(keywordCount.cast("double") / 5.0, lit(1.0))
     greatest(lit(0.0), least(lit(1.0), raw))
   }
 

@@ -1,0 +1,436 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Parity, TextFunctions}
+import graft.rules.{OnchainVerdict, RuleEngine}
+
+/** Pipeline-flavored operators: rules engines (R1/R2), enrichment and
+  * context joins (J2/J5), ordering contracts (O2), set accumulations
+  * (U1-U5), scalar pipeline functions (F1/F9/F10/F19/F20) — plus two
+  * TPC-H-style headline aggregations that anchor the bench.
+  *
+  * The `signals`-shaped input columns are derived deterministically
+  * from the `events` table (value/user_id/props arithmetic) so the
+  * rules engines run over realistic variety while staying
+  * oracle-exact.
+  */
+object PipelineQueries {
+
+  /** Deterministic signals-like projection of `events` (the whitelisted
+    * rule fields of api/rules/eval_event.py:267-276).
+    */
+  private def signalsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(
+        col("event_id"), col("event_type"), col("user_id"), col("value"),
+        col("k"),
+        when(col("user_id") % 4 === 0, "green")
+          .when(col("user_id") % 4 === 1, "yellow")
+          .when(col("user_id") % 4 === 2, "red")
+          .otherwise("unknown").as("goplus_risk"),
+        (col("value") % 20).as("buy_tax"),
+        ((col("value") / 2) % 20).as("sell_tax"),
+        (col("event_id") % 90).cast("int").as("lp_lock_days"),
+        when(col("k") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("dex_liquidity"),
+        (col("value") * 1.5).as("dex_volume_1h"),
+        ((col("value") - 100) / 100).as("heat_slope"),
+        ((col("value") % 100) / 100 - 0.5).as("last_sentiment_score"))
+
+  private val SignalsCteSql =
+    """sig AS (
+         SELECT event_id, event_type, user_id, value,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                CASE WHEN user_id % 4 = 0 THEN 'green'
+                     WHEN user_id % 4 = 1 THEN 'yellow'
+                     WHEN user_id % 4 = 2 THEN 'red'
+                     ELSE 'unknown' END AS goplus_risk,
+                fmod(value, 20) AS buy_tax,
+                fmod(value / 2, 20) AS sell_tax,
+                CAST(event_id % 90 AS INT) AS lp_lock_days,
+                CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+                     THEN NULL ELSE value END AS dex_liquidity,
+                value * 1.5 AS dex_volume_1h,
+                (value - 100) / 100 AS heat_slope,
+                fmod(value, 100) / 100 - 0.5 AS last_sentiment_score
+         FROM events)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // R1: scoring rules engine — all rules fold into ONE codegen'd
+    // projection; hot-reload = replan with a new rule seq.
+    "q_r1_rules_scoring" -> ((s, dir) => {
+      RuleEngine.evaluate(signalsFrame(s, dir), RuleEngine.DemoRules)
+        .select(col("event_id"), col("rules_score").as("score"),
+          col("rules_level").as("level"),
+          array_join(col("rules_reasons"), ";").as("reasons"))
+        .orderBy("event_id")
+    }),
+
+    // R2: on-chain verdict DSL over per-key aggregated features.
+    "q_r2_onchain_verdict" -> ((s, dir) => {
+      val feats = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("addr_active"),
+          ((max("o_totalprice") - min("o_totalprice")) /
+            greatest(min("o_totalprice"), lit(1.0))).as("growth_ratio"),
+          (max("o_totalprice") / sum("o_totalprice")).as("top10_share"),
+          (sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .cast("double") / count(lit(1))).as("self_loop_ratio"))
+      val (verdict, confidence) = OnchainVerdict.verdictColumns(OnchainVerdict.Demo)
+      feats.select(col("o_custkey"), verdict.as("verdict"),
+          Parity.roundHalfUp(confidence, 6).as("confidence"))
+        .orderBy("o_custkey")
+    }),
+
+    // A2/U1: topic aggregate — counts + flattened sorted entity sets
+    // (reference worker/jobs/topic_aggregate.py:53-228).
+    "q_a2_topic_aggregate" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("topic_id", col("user_id") % 7)
+        .groupBy("topic_id")
+        .agg(
+          count(lit(1)).as("mention_count"),
+          array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("entities"),
+          // µs, not ns: DuckDB truncates parquet ns-timestamps to µs on
+          // read, so raw ns can never hash-match the oracle.
+          max(expr("ts_ns div 1000")).as("last_ts_us"))
+        .orderBy("topic_id")
+    }),
+
+    // A14: evidence-completion metric — fraction satisfying a predicate.
+    "q_a14_completion" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(Parity.roundHalfUp(
+          avg(when(col("value") > 100, 1.0).otherwise(0.0)), 6)
+          .as("completion"))
+        .orderBy("event_type")
+    }),
+
+    // J2/J3: context equi-join against a broadcast dimension.
+    "q_j2_context_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = Tables.load(s, dir, "customer")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Parity.roundHalfUp(sum("value"), 4).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J5: candidate scoring — top-1 per key with margin over runner-up
+    // (reference worker/jobs/ca_hunter_scan.py:113-170: accept if
+    // top score clears a bar AND the margin over #2 is wide enough).
+    "q_j5_candidate_margin" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("second_price", lead("o_totalprice", 1).over(w))
+        .filter(col("rn") === 1 && col("second_price").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+          (col("o_totalprice") - col("second_price")).as("margin"),
+          (col("o_totalprice") >= 300000 &&
+            (col("o_totalprice") - col("second_price")) >=
+              col("o_totalprice") * 0.15).as("accept"))
+        .orderBy("o_custkey")
+    }),
+
+    // O2: outbox-style priority ordering — NULLS FIRST + stable limit
+    // (reference api/db/repositories/outbox_repo.py:73-81).
+    "q_o2_priority_order" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .withColumn("next_try",
+          when(col("o_orderstatus") === "O",
+            date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .orderBy(col("next_try").asc_nulls_first, col("o_orderkey").asc)
+        .limit(50)
+        .select("o_orderkey", "o_orderstatus", "next_try")
+    }),
+
+    // U3/U5: per-key set accumulation.
+    "q_u_set_accumulate" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          countDistinct("event_type").as("n_types"),
+          max(when(col("event_type") === "error", 1).otherwise(0))
+            .cast("boolean").as("has_error"),
+          array_join(array_sort(collect_set("event_type")), ",").as("types"))
+        .orderBy("user_id")
+    }),
+
+    // F19/F20: chain detection + evidence strength CASE chains over a
+    // deterministic URL synthesized per row.
+    "q_f19_evidence" -> ((s, dir) => {
+      val urls = Seq("https://etherscan.io/tx/0x1", "https://bscscan.com/tx/0x2",
+        "https://dexscreener.com/eth/0x3", "https://solscan.io/tx/0x4",
+        "https://example.com/post", "https://geckoterminal.com/pool/0x5")
+      val e = Tables.load(s, dir, "events")
+        .withColumn("url",
+          element_at(array(urls.map(lit): _*), (col("event_id") % 6 + 1).cast("int")))
+      e.select(col("event_id"), col("url"),
+          TextFunctions.chainFromUrl(col("url")).as("chain"),
+          TextFunctions.evidenceStrength(col("url")).as("strength"))
+        .orderBy("event_id")
+    }),
+
+    // F10: GoPlus risk labeling truth table over derived columns.
+    "q_f10_goplus_risk" -> ((s, dir) => {
+      val sig = signalsFrame(s, dir)
+        .withColumn("honeypot", col("value") > 180)
+      sig.select(col("event_id"),
+          TextFunctions.goplusRisk(col("honeypot"), col("buy_tax"),
+            col("sell_tax"), col("lp_lock_days")).as("risk"))
+        .orderBy("event_id")
+    }),
+
+    // F9: candidate score arithmetic.
+    "q_f9_candidate_score" -> ((s, dir) => {
+      signalsFrame(s, dir).select(col("event_id"),
+          Parity.roundHalfUp(TextFunctions.candidateScoreN(
+            col("last_sentiment_score"), col("user_id") % 8), 6)
+            .as("cand_score"))
+        .orderBy("event_id")
+    }),
+
+    // TPC-H Q1-style pricing summary — the scan+agg bench anchor.
+    "q_tpch_pricing" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          Parity.roundHalfUp(sum("l_extendedprice"), 2).as("sum_base_price"),
+          Parity.roundHalfUp(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          Parity.roundHalfUp(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style multi-join revenue top-N — the join bench anchor.
+    "q_tpch_revenue_top" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(Parity.roundHalfUp(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    // F1: CA / cashtag extraction + candidate flag over synthesized
+    // posts (documents text + deterministic contract address).
+    "q_f1_extract" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("post",
+          concat(lit("$"), upper(col("source")), lit(" says "), col("text"),
+            lit(" ca 0x"), substring(md5(col("text")), 1, 40)))
+      d.select(col("doc_id"),
+          TextFunctions.extractCa(col("post")).as("token_ca"),
+          TextFunctions.extractSymbol(col("post")).as("symbol"),
+          TextFunctions.isCandidate(col("post"), Seq("launch", "mint"))
+            .as("is_candidate"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_r1_rules_scoring" -> {
+      val ruleScore = RuleEngine.DemoRules.map(r =>
+        s"(CASE WHEN ${r.condition} THEN ${r.score} ELSE 0.0 END)")
+        .mkString(" + ")
+      val reasonArr = RuleEngine.DemoRules.map(r =>
+        s"CASE WHEN ${r.condition} THEN '${r.reason}' END").mkString(", ")
+      s"""WITH $SignalsCteSql,
+          sc AS (
+            SELECT event_id,
+                   $ruleScore AS score,
+                   array_to_string(list_filter([$reasonArr], x -> x IS NOT NULL)[1:3], ';') AS reasons
+            FROM sig)
+          SELECT event_id, score,
+                 CASE WHEN score >= 15 THEN 'opportunity'
+                      WHEN score <= -5 THEN 'caution'
+                      ELSE 'observe' END AS level,
+                 reasons
+          FROM sc ORDER BY event_id"""
+    },
+
+    "q_r2_onchain_verdict" -> {
+      val up = OnchainVerdict.Demo.upgradeIf
+      val upHits = up.map(c => s"(CASE WHEN ${c.sql} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val down = OnchainVerdict.Demo.downgradeIf.map(_.sql).mkString(" OR ")
+      val inRange = OnchainVerdict.Demo.ranges.toSeq.sortBy(_._1)
+        .map { case (f, (lo, hi)) =>
+          s"($f IS NULL OR ($f >= $lo AND $f <= $hi))" }.mkString(" AND ")
+      s"""WITH f AS (
+            SELECT o_custkey,
+                   count(*) AS addr_active,
+                   (max(o_totalprice) - min(o_totalprice))
+                     / greatest(min(o_totalprice), 1.0) AS growth_ratio,
+                   max(o_totalprice) / sum(o_totalprice) AS top10_share,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS self_loop_ratio
+            FROM orders GROUP BY o_custkey),
+          v AS (
+            SELECT o_custkey, ($upHits) AS up_hits, ($inRange) AS in_range,
+                   ($down) AS down
+            FROM f)
+          SELECT o_custkey,
+                 CASE WHEN NOT in_range THEN 'insufficient'
+                      WHEN down THEN 'downgrade'
+                      WHEN up_hits = ${up.size} THEN 'upgrade'
+                      ELSE 'hold' END AS verdict,
+                 floor((CASE WHEN NOT in_range THEN 0.0
+                       ELSE least(1.0, 0.6 + 0.4 * CAST(up_hits AS DOUBLE) / ${up.size})
+                       END) * 1000000.0 + 0.5) / 1000000.0 AS confidence
+          FROM v ORDER BY o_custkey"""
+    },
+
+    "q_a2_topic_aggregate" ->
+      """SELECT user_id % 7 AS topic_id, count(*) AS mention_count,
+                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS entities,
+                max(epoch_us(ts)) AS last_ts_us
+         FROM events GROUP BY 1 ORDER BY topic_id""",
+
+    "q_a14_completion" ->
+      """SELECT event_type,
+                floor(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END)
+                      * 1000000.0 + 0.5) / 1000000.0 AS completion
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_j2_context_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_j5_candidate_margin" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+                  lead(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS second_price
+           FROM orders)
+         SELECT o_custkey, o_orderkey AS top_orderkey,
+                o_totalprice - second_price AS margin,
+                (o_totalprice >= 300000 AND
+                 o_totalprice - second_price >= o_totalprice * 0.15) AS accept
+         FROM r WHERE rn = 1 AND second_price IS NOT NULL
+         ORDER BY o_custkey""",
+
+    "q_o2_priority_order" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'O'
+                     THEN strftime(o_orderdate, '%Y-%m-%d') END AS next_try
+         FROM orders
+         ORDER BY next_try ASC NULLS FIRST, o_orderkey ASC LIMIT 50""",
+
+    "q_u_set_accumulate" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+                max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 AS has_error,
+                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_f19_evidence" ->
+      """WITH u AS (
+           SELECT event_id,
+                  ['https://etherscan.io/tx/0x1', 'https://bscscan.com/tx/0x2',
+                   'https://dexscreener.com/eth/0x3', 'https://solscan.io/tx/0x4',
+                   'https://example.com/post', 'https://geckoterminal.com/pool/0x5'
+                  ][CAST(event_id % 6 + 1 AS INT)] AS url
+           FROM events)
+         SELECT event_id, url,
+                CASE WHEN contains(url, 'etherscan') THEN 'eth'
+                     WHEN contains(url, 'bscscan') THEN 'bsc'
+                     WHEN contains(url, 'arbiscan') THEN 'arb'
+                     WHEN contains(url, 'optimistic') THEN 'op'
+                     WHEN contains(url, 'basescan') THEN 'base'
+                     WHEN contains(url, 'solscan') THEN 'sol' END AS chain,
+                CASE WHEN contains(url, 'etherscan') OR contains(url, 'bscscan')
+                       OR contains(url, 'arbiscan') OR contains(url, 'optimistic')
+                       OR contains(url, 'basescan') OR contains(url, 'solscan')
+                     THEN 'strong'
+                     WHEN contains(url, 'dexscreener') OR contains(url, 'geckoterminal')
+                     THEN 'medium' ELSE 'weak' END AS strength
+         FROM u ORDER BY event_id""",
+
+    "q_f10_goplus_risk" ->
+      s"""WITH $SignalsCteSql,
+          h AS (SELECT *, value > 180 AS honeypot,
+                  CASE WHEN buy_tax IS NULL THEN NULL
+                       WHEN buy_tax <= 1 THEN buy_tax * 100 ELSE buy_tax END AS bt,
+                  CASE WHEN sell_tax IS NULL THEN NULL
+                       WHEN sell_tax <= 1 THEN sell_tax * 100 ELSE sell_tax END AS st
+                FROM sig)
+          SELECT event_id,
+                 CASE WHEN honeypot THEN 'red'
+                      WHEN bt >= 10 OR st >= 10 THEN 'red'
+                      WHEN lp_lock_days IS NOT NULL AND lp_lock_days < 30 THEN 'yellow'
+                      WHEN honeypot IS NOT NULL OR bt IS NOT NULL
+                        OR st IS NOT NULL OR lp_lock_days IS NOT NULL THEN 'green'
+                      ELSE 'unknown' END AS risk
+          FROM h ORDER BY event_id""",
+
+    "q_f9_candidate_score" ->
+      s"""WITH $SignalsCteSql
+          SELECT event_id,
+                 floor(greatest(0.0, least(1.0,
+                   0.6 * ((coalesce(last_sentiment_score, 0.0) + 1.0) / 2.0)
+                   + 0.4 * least(CAST(user_id % 8 AS DOUBLE) / 5.0, 1.0)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cand_score
+          FROM sig ORDER BY event_id""",
+
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_tpch_revenue_top" ->
+      """SELECT c_custkey, c_name,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+
+    "q_f1_extract" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  '$' || upper(source) || ' says ' || text ||
+                  ' ca 0x' || substr(md5(text), 1, 40) AS post
+           FROM documents)
+         SELECT doc_id,
+                nullif(regexp_extract(post, '0x[a-fA-F0-9]{40}'), '') AS token_ca,
+                nullif(regexp_extract(post, '\$[A-Za-z][A-Za-z0-9]{1,9}'), '') AS symbol,
+                (nullif(regexp_extract(post, '0x[a-fA-F0-9]{40}'), '') IS NOT NULL
+                 OR nullif(regexp_extract(post, '\$[A-Za-z][A-Za-z0-9]{1,9}'), '') IS NOT NULL
+                 OR contains(lower(post), 'launch')
+                 OR contains(lower(post), 'mint')) AS is_candidate
+         FROM p ORDER BY doc_id"""
+  )
+}
