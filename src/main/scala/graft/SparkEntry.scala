@@ -17,7 +17,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     QueryPack(CoreQueries.queries, CoreQueries.oracleSql),
     QueryPack(DataOpsQueries.queries, DataOpsQueries.oracleSql),
-    QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql)
+    QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql),
+    QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -153,9 +153,15 @@ object Dedup {
   /** Streaming-style first-seen-wins dedup for batch frames: keep the
     * earliest row per key (D1/D2 batch analog).
     */
-  def firstSeen(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).asc)
+  def firstSeen(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    firstSeenBy(df, keyCols, Seq(col(orderCol).asc))
+
+  /** firstSeen with an explicit (total) ordering — pass a unique
+    * tie-break column to keep results engine-deterministic.
+    */
+  def firstSeenBy(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 }

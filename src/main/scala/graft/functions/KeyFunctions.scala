@@ -38,6 +38,31 @@ object KeyFunctions {
   def topicHash(keywords: Column): Column =
     substring(sha2(array_join(array_sort(keywords), "||"), 256), 1, 12)
 
+  /** Event key v2 (F5 — reference api/events.py:472-528): keyed
+    * blake2s-160 of `"v2|type|identity|topic_hash|bucket|text_sig"`,
+    * identity = token_ca else `symbol|chain`; 40 hex chars. Uses the
+    * custom [[graft.expressions.Blake2sHash]] Catalyst expression (no
+    * JDK blake2s); stays codegen'd.
+    */
+  def eventKeyV2(typ: Column, symbol: Column, tokenCa: Column, chain: Column,
+      topicHash: Column, textSig: Column, bucket: Column,
+      salt: String = ""): Column = {
+    val identity = coalesce(tokenCa,
+      concat_ws("|", coalesce(symbol, lit("")), coalesce(chain, lit(""))))
+    graft.expressions.GraftFunctions.blake2s(
+      concat_ws("|", lit("v2"), coalesce(typ, lit("")), identity,
+        coalesce(topicHash, lit("")), bucket.cast("string"),
+        coalesce(textSig, lit(""))),
+      digestBytes = 20, key = salt)
+  }
+
+  /** Topic hash, blake2s default algorithm (F8 — reference
+    * api/events.py:313-341): blake2s-48 of `"kw1||kw2||..."` → 12 hex.
+    */
+  def topicHashBlake(keywords: Column): Column =
+    graft.expressions.GraftFunctions.blake2s(
+      array_join(array_sort(keywords), "||"), digestBytes = 6)
+
   /** Post fingerprint for window dedup (D1 — reference
     * worker/jobs/x_kol_poll.py:82-117): `sha1(source|author|ts|text[:30])`.
     */

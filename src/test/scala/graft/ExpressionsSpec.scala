@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{Blake2s, CanonicalUrl, GraftFunctions}
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // RFC 7693 / official BLAKE2 test vectors (unkeyed blake2s-256).
+  test("blake2s matches public test vectors") {
+    assert(Blake2s.toHex(Blake2s.digest("abc".getBytes, Array.empty, 32)) ==
+      "508c5e8c327c14e2e1a72ba34eeb452f37458b209ed63a294d999b4c86675982")
+    assert(Blake2s.toHex(Blake2s.digest(Array.empty, Array.empty, 32)) ==
+      "69217a3079908094e11121d042354a7c1f55b6482ca1a51e1b250dfd1ed0eef9")
+  }
+
+  test("blake2s keyed/truncated digests are deterministic and distinct") {
+    val d1 = Blake2s.toHex(Blake2s.digest("x".getBytes, "salt".getBytes, 20))
+    val d2 = Blake2s.toHex(Blake2s.digest("x".getBytes, "salt".getBytes, 20))
+    val d3 = Blake2s.toHex(Blake2s.digest("x".getBytes, "other".getBytes, 20))
+    val d4 = Blake2s.toHex(Blake2s.digest("x".getBytes, Array.empty, 20))
+    assert(d1 == d2 && d1.length == 40)
+    assert(d1 != d3 && d1 != d4)
+    // truncated-output digest differs from a truncation of the full one
+    // (outLen is part of the parameter block)
+    val full = Blake2s.toHex(Blake2s.digest("x".getBytes, Array.empty, 32))
+    assert(!full.startsWith(d4))
+  }
+
+  test("blake2s column expression evaluates in a plan (codegen path)") {
+    val df = Seq("abc", "", "graft").toDF("s")
+      .select(GraftFunctions.blake2s(col("s"), 32).as("h"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) ==
+      "508c5e8c327c14e2e1a72ba34eeb452f37458b209ed63a294d999b4c86675982")
+    assert(got(1) ==
+      "69217a3079908094e11121d042354a7c1f55b6482ca1a51e1b250dfd1ed0eef9")
+    assert(got(2).length == 64)
+  }
+
+  test("event key v2 is 40 hex and identity prefers token_ca") {
+    val df = Seq(
+      ("listing", Some("PEPE"), Some("0xabc"), "eth"),
+      ("listing", Some("PEPE"), None, "eth")
+    ).toDF("typ", "symbol", "token_ca", "chain")
+      .select(graft.functions.KeyFunctions.eventKeyV2(
+        col("typ"), col("symbol"), col("token_ca"), col("chain"),
+        lit("t0"), lit("sig"), lit(1700000000L), salt = "s").as("k"))
+    val keys = df.collect().map(_.getString(0))
+    assert(keys.forall(k => k.matches("[0-9a-f]{40}")))
+    assert(keys(0) != keys(1), "CA identity must differ from symbol|chain identity")
+  }
+
+  test("nfc normalize composes decomposed unicode") {
+    val decomposed = "éclair" // e + combining acute
+    val df = Seq(decomposed).toDF("s")
+      .select(GraftFunctions.nfcNormalize(col("s")).as("n"))
+    assert(df.head.getString(0) == "éclair")
+  }
+
+  test("canonical url: scheme upgrade, host case, tracking params, sort") {
+    assert(CanonicalUrl.canonicalize(
+      "HTTP://ExAmple.com:80/p?utm_source=x&b=2&a=1&ref=y#frag") ==
+      "https://example.com/p?a=1&b=2")
+    assert(CanonicalUrl.canonicalize("example.com/path") ==
+      "https://example.com/path")
+    assert(CanonicalUrl.canonicalize("https://example.com") ==
+      "https://example.com/")
+    assert(CanonicalUrl.canonicalize("ftp://example.com/x") == null)
+    assert(CanonicalUrl.canonicalize("münchen.de/p") ==
+      "https://xn--mnchen-3ya.de/p")
+  }
+
+  test("canonical url column handles null and garbage") {
+    val df = Seq(Some("example.com/a?utm_x=1"), Some("::::"), None).toDF("u")
+      .select(GraftFunctions.canonicalUrl(col("u")).as("c"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("https://example.com/a"))
+    assert(got(1).isEmpty)
+    assert(got(2).isEmpty)
+  }
+}
