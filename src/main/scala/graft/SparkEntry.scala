@@ -18,7 +18,8 @@ object SparkEntry {
     QueryPack(CoreQueries.queries, CoreQueries.oracleSql),
     QueryPack(DataOpsQueries.queries, DataOpsQueries.oracleSql),
     QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql),
-    QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql)
+    QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql),
+    QueryPack(StreamingQueries.queries, StreamingQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

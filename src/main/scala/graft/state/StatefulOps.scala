@@ -1,0 +1,237 @@
+package graft.state
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.aggregates.{Evidence, EvidenceMerge}
+import graft.schema._
+
+/** Stateful streaming operators (SURVEY §2.10 / §3).
+  *
+  * The reference coordinates concurrent writers with row locks, Redis
+  * NX locks, and CAS updates (api/events.py:1139-1199,
+  * verify_signal.py:102-189,479-530). Under Spark keyed state each key
+  * has exactly ONE owner per micro-batch, so every lock/CAS collapses
+  * into a pure state-transition function — the concurrency tests of the
+  * reference become property tests on these functions.
+  */
+object StatefulOps {
+
+  // ---------------------------------------------------------------
+  // A1 — event upsert (reference api/events.py:916-1282)
+  // ---------------------------------------------------------------
+
+  /** Pure per-key fold: merge new evidence into the running event row.
+    * Deterministic regardless of within-batch arrival order: evidence
+    * merge is commutative, `last/start` use min/max, and latest-wins
+    * columns use EVENT time (max tsUs), not arrival order (SURVEY §7.4
+    * risk 2).
+    */
+  def upsertEvent(key: String, eventType: String,
+      posts: Seq[(Evidence, Double)], prev: Option[EventRow]): EventRow = {
+    val sortedPosts = posts.sortBy { case (e, _) => (e.ts, EvidenceMerge.dedupKey(e)) }
+    val mergedEv = sortedPosts.map(_._1).foldLeft(
+      prev.map(p => p.evidence.map(e => EvidenceMerge.dedupKey(e) -> e).toMap)
+        .getOrElse(Map.empty[String, Evidence])) { (acc, e) =>
+      val k = EvidenceMerge.dedupKey(e)
+      acc.updatedWith(k) {
+        case Some(old) => Some(EvidenceMerge.mergeItems(old, e))
+        case None      => Some(e)
+      }
+    }
+    val tsAll = mergedEv.values.map(_.ts)
+    val latestSentiment = (prev.map(p => (p.lastUs, p.lastSentimentScore)).toSeq ++
+      sortedPosts.map { case (e, s) => (e.ts, s) }).maxBy(_._1)._2
+    EventRow(
+      eventKey = key,
+      eventType = eventType,
+      startUs = tsAll.min,
+      lastUs = tsAll.max,
+      evidenceCount = mergedEv.size,
+      evidence = mergedEv.toSeq.sortBy(_._1).map(_._2),
+      lastSentimentScore = latestSentiment,
+      version = prev.map(_.version + 1).getOrElse(1))
+  }
+
+  /** Streaming wrapper: Dataset[(eventKey, eventType, Evidence,
+    * sentiment)] → updated EventRow per key per trigger.
+    */
+  def eventUpsertStream(ds: Dataset[(String, String, Evidence, Double)])
+      : Dataset[EventRow] = {
+    val fn = (key: String, rows: Iterator[(String, String, Evidence, Double)],
+        state: GroupState[EventRow]) => {
+      val batch = rows.toSeq
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val updated = upsertEvent(key, batch.head._2,
+          batch.map(r => (r._3, r._4)), state.getOption)
+        state.update(updated)
+        Iterator.single(updated)
+      }
+    }
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[EventRow, EventRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[EventRow], Encoders.product[EventRow])
+  }
+
+  // ---------------------------------------------------------------
+  // R4 — signal state machine (reference verify_signal.py:268-573)
+  // ---------------------------------------------------------------
+
+  final case class SignalState(state: String, sinceUs: Long,
+      cooldownUntilUs: Long)
+
+  val VerifyDelayUs: Long = 180L * 1000000L // 180 s delay gate
+  val CooldownUs: Long = 45L * 1000000L     // 45 s per-key cooldown
+
+  /** Pure transition: (current state, verdict) → (new state, emitted
+    * transition). Mirrors the three-branch verify semantics: upgrade →
+    * verified, downgrade → downgraded, insufficient → hold with
+    * confidence 0; delay gate before any transition; cooldown between
+    * attempts; terminal states absorb.
+    */
+  def transition(st: SignalState, in: VerdictInput)
+      : (SignalState, Option[SignalTransition]) = {
+    if (st.state != "candidate") (st, None) // terminal
+    else if (in.tsUs < st.sinceUs + VerifyDelayUs) (st, None) // delay gate
+    else if (in.tsUs < st.cooldownUntilUs) (st, None) // cooling down
+    else in.verdict match {
+      case "upgrade" =>
+        val next = SignalState("verified", in.tsUs, 0L)
+        (next, Some(SignalTransition(in.eventKey, "candidate", "verified",
+          in.confidence, in.tsUs)))
+      case "downgrade" =>
+        val next = SignalState("downgraded", in.tsUs, 0L)
+        (next, Some(SignalTransition(in.eventKey, "candidate", "downgraded",
+          in.confidence, in.tsUs)))
+      case "insufficient" =>
+        (st.copy(cooldownUntilUs = in.tsUs + CooldownUs),
+          Some(SignalTransition(in.eventKey, "candidate", "candidate", 0.0,
+            in.tsUs)))
+      case _ => // hold
+        (st.copy(cooldownUntilUs = in.tsUs + CooldownUs), None)
+    }
+  }
+
+  /** Streaming wrapper. New keys enter as candidates at first sight. */
+  def signalStream(ds: Dataset[VerdictInput]): Dataset[SignalTransition] = {
+    implicit val stateEnc = Encoders.kryo[SignalState]
+    implicit val outEnc = Encoders.product[SignalTransition]
+    ds.groupByKey(_.eventKey)(Encoders.STRING)
+      .flatMapGroupsWithState[SignalState, SignalTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[SignalState]) =>
+          val sorted = rows.toSeq.sortBy(v => (v.tsUs, v.verdict))
+          var st = state.getOption.getOrElse(
+            SignalState("candidate", sorted.head.tsUs, 0L))
+          val out = Seq.newBuilder[SignalTransition]
+          sorted.foreach { in =>
+            val (next, emitted) = transition(st, in)
+            st = next
+            emitted.foreach(out += _)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // D4 — card state-version dedup (reference api/cards/dedup.py:10-131)
+  // ---------------------------------------------------------------
+
+  def versionSig(c: CardVersion): String =
+    s"${c.state}|${c.riskLevel}|degrade:${if (c.degrade) 1 else 0}"
+
+  /** Emit a card only when its version signature changed since the
+    * last emit for that key (S2 avatar-change detection is the same
+    * pattern with sig = avatar hash).
+    */
+  def cardDedupStream(ds: Dataset[CardVersion]): Dataset[CardVersion] = {
+    implicit val stateEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[CardVersion]
+    ds.groupByKey(_.eventKey)(Encoders.STRING)
+      .flatMapGroupsWithState[String, CardVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(_.tsUs)
+          var last = state.getOption.getOrElse("")
+          val out = Seq.newBuilder[CardVersion]
+          sorted.foreach { c =>
+            val sig = versionSig(c)
+            if (sig != last) { out += c; last = sig }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // A3 — EMA smoothing (reference api/signals/heat.py:81-95)
+  // ---------------------------------------------------------------
+
+  /** Per-key EMA: ema = α·x + (1-α)·prev, seeded with the first value. */
+  def emaStream(ds: Dataset[(String, Long, Double)], alpha: Double)
+      : Dataset[(String, Long, Double)] = {
+    implicit val stateEnc = Encoders.scalaDouble
+    implicit val outEnc = Encoders.tuple(Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaDouble)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Double, (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var prev = state.getOption
+          val out = sorted.map { case (k, ts, x) =>
+            val ema = prev match {
+              case Some(p) => alpha * x + (1 - alpha) * p
+              case None    => x
+            }
+            prev = Some(ema)
+            (k, ts, ema)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+}
+
+/** S7/S8 — outbox retry semantics (reference worker/jobs/outbox_retry
+  * .py:17-289, outbox_dlq_recover.py:31-96) as pure row transitions,
+  * applied inside `foreachBatch` against the outbox table.
+  */
+object OutboxRetry {
+
+  val MaxAttempts = 20
+  val MaxBackoffSec = 600L
+
+  def backoffSec(attempt: Int): Long =
+    math.min(math.pow(2.0, attempt).toLong, MaxBackoffSec)
+
+  def isDue(e: OutboxEntry, nowUs: Long): Boolean =
+    (e.status == "pending" || e.status == "retry") && e.nextTryUs <= nowUs
+
+  /** One delivery attempt outcome applied to a row. */
+  def step(e: OutboxEntry, success: Boolean, nowUs: Long,
+      error: String = ""): OutboxEntry = {
+    if (!isDue(e, nowUs)) e
+    else if (success) e.copy(status = "done", updatedUs = nowUs)
+    else {
+      val attempt = e.attempt + 1
+      if (attempt >= MaxAttempts)
+        e.copy(status = "dlq", attempt = attempt, lastError = error,
+          updatedUs = nowUs)
+      else
+        e.copy(status = "retry", attempt = attempt, lastError = error,
+          nextTryUs = nowUs + backoffSec(attempt) * 1000000L,
+          updatedUs = nowUs)
+    }
+  }
+
+  /** DLQ recovery: age-gated move back to retry (S8). */
+  def recover(e: OutboxEntry, nowUs: Long, minAgeUs: Long): OutboxEntry =
+    if (e.status == "dlq" && nowUs - e.updatedUs >= minAgeUs)
+      e.copy(status = "retry", attempt = 0, nextTryUs = nowUs,
+        updatedUs = nowUs)
+    else e
+}

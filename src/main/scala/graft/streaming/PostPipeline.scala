@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.aggregates.Evidence
+import graft.schema.RawPost
+import graft.state.StatefulOps
+
+/** Streaming wiring for the ingestion pipeline (SURVEY §3.1):
+  * posts → dedup-within-watermark → evidence → keyed event upsert.
+  *
+  * Source cursors (reference Redis `since_id`, x_kol_poll.py:120-131)
+  * are Structured Streaming checkpointed offsets; the Redis TTL dedup
+  * windows (14 d) become watermarked state. One code path serves batch
+  * replays and streams (S3): the transforms are plain Dataset ops.
+  */
+object PostPipeline {
+
+  /** D1/D2 — drop duplicate post ids (and fingerprints) within the
+    * 14-day dedup window, keyed state bounded by the watermark.
+    */
+  def dedupPosts(posts: Dataset[RawPost]): DataFrame =
+    posts.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "14 days")
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Post → (eventKey, eventType, evidence, sentiment) for the upsert.
+    * Key derivation mirrors the batch path (F5 v1 flavor, built-ins).
+    */
+  def toEvidence(posts: DataFrame): Dataset[(String, String, Evidence, Double)] = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    posts.select(
+        substring(sha2(concat_ws("|",
+          lit("post"),
+          upper(coalesce(col("symbol"), lit(""))),
+          coalesce(col("tokenCa"), lit("")),
+          // integer division: double `/` + cast can misbucket at edges
+          expr("tsUs div 600000000").cast("string")), 256), 1, 40)
+          .as("event_key"),
+        lit("social").as("event_type"),
+        struct(
+          col("source"),
+          col("tsUs").as("ts"),
+          map(lit("tweet_id"), col("id")).as("ref"),
+          substring(col("text"), 1, 64).as("summary"),
+          lit(1.0).as("weight")).as("evidence"),
+        col("sentimentScore").as("sentiment"))
+      .as[(String, String, Evidence, Double)]
+  }
+
+  /** Full streaming slice: dedup → evidence → stateful upsert. */
+  def eventStream(posts: Dataset[RawPost]) =
+    StatefulOps.eventUpsertStream(toEvidence(dedupPosts(posts)))
+}
