@@ -25,8 +25,12 @@ object Similarity {
   /** Cast a float embedding column to double for stable arithmetic. */
   def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
+  /** Codegen'd kernel (see [[graft.expressions.VectorOps]]) — the
+    * `zip_with`+`aggregate` formulation interprets its lambdas per
+    * element and dominated ANN plans at bench scale.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -84,14 +84,11 @@ object TextAnalysis {
 
   /** Word n-gram shingles (distinct), the base for MinHash / Jaccard /
     * winnowing fingerprints. Empty array when the doc is shorter than n.
+    * Native kernel ([[graft.expressions.WordShingles]]): the HOF
+    * formulation re-tokenized per element and dominated dedup benches.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.expressions.ShingleFunctions.wordShingles(text, n)
 
   /** Whole-document fingerprint (md5) + winnowing-style min-shingle
     * fingerprint: min over md5(shingle) — stable under small
