@@ -1,0 +1,125 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.aggregates.{Evidence, EvidenceMerge}
+import graft.expressions.{Blake2s, CanonicalUrl}
+import graft.schema.OutboxEntry
+import graft.state.OutboxRetry
+
+/** Property tests over the algebraic invariants the engine's
+  * correctness arguments rest on (SURVEY §7.4): merge commutativity /
+  * associativity, canonicalization idempotence, retry monotonicity.
+  * Deterministic: generators are driven from fixed seeds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val genRef: Gen[Map[String, String]] = for {
+    keys <- Gen.someOf(Seq("tweet_id", "url", "tx", "chain", "pool",
+      "endpoint", "address", "k1", "k2"))
+    vals <- Gen.listOfN(keys.size, Gen.alphaNumStr.map(_.take(12)))
+  } yield keys.zip(vals).toMap
+
+  private val genEvidence: Gen[Evidence] = for {
+    source <- Gen.oneOf("x", "twitter", "dex", "goplus", "web", "other")
+    ts <- Gen.chooseNum(1L, 1000000L)
+    ref <- genRef
+    summary <- Gen.alphaNumStr.map(_.take(30))
+    weight <- Gen.chooseNum(0.0, 1.0)
+  } yield Evidence(source, ts, ref, summary, weight)
+
+  test("evidence merge is shuffle-invariant for arbitrary inputs") {
+    val agg = EvidenceMerge.aggregator
+    def run(xs: Seq[Evidence]) = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    samples(Gen.listOfN(12, genEvidence), 50).zipWithIndex.foreach {
+      case (xs, i) =>
+        val base = run(xs)
+        val shuffled = new scala.util.Random(i).shuffle(xs)
+        assert(run(shuffled) == base, s"sample $i order-dependent")
+    }
+  }
+
+  test("evidence merge: split-merge equals single pass at any split point") {
+    val agg = EvidenceMerge.aggregator
+    samples(Gen.listOfN(10, genEvidence), 30).foreach { xs =>
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      (0 to xs.size by 3).foreach { cut =>
+        val (l, r) = xs.splitAt(cut)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) == whole, s"split at $cut differs")
+      }
+    }
+  }
+
+  test("canonical url is idempotent") {
+    val genUrl = for {
+      scheme <- Gen.oneOf("", "http://", "https://", "HTTP://")
+      host <- Gen.oneOf("Example.COM", "a-b.example.org", "münchen.de", "x.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/p/q", "/x%20y")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_s=1&z=9&ref=x", "?only_utm=&utm_a=1")
+      frag <- Gen.oneOf("", "#f")
+    } yield s"$scheme$host$port$path$query$frag"
+    samples(genUrl, 200).foreach { u =>
+      val once = CanonicalUrl.canonicalize(u)
+      if (once != null) {
+        assert(CanonicalUrl.canonicalize(once) == once, s"not idempotent: $u -> $once")
+      }
+    }
+  }
+
+  test("blake2s handles all block-boundary lengths and key sizes") {
+    val lengths = Seq(0, 1, 54, 55, 56, 63, 64, 65, 127, 128, 129, 1000)
+    val digests = lengths.map { n =>
+      Blake2s.toHex(Blake2s.digest(Array.fill(n)('a'.toByte), Array.empty, 32))
+    }
+    assert(digests.distinct.size == digests.size, "length collision")
+    (0 to 32).foreach { kn =>
+      val d = Blake2s.digest("msg".getBytes, Array.fill(kn)(7.toByte), 20)
+      assert(d.length == 20)
+    }
+    intercept[IllegalArgumentException](
+      Blake2s.digest("x".getBytes, Array.fill(33)(1.toByte), 32))
+    intercept[IllegalArgumentException](
+      Blake2s.digest("x".getBytes, Array.empty, 0))
+  }
+
+  test("outbox retry: attempts bounded, backoff monotone then capped, done absorbs") {
+    samples(Gen.chooseNum(0L, 100000L), 20).foreach { start =>
+      var e = OutboxEntry(1L, "k", "{}", "pending", 0, 0L, "", start, start)
+      var now = math.max(start, e.nextTryUs)
+      var prevBackoff = 0L
+      while (e.status != "dlq") {
+        val before = e.attempt
+        e = OutboxRetry.step(e, success = false, now, "err")
+        assert(e.attempt == before + 1)
+        assert(e.attempt <= OutboxRetry.MaxAttempts)
+        if (e.status == "retry") {
+          val backoff = e.nextTryUs - now
+          assert(backoff >= prevBackoff || backoff == 600L * 1000000L)
+          assert(backoff <= 600L * 1000000L)
+          prevBackoff = math.min(backoff, 600L * 1000000L)
+        }
+        now = math.max(e.nextTryUs, now + 1)
+      }
+      assert(e.attempt == OutboxRetry.MaxAttempts)
+      // done absorbs further steps
+      val done = e.copy(status = "done")
+      assert(OutboxRetry.step(done, success = false, now + 10) == done)
+    }
+  }
+
+  test("Parity.roundHalfUp stays within half an ulp-of-digit of the input") {
+    val p = math.pow(10, 6)
+    samples(Gen.chooseNum(-1000.0, 1000.0), 500).foreach { x =>
+      val r = math.floor(x * p + 0.5) / p
+      assert(math.abs(r - x) <= 0.5 / p + 1e-9, s"x=$x r=$r")
+    }
+  }
+}
