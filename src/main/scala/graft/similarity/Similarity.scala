@@ -87,16 +87,23 @@ object Similarity {
 
   /** Deterministic sign-LSH bucket key: `planes` pseudo-random
     * hyperplanes whose component signs derive from md5(p:j); bucket bit
-    * p = sign(Σ_j ±e[j]).
+    * p = sign(e · signs_p).
+    *
+    * The sign vectors are computed ONCE on the driver and embedded as
+    * literal arrays feeding the codegen'd [[dot]] kernel — the
+    * expression-level formulation hashed md5(p:j) per element per row
+    * (interpreted, ~dim×planes digests/row) and dominated the ANN
+    * bench.
     */
   def signBucket(e: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val signedSum = aggregate(
-        zip_with(e, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          when(conv(substring(md5(concat(lit(s"$p:"), j.cast("string"))), 1, 4),
-            16, 10).cast("long") % 2 === 0, x).otherwise(-x)),
-        lit(0.0), (acc, v) => acc + v)
-      when(signedSum > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val signs: Seq[Double] = (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8"))
+        // parity of the first two hex chars == parity of the first byte
+        if (((h(0) >> 4) * 16 + (h(0) & 0xf)) % 2 == 0) 1.0 else -1.0
+      }
+      when(dot(e, typedlit(signs)) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

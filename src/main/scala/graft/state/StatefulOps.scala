@@ -72,6 +72,9 @@ object StatefulOps {
     ds.groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[EventRow, EventRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        // kryo for STATE: EventRow carries Seq[Evidence] with Map
+        // fields, which the unsafe-row codec handles worse than kryo
+        // (measured) — output stays product-encoded for the sink
         Encoders.kryo[EventRow], Encoders.product[EventRow])
   }
 
