@@ -114,8 +114,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 16, rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
+    // materialized: `sh` feeds the signature path AND both candidate
+    // re-joins — without a lineage cut each consumer re-shingles
     val sh = withShingles(df, idCol, textCol, shingleN)
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0).localCheckpoint()
     val sig = minhashSignatures(sh, numHashes)
     val bands = sig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), numHashes, rowsPerBand))
@@ -147,7 +149,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val sh = withShingles(df, idCol, textCol, shingleN)
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0).localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val inter = e.select(col("doc_id").as("ida"), col("s"))
@@ -198,7 +200,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "byte banding guarantees only d <= 3")
-    val fp = withSimhash(df, idCol, textCol)
+    // materialize: the banded self-join would otherwise recompute the
+    // simhash aggregation for BOTH sides (measured ~10x the join cost)
+    val fp = withSimhash(df, idCol, textCol).localCheckpoint()
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)
