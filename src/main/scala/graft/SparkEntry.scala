@@ -20,7 +20,8 @@ object SparkEntry {
     QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql),
     QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql),
     QueryPack(StreamingQueries.queries, StreamingQueries.oracleSql),
-    QueryPack(CoverageQueries.queries, CoverageQueries.oracleSql)
+    QueryPack(CoverageQueries.queries, CoverageQueries.oracleSql),
+    QueryPack(EnrichmentQueries.queries, EnrichmentQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
