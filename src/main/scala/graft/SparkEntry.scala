@@ -21,7 +21,8 @@ object SparkEntry {
     QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql),
     QueryPack(StreamingQueries.queries, StreamingQueries.oracleSql),
     QueryPack(CoverageQueries.queries, CoverageQueries.oracleSql),
-    QueryPack(EnrichmentQueries.queries, EnrichmentQueries.oracleSql)
+    QueryPack(EnrichmentQueries.queries, EnrichmentQueries.oracleSql),
+    QueryPack(WindowQueries.queries, WindowQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
