@@ -31,9 +31,11 @@ object StreamingQueries {
         lit(true).as("isCandidate"),
         lit(0.0).as("sentimentScore")).as[RawPost]
 
-      // stage the rows as a file-source stream (the production shape)
+      // stage the rows as a file-source stream (the production shape);
+      // testdata is immutable, so an existing staged copy is reused
       val stage = s"/tmp/graft_stream_stage/${new java.io.File(dir).getName}"
-      posts.write.mode("overwrite").parquet(stage)
+      if (!new java.io.File(s"$stage/_SUCCESS").exists())
+        posts.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(posts.schema).parquet(stage).as[RawPost]
 
       val qn = "q_stream_event_upsert_sink"
