@@ -14,8 +14,14 @@ object KeyFunctions {
   /** Event time bucket: floor epoch seconds to `bucketSec` (default 600)
     * — reference api/events.py:175-184 (F6).
     */
-  def tsBucket(epochSec: Column, bucketSec: Long = 600L): Column =
-    (epochSec.cast("long") / bucketSec).cast("long") * bucketSec
+  def tsBucket(epochSec: Column, bucketSec: Long = 600L): Column = {
+    // integer arithmetic only: `/` on Columns is DOUBLE division, and
+    // truncating its result can misbucket near boundaries at large
+    // epochs (the ns-epoch variants in queries use `div` for the same
+    // reason)
+    val e = epochSec.cast("long")
+    e - (e % bucketSec)
+  }
 
   /** Event key v1 (F5 — reference api/events.py:414-470):
     * `sha256(type|SYMBOL|ca|text_norm|bucket)[:40]` over `|`-joined
