@@ -22,7 +22,8 @@ object SparkEntry {
     QueryPack(StreamingQueries.queries, StreamingQueries.oracleSql),
     QueryPack(CoverageQueries.queries, CoverageQueries.oracleSql),
     QueryPack(EnrichmentQueries.queries, EnrichmentQueries.oracleSql),
-    QueryPack(WindowQueries.queries, WindowQueries.oracleSql)
+    QueryPack(WindowQueries.queries, WindowQueries.oracleSql),
+    QueryPack(RefineQueries.queries, RefineQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

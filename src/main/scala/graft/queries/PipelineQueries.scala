@@ -239,7 +239,8 @@ object PipelineQueries {
       val d = Tables.load(s, dir, "documents")
         .withColumn("post",
           concat(lit("$"), upper(col("source")), lit(" says "), col("text"),
-            lit(" ca 0x"), substring(md5(col("text")), 1, 40)))
+            lit(" ca 0x"), md5(col("text")),
+            substring(md5(col("source")), 1, 8)))
       d.select(col("doc_id"),
           TextFunctions.extractCa(col("post")).as("token_ca"),
           TextFunctions.extractSymbol(col("post")).as("symbol"),
@@ -422,7 +423,7 @@ object PipelineQueries {
       """WITH p AS (
            SELECT doc_id,
                   '$' || upper(source) || ' says ' || text ||
-                  ' ca 0x' || substr(md5(text), 1, 40) AS post
+                  ' ca 0x' || md5(text) || substr(md5(source), 1, 8) AS post
            FROM documents)
          SELECT doc_id,
                 nullif(regexp_extract(post, '0x[a-fA-F0-9]{40}'), '') AS token_ca,
