@@ -97,12 +97,15 @@ case class UnboundedScanLint(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): Unit = {
     val tables = guarded
-    // Enforce only on real query shapes. Every Dataset CONSTRUCTION
-    // passes analysis too — flagging a bare `spark.read.parquet(...)`
-    // would make it impossible to even build the frame one intends to
-    // filter next.
+    // Enforce on real query shapes and on writes. Every Dataset
+    // CONSTRUCTION passes analysis too — flagging a bare
+    // `spark.read.parquet(...)` would make it impossible to even build
+    // the frame one intends to filter next. Known gap: a filterless
+    // projection consumed via collect() has no marker node at analysis
+    // time and is not caught; a physical-plan guard would be needed.
     val isQuery = plan.exists {
       case _: Aggregate | _: Join | _: Sort | _: Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
       case _ => false
     }
     if (tables.nonEmpty && isQuery) check(plan, bounded = false, tables)

@@ -40,7 +40,8 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val posts = Tables.load(spark, dir, "documents")
       .withColumn("post", concat(lit("$"), upper(col("source")), lit(" "),
-        col("text"), lit(" ca 0x"), substring(md5(col("text")), 1, 40)))
+        col("text"), lit(" ca 0x"), md5(col("text")),
+        substring(md5(col("source")), 1, 8)))
       .withColumn("ts_us", lit(1700000000000000L) + col("doc_id") * 1000000L)
     val candidates = posts
       .filter(TextFunctions.isCandidate(col("post"), Seq("launch", "mint")))

@@ -127,12 +127,24 @@ object CanonicalUrl {
           if (hostPort.isEmpty) return null
           val (host0, port) = hostPort.lastIndexOf(':') match {
             case -1 => (hostPort, "")
-            case i if hostPort.substring(i + 1).forall(_.isDigit) &&
-                i > hostPort.lastIndexOf(']') =>
-              val p = hostPort.substring(i + 1).toInt
-              (hostPort.substring(0, i), if (p == 80 || p == 443) "" else s":$p")
-            case _ => (hostPort, "")
+            case i =>
+              val digits = hostPort.substring(i + 1)
+              val outsideBracket = i > hostPort.lastIndexOf(']')
+              // nonEmpty guards "host:" (forall on "" is vacuously true
+              // and ''.toInt would throw into the catch-all → null)
+              if (outsideBracket && digits.nonEmpty && digits.length <= 5 &&
+                  digits.forall(_.isDigit)) {
+                val p = digits.toInt
+                (hostPort.substring(0, i),
+                  if (p == 80 || p == 443) "" else s":$p")
+              } else if (outsideBracket && digits.isEmpty)
+                (hostPort.substring(0, i), "") // trailing "host:"
+              else (hostPort, "")
           }
+          // reject garbage authorities (':::', empty) — IDN.toASCII
+          // happily passes them through
+          if (host0.isEmpty ||
+              (host0.contains(':') && !host0.startsWith("["))) return null
           val host = java.net.IDN.toASCII(host0.toLowerCase)
           val path = if (path0.isEmpty) "/" else path0
           val query = Option(query0).map(_.trim).filter(_.nonEmpty) match {

@@ -250,7 +250,7 @@ object CoreQueries {
     "q_f11_sentiment" ->
       s"""WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
            FROM documents),
          c AS (
            SELECT doc_id,

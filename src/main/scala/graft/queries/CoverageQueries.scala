@@ -153,11 +153,15 @@ object CoverageQueries {
     }),
 
     // A5: mention count within 24h of the corpus max event time.
+    // The scalar max travels via broadcast cross join — an
+    // unpartitioned window would funnel the whole table through ONE
+    // task just to compute one number.
     "q_a5_mention_24h" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
         .withColumn("us", expr("ts_ns div 1000"))
-        .withColumn("mx", max("us").over(Window.partitionBy()))
-      e.filter(col("us") >= col("mx") - lit(86400L * 1000000L))
+      val mx = e.agg(max("us").as("mx"))
+      e.crossJoin(broadcast(mx))
+        .filter(col("us") >= col("mx") - lit(86400L * 1000000L))
         .groupBy("event_type").agg(count(lit(1)).as("mentions"))
         .orderBy("event_type")
     }),
@@ -269,7 +273,7 @@ object CoverageQueries {
     "q_f7_keywords_priority" ->
       """WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split(lower('$' || upper(source) || ' ' || text), ' '),
+                  list_filter(string_split_regex(lower('$' || upper(source) || ' ' || text), '\s+'),
                     x -> x <> '') AS toks
            FROM documents),
          p AS (
@@ -289,7 +293,7 @@ object CoverageQueries {
     "q_f16_entity_norm" ->
       """WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split(lower(text), ' '), x -> x <> '')[1:8] AS ents
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:8] AS ents
            FROM documents),
          m AS (
            SELECT doc_id,

@@ -100,16 +100,19 @@ object DataOpsQueries {
   )
 
   private val ShinglesCte =
-    """sh AS (
+    """tk AS (
          SELECT doc_id,
-                CASE WHEN len(string_split(text,' ')) >= 3
+                list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) >= 3
                      THEN list_distinct(list_transform(
-                            range(1, len(string_split(text,' ')) - 1),
-                            i -> string_split(text,' ')[i] || ' ' ||
-                                 string_split(text,' ')[i+1] || ' ' ||
-                                 string_split(text,' ')[i+2]))
+                            range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                      ELSE [] END AS sh
-         FROM documents)"""
+         FROM tk)"""
 
   private val JaccardPairsSql =
     s"""WITH $ShinglesCte,
@@ -131,7 +134,7 @@ object DataOpsQueries {
          FROM (
            SELECT doc_id,
                   list_transform(
-                    list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')),
+                    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
            FROM documents))"""
 
@@ -208,7 +211,7 @@ object DataOpsQueries {
         s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
       s"""WITH t AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
             FROM documents),
           sc AS (
             SELECT doc_id, len(toks) AS n,
@@ -224,7 +227,7 @@ object DataOpsQueries {
     "q_t_quality" ->
       s"""WITH t AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
             FROM documents),
           m AS (
             SELECT doc_id,
@@ -243,7 +246,7 @@ object DataOpsQueries {
 
     "q_t_token_counts" ->
       """SELECT doc_id,
-                len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws,
+                len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
                 CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est
          FROM documents ORDER BY doc_id""",

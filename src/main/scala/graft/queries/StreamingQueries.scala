@@ -32,8 +32,14 @@ object StreamingQueries {
         lit(0.0).as("sentimentScore")).as[RawPost]
 
       // stage the rows as a file-source stream (the production shape);
-      // testdata is immutable, so an existing staged copy is reused
-      val stage = s"/tmp/graft_stream_stage/${new java.io.File(dir).getName}"
+      // the staged copy is reused across runs, keyed by the SOURCE
+      // file's identity (path + mtime + size) so regenerated or
+      // differently-rooted testdata can never feed stale rows
+      val src = new java.io.File(s"$dir/events.parquet")
+      val fingerprint = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val stage = s"/tmp/graft_stream_stage/${src.getParentFile.getName}_$fingerprint"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         posts.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(posts.schema).parquet(stage).as[RawPost]

@@ -40,8 +40,12 @@ object StatefulOps {
       }
     }
     val tsAll = mergedEv.values.map(_.ts)
+    // total order (ts, value): a bare maxBy(ts) breaks ties by list
+    // position, which depends on how arrivals were batched — replaying
+    // the same data with different micro-batch boundaries would then
+    // disagree on the winner
     val latestSentiment = (prev.map(p => (p.lastUs, p.lastSentimentScore)).toSeq ++
-      sortedPosts.map { case (e, s) => (e.ts, s) }).maxBy(_._1)._2
+      sortedPosts.map { case (e, s) => (e.ts, s) }).max._2
     EventRow(
       eventKey = key,
       eventType = eventType,

@@ -30,8 +30,6 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = joined.queryExecution.executedPlan.toString
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      val joinShuffles = plan.split("SortMergeJoin").head
-        .count(_ => false) // placeholder, assert below on full text
       // no Exchange may appear BELOW the join (bucket layout feeds it
       // directly); the post-aggregation exchange is expected.
       val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
