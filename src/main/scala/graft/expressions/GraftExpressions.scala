@@ -68,9 +68,16 @@ object NfcNormalize {
 }
 
 /** URL canonicalization (reference api/events.py:123-173 — F3):
-  * https-upgrade, lowercase + IDN-punycode host, drop default ports and
-  * fragments, drop tracking params (utm_*, ref), sort remaining query
-  * params. Null on unparseable input.
+  * http/https/schemeless → https (other schemes kept, lowercased),
+  * lowercase + IDN-punycode host, drop default ports (http:80 /
+  * https:443 — note an `http://…:80` input keeps `:80`, because the
+  * scheme is upgraded to https BEFORE the default-port check, exactly
+  * as the reference does), drop fragments, drop tracking params
+  * (utm_*, ref, ref_src), sort remaining params by (key, value),
+  * collapse trailing slashes on non-root paths. Unparseable input
+  * (e.g. invalid port, unbalanced IPv6 bracket) passes through
+  * UNCHANGED (reference returns the original url on any exception);
+  * only null/empty input yields null.
   */
 case class CanonicalUrl(child: Expression) extends UnaryExpression {
 
@@ -97,71 +104,121 @@ case class CanonicalUrl(child: Expression) extends UnaryExpression {
 
 object CanonicalUrl {
 
-  private val TrackingParams: Set[String] = Set("ref", "fbclid", "gclid")
-
   def canonicalizeUtf8(input: UTF8String): UTF8String = {
     val s = canonicalize(input.toString)
     if (s == null) null else UTF8String.fromString(s)
   }
 
-  private val UrlRe =
-    "(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$".r
+  private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.\\-]*):(.*)$".r
 
-  /** Returns null for inputs that do not parse as http(s) URLs.
-    * Parses directly (not via java.net.URI, whose getHost is null for
-    * raw-IDN hosts) so `münchen.de` punycodes instead of failing.
+  /** Mirrors reference api/events.py:123-173 `_normalize_url`, which is
+    * built on Python's `urlsplit`/`parse_qsl`/`urlunsplit`. Parses
+    * directly (not via java.net.URI, whose getHost is null for raw-IDN
+    * hosts) so `MÜNCHEN.de` punycodes instead of failing. Any parse
+    * failure returns the ORIGINAL string (reference `except: return
+    * url`); null/empty input returns null.
     */
   def canonicalize(raw: String): String = {
+    if (raw == null || raw.isEmpty) return null
     try {
       val trimmed = raw.trim
-      if (trimmed.isEmpty) return null
-      val withScheme =
-        if (trimmed.matches("(?i)^[a-z][a-z0-9+.-]*://.*")) trimmed
-        else "https://" + trimmed
-      withScheme match {
-        case UrlRe(scheme0, authority, path0, query0) =>
-          if (scheme0.toLowerCase != "http" && scheme0.toLowerCase != "https")
-            return null
-          // drop userinfo, split host[:port]
-          val hostPort = authority.substring(authority.lastIndexOf('@') + 1)
-          if (hostPort.isEmpty) return null
-          val (host0, port) = hostPort.lastIndexOf(':') match {
-            case -1 => (hostPort, "")
-            case i =>
-              val digits = hostPort.substring(i + 1)
-              val outsideBracket = i > hostPort.lastIndexOf(']')
-              // nonEmpty guards "host:" (forall on "" is vacuously true
-              // and ''.toInt would throw into the catch-all → null)
-              if (outsideBracket && digits.nonEmpty && digits.length <= 5 &&
-                  digits.forall(_.isDigit)) {
-                val p = digits.toInt
-                (hostPort.substring(0, i),
-                  if (p == 80 || p == 443) "" else s":$p")
-              } else if (outsideBracket && digits.isEmpty)
-                (hostPort.substring(0, i), "") // trailing "host:"
-              else (hostPort, "")
-          }
-          // reject garbage authorities (':::', empty) — IDN.toASCII
-          // happily passes them through
-          if (host0.isEmpty ||
-              (host0.contains(':') && !host0.startsWith("["))) return null
-          val host = java.net.IDN.toASCII(host0.toLowerCase)
-          val path = if (path0.isEmpty) "/" else path0
-          val query = Option(query0).map(_.trim).filter(_.nonEmpty) match {
-            case None => ""
-            case Some(q) =>
-              val kept = q.split("&").filter(_.nonEmpty).filterNot { kv =>
-                val k = kv.split("=", 2)(0).toLowerCase
-                k.startsWith("utm_") || TrackingParams.contains(k)
-              }
-              if (kept.isEmpty) "" else kept.sorted.mkString("?", "&", "")
-          }
-          s"https://$host$port$path$query"
-        case _ => null
+      // --- urlsplit ---
+      var scheme0 = ""
+      var rest = trimmed
+      trimmed match {
+        case SchemeRe(s, r) => scheme0 = s.toLowerCase; rest = r
+        case _ =>
       }
+      var netloc = ""
+      if (rest.startsWith("//")) {
+        val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#', 2)
+        val cut = if (end == -1) rest.length else end
+        netloc = rest.substring(2, cut)
+        rest = rest.substring(cut)
+      }
+      val hashIdx = rest.indexOf('#')
+      if (hashIdx >= 0) rest = rest.substring(0, hashIdx) // drop fragment
+      val qIdx = rest.indexOf('?')
+      val (path0, query0) =
+        if (qIdx >= 0) (rest.substring(0, qIdx), rest.substring(qIdx + 1))
+        else (rest, "")
+
+      // hostname/port à la urlsplit: strip userinfo, lowercase host,
+      // brackets delimit IPv6; an invalid port raises (→ passthrough)
+      val hostPort = netloc.substring(netloc.lastIndexOf('@') + 1)
+      var host = ""
+      var port: Int = -1
+      if (hostPort.startsWith("[")) {
+        val close = hostPort.indexOf(']')
+        if (close < 0) throw new IllegalArgumentException("Invalid IPv6 URL")
+        host = hostPort.substring(1, close).toLowerCase
+        val after = hostPort.substring(close + 1)
+        if (after.startsWith(":") && after.length > 1) port = parsePort(after.substring(1))
+      } else {
+        if (hostPort.indexOf(']') >= 0) throw new IllegalArgumentException("Invalid IPv6 URL")
+        val ci = hostPort.lastIndexOf(':')
+        if (ci >= 0) {
+          host = hostPort.substring(0, ci).toLowerCase
+          val digits = hostPort.substring(ci + 1)
+          if (digits.nonEmpty) port = parsePort(digits)
+        } else host = hostPort.toLowerCase
+      }
+
+      // scheme: http/https/missing → https; anything else kept lowercase
+      val scheme =
+        if (scheme0 == "http" || scheme0 == "https" || scheme0 == "") "https"
+        else scheme0
+
+      // IDN punycode with lowercase fallback (reference host.encode('idna'))
+      val hostPuny =
+        if (host.isEmpty) host
+        else try java.net.IDN.toASCII(host) catch { case _: Exception => host }
+
+      // drop default ports — AFTER the https upgrade, as the reference
+      // does, so http://…:80 keeps :80
+      var netlocOut = hostPuny
+      if (port > 0 && !((scheme == "http" && port == 80) ||
+          (scheme == "https" && port == 443)))
+        netlocOut = s"$hostPuny:$port"
+
+      // query: parse_qsl(keep_blank_values) → lowercase keys, drop
+      // utm_*/ref/ref_src, sort by (key, value), re-join
+      val kept = query0.split("&").iterator
+        .filter(_.nonEmpty)
+        .map { seg =>
+          val eq = seg.indexOf('=')
+          if (eq >= 0) (seg.substring(0, eq).toLowerCase, seg.substring(eq + 1))
+          else (seg.toLowerCase, "")
+        }
+        .filterNot { case (k, _) =>
+          k.startsWith("utm_") || k == "ref" || k == "ref_src"
+        }
+        .toSeq
+      val query = kept.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+      // path: empty → "/", else collapse trailing slashes (non-root)
+      var path = if (path0.isEmpty) "/" else path0
+      if (path != "/") path = path.replaceAll("/+$", "")
+
+      // --- urlunsplit ---
+      var out = path
+      if (netlocOut.nonEmpty || out.startsWith("//")) {
+        if (out.nonEmpty && !out.startsWith("/")) out = "/" + out
+        out = "//" + netlocOut + out
+      }
+      out = scheme + ":" + out
+      if (query.nonEmpty) out = out + "?" + query
+      out
     } catch {
-      case _: Exception => null
+      case _: Exception => raw
     }
+  }
+
+  private def parsePort(digits: String): Int = {
+    if (!digits.forall(_.isDigit)) throw new NumberFormatException(digits)
+    val p = digits.toInt // non-numeric/oversized ports → ValueError analog
+    if (p > 65535) throw new NumberFormatException(digits)
+    p
   }
 }
 

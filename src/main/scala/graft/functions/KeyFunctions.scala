@@ -23,51 +23,75 @@ object KeyFunctions {
     e - (e % bucketSec)
   }
 
-  /** Event key v1 (F5 — reference api/events.py:414-470):
-    * `sha256(type|SYMBOL|ca|text_norm|bucket)[:40]` over `|`-joined
-    * parts with nulls encoded as empty strings.
+  /** Event key v1 (F5 — reference api/events.py:499-502):
+    * `sha256(lower(type)|SYMBOL|ca|text_norm|bucket|salt)[:40]` over
+    * `|`-joined parts with nulls encoded as empty strings. The trailing
+    * salt segment (EVENT_KEY_SALT, default `"v1"`) is part of the
+    * preimage, and the type is lowercased (`type_norm`).
     */
   def eventKeyV1(typ: Column, symbol: Column, tokenCa: Column,
-      textNorm: Column, bucket: Column): Column =
+      textNorm: Column, bucket: Column, salt: String = "v1"): Column =
     substring(
       sha2(concat_ws("|",
-        coalesce(typ, lit("")),
+        lower(coalesce(typ, lit(""))),
         upper(coalesce(symbol, lit(""))),
-        coalesce(tokenCa, lit("")),
+        lower(coalesce(tokenCa, lit(""))),
         coalesce(textNorm, lit("")),
-        bucket.cast("string")), 256),
+        bucket.cast("string"),
+        lit(salt)), 256),
       1, 40)
 
   /** Topic hash (F8 — reference api/events.py:313-341, sha256 variant):
-    * `sha256("kw1||kw2||...")[:12]` over the sorted keyword list.
+    * `sha256("kw1||kw2||...")[:12]` over the sorted keyword list; an
+    * empty/null list hashes the literal `"none"` (events.py:325-329).
     */
   def topicHash(keywords: Column): Column =
-    substring(sha2(array_join(array_sort(keywords), "||"), 256), 1, 12)
+    substring(sha2(topicContent(keywords), 256), 1, 12)
 
-  /** Event key v2 (F5 — reference api/events.py:472-528): keyed
-    * blake2s-160 of `"v2|type|identity|topic_hash|bucket|text_sig"`,
-    * identity = token_ca else `symbol|chain`; 40 hex chars. Uses the
-    * custom [[graft.expressions.Blake2sHash]] Catalyst expression (no
-    * JDK blake2s); stays codegen'd.
+  private def topicContent(keywords: Column): Column =
+    when(keywords.isNull || size(keywords) === 0, lit("none"))
+      .otherwise(array_join(array_sort(keywords), "||"))
+
+  /** Lightweight text signature used by the v2 key (reference
+    * api/events.py:507-508): unkeyed full blake2s hexdigest of the
+    * normalized text, first 16 hex chars.
+    */
+  def textSig(textNorm: Column): Column =
+    substring(graft.expressions.GraftFunctions.blake2s(
+      coalesce(textNorm, lit("")), digestBytes = 32), 1, 16)
+
+  /** Event key v2 (F5 — reference api/events.py:503-516): FULL 32-byte
+    * keyed blake2s of `"v2|type|identity|topic_hash|bucket|text_sig"`,
+    * hexdigest truncated to 40 chars (`hexdigest()[:40]` — NOT a
+    * 20-byte-output digest: BLAKE2 encodes the digest length in its
+    * parameter block, so blake2s-160 would be a different function).
+    * identity = token_ca else `symbol|chain`. Uses the custom
+    * [[graft.expressions.Blake2sHash]] Catalyst expression (no JDK
+    * blake2s); stays codegen'd.
     */
   def eventKeyV2(typ: Column, symbol: Column, tokenCa: Column, chain: Column,
       topicHash: Column, textSig: Column, bucket: Column,
       salt: String = ""): Column = {
-    val identity = coalesce(tokenCa,
+    // empty-string CA is falsy in the reference (`token_ca_norm or …`)
+    val identity = coalesce(nullif(lower(tokenCa), lit("")),
       concat_ws("|", coalesce(symbol, lit("")), coalesce(chain, lit(""))))
-    graft.expressions.GraftFunctions.blake2s(
-      concat_ws("|", lit("v2"), coalesce(typ, lit("")), identity,
-        coalesce(topicHash, lit("")), bucket.cast("string"),
-        coalesce(textSig, lit(""))),
-      digestBytes = 20, key = salt)
+    substring(
+      graft.expressions.GraftFunctions.blake2s(
+        concat_ws("|", lit("v2"), lower(coalesce(typ, lit(""))), identity,
+          coalesce(topicHash, lit("")), bucket.cast("string"),
+          coalesce(textSig, lit(""))),
+        digestBytes = 32, key = salt),
+      1, 40)
   }
 
   /** Topic hash, blake2s default algorithm (F8 — reference
-    * api/events.py:313-341): blake2s-48 of `"kw1||kw2||..."` → 12 hex.
+    * api/events.py:313-341): full blake2s hexdigest of
+    * `"kw1||kw2||..."` truncated to 12 hex (`hexdigest()[:12]`);
+    * empty list hashes `"none"`.
     */
   def topicHashBlake(keywords: Column): Column =
-    graft.expressions.GraftFunctions.blake2s(
-      array_join(array_sort(keywords), "||"), digestBytes = 6)
+    substring(graft.expressions.GraftFunctions.blake2s(
+      topicContent(keywords), digestBytes = 32), 1, 12)
 
   /** Post fingerprint for window dedup (D1 — reference
     * worker/jobs/x_kol_poll.py:82-117): `sha1(source|author|ts|text[:30])`.

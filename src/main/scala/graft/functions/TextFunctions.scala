@@ -68,14 +68,16 @@ object TextFunctions {
     greatest(lit(0.0), least(lit(1.0), raw))
   }
 
-  /** Lexicon sentiment (F11 — reference api/rules_sentiment.py:11-84).
-    * Tokens are whitespace-split lowercase words; score =
-    * clamp((pos-neg)/n_tokens * 3, -1, 1); label at ±0.1.
+  /** Lexicon sentiment (F11 — reference api/rules_sentiment.py:5-84).
+    * Tokens are `\b\w+\b` word tokens over the lowercased text (every
+    * maximal `\w+` run — so `"scam,"` yields the lexicon hit `scam`,
+    * and punctuation never reaches the token-count denominator); score
+    * = clamp((pos-neg)/n_tokens * 3, -1, 1); label at ±0.1.
     * Counts token OCCURRENCES (not distinct), matching the reference's
     * per-token loop.
     */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    regexp_extract_all(lower(text), lit("\\w+"), lit(0))
 
   def sentimentScore(text: Column, pos: Seq[String], neg: Seq[String]): Column = {
     val toks = tokenize(text)

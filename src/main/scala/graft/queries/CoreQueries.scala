@@ -250,7 +250,7 @@ object CoreQueries {
     "q_f11_sentiment" ->
       s"""WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                  regexp_extract_all(lower(text), '\\w+') AS toks
            FROM documents),
          c AS (
            SELECT doc_id,
@@ -273,8 +273,8 @@ object CoreQueries {
 
     "q_f5_event_key" ->
       """SELECT event_id,
-                substr(sha256(concat_ws('|', event_type, CAST(user_id AS VARCHAR),
-                  '', '', CAST(epoch_ns(ts) // 1000000000 // 600 * 600 AS VARCHAR))), 1, 40)
+                substr(sha256(concat_ws('|', lower(event_type), upper(CAST(user_id AS VARCHAR)),
+                  '', '', CAST(epoch_ns(ts) // 1000000000 // 600 * 600 AS VARCHAR), 'v1')), 1, 40)
                   AS event_key
          FROM events ORDER BY event_id"""
   )

@@ -19,28 +19,64 @@ object CustomExprQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // F3: canonical URL over synthesized messy URLs.
+    // F3: canonical URL over synthesized messy URLs, exercising the
+    // four reference behaviors the advisor pinned (events.py:123-173):
+    // kept :80 after the https upgrade, ref_src/utm stripping + param
+    // sort, trailing-slash collapse + non-http scheme preservation,
+    // and invalid-port passthrough.
     "q_f3_canonical_url" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .withColumn("url",
-          concat(lit("HTTP://Src"), col("doc_id") % 20,
-            lit(".Example.COM:80/p/"), col("doc_id"),
-            lit("?utm_source=x&b="), col("n_chars"), lit("&a=1&ref=y#frag")))
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://Src"), col("doc_id") % 20,
+              lit(".Example.COM:80/p/"), col("doc_id"),
+              lit("?utm_source=x&b="), col("n_chars"), lit("&a=1&ref=y#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://Host"), col("doc_id") % 20,
+              lit(".example.com/a/"), col("doc_id"),
+              lit("///?ref_src=tw&z="), col("n_chars")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("FTP://Files"), col("doc_id") % 20,
+              lit(".Example.com/d/"), col("doc_id"), lit("/")))
+          .otherwise(
+            concat(lit("http://bad"), col("doc_id") % 20,
+              lit(".example.com:port/x/"), col("doc_id"))))
       d.select(col("doc_id"),
           GraftFunctions.canonicalUrl(col("url")).as("canon_url"))
         .orderBy("doc_id")
     }),
 
-    // F5 v2: keyed blake2s event key — custom expression; rows-only.
+    // F5 v2: keyed blake2s event key pinned by known-answer vectors.
+    // Expected keys were computed with the PUBLIC hashlib.blake2s
+    // semantics the reference uses (api/events.py:503-516:
+    // blake2s(preimage, key=salt).hexdigest()[:40], text_sig =
+    // blake2s(text_norm).hexdigest()[:16]) and embedded as the literal
+    // DuckDB oracle, turning the previous rows-only check into a full
+    // hash-compare of the v2 key format.
     "q_f5_event_key_v2" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events")
-        .withColumn("bucket", expr("ts_ns div 1000000000 div 600 * 600"))
-      e.select(col("event_id"),
-          KeyFunctions.eventKeyV2(col("event_type"),
-            concat(lit("U"), col("user_id")), lit(null).cast("string"),
-            lit("eth"), lit(""), lit(""), col("bucket"), salt = "graft")
-            .as("event_key"))
-        .orderBy("event_id")
+      import s.implicits._
+      val kat = Seq(
+        (1L, "LISTING", "$pepe", Option("0x" + "ab" * 20), "eth",
+          "aabbccddeeff", "pepe is launching", 1699999800L, "v1"),
+        (2L, "listing", "$pepe", Option.empty[String], "eth",
+          "aabbccddeeff", "pepe is launching", 1699999800L, "v1"),
+        (3L, "mention", "$doge", Option.empty[String], "bsc",
+          "", "", 1700000400L, "v1"),
+        (4L, "rug_alert", "$scamcoin", Option.empty[String], "na",
+          "deadbeef0123", "total rug avoid", 1700001000L, "v1"),
+        (5L, "listing", "$pepe", Option.empty[String], "eth",
+          "aabbccddeeff", "pepe is launching", 1699999800L, "rotated"),
+        (6L, "market_risk", "$wif", Option("0x" + "09" * 20), "sol",
+          "cafef00dbeef", "mr tag case", 1700002200L, "v1"))
+        .toDF("case_id", "typ", "symbol", "token_ca", "chain",
+          "topic_hash", "text_norm", "bucket", "salt")
+      def key(salt: String) = KeyFunctions.eventKeyV2(col("typ"),
+        col("symbol"), col("token_ca"), col("chain"), col("topic_hash"),
+        KeyFunctions.textSig(col("text_norm")), col("bucket"), salt = salt)
+      kat.select(col("case_id"),
+          when(col("salt") === "v1", key("v1"))
+            .otherwise(key("rotated")).as("event_key"))
+        .orderBy("case_id")
     }),
 
     // F8: topic hash, sha256 variant — 12-hex digest of sorted
@@ -99,11 +135,29 @@ object CustomExprQueries {
   def oracleSql: Map[String, String] = Map(
     "q_f3_canonical_url" ->
       """SELECT doc_id,
-                'https://src' || (doc_id % 20) || '.example.com/p/' || doc_id
-                  || '?a=1&b=' || n_chars AS canon_url
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://src' || (doc_id % 20) || '.example.com:80/p/'
+                              || doc_id || '?a=1&b=' || n_chars
+                  WHEN 1 THEN 'https://host' || (doc_id % 20) || '.example.com/a/'
+                              || doc_id || '?z=' || n_chars
+                  WHEN 2 THEN 'ftp://files' || (doc_id % 20) || '.example.com/d/' || doc_id
+                  ELSE 'http://bad' || (doc_id % 20) || '.example.com:port/x/' || doc_id
+                END AS canon_url
          FROM documents ORDER BY doc_id""",
 
-    // q_f5_event_key_v2: no DuckDB blake2s — rows-only check.
+    // q_f5_event_key_v2: DuckDB has no blake2s, so the oracle is the
+    // literal known-answer table (hashlib.blake2s ground truth).
+    "q_f5_event_key_v2" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, event_key
+         FROM (VALUES
+           (1, '9aefefd9dd223692df5e71fedb07b5a60627ce0d'),
+           (2, '228570a0b56b3310febfa962fba294d4b463aa86'),
+           (3, '74a0805bd9ca0a9310449ac45a0768118de53aa7'),
+           (4, 'a68cd053488cc97b1c8ebb03b11c6727d607a92e'),
+           (5, '8349a4ec358e07c2fb80d0c411af9f8c56be5dd0'),
+           (6, 'b94ae5eddd702eefea5ce845ada026c02c77595c'))
+           AS t(case_id, event_key)
+         ORDER BY case_id""",
 
     "q_f8_topic_hash" ->
       """SELECT user_id,

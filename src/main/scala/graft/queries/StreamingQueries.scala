@@ -66,8 +66,8 @@ object StreamingQueries {
       """WITH p AS (
            SELECT CAST(event_id AS VARCHAR) AS id,
                   epoch_us(ts) AS us,
-                  substr(sha256(concat_ws('|', 'post', upper(event_type), '',
-                    CAST(epoch_us(ts) // 600000000 AS VARCHAR))), 1, 40) AS event_key
+                  substr(sha256(concat_ws('|', 'post', upper(event_type), '', '',
+                    CAST(epoch_us(ts) // 600000000 * 600 AS VARCHAR), 'v1')), 1, 40) AS event_key
            FROM events)
          SELECT event_key,
                 count(DISTINCT id) AS evidence_count,

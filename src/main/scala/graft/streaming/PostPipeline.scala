@@ -33,13 +33,13 @@ object PostPipeline {
     val spark = posts.sparkSession
     import spark.implicits._
     posts.select(
-        substring(sha2(concat_ws("|",
-          lit("post"),
-          upper(coalesce(col("symbol"), lit(""))),
-          coalesce(col("tokenCa"), lit("")),
-          // integer division: double `/` + cast can misbucket at edges
-          expr("tsUs div 600000000").cast("string")), 256), 1, 40)
-          .as("event_key"),
+        // full v1 key contract (events.py:499-502): lower(type)|SYMBOL|
+        // ca|text_norm|bucket_seconds|salt; bucket via integer division
+        // (double `/` + cast can misbucket at edges)
+        graft.functions.KeyFunctions.eventKeyV1(
+          lit("post"), col("symbol"), col("tokenCa"),
+          lit(null).cast("string"),
+          expr("tsUs div 600000000 * 600")).as("event_key"),
         lit("social").as("event_type"),
         struct(
           col("source"),

@@ -62,23 +62,42 @@ class ExpressionsSpec extends AnyFunSuite {
   }
 
   test("canonical url: scheme upgrade, host case, tracking params, sort") {
+    // :80 is KEPT — the reference upgrades http→https BEFORE checking
+    // default ports, so (https, 80) is not a default pair
     assert(CanonicalUrl.canonicalize(
       "HTTP://ExAmple.com:80/p?utm_source=x&b=2&a=1&ref=y#frag") ==
-      "https://example.com/p?a=1&b=2")
-    assert(CanonicalUrl.canonicalize("example.com/path") ==
-      "https://example.com/path")
+      "https://example.com:80/p?a=1&b=2")
+    assert(CanonicalUrl.canonicalize("https://example.com:443/p") ==
+      "https://example.com/p")
     assert(CanonicalUrl.canonicalize("https://example.com") ==
       "https://example.com/")
-    assert(CanonicalUrl.canonicalize("ftp://example.com/x") == null)
-    assert(CanonicalUrl.canonicalize("münchen.de/p") ==
+    // trailing slashes collapse on non-root paths; ref_src is tracking
+    assert(CanonicalUrl.canonicalize(
+      "https://Example.com/a/b///?ref_src=tw&z=1") ==
+      "https://example.com/a/b?z=1")
+    // non-http schemes are preserved (lowercased), not rejected
+    assert(CanonicalUrl.canonicalize("FTP://Files.Example.com/x") ==
+      "ftp://files.example.com/x")
+    assert(CanonicalUrl.canonicalize("https://MÜNCHEN.de/p") ==
       "https://xn--mnchen-3ya.de/p")
+    // schemeless input follows urlsplit: host lands in the path
+    assert(CanonicalUrl.canonicalize("example.com/path") ==
+      "https:example.com/path")
   }
 
-  test("canonical url column handles null and garbage") {
-    val df = Seq(Some("example.com/a?utm_x=1"), Some("::::"), None).toDF("u")
+  test("canonical url: unparseable input passes through unchanged") {
+    // invalid port → parts.port raises → reference returns the input
+    assert(CanonicalUrl.canonicalize("http://host.com:notaport/x") ==
+      "http://host.com:notaport/x")
+    assert(CanonicalUrl.canonicalize("http://[half-open/x") ==
+      "http://[half-open/x")
+  }
+
+  test("canonical url column handles null and empty") {
+    val df = Seq(Some("example.com/a?utm_x=1"), Some(""), None).toDF("u")
       .select(GraftFunctions.canonicalUrl(col("u")).as("c"))
     val got = df.collect().map(r => Option(r.getString(0)))
-    assert(got(0).contains("https://example.com/a"))
+    assert(got(0).contains("https:example.com/a"))
     assert(got(1).isEmpty)
     assert(got(2).isEmpty)
   }

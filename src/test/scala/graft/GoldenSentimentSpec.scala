@@ -50,5 +50,11 @@ class GoldenSentimentSpec extends AnyFunSuite {
     val s3 = Seq("").toDF("t")
       .select(TextFunctions.sentimentScore(col("t"), Pos, Neg)).head.getDouble(0)
     assert(s3 == 0.0)
+    // \b\w+\b tokenization: punctuation-adjacent lexicon words still hit
+    // ("scam," → scam) and punctuation is not a token
+    // (api/rules_sentiment.py:5-8)
+    val s4 = Seq("scam, rug!").toDF("t")
+      .select(TextFunctions.sentimentScore(col("t"), Pos, Neg)).head.getDouble(0)
+    assert(s4 == -1.0, s"punctuated lexicon hits must count, got $s4")
   }
 }
