@@ -1,21 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Measurement rules (round-1 verdict fixes):
+  *   - FULL evaluation via `df.queryExecution.toRdd.count()` — a plain
+  *     `Dataset.count()` lets Catalyst prune every computed column and
+  *     drop sorts, so projection-heavy queries would "benchmark" a
+  *     zero-column parquet scan. `toRdd` executes the final physical
+  *     plan (sorts included) and materializes every output column.
+  *   - n runs per query (default 3, `SPARK_GRAFT_BENCH_RUNS`), report
+  *     the MIN — first-touch JIT/shuffle-file noise lands in run 1.
+  *   - failures are REPORTED (`"failures":{name:error}`), never folded
+  *     into the total as a fake fast time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val best = (1 to runs).foldLeft(Double.MaxValue) { (acc, _) =>
+        if (failures.contains(name)) acc
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            math.min(acc, (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              failures(name) = jsonEscape(
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+              acc
+          }
+        }
+      }
+      if (!failures.contains(name)) times(name) = best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }
