@@ -57,16 +57,26 @@ object DataOpsQueries {
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         id => id % 50 === 0, k = 5).orderBy("qid", "rank")),
 
-    // Embedding-cosine nearest neighbor + near-dup flag for EVERY vector.
+    // Embedding-cosine near-dup detector for EVERY vector — the
+    // SCALE path (multi-table sign-LSH buckets, one shuffle, no cross
+    // join). The oracle rebuilds the identical md5-derived hyperplanes
+    // in SQL, so the hash compare proves the bucketing end to end;
+    // recall vs the exact cross-join ground truth is proven on a
+    // planted-near-dup corpus in AnnSpec (>=0.9 gate). The testdata
+    // embeddings are uniform random (max pairwise cosine ≈0.51, no
+    // planted pairs), so candidate-equality with brute force is
+    // information-theoretically unavailable here — bucketed semantics
+    // ARE the contract, as with q_d_minhash_lsh.
     "q_s_embedding_nn" -> ((s, dir) =>
-      Similarity.nearestNeighborAll(embs(s, dir), "vec_id", "embedding",
-        dupThreshold = 0.4).orderBy("vec_id")),
+      Similarity.nearDupLsh(embs(s, dir), "vec_id", "embedding",
+        dupThreshold = 0.9, dim = 64, planes = 8, tables = 4)
+        .orderBy("vec_id")),
 
-    // Sign-LSH bucketed ANN (scale path; rows-only check — recall vs
-    // brute force is asserted in AnnSpec instead of a SQL oracle).
+    // Sign-LSH bucketed ANN with Hamming-1 multi-probe (scale path);
+    // full DuckDB mirror oracle — zero rows-only checks left.
     "q_s_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embs(s, dir), "vec_id", "embedding",
-        id => id % 50 === 0, k = 5, dim = 64, planes = 2)
+        id => id % 50 === 0, k = 5, dim = 64, planes = 8, tables = 4)
         .orderBy("qid", "rank")),
 
     // Language ID (stopword heuristic).
@@ -144,6 +154,28 @@ object DataOpsQueries {
                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          FROM embeddings)"""
 
+  /** SQL mirror of Similarity.planeSigns/signBuckets: ±1 from the
+    * parity of the first md5 byte of "t:p:j" (parity of a byte == the
+    * parity of its 2nd hex char), bucket = Σ (e·signs > 0) << p per
+    * hash table. 4 tables × 8 planes × 64 dims.
+    */
+  private val SignBucketsCte =
+    """sgn AS (
+         SELECT t, p,
+                list(CASE WHEN substr(md5(CAST(t AS VARCHAR) || ':' ||
+                         CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 2, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                     THEN 1.0 ELSE -1.0 END ORDER BY j) AS sv
+         FROM (SELECT unnest(range(4)) AS t),
+              (SELECT unnest(range(8)) AS p),
+              (SELECT unnest(range(64)) AS j)
+         GROUP BY t, p),
+       bk AS (
+         SELECT n.vec_id, s.t,
+                sum(CASE WHEN list_dot_product(n.e, s.sv) > 0
+                    THEN (1::BIGINT << s.p) ELSE 0 END)::BIGINT AS bucket
+         FROM n, sgn s GROUP BY n.vec_id, s.t)"""
+
   private val EnStop =
     TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -186,19 +218,46 @@ object DataOpsQueries {
 
     "q_s_embedding_nn" ->
       s"""WITH $PreparedVecsCte,
-          p AS (
-            SELECT a.vec_id, b.vec_id AS nn_id,
-                   list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS c
-            FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+          $SignBucketsCte,
+          cand AS (
+            SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+            FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+            WHERE a.vec_id <> b.vec_id),
+          sc AS (
+            SELECT cand.vec_id, cand.nn_id,
+                   list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
+            FROM cand JOIN n x ON x.vec_id = cand.vec_id
+                      JOIN n y ON y.vec_id = cand.nn_id),
           r AS (
             SELECT vec_id, nn_id, c,
                    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id ASC) AS rank
-            FROM p)
-          SELECT vec_id, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, c >= 0.4 AS is_dup
+            FROM sc)
+          SELECT vec_id, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, c >= 0.9 AS is_dup
           FROM r WHERE rank = 1 ORDER BY vec_id""",
 
-    // q_s_ann_lsh intentionally omitted: bucket recall is asserted in
-    // AnnSpec against the brute-force result (rows-only driver check).
+    "q_s_ann_lsh" ->
+      s"""WITH $PreparedVecsCte,
+          $SignBucketsCte,
+          probes AS (
+            SELECT vec_id AS qid, t,
+                   unnest(list_prepend(bucket,
+                     list_transform(range(8), i -> xor(bucket, (1::BIGINT << i))))) AS bucket
+            FROM bk WHERE vec_id % 50 = 0),
+          cand AS (
+            SELECT DISTINCT p.qid, c.vec_id AS nn_id
+            FROM probes p JOIN bk c ON c.t = p.t AND c.bucket = p.bucket
+            WHERE c.vec_id <> p.qid),
+          sc AS (
+            SELECT cand.qid, cand.nn_id,
+                   list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
+            FROM cand JOIN n x ON x.vec_id = cand.qid
+                      JOIN n y ON y.vec_id = cand.nn_id),
+          r AS (
+            SELECT qid, nn_id, c,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+            FROM sc)
+          SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q_t_langid" -> {
       val scores = TextAnalysis.Stopwords.map { case (l, ws) =>

@@ -12,10 +12,11 @@ import graft.functions.Parity
   *   - the exact path broadcasts the (small) query set and scans the
   *     corpus once — embarrassingly parallel, no shuffle except the
   *     final per-query top-k;
-  *   - the LSH path adds sign-bucket pre-filtering: deterministic
-  *     hyperplane signs derived from md5, so buckets are reproducible;
-  *     candidates are only compared within matching buckets (probes=0)
-  *     — linear in corpus size;
+  *   - the LSH paths add sign-bucket pre-filtering: deterministic
+  *     hyperplane signs derived from md5, so buckets are reproducible
+  *     on any engine (the DuckDB oracle rebuilds them); multiple hash
+  *     tables + Hamming-1 multi-probe amplify recall; candidates are
+  *     only compared within matching buckets — linear in corpus size;
   *   - dot products run on `double`-cast arrays with sequential
   *     `aggregate`, matching DuckDB `list_dot_product` accumulation
   *     order for oracle parity.
@@ -63,9 +64,10 @@ object Similarity {
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
 
-  /** Nearest neighbor (top-1) for EVERY vector + near-dup flag at a
-    * cosine threshold — the embedding-cosine near-duplicate detector.
-    * All-pairs within the frame; use [[lshTopK]] shape at corpus scale.
+  /** Nearest neighbor (top-1) for EVERY vector + near-dup flag, via an
+    * all-pairs cross join — O(n²), the small-corpus ground truth that
+    * specs measure [[nearDupLsh]]'s recall against. NEVER the scale
+    * path: the gate query runs [[nearDupLsh]].
     */
   def nearestNeighborAll(df: DataFrame, idCol: String, embCol: String,
       dupThreshold: Double): DataFrame = {
@@ -85,48 +87,110 @@ object Similarity {
         (col("cos_sim_raw") >= dupThreshold).as("is_dup"))
   }
 
-  /** Deterministic sign-LSH bucket key: `planes` pseudo-random
-    * hyperplanes whose component signs derive from md5(p:j); bucket bit
-    * p = sign(e · signs_p).
+  /** Deterministic ±1 hyperplane components for (table, plane): the
+    * sign of component j derives from the parity of the first byte of
+    * md5("t:p:j") — reproducible on ANY engine with md5 (the DuckDB
+    * oracle rebuilds the identical planes in SQL), no RNG state.
     *
-    * The sign vectors are computed ONCE on the driver and embedded as
-    * literal arrays feeding the codegen'd [[dot]] kernel — the
-    * expression-level formulation hashed md5(p:j) per element per row
-    * (interpreted, ~dim×planes digests/row) and dominated the ANN
-    * bench.
+    * Computed ONCE on the driver and embedded as literal arrays feeding
+    * the codegen'd [[dot]] kernel — the expression-level formulation
+    * hashed md5 per element per row (interpreted, ~dim×planes
+    * digests/row) and dominated the ANN bench.
     */
-  def signBucket(e: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val signs: Seq[Double] = (0 until dim).map { j =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$j".getBytes("UTF-8"))
-        // parity of the first two hex chars == parity of the first byte
-        if (((h(0) >> 4) * 16 + (h(0) & 0xf)) % 2 == 0) 1.0 else -1.0
-      }
-      when(dot(e, typedlit(signs)) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def planeSigns(table: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$table:$plane:$j".getBytes("UTF-8"))
+      // parity of the first byte == parity of the 2nd hex char
+      if (((h(0) >> 4) * 16 + (h(0) & 0xf)) % 2 == 0) 1.0 else -1.0
     }
-    bits.reduce(_ + _)
+
+  /** One sign-LSH bucket key per hash table: bucket bit p of table t =
+    * sign(e · planeSigns(t, p)). Multiple independent tables are the
+    * standard recall amplifier: a near pair collides if it agrees on
+    * ALL planes of ANY table — P(miss) = (1-(1-θ/π)^planes)^tables,
+    * which for near-dup angles (cos ≥ 0.9) vanishes at 8×4.
+    */
+  def signBuckets(e: Column, dim: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(dot(e, typedlit(planeSigns(t, p, dim))) > 0,
+          shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Corpus exploded to one row per (vector, table) with its bucket —
+    * the shuffle key both LSH operators join on.
+    */
+  private def bucketed(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, planes: Int, tables: Int): DataFrame =
+    prepared(df, idCol, embCol)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(signBuckets(col("e"), dim, planes, tables)).as(Seq("t", "bucket")))
+
+  /** Embedding-cosine near-duplicate detector at corpus scale: best
+    * bucket-mate per vector (top-1 cosine among vectors sharing a
+    * (table, bucket) key) + `is_dup` flag at `dupThreshold`.
+    *
+    * Plan shape: one shuffle on (t, bucket), pairs generated only
+    * inside buckets — linear in corpus size for hash-partitioned
+    * buckets (bucket population ≈ n/2^planes per table; grow `planes`
+    * with log₂(corpus) to hold that constant). NO cross join anywhere.
+    * For genuinely-near pairs (the ones dedup cares about) the
+    * multi-table collision bound above makes recall ≥ 0.99 at 8×4 —
+    * asserted against [[nearestNeighborAll]] ground truth in AnnSpec
+    * on a planted-near-dup corpus.
+    */
+  def nearDupLsh(df: DataFrame, idCol: String, embCol: String,
+      dupThreshold: Double, dim: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val b = bucketed(df, idCol, embCol, dim, planes, tables)
+    val left = b.select(col("t"), col("bucket"), col("vec_id"), col("e"), col("nrm"))
+    val right = b.select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
+      col("e").as("oe"), col("nrm").as("onrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    // a pair colliding in several tables yields IDENTICAL rows; top-1
+    // keeps one of them, so no distinct pass is needed before ranking
+    left.join(right, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("e"), col("oe"), col("nrm"), col("onrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"),
+        (col("cos_sim_raw") >= dupThreshold).as("is_dup"))
   }
 
-  /** Approximate top-k: restrict comparisons to vectors sharing the
-    * sign-LSH bucket, then exact cosine inside the bucket. Trades
-    * recall for a shuffle-on-bucket plan that stays linear at corpus
-    * scale. Falls back to fewer than k results when a bucket is small
-    * (standard IVF/LSH behavior; raise `planes`/probes for recall).
+  /** Approximate top-k for a query subset: sign-LSH buckets with
+    * MULTI-PROBE — each query additionally probes every bucket at
+    * Hamming distance 1 (the `planes` single-bit flips), recovering
+    * near misses where exactly one hyperplane splits the pair. The
+    * corpus side keeps its exact buckets, so corpus cost stays one
+    * shuffle; only the (small) query side fans out ×(planes+1).
+    * Candidates are deduped on (qid, nn_id) before ranking — the same
+    * pair can surface from several probes/tables and duplicate rows
+    * would otherwise occupy two of the k ranks.
     */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
-      queryPred: Column => Column, k: Int, dim: Int, planes: Int = 4): DataFrame = {
-    val base = prepared(df, idCol, embCol)
-      .withColumn("bucket", signBucket(col("e"), dim, planes))
-    val q = base.filter(queryPred(col("vec_id")))
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col("bucket"))
+      queryPred: Column => Column, k: Int, dim: Int, planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val corpus = bucketed(df, idCol, embCol, dim, planes, tables)
+      .select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
+        col("e").as("oe"), col("nrm").as("onrm"))
+    val probes = (qb: Column) =>
+      array((Seq(qb) ++ (0 until planes).map(i => qb.bitwiseXOR(lit(1L << i)))): _*)
+    val q = bucketed(df, idCol, embCol, dim, planes, tables)
+      .filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("t"), explode(probes(col("bucket"))).as("bucket"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
-    base.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nn_id"),
-        cosine(col("e"), col("qe"), col("nrm"), col("qnrm")).as("cos_sim_raw"))
+    corpus.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("nn_id") =!= col("qid"))
+      .dropDuplicates("qid", "nn_id")
+      .select(col("qid"), col("nn_id"),
+        cosine(col("oe"), col("qe"), col("onrm"), col("qnrm")).as("cos_sim_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nn_id"),

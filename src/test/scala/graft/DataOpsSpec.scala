@@ -41,17 +41,58 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"simhash recall $recall over ${jac.size} planted pairs")
   }
 
-  test("LSH ANN results are a subset of brute-force rankings' candidates") {
-    val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
-      id => id % 50 === 0, k = 5)
-      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(embs, "vec_id", "embedding",
-      id => id % 50 === 0, k = 5, dim = 64, planes = 2)
-      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.nonEmpty)
-    // every LSH hit must be cosine-correct: recall measured against top-5
-    val recall = bf.count(lsh.contains).toDouble / bf.size
-    assert(recall >= 0.2, s"LSH recall vs brute force was $recall")
+  // Planted-near-dup corpus for LSH recall gates: 200 unit-ish gaussian
+  // bases (id = i) + a perturbed copy of each (id = 1000 + i,
+  // cos(base, dup) ≈ 0.99) + 100 random distractors (id = 5000 + i).
+  // Deterministic seed → recall is a fixed number, not a flaky sample.
+  private lazy val planted = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val bases = (0 until 200).map(i => (i.toLong, unit(vec())))
+    val dups = bases.map { case (i, b) =>
+      val noise = unit(vec())
+      (1000L + i, unit(b.zip(noise).map { case (x, e) => x + 0.15f * e }))
+    }
+    val distractors = (0 until 100).map(i => (5000L + i, unit(vec())))
+    (bases ++ dups ++ distractors).toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe LSH top-k recall >= 0.9 on planted near-dups") {
+    val got = Similarity.lshTopK(planted, "vec_id", "embedding",
+      id => id >= 1000 && id < 5000, k = 1, dim = 64, planes = 8, tables = 4)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 200).count(i => got.get(1000L + i).contains(i.toLong))
+    val recall = hits / 200.0
+    assert(recall >= 0.9, s"multi-probe LSH top-1 recall was $recall")
+  }
+
+  test("nearDupLsh recall >= 0.9 and matches exact NN on planted pairs") {
+    val got = Similarity.nearDupLsh(planted, "vec_id", "embedding",
+      dupThreshold = 0.9, dim = 64, planes = 8, tables = 4)
+      .filter(col("vec_id") >= 1000 && col("vec_id") < 5000)
+      .select("vec_id", "nn_id", "is_dup").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val hits = (0 until 200).count { i =>
+      got.get(1000L + i).exists { case (nn, dup) => nn == i.toLong && dup }
+    }
+    val recall = hits / 200.0
+    assert(recall >= 0.9, s"nearDupLsh recall was $recall")
+    // and the exact ground truth agrees: every found partner IS the
+    // cross-join top-1 (bucketing may only lose pairs, never invent
+    // better-than-exact ones)
+    val exact = Similarity.nearestNeighborAll(planted, "vec_id", "embedding", 0.9)
+      .filter(col("vec_id") >= 1000 && col("vec_id") < 5000)
+      .select("vec_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (v, (nn, dup)) =>
+      if (dup) assert(exact(v) == nn, s"vec $v: lsh=$nn exact=${exact(v)}")
+    }
   }
 
   test("firstSeen keeps exactly one row per key") {
