@@ -51,15 +51,22 @@ object CoreQueries {
         .orderBy("l_partkey")
     }),
 
-    // A8: top-holders snapshot: global share + row_number top-N
-    // (reference templates/sql/eth/top_holders_snapshot.sql:7-44).
+    // A8: top-holders snapshot: global share + top-N (reference
+    // templates/sql/eth/top_holders_snapshot.sql:7-44).
+    // Plan shape matters at scale: orderBy().limit(N) compiles to
+    // TakeOrderedAndProject (per-partition top-N + driver merge of
+    // N·partitions rows) and the global total is a scalar aggregate
+    // broadcast back — NOT the round-1 global-window formulation,
+    // which funneled the whole table through one task's sort.
     "q_a8_top_holders" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
-      val wSum = Window.partitionBy()
+      val total = c.agg(sum("c_acctbal").as("total"))
+      val top = c.select("c_custkey", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(20)
+      // the rank window only ever sees the 20 surviving rows
       val wRank = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      c.withColumn("total", sum("c_acctbal").over(wSum))
+      top.crossJoin(broadcast(total))
         .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") <= 20)
         .select(col("c_custkey"), col("c_acctbal"),
           Parity.roundHalfUp(col("c_acctbal") / col("total"), 6).as("share"), col("rn"))
         .orderBy("rn")

@@ -19,7 +19,13 @@ final case class RawPost(
     isCandidate: Boolean,
     sentimentScore: Double)
 
-/** Aggregated event row (reference events, api/models.py:39-51). */
+/** Aggregated event row (reference events, api/models.py:39-51).
+  * `evidenceCount` is the LOGICAL count (every distinct evidence ever
+  * merged); `evidence` holds at most `StatefulOps.MaxEvidencePerKey`
+  * earliest-ts representatives, and `evidenceOverflow` counts the
+  * evicted remainder (reference bounds evidence via the background
+  * compaction job enqueued at api/events.py:1186-1191).
+  */
 final case class EventRow(
     eventKey: String,
     eventType: String,
@@ -28,7 +34,8 @@ final case class EventRow(
     evidenceCount: Int,
     evidence: Seq[Evidence],
     lastSentimentScore: Double,
-    version: Int)
+    version: Int,
+    evidenceOverflow: Int = 0)
 
 /** Signal state-machine input: one verification attempt result
   * (reference worker/jobs/onchain/verify_signal.py:268-573).

@@ -21,25 +21,55 @@ object StatefulOps {
   // A1 — event upsert (reference api/events.py:916-1282)
   // ---------------------------------------------------------------
 
+  /** Hard bound on per-key kept evidence. A hot event_key otherwise
+    * accumulates state forever (SURVEY §7.4 risk 7) — the reference
+    * bounds the same growth with its background compaction job
+    * (api/events.py:1186-1191, worker/jobs/events_compact.py).
+    */
+  val MaxEvidencePerKey: Int = 256
+
   /** Pure per-key fold: merge new evidence into the running event row.
     * Deterministic regardless of within-batch arrival order: evidence
     * merge is commutative, `last/start` use min/max, and latest-wins
     * columns use EVENT time (max tsUs), not arrival order (SURVEY §7.4
     * risk 2).
+    *
+    * Eviction is deterministic and grouping-invariant: the kept set is
+    * the `maxEvidence` SMALLEST elements under the total order
+    * (ts, dedupKey) — earliest-ts representatives — so any micro-batch
+    * partitioning of the same inputs converges to the same state.
+    * `evidenceCount` keeps counting logically (kept + evicted);
+    * `evidenceOverflow` = how many were evicted. One approximation,
+    * documented: a dedupKey that re-arrives AFTER its item was evicted
+    * is counted again (bounded state cannot remember evicted identities
+    * — the reference's lock-timeout fallback path skips merging
+    * entirely in the analogous hotspot case).
     */
   def upsertEvent(key: String, eventType: String,
-      posts: Seq[(Evidence, Double)], prev: Option[EventRow]): EventRow = {
+      posts: Seq[(Evidence, Double)], prev: Option[EventRow],
+      maxEvidence: Int = MaxEvidencePerKey): EventRow = {
     val sortedPosts = posts.sortBy { case (e, _) => (e.ts, EvidenceMerge.dedupKey(e)) }
-    val mergedEv = sortedPosts.map(_._1).foldLeft(
-      prev.map(p => p.evidence.map(e => EvidenceMerge.dedupKey(e) -> e).toMap)
-        .getOrElse(Map.empty[String, Evidence])) { (acc, e) =>
+    val prevKept = prev.map(p => p.evidence.map(e => EvidenceMerge.dedupKey(e) -> e).toMap)
+      .getOrElse(Map.empty[String, Evidence])
+    val mergedEv = sortedPosts.map(_._1).foldLeft(prevKept) { (acc, e) =>
       val k = EvidenceMerge.dedupKey(e)
       acc.updatedWith(k) {
         case Some(old) => Some(EvidenceMerge.mergeItems(old, e))
         case None      => Some(e)
       }
     }
+    // logical count: previous logical total + genuinely-new keys
+    val logicalCount = prev.map(_.evidenceCount).getOrElse(0) +
+      (mergedEv.size - prevKept.size)
+    // deterministic eviction under the (ts, dedupKey) total order
+    val kept = mergedEv.toSeq
+      .sortBy { case (k, e) => (e.ts, k) }
+      .take(maxEvidence)
     val tsAll = mergedEv.values.map(_.ts)
+    // start/last fold in prev explicitly: an evicted item's ts must not
+    // be able to retract a previously-observed bound
+    val startUs = (prev.map(_.startUs).toSeq ++ Seq(tsAll.min)).min
+    val lastUs = (prev.map(_.lastUs).toSeq ++ Seq(tsAll.max)).max
     // total order (ts, value): a bare maxBy(ts) breaks ties by list
     // position, which depends on how arrivals were batched — replaying
     // the same data with different micro-batch boundaries would then
@@ -49,12 +79,13 @@ object StatefulOps {
     EventRow(
       eventKey = key,
       eventType = eventType,
-      startUs = tsAll.min,
-      lastUs = tsAll.max,
-      evidenceCount = mergedEv.size,
-      evidence = mergedEv.toSeq.sortBy(_._1).map(_._2),
+      startUs = startUs,
+      lastUs = lastUs,
+      evidenceCount = logicalCount,
+      evidence = kept.sortBy(_._1).map(_._2),
       lastSentimentScore = latestSentiment,
-      version = prev.map(_.version + 1).getOrElse(1))
+      version = prev.map(_.version + 1).getOrElse(1),
+      evidenceOverflow = logicalCount - kept.size)
   }
 
   /** Streaming wrapper: Dataset[(eventKey, eventType, Evidence,

@@ -57,6 +57,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("A1 evidence cap: grouping-invariant, bounded, earliest-ts keeps") {
+    import graft.state.StatefulOps
+    val K = 8
+    // unique dedupKeys (unique tweet_ids) — the regime the invariance
+    // guarantee covers (see upsertEvent scaladoc for the evicted-key
+    // re-arrival approximation)
+    def mkEv(i: Int, ts: Long) =
+      (Evidence("x", ts, Map("tweet_id" -> s"t$i"), s"s$i", 0.5), 0.1 * (i % 7))
+    (0 until 20).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      val items = (0 until 30).map(i => mkEv(i, rnd.nextInt(100000).toLong))
+      // apply in several random batch groupings
+      def applyGrouped(xs: Seq[(Evidence, Double)], seed: Int) = {
+        val shuffled = new scala.util.Random(seed).shuffle(xs)
+        val cuts = Iterator.iterate(0)(_ + 1 + new scala.util.Random(seed * 7).nextInt(9))
+          .takeWhile(_ < xs.size).toSeq :+ xs.size
+        val batches = cuts.sliding(2).map { case Seq(a, b) => shuffled.slice(a, b) }
+          .filter(_.nonEmpty).toSeq
+        batches.foldLeft(Option.empty[graft.schema.EventRow]) { (st, b) =>
+          Some(StatefulOps.upsertEvent("k", "social", b, st, maxEvidence = K))
+        }.get
+      }
+      val a = applyGrouped(items, 1)
+      val b = applyGrouped(items, 2)
+      def sig(r: graft.schema.EventRow) =
+        (r.startUs, r.lastUs, r.evidenceCount, r.evidenceOverflow,
+          r.evidence.map(e => (e.ts, e.ref("tweet_id"))))
+      assert(sig(a) == sig(b), s"trial $trial grouping-dependent")
+      // bounded + exact logical count + correct overflow
+      assert(a.evidence.size <= K)
+      assert(a.evidenceCount == 30)
+      assert(a.evidenceOverflow == 30 - a.evidence.size)
+      // kept set == the K smallest under (ts, dedupKey)
+      val expect = items.map(_._1)
+        .sortBy(e => (e.ts, EvidenceMerge.dedupKey(e))).take(K)
+        .map(e => e.ref("tweet_id")).toSet
+      assert(a.evidence.map(_.ref("tweet_id")).toSet == expect)
+    }
+  }
+
   test("canonical url is idempotent") {
     val genUrl = for {
       scheme <- Gen.oneOf("", "http://", "https://", "HTTP://")
