@@ -222,6 +222,69 @@ object CanonicalUrl {
   }
 }
 
+/** C/Python `%.6g` float formatting (reference api/cards/summarizer
+  * .py:89-94 formats card numbers with `f"{num:.6g}"`). Java's own
+  * `%g` never strips trailing zeros (150.0 → "150.000" where Python
+  * and C produce "150"), so the card-summary contract needs this tiny
+  * kernel; the DuckDB oracle mirrors it with `printf('%.6g', x)`.
+  */
+case class PyG6Format(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "py6g"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PyG6Format.format(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PyG6Format$$.MODULE$$.format($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PyG6Format =
+    copy(child = newChild)
+}
+
+object PyG6Format {
+
+  /** `%.6g` with C/Python semantics: 6 significant digits, trailing
+    * zeros stripped, scientific form when exponent < -4 or ≥ 6 with a
+    * 2-digit-minimum exponent. The digits come from rounding the EXACT
+    * binary value (`new BigDecimal(double)`) half-even — Java's own
+    * `%e`/`%g` round half-UP, which disagrees with C/Python printf on
+    * exact decimal ties like 19591.25 → "19591.2" (not .3).
+    */
+  def format(x: Double): UTF8String = UTF8String.fromString(fmt(x))
+
+  def fmt(x: Double): String = {
+    if (x == 0.0) return "0"
+    if (x.isNaN) return "nan"
+    if (x.isInfinite) return if (x > 0) "inf" else "-inf"
+    val neg = x < 0
+    val bd = new java.math.BigDecimal(math.abs(x))
+      .round(new java.math.MathContext(6, java.math.RoundingMode.HALF_EVEN))
+    val exp = bd.precision - bd.scale - 1
+    val digits = (bd.unscaledValue.toString + "000000").take(6)
+    val body =
+      if (exp < -4 || exp >= 6) {
+        val frac = digits.substring(1).reverse.dropWhile(_ == '0').reverse
+        val m = if (frac.isEmpty) digits.substring(0, 1)
+                else s"${digits.substring(0, 1)}.$frac"
+        val es = if (exp < 0) "-" else "+"
+        f"${m}e$es${math.abs(exp)}%02d"
+      } else if (exp >= 0) {
+        val intPart = digits.substring(0, exp + 1)
+        val frac = digits.substring(exp + 1).reverse.dropWhile(_ == '0').reverse
+        if (frac.isEmpty) intPart else s"$intPart.$frac"
+      } else {
+        val frac = ("0" * (-exp - 1)) + digits
+        val trimmed = frac.reverse.dropWhile(_ == '0').reverse
+        s"0.$trimmed"
+      }
+    if (neg) "-" + body else body
+  }
+}
+
 /** Column-level entry points for the custom expressions.
   *
   * Spark 4 removed `Column(expr)` / `col.expr` from the public Column
@@ -237,4 +300,6 @@ object GraftFunctions {
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
 
   def canonicalUrl(c: Column): Column = column(CanonicalUrl(expression(c)))
+
+  def py6g(c: Column): Column = column(PyG6Format(expression(c)))
 }

@@ -76,4 +76,187 @@ object Cards {
     eventKey.rlike("^[a-zA-Z0-9:_\\-\\.]{8,128}$") &&
       length(summaryCol).between(4, SummaryMax) &&
       length(riskNoteCol).between(4, RiskNoteMax)
+
+  // -----------------------------------------------------------------
+  // Full nested card document (reference api/cards/build.py:462-602,
+  // schemas/cards.schema.json)
+  // -----------------------------------------------------------------
+
+  val GoplusRiskEnum = Seq("green", "yellow", "red", "gray")
+  val RulesLevelEnum = Seq("none", "watch", "caution", "risk")
+
+  /** Template summary exactly as the reference renders it
+    * (summarizer.py:115-138): `" | "`-joined [symbol, 价格≈$<%.6g>?,
+    * 流动性≈$<%.6g>?, 规则判定<level>], where a 0/absent price or
+    * liquidity is OMITTED (Python truthiness on the walrus extract),
+    * then truncated to 280. Numbers use the [[graft.expressions
+    * .PyG6Format]] kernel — Java `%g` does not match C/Python.
+    */
+  def templateSummary(symbol: Column, price: Column, liq: Column,
+      level: Column): Column = {
+    val g = graft.expressions.GraftFunctions.py6g _
+    substring(concat_ws(" | ",
+      symbol,
+      when(price.isNotNull && price =!= 0.0,
+        concat(lit("价格≈$"), g(price.cast("double")))),
+      when(liq.isNotNull && liq =!= 0.0,
+        concat(lit("流动性≈$"), g(liq.cast("double")))),
+      concat(lit("规则判定"), level)), 1, SummaryMax)
+  }
+
+  /** `合约体检<risk>；关注税率/LP/交易限制` (summarizer.py:136-138). */
+  def templateRiskNote(risk: Column): Column =
+    substring(concat(lit("合约体检"), coalesce(risk, lit("unknown")),
+      lit("；关注税率/LP/交易限制")), 1, RiskNoteMax)
+
+  /** Assemble the full nested card document and render it with
+    * `to_json` (null fields omitted — Spark's default — mirrors the
+    * reference's conditional key insertion).
+    *
+    * Expected input frames (all joined on `event_key`, lookups
+    * broadcast):
+    *   - events:  event_key, symbol, event_us
+    *   - goplus:  risk, risk_source, tax_buy, tax_sell, lp_locked,
+    *              honeypot, goplus_us
+    *   - dex:     price_usd, liquidity_usd, fdv, ohlc_m5 struct,
+    *              dex_us
+    *   - onchain: features_snapshot struct, source_level, onchain_us
+    *   - rules:   level, score, reasons array, all_reasons array,
+    *              rules_us
+    *   - evidence: evidence array<struct<type,desc,url>>
+    *
+    * Rows with NEITHER goplus nor dex data are dropped — the reference
+    * raises `ValueError("no usable sources")` for them
+    * (build.py:516-518).
+    *
+    * Monetary fields ride as DECIMAL inside the JSON so both engines
+    * print identical digit strings (see F21 serialization notes);
+    * `data_as_of` is the OLDEST contributing source timestamp
+    * (build.py:174-191), ISO-formatted.
+    */
+  def buildDocument(events: DataFrame, goplus: DataFrame, dex: DataFrame,
+      onchain: DataFrame, rules: DataFrame, evidence: DataFrame): DataFrame = {
+    val j = events
+      .join(broadcast(goplus), Seq("event_key"), "left")
+      .join(broadcast(dex), Seq("event_key"), "left")
+      .join(broadcast(onchain), Seq("event_key"), "left")
+      .join(broadcast(rules), Seq("event_key"), "left")
+      .join(broadcast(evidence), Seq("event_key"), "left")
+      // reference: no goplus AND no dex → ValueError("no usable sources")
+      .filter(col("risk").isNotNull || col("dex_us").isNotNull)
+
+    val hasGoplus = col("risk").isNotNull
+    val hasDex = col("dex_us").isNotNull
+    val hasRules = col("level").isNotNull
+    val hasOnchain = col("onchain_us").isNotNull
+
+    // enum guards (build.py:207-210, 355-358)
+    val riskGuard = when(col("risk").isInCollection(GoplusRiskEnum), col("risk"))
+      .otherwise(lit("gray"))
+    val riskOut = when(hasGoplus, riskGuard).otherwise(lit("gray"))
+    val levelGuard = when(col("level").isInCollection(RulesLevelEnum), col("level"))
+      .otherwise(lit("none"))
+    val levelOut = when(hasRules, levelGuard).otherwise(lit("none"))
+
+    // degrade reasons accumulate in build order (build.py:497-530)
+    val degradeReasons = array_compact(array(
+      when(!hasGoplus, lit("missing goplus")),
+      when(!hasDex, lit("missing dex")),
+      when(!hasRules, lit("missing rules"))))
+    val degrade = !hasGoplus || !hasDex || !hasRules
+
+    val goplusSection = when(hasGoplus, struct(
+        riskGuard.as("risk"),
+        coalesce(col("risk_source"), lit("GoPlus@v1.0")).as("risk_source"),
+        col("tax_buy"), col("tax_sell"), col("lp_locked"), col("honeypot")))
+      .otherwise(struct(lit("gray").as("risk"),
+        lit("unavailable").as("risk_source"),
+        lit(null).cast("decimal(6,4)").as("tax_buy"),
+        lit(null).cast("decimal(6,4)").as("tax_sell"),
+        lit(null).cast("boolean").as("lp_locked"),
+        lit(null).cast("boolean").as("honeypot")))
+
+    val dexSection = struct(
+      when(hasDex, col("price_usd")).as("price_usd"),
+      when(hasDex, col("liquidity_usd")).as("liquidity_usd"),
+      when(hasDex, col("fdv")).as("fdv"),
+      when(hasDex && col("ohlc_m5").isNotNull,
+        struct(col("ohlc_m5").as("m5"))).as("ohlc"))
+
+    // rules.reasons: own reasons first (max 3), degrade reasons fill
+    // the remaining slots (build.py:364-372); missing rules → the
+    // degrade reasons themselves (build.py:341-346)
+    val ownReasons = when(hasRules, slice(coalesce(col("reasons"),
+      array().cast("array<string>")), 1, 3)).otherwise(degradeReasons)
+    val reasonsOut = when(hasRules,
+        slice(concat(ownReasons, degradeReasons), 1, 3))
+      .otherwise(slice(degradeReasons, 1, 3))
+    val rulesSection = struct(
+      levelOut.as("level"),
+      when(hasRules, col("score")).as("score"),
+      when(size(reasonsOut) > 0, reasonsOut).as("reasons"),
+      // key present only when the source had it (build.py:374-376)
+      when(hasRules && col("all_reasons").isNotNull,
+        slice(col("all_reasons"), 1, 20)).as("all_reasons"))
+
+    val onchainSection = when(hasOnchain, struct(
+      col("features_snapshot"), col("source_level")))
+
+    // evidence items: type[:32], desc[:240], url (build.py:389-425)
+    val evidenceOut = when(col("evidence").isNotNull && size(col("evidence")) > 0,
+      transform(col("evidence"), e => struct(
+        substring(coalesce(e.getField("type"), lit("unknown")), 1, 32).as("type"),
+        substring(coalesce(e.getField("desc"), lit("No description")), 1, 240).as("desc"),
+        e.getField("url").as("url"))))
+
+    // oldest contributing source timestamp, ISO (build.py:174-191)
+    val dataAsOfUs = least(col("goplus_us"), col("dex_us"),
+      col("onchain_us"), col("rules_us"))
+    val dataAsOf = date_format(timestamp_micros(dataAsOfUs),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    // card_type routing (build.py:544-550)
+    val cardType = when(hasOnchain && levelOut.isInCollection(Seq("caution", "risk")),
+        "primary")
+      .when(levelOut === "watch", "secondary")
+      .otherwise("topic")
+
+    val summaryCol = templateSummary(col("symbol"), col("price_usd"),
+      col("liquidity_usd"), levelOut)
+    val riskNoteCol = templateRiskNote(riskOut)
+
+    val doc = struct(
+      col("event_key"),
+      cardType.as("card_type"),
+      struct(
+        goplusSection.as("goplus"),
+        dexSection.as("dex"),
+        onchainSection.as("onchain"),
+        rulesSection.as("rules")).as("data"),
+      evidenceOut.as("evidence"),
+      summaryCol.as("summary"),
+      riskNoteCol.as("risk_note"),
+      struct(
+        lit("cards@19.0").as("version"),
+        dataAsOf.as("data_as_of"),
+        lit("template").as("summary_backend"),
+        when(degrade, lit(true)).as("degrade")).as("meta"))
+
+    j.select(
+      col("event_key"),
+      cardType.as("card_type"),
+      to_json(doc).as("card_json"),
+      degrade.as("degrade"),
+      // schema bounds (cards.schema.json): uppercase key pattern,
+      // enums, summary/risk_note lengths, reason caps, tax range
+      (col("event_key").rlike("^[A-Z0-9:_\\-\\.]{8,128}$") &&
+        length(summaryCol).between(1, SummaryMax) &&
+        length(riskNoteCol).between(1, RiskNoteMax) &&
+        riskOut.isInCollection(GoplusRiskEnum) &&
+        levelOut.isInCollection(RulesLevelEnum) &&
+        size(reasonsOut) <= 3 &&
+        coalesce(col("tax_buy").cast("double").between(0, 1), lit(true)) &&
+        coalesce(col("tax_sell").cast("double").between(0, 1), lit(true)))
+        .as("valid"))
+  }
 }

@@ -61,6 +61,108 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // J6 full document: nested card JSON (data.{goplus,dex,onchain,
+    // rules} + evidence[] + meta) rendered via to_json and validated
+    // against the cards.schema.json bounds. The oracle rebuilds the
+    // byte-identical JSON string by concatenation, so the hash compare
+    // pins section presence/omission, enum guards, reason capping,
+    // decimal serialization, %.6g summary formatting, and the oldest-
+    // source data_as_of rule (reference api/cards/build.py:462-602).
+    "q_j6_card_doc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
+          .as("event_key"),
+        upper(col("event_type")).as("symbol"),
+        expr("ts_ns div 1000").as("event_us"),
+        col("event_id"), col("user_id"), col("value"))
+      val goplus = e.filter(col("event_id") % 4 =!= 1).select(
+        col("event_key"),
+        when(col("user_id") % 5 === 0, "red")
+          .when(col("user_id") % 5 === 1, "yellow")
+          .when(col("user_id") % 5 === 2, "green")
+          .when(col("user_id") % 5 === 3, "gray")
+          .otherwise("hacked").as("risk"), // invalid → enum guard
+        when(col("user_id") % 3 === 0, "goplus:batch").as("risk_source"),
+        when(col("user_id") % 2 === 0,
+          ((col("user_id") % 100).cast("double") / 1000.0).cast("decimal(6,4)"))
+          .as("tax_buy"),
+        when(col("user_id") % 2 === 1,
+          ((col("user_id") % 97).cast("double") / 1000.0).cast("decimal(6,4)"))
+          .as("tax_sell"),
+        when(col("event_id") % 3 === 0, col("user_id") % 2 === 0).as("lp_locked"),
+        when(col("event_id") % 2 === 0, col("user_id") % 5 === 0).as("honeypot"),
+        (col("event_us") - 1000000L).as("goplus_us"))
+      val dex = e.filter(col("event_id") % 5 =!= 2).select(
+        col("event_key"),
+        ((col("event_id") % 99991).cast("double") / 100.0)
+          .cast("decimal(18,2)").as("price_usd"),
+        ((col("user_id") * 137 % 900000).cast("double") + 0.25)
+          .cast("decimal(18,2)").as("liquidity_usd"),
+        when(col("event_id") % 7 =!= 5,
+          ((col("user_id") * 137 % 900000).cast("double") * 10.0 + 2.5)
+            .cast("decimal(18,2)")).as("fdv"),
+        when(col("event_id") % 2 === 0, struct(
+          ((col("event_id") % 500).cast("double") / 10.0)
+            .cast("decimal(18,2)").as("open"),
+          ((col("event_id") % 500).cast("double") / 10.0 + 5.0)
+            .cast("decimal(18,2)").as("high"),
+          ((col("event_id") % 500).cast("double") / 10.0 - 2.5)
+            .cast("decimal(18,2)").as("low"),
+          ((col("event_id") % 500).cast("double") / 10.0 + 1.25)
+            .cast("decimal(18,2)").as("close"),
+          date_format(timestamp_micros(col("event_us") - 2000000L),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"))).as("ohlc_m5"),
+        (col("event_us") - 2000000L).as("dex_us"))
+      val onchain = e.filter(col("user_id") % 7 =!= 4).select(
+        col("event_key"),
+        struct(
+          ((col("user_id") % 100).cast("double") / 100.0)
+            .cast("decimal(6,4)").as("active_addr_pctl"),
+          ((col("event_id") % 200).cast("double") / 100.0 - 1.0)
+            .cast("decimal(8,4)").as("growth_ratio"),
+          ((col("user_id") % 80).cast("double") / 100.0)
+            .cast("decimal(6,4)").as("top10_share"),
+          ((col("event_id") % 30).cast("double") / 1000.0)
+            .cast("decimal(6,4)").as("self_loop_ratio")).as("features_snapshot"),
+        when(col("user_id") % 2 === 0, "strong").otherwise("weak")
+          .as("source_level"),
+        (col("event_us") - 1500000L).as("onchain_us"))
+      val rules = e.filter(col("event_id") % 6 =!= 3).select(
+        col("event_key"),
+        when(col("value") >= 150, "risk")
+          .when(col("value") >= 100, "caution")
+          .when(col("value") >= 50, "watch")
+          .when(col("value") >= 20, "none")
+          .otherwise("observe").as("level"), // invalid → enum guard
+        ((col("event_id") % 2000).cast("double") / 100.0)
+          .cast("decimal(18,2)").as("score"),
+        when(col("event_id") % 2 === 0, array_compact(array(
+          concat(lit("R"), (col("event_id") % 5).cast("string")),
+          lit("volume_spike"),
+          when(col("event_id") % 10 === 0, lit("liq_drop")),
+          when(col("event_id") % 10 === 0, lit("overflow_reason")))))
+          .as("reasons"), // 4 entries when %10==0 → [:3] cap exercised
+        when(col("event_id") % 3 === 0, array(lit("a1"), lit("a2")))
+          .as("all_reasons"),
+        (col("event_us") - 3000000L).as("rules_us"))
+      val evidence = e.filter(col("event_id") % 8 =!= 7).select(
+        col("event_key"),
+        array_compact(array(
+          struct(
+            concat(lit("x_post_"), (col("event_id") % 3).cast("string")).as("type"),
+            concat(lit("seen "), col("symbol"), lit(" by U"),
+              col("user_id").cast("string")).as("desc"),
+            when(col("event_id") % 2 === 0,
+              concat(lit("https://etherscan.io/tx/0x"),
+                lpad(col("event_id").cast("string"), 8, "0"))).as("url")),
+          when(col("event_id") % 3 === 0, struct(
+            lit("onchain_verification_channel_extended_name").as("type"),
+            lit("pool snapshot with extended diagnostics").as("desc"),
+            lit(null).cast("string").as("url"))))).as("evidence"))
+      Cards.buildDocument(e, goplus, dex, onchain, rules, evidence)
+        .orderBy("event_key")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -251,6 +353,187 @@ object CoverageQueries {
                  AND length(summary) BETWEEN 4 AND 280
                  AND length(risk_note) BETWEEN 4 AND 160) AS valid
          FROM c ORDER BY event_key""",
+
+    // Byte-identical reconstruction of Cards.buildDocument's to_json
+    // output: null fields omitted (concat_ws skips NULL parts), decimal
+    // digit strings via DECIMAL casts, %.6g via printf (C semantics ==
+    // Python's), section order fixed by the Spark struct.
+    "q_j6_card_doc" ->
+      """WITH e AS (
+           SELECT 'EV:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS event_key,
+                  upper(event_type) AS symbol,
+                  epoch_us(ts) AS event_us, event_id, user_id, value
+           FROM events),
+         g AS (
+           SELECT event_key,
+                  CASE WHEN user_id % 5 = 0 THEN 'red'
+                       WHEN user_id % 5 = 1 THEN 'yellow'
+                       WHEN user_id % 5 = 2 THEN 'green'
+                       WHEN user_id % 5 = 3 THEN 'gray'
+                       ELSE 'hacked' END AS risk,
+                  CASE WHEN user_id % 3 = 0 THEN 'goplus:batch' END AS risk_source,
+                  CASE WHEN user_id % 2 = 0 THEN CAST((user_id % 100) / 1000.0 AS DECIMAL(6,4)) END AS tax_buy,
+                  CASE WHEN user_id % 2 = 1 THEN CAST((user_id % 97) / 1000.0 AS DECIMAL(6,4)) END AS tax_sell,
+                  CASE WHEN event_id % 3 = 0 THEN user_id % 2 = 0 END AS lp_locked,
+                  CASE WHEN event_id % 2 = 0 THEN user_id % 5 = 0 END AS honeypot,
+                  event_us - 1000000 AS goplus_us
+           FROM e WHERE event_id % 4 <> 1),
+         d AS (
+           SELECT event_key,
+                  CAST((event_id % 99991) / 100.0 AS DECIMAL(18,2)) AS price_usd,
+                  CAST((user_id * 137 % 900000) + 0.25 AS DECIMAL(18,2)) AS liquidity_usd,
+                  CASE WHEN event_id % 7 <> 5 THEN CAST((user_id * 137 % 900000) * 10.0 + 2.5 AS DECIMAL(18,2)) END AS fdv,
+                  event_id % 2 = 0 AS has_ohlc,
+                  CAST((event_id % 500) / 10.0 AS DECIMAL(18,2)) AS o_open,
+                  CAST((event_id % 500) / 10.0 + 5.0 AS DECIMAL(18,2)) AS o_high,
+                  CAST((event_id % 500) / 10.0 - 2.5 AS DECIMAL(18,2)) AS o_low,
+                  CAST((event_id % 500) / 10.0 + 1.25 AS DECIMAL(18,2)) AS o_close,
+                  strftime(make_timestamp(event_us - 2000000), '%Y-%m-%dT%H:%M:%SZ') AS o_ts,
+                  event_us - 2000000 AS dex_us
+           FROM e WHERE event_id % 5 <> 2),
+         o AS (
+           SELECT event_key,
+                  CAST((user_id % 100) / 100.0 AS DECIMAL(6,4)) AS active_addr_pctl,
+                  CAST((event_id % 200) / 100.0 - 1.0 AS DECIMAL(8,4)) AS growth_ratio,
+                  CAST((user_id % 80) / 100.0 AS DECIMAL(6,4)) AS top10_share,
+                  CAST((event_id % 30) / 1000.0 AS DECIMAL(6,4)) AS self_loop_ratio,
+                  CASE WHEN user_id % 2 = 0 THEN 'strong' ELSE 'weak' END AS source_level,
+                  event_us - 1500000 AS onchain_us
+           FROM e WHERE user_id % 7 <> 4),
+         r AS (
+           SELECT event_key,
+                  CASE WHEN value >= 150 THEN 'risk'
+                       WHEN value >= 100 THEN 'caution'
+                       WHEN value >= 50 THEN 'watch'
+                       WHEN value >= 20 THEN 'none'
+                       ELSE 'observe' END AS level,
+                  CAST((event_id % 2000) / 100.0 AS DECIMAL(18,2)) AS score,
+                  CASE WHEN event_id % 2 = 0 THEN
+                    CASE WHEN event_id % 10 = 0
+                         THEN ['R' || CAST(event_id % 5 AS VARCHAR), 'volume_spike', 'liq_drop', 'overflow_reason']
+                         ELSE ['R' || CAST(event_id % 5 AS VARCHAR), 'volume_spike'] END
+                  END AS reasons,
+                  event_id % 3 = 0 AS has_all_reasons,
+                  event_us - 3000000 AS rules_us
+           FROM e WHERE event_id % 6 <> 3),
+         v AS (
+           SELECT event_key,
+                  '{"type":"x_post_' || CAST(event_id % 3 AS VARCHAR)
+                    || '","desc":"seen ' || symbol || ' by U' || CAST(user_id AS VARCHAR) || '"'
+                    || CASE WHEN event_id % 2 = 0
+                         THEN ',"url":"https://etherscan.io/tx/0x' || lpad(CAST(event_id AS VARCHAR), 8, '0') || '"'
+                         ELSE '' END || '}'
+                    || CASE WHEN event_id % 3 = 0
+                         THEN ',{"type":"' || substr('onchain_verification_channel_extended_name', 1, 32)
+                           || '","desc":"pool snapshot with extended diagnostics"}'
+                         ELSE '' END AS ev_items
+           FROM e WHERE event_id % 8 <> 7),
+         j AS (
+           SELECT e.*, g.risk, g.risk_source, g.tax_buy, g.tax_sell, g.lp_locked,
+                  g.honeypot, g.goplus_us,
+                  d.price_usd, d.liquidity_usd, d.fdv, d.has_ohlc, d.o_open,
+                  d.o_high, d.o_low, d.o_close, d.o_ts, d.dex_us,
+                  o.active_addr_pctl, o.growth_ratio, o.top10_share,
+                  o.self_loop_ratio, o.source_level, o.onchain_us,
+                  r.level, r.score, r.reasons, r.has_all_reasons, r.rules_us,
+                  v.ev_items
+           FROM e LEFT JOIN g USING (event_key) LEFT JOIN d USING (event_key)
+                  LEFT JOIN o USING (event_key) LEFT JOIN r USING (event_key)
+                  LEFT JOIN v USING (event_key)
+           WHERE g.risk IS NOT NULL OR d.dex_us IS NOT NULL),
+         c AS (
+           SELECT *,
+                  risk IS NOT NULL AS has_g, dex_us IS NOT NULL AS has_d,
+                  level IS NOT NULL AS has_r, onchain_us IS NOT NULL AS has_o,
+                  CASE WHEN risk IN ('green','yellow','red','gray') THEN risk ELSE 'gray' END AS risk_guard,
+                  CASE WHEN level IS NULL THEN 'none'
+                       WHEN level IN ('none','watch','caution','risk') THEN level
+                       ELSE 'none' END AS level_out
+           FROM j),
+         c2 AS (
+           SELECT *,
+                  CASE WHEN has_g THEN risk_guard ELSE 'gray' END AS risk_out,
+                  (NOT has_g OR NOT has_d OR NOT has_r) AS degrade,
+                  list_filter([CASE WHEN NOT has_g THEN 'missing goplus' END,
+                               CASE WHEN NOT has_d THEN 'missing dex' END,
+                               CASE WHEN NOT has_r THEN 'missing rules' END],
+                              x -> x IS NOT NULL) AS degrade_reasons
+           FROM c),
+         c3 AS (
+           SELECT *,
+                  CASE WHEN has_r THEN (coalesce(reasons, [])[1:3] || degrade_reasons)[1:3]
+                       ELSE degrade_reasons[1:3] END AS reasons_out,
+                  CASE WHEN has_o AND level_out IN ('caution','risk') THEN 'primary'
+                       WHEN level_out = 'watch' THEN 'secondary'
+                       ELSE 'topic' END AS card_type,
+                  strftime(make_timestamp(least(goplus_us, dex_us, onchain_us, rules_us)),
+                           '%Y-%m-%dT%H:%M:%SZ') AS data_as_of,
+                  concat_ws(' | ', symbol,
+                    CASE WHEN has_d AND CAST(price_usd AS DOUBLE) <> 0
+                         THEN '价格≈$' || printf('%.6g', CAST(price_usd AS DOUBLE)) END,
+                    CASE WHEN has_d AND CAST(liquidity_usd AS DOUBLE) <> 0
+                         THEN '流动性≈$' || printf('%.6g', CAST(liquidity_usd AS DOUBLE)) END,
+                    '规则判定' || level_out) AS summary
+           FROM c2),
+         c4 AS (
+           SELECT *,
+                  '合约体检' || risk_out || '；关注税率/LP/交易限制' AS risk_note,
+                  CASE WHEN has_g THEN
+                    '{' || concat_ws(',',
+                      '"risk":"' || risk_guard || '"',
+                      '"risk_source":"' || coalesce(risk_source, 'GoPlus@v1.0') || '"',
+                      CASE WHEN tax_buy IS NOT NULL THEN '"tax_buy":' || CAST(tax_buy AS VARCHAR) END,
+                      CASE WHEN tax_sell IS NOT NULL THEN '"tax_sell":' || CAST(tax_sell AS VARCHAR) END,
+                      CASE WHEN lp_locked IS NOT NULL THEN '"lp_locked":' || CAST(lp_locked AS VARCHAR) END,
+                      CASE WHEN honeypot IS NOT NULL THEN '"honeypot":' || CAST(honeypot AS VARCHAR) END) || '}'
+                  ELSE '{"risk":"gray","risk_source":"unavailable"}' END AS goplus_json,
+                  CASE WHEN has_d THEN
+                    '{' || concat_ws(',',
+                      '"price_usd":' || CAST(price_usd AS VARCHAR),
+                      '"liquidity_usd":' || CAST(liquidity_usd AS VARCHAR),
+                      CASE WHEN fdv IS NOT NULL THEN '"fdv":' || CAST(fdv AS VARCHAR) END,
+                      CASE WHEN has_ohlc THEN
+                        '"ohlc":{"m5":{"open":' || CAST(o_open AS VARCHAR)
+                          || ',"high":' || CAST(o_high AS VARCHAR)
+                          || ',"low":' || CAST(o_low AS VARCHAR)
+                          || ',"close":' || CAST(o_close AS VARCHAR)
+                          || ',"ts":"' || o_ts || '"}}' END) || '}'
+                  ELSE '{}' END AS dex_json,
+                  CASE WHEN has_o THEN
+                    '{"features_snapshot":{"active_addr_pctl":' || CAST(active_addr_pctl AS VARCHAR)
+                      || ',"growth_ratio":' || CAST(growth_ratio AS VARCHAR)
+                      || ',"top10_share":' || CAST(top10_share AS VARCHAR)
+                      || ',"self_loop_ratio":' || CAST(self_loop_ratio AS VARCHAR)
+                      || '},"source_level":"' || source_level || '"}' END AS onchain_json,
+                  '{' || concat_ws(',',
+                    '"level":"' || level_out || '"',
+                    CASE WHEN has_r THEN '"score":' || CAST(score AS VARCHAR) END,
+                    CASE WHEN len(reasons_out) > 0 THEN
+                      '"reasons":[' || array_to_string(list_transform(reasons_out, x -> '"' || x || '"'), ',') || ']' END,
+                    CASE WHEN has_r AND has_all_reasons THEN '"all_reasons":["a1","a2"]' END) || '}' AS rules_json,
+                  CASE WHEN ev_items IS NOT NULL THEN '[' || ev_items || ']' END AS evidence_json
+           FROM c3)
+         SELECT event_key, card_type,
+                '{"event_key":"' || event_key || '","card_type":"' || card_type
+                  || '","data":{"goplus":' || goplus_json || ',"dex":' || dex_json
+                  || CASE WHEN onchain_json IS NOT NULL THEN ',"onchain":' || onchain_json ELSE '' END
+                  || ',"rules":' || rules_json || '}'
+                  || CASE WHEN evidence_json IS NOT NULL THEN ',"evidence":' || evidence_json ELSE '' END
+                  || ',"summary":"' || summary || '","risk_note":"' || risk_note
+                  || '","meta":{"version":"cards@19.0","data_as_of":"' || data_as_of
+                  || '","summary_backend":"template"'
+                  || CASE WHEN degrade THEN ',"degrade":true' ELSE '' END
+                  || '}}' AS card_json,
+                degrade,
+                (regexp_full_match(event_key, '[A-Z0-9:_\-\.]{8,128}')
+                  AND length(summary) BETWEEN 1 AND 280
+                  AND length(risk_note) BETWEEN 1 AND 160
+                  AND risk_out IN ('green','yellow','red','gray')
+                  AND level_out IN ('none','watch','caution','risk')
+                  AND len(reasons_out) <= 3
+                  AND coalesce(CAST(tax_buy AS DOUBLE) BETWEEN 0 AND 1, TRUE)
+                  AND coalesce(CAST(tax_sell AS DOUBLE) BETWEEN 0 AND 1, TRUE)) AS valid
+         FROM c4 ORDER BY event_key""",
 
     "q_m_media_features" ->
       """SELECT doc_id AS media_id,

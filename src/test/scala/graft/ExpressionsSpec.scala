@@ -61,6 +61,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.head.getString(0) == "éclair")
   }
 
+  test("py6g matches Python/C %.6g on ties, exponents, and zeros") {
+    import graft.expressions.PyG6Format.fmt
+    // expected strings generated with CPython f"{v:.6g}"
+    val cases = Seq(
+      0.0 -> "0", 150.0 -> "150", 19591.25 -> "19591.2", // half-even tie
+      0.099 -> "0.099", 1e7 -> "1e+07", 8123456.25 -> "8.12346e+06",
+      0.000123456 -> "0.000123456", -47.35 -> "-47.35",
+      999999.5 -> "1e+06", // rounds up INTO scientific range
+      1234567.0 -> "1.23457e+06", 0.25 -> "0.25", 1e-5 -> "1e-05",
+      3.14159265 -> "3.14159", -0.7 -> "-0.7", 2.5e-7 -> "2.5e-07",
+      123456.0 -> "123456")
+    cases.foreach { case (v, want) =>
+      assert(fmt(v) == want, s"fmt($v) = ${fmt(v)}, want $want")
+    }
+  }
+
   test("canonical url: scheme upgrade, host case, tracking params, sort") {
     // :80 is KEPT — the reference upgrades http→https BEFORE checking
     // default ports, so (https, 80) is not a default pair
