@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Parity, TextFunctions}
-import graft.rules.{OnchainVerdict, RuleEngine}
+import graft.rules.{OnchainVerdict, RuleEngine, RulesConfig}
 
 /** Pipeline-flavored operators: rules engines (R1/R2), enrichment and
   * context joins (J2/J5), ordering contracts (O2), set accumulations
@@ -23,6 +23,12 @@ object PipelineQueries {
   /** Deterministic signals-like projection of `events` (the whitelisted
     * rule fields of api/rules/eval_event.py:267-276).
     */
+  /** Bundled rules document, loaded once per JVM — the query and its
+    * generated oracle both read THIS instance.
+    */
+  private lazy val RulesDocDefault: RulesConfig.RulesDoc =
+    RulesConfig.loadDefault()
+
   private def signalsFrame(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -62,13 +68,34 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // R1: scoring rules engine — all rules fold into ONE codegen'd
-    // projection; hot-reload = replan with a new rule seq.
+    // R1: scoring rules engine, full front-end — the bundled
+    // graft-rules.yml is loaded (YAML parse → ${ENV:default}
+    // substitution → field-whitelist validation → SQL compilation) and
+    // folds into ONE codegen'd projection. Output covers the whole
+    // reference evaluate() contract: score, level, hit_rules, MR*
+    // market-risk tags, top-3 + all reasons sorted by (priority desc,
+    // |score| desc, declaration order) with missing_map entries at
+    // priority 100. Extra null windows exercise every missing_map
+    // source.
     "q_r1_rules_scoring" -> ((s, dir) => {
-      RuleEngine.evaluate(signalsFrame(s, dir), RuleEngine.DemoRules)
-        .select(col("event_id"), col("rules_score").as("score"),
+      val sig = signalsFrame(s, dir)
+        .withColumn("goplus_risk",
+          when(col("k") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("goplus_risk")))
+        .withColumn("last_sentiment_score",
+          when(col("k") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("last_sentiment_score")))
+        .withColumn("dex_volume_1h",
+          when(col("k") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("dex_volume_1h")))
+      RuleEngine.evaluateDoc(sig, RulesDocDefault)
+        .select(col("event_id"),
+          col("rules_score").as("score"),
           col("rules_level").as("level"),
-          array_join(col("rules_reasons"), ";").as("reasons"))
+          array_join(col("rules_hits"), ",").as("hits"),
+          array_join(col("rules_tags"), ",").as("tags"),
+          array_join(col("rules_reasons"), ";").as("reasons"),
+          array_join(col("rules_all_reasons"), ";").as("all_reasons"))
         .orderBy("event_id")
     }),
 
@@ -252,23 +279,53 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_r1_rules_scoring" -> {
-      val ruleScore = RuleEngine.DemoRules.map(r =>
-        s"(CASE WHEN ${r.condition} THEN ${r.score} ELSE 0.0 END)")
+      // generated from the SAME loaded document the query evaluates, so
+      // env substitution at dump time matches run time by construction
+      val doc = RulesDocDefault
+      val ruleScore = doc.rules.map(r =>
+        s"(CASE WHEN ${r.conditionSql} THEN ${r.score} ELSE 0.0 END)")
         .mkString(" + ")
-      val reasonArr = RuleEngine.DemoRules.map(r =>
-        s"CASE WHEN ${r.condition} THEN '${r.reason}' END").mkString(", ")
+      val hitsArr = doc.rules.map(r =>
+        s"CASE WHEN ${r.conditionSql} THEN '${r.id}' END").mkString(", ")
+      val mrCond = doc.rules.filter(_.id.startsWith("MR"))
+        .map(r => s"(${r.conditionSql})").mkString(" OR ")
+      val entries = (doc.rules.zipWithIndex.map { case (r, i) =>
+        s"CASE WHEN ${r.conditionSql} THEN {'np': ${-r.priority}, " +
+          s"'ns': CAST(${-math.abs(r.score)} AS DOUBLE), 'seq': $i, " +
+          s"'reason': '${r.reason}'} END"
+      } ++ doc.missing.zipWithIndex.map { case (m, j) =>
+        s"CASE WHEN ${m.conditionSql} THEN {'np': -100, " +
+          s"'ns': CAST(-0.0 AS DOUBLE), 'seq': ${doc.rules.size + j}, " +
+          s"'reason': '${m.reason}'} END"
+      }).mkString(",\n                 ")
       s"""WITH $SignalsCteSql,
+          sig2 AS (
+            SELECT * REPLACE (
+              CASE WHEN k % 11 = 0 THEN NULL ELSE goplus_risk END AS goplus_risk,
+              CASE WHEN k % 13 = 0 THEN NULL ELSE last_sentiment_score END AS last_sentiment_score,
+              CASE WHEN k % 7 = 0 THEN NULL ELSE dex_volume_1h END AS dex_volume_1h)
+            FROM sig),
           sc AS (
             SELECT event_id,
                    $ruleScore AS score,
-                   array_to_string(list_filter([$reasonArr], x -> x IS NOT NULL)[1:3], ';') AS reasons
-            FROM sig)
+                   array_to_string(list_filter([$hitsArr], x -> x IS NOT NULL), ',') AS hits,
+                   CASE WHEN $mrCond THEN 'market_risk' ELSE '' END AS tags,
+                   list_transform(list_sort(list_filter([
+                 $entries
+                   ], x -> x IS NOT NULL)), e -> e.reason) AS rs
+            FROM sig2),
+          d AS (
+            SELECT event_id, score, hits, tags,
+                   list_filter(rs, (x, i) -> list_position(rs, x) = i) AS rd
+            FROM sc)
           SELECT event_id, score,
-                 CASE WHEN score >= 15 THEN 'opportunity'
-                      WHEN score <= -5 THEN 'caution'
+                 CASE WHEN score >= ${doc.thresholds.opportunity} THEN 'opportunity'
+                      WHEN score <= ${doc.thresholds.caution} THEN 'caution'
                       ELSE 'observe' END AS level,
-                 reasons
-          FROM sc ORDER BY event_id"""
+                 hits, tags,
+                 array_to_string(rd[1:3], ';') AS reasons,
+                 array_to_string(rd, ';') AS all_reasons
+          FROM d ORDER BY event_id"""
     },
 
     "q_r2_onchain_verdict" -> {

@@ -61,6 +61,83 @@ object RuleEngine {
       .withColumn("rules_level", levelColumn(col("rules_score"), t))
   }
 
+  // -----------------------------------------------------------------
+  // YAML-doc evaluator (reference api/rules/eval_event.py:263-557)
+  // -----------------------------------------------------------------
+
+  import RulesConfig.RulesDoc
+
+  /** Total score for a loaded document: Σ in declaration order (the
+    * reference accumulates in the same order — float addition order
+    * matters for bit parity).
+    */
+  def docScore(doc: RulesDoc): Column =
+    doc.rules.map(r => when(expr(r.conditionSql), lit(r.score)).otherwise(lit(0.0)))
+      .reduceOption(_ + _).getOrElse(lit(0.0))
+
+  /** Hit rule ids, declaration order (eval_event.py:338-341). */
+  def docHits(doc: RulesDoc): Column =
+    filter(array(doc.rules.map(r =>
+      when(expr(r.conditionSql), lit(r.id))): _*), c => c.isNotNull)
+
+  /** `market_risk` tag — deduped — when any MR* rule hits
+    * (eval_event.py:343-358).
+    */
+  def docTags(doc: RulesDoc): Column = {
+    val mr = doc.rules.filter(_.id.startsWith("MR"))
+    if (mr.isEmpty) array().cast("array<string>")
+    else array_compact(array(
+      when(mr.map(r => expr(r.conditionSql)).reduce(_ || _), lit("market_risk"))))
+  }
+
+  /** Reason selection exactly as `_select_top_reasons`
+    * (eval_event.py:521-548): entries = hit rules (group priority,
+    * |score|) + missing-map hits at priority 100 / score 0; sorted by
+    * (priority DESC, |score| DESC) with DECLARATION order as the
+    * stable tie-break (Python's sort is stable); deduped by reason
+    * keeping first. Encoded for `sort_array` as ascending
+    * (-priority, -|score|, seq).
+    *
+    * Returns (top3, all) — both arrays.
+    */
+  def docReasons(doc: RulesDoc): (Column, Column) = {
+    val n = doc.rules.size
+    val hitEntries = doc.rules.zipWithIndex.map { case (r, i) =>
+      when(expr(r.conditionSql), struct(
+        lit(-r.priority).as("np"),
+        lit(-math.abs(r.score)).as("ns"),
+        lit(i).as("seq"),
+        lit(r.reason).as("reason")))
+    }
+    val missingEntries = doc.missing.zipWithIndex.map { case (m, j) =>
+      when(expr(m.conditionSql), struct(
+        lit(-100).as("np"),
+        lit(-0.0).as("ns"),
+        lit(n + j).as("seq"),
+        lit(m.reason).as("reason")))
+    }
+    val sorted = sort_array(array_compact(
+      array(hitEntries ++ missingEntries: _*)))
+    val reasons = transform(sorted, e => e.getField("reason"))
+    // dedup keeping first occurrence (positional — engine-portable)
+    val deduped = filter(reasons, (x, i) =>
+      array_position(reasons, x) === (i + 1).cast("long"))
+    (slice(deduped, 1, 3), deduped)
+  }
+
+  /** Apply a loaded YAML document: score, level, hits, tags, top-3 +
+    * all reasons — one codegen'd projection, no per-row interpretation.
+    */
+  def evaluateDoc(df: DataFrame, doc: RulesDoc): DataFrame = {
+    val (top3, all) = docReasons(doc)
+    df.withColumn("rules_score", docScore(doc))
+      .withColumn("rules_level", levelColumn(col("rules_score"), doc.thresholds))
+      .withColumn("rules_hits", docHits(doc))
+      .withColumn("rules_tags", docTags(doc))
+      .withColumn("rules_reasons", top3)
+      .withColumn("rules_all_reasons", all)
+  }
+
   /** The demo rule set used by queries/specs — semantics mirror the
     * reference's market rule groups (liquidity / tax / honeypot /
     * sentiment / heat; rules/rules.yml:1-129) over the whitelisted
