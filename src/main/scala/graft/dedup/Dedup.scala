@@ -113,7 +113,7 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 16, rowsPerBand: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBandBucket: Int = 4096): DataFrame = {
     // materialized: `sh` feeds the signature path AND both candidate
     // re-joins — without a lineage cut each consumer re-shingles
     val sh = withShingles(df, idCol, textCol, shingleN)
@@ -122,8 +122,20 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), numHashes, rowsPerBand))
         .as(Seq("band_id", "band_key")))
-    val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
-    val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("idb"))
+    // band-size cap: a degenerate bucket (boilerplate corpora hash
+    // thousands of docs into one band key) would emit n² candidate
+    // pairs from a single task. Buckets over the cap are dropped —
+    // the overflow set is tiny by construction, so a broadcast
+    // anti-join removes them without re-shuffling the band rows.
+    // True near-dup CLUSTERS larger than the cap are still recovered
+    // pair-by-pair through their other bands (see DataOpsSpec).
+    val hotBuckets = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBandBucket)
+      .select("band_id", "band_key")
+    val kept = bands.join(broadcast(hotBuckets),
+      Seq("band_id", "band_key"), "left_anti")
+    val a = kept.select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
+    val b = kept.select(col("band_id"), col("band_key"), col("doc_id").as("idb"))
     val cand = a.join(b, Seq("band_id", "band_key"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
@@ -143,15 +155,30 @@ object Dedup {
     * is Σ_s f(s)² over shingle frequencies — data-dependent instead of
     * unconditionally O(n²), and it shuffles ints, not shingle arrays.
     * The naive formulation ran 370 s at sf0.1; this runs in seconds.
-    * Hot shingles (stopword-only n-grams at corpus scale) would need a
-    * frequency cap here — standard practice for inverted-index joins.
+    *
+    * Hot-shingle frequency cap: a shingle appearing in more than
+    * `maxShingleDf` documents (stopword n-grams at corpus scale)
+    * contributes df² rows to the self-join — one boilerplate trigram
+    * across 10⁶ docs is 10¹² pairs. Postings for such shingles are
+    * dropped from the INDEX ONLY (the overflow set is tiny →
+    * broadcast anti-join); intersection counts shrink accordingly, so
+    * a pair whose shared shingles are ALL hot is missed — acceptable
+    * by construction, since two documents that only share
+    * corpus-stopword boilerplate are not near-duplicates. Pairs
+    * sharing at least one sub-cap shingle keep their (now partial)
+    * intersection counts; DataOpsSpec shows every ≥threshold pair on
+    * the corpus survives a cap far below the observed max df.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxShingleDf: Int = 256): DataFrame = {
     val sh = withShingles(df, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0).localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val e = e0.join(broadcast(hot), Seq("s"), "left_anti")
     val inter = e.select(col("doc_id").as("ida"), col("s"))
       .join(e.select(col("doc_id").as("idb"), col("s")), "s")
       .filter(col("ida") < col("idb"))

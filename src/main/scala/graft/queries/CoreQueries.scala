@@ -152,6 +152,72 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // A3 full heat contract (reference api/signals/heat.py:98-370):
+    // gap-filled 10-min buckets (the reference counts time RANGES, so
+    // an empty bucket is 0, not a missing row), noise-floor and
+    // min-sample branches (cnt<1 → flat/no-degrade; cnt_30m<3 →
+    // flat/DEGRADE; else slope=(cnt-prev)/10), trend at ±THETA_RISE
+    // (0.2) on the UNROUNDED slope, and the batch EMA closed form
+    // (α=0.3, seeded with the first computed slope, advancing only on
+    // buckets where a slope was computed — exactly the reference's
+    // cache behavior). The EMA folds sequentially over each entity's
+    // collected series; per-entity series fit comfortably in memory at
+    // any scale (1 row per 10 min), and the STREAMING analog is
+    // StatefulOps.emaStream.
+    "q_a3_heat_contract" -> ((s, dir) => {
+      val theta = 0.2
+      val e = Tables.load(s, dir, "events")
+        .withColumn("bucket", expr("ts_ns div 1000000000 div 600 * 600"))
+      val counts = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val span = counts.groupBy("event_type")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val filled = span
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(600L))).as("bucket"))
+        .join(counts, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      val base = filled
+        .withColumn("prev_cnt", coalesce(lag("cnt", 1).over(w), lit(0L)))
+        .withColumn("cnt_30m", col("cnt") +
+          coalesce(lag("cnt", 1).over(w), lit(0L)) +
+          coalesce(lag("cnt", 2).over(w), lit(0L)))
+        .withColumn("slope_raw",
+          when(col("cnt") >= 1 && col("cnt_30m") >= 3,
+            (col("cnt") - col("prev_cnt")).cast("double") / 10.0))
+        .withColumn("degrade", col("cnt") >= 1 && col("cnt_30m") < 3)
+        .withColumn("trend",
+          when(col("slope_raw").isNull, "flat")
+            .when(col("slope_raw") >= theta, "up")
+            .when(col("slope_raw") <= -theta, "down")
+            .otherwise("flat"))
+      val ema = base.filter(col("slope_raw").isNotNull)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("slope_raw"))))
+          .as("xs"))
+        .withColumn("e", explode(expr(
+          """aggregate(xs,
+               cast(array() as array<struct<bucket:bigint, ema:double>>),
+               (acc, x) -> acc || array(named_struct(
+                 'bucket', x.bucket,
+                 'ema', CASE WHEN size(acc) = 0 THEN x.slope_raw
+                             ELSE 0.3 * x.slope_raw +
+                                  0.7 * element_at(acc, -1).ema END)))""")))
+        .select(col("event_type"), col("e.bucket").as("bucket"),
+          col("e.ema").as("ema"))
+      base.join(ema, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"), col("cnt"),
+          col("prev_cnt"), col("cnt_30m"),
+          Parity.roundHalfUp(col("slope_raw"), 2).as("slope"),
+          col("trend"), col("degrade"),
+          Parity.roundHalfUp(col("ema"), 2).as("slope_ema"),
+          when(col("ema").isNull, lit(null).cast("string"))
+            .when(col("ema") >= theta, "up")
+            .when(col("ema") <= -theta, "down")
+            .otherwise("flat").as("trend_ema"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // F11: lexicon sentiment over documents (reference
     // api/rules_sentiment.py:11-84).
     "q_f11_sentiment" -> ((s, dir) => {
@@ -253,6 +319,59 @@ object CoreQueries {
                 floor(CAST(n*sxy - sx*sy AS DOUBLE) /
                       CAST(n*sxx - sx*sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS slope
          FROM agg ORDER BY event_type""",
+
+    "q_a3_heat_contract" ->
+      """WITH b AS (
+           SELECT event_type, epoch_ns(ts) // 1000000000 // 600 * 600 AS bucket,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                  FROM b GROUP BY 1),
+         filled0 AS (SELECT event_type,
+                            unnest(generate_series(lo, hi, 600)) AS bucket
+                     FROM span),
+         filled AS (SELECT f.event_type, f.bucket, coalesce(b.cnt, 0) AS cnt
+                    FROM filled0 f LEFT JOIN b USING (event_type, bucket)),
+         base AS (
+           SELECT *,
+                  coalesce(lag(cnt, 1) OVER w, 0) AS prev_cnt,
+                  cnt + coalesce(lag(cnt, 1) OVER w, 0)
+                      + coalesce(lag(cnt, 2) OVER w, 0) AS cnt_30m
+           FROM filled
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         sl AS (
+           SELECT *,
+                  CASE WHEN cnt >= 1 AND cnt_30m >= 3
+                       THEN (cnt - prev_cnt) / 10.0 END AS slope_raw,
+                  (cnt >= 1 AND cnt_30m < 3) AS degrade
+           FROM base),
+         tr AS (
+           SELECT *,
+                  CASE WHEN slope_raw IS NULL THEN 'flat'
+                       WHEN slope_raw >= 0.2 THEN 'up'
+                       WHEN slope_raw <= -0.2 THEN 'down'
+                       ELSE 'flat' END AS trend
+           FROM sl),
+         ex AS (
+           SELECT event_type,
+                  list(slope_raw ORDER BY bucket) AS xs,
+                  list(bucket ORDER BY bucket) AS bks
+           FROM tr WHERE slope_raw IS NOT NULL GROUP BY event_type),
+         em AS (
+           SELECT event_type, unnest(bks) AS bucket,
+                  unnest(list_transform(range(1, len(xs) + 1),
+                    i -> list_reduce(xs[1:i], (acc, x) -> 0.3 * x + 0.7 * acc))) AS ema
+           FROM ex)
+         SELECT t.event_type, t.bucket, t.cnt, t.prev_cnt, t.cnt_30m,
+                floor(t.slope_raw * 100.0 + 0.5) / 100.0 AS slope,
+                t.trend, t.degrade,
+                floor(em.ema * 100.0 + 0.5) / 100.0 AS slope_ema,
+                CASE WHEN em.ema IS NULL THEN NULL
+                     WHEN em.ema >= 0.2 THEN 'up'
+                     WHEN em.ema <= -0.2 THEN 'down'
+                     ELSE 'flat' END AS trend_ema
+         FROM tr t LEFT JOIN em ON em.event_type = t.event_type AND em.bucket = t.bucket
+         ORDER BY t.event_type, t.bucket""",
 
     "q_f11_sentiment" ->
       s"""WITH t AS (

@@ -23,6 +23,61 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // A cap must exceed the size of the largest LEGITIMATE near-dup
+  // clique (a clique of c identical docs gives every shared shingle
+  // df = c and every LSH band bucket size = c); what it defends
+  // against is corpus-boilerplate that is orders of magnitude hotter.
+  // Three guarantees pinned below: correctly-sized caps are no-ops,
+  // hot boilerplate is dropped without losing near-dup pairs, and an
+  // undersized cap loses ONLY pairs inside over-cap cliques.
+  test("caps sized above the corpus max are exact no-ops") {
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+    assert(uncapped.nonEmpty)
+    // observed max shingle df on this corpus is 7; max clique is 4
+    assert(pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5,
+      maxShingleDf = 8)) == uncapped)
+    assert(pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+      numHashes = 16, rowsPerBand = 2, maxBandBucket = 8)) == uncapped)
+  }
+
+  test("hot-shingle cap drops global boilerplate without losing near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val boiler = "terms of service apply to all content here"
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(50000)).mkString(" ")
+    // 40 unique docs + 10 near-dup copies, ALL sharing the boilerplate
+    // tail (df = 50 for boilerplate shingles, df <= 2 for the rest)
+    val base = (0 until 40).map(i => (i.toLong, s"${words(20)} $boiler"))
+    val dups = (0 until 10).map { i =>
+      val (bid, text) = base(i)
+      (100L + bid, text.replaceFirst("\\w+", "changed"))
+    }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5))
+    val capped = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5,
+      maxShingleDf = 16))
+    assert(uncapped.size >= 10)
+    assert(capped == uncapped,
+      s"cap lost ${(uncapped -- capped).size} / gained ${(capped -- uncapped).size}")
+  }
+
+  test("undersized band cap loses only pairs inside over-cap cliques") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+    val capped = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+      numHashes = 16, rowsPerBand = 2, maxBandBucket = 2))
+    assert(capped.subsetOf(exact))
+    val degree = exact.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    (exact -- capped).foreach { case (a, b) =>
+      assert(degree(a) >= 2 && degree(b) >= 2,
+        s"lost pair ($a,$b) is not inside a >=3-clique")
+    }
+  }
+
   test("exact dedup keeps every doc exactly once across groups") {
     val d = Dedup.exactDuplicates(docs, "doc_id", "text")
     val total = d.agg(sum("n_copies")).head.getLong(0)

@@ -12,7 +12,7 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT blake2s('abc') AS b32,
                 blake2s('abc', 20, 'salt') AS b20,
                 nfc_normalize('éclair') AS nfc,
-                canonical_url('Example.com/p?utm_a=1&b=2') AS cu,
+                canonical_url('https://Example.com/p?utm_a=1&b=2') AS cu,
                 dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
                 word_shingles('a b c d', 3) AS sh""").head
     assert(r.getString(0) ==
