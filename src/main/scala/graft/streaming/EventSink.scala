@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.schema.{EventRow, OutboxEntry, RawPost}
+import graft.state.OutboxRetry
+
+/** Minimal Delta-style table: versioned parquet snapshots + an
+  * atomically-replaced pointer file recording (version, batchId).
+  * `commit` is IDEMPOTENT per streaming batch — replaying a batch whose
+  * id is already committed is a no-op, which together with Structured
+  * Streaming's checkpointed offsets gives exactly-once table contents
+  * over restarts (the same txn-log idea Delta/Iceberg implement; at
+  * cluster scale swap this class for a real lakehouse MERGE, the sink
+  * code above it is unchanged).
+  */
+final class SnapshotTable(spark: SparkSession, path: String) {
+
+  private val ptrPath = Paths.get(path, "_LATEST")
+
+  /** (snapshot version, last committed streaming batch id). */
+  def latest: Option[(Long, Long)] =
+    if (!Files.exists(ptrPath)) None
+    else {
+      val Array(v, b) =
+        new String(Files.readAllBytes(ptrPath), StandardCharsets.UTF_8)
+          .trim.split(",")
+      Some((v.toLong, b.toLong))
+    }
+
+  def read(): Option[DataFrame] =
+    latest.map { case (v, _) => spark.read.parquet(s"$path/v_$v") }
+
+  def lastBatchId: Long = latest.map(_._2).getOrElse(-1L)
+
+  /** Write a full new snapshot unless `batchId` already committed. */
+  def commit(df: DataFrame, batchId: Long): Unit = {
+    if (lastBatchId >= batchId) return // replayed batch → no-op
+    val v = latest.map(_._1 + 1).getOrElse(0L)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v_$v")
+    val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
+    Files.createDirectories(Paths.get(path))
+    Files.write(tmp, s"$v,$batchId".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** S7/S8/A10 — the real sink wiring: the streaming event upsert lands
+  * in a versioned events table via an idempotent `foreachBatch` MERGE,
+  * every upsert enqueues an outbox entry, and each batch runs one
+  * delivery pass (OutboxRetry.step) plus DLQ recovery
+  * (OutboxRetry.recover) against the outbox table — the reference's
+  * worker/jobs/outbox_retry.py:17-244 / outbox_dlq_recover.py:31-96
+  * loop expressed as per-batch set transformations.
+  */
+object EventSink {
+
+  /** MERGE semantics for the events table (A10 versioned upsert):
+    * keep the row with the HIGHEST version per key — a replayed or
+    * out-of-order update can never clobber newer state (reference
+    * guards its UPDATE with `version = :expected` CAS; highest-wins is
+    * the idempotent batch equivalent).
+    */
+  def mergeEvents(current: Option[DataFrame], updates: DataFrame): DataFrame = {
+    val all = current.map(_.unionByName(updates)).getOrElse(updates)
+    val w = Window.partitionBy("eventKey")
+      .orderBy(col("version").desc, col("lastUs").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** One outbox entry per upserted (key, version): deterministic id so
+    * replays collide instead of duplicating (D6 idempotency keys).
+    */
+  def outboxEntriesFor(updates: DataFrame): DataFrame =
+    updates.select(
+      xxhash64(col("eventKey"), col("version")).as("id"),
+      col("eventKey"),
+      to_json(struct(col("eventKey"), col("version"),
+        col("evidenceCount"))).as("payloadJson"),
+      lit("pending").as("status"),
+      lit(0).as("attempt"),
+      col("lastUs").as("nextTryUs"),
+      lit("").as("lastError"),
+      col("lastUs").as("createdUs"),
+      col("lastUs").as("updatedUs"))
+
+  /** Apply one delivery attempt + DLQ recovery to the outbox table.
+    * `deliver` decides an attempt's outcome (the network call in the
+    * reference); runs as a typed map over the due rows.
+    */
+  def stepOutbox(spark: SparkSession, outbox: DataFrame, nowUs: Long,
+      deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long): DataFrame = {
+    import spark.implicits._
+    outbox.as[OutboxEntry].map { e =>
+      val afterStep =
+        if (OutboxRetry.isDue(e, nowUs)) OutboxRetry.step(e, deliver(e), nowUs)
+        else e
+      OutboxRetry.recover(afterStep, nowUs, dlqMinAgeUs)
+    }.toDF()
+  }
+
+  /** Start the full pipeline: posts stream → dedup → keyed upsert →
+    * foreachBatch MERGE into `eventsPath` + outbox enqueue/step into
+    * `outboxPath`, checkpointed at `checkpoint`.
+    */
+  def start(posts: Dataset[RawPost], eventsPath: String, outboxPath: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      deliver: OutboxEntry => Boolean = _ => true,
+      dlqMinAgeUs: Long = 3600L * 1000000L): StreamingQuery =
+    PostPipeline.eventStream(posts).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[EventRow], batchId: Long) =>
+        val spark = batch.sparkSession
+        val eventsTable = new SnapshotTable(spark, eventsPath)
+        val outboxTable = new SnapshotTable(spark, outboxPath)
+        if (eventsTable.lastBatchId < batchId && !batch.isEmpty) {
+          // one update row per key: the stream emits one EventRow per
+          // key per trigger, but a replayed+reprocessed batch could
+          // carry several — keep the newest
+          val updates = mergeEvents(None, batch.toDF()).localCheckpoint()
+          eventsTable.commit(
+            mergeEvents(eventsTable.read(), updates), batchId)
+
+          // outbox: enqueue new entries (id collision = already
+          // enqueued → existing row wins), then run one delivery +
+          // recovery pass over everything due
+          val enqueued = outboxEntriesFor(updates)
+          val existing = outboxTable.read()
+          val all = existing match {
+            case Some(cur) =>
+              val w = Window.partitionBy("id").orderBy(col("__new").asc)
+              cur.withColumn("__new", lit(0))
+                .unionByName(enqueued.withColumn("__new", lit(1)))
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__new", "__rn")
+            case None => enqueued
+          }
+          val nowUs = updates.agg(max("lastUs")).head.getLong(0)
+          outboxTable.commit(
+            stepOutbox(spark, all, nowUs, deliver, dlqMinAgeUs), batchId)
+        }
+        ()
+      }
+      .start()
+}

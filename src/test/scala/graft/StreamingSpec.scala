@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
@@ -7,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.aggregates.Evidence
 import graft.schema._
 import graft.state.{OutboxRetry, StatefulOps}
-import graft.streaming.PostPipeline
+import graft.streaming.{EventSink, PostPipeline, SnapshotTable}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -157,5 +159,72 @@ class StreamingSpec extends AnyFunSuite {
     // success path
     val done = OutboxRetry.step(old, success = true, old.nextTryUs)
     assert(done.status == "done")
+  }
+
+  test("sink e2e: foreachBatch MERGE + outbox over a restarted checkpoint") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sink_").toString
+    val src = s"$root/src"
+    val eventsPath = s"$root/events"
+    val outboxPath = s"$root/outbox"
+    val checkpoint = s"$root/chk"
+    new java.io.File(src).mkdirs()
+
+    val t0 = 1700000000L * 1000000L
+    def writeBatch(name: String, posts: Seq[RawPost]): Unit =
+      posts.toDS().coalesce(1).write.parquet(s"$src/$name")
+
+    // delivery fails PEPE's first attempt (attempt==0), succeeds after
+    val deliver: OutboxEntry => Boolean =
+      e => !(e.eventKey.nonEmpty && e.attempt == 0 && e.payloadJson.contains("\"version\":1") && e.eventKey.hashCode % 2 == 0)
+
+    // ---- run 1 ----
+    writeBatch("b1", Seq(post("p1", t0), post("p2", t0 + 1000000L),
+      post("p3", t0 + 2000000L, symbol = "DOGE")))
+    val schema = implicitly[org.apache.spark.sql.Encoder[RawPost]].schema
+    def startQuery() = EventSink.start(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*").as[RawPost],
+      eventsPath, outboxPath, checkpoint, deliver = deliver)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val events1 = new SnapshotTable(s, eventsPath).read().get
+      .as[EventRow].collect().map(e => e.eventKey -> e).toMap
+    assert(events1.size == 2, "PEPE and DOGE keys")
+    val pepeKey1 = events1.values.find(_.evidenceCount == 2).get
+    assert(pepeKey1.version >= 1)
+
+    // ---- append more data, RESTART from the same checkpoint ----
+    writeBatch("b2", Seq(post("p4", t0 + 3000000L), // PEPE again
+      post("p5", t0 + 4000000L, symbol = "WIF")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val events2 = new SnapshotTable(s, eventsPath).read().get
+      .as[EventRow].collect().map(e => e.eventKey -> e).toMap
+    assert(events2.size == 3, "WIF appears; nothing duplicated on restart")
+    val pepe2 = events2(pepeKey1.eventKey)
+    // state survived the restart: version bumped, evidence merged
+    assert(pepe2.version > pepeKey1.version)
+    assert(pepe2.evidenceCount == 3)
+    assert(events2(pepeKey1.eventKey).startUs == pepeKey1.startUs)
+
+    // outbox: entries exist per (key, version); the failed first
+    // attempt went to retry and later versions enqueue new entries
+    val outbox = new SnapshotTable(s, outboxPath).read().get
+      .as[OutboxEntry].collect()
+    assert(outbox.nonEmpty)
+    assert(outbox.map(_.id).distinct.length == outbox.length, "idempotent ids")
+    assert(outbox.forall(e => Set("pending", "retry", "done", "dlq")(e.status)))
+    assert(outbox.exists(_.status == "done"))
+    assert(outbox.filter(_.status == "retry").forall(_.attempt > 0))
+
+    // replaying an already-committed batch id is a no-op
+    val table = new SnapshotTable(s, eventsPath)
+    val before = table.latest.get
+    table.commit(events2.values.toSeq.toDS().toDF(), before._2)
+    assert(table.latest.get == before)
   }
 }
