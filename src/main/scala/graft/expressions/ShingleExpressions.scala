@@ -68,9 +68,78 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** F7 keyword priority ordering as a native kernel (reference
+  * api/events.py:244-310): tokens = lowercase whitespace words;
+  * `$cashtags` first, then 2-3-char words, then the rest; ordered
+  * dedup; top-K; joined with ','.
+  *
+  * The composable formulation (three `filter` HOFs + concat + a
+  * positional-dedup `filter` whose `array_position` is O(n) per
+  * element) is interpreted per element AND re-evaluates the token
+  * split per element — it was the slowest query in the first honest
+  * bench (full-evaluation timing). One static call per row instead.
+  */
+object KeywordPriorityOps {
+
+  def select(input: UTF8String, topK: Int): UTF8String = {
+    val toks = input.toLowerCase.toString.split("\\s+")
+    val seen = new java.util.LinkedHashSet[String](16)
+    // three passes in priority order — dedup keeps the first (highest
+    // priority) occurrence, matching the oracle's positional dedup
+    var p = 0
+    while (p < 3) {
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.nonEmpty) {
+          val isTag = t.charAt(0) == '$'
+          val isShort = !isTag && t.length >= 2 && t.length <= 3
+          val hit = p match {
+            case 0 => isTag
+            case 1 => isShort
+            case _ => !isTag && !isShort
+          }
+          if (hit) seen.add(t)
+        }
+        i += 1
+      }
+      p += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext && j < topK) {
+      if (j > 0) sb.append(',')
+      sb.append(it.next())
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class KeywordPriority(child: Expression, topK: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "keyword_priority"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KeywordPriorityOps.select(input.asInstanceOf[UTF8String], topK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.KeywordPriorityOps$$.MODULE$$.select($c, $topK)")
+
+  override protected def withNewChildInternal(newChild: Expression): KeywordPriority =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   def wordShingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+
+  def keywordPriority(c: Column, topK: Int): Column =
+    column(KeywordPriority(expression(c), topK))
 }

@@ -189,19 +189,17 @@ object CoverageQueries {
 
     // F7: keyword priority ordering — $tokens first, then 2-3 char
     // words, then the rest; order-preserving dedup; top-5
-    // (reference api/events.py:244-310).
+    // (reference api/events.py:244-310). Runs as the codegen'd
+    // KeywordPriority kernel: the three-filter + positional-dedup HOF
+    // formulation interpreted per element (re-splitting per element,
+    // O(n²) array_position dedup) and was the slowest query in the
+    // first full-evaluation bench.
     "q_f7_keywords_priority" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("post",
         concat(lit("$"), upper(col("source")), lit(" "), col("text")))
-      val toks = TextAnalysis.tokens(col("post"))
-      val cashtags = filter(toks, t => t.startsWith("$"))
-      val shorts = filter(toks, t =>
-        !t.startsWith("$") && length(t).between(2, 3))
-      val rest = filter(toks, t =>
-        !t.startsWith("$") && !length(t).between(2, 3))
-      val combined = concat(cashtags, shorts, rest)
       d.select(col("doc_id"),
-          array_join(slice(dedupOrdered(combined), 1, 5), ",").as("keywords"))
+          graft.expressions.ShingleFunctions
+            .keywordPriority(col("post"), 5).as("keywords"))
         .orderBy("doc_id")
     }),
 
