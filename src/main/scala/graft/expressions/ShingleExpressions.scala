@@ -134,6 +134,64 @@ case class KeywordPriority(child: Expression, topK: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** F11 lexicon sentiment as a native kernel (reference
+  * api/rules_sentiment.py:5-84): `\w+` word tokens over the lowercased
+  * text; score = clamp((pos-neg)/n_tokens·3, -1, 1). One regex pass
+  * per row — the composable `regexp_extract_all` + two
+  * `filter(isInCollection)` HOFs re-evaluated the token array per
+  * element, interpreted (7.6 s at sf0.1 under full-evaluation
+  * timing). A token present in BOTH lexicons counts in both tallies,
+  * exactly like the reference's two independent membership sums.
+  */
+object SentimentOps {
+  private val Word = java.util.regex.Pattern.compile("\\w+")
+
+  def score(text: UTF8String, pos: java.util.Set[String],
+      neg: java.util.Set[String]): Double = {
+    val m = Word.matcher(text.toLowerCase.toString)
+    var n = 0
+    var p = 0
+    var q = 0
+    while (m.find()) {
+      n += 1
+      val t = m.group()
+      if (pos.contains(t)) p += 1
+      if (neg.contains(t)) q += 1
+    }
+    if (n == 0) 0.0
+    else math.max(-1.0, math.min(1.0, (p - q).toDouble / n * 3.0))
+  }
+}
+
+case class LexiconSentiment(child: Expression, pos: Seq[String],
+    neg: Seq[String]) extends UnaryExpression {
+
+  private def toJava(xs: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](xs.size * 2)
+    xs.foreach(s.add)
+    s
+  }
+  private lazy val posSet = toJava(pos)
+  private lazy val negSet = toJava(neg)
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lexicon_sentiment"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SentimentOps.score(input.asInstanceOf[UTF8String], posSet, negSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("posSet", posSet, "java.util.Set<String>")
+    val n = ctx.addReferenceObj("negSet", negSet, "java.util.Set<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.SentimentOps$$.MODULE$$.score($c, $p, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconSentiment =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -142,4 +200,7 @@ object ShingleFunctions {
 
   def keywordPriority(c: Column, topK: Int): Column =
     column(KeywordPriority(expression(c), topK))
+
+  def lexiconSentiment(c: Column, pos: Seq[String], neg: Seq[String]): Column =
+    column(LexiconSentiment(expression(c), pos, neg))
 }

@@ -79,15 +79,13 @@ object TextFunctions {
   def tokenize(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\w+"), lit(0))
 
-  def sentimentScore(text: Column, pos: Seq[String], neg: Seq[String]): Column = {
-    val toks = tokenize(text)
-    val posN = size(filter(toks, t => t.isInCollection(pos)))
-    val negN = size(filter(toks, t => t.isInCollection(neg)))
-    val n = size(toks)
-    val raw = when(n > 0, (posN - negN).cast("double") / n.cast("double") * 3.0)
-      .otherwise(lit(0.0))
-    greatest(lit(-1.0), least(lit(1.0), raw))
-  }
+  /** Runs as the codegen'd [[graft.expressions.LexiconSentiment]]
+    * kernel — one regex pass per row instead of interpreted
+    * per-element membership filters (measured 7.6 s → sub-second at
+    * sf0.1).
+    */
+  def sentimentScore(text: Column, pos: Seq[String], neg: Seq[String]): Column =
+    graft.expressions.ShingleFunctions.lexiconSentiment(text, pos, neg)
 
   def sentimentLabel(score: Column): Column =
     when(score > 0.1, "pos").when(score < -0.1, "neg").otherwise("neu")

@@ -191,20 +191,26 @@ object CoreQueries {
             .when(col("slope_raw") >= theta, "up")
             .when(col("slope_raw") <= -theta, "down")
             .otherwise("flat"))
-      val ema = base.filter(col("slope_raw").isNotNull)
-        .groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("bucket"), col("slope_raw"))))
-          .as("xs"))
-        .withColumn("e", explode(expr(
-          """aggregate(xs,
-               cast(array() as array<struct<bucket:bigint, ema:double>>),
-               (acc, x) -> acc || array(named_struct(
-                 'bucket', x.bucket,
-                 'ema', CASE WHEN size(acc) = 0 THEN x.slope_raw
-                             ELSE 0.3 * x.slope_raw +
-                                  0.7 * element_at(acc, -1).ema END)))""")))
-        .select(col("event_type"), col("e.bucket").as("bucket"),
-          col("e.ema").as("ema"))
+      // one-pass typed fold per entity: the HOF `aggregate` formulation
+      // (array-append accumulator) is interpreted AND O(n²) in copies —
+      // it was 31 s at sf0.1; this is one sorted pass
+      val ema = {
+        import s.implicits._
+        base.filter(col("slope_raw").isNotNull)
+          .select(col("event_type"), col("bucket"), col("slope_raw"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (k, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            var prev = 0.0
+            var first = true
+            rows.iterator.map { case (_, b, x) =>
+              val e = if (first) { first = false; x } else 0.3 * x + 0.7 * prev
+              prev = e
+              (k, b, e)
+            }
+          }.toDF("event_type", "bucket", "ema")
+      }
       base.join(ema, Seq("event_type", "bucket"), "left")
         .select(col("event_type"), col("bucket"), col("cnt"),
           col("prev_cnt"), col("cnt_30m"),

@@ -79,6 +79,38 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5, dim = 64, planes = 8, tables = 4)
         .orderBy("qid", "rank")),
 
+    // D7 embedding branch of semantic topic merge (reference
+    // api/services/topic_analyzer.py:311-353: merge topics whose
+    // entity-set embedding cosine ≥ threshold; the Jaccard branch is
+    // q_d_ngram_jaccard). Topic centroid = element-wise mean of member
+    // vectors; pairwise cosine runs at TOPIC granularity (topics are
+    // few — the quadratic step never touches row counts), emitting
+    // every pair with its merge flag at 0.80.
+    "q_d7_topic_merge_embed" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("topic_id", col("vec_id") % 20)
+        .select(col("topic_id"),
+          posexplode(Similarity.asDouble(col("embedding"))).as(Seq("d", "v")))
+      val cent = e.groupBy("topic_id", "d").agg(avg("v").as("m"))
+        .groupBy("topic_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("topic_id"),
+          transform(col("dm"), x => x.getField("m")).as("cent"))
+        .withColumn("nrm", Similarity.norm(col("cent")))
+      val a = cent.select(col("topic_id").as("ta"), col("cent").as("ca"),
+        col("nrm").as("na"))
+      val b = cent.select(col("topic_id").as("tb"), col("cent").as("cb"),
+        col("nrm").as("nb"))
+      a.join(b, col("ta") < col("tb"))
+        .select(col("ta"), col("tb"),
+          graft.functions.Parity.roundHalfUp(
+            Similarity.cosine(col("ca"), col("cb"), col("na"), col("nb")), 6)
+            .as("cos_sim"),
+          (Similarity.cosine(col("ca"), col("cb"), col("na"), col("nb")) >= 0.80)
+            .as("merged"))
+        .orderBy("ta", "tb")
+    }),
+
     // Language ID (stopword heuristic).
     "q_t_langid" -> ((s, dir) => {
       val lid = TextAnalysis.langId(col("text"))
@@ -258,6 +290,29 @@ object DataOpsQueries {
             FROM sc)
           SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_d7_topic_merge_embed" ->
+      s"""WITH $PreparedVecsCte,
+          dm AS (SELECT unnest(range(64)) AS d),
+          m AS (
+            SELECT n.vec_id % 20 AS topic_id, dm.d AS d,
+                   avg(n.e[dm.d + 1]) AS m
+            FROM n, dm GROUP BY 1, 2),
+          c AS (
+            SELECT topic_id, list(m ORDER BY d) AS cent
+            FROM m GROUP BY topic_id),
+          c2 AS (
+            SELECT topic_id, cent,
+                   sqrt(list_dot_product(cent, cent)) AS nrm
+            FROM c),
+          p AS (
+            SELECT a.topic_id AS ta, b.topic_id AS tb,
+                   list_dot_product(a.cent, b.cent) / (a.nrm * b.nrm) AS cs
+            FROM c2 a JOIN c2 b ON a.topic_id < b.topic_id)
+          SELECT ta, tb,
+                 floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+                 cs >= 0.80 AS merged
+          FROM p ORDER BY ta, tb""",
 
     "q_t_langid" -> {
       val scores = TextAnalysis.Stopwords.map { case (l, ws) =>

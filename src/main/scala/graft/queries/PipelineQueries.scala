@@ -112,7 +112,13 @@ object PipelineQueries {
             .cast("double") / count(lit(1))).as("self_loop_ratio"))
       val (verdict, confidence) = OnchainVerdict.verdictColumns(OnchainVerdict.Demo)
       feats.select(col("o_custkey"), verdict.as("verdict"),
-          Parity.roundHalfUp(confidence, 6).as("confidence"))
+          Parity.roundHalfUp(confidence, 6).as("confidence"),
+          // the signals-summary NUMERIC(4,3) column contract
+          // (reference DATABASE.md:153, routes_expert_onchain.py:39-46
+          // quantize_decimal ROUND_HALF_UP) — serialized as a string
+          // per the cross-engine DECIMAL rule
+          confidence.cast("decimal(4,3)").cast("string")
+            .as("confidence_num43"))
         .orderBy("o_custkey")
     }),
 
@@ -356,7 +362,10 @@ object PipelineQueries {
                       ELSE 'hold' END AS verdict,
                  floor((CASE WHEN NOT in_range THEN 0.0
                        ELSE least(1.0, 0.6 + 0.4 * CAST(up_hits AS DOUBLE) / ${up.size})
-                       END) * 1000000.0 + 0.5) / 1000000.0 AS confidence
+                       END) * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+                 CAST(CAST((CASE WHEN NOT in_range THEN 0.0
+                       ELSE least(1.0, 0.6 + 0.4 * CAST(up_hits AS DOUBLE) / ${up.size})
+                       END) AS DECIMAL(4,3)) AS VARCHAR) AS confidence_num43
           FROM v ORDER BY o_custkey"""
     },
 
