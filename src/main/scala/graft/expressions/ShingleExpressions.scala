@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word-n-gram shingles as a native kernel.
@@ -163,6 +164,79 @@ object SentimentOps {
   }
 }
 
+/** Language-ID as a native kernel: one tokenization pass counting hits
+  * for EVERY language lexicon plus the token total, then the
+  * priority-ordered argmax and conf = roundHalfUp(best/n, 4) — all
+  * inside the call, because any column-level composition over a shared
+  * hits array gets re-inlined by CollapseProject into one kernel call
+  * PER REFERENCE. Returns struct(lang, conf). Arithmetic mirrors
+  * Parity.roundHalfUp exactly (floor(x·10⁴+0.5)/10⁴ on the same
+  * doubles).
+  */
+object LangIdOps {
+  def langConf(text: UTF8String, langs: Array[String],
+      lexicons: Array[java.util.Set[String]]): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val counts = new Array[Int](lexicons.length)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        var l = 0
+        while (l < lexicons.length) {
+          if (lexicons(l).contains(t)) counts(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestIdx = -1
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) { best = counts(l); bestIdx = l } // strict >: first wins ties
+      l += 1
+    }
+    val lang = if (best > 0) langs(bestIdx) else "und"
+    val conf =
+      if (n > 0) math.floor(best.toDouble / n * 10000.0 + 0.5) / 10000.0
+      else 0.0
+    new GenericInternalRow(Array[Any](UTF8String.fromString(lang), conf))
+  }
+}
+
+case class LangIdExpr(child: Expression, langs: Seq[String],
+    lexicons: Seq[Seq[String]]) extends UnaryExpression {
+
+  private lazy val langsArr = langs.toArray
+  private lazy val lexArr = lexicons.map { ws =>
+    val s = new java.util.HashSet[String](ws.size * 2)
+    ws.foreach(s.add)
+    s: java.util.Set[String]
+  }.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("conf", org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdOps.langConf(input.asInstanceOf[UTF8String], langsArr, lexArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ls = ctx.addReferenceObj("langs", langsArr, "String[]")
+    val lx = ctx.addReferenceObj("lexicons", lexArr, "java.util.Set[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LangIdOps$$.MODULE$$.langConf($c, $ls, $lx)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 case class LexiconSentiment(child: Expression, pos: Seq[String],
     neg: Seq[String]) extends UnaryExpression {
 
@@ -203,4 +277,7 @@ object ShingleFunctions {
 
   def lexiconSentiment(c: Column, pos: Seq[String], neg: Seq[String]): Column =
     column(LexiconSentiment(expression(c), pos, neg))
+
+  def langId(c: Column, langs: Seq[String], lexicons: Seq[Seq[String]]): Column =
+    column(LangIdExpr(expression(c), langs, lexicons))
 }

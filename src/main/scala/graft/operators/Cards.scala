@@ -136,12 +136,16 @@ object Cards {
     */
   def buildDocument(events: DataFrame, goplus: DataFrame, dex: DataFrame,
       onchain: DataFrame, rules: DataFrame, evidence: DataFrame): DataFrame = {
+    // plain equi-joins: source frames can be event-sized (1:1 with the
+    // event table), so forcing broadcast would collect the whole
+    // pipeline to the driver at scale — AQE upgrades any genuinely
+    // small side to a broadcast join at runtime instead
     val j = events
-      .join(broadcast(goplus), Seq("event_key"), "left")
-      .join(broadcast(dex), Seq("event_key"), "left")
-      .join(broadcast(onchain), Seq("event_key"), "left")
-      .join(broadcast(rules), Seq("event_key"), "left")
-      .join(broadcast(evidence), Seq("event_key"), "left")
+      .join(goplus, Seq("event_key"), "left")
+      .join(dex, Seq("event_key"), "left")
+      .join(onchain, Seq("event_key"), "left")
+      .join(rules, Seq("event_key"), "left")
+      .join(evidence, Seq("event_key"), "left")
       // reference: no goplus AND no dex → ValueError("no usable sources")
       .filter(col("risk").isNotNull || col("dex_us").isNotNull)
 

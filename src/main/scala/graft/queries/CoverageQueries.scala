@@ -69,12 +69,18 @@ object CoverageQueries {
     // decimal serialization, %.6g summary formatting, and the oldest-
     // source data_as_of rule (reference api/cards/build.py:462-602).
     "q_j6_card_doc" -> ((s, dir) => {
+      // pre-partitioned on the join key: SIX frames derive from this
+      // scan and all carry the IDENTICAL exchange subplan, which Spark
+      // dedups via ReusedExchange — the scan+shuffle runs once and the
+      // five left joins are co-partitioned (sorts only, no extra
+      // exchanges, nothing collected to the driver)
       val e = Tables.load(s, dir, "events").select(
         concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
           .as("event_key"),
         upper(col("event_type")).as("symbol"),
         expr("ts_ns div 1000").as("event_us"),
         col("event_id"), col("user_id"), col("value"))
+        .repartition(col("event_key"))
       val goplus = e.filter(col("event_id") % 4 =!= 1).select(
         col("event_key"),
         when(col("user_id") % 5 === 0, "red")

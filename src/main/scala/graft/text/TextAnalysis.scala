@@ -33,21 +33,15 @@ object TextAnalysis {
 
   /** Language ID: argmax of per-language stopword hit counts with a
     * fixed priority order on ties; "und" when no list hits at all.
-    * Returns a struct(lang, conf) with conf = hits/n_tokens.
+    * Returns a struct(lang, conf) with conf = hits/n_tokens. Runs as
+    * the codegen'd [[graft.expressions.LangIdExpr]] kernel — one
+    * tokenization pass for all lexicons (the per-language
+    * `filter(isInCollection)` composition interpreted per element and
+    * re-split the text per language).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = Stopwords.map { case (l, ws) => l -> hitCount(toks, ws) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first language (in declared priority order) achieving the max
-    val lang = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
-      when(sc === best && best > 0, l).otherwise(acc)
-    }
-    val conf = when(size(toks) > 0,
-      Parity.roundHalfUp(best.cast("double") / size(toks).cast("double"), 4))
-      .otherwise(0.0)
-    struct(lang.as("lang"), conf.as("conf"))
-  }
+  def langId(text: Column): Column =
+    graft.expressions.ShingleFunctions.langId(text,
+      Stopwords.map(_._1), Stopwords.map(_._2))
 
   /** Heuristic document quality score in [0,1] (Gopher/C4-style
     * length / repetition / stopword-density gates):
