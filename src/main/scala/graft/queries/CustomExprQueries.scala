@@ -46,6 +46,23 @@ object CustomExprQueries {
         .orderBy("doc_id")
     }),
 
+    // F2: full text normalization — lowercase, strip URLs and
+    // @handles, collapse whitespace, then Unicode NFC composition
+    // (reference api/events.py:380-411). The synthesized suffix plants
+    // a URL, a handle, and a DECOMPOSED é (e + U+0301) so the oracle's
+    // nfc_normalize must agree with the custom NfcNormalize expression.
+    "q_f2_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"),
+        lit(" visit https://x.co/q?id="), col("doc_id"),
+        lit(" @user"), col("doc_id"), lit(" at café"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.nfcNormalize(
+            graft.functions.TextFunctions.normalizeText(raw))
+            .as("text_norm"))
+        .orderBy("doc_id")
+    }),
+
     // F5 v2: keyed blake2s event key pinned by known-answer vectors.
     // Expected keys were computed with the PUBLIC hashlib.blake2s
     // semantics the reference uses (api/events.py:503-516:
@@ -144,6 +161,16 @@ object CustomExprQueries {
                   ELSE 'http://bad' || (doc_id % 20) || '.example.com:port/x/' || doc_id
                 END AS canon_url
          FROM documents ORDER BY doc_id""",
+
+    "q_f2_normalize" ->
+      s"""SELECT doc_id,
+                 nfc_normalize(trim(regexp_replace(regexp_replace(regexp_replace(
+                   lower(text || ' visit https://x.co/q?id=' || doc_id
+                         || ' @user' || doc_id || ' at caf' || chr(101) || chr(769)),
+                   'https?://\\S+', ' ', 'g'),
+                   '@\\w+', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS text_norm
+          FROM documents ORDER BY doc_id""",
 
     // q_f5_event_key_v2: DuckDB has no blake2s, so the oracle is the
     // literal known-answer table (hashlib.blake2s ground truth).
