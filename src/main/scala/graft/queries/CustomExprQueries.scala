@@ -121,6 +121,26 @@ object CustomExprQueries {
         .orderBy("fp")
     }),
 
+    // D5: push cooldown — at most one push per key per cooldown
+    // window (reference notifier Redis SETNX+TTL, api/cards/dedup.py).
+    // Batch analog: first-wins within tumbling cooldown buckets (the
+    // sliding-TTL variant is the streaming FSM's cooldownUntilUs in
+    // StatefulOps.transition; this is the replay/backfill shape).
+    "q_d5_push_cooldown" -> ((s, dir) => {
+      val cooldownUs = 1800L * 1000000L
+      val e = Tables.load(s, dir, "events")
+        .select(
+          concat_ws(":", col("event_type"), (col("user_id") % 50).cast("string"))
+            .as("push_key"),
+          expr("ts_ns div 1000").as("us"), col("event_id"))
+        .withColumn("cooldown_bucket", expr(s"us div $cooldownUs"))
+      graft.dedup.Dedup.firstSeenBy(e, Seq("push_key", "cooldown_bucket"),
+          Seq(col("us").asc, col("event_id").asc))
+        .select(col("push_key"), col("cooldown_bucket"),
+          col("event_id").as("pushed_event"), col("us"))
+        .orderBy("push_key", "cooldown_bucket")
+    }),
+
     // D3: Evidence merge Aggregator through the typed Dataset API.
     // Synthesis: each event row becomes an x-evidence whose tweet_id is
     // event_id/2 → consecutive pairs merge; the oracle reconstructs the
@@ -204,6 +224,19 @@ object CustomExprQueries {
            FROM f)
          SELECT fp, event_id AS first_event_id
          FROM r WHERE rn = 1 ORDER BY fp""",
+
+    "q_d5_push_cooldown" ->
+      """WITH p AS (
+           SELECT event_type || ':' || CAST(user_id % 50 AS VARCHAR) AS push_key,
+                  epoch_us(ts) AS us, event_id,
+                  epoch_us(ts) // 1800000000 AS cooldown_bucket
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY push_key, cooldown_bucket
+                       ORDER BY us ASC, event_id ASC) AS rn
+           FROM p)
+         SELECT push_key, cooldown_bucket, event_id AS pushed_event, us
+         FROM r WHERE rn = 1 ORDER BY push_key, cooldown_bucket""",
 
     "q_d3_evidence_merge" ->
       """WITH ev AS (

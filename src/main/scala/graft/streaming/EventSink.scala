@@ -111,6 +111,50 @@ object EventSink {
     * foreachBatch MERGE into `eventsPath` + outbox enqueue/step into
     * `outboxPath`, checkpointed at `checkpoint`.
     */
+  /** One micro-batch of the sink, idempotent PER TABLE: a crash
+    * between the events commit and the outbox commit leaves the two
+    * tables at different batch ids, and the replayed batch must then
+    * skip the already-committed events MERGE while still applying the
+    * outbox step — a single shared guard would silently drop the
+    * outbox's batch forever (exercised in StreamingSpec).
+    */
+  def processBatch(batch: Dataset[EventRow], batchId: Long,
+      eventsPath: String, outboxPath: String,
+      deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long): Unit = {
+    val spark = batch.sparkSession
+    val eventsTable = new SnapshotTable(spark, eventsPath)
+    val outboxTable = new SnapshotTable(spark, outboxPath)
+    val replayEvents = eventsTable.lastBatchId >= batchId
+    val replayOutbox = outboxTable.lastBatchId >= batchId
+    if ((replayEvents && replayOutbox) || batch.isEmpty) return
+
+    // one update row per key: the stream emits one EventRow per key
+    // per trigger, but a replayed+reprocessed batch could carry
+    // several — keep the newest
+    val updates = mergeEvents(None, batch.toDF()).localCheckpoint()
+    if (!replayEvents)
+      eventsTable.commit(mergeEvents(eventsTable.read(), updates), batchId)
+
+    if (!replayOutbox) {
+      // outbox: enqueue new entries (id collision = already enqueued →
+      // existing row wins), then run one delivery + recovery pass over
+      // everything due
+      val enqueued = outboxEntriesFor(updates)
+      val all = outboxTable.read() match {
+        case Some(cur) =>
+          val w = Window.partitionBy("id").orderBy(col("__new").asc)
+          cur.withColumn("__new", lit(0))
+            .unionByName(enqueued.withColumn("__new", lit(1)))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__new", "__rn")
+        case None => enqueued
+      }
+      val nowUs = updates.agg(max("lastUs")).head.getLong(0)
+      outboxTable.commit(
+        stepOutbox(spark, all, nowUs, deliver, dlqMinAgeUs), batchId)
+    }
+  }
+
   def start(posts: Dataset[RawPost], eventsPath: String, outboxPath: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
       deliver: OutboxEntry => Boolean = _ => true,
@@ -120,36 +164,8 @@ object EventSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[EventRow], batchId: Long) =>
-        val spark = batch.sparkSession
-        val eventsTable = new SnapshotTable(spark, eventsPath)
-        val outboxTable = new SnapshotTable(spark, outboxPath)
-        if (eventsTable.lastBatchId < batchId && !batch.isEmpty) {
-          // one update row per key: the stream emits one EventRow per
-          // key per trigger, but a replayed+reprocessed batch could
-          // carry several — keep the newest
-          val updates = mergeEvents(None, batch.toDF()).localCheckpoint()
-          eventsTable.commit(
-            mergeEvents(eventsTable.read(), updates), batchId)
-
-          // outbox: enqueue new entries (id collision = already
-          // enqueued → existing row wins), then run one delivery +
-          // recovery pass over everything due
-          val enqueued = outboxEntriesFor(updates)
-          val existing = outboxTable.read()
-          val all = existing match {
-            case Some(cur) =>
-              val w = Window.partitionBy("id").orderBy(col("__new").asc)
-              cur.withColumn("__new", lit(0))
-                .unionByName(enqueued.withColumn("__new", lit(1)))
-                .withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__new", "__rn")
-            case None => enqueued
-          }
-          val nowUs = updates.agg(max("lastUs")).head.getLong(0)
-          outboxTable.commit(
-            stepOutbox(spark, all, nowUs, deliver, dlqMinAgeUs), batchId)
-        }
-        ()
+        processBatch(batch, batchId, eventsPath, outboxPath, deliver,
+          dlqMinAgeUs)
       }
       .start()
 }

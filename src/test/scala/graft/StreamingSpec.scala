@@ -227,4 +227,48 @@ class StreamingSpec extends AnyFunSuite {
     table.commit(events2.values.toSeq.toDS().toDF(), before._2)
     assert(table.latest.get == before)
   }
+
+  test("sink recovers a crash between the events and outbox commits") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sink_crash_").toString
+    val eventsPath = s"$root/events"
+    val outboxPath = s"$root/outbox"
+    val t0 = 1700000000L * 1000000L
+
+    def evRow(key: String, version: Int, ts: Long) =
+      EventRow(key, "social", ts, ts, 1,
+        Seq(graft.aggregates.Evidence("x", ts, Map("tweet_id" -> key), "", 1.0)),
+        0.0, version)
+
+    // batch 0: both tables commit
+    val b0 = Seq(evRow("k1", 1, t0)).toDS()
+    EventSink.processBatch(b0, 0L, eventsPath, outboxPath, _ => true, 0L)
+    assert(new SnapshotTable(s, eventsPath).lastBatchId == 0L)
+    assert(new SnapshotTable(s, outboxPath).lastBatchId == 0L)
+
+    // simulate a crash AFTER the events commit of batch 1 but BEFORE
+    // the outbox commit: commit batch 1 to the events table only
+    val b1 = Seq(evRow("k2", 1, t0 + 1000000L)).toDS()
+    val eventsTable = new SnapshotTable(s, eventsPath)
+    eventsTable.commit(
+      EventSink.mergeEvents(eventsTable.read(),
+        EventSink.mergeEvents(None, b1.toDF())), 1L)
+    assert(new SnapshotTable(s, eventsPath).lastBatchId == 1L)
+    assert(new SnapshotTable(s, outboxPath).lastBatchId == 0L)
+
+    // the replayed batch must skip the events MERGE but still land the
+    // outbox entries for k2
+    EventSink.processBatch(b1, 1L, eventsPath, outboxPath, _ => true, 0L)
+    assert(new SnapshotTable(s, eventsPath).lastBatchId == 1L)
+    assert(new SnapshotTable(s, outboxPath).lastBatchId == 1L)
+    val outbox = new SnapshotTable(s, outboxPath).read().get
+      .as[OutboxEntry].collect()
+    assert(outbox.exists(_.eventKey == "k1"))
+    assert(outbox.exists(_.eventKey == "k2"), "outbox must not lose the batch")
+    // events were not double-merged: k2 still at version 1
+    val events = new SnapshotTable(s, eventsPath).read().get
+      .as[EventRow].collect().map(e => e.eventKey -> e).toMap
+    assert(events("k2").version == 1 && events.size == 2)
+  }
 }
