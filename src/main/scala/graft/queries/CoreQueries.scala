@@ -234,6 +234,26 @@ object CoreQueries {
         .orderBy("doc_id")
     }),
 
+    // F12: model sentiment with rules fallback — REAL mapPartitions
+    // plumbing (per-partition model context, streamed rows, per-row
+    // availability) around a deterministic stub model; unavailable
+    // rows (the reference's HF timeout/degrade path) fall back to the
+    // F11 rules scorer and are tagged with their backend.
+    "q_f12_sentiment_fallback" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val scored = graft.text.ModelSentiment.score(s,
+        d.select(col("doc_id"), col("text")).as[(Long, String)]).toDF()
+      val rules = TextFunctions.sentimentScore(col("text"), Pos, Neg)
+      d.join(scored, col("doc_id") === col("docId"))
+        .select(col("doc_id"),
+          when(col("modelAvailable"), Parity.roundHalfUp(col("modelScore"), 4))
+            .otherwise(Parity.roundHalfUp(rules, 4)).as("score"),
+          when(col("modelAvailable"), "hf").otherwise("rules").as("backend"))
+        .withColumn("label", TextFunctions.sentimentLabel(col("score")))
+        .orderBy("doc_id")
+    }),
+
     // F5/F6: deterministic event key v1 — sha256 over '|'-joined parts
     // + 600s time bucket (reference api/events.py:414-470,175-184).
     "q_f5_event_key" -> ((s, dir) => {
@@ -400,6 +420,39 @@ object CoreQueries {
          SELECT doc_id, floor(raw * 10000.0 + 0.5) / 10000.0 AS score,
                 CASE WHEN raw > 0.1 THEN 'pos'
                      WHEN raw < -0.1 THEN 'neg'
+                     ELSE 'neu' END AS label
+         FROM sc ORDER BY doc_id""",
+
+    // mirror of the stub model: first 4 md5 bytes as unsigned 32-bit
+    // big-endian == first 8 hex chars; rules branch == the F11 oracle.
+    "q_f12_sentiment_fallback" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  (('0x' || substr(md5(text), 1, 8))::BIGINT % 2001 - 1000) / 1000.0
+                    AS model_score,
+                  doc_id % 10 <> 0 AS avail,
+                  regexp_extract_all(lower(text), '\\w+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, model_score, avail,
+                  len(list_filter(toks, x -> list_contains(${sqlList(Pos)}, x))) AS pos_n,
+                  len(list_filter(toks, x -> list_contains(${sqlList(Neg)}, x))) AS neg_n,
+                  len(toks) AS n
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+                  CASE WHEN avail
+                       THEN floor(model_score * 10000.0 + 0.5) / 10000.0
+                       ELSE floor(greatest(-1.0, least(1.0,
+                              CASE WHEN n > 0
+                                   THEN CAST(pos_n - neg_n AS DOUBLE) / n * 3.0
+                                   ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0
+                  END AS score,
+                  CASE WHEN avail THEN 'hf' ELSE 'rules' END AS backend
+           FROM c)
+         SELECT doc_id, score, backend,
+                CASE WHEN score > 0.1 THEN 'pos'
+                     WHEN score < -0.1 THEN 'neg'
                      ELSE 'neu' END AS label
          FROM sc ORDER BY doc_id""",
 
