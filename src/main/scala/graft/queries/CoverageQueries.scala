@@ -209,6 +209,44 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // F4: token symbol canonical form over synthesized edge cases —
+    // trim, lowercase, collapse leading '$'s to one, empty → null
+    // (reference api/events.py:187-207).
+    "q_f4_symbol_norm" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 5 === 0, upper(col("source")))
+        .when(col("doc_id") % 5 === 1, concat(lit("$"), col("source")))
+        .when(col("doc_id") % 5 === 2, concat(lit("$$"), upper(col("source"))))
+        .when(col("doc_id") % 5 === 3, concat(lit("  "), col("source"), lit(" ")))
+        .otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"), raw.as("raw_symbol"),
+          graft.functions.TextFunctions.normalizeSymbol(raw).as("symbol_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // F13: rules keyphrases — `$word | letters{2,}` tokens, ordered
+    // dedup, stopword filter, top-5 (reference api/keyphrases.py:80-90).
+    "q_f13_keyphrases" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          array_join(graft.functions.TextFunctions.keyphrases(
+            col("text"), TextAnalysis.Stopwords.head._2, 5), ",")
+            .as("keyphrases"))
+        .orderBy("doc_id")),
+
+    // F15: memeable-topic confidence min(1, 0.3·n_entities) over the
+    // keyphrase count (reference worker/pipeline/is_memeable_topic
+    // .py:94-151), memeable at ≥ 0.6.
+    "q_f15_memeable" -> ((s, dir) => {
+      val n = size(graft.functions.TextFunctions.keyphrases(
+        col("text"), TextAnalysis.Stopwords.head._2, 5))
+      docs(s, dir).select(col("doc_id"), n.as("n_entities"),
+          Parity.roundHalfUp(
+            graft.functions.TextFunctions.memeableConfidence(n), 4)
+            .as("confidence"),
+          (graft.functions.TextFunctions.memeableConfidence(n) >= 0.6)
+            .as("is_memeable"))
+        .orderBy("doc_id")
+    }),
+
     // F16: entity normalization — synonym map, stop-term removal,
     // order-preserving dedup (reference api/services/topic_analyzer
     // .py:17-69).
@@ -302,7 +340,62 @@ object CoverageQueries {
     })
   )
 
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
+    "q_f4_symbol_norm" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  CASE doc_id % 5
+                    WHEN 0 THEN upper(source)
+                    WHEN 1 THEN '$' || source
+                    WHEN 2 THEN '$$' || upper(source)
+                    WHEN 3 THEN '  ' || source || ' '
+                    ELSE '' END AS raw_symbol
+           FROM documents)
+         SELECT doc_id, raw_symbol,
+                CASE WHEN trim(raw_symbol) = '' THEN NULL
+                     ELSE '$' || regexp_replace(lower(trim(raw_symbol)), '^\$+', '')
+                END AS symbol_norm
+         FROM r ORDER BY doc_id""",
+
+    "q_f13_keyphrases" -> {
+      val stops = sqlList(TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '\\$$\\w+|[a-z]{2,}') AS toks
+            FROM documents),
+          d AS (
+            SELECT doc_id,
+                   list_filter(toks, (x, i) -> list_position(toks, x) = i) AS ded
+            FROM t)
+          SELECT doc_id,
+                 array_to_string(
+                   list_filter(ded, x -> NOT list_contains($stops, x))[1:5], ',')
+                   AS keyphrases
+          FROM d ORDER BY doc_id"""
+    },
+
+    "q_f15_memeable" -> {
+      val stops = sqlList(TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '\\$$\\w+|[a-z]{2,}') AS toks
+            FROM documents),
+          d AS (
+            SELECT doc_id,
+                   list_filter(toks, (x, i) -> list_position(toks, x) = i) AS ded
+            FROM t),
+          n AS (
+            SELECT doc_id,
+                   len(list_filter(ded, x -> NOT list_contains($stops, x))[1:5]) AS n_entities
+            FROM d)
+          SELECT doc_id, CAST(n_entities AS INT) AS n_entities,
+                 floor(least(1.0, 0.3 * n_entities) * 10000.0 + 0.5) / 10000.0 AS confidence,
+                 least(1.0, 0.3 * n_entities) >= 0.6 AS is_memeable
+          FROM n ORDER BY doc_id"""
+    },
     "q_j6_card_build" ->
       """WITH e AS (
            SELECT 'EV:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS event_key,
