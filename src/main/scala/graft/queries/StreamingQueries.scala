@@ -61,7 +61,80 @@ object StreamingQueries {
     })
   )
 
+  /** S2/D4 batch analogs — emit-on-change per key (the streaming
+    * variants keep the last signature in keyed state; the
+    * backfill/replay shape is a lag over event time).
+    */
+  def changeDetectQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2: avatar change detection — one row per (author, ts) with the
+    // avatar fingerprint; emit rows whose fingerprint differs from the
+    // author's previous one (first sighting emits too, reference
+    // avatar watcher semantics).
+    "q_s2_avatar_change" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 200).as("author"),
+        expr("ts_ns div 1000").as("us"), col("event_id"),
+        // avatar rotates over time, deterministically
+        md5(concat_ws(":", col("user_id") % 200,
+          expr("ts_ns div 1000000000 div 86400"))).as("avatar_fp"))
+      val w = Window.partitionBy("author").orderBy(col("us").asc, col("event_id").asc)
+      e.withColumn("prev_fp", lag("avatar_fp", 1).over(w))
+        .filter(col("prev_fp").isNull || col("avatar_fp") =!= col("prev_fp"))
+        .select(col("author"), col("us"), col("avatar_fp"))
+        .orderBy("author", "us")
+    }),
+
+    // D4: card state-version dedup — emit only when the version
+    // signature (state|risk|degrade) changes per event key
+    // (reference api/cards/dedup.py:10-131).
+    "q_d4_state_version_dedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 300).as("card_key"),
+        expr("ts_ns div 1000").as("us"), col("event_id"),
+        concat_ws("|",
+          when(col("value") >= 100, "candidate").otherwise("downgraded"),
+          when(col("value") % 7 < 2, "red").otherwise("green"),
+          concat(lit("degrade:"), (col("event_id") % 2).cast("string")))
+          .as("sig"))
+      val w = Window.partitionBy("card_key").orderBy(col("us").asc, col("event_id").asc)
+      e.withColumn("prev_sig", lag("sig", 1).over(w))
+        .filter(col("prev_sig").isNull || col("sig") =!= col("prev_sig"))
+        .select(col("card_key"), col("us"), col("sig"))
+        .orderBy("card_key", "us")
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
+    "q_s2_avatar_change" ->
+      """WITH e AS (
+           SELECT user_id % 200 AS author, epoch_us(ts) AS us, event_id,
+                  md5(CAST(user_id % 200 AS VARCHAR) || ':' ||
+                      CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR)) AS avatar_fp
+           FROM events),
+         l AS (
+           SELECT *, lag(avatar_fp) OVER (PARTITION BY author
+                       ORDER BY us ASC, event_id ASC) AS prev_fp
+           FROM e)
+         SELECT author, us, avatar_fp
+         FROM l WHERE prev_fp IS NULL OR avatar_fp <> prev_fp
+         ORDER BY author, us""",
+
+    "q_d4_state_version_dedup" ->
+      """WITH e AS (
+           SELECT user_id % 300 AS card_key, epoch_us(ts) AS us, event_id,
+                  concat_ws('|',
+                    CASE WHEN value >= 100 THEN 'candidate' ELSE 'downgraded' END,
+                    CASE WHEN fmod(value, 7) < 2 THEN 'red' ELSE 'green' END,
+                    'degrade:' || CAST(event_id % 2 AS VARCHAR)) AS sig
+           FROM events),
+         l AS (
+           SELECT *, lag(sig) OVER (PARTITION BY card_key
+                       ORDER BY us ASC, event_id ASC) AS prev_sig
+           FROM e)
+         SELECT card_key, us, sig
+         FROM l WHERE prev_sig IS NULL OR sig <> prev_sig
+         ORDER BY card_key, us""",
     "q_stream_event_upsert" ->
       """WITH p AS (
            SELECT CAST(event_id AS VARCHAR) AS id,
