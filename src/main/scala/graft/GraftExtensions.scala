@@ -69,6 +69,16 @@ object GraftExtensions {
         case Seq(c)    => WordShingles(c, 3)
         case Seq(c, n) => WordShingles(c, litInt(n, "n"))
         case _ => throw new IllegalArgumentException("word_shingles(str[, n])")
+      }),
+    ("py6g",
+      new ExpressionInfo(classOf[PyG6Format].getName, "py6g"),
+      (args: Seq[Expression]) => PyG6Format(args.head)),
+    ("keyword_priority",
+      new ExpressionInfo(classOf[KeywordPriority].getName, "keyword_priority"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => KeywordPriority(c, 5)
+        case Seq(c, k) => KeywordPriority(c, litInt(k, "topK"))
+        case _ => throw new IllegalArgumentException("keyword_priority(str[, topK])")
       }))
 
   /** Install the SQL functions into an already-running session. */

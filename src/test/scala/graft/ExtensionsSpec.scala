@@ -14,7 +14,9 @@ class ExtensionsSpec extends AnyFunSuite {
                 nfc_normalize('éclair') AS nfc,
                 canonical_url('https://Example.com/p?utm_a=1&b=2') AS cu,
                 dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-                word_shingles('a b c d', 3) AS sh""").head
+                word_shingles('a b c d', 3) AS sh,
+                py6g(19591.25d) AS g6,
+                keyword_priority('$peak go the pump', 3) AS kw""").head
     assert(r.getString(0) ==
       "508c5e8c327c14e2e1a72ba34eeb452f37458b209ed63a294d999b4c86675982")
     assert(r.getString(1).length == 40)
@@ -22,6 +24,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "https://example.com/p?b=2")
     assert(r.getDouble(4) == 11.0)
     assert(r.getSeq[String](5) == Seq("a b c", "b c d"))
+    assert(r.getString(6) == "19591.2") // C/Python %.6g half-even tie
+    assert(r.getString(7) == "$peak,go,the")
   }
 
   test("unbounded-scan lint rejects bare scans of guarded tables only") {
