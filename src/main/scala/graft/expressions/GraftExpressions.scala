@@ -111,6 +111,15 @@ object CanonicalUrl {
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.\\-]*):(.*)$".r
 
+  /** CPython urllib.parse.uses_netloc — these schemes always render a
+    * `//` authority separator, even when the netloc is empty.
+    */
+  private[expressions] val UsesNetloc: Set[String] = Set(
+    "", "ftp", "http", "gopher", "nntp", "telnet", "imap", "wais",
+    "file", "mms", "https", "shttp", "snews", "prospero", "rtsp",
+    "rtspu", "rtsps", "rsync", "svn", "svn+ssh", "sftp", "nfs", "git",
+    "git+ssh", "ws", "wss", "itms-services")
+
   /** Mirrors reference api/events.py:123-173 `_normalize_url`, which is
     * built on Python's `urlsplit`/`parse_qsl`/`urlunsplit`. Parses
     * directly (not via java.net.URI, whose getHost is null for raw-IDN
@@ -200,9 +209,12 @@ object CanonicalUrl {
       var path = if (path0.isEmpty) "/" else path0
       if (path != "/") path = path.replaceAll("/+$", "")
 
-      // --- urlunsplit ---
+      // --- urlunsplit (modern CPython: schemes in uses_netloc get
+      // '//' even with an EMPTY netloc, so schemeless inputs render
+      // as https:///path) ---
       var out = path
-      if (netlocOut.nonEmpty || out.startsWith("//")) {
+      if (netlocOut.nonEmpty ||
+          (CanonicalUrl.UsesNetloc.contains(scheme) && !out.startsWith("//"))) {
         if (out.nonEmpty && !out.startsWith("/")) out = "/" + out
         out = "//" + netlocOut + out
       }
