@@ -75,6 +75,13 @@ object TextFunctions {
     * = clamp((pos-neg)/n_tokens * 3, -1, 1); label at ±0.1.
     * Counts token OCCURRENCES (not distinct), matching the reference's
     * per-token loop.
+    *
+    * Deliberate deviation: `\w` here is ASCII (Java and RE2 defaults,
+    * matching the DuckDB oracle), while Python's is unicode-aware — a
+    * non-ASCII word can tokenize into a different COUNT and shift the
+    * denominator. The lexicons are ASCII and the flow is
+    * ASCII-dominant; CPython-fuzzed on that domain (SentFuzz, 500
+    * punctuation-heavy cases, zero diff).
     */
   def tokenize(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\w+"), lit(0))
