@@ -19,7 +19,8 @@ object SparkEntry {
     QueryPack(DataOpsQueries.queries, DataOpsQueries.oracleSql),
     QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql),
     QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql),
-    QueryPack(StreamingQueries.queries ++ StreamingQueries.changeDetectQueries,
+    QueryPack(StreamingQueries.queries ++ StreamingQueries.changeDetectQueries
+        ++ StreamingQueries.sinkQueries,
       StreamingQueries.oracleSql),
     QueryPack(CoverageQueries.queries, CoverageQueries.oracleSql),
     QueryPack(EnrichmentQueries.queries, EnrichmentQueries.oracleSql),

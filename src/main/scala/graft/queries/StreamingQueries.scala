@@ -61,6 +61,47 @@ object StreamingQueries {
     })
   )
 
+  /** The DURABLE end of the pipeline under the same oracle: the staged
+    * stream runs through EventSink's foreachBatch MERGE into a
+    * versioned snapshot table, and the table READ BACK FROM DISK is
+    * hash-compared against the relational oracle — checkpoint + table
+    * dirs are keyed by the source fingerprint, so re-runs resume the
+    * checkpoint (no new files → tables unchanged) instead of
+    * double-applying.
+    */
+  def sinkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sink_table" -> ((s, dir) => {
+      import s.implicits._
+      val posts = Tables.load(s, dir, "events").select(
+        col("event_id").cast("string").as("id"),
+        lit("x").as("source"),
+        lit("kol").as("author"),
+        col("event_type").as("text"),
+        expr("ts_ns div 1000").as("tsUs"),
+        lit(null).cast("string").as("tokenCa"),
+        col("event_type").as("symbol"),
+        lit(true).as("isCandidate"),
+        lit(0.0).as("sentimentScore")).as[RawPost]
+      val src = new java.io.File(s"$dir/events.parquet")
+      val fingerprint = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val stage = s"/tmp/graft_stream_stage/${src.getParentFile.getName}_$fingerprint"
+      if (!new java.io.File(s"$stage/_SUCCESS").exists())
+        posts.write.mode("overwrite").parquet(stage)
+      val base = s"/tmp/graft_sink_gate/${src.getParentFile.getName}_$fingerprint"
+      val q = graft.streaming.EventSink.start(
+        s.readStream.schema(posts.schema).parquet(stage).as[RawPost],
+        s"$base/events", s"$base/outbox", s"$base/chk")
+      try q.processAllAvailable() finally q.stop()
+      new graft.streaming.SnapshotTable(s, s"$base/events").read().get
+        .select(col("eventKey").as("event_key"),
+          col("evidenceCount").as("evidence_count"),
+          col("startUs").as("start_us"), col("lastUs").as("last_us"))
+        .orderBy("event_key")
+    })
+  )
+
   /** S2/D4 batch analogs — emit-on-change per key (the streaming
     * variants keep the last signature in keyed state; the
     * backfill/replay shape is a lag over event time).
@@ -135,6 +176,19 @@ object StreamingQueries {
          SELECT card_key, us, sig
          FROM l WHERE prev_sig IS NULL OR sig <> prev_sig
          ORDER BY card_key, us""",
+    // the durable sink table must agree with the same relational truth
+    "q_stream_sink_table" ->
+      """WITH p AS (
+           SELECT CAST(event_id AS VARCHAR) AS id,
+                  epoch_us(ts) AS us,
+                  substr(sha256(concat_ws('|', 'post', upper(event_type), '', '',
+                    CAST(epoch_us(ts) // 600000000 * 600 AS VARCHAR), 'v1')), 1, 40) AS event_key
+           FROM events)
+         SELECT event_key,
+                count(DISTINCT id) AS evidence_count,
+                min(us) AS start_us, max(us) AS last_us
+         FROM p GROUP BY event_key ORDER BY event_key""",
+
     "q_stream_event_upsert" ->
       """WITH p AS (
            SELECT CAST(event_id AS VARCHAR) AS id,
