@@ -33,17 +33,26 @@ object TextFunctions {
     extractCa(text).isNotNull || extractSymbol(text).isNotNull || kwHit
   }
 
-  /** Text normalization: lowercase, strip URLs and @handles (keep
-    * #hashtags), collapse whitespace — reference api/events.py:380-411 (F2).
-    * NFC unicode normalization is the custom-expression variant
-    * ([[graft.expressions.NfcNormalize]]); this built-in path covers the
-    * ASCII-dominant flow and stays codegen'd.
+  /** Text normalization, full reference chain (api/events.py:380-411,
+    * F2) in the reference's exact order and with its exact replacement
+    * strings: lowercase → Unicode NFC ([[graft.expressions
+    * .NfcNormalize]]) → strip `https?://` URLs (with "") → strip
+    * `www.` chunks (with "") → strip bare domains followed by
+    * space/punctuation (with " ") → strip @handles (with "", keeping
+    * #hashtags) → collapse whitespace → trim.
     */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), "https?://\\S+", " "),
-        "@\\w+", " "),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              graft.expressions.GraftFunctions.nfcNormalize(lower(text)),
+              "https?://\\S+", ""),
+            "www\\.\\S+", ""),
+          "\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]",
+          " "),
+        "@\\w+", ""),
       "\\s+", " "))
 
   /** Token symbol canonical form: trim, lowercase, ensure single `$`

@@ -46,20 +46,22 @@ object CustomExprQueries {
         .orderBy("doc_id")
     }),
 
-    // F2: full text normalization — lowercase, strip URLs and
-    // @handles, collapse whitespace, then Unicode NFC composition
-    // (reference api/events.py:380-411). The synthesized suffix plants
-    // a URL, a handle, and a DECOMPOSED é (e + U+0301) so the oracle's
-    // nfc_normalize must agree with the custom NfcNormalize expression.
+    // F2: full text normalization — the reference's exact chain
+    // (lower → NFC → URL strip → www strip → bare-domain strip →
+    // @handle strip → whitespace collapse; api/events.py:380-411). The
+    // synthesized suffix plants an https URL, a www chunk, a bare
+    // domain with trailing punctuation, a handle, and a DECOMPOSED é
+    // (e + U+0301) so the oracle's nfc_normalize + regex mirror must
+    // agree with the composed pipeline.
     "q_f2_normalize" -> ((s, dir) => {
       val raw = concat(col("text"),
         lit(" visit https://x.co/q?id="), col("doc_id"),
+        lit(" www.Track"), col("doc_id"), lit(".example"),
+        lit(" see pepe"), col("doc_id") % 10, lit(".io, later"),
         lit(" @user"), col("doc_id"), lit(" at café"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          GraftFunctions.nfcNormalize(
-            graft.functions.TextFunctions.normalizeText(raw))
-            .as("text_norm"))
+          graft.functions.TextFunctions.normalizeText(raw).as("text_norm"))
         .orderBy("doc_id")
     }),
 
@@ -184,12 +186,16 @@ object CustomExprQueries {
 
     "q_f2_normalize" ->
       s"""SELECT doc_id,
-                 nfc_normalize(trim(regexp_replace(regexp_replace(regexp_replace(
-                   lower(text || ' visit https://x.co/q?id=' || doc_id
-                         || ' @user' || doc_id || ' at caf' || chr(101) || chr(769)),
-                   'https?://\\S+', ' ', 'g'),
-                   '@\\w+', ' ', 'g'),
-                   '\\s+', ' ', 'g'))) AS text_norm
+                 trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   nfc_normalize(lower(text || ' visit https://x.co/q?id=' || doc_id
+                         || ' www.Track' || doc_id || '.example'
+                         || ' see pepe' || (doc_id % 10) || '.io, later'
+                         || ' @user' || doc_id || ' at caf' || chr(101) || chr(769))),
+                   'https?://\\S+', '', 'g'),
+                   'www\\.\\S+', '', 'g'),
+                   '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]', ' ', 'g'),
+                   '@\\w+', '', 'g'),
+                   '\\s+', ' ', 'g')) AS text_norm
           FROM documents ORDER BY doc_id""",
 
     // q_f5_event_key_v2: DuckDB has no blake2s, so the oracle is the
