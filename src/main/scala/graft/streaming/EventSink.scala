@@ -149,7 +149,7 @@ object EventSink {
             .filter(col("__rn") === 1).drop("__new", "__rn")
         case None => enqueued
       }
-      val nowUs = updates.agg(max("lastUs")).head.getLong(0)
+      val nowUs = updates.agg(max("lastUs")).head().getLong(0)
       outboxTable.commit(
         stepOutbox(spark, all, nowUs, deliver, dlqMinAgeUs), batchId)
     }
