@@ -181,6 +181,20 @@ object StatefulOps {
   def versionSig(c: CardVersion): String =
     s"${c.state}|${c.riskLevel}|degrade:${if (c.degrade) 1 else 0}"
 
+  /** Version signature extended with the hit-rule hash (reference
+    * api/cards/dedup.py:114-131): `_mr` + md5 of the SORTED
+    * comma-joined rule ids, first 8 hex — order-insensitive, absent
+    * when no rules hit, so an MR* set change re-emits the card.
+    */
+  def versionSigWithRules(base: String, hitRules: Seq[String]): String =
+    if (hitRules.isEmpty) base
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(hitRules.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      s"${base}_mr$h"
+    }
+
   /** Emit a card only when its version signature changed since the
     * last emit for that key (S2 avatar-change detection is the same
     * pattern with sig = avatar hash).

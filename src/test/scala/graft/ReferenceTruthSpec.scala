@@ -31,6 +31,23 @@ class ReferenceTruthSpec extends AnyFunSuite {
       s"symbol variants must normalize to one identity: ${keys.toSeq}")
   }
 
+  test("state version with rules: suffix shape, order-insensitive, " +
+      "absent without hits (test_market_risk.py:214-253)") {
+    import graft.state.StatefulOps.versionSigWithRules
+    val base = "candidate|yellow|degrade:0|v1"
+    val v = versionSigWithRules(base, Seq("MR01", "MR03"))
+    assert(v.startsWith(base + "_mr"))
+    assert(v.split("_mr")(1).length == 8)
+    // exact value pinned against CPython hashlib.md5('MR01,MR03')[:8]
+    assert(v == base + "_mr52d5bc52")
+    // rule order must not affect the hash
+    assert(versionSigWithRules("base|v1", Seq("MR03", "MR01", "MR02")) ==
+      versionSigWithRules("base|v1", Seq("MR01", "MR02", "MR03")))
+    // no rules → bare base version
+    assert(versionSigWithRules("base|v1", Nil) == "base|v1")
+    assert(!versionSigWithRules("base|v1", Nil).contains("_mr"))
+  }
+
   test("evidence identified by tweet_id merges with its /status/ URL " +
       "form and completes the ref (test_merge_evidence_completion)") {
     val ts = 1735689600000000L
