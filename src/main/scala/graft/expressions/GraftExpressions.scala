@@ -135,7 +135,7 @@ object CanonicalUrl {
       var scheme0 = ""
       var rest = trimmed
       trimmed match {
-        case SchemeRe(s, r) => scheme0 = s.toLowerCase; rest = r
+        case SchemeRe(s, r) => scheme0 = pyLower(s); rest = r
         case _ =>
       }
       var netloc = ""
@@ -160,17 +160,17 @@ object CanonicalUrl {
       if (hostPort.startsWith("[")) {
         val close = hostPort.indexOf(']')
         if (close < 0) throw new IllegalArgumentException("Invalid IPv6 URL")
-        host = hostPort.substring(1, close).toLowerCase
+        host = pyLower(hostPort.substring(1, close))
         val after = hostPort.substring(close + 1)
         if (after.startsWith(":") && after.length > 1) port = parsePort(after.substring(1))
       } else {
         if (hostPort.indexOf(']') >= 0) throw new IllegalArgumentException("Invalid IPv6 URL")
         val ci = hostPort.lastIndexOf(':')
         if (ci >= 0) {
-          host = hostPort.substring(0, ci).toLowerCase
+          host = pyLower(hostPort.substring(0, ci))
           val digits = hostPort.substring(ci + 1)
           if (digits.nonEmpty) port = parsePort(digits)
-        } else host = hostPort.toLowerCase
+        } else host = pyLower(hostPort)
       }
 
       // scheme: http/https/missing → https; anything else kept lowercase
@@ -190,20 +190,28 @@ object CanonicalUrl {
           (scheme == "https" && port == 443)))
         netlocOut = s"$hostPuny:$port"
 
-      // query: parse_qsl(keep_blank_values) → lowercase keys, drop
-      // utm_*/ref/ref_src, sort by (key, value), re-join
+      // query: parse_qsl(keep_blank_values=True) DECODES each field
+      // ('+' → space, then %XX percent-unquote, UTF-8 errors=replace),
+      // keys lowercase, drop utm_*/ref/ref_src ON THE DECODED KEY (so
+      // an encoded `%75tm_x` is still filtered), sort the DECODED
+      // (key, value) tuples by code point, then urlencode re-encodes
+      // both sides with quote_plus — 'a=b%20c' round-trips to 'a=b+c'
       val kept = query0.split("&").iterator
         .filter(_.nonEmpty)
         .map { seg =>
           val eq = seg.indexOf('=')
-          if (eq >= 0) (seg.substring(0, eq).toLowerCase, seg.substring(eq + 1))
-          else (seg.toLowerCase, "")
+          val (rawK, rawV) =
+            if (eq >= 0) (seg.substring(0, eq), seg.substring(eq + 1))
+            else (seg, "")
+          (pyLower(pyUnquotePlus(rawK)), pyUnquotePlus(rawV))
         }
         .filterNot { case (k, _) =>
           k.startsWith("utm_") || k == "ref" || k == "ref_src"
         }
         .toSeq
-      val query = kept.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+      val query = kept.sorted(PairOrdering)
+        .map { case (k, v) => s"${pyQuotePlus(k)}=${pyQuotePlus(v)}" }
+        .mkString("&")
 
       // path: empty → "/", else collapse trailing slashes (non-root)
       var path = if (path0.isEmpty) "/" else path0
@@ -232,6 +240,102 @@ object CanonicalUrl {
     if (p > 65535) throw new NumberFormatException(digits)
     p
   }
+
+  // ---- CPython urllib.parse field codecs (parse_qsl / urlencode) ----
+
+  /** `parse_qsl` field decode: '+' → ' ' first, then percent-unquote. */
+  private[expressions] def pyUnquotePlus(s: String): String =
+    pyUnquote(s.replace('+', ' '))
+
+  /** CPython `unquote(s, 'utf-8', errors='replace')`: non-ASCII chars
+    * pass through untouched; within each ASCII run, a '%' followed by
+    * two hex digits becomes a byte (otherwise it stays a literal '%'),
+    * and the run's byte buffer decodes as UTF-8 with U+FFFD
+    * replacement. Scanning left-to-right byte-by-byte is equivalent to
+    * CPython's split-on-'%' formulation.
+    */
+  private[expressions] def pyUnquote(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) > 0x7f) { out.append(s.charAt(i)); i += 1 }
+      else {
+        var j = i
+        while (j < n && s.charAt(j) <= 0x7f) j += 1
+        out.append(decodeAsciiRun(s, i, j))
+        i = j
+      }
+    }
+    out.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def decodeAsciiRun(s: String, from: Int, until: Int): String = {
+    val bytes = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < until && isHex(s.charAt(i + 1)) &&
+          isHex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { bytes.write(c); i += 1 }
+    }
+    // JDK UTF-8 decode replaces each maximal invalid subsequence with
+    // U+FFFD — same convention CPython's errors='replace' follows
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** `quote_plus(s, safe='')`: UTF-8 bytes, space → '+', ALWAYS_SAFE
+    * (alnum + `_.-~`) kept, everything else %XX uppercase.
+    */
+  private[expressions] def pyQuotePlus(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val c = b.toChar
+      if (c == ' ') sb.append('+')
+      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+               (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' ||
+               c == '~') sb.append(c)
+      else sb.append(f"%%$b%02X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Python `str.lower()`: like Locale.ROOT full lowercasing but
+    * WITHOUT Java's contextual final-sigma rule (Python maps every
+    * Σ → σ unconditionally), so Σ is pre-substituted.
+    */
+  private[expressions] def pyLower(s: String): String =
+    s.replace('Σ', 'σ').toLowerCase(java.util.Locale.ROOT)
+
+  /** Python tuple sort over decoded strings compares by CODE POINT;
+    * Java's String.compareTo compares UTF-16 units, which misorders
+    * supplementary chars against U+E000..U+FFFF.
+    */
+  private[expressions] val PyStringOrdering: Ordering[String] =
+    (a: String, b: String) => {
+      val la = a.length; val lb = b.length
+      var i = 0
+      var res = 0
+      while (res == 0 && i < la && i < lb) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) res = Integer.compare(ca, cb)
+        else i += Character.charCount(ca)
+      }
+      if (res != 0) res else Integer.compare(la, lb)
+    }
+
+  private val PairOrdering: Ordering[(String, String)] =
+    Ordering.Tuple2(PyStringOrdering, PyStringOrdering)
 }
 
 /** C/Python `%.6g` float formatting (reference api/cards/summarizer
@@ -269,7 +373,9 @@ object PyG6Format {
   def format(x: Double): UTF8String = UTF8String.fromString(fmt(x))
 
   def fmt(x: Double): String = {
-    if (x == 0.0) return "0"
+    // sign bit first: C/CPython "%.6g" prints -0.0 as "-0"
+    if (x == 0.0)
+      return if (java.lang.Double.doubleToRawLongBits(x) != 0L) "-0" else "0"
     if (x.isNaN) return "nan"
     if (x.isInfinite) return if (x > 0) "inf" else "-inf"
     val neg = x < 0

@@ -85,29 +85,59 @@ object Cards {
   val GoplusRiskEnum = Seq("green", "yellow", "red", "gray")
   val RulesLevelEnum = Seq("none", "watch", "caution", "risk")
 
+  /** Reference `_truncate` (summarizer.py:107-112): ALWAYS squeeze
+    * whitespace runs (`\s+`, Unicode classes — hence `(?U)`; Java's
+    * default `\s` is ASCII-only) to a single space and strip the ends,
+    * then — only when still over the limit — cut to `max-1` chars and
+    * append `…`, so an over-limit result is exactly `max` chars.
+    * Spark `length`/`substring` count code points, matching Python
+    * `len`/slicing.
+    */
+  def pyTruncate(s: Column, max: Int): Column = {
+    val squeezed = trim(regexp_replace(s, "(?U)\\s+", " "))
+    when(length(squeezed) <= max, squeezed)
+      .otherwise(concat(substring(squeezed, 1, max - 1), lit("…")))
+  }
+
+  /** Reference `_strip_trailing_punct` (summarizer.py:96-98):
+    * `rstrip(" ,;，；")`.
+    */
+  def stripTrailingPunct(s: Column): Column =
+    regexp_replace(s, "[ ,;，；]+$", "")
+
   /** Template summary exactly as the reference renders it
     * (summarizer.py:115-138): `" | "`-joined [symbol, 价格≈$<%.6g>?,
     * 流动性≈$<%.6g>?, 规则判定<level>], where a 0/absent price or
-    * liquidity is OMITTED (Python truthiness on the walrus extract),
-    * then truncated to 280. Numbers use the [[graft.expressions
+    * liquidity is OMITTED (walrus truthiness, summarizer.py:46,58),
+    * then `_strip_trailing_punct` and `_truncate(280)` (squeeze +
+    * `max-1`+`…` cut). Numbers use the [[graft.expressions
     * .PyG6Format]] kernel — Java `%g` does not match C/Python.
+    *
+    * Deviation (documented): the reference summarizer re-derives the
+    * symbol from the card payload via `_extract_symbol` (payload
+    * symbol, else a chain prefix parsed off `event_key`, else the
+    * literal "Token" — summarizer.py:27-38); here callers pass the
+    * symbol column from the events frame directly, which IS that
+    * payload symbol whenever it is non-null.
     */
   def templateSummary(symbol: Column, price: Column, liq: Column,
       level: Column): Column = {
     val g = graft.expressions.GraftFunctions.py6g _
-    substring(concat_ws(" | ",
+    pyTruncate(stripTrailingPunct(concat_ws(" | ",
       symbol,
       when(price.isNotNull && price =!= 0.0,
         concat(lit("价格≈$"), g(price.cast("double")))),
       when(liq.isNotNull && liq =!= 0.0,
         concat(lit("流动性≈$"), g(liq.cast("double")))),
-      concat(lit("规则判定"), level)), 1, SummaryMax)
+      concat(lit("规则判定"), level))), SummaryMax)
   }
 
-  /** `合约体检<risk>；关注税率/LP/交易限制` (summarizer.py:136-138). */
+  /** `合约体检<risk>；关注税率/LP/交易限制` (summarizer.py:136-138),
+    * through the same `_truncate(160)` as the reference (:288).
+    */
   def templateRiskNote(risk: Column): Column =
-    substring(concat(lit("合约体检"), coalesce(risk, lit("unknown")),
-      lit("；关注税率/LP/交易限制")), 1, RiskNoteMax)
+    pyTruncate(concat(lit("合约体检"), coalesce(risk, lit("unknown")),
+      lit("；关注税率/LP/交易限制")), RiskNoteMax)
 
   /** Assemble the full nested card document and render it with
     * `to_json` (null fields omitted — Spark's default — mirrors the

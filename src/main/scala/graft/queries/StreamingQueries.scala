@@ -89,7 +89,11 @@ object StreamingQueries {
       val stage = s"/tmp/graft_stream_stage/${src.getParentFile.getName}_$fingerprint"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         posts.write.mode("overwrite").parquet(stage)
-      val base = s"/tmp/graft_sink_gate/${src.getParentFile.getName}_$fingerprint"
+      // the base dir is keyed by source identity AND a pipeline-logic
+      // version: the checkpointed table holds derived event keys, so a
+      // key-derivation change must start a fresh table (a resumed
+      // checkpoint would otherwise replay nothing and serve stale keys)
+      val base = s"/tmp/graft_sink_gate/${src.getParentFile.getName}_${fingerprint}_k2"
       val q = graft.streaming.EventSink.start(
         s.readStream.schema(posts.schema).parquet(stage).as[RawPost],
         s"$base/events", s"$base/outbox", s"$base/chk")
@@ -181,7 +185,12 @@ object StreamingQueries {
       """WITH p AS (
            SELECT CAST(event_id AS VARCHAR) AS id,
                   epoch_us(ts) AS us,
-                  substr(sha256(concat_ws('|', 'post', upper(event_type), '', '',
+                  -- mirror PostPipeline.toEvidence: symbol runs through
+                  -- normalize_token_symbol ('$'+lower) then UPPER, and the
+                  -- hashed text is normalize_text(text); event_type values
+                  -- here are clean lowercase tokens, so these reduce to
+                  -- '$'||upper(..) and the raw value respectively
+                  substr(sha256(concat_ws('|', 'post', '$' || upper(event_type), '', event_type,
                     CAST(epoch_us(ts) // 600000000 * 600 AS VARCHAR), 'v1')), 1, 40) AS event_key
            FROM events)
          SELECT event_key,
@@ -193,7 +202,12 @@ object StreamingQueries {
       """WITH p AS (
            SELECT CAST(event_id AS VARCHAR) AS id,
                   epoch_us(ts) AS us,
-                  substr(sha256(concat_ws('|', 'post', upper(event_type), '', '',
+                  -- mirror PostPipeline.toEvidence: symbol runs through
+                  -- normalize_token_symbol ('$'+lower) then UPPER, and the
+                  -- hashed text is normalize_text(text); event_type values
+                  -- here are clean lowercase tokens, so these reduce to
+                  -- '$'||upper(..) and the raw value respectively
+                  substr(sha256(concat_ws('|', 'post', '$' || upper(event_type), '', event_type,
                     CAST(epoch_us(ts) // 600000000 * 600 AS VARCHAR), 'v1')), 1, 40) AS event_key
            FROM events)
          SELECT event_key,

@@ -121,6 +121,11 @@ object RulesConfig {
         t.get("caution").map(num).getOrElse(-5.0)))
       .getOrElse(RuleThresholds())
 
+    // entries without a usable condition are DROPPED, mirroring the
+    // reference: unknown bare-string sources `continue`, and a dict
+    // condition of "" never fires `if condition and evaluate(...)`
+    // (eval_event.py:427-445) — keeping them here would feed `expr("")`
+    // a ParseException at plan time
     val missing = root.get("missing_map")
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
       .map(_.map { case (source, info0) =>
@@ -130,7 +135,9 @@ object RulesConfig {
             MissingRule(source,
               conditionToSql(substituteEnv(
                 info.get("condition").map(str).getOrElse(""), env)),
-              info.get("reason").map(str).getOrElse(s"$source missing"))
+              // default reason string as the reference emits it
+              // (eval_event.py:375-377)
+              info.get("reason").map(str).getOrElse(s"$source 数据缺失"))
           case s => // bare-string form: default condition per source
             val cond = source match {
               case "dex" => "dex_liquidity is null and dex_volume_1h is null"
@@ -140,7 +147,7 @@ object RulesConfig {
             }
             MissingRule(source, cond, str(s))
         }
-      }.toSeq)
+      }.toSeq.filter(_.conditionSql.trim.nonEmpty))
       .getOrElse(Seq.empty)
 
     RulesDoc(version, rules, thresholds, missing)

@@ -33,12 +33,18 @@ object PostPipeline {
     val spark = posts.sparkSession
     import spark.implicits._
     posts.select(
-        // full v1 key contract (events.py:499-502): lower(type)|SYMBOL|
-        // ca|text_norm|bucket_seconds|salt; bucket via integer division
-        // (double `/` + cast can misbucket at edges)
+        // full v1 key contract (events.py:481-502): lower(type)|
+        // UPPER(normalize_token_symbol(symbol))|ca|normalize_text(text)|
+        // bucket_seconds|salt — the reference runs the symbol through
+        // `_normalize_token_symbol` ('$'-prefixed lowercase) BEFORE
+        // `.upper()`, and hashes the NORMALIZED text, so both must be
+        // normalized here too or keys diverge per post. Bucket via
+        // integer division (double `/` + cast can misbucket at edges).
         graft.functions.KeyFunctions.eventKeyV1(
-          lit("post"), col("symbol"), col("tokenCa"),
-          lit(null).cast("string"),
+          lit("post"),
+          graft.functions.TextFunctions.normalizeSymbol(col("symbol")),
+          col("tokenCa"),
+          graft.functions.TextFunctions.normalizeText(col("text")),
           expr("tsUs div 600000000 * 600")).as("event_key"),
         lit("social").as("event_type"),
         struct(

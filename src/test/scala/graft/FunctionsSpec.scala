@@ -88,4 +88,43 @@ class FunctionsSpec extends AnyFunSuite {
       .select(col("l.lang")).collect().map(_.getString(0))
     assert(r.toSeq == Seq("en", "und", "und"))
   }
+
+  test("F18 templateSummary: squeeze, trailing-punct strip, max-1+… cut") {
+    import graft.operators.Cards
+    def render(sym: String, level: String): String =
+      Seq((sym, level)).toDF("sym", "lvl")
+        .select(Cards.templateSummary(col("sym"),
+          lit(null).cast("double"), lit(null).cast("double"),
+          col("lvl")).as("s")).head.getString(0)
+    // CPython expected values (summarizer.py _render_template +
+    // _strip_trailing_punct + _truncate), computed with the stdlib:
+    assert(render("  A \t B  ", "none") == "A B | 规则判定none")
+    assert(render("PEPE", "watch；；,, ") == "PEPE | 规则判定watch")
+    val cut = render("X" * 300, "none")
+    assert(cut.length == 280 && cut == "X" * 279 + "…")
+    val kept = render("Y" * 268, "none") // 268+3+8 = 279 ≤ 280 → kept
+    assert(kept.length == 279 && kept.endsWith("规则判定none"))
+  }
+
+  test("missing_map: unknown bare-string source dropped, dict default reason") {
+    import graft.rules.RulesConfig
+    val doc = RulesConfig.parse(
+      """version: t
+        |groups: []
+        |scoring: {thresholds: {opportunity: 15, caution: -5}}
+        |missing_map:
+        |  dex: "dex data missing"
+        |  mystery_source: "never loads"
+        |  hf:
+        |    condition: ""
+        |  goplus:
+        |    condition: "goplus_risk is null"
+        |""".stripMargin, env = Map.empty)
+    // unknown bare-string source → reference `continue`; empty dict
+    // condition can never fire → both dropped (no expr("") at plan time)
+    assert(doc.missing.map(_.source) == Seq("dex", "goplus"))
+    // dict form without a reason gets the reference default string
+    assert(doc.missing.find(_.source == "goplus").get.reason ==
+      "goplus 数据缺失")
+  }
 }

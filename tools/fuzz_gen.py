@@ -58,7 +58,14 @@ def gen_urls():
     ports = ["", ":80", ":443", ":8080", ":0", ":99999", ":notaport"]
     paths = ["", "/", "/p", "/p/q/", "/p//q///", "/x%20y"]
     queries = ["", "?a=1&b=2", "?utm_s=1&REF=x&z=9", "?b&a=",
-               "?ref_src=tw&B=2&a=10", "?a=1&a=0"]
+               "?ref_src=tw&B=2&a=10", "?a=1&a=0",
+               # percent/plus round-trips: parse_qsl decodes, urlencode
+               # re-encodes with quote_plus ('a=b%20c' → 'a=b+c')
+               "?a=b%20c&x=y+z", "?A%20B=c%2Dd&q=%C3%A9",
+               "?%75tm_source=1&ok=1", "?R%45F=x&keep=2",
+               "?bad=%zz&tail=%4", "?raw=%ff%fe", "?a%3Db=c",
+               "?s=%e4%b8%ad%e6%96%87", "?k=a%26b&k=a%3D1",
+               "?sp%2Bace=pl+us", "?Mixed%2FCase=V%7Ea%2Cl"]
     frags = ["", "#f"]
     cases = [random.choice(schemes) + random.choice(hosts) + random.choice(ports)
              + random.choice(paths) + random.choice(queries) + random.choice(frags)
@@ -98,7 +105,7 @@ def gen_keys_and_g6():
     for _ in range(3000):
         v = random.random() * (10 ** random.randint(-12, 12)) * random.choice([1, -1])
         vals.append([struct.pack('>d', v).hex(), f"{v:.6g}"])
-    for v in [0.0, 1e-300, -1e300, 2 ** -1022]:
+    for v in [0.0, -0.0, 1e-300, -1e300, 2 ** -1022]:
         vals.append([struct.pack('>d', v).hex(), f"{v:.6g}"])
     json.dump(vals, open("/tmp/g6_cases.json", "w"))
 
