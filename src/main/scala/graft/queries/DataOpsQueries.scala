@@ -79,6 +79,17 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5, dim = 64, planes = 8, tables = 4)
         .orderBy("qid", "rank")),
 
+    // IVF ANN (scale path #2): corpus assigned map-side to its nearest
+    // md5-seeded centroid list, queries probe their 4 nearest of 16
+    // lists via a broadcast join — no shuffle of the corpus, candidates
+    // ≈ nprobe/nlist of it. The oracle re-derives the identical
+    // centroid set, assignment, and probes in SQL, so the hash compare
+    // proves the whole inverted-file machinery.
+    "q_s_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")),
+
     // D7 embedding branch of semantic topic merge (reference
     // api/services/topic_analyzer.py:311-353: merge topics whose
     // entity-set embedding cosine ≥ threshold; the Jaccard branch is
@@ -284,6 +295,35 @@ object DataOpsQueries {
                    list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
             FROM cand JOIN n x ON x.vec_id = cand.qid
                       JOIN n y ON y.vec_id = cand.nn_id),
+          r AS (
+            SELECT qid, nn_id, c,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+            FROM sc)
+          SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_s_ann_ivf" ->
+      s"""WITH $PreparedVecsCte,
+          cent AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          rnk AS (
+            SELECT n.vec_id, cent.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.e, cent.c) DESC, cent.cid ASC) AS rn
+            FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, cid AS list_id FROM rnk WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM rnk
+            WHERE rn <= 4 AND vec_id % 50 = 0),
+          sc AS (
+            SELECT p.qid, a.vec_id AS nn_id,
+                   list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
+            FROM probes p
+            JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+            JOIN n x ON x.vec_id = a.vec_id
+            JOIN n y ON y.vec_id = p.qid),
           r AS (
             SELECT qid, nn_id, c,
                    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank

@@ -172,6 +172,87 @@ object Similarity {
     * pair can surface from several probes/tables and duplicate rows
     * would otherwise occupy two of the k ranks.
     */
+  // -----------------------------------------------------------------
+  // IVF (inverted-file) ANN — the centroid-bucketed scale path
+  // -----------------------------------------------------------------
+
+  /** Deterministic IVF "training": the `nlist` corpus vectors whose
+    * `md5(vec_id)` ranks lowest become the coarse centroids,
+    * L2-normalized. A seeded sample stands in for k-means (the
+    * assignment/probe machinery is identical, and determinism is what
+    * the oracle needs — DuckDB re-derives the same centroid set with
+    * the same md5 ranking). The collect is BOUNDED at `nlist` rows
+    * (~64 × dim doubles), standard IVF practice: centroids are a
+    * driver-side model artifact, broadcast into codegen as literals —
+    * NOT a driver-side loop over data.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int): Seq[Seq[Double]] =
+    prepared(df, idCol, embCol)
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .select(col("e"), col("nrm"))
+      .collect()
+      .toSeq
+      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)))
+
+  /** Centroid ranking as a sortable literal array: element i holds
+    * (-e·ĉᵢ, i), so ascending sort = cosine DESC with centroid-index
+    * ties first (centroids are unit-norm, so the dot IS the cosine
+    * ranking for a fixed row). All `nlist` dots run inside the codegen'd
+    * [[dot]] kernel against literal arrays — map-side only, no shuffle,
+    * no lookup join.
+    */
+  private def centroidRank(e: Column, cents: Seq[Seq[Double]]): Column =
+    sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-dot(e, typedlit(c))).as("nd"), lit(i).as("cid"))
+    }: _*))
+
+  /** Nearest-centroid list id (first max on ties, matching the oracle's
+    * `ORDER BY dot DESC, cid ASC` row_number).
+    */
+  def ivfAssign(e: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(centroidRank(e, cents), 1).getField("cid")
+
+  /** The `nprobe` nearest centroid ids for a query vector. */
+  def ivfProbes(e: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(slice(centroidRank(e, cents), 1, nprobe), x => x.getField("cid"))
+
+  /** IVF top-k: corpus vectors are assigned to their nearest centroid's
+    * inverted list (a pure map-side projection — the list id is computed
+    * from literal centroids, so the corpus is scanned ONCE and never
+    * shuffled); each query probes its `nprobe` nearest lists and is
+    * broadcast into a hash join on `list_id`; ranking sees only the
+    * probed lists' candidates (expected corpus_fraction ≈ nprobe/nlist).
+    *
+    * Complement to [[lshTopK]]: IVF adapts to the data distribution
+    * (lists follow density; a skewed corpus gets balanced lists by
+    * growing `nlist`), while sign-LSH is data-independent. Candidates
+    * need no dedup — every corpus vector lives in EXACTLY one list and
+    * a query's probed lists are distinct.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(df, idCol, embCol, nlist)
+    val base = prepared(df, idCol, embCol)
+    val corpus = base.withColumn("list_id", ivfAssign(col("e"), cents))
+    val q = base.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"),
+        explode(ivfProbes(col("e"), cents, nprobe)).as("list_id"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    corpus.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("e"), col("qe"), col("nrm"), col("qnrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
       queryPred: Column => Column, k: Int, dim: Int, planes: Int = 8,
       tables: Int = 4): DataFrame = {
