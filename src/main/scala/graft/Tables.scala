@@ -49,8 +49,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // RocksDB state store: bounded heap + faster per-batch state
       // round-trips than the default HDFS-backed in-memory maps
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.providerClass", sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      // skip RocksDB's get-before-put row counting — we never read the
+      // numRowsTotal metric, and the extra point lookup per state put
+      // is measurable on wide single-batch replays
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

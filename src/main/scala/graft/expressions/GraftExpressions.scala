@@ -67,6 +67,73 @@ object NfcNormalize {
       Normalizer.normalize(input.toString, Normalizer.Form.NFC))
 }
 
+/** Fused text normalization (F2 — reference api/events.py:380-411):
+  * the full chain lowercase → NFC → strip URLs → strip `www.` chunks →
+  * strip bare domains → strip @handles → collapse whitespace → trim,
+  * as ONE codegen'd static call.
+  *
+  * Byte-identical to the previous composition of Spark built-ins
+  * (`lower` → [[NfcNormalize]] → 4× `regexp_replace` → `trim`), but
+  * one UTF8String↔String round-trip and five precompiled
+  * `java.util.regex` passes instead of six expression nodes each
+  * paying its own conversion — this sits on the streaming hot path
+  * (per-post event-key derivation, PostPipeline.toEvidence).
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeTextExpr.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.NormalizeTextExpr$$.MODULE$$.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
+object NormalizeTextExpr {
+  import java.util.regex.Pattern
+
+  // exact patterns + replacement strings of the reference chain
+  private val Url = Pattern.compile("https?://\\S+")
+  private val Www = Pattern.compile("www\\.\\S+")
+  private val Domain = Pattern.compile(
+    "\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]")
+  private val Handle = Pattern.compile("@\\w+")
+  private val Ws = Pattern.compile("\\s+")
+
+  private def replace(p: Pattern, s: String, r: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) m.reset().replaceAll(r) else s
+  }
+
+  def normalize(input: UTF8String): UTF8String = {
+    // `toLowerCase` on UTF8String == Spark's `lower` (UTF8_BINARY)
+    var t = input.toLowerCase.toString
+    // Java's quick-check makes the normalized (ASCII-dominant) case a
+    // scan, not an allocation
+    if (!Normalizer.isNormalized(t, Normalizer.Form.NFC))
+      t = Normalizer.normalize(t, Normalizer.Form.NFC)
+    t = replace(Url, t, "")
+    t = replace(Www, t, "")
+    t = replace(Domain, t, " ")
+    t = replace(Handle, t, "")
+    t = replace(Ws, t, " ")
+    // Spark `trim` strips only 0x20; after the \s+ collapse the edges
+    // hold at most one space each
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(if (lo == 0 && hi == t.length) t else t.substring(lo, hi))
+  }
+}
+
 /** URL canonicalization (reference api/events.py:123-173 — F3):
   * http/https/schemeless → https (other schemes kept, lowercased),
   * lowercase + IDN-punycode host, drop default ports (http:80 /
@@ -416,6 +483,9 @@ object GraftFunctions {
     column(Blake2sHash(expression(c), digestBytes, key))
 
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
+
+  def normalizeTextFused(c: Column): Column =
+    column(NormalizeTextExpr(expression(c)))
 
   def canonicalUrl(c: Column): Column = column(CanonicalUrl(expression(c)))
 

@@ -42,6 +42,13 @@ object TextFunctions {
     * #hashtags) → collapse whitespace → trim.
     */
   def normalizeText(text: Column): Column =
+    graft.expressions.GraftFunctions.normalizeTextFused(text)
+
+  /** The same chain composed from Spark built-ins — kept as the
+    * differential-test witness for the fused kernel (TextNormSpec pins
+    * byte-equality on adversarial inputs).
+    */
+  private[graft] def normalizeTextComposed(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(

@@ -107,10 +107,11 @@ object StatefulOps {
     ds.groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[EventRow, EventRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
-        // kryo for STATE: EventRow carries Seq[Evidence] with Map
-        // fields, which the unsafe-row codec handles worse than kryo
-        // (measured) — output stays product-encoded for the sink
-        Encoders.kryo[EventRow], Encoders.product[EventRow])
+        // product for STATE too: re-measured after the eviction bound
+        // landed (round 4) — on ≤256-evidence rows the unsafe-row codec
+        // beats kryo's generic Seq/Map serialization in both size and
+        // per-batch round-trip time
+        Encoders.product[EventRow], Encoders.product[EventRow])
   }
 
   // ---------------------------------------------------------------
