@@ -122,6 +122,54 @@ object PipelineQueries {
         .orderBy("o_custkey")
     }),
 
+    // R4: signal state machine — batch replay of the three-branch
+    // verify FSM (reference verify_signal.py:268-573, e2e
+    // test_three_branch_verify.sh:27-40): per-key ORDERED fold of
+    // verdicts through StatefulOps.transition — delay gate 180 s from
+    // first sight, 45 s cooldown after a processed non-decisive
+    // verdict, terminal states absorb. signalStream applies the SAME
+    // pure transition in streaming; this replay puts it under the
+    // DuckDB oracle (recursive-CTE walk of the identical automaton).
+    "q_r4_signal_fsm" -> ((s, dir) => {
+      import s.implicits._
+      val verdicts = Tables.load(s, dir, "events").select(
+        concat(lit("k"), (col("user_id") % 500).cast("string"))
+          .as("event_key"),
+        expr("ts_ns div 1000").as("ts_us"),
+        when(col("event_id") % 10 < 2, "upgrade")
+          .when(col("event_id") % 10 < 4, "downgrade")
+          .when(col("event_id") % 10 < 7, "insufficient")
+          .otherwise("hold").as("verdict"),
+        ((col("event_id") % 100).cast("double") / 100.0).as("confidence"),
+        col("event_id"))
+        .as[(String, Long, String, Double, Long)]
+      // one shuffle on event_key; keys fold independently (same scale
+      // shape as any sessionization — state is per-key and bounded)
+      val out = verdicts.groupByKey(_._1)
+        .flatMapGroups { (key: String,
+            it: Iterator[(String, Long, String, Double, Long)]) =>
+          val sorted = it.toSeq
+            .sortBy(r => (r._2, r._3, r._4, r._5))
+          var st = graft.state.StatefulOps.SignalState(
+            "candidate", sorted.head._2, 0L)
+          val outB = Seq.newBuilder[graft.schema.SignalTransition]
+          sorted.foreach { r =>
+            val (next, em) = graft.state.StatefulOps.transition(st,
+              graft.schema.VerdictInput(key, r._3, r._4, r._2))
+            st = next
+            em.foreach(outB += _)
+          }
+          outB.result().iterator
+        }
+      out.toDF()
+        .select(col("eventKey").as("event_key"),
+          col("fromState").as("from_state"),
+          col("toState").as("to_state"),
+          col("confidence"),
+          col("tsUs").as("ts_us"))
+        .orderBy("event_key", "ts_us")
+    }),
+
     // A2/U1: topic aggregate — counts + flattened sorted entity sets
     // (reference worker/jobs/topic_aggregate.py:53-228).
     "q_a2_topic_aggregate" -> ((s, dir) => {
@@ -333,6 +381,73 @@ object PipelineQueries {
                  array_to_string(rd, ';') AS all_reasons
           FROM d ORDER BY event_id"""
     },
+
+    // The FSM as a recursive-CTE walk: iteration N applies each key's
+    // N-th verdict (total order ts, verdict, confidence, event_id) to
+    // the carried (state, since, cooldown) — the literal transition
+    // function of StatefulOps.transition in SQL.
+    "q_r4_signal_fsm" ->
+      """WITH RECURSIVE v AS (
+           SELECT 'k' || CAST(user_id % 500 AS VARCHAR) AS event_key,
+                  epoch_ns(ts) // 1000 AS ts_us,
+                  CASE WHEN event_id % 10 < 2 THEN 'upgrade'
+                       WHEN event_id % 10 < 4 THEN 'downgrade'
+                       WHEN event_id % 10 < 7 THEN 'insufficient'
+                       ELSE 'hold' END AS verdict,
+                  (event_id % 100) / 100.0 AS confidence,
+                  event_id
+           FROM events),
+         seq AS (
+           SELECT *, row_number() OVER (PARTITION BY event_key
+                    ORDER BY ts_us, verdict, confidence, event_id) AS rn
+           FROM v),
+         walk AS (
+           SELECT event_key, 0 AS rn, 'candidate' AS state,
+                  ts_us AS since_us, CAST(0 AS BIGINT) AS cooldown_us,
+                  CAST(NULL AS VARCHAR) AS emit_to,
+                  CAST(NULL AS DOUBLE) AS emit_conf,
+                  CAST(NULL AS BIGINT) AS emit_ts
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT w.event_key, s.rn,
+                  CASE WHEN w.state <> 'candidate'
+                            OR s.ts_us < w.since_us + 180000000
+                            OR s.ts_us < w.cooldown_us THEN w.state
+                       WHEN s.verdict = 'upgrade' THEN 'verified'
+                       WHEN s.verdict = 'downgrade' THEN 'downgraded'
+                       ELSE 'candidate' END,
+                  w.since_us,
+                  CASE WHEN w.state <> 'candidate'
+                            OR s.ts_us < w.since_us + 180000000
+                            OR s.ts_us < w.cooldown_us THEN w.cooldown_us
+                       WHEN s.verdict IN ('insufficient', 'hold')
+                            THEN s.ts_us + 45000000
+                       ELSE w.cooldown_us END,
+                  CASE WHEN w.state <> 'candidate'
+                            OR s.ts_us < w.since_us + 180000000
+                            OR s.ts_us < w.cooldown_us THEN NULL
+                       WHEN s.verdict = 'upgrade' THEN 'verified'
+                       WHEN s.verdict = 'downgrade' THEN 'downgraded'
+                       WHEN s.verdict = 'insufficient' THEN 'candidate'
+                       ELSE NULL END,
+                  CASE WHEN w.state <> 'candidate'
+                            OR s.ts_us < w.since_us + 180000000
+                            OR s.ts_us < w.cooldown_us THEN NULL
+                       WHEN s.verdict IN ('upgrade', 'downgrade')
+                            THEN s.confidence
+                       WHEN s.verdict = 'insufficient' THEN 0.0
+                       ELSE NULL END,
+                  CASE WHEN w.state <> 'candidate'
+                            OR s.ts_us < w.since_us + 180000000
+                            OR s.ts_us < w.cooldown_us THEN NULL
+                       WHEN s.verdict <> 'hold' THEN s.ts_us
+                       ELSE NULL END
+           FROM walk w
+           JOIN seq s ON s.event_key = w.event_key AND s.rn = w.rn + 1)
+         SELECT event_key, 'candidate' AS from_state, emit_to AS to_state,
+                emit_conf AS confidence, emit_ts AS ts_us
+         FROM walk WHERE emit_to IS NOT NULL
+         ORDER BY event_key, ts_us""",
 
     "q_r2_onchain_verdict" -> {
       val up = OnchainVerdict.Demo.upgradeIf

@@ -1,6 +1,7 @@
 package graft.state
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.aggregates.{Evidence, EvidenceMerge}
@@ -27,6 +28,42 @@ object StatefulOps {
     * (api/events.py:1186-1191, worker/jobs/events_compact.py).
     */
   val MaxEvidencePerKey: Int = 256
+
+  // ---------------------------------------------------------------
+  // Event-time state TTLs. Per-key state is bounded (MaxEvidencePerKey)
+  // but KEY COUNT is not — without expiry the state store grows without
+  // limit at scale. Each wrapper sets an EventTimeTimeout at
+  // last-event-time + TTL (TTL-from-last-write, exactly the reference's
+  // Redis `setex` semantics), so an idle key is dropped once the
+  // watermark passes its horizon and a later arrival re-enters fresh.
+  // TTL values are the reference's own windows.
+  // ---------------------------------------------------------------
+
+  /** 14 d — dedup/event retention (x_kol_poll.py:110-111 `setex 14d`). */
+  val EventTtlUs: Long = 14L * 24 * 3600 * 1000000L
+  /** 14 d — signal replay horizon (terminal states absorb within it;
+    * the durable signals table remains the permanent record, matching
+    * the reference where Redis locks/cooldowns expire but PG keeps the
+    * row — verify_signal.py:40-70).
+    */
+  val SignalTtlUs: Long = 14L * 24 * 3600 * 1000000L
+  /** 1 h — card dedup window (api/cards/dedup.py:102 DEDUP_TTL_SEC). */
+  val CardTtlUs: Long = 3600L * 1000000L
+  /** 24 h — heat series retention (minute buckets are aggregated into
+    * daily trend windows; reference Redis counters expire likewise).
+    */
+  val EmaTtlUs: Long = 24L * 3600 * 1000000L
+
+  /** Arm the per-key event-time timeout: last event time + ttl, clamped
+    * above the current watermark (Spark rejects a timeout at-or-before
+    * the watermark; the clamp makes an already-expired horizon fire on
+    * the next trigger instead of failing the batch).
+    */
+  private def armTimeout(state: GroupState[_], lastEventUs: Long,
+      ttlUs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(lastEventUs / 1000L + ttlUs / 1000L,
+        state.getCurrentWatermarkMs() + 1L))
 
   /** Pure per-key fold: merge new evidence into the running event row.
     * Deterministic regardless of within-batch arrival order: evidence
@@ -88,30 +125,84 @@ object StatefulOps {
       evidenceOverflow = logicalCount - kept.size)
   }
 
-  /** Streaming wrapper: Dataset[(eventKey, eventType, Evidence,
-    * sentiment)] → updated EventRow per key per trigger.
+  /** Named shape of the upsert input (tuple encoders are positional
+    * and cannot carry the watermark helper column).
     */
-  def eventUpsertStream(ds: Dataset[(String, String, Evidence, Double)])
+  final case class UpsertInput(key: String, eventType: String,
+      evidence: Evidence, sentiment: Double)
+
+  /** Streaming wrapper: Dataset[(eventKey, eventType, Evidence,
+    * sentiment)] → updated EventRow per key per trigger. State expires
+    * [[EventTtlUs]] after the key's last evidence (event time); an
+    * arrival after expiry re-enters as a fresh version-1 row.
+    */
+  def eventUpsertStream(ds: Dataset[(String, String, Evidence, Double)],
+      lateness: String = "14 days", ttlUs: Long = EventTtlUs)
+      : Dataset[EventRow] =
+    eventUpsertStreamNamed(ds.toDF("key", "eventType", "evidence", "sentiment"),
+      lateness, ttlUs)
+
+  /** [[eventUpsertStream]] over named columns `key, eventType, evidence,
+    * sentiment` (+ optionally an already-watermarked event-time column,
+    * as produced by PostPipeline.toEvidence — in that case the upstream
+    * watermark is reused instead of defining a second one, which Spark
+    * disallows within a single chain).
+    */
+  def eventUpsertStreamNamed(named: org.apache.spark.sql.DataFrame,
+      lateness: String = "14 days", ttlUs: Long = EventTtlUs)
       : Dataset[EventRow] = {
-    val fn = (key: String, rows: Iterator[(String, String, Evidence, Double)],
+    val fn = (key: String, rows: Iterator[UpsertInput],
         state: GroupState[EventRow]) => {
       val batch = rows.toSeq
-      if (batch.isEmpty) Iterator.empty
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else if (batch.isEmpty) Iterator.empty
       else {
-        val updated = upsertEvent(key, batch.head._2,
-          batch.map(r => (r._3, r._4)), state.getOption)
+        val updated = upsertEvent(key, batch.head.eventType,
+          batch.map(r => (r.evidence, r.sentiment)), state.getOption)
         state.update(updated)
+        armTimeout(state, updated.lastUs, ttlUs)
         Iterator.single(updated)
       }
     }
-    ds.groupByKey(_._1)(Encoders.STRING)
+    val typed = named.as[UpsertInput](Encoders.product[UpsertInput])
+    withEventTime(typed, col("evidence").getField("ts"), lateness)(
+      Encoders.product[UpsertInput])
+      .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[EventRow, EventRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fn)(
         // product for STATE too: re-measured after the eviction bound
         // landed (round 4) — on ≤256-evidence rows the unsafe-row codec
         // beats kryo's generic Seq/Map serialization in both size and
         // per-batch round-trip time
         Encoders.product[EventRow], Encoders.product[EventRow])
+  }
+
+  /** Metadata key Spark stamps on a watermarked attribute. */
+  private val WatermarkDelayKey = "spark.watermarkDelayMs"
+
+  /** Attach an event-time watermark for EventTimeTimeout — unless the
+    * input already carries one (redefining a watermark downstream of
+    * another in the same chain is disallowed; PostPipeline's dedup
+    * watermark flows through toEvidence for exactly this reason).
+    *
+    * The helper column must SURVIVE into the stateful operator's child
+    * output: the streaming analyzer looks for a watermarked attribute
+    * there, not for the EventTimeWatermark node. Case-class encoders
+    * ignore the extra column; tuple inputs are re-shaped to case
+    * classes by their wrappers first.
+    */
+  private def withEventTime[T](ds: Dataset[T],
+      usCol: org.apache.spark.sql.Column, lateness: String)
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val df = ds.toDF()
+    if (df.queryExecution.analyzed.output
+        .exists(_.metadata.contains(WatermarkDelayKey))) ds
+    else df
+      .withColumn("__event_time", timestamp_micros(usCol))
+      .withWatermark("__event_time", lateness)
+      .as[T]
   }
 
   // ---------------------------------------------------------------
@@ -153,25 +244,37 @@ object StatefulOps {
     }
   }
 
-  /** Streaming wrapper. New keys enter as candidates at first sight. */
-  def signalStream(ds: Dataset[VerdictInput]): Dataset[SignalTransition] = {
-    implicit val stateEnc = Encoders.kryo[SignalState]
+  /** Streaming wrapper. New keys enter as candidates at first sight.
+    * State expires [[SignalTtlUs]] after the last verdict — an expired
+    * key's next verdict re-enters as a fresh candidate (the durable
+    * signals sink keeps the historical record, as the reference's PG
+    * row outlives its Redis locks/cooldowns).
+    */
+  def signalStream(ds: Dataset[VerdictInput],
+      lateness: String = "0 seconds", ttlUs: Long = SignalTtlUs)
+      : Dataset[SignalTransition] = {
+    implicit val stateEnc = Encoders.product[SignalState]
     implicit val outEnc = Encoders.product[SignalTransition]
-    ds.groupByKey(_.eventKey)(Encoders.STRING)
+    withEventTime(ds, col("tsUs"), lateness)(ds.encoder)
+      .groupByKey(_.eventKey)(Encoders.STRING)
       .flatMapGroupsWithState[SignalState, SignalTransition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[SignalState]) =>
-          val sorted = rows.toSeq.sortBy(v => (v.tsUs, v.verdict))
-          var st = state.getOption.getOrElse(
-            SignalState("candidate", sorted.head.tsUs, 0L))
-          val out = Seq.newBuilder[SignalTransition]
-          sorted.foreach { in =>
-            val (next, emitted) = transition(st, in)
-            st = next
-            emitted.foreach(out += _)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(v => (v.tsUs, v.verdict))
+            var st = state.getOption.getOrElse(
+              SignalState("candidate", sorted.head.tsUs, 0L))
+            val out = Seq.newBuilder[SignalTransition]
+            sorted.foreach { in =>
+              val (next, emitted) = transition(st, in)
+              st = next
+              emitted.foreach(out += _)
+            }
+            state.update(st)
+            armTimeout(state, sorted.last.tsUs, ttlUs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -200,22 +303,32 @@ object StatefulOps {
     * last emit for that key (S2 avatar-change detection is the same
     * pattern with sig = avatar hash).
     */
-  def cardDedupStream(ds: Dataset[CardVersion]): Dataset[CardVersion] = {
+  def cardDedupStream(ds: Dataset[CardVersion],
+      lateness: String = "0 seconds", ttlUs: Long = CardTtlUs)
+      : Dataset[CardVersion] = {
     implicit val stateEnc = Encoders.STRING
     implicit val outEnc = Encoders.product[CardVersion]
-    ds.groupByKey(_.eventKey)(Encoders.STRING)
+    withEventTime(ds, col("tsUs"), lateness)(ds.encoder)
+      .groupByKey(_.eventKey)(Encoders.STRING)
       .flatMapGroupsWithState[String, CardVersion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[String]) =>
-          val sorted = rows.toSeq.sortBy(_.tsUs)
-          var last = state.getOption.getOrElse("")
-          val out = Seq.newBuilder[CardVersion]
-          sorted.foreach { c =>
-            val sig = versionSig(c)
-            if (sig != last) { out += c; last = sig }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var last = state.getOption.getOrElse("")
+            val out = Seq.newBuilder[CardVersion]
+            sorted.foreach { c =>
+              val sig = versionSig(c)
+              if (sig != last) { out += c; last = sig }
+            }
+            state.update(last)
+            // 1 h dedup window from the last card emission/suppression
+            // (reference DEDUP_TTL_SEC): after it, the same signature
+            // re-emits — exactly the Redis-key-expired behavior
+            armTimeout(state, sorted.last.tsUs, ttlUs)
+            out.result().iterator
           }
-          state.update(last)
-          out.result().iterator
       }
   }
 
@@ -223,28 +336,41 @@ object StatefulOps {
   // A3 — EMA smoothing (reference api/signals/heat.py:81-95)
   // ---------------------------------------------------------------
 
-  /** Per-key EMA: ema = α·x + (1-α)·prev, seeded with the first value. */
-  def emaStream(ds: Dataset[(String, Long, Double)], alpha: Double)
+  /** Per-key EMA: ema = α·x + (1-α)·prev, seeded with the first value.
+    * A series idle past [[EmaTtlUs]] drops its state and re-seeds on
+    * the next sample.
+    */
+  /** Named shape of the EMA input (see [[UpsertInput]]). */
+  final case class EmaInput(key: String, ts: Long, x: Double)
+
+  def emaStream(ds: Dataset[(String, Long, Double)], alpha: Double,
+      lateness: String = "0 seconds", ttlUs: Long = EmaTtlUs)
       : Dataset[(String, Long, Double)] = {
     implicit val stateEnc = Encoders.scalaDouble
     implicit val outEnc = Encoders.tuple(Encoders.STRING,
       Encoders.scalaLong, Encoders.scalaDouble)
-    ds.groupByKey(_._1)(Encoders.STRING)
+    val named = ds.toDF("key", "ts", "x").as[EmaInput](Encoders.product[EmaInput])
+    withEventTime(named, col("ts"), lateness)(Encoders.product[EmaInput])
+      .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[Double, (String, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state: GroupState[Double]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
-          var prev = state.getOption
-          val out = sorted.map { case (k, ts, x) =>
-            val ema = prev match {
-              case Some(p) => alpha * x + (1 - alpha) * p
-              case None    => x
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            var prev = state.getOption
+            val out = sorted.map { r =>
+              val ema = prev match {
+                case Some(p) => alpha * r.x + (1 - alpha) * p
+                case None    => r.x
+              }
+              prev = Some(ema)
+              (r.key, r.ts, ema)
             }
-            prev = Some(ema)
-            (k, ts, ema)
+            prev.foreach(state.update)
+            armTimeout(state, sorted.last.ts, ttlUs)
+            out.iterator
           }
-          prev.foreach(state.update)
-          out.iterator
       }
   }
 }

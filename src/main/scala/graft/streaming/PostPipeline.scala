@@ -26,12 +26,14 @@ object PostPipeline {
       .withWatermark("ts", "14 days")
       .dropDuplicatesWithinWatermark("id")
 
-  /** Post → (eventKey, eventType, evidence, sentiment) for the upsert.
-    * Key derivation mirrors the batch path (F5 v1 flavor, built-ins).
+  /** Post → named (key, eventType, evidence, sentiment, __event_time)
+    * for the upsert. Key derivation mirrors the batch path (F5 v1
+    * flavor, built-ins). `__event_time` aliases the dedup-watermarked
+    * `ts` attribute so the SAME watermark reaches the stateful upsert
+    * (its metadata rides through the alias; a second `withWatermark`
+    * downstream would be a disallowed redefinition).
     */
-  def toEvidence(posts: DataFrame): Dataset[(String, String, Evidence, Double)] = {
-    val spark = posts.sparkSession
-    import spark.implicits._
+  def toEvidence(posts: DataFrame): DataFrame = {
     posts.select(
         // full v1 key contract (events.py:481-502): lower(type)|
         // UPPER(normalize_token_symbol(symbol))|ca|normalize_text(text)|
@@ -45,19 +47,19 @@ object PostPipeline {
           graft.functions.TextFunctions.normalizeSymbol(col("symbol")),
           col("tokenCa"),
           graft.functions.TextFunctions.normalizeText(col("text")),
-          expr("tsUs div 600000000 * 600")).as("event_key"),
-        lit("social").as("event_type"),
+          expr("tsUs div 600000000 * 600")).as("key"),
+        lit("social").as("eventType"),
         struct(
           col("source"),
           col("tsUs").as("ts"),
           map(lit("tweet_id"), col("id")).as("ref"),
           substring(col("text"), 1, 64).as("summary"),
           lit(1.0).as("weight")).as("evidence"),
-        col("sentimentScore").as("sentiment"))
-      .as[(String, String, Evidence, Double)]
+        col("sentimentScore").as("sentiment"),
+        col("ts").as("__event_time"))
   }
 
   /** Full streaming slice: dedup → evidence → stateful upsert. */
   def eventStream(posts: Dataset[RawPost]) =
-    StatefulOps.eventUpsertStream(toEvidence(dedupPosts(posts)))
+    StatefulOps.eventUpsertStreamNamed(toEvidence(dedupPosts(posts)))
 }

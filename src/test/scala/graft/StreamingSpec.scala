@@ -132,6 +132,103 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("card dedup state expires after the 1h TTL and the key re-enters") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[CardVersion]
+    val q = StatefulOps.cardDedupStream(in.toDS())
+      .writeStream.format("memory").queryName("cards_ttl_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L * 1000000L
+      val hour = 3600L * 1000000L
+      // batch 1: first sighting emits, duplicate suppressed
+      in.addData(
+        CardVersion("k1", "candidate", "green", degrade = false, t0),
+        CardVersion("k1", "candidate", "green", degrade = false, t0 + 1))
+      drain(q)
+      assert(s.sql("SELECT * FROM cards_ttl_out").count() == 1)
+      // batch 2: another key 2h later advances the watermark past k1's
+      // 1h timeout -> k1's state is dropped on the following trigger
+      in.addData(CardVersion("k2", "candidate", "green", degrade = false,
+        t0 + 2 * hour))
+      drain(q)
+      // batch 3: the SAME signature for k1 now re-emits (state expired,
+      // reference Redis-key-expired behavior); without the TTL it
+      // would be suppressed forever
+      in.addData(CardVersion("k1", "candidate", "green", degrade = false,
+        t0 + 2 * hour + 1))
+      drain(q)
+      val k1 = s.sql("SELECT * FROM cards_ttl_out WHERE eventKey = 'k1'").count()
+      assert(k1 == 2, s"expired key must re-emit its signature, got $k1")
+    } finally q.stop()
+  }
+
+  test("event upsert state expires after TTL and re-enters at version 1") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(String, String, Evidence, Double)]
+    // short lateness so the watermark tracks event time closely
+    val q = StatefulOps.eventUpsertStream(in.toDS(), lateness = "0 seconds")
+      .writeStream.format("memory").queryName("upsert_ttl_out")
+      .outputMode("update").start()
+    try {
+      val t0 = 1700000000L * 1000000L
+      val day = 86400L * 1000000L
+      def ev(id: String, ts: Long) =
+        Evidence("x", ts, Map("tweet_id" -> id), "s", 1.0)
+      in.addData(("k1", "social", ev("a", t0), 0.1))
+      drain(q)
+      // advance the watermark 21 days past k1's horizon via another key
+      in.addData(("k2", "social", ev("b", t0 + 35 * day), 0.2))
+      drain(q)
+      // k1 re-arrives after expiry: state must have been dropped, so
+      // this is a FRESH row (version 1, count 1), not version 2
+      in.addData(("k1", "social", ev("c", t0 + 36 * day), 0.3))
+      drain(q)
+      val rows = s.sql(
+        "SELECT version, evidenceCount FROM upsert_ttl_out WHERE eventKey='k1' ORDER BY lastUs DESC")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.head.getInt(0) == 1 && rows.head.getInt(1) == 1,
+        s"expired key must re-enter fresh: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("signal FSM state expires after TTL and re-enters as candidate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[VerdictInput]
+    val q = StatefulOps.signalStream(in.toDS())
+      .writeStream.format("memory").queryName("sig_ttl_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L * 1000000L
+      val day = 86400L * 1000000L
+      // verify k1 (delay gate satisfied on the second verdict)
+      in.addData(VerdictInput("k1", "upgrade", 0.9, t0))
+      drain(q)
+      in.addData(VerdictInput("k1", "upgrade", 0.9, t0 + 200L * 1000000L))
+      drain(q)
+      assert(s.sql("SELECT * FROM sig_ttl_out").count() == 1, "verified")
+      // 15 days later another key advances the watermark past k1's TTL
+      in.addData(VerdictInput("k2", "hold", 0.5, t0 + 15 * day))
+      drain(q)
+      // k1's terminal state expired: it re-enters as a candidate whose
+      // first verdict is delay-gated (no emission), then verifies again
+      in.addData(VerdictInput("k1", "upgrade", 0.8, t0 + 16 * day))
+      drain(q)
+      assert(s.sql("SELECT * FROM sig_ttl_out").count() == 1, "delay gate again")
+      in.addData(VerdictInput("k1", "upgrade", 0.8, t0 + 16 * day + 200L * 1000000L))
+      drain(q)
+      assert(s.sql("SELECT * FROM sig_ttl_out WHERE eventKey='k1'").count() == 2,
+        "expired terminal key re-verifies")
+    } finally q.stop()
+  }
+
   test("outbox retry: backoff, dlq at 20 attempts, recovery") {
     val t0 = 1000000L
     var e = OutboxEntry(1L, "k", "{}", "pending", 0, 0L, "", t0, t0)
