@@ -52,6 +52,17 @@ object DataOpsQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("ida", "idb")),
 
+    // F14: MMR keyphrase selection (greedy maximal-marginal-relevance
+    // top-5, α=0.65, pool 50 — reference api/keyphrases.py:166-188)
+    // per label group of the embeddings table; the doc vector is the
+    // group's min-vec_id row (deterministic stand-in for the KBIR
+    // encoder the sandbox can't run). Oracle = the same greedy unrolled
+    // as 5 chained argmax CTEs.
+    "q_f14_mmr_keyphrases" -> ((s, dir) =>
+      Similarity.mmrKeyphrases(embs(s, dir), "vec_id", "embedding",
+        "label", k = 5, alpha = 0.65, poolCap = 50)
+        .orderBy("label", "rank")),
+
     // Brute-force cosine top-k ANN for a broadcast query subset.
     "q_s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
@@ -244,6 +255,62 @@ object DataOpsQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY ida, idb""",
+
+    // MMR greedy unrolled: sel-N picks argmax of
+    // 0.65*rel - (1-0.65)*mean(sim to sel-1..N-1) among the pool rows
+    // not yet selected — float ops in the exact order of the Spark
+    // fold (left-to-right div sum, literal (1 - 0.65)).
+    "q_f14_mmr_keyphrases" -> {
+      val steps = (2 to 5).map { n =>
+        val prev = (1 until n).map(m => s"s$m")
+        val joins = prev.map(m => s"JOIN $m ON $m.label = p.label")
+          .mkString("\n             ")
+        val notSel = prev.map(m => s"p.vec_id <> $m.vec_id")
+          .mkString(" AND ")
+        val divSum = prev
+          .map(m => s"list_dot_product(p.e, $m.e) / (p.nrm * $m.nrm)")
+          .mkString(" + ")
+        s"""c$n AS (
+           SELECT p.label, p.vec_id, p.rel, p.e, p.nrm, p.rnk,
+                  0.65 * p.rel - (1 - 0.65) * (($divSum) / ${n - 1}) AS score
+           FROM pool p
+             $joins
+           WHERE $notSel),
+         s$n AS (
+           SELECT * FROM c$n QUALIFY row_number() OVER (
+             PARTITION BY label ORDER BY score DESC, rnk ASC) = 1)"""
+      }.mkString(",\n         ")
+      val selects = (2 to 5).map(n =>
+        s"SELECT label, $n AS rank, vec_id, " +
+          s"${graft.functions.Parity.sqlRound("score", 6)} AS mmr_score FROM s$n")
+        .mkString("\n         UNION ALL ")
+      s"""WITH nv AS (
+           SELECT vec_id, CAST(label AS INT) AS label,
+                  embedding::DOUBLE[] AS e,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         doc AS (SELECT label, min(vec_id) AS doc_id FROM nv GROUP BY label),
+         docv AS (
+           SELECT d.label, d.doc_id, nv.e AS de, nv.nrm AS dnrm
+           FROM doc d JOIN nv ON nv.vec_id = d.doc_id),
+         pool0 AS (
+           SELECT nv.label, nv.vec_id, nv.e, nv.nrm,
+                  list_dot_product(nv.e, v.de) / (nv.nrm * v.dnrm) AS rel
+           FROM nv JOIN docv v ON nv.label = v.label
+           WHERE nv.vec_id <> v.doc_id),
+         pool AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY label ORDER BY rel DESC, vec_id ASC) AS rnk
+           FROM pool0 QUALIFY rnk <= 50),
+         s1 AS (SELECT *, rel AS score FROM pool WHERE rnk = 1),
+         $steps
+         SELECT * FROM (
+           SELECT label, 1 AS rank, vec_id,
+                  ${graft.functions.Parity.sqlRound("rel", 6)} AS mmr_score
+           FROM s1
+         UNION ALL $selects)
+         ORDER BY label, rank"""
+    },
 
     "q_s_ann_topk" ->
       s"""WITH $PreparedVecsCte,

@@ -170,6 +170,86 @@ object PipelineQueries {
         .orderBy("event_key", "ts_us")
     }),
 
+    // A10: versioned upsert replay — the reference's ON CONFLICT …
+    // WHERE EXCLUDED.calc_version >= onchain_features.calc_version
+    // guard (api/jobs/onchain/enrich_features.py:180-217) replayed as a
+    // batch MERGE: for each (chain, address, as_of, window) the
+    // surviving row is the attempt with the highest calc_version,
+    // later-applied winning ties (>= lets an equal version overwrite).
+    // One hash aggregation with max_by on the (version, seq) total
+    // order — no window sort, partial-aggregates map-side.
+    "q_a10_versioned_merge" -> ((s, dir) => {
+      val attempts = Tables.load(s, dir, "events").select(
+        when(col("user_id") % 3 === 0, "eth")
+          .when(col("user_id") % 3 === 1, "bsc")
+          .otherwise("sol").as("chain"),
+        concat(lit("0x"), (col("user_id") % 200).cast("string"))
+          .as("address"),
+        expr("ts_ns div 1000 div 3600000000 * 3600000000").as("as_of_us"),
+        when(col("event_id") % 3 === 0, 30)
+          .when(col("event_id") % 3 === 1, 60)
+          .otherwise(180).as("window_minutes"),
+        (col("event_id") % 5).as("calc_version"),
+        col("event_id"),
+        col("value").as("addr_active"),
+        (col("value") * 2).as("tx_count"),
+        (col("value") / (col("value") + 1)).as("top10_share"))
+      attempts
+        .groupBy("chain", "address", "as_of_us", "window_minutes")
+        .agg(
+          max_by(
+            struct(col("addr_active"), col("tx_count"), col("top10_share"),
+              col("calc_version")),
+            struct(col("calc_version"), col("event_id"))).as("w"),
+          count(lit(1)).as("attempts"))
+        .select(col("chain"), col("address"), col("as_of_us"),
+          col("window_minutes"),
+          col("w.addr_active").as("addr_active"),
+          col("w.tx_count").as("tx_count"),
+          col("w.top10_share").as("top10_share"),
+          col("w.calc_version").as("calc_version"),
+          col("attempts"))
+        .orderBy("chain", "address", "as_of_us", "window_minutes")
+    }),
+
+    // S8: DLQ recover — batch form of recover_batch
+    // (worker/jobs/outbox_dlq_recover.py:31-96): expired snapshots are
+    // discarded (failed_at before the retention cutoff), rows whose
+    // outbox entry was already recovered elsewhere are skipped, the
+    // rest re-enter retry with attempt 0 and next_try = now. Fixed
+    // `now` (2024-02-01Z) + 14 d retention land the cutoff mid-range
+    // of the testdata.
+    "q_s8_dlq_recover" -> ((s, dir) => {
+      val nowUs = 1706745600000000L
+      val cutoffUs = nowUs - 14L * 86400 * 1000000L
+      val base = Tables.load(s, dir, "events")
+      val outbox = base.select(
+        col("event_id").as("id"),
+        when(col("event_id") % 4 === 0, "pending")
+          .when(col("event_id") % 4 === 1, "retry")
+          .when(col("event_id") % 4 === 2, "done")
+          .otherwise("dlq").as("status"),
+        (col("event_id") % 20).cast("int").as("attempt"))
+      val dlq = base.filter(col("event_id") % 3 === 0).select(
+        col("event_id").as("ref_id"),
+        expr("ts_ns div 1000").as("failed_us"))
+      dlq.join(outbox, dlq("ref_id") === outbox("id"))
+        .select(col("ref_id"), col("failed_us"),
+          col("status").as("outbox_status"),
+          when(col("failed_us") < cutoffUs, "discarded")
+            .when(col("status") =!= "dlq", "skipped")
+            .otherwise("recovered").as("outcome"),
+          when(col("failed_us") < cutoffUs, lit(null).cast("string"))
+            .when(col("status") =!= "dlq", col("status"))
+            .otherwise("retry").as("new_status"),
+          when(col("failed_us") < cutoffUs, lit(null).cast("int"))
+            .when(col("status") =!= "dlq", col("attempt"))
+            .otherwise(0).as("new_attempt"),
+          when(col("failed_us") >= cutoffUs && col("status") === "dlq",
+            nowUs).otherwise(lit(null).cast("long")).as("next_try_us"))
+        .orderBy("ref_id")
+    }),
+
     // A2/U1: topic aggregate — counts + flattened sorted entity sets
     // (reference worker/jobs/topic_aggregate.py:53-228).
     "q_a2_topic_aggregate" -> ((s, dir) => {
@@ -381,6 +461,63 @@ object PipelineQueries {
                  array_to_string(rd, ';') AS all_reasons
           FROM d ORDER BY event_id"""
     },
+
+    "q_a10_versioned_merge" ->
+      """WITH a AS (
+           SELECT CASE WHEN user_id % 3 = 0 THEN 'eth'
+                       WHEN user_id % 3 = 1 THEN 'bsc'
+                       ELSE 'sol' END AS chain,
+                  '0x' || CAST(user_id % 200 AS VARCHAR) AS address,
+                  epoch_ns(ts) // 1000 // 3600000000 * 3600000000 AS as_of_us,
+                  CASE WHEN event_id % 3 = 0 THEN 30
+                       WHEN event_id % 3 = 1 THEN 60
+                       ELSE 180 END AS window_minutes,
+                  event_id % 5 AS calc_version,
+                  event_id,
+                  value AS addr_active,
+                  value * 2 AS tx_count,
+                  value / (value + 1) AS top10_share
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (
+                    PARTITION BY chain, address, as_of_us, window_minutes
+                    ORDER BY calc_version DESC, event_id DESC) AS rn,
+                  count(*) OVER (
+                    PARTITION BY chain, address, as_of_us, window_minutes)
+                    AS attempts
+           FROM a)
+         SELECT chain, address, as_of_us, window_minutes, addr_active,
+                tx_count, top10_share, calc_version, attempts
+         FROM r WHERE rn = 1
+         ORDER BY chain, address, as_of_us, window_minutes""",
+
+    "q_s8_dlq_recover" ->
+      """WITH outbox AS (
+           SELECT event_id AS id,
+                  CASE WHEN event_id % 4 = 0 THEN 'pending'
+                       WHEN event_id % 4 = 1 THEN 'retry'
+                       WHEN event_id % 4 = 2 THEN 'done'
+                       ELSE 'dlq' END AS status,
+                  CAST(event_id % 20 AS INT) AS attempt
+           FROM events),
+         dlq AS (
+           SELECT event_id AS ref_id, epoch_ns(ts) // 1000 AS failed_us
+           FROM events WHERE event_id % 3 = 0)
+         SELECT d.ref_id, d.failed_us, o.status AS outbox_status,
+                CASE WHEN d.failed_us < 1705536000000000 THEN 'discarded'
+                     WHEN o.status <> 'dlq' THEN 'skipped'
+                     ELSE 'recovered' END AS outcome,
+                CASE WHEN d.failed_us < 1705536000000000 THEN NULL
+                     WHEN o.status <> 'dlq' THEN o.status
+                     ELSE 'retry' END AS new_status,
+                CASE WHEN d.failed_us < 1705536000000000 THEN NULL
+                     WHEN o.status <> 'dlq' THEN o.attempt
+                     ELSE 0 END AS new_attempt,
+                CASE WHEN d.failed_us >= 1705536000000000 AND o.status = 'dlq'
+                     THEN 1706745600000000 ELSE NULL END AS next_try_us
+         FROM dlq d JOIN outbox o ON d.ref_id = o.id
+         ORDER BY d.ref_id""",
 
     // The FSM as a recursive-CTE walk: iteration N applies each key's
     // N-th verdict (total order ts, verdict, confidence, event_id) to

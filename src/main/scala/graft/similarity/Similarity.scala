@@ -277,4 +277,93 @@ object Similarity {
       .select(col("qid"), col("nn_id"),
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
+
+  /** F14 — MMR keyphrase selection (reference api/keyphrases.py:166-188):
+    * greedy maximal-marginal-relevance top-k over a candidate pool,
+    * score = α·rel − (1−α)·mean(sim to already-selected), α = 0.65,
+    * candidate pool = top max(50, k) by relevance, strict-> first-best
+    * tie behavior exactly as the reference loop.
+    *
+    * The KBIR encoder needs a model the sandbox lacks, so candidates
+    * are the embeddings table's vectors: per label group the "document"
+    * is the min-vec_id vector and the remaining vectors are the phrase
+    * candidates — the selection algebra (the operator under test) is
+    * the reference's, byte-for-byte in its float ops.
+    *
+    * Scale shape: relevance + pairwise sims are relational (one shuffle
+    * on label; pool capped at `poolCap` so the within-group pair count
+    * is bounded at poolCap²), and the inherently-sequential greedy fold
+    * runs per group over ≤poolCap collected candidates — the same
+    * bounded-group pattern as the heat EMA fold.
+    */
+  def mmrKeyphrases(df: DataFrame, idCol: String, embCol: String,
+      groupCol: String, k: Int = 5, alpha: Double = 0.65,
+      poolCap: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("int").as("label"),
+        col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val doc = base.groupBy("label").agg(min("vec_id").as("doc_id"))
+    val docv = doc.join(base,
+        doc("label") === base("label") && col("doc_id") === col("vec_id"))
+      .select(doc("label").as("dlabel"), col("doc_id"),
+        col("e").as("de"), col("nrm").as("dnrm"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = base.join(broadcast(docv), col("label") === col("dlabel"))
+      .filter(col("vec_id") =!= col("doc_id"))
+      .select(col("label"), col("vec_id"), col("e"), col("nrm"),
+        cosine(col("e"), col("de"), col("nrm"), col("dnrm")).as("rel"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= math.max(poolCap, k))
+    val other = pool.select(col("label").as("plabel"),
+      col("vec_id").as("j"), col("e").as("oe"), col("nrm").as("onrm"))
+    val pairs = pool.join(other,
+        col("label") === col("plabel") && col("vec_id") < col("j"))
+      .select(col("label"), col("vec_id").as("i"), col("j"),
+        cosine(col("e"), col("oe"), col("nrm"), col("onrm")).as("sim"))
+    val poolDs = pool.select("label", "vec_id", "rel", "rnk")
+      .as[(Int, Long, Double, Int)]
+    val pairDs = pairs.select("label", "i", "j", "sim")
+      .as[(Int, Long, Long, Double)]
+    val selected = poolDs.groupByKey(_._1)
+      .cogroup(pairDs.groupByKey(_._1)) { (label, ps, qs) =>
+        val cand = ps.toArray.sortBy(_._4) // rnk order == rel-desc order
+        if (cand.isEmpty) Iterator.empty
+        else {
+          val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+          qs.foreach { q =>
+            sim((q._2, q._3)) = q._4
+            sim((q._3, q._2)) = q._4
+          }
+          // (candidate, score-at-selection); head's score is its rel
+          val sel = scala.collection.mutable.ArrayBuffer(
+            (cand.head, cand.head._3))
+          val rest = scala.collection.mutable.ArrayBuffer(cand.tail: _*)
+          while (sel.size < k && rest.nonEmpty) {
+            var bestIdx = -1
+            var bestScore = -1e9
+            var i = 0
+            while (i < rest.size) {
+              val c = rest(i)
+              var dsum = 0.0
+              sel.foreach { case (srow, _) => dsum += sim((c._2, srow._2)) }
+              val div = dsum / sel.size
+              val score = alpha * c._3 - (1 - alpha) * div
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+              i += 1
+            }
+            sel += ((rest(bestIdx), bestScore))
+            rest.remove(bestIdx)
+          }
+          sel.iterator.zipWithIndex.map { case ((row, score), idx) =>
+            (label, idx + 1, row._2, score)
+          }
+        }
+      }
+    selected.toDF("label", "rank", "vec_id", "mmr_score_raw")
+      .select(col("label"), col("rank"), col("vec_id"),
+        Parity.roundHalfUp(col("mmr_score_raw"), 6).as("mmr_score"))
+  }
 }
