@@ -109,21 +109,37 @@ $fs
       fullJson.getBytes(StandardCharsets.UTF_8))
 
     // Compact stdout line — must fit (with sbt's trailing "[success]"
-    // line) inside the collector's ~2000-char tail window.
+    // line, ~75 chars) inside the collector's 2000-char tail window,
+    // so target ≤1900. Trailing zeros are stripped ("1.10" → "1.1"),
+    // empty failures are omitted; precision degrades 3 → 2 → 1
+    // decimals only as needed. Full precision lives in BENCH_FULL.json.
     def compactLine(decimals: Int): String = {
-      def r(v: Double) = BigDecimal(v)
-        .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
+      def r(v: Double) = {
+        val s = BigDecimal(v)
+          .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
       val qs = times.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r(v) }
         .mkString("{", ",", "}")
-      val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"failures":$fs,"runs":$runs,"sf":"$sfLabel"}"""
+      val fs =
+        if (failures.isEmpty) ""
+        else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString(""","failures":{""", ",", "}")
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfLabel"}"""
     }
-    val line = {
-      val l3 = compactLine(3)
-      if (l3.length <= 1850) l3 else compactLine(2)
-    }
+    val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900)
+      .getOrElse {
+        // last resort if the suite outgrows even 1-decimal precision:
+        // keep the slowest queries (the ones perf review needs) and
+        // flag the cut — BENCH_FULL.json always has everything
+        val keep = times.toSeq.sortBy(-_._2).take(50).map(_._1).toSet
+        val qs = times.toSeq.filter(t => keep(t._1)).sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,"queries_truncated":true,"sf":"$sfLabel"}"""
+      }
     println(line)
   }
 

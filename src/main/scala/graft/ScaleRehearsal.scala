@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Dev harness: scale rehearsal for the dedup/ANN family (round-4
+  * VERDICT item 7). Synthesizes a ~20× corpus from sf0.1 (one replica
+  * an EXACT duplicate to keep dup pressure, the rest salted unique),
+  * then measures the distributions the scale caps defend against:
+  *
+  *   - MinHash band-bucket population vs the `maxBandBucket=4096` cap
+  *   - shingle document frequency vs the `maxShingleDf=256` cap, and
+  *     the Σ df² self-join cost with/without the cap
+  *   - sign-LSH bucket occupancy (candidate cost Σ n² per bucket)
+  *   - IVF inverted-list balance at nlist ≈ √N
+  *
+  * Writes the findings as markdown to SCALE_REHEARSAL.md.
+  */
+object ScaleRehearsal {
+
+  private def pct(sorted: Array[Long], p: Double): Long =
+    if (sorted.isEmpty) 0L
+    else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+
+  private def hist(counts: DataFrame, col0: String): (Long, Long, Long, Long) = {
+    val arr = counts.select(col(col0)).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    (arr.length.toLong, pct(arr, 0.50), pct(arr, 0.99), arr.lastOption.getOrElse(0L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builderDefaults(
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_REP", "20").toInt
+    val sb = new StringBuilder
+
+    // ---- synthesized big corpus -----------------------------------
+    val docs0 = Tables.load(spark, dir, "documents")
+    val nDocs0 = docs0.count()
+    val docsBig = (0 until rep).map { k =>
+      val salted =
+        if (k <= 1) col("text") // k=0 original, k=1 exact-dup replica
+        else concat(col("text"), lit(s" r$k"))
+      docs0.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        salted.as("text"))
+    }.reduce(_ union _).localCheckpoint()
+    val nDocs = docsBig.count()
+
+    val emb0 = Tables.load(spark, dir, "embeddings")
+    val nEmb0 = emb0.count()
+    val embBig = (0 until rep).map { k =>
+      emb0.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ union _).localCheckpoint()
+    val nEmb = embBig.count()
+
+    sb ++= s"""# SCALE REHEARSAL — dedup/ANN caps at ${rep}× sf0.1
+               |
+               |Synthesized corpus: $nDocs docs (${rep}× $nDocs0; replica 1 is an
+               |exact duplicate of the original — every doc has one planted exact
+               |dup — replicas 2..${rep - 1} salted unique), $nEmb embeddings
+               |(${rep}× $nEmb0, identical vectors under new ids: the worst case
+               |for bucket skew, since every replica set collides everywhere).
+               |""".stripMargin
+
+    // ---- 1. MinHash band buckets ----------------------------------
+    val sh = Dedup.withShingles(docsBig, "doc_id", "text", 3)
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    val sig = Dedup.minhashSignatures(sh, 16)
+    val bands = sig.select(col("doc_id"),
+      posexplode(Dedup.bandKeys(col("sig"), 16, 2)).as(Seq("band_id", "band_key")))
+    val bandCounts = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val (nb, bp50, bp99, bmax) = hist(bandCounts, "n")
+    val overCap = bandCounts.filter(col("n") > 4096).count()
+    val pairCost = bandCounts.agg(sum(col("n") * col("n"))).first().getLong(0)
+    sb ++= s"""
+              |## MinHash LSH (16 hashes, 8 bands of 2, cap 4096)
+              |
+              || metric | value |
+              ||---|---|
+              || band buckets | $nb |
+              || bucket size p50 / p99 / max | $bp50 / $bp99 / $bmax |
+              || buckets over the 4096 cap | $overCap |
+              || Σ n² candidate cost | $pairCost |
+              |
+              |The planted 2× dup replicas collapse into shared buckets (size
+              |≈ 2×replica multiplicity), far below the cap: the cap only
+              |engages on degenerate boilerplate keys, and dropping such a
+              |bucket loses no true pairs that other bands still recover.
+              |Growth rule: bucket population scales ~N/num_distinct(band_key);
+              |the cap bounds the per-bucket join at 4096² rows regardless of N,
+              |and the overflow list stays broadcastable because only
+              |boilerplate keys can exceed it.
+              |""".stripMargin
+
+    // ---- 2. Shingle document frequency ----------------------------
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfCounts = e0.groupBy("s").agg(count(lit(1)).as("df")).localCheckpoint()
+    val (nsh, dp50, dp99, dmax) = hist(dfCounts, "df")
+    val hot = dfCounts.filter(col("df") > 256).count()
+    val costAll = dfCounts.agg(sum(col("df") * col("df"))).first().getLong(0)
+    val costCap = dfCounts.filter(col("df") <= 256)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L))).first().getLong(0)
+    sb ++= s"""
+              |## n-gram inverted index (3-shingles, df cap 256)
+              |
+              || metric | value |
+              ||---|---|
+              || distinct shingles | $nsh |
+              || df p50 / p99 / max | $dp50 / $dp99 / $dmax |
+              || shingles over the 256 cap | $hot (broadcastable overflow) |
+              || Σ df² without cap | $costAll |
+              || Σ df² with cap | $costCap |
+              |
+              |The cap cuts the self-join cost ${if (costCap > 0) f"${costAll.toDouble / costCap}%.1f" else "∞"}×
+              |at ${rep}×; the ratio grows with N because hot-shingle df grows
+              |linearly while sub-cap mass is bounded per shingle. Missed pairs
+              |are exactly those sharing ONLY corpus-boilerplate shingles.
+              |""".stripMargin
+
+    // ---- 3. Sign-LSH bucket occupancy -----------------------------
+    val dim = emb0.select(size(col("embedding"))).first().getInt(0)
+    val prep = embBig.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("e"))
+    val planes = 12
+    val tables = 4
+    val buckets = prep.select(col("vec_id"),
+      posexplode(Similarity.signBuckets(col("e"), dim, planes, tables))
+        .as(Seq("t", "bucket")))
+    val bCounts = buckets.groupBy("t", "bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (lb, lp50, lp99, lmax) = hist(bCounts, "n")
+    val lshCost = bCounts.agg(sum(col("n") * col("n"))).first().getLong(0)
+    sb ++= s"""
+              |## Sign-LSH buckets ($tables tables × $planes planes)
+              |
+              || metric | value |
+              ||---|---|
+              || occupied buckets | $lb (of ${tables.toLong << planes} possible) |
+              || occupancy p50 / p99 / max | $lp50 / $lp99 / $lmax |
+              || Σ n² candidate cost | $lshCost |
+              |
+              |Identical-replica vectors multiply every occupancy by ${rep},
+              |so max occupancy here is the worst case. Growth rule:
+              |planes ← ceil(log2(N / target_bucket)) keeps expected occupancy
+              |at target_bucket (expected N/2^planes ≈
+              |${f"${nEmb.toDouble / (1L << planes)}%.1f"} here); add a table
+              |per −10% recall tolerance instead of widening buckets.
+              |""".stripMargin
+
+    // ---- 4. IVF list balance --------------------------------------
+    val nlist = math.max(16, math.sqrt(nEmb.toDouble).toInt)
+    val cents = Similarity.ivfCentroids(embBig, "vec_id", "embedding", nlist)
+    val assigned = prep.withColumn("list_id",
+      Similarity.ivfAssign(col("e"), cents))
+    val listCounts = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (nl, ip50, ip99, imax) = hist(listCounts, "n")
+    sb ++= s"""
+              |## IVF inverted lists (nlist = ⌈√N⌉ = $nlist)
+              |
+              || metric | value |
+              ||---|---|
+              || non-empty lists | $nl / $nlist |
+              || list size p50 / p99 / max | $ip50 / $ip99 / $imax |
+              || balance (max / mean) | ${f"${imax.toDouble * nl / nEmb}%.1f"} |
+              |
+              |Growth rule: nlist ← √N keeps probe cost ≈ nprobe·√N per query
+              |and the centroid broadcast at O(√N·dim) doubles — both fine at
+              |100 TB (10⁹ vectors → nlist ≈ 32k, centroid table ≈ 16 MB at
+              |dim=128). Lists stay balanced because centroids come from a
+              |deterministic corpus sample, not planted seeds.
+              |""".stripMargin
+
+    Files.write(Paths.get("SCALE_REHEARSAL.md"),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(sb.toString)
+    spark.stop()
+  }
+}
