@@ -72,6 +72,26 @@ object CustomExprQueries {
     // blake2s(text_norm).hexdigest()[:16]) and embedded as the literal
     // DuckDB oracle, turning the previous rows-only check into a full
     // hash-compare of the v2 key format.
+    // F8 default-algorithm variant: blake2s topic hash
+    // (api/events.py:312-341, algo default `blake2s`) pinned by a
+    // hashlib known-answer table — DuckDB has no blake2s, same pattern
+    // as q_f5_event_key_v2. Covers sort determinism, the empty→"none"
+    // rule, duplicate keywords, and non-ASCII UTF-8.
+    "q_f8_topic_hash_blake" -> ((s, dir) => {
+      import s.implicits._
+      val kat = Seq(
+        (1L, Seq("pepe", "launch")),
+        (2L, Seq("launch", "pepe")),
+        (3L, Seq.empty[String]),
+        (4L, Seq("solo")),
+        (5L, Seq("a", "b", "c", "b")),
+        (6L, Seq("中文", "mixed")))
+        .toDF("case_id", "keywords")
+      kat.select(col("case_id"),
+          KeyFunctions.topicHashBlake(col("keywords")).as("topic_hash"))
+        .orderBy("case_id")
+    }),
+
     "q_f5_event_key_v2" -> ((s, dir) => {
       import s.implicits._
       val kat = Seq(
@@ -197,6 +217,18 @@ object CustomExprQueries {
                    '@\\w+', '', 'g'),
                    '\\s+', ' ', 'g')) AS text_norm
           FROM documents ORDER BY doc_id""",
+
+    "q_f8_topic_hash_blake" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, topic_hash
+         FROM (VALUES
+           (1, '70d01e46c1c9'),
+           (2, '70d01e46c1c9'),
+           (3, '6bf01645a91a'),
+           (4, '6008f86f95d3'),
+           (5, '4b1635428e5a'),
+           (6, '0fae80c7bf0d'))
+           AS t(case_id, topic_hash)
+         ORDER BY case_id""",
 
     // q_f5_event_key_v2: DuckDB has no blake2s, so the oracle is the
     // literal known-answer table (hashlib.blake2s ground truth).
