@@ -45,7 +45,12 @@ object StreamingQueries {
       val stream = s.readStream.schema(posts.schema).parquet(stage).as[RawPost]
 
       val qn = "q_stream_event_upsert_sink"
+      // project the gate's columns BEFORE the sink: Catalyst's
+      // ObjectSerializerPruning then drops the evidence-array
+      // serialization from the flatMapGroupsWithState output, and the
+      // memory sink stores slim rows instead of 256-entry arrays
       val q = PostPipeline.eventStream(stream)
+        .select("eventKey", "evidenceCount", "startUs", "lastUs", "version")
         .writeStream.format("memory").queryName(qn)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()

@@ -229,6 +229,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EMA state expires after TTL and the series re-seeds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StatefulOps.emaStream(in.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_ttl_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L * 1000000L
+      val day = 86400L * 1000000L
+      in.addData(("k", t0, 10.0), ("k", t0 + 1, 20.0))
+      drain(q)
+      // another key 2 days later pushes the watermark past k's 24h TTL
+      in.addData(("other", t0 + 2 * day, 1.0))
+      drain(q)
+      // k re-seeds: the new sample must be emitted AS-IS (ema == x),
+      // not folded into the expired 15.0 state
+      in.addData(("k", t0 + 2 * day + 1, 40.0))
+      drain(q)
+      val got = s.sql("SELECT _3 FROM ema_ttl_out WHERE _1 = 'k' ORDER BY _2")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(10.0, 15.0, 40.0), s"re-seed after expiry: $got")
+    } finally q.stop()
+  }
+
   test("outbox retry: backoff, dlq at 20 attempts, recovery") {
     val t0 = 1000000L
     var e = OutboxEntry(1L, "k", "{}", "pending", 0, 0L, "", t0, t0)
