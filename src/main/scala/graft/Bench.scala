@@ -150,7 +150,7 @@ $fs
       allRuns: scala.collection.mutable.Map[String, Seq[Double]],
       failures: scala.collection.mutable.Map[String, String]): Unit = {
     if (names.isEmpty) return
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,7 +9,7 @@ object Verify {
     // optional 3rd arg: only run queries whose name contains it
     // (local-iteration aid; the driver always passes two args)
     val only = if (args.length > 2) Some(args(2)) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
