@@ -17,6 +17,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     QueryPack(CoreQueries.queries, CoreQueries.oracleSql),
     QueryPack(DataOpsQueries.queries, DataOpsQueries.oracleSql),
+    QueryPack(CurationQueries.queries, CurationQueries.oracleSql),
     QueryPack(PipelineQueries.queries, PipelineQueries.oracleSql),
     QueryPack(CustomExprQueries.queries, CustomExprQueries.oracleSql),
     QueryPack(StreamingQueries.queries ++ StreamingQueries.changeDetectQueries

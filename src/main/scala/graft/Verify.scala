@@ -6,16 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only run queries whose name contains it
-    // (local-iteration aid; the driver always passes two args)
-    val only = if (args.length > 2) Some(args(2)) else None
+    // optional 3rd arg: only run queries whose name contains one of the
+    // comma-separated substrings (local-iteration aid; the driver
+    // always passes two args)
+    val only = if (args.length > 2)
+      Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

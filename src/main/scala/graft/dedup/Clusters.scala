@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: connected components over a near-dup
+  * pair graph (the step after pairwise dedup that turns "A≈B, B≈C"
+  * into one keep/drop decision per GROUP — reference analog: the
+  * topic-merge union step in api/services/topic_analyzer.py:311-353,
+  * generalized to document identity for training-data curation).
+  *
+  * Algorithm: iterative min-label propagation ("hash-to-min"). Every
+  * node starts labeled with its own id; each round every node takes
+  * the min label among itself and its neighbors; fixpoint = each
+  * component labeled with its smallest member id.
+  *
+  * Scale design (100 TB):
+  *   - Each round is one join (edges × labels, shuffled on the edge
+  *     endpoint) + one map-side-combinable `min` aggregation — both
+  *     hash-partitioned on node id, no driver data path; the
+  *     convergence probe is a `limit(1).isEmpty` action, not a
+  *     collect.
+  *   - Rounds needed = graph DIAMETER. Near-dup graphs are
+  *     near-cliques (every member of a dup group pairs with most
+  *     others), so 2-3 rounds in practice — the planted-dup corpus
+  *     converges in 2. For adversarial long-chain graphs the
+  *     alternating small-star/large-star scheme (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14)
+  *     drops rounds to O(log n) at the cost of two shuffles per
+  *     round; the labels contract here is identical, so it's a
+  *     drop-in if chain-shaped similarity graphs ever appear.
+  *   - `localCheckpoint` cuts lineage each round (labels are one row
+  *     per node — tiny next to the pair graph), keeping the plan from
+  *     growing with the iteration count.
+  */
+object Clusters {
+
+  /** Labels every node (one-column frame `id`) with the smallest id
+    * reachable through `edges` (columns `a`, `b`, undirected).
+    * Returns (id, cluster_id).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 64): DataFrame = {
+    // both directions once, reused every round
+    val e = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = e.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") < col("prev"))
+        .limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate clusters over SimHash near-dup pairs: every document
+    * labeled with its component's min doc_id plus the component size.
+    * Returns (doc_id, cluster_id, cluster_size); singletons keep their
+    * own id with size 1.
+    */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val edges = Dedup.simhashPairs(df, idCol, textCol, maxDist)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val nodes = df.select(col(idCol).as("id"))
+    val labels = connectedComponents(nodes, edges)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+}

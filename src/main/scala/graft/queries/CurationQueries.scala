@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Clusters
+import graft.operators.Sampling
+import graft.text.Relevance
+
+/** Training-data curation operators beyond pairwise dedup: duplicate
+  * CLUSTER assignment (connected components), deterministic sampling,
+  * and corpus-statistics relevance (TF-IDF / BM25 salient terms).
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Duplicate clusters: connected components over the SimHash
+    // near-dup pair graph — every doc labeled with its component's min
+    // doc_id + the component size (the keep/drop unit for dedup).
+    "q_d_cc_clusters" -> ((s, dir) =>
+      Clusters.simhashClusters(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("doc_id")),
+
+    // Deterministic rate sampling: md5-prefix integer cut, no shuffle,
+    // no floats — membership is a pure function of doc_id.
+    "q_c_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", rate = 0.3)
+        .select("doc_id", "sample_key").orderBy("doc_id")),
+
+    // Deterministic stratified sample: the 20 hash-smallest docs per
+    // language (uniform-without-replacement per stratum).
+    "q_c_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", n = 20)
+        .select("doc_id", "lang", "sample_rank").orderBy("doc_id")),
+
+    // TF-IDF top-3 salient terms per document (smooth idf).
+    "q_t_tfidf_topk" -> ((s, dir) =>
+      Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // BM25 top-3 salient terms per document (k1=1.2, b=0.75).
+    "q_t_bm25_topk" -> ((s, dir) =>
+      Relevance.bm25TopK(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"))
+  )
+
+  /** Shared term/document-frequency CTEs (whitespace tokens — the
+    * exact mirror of TextAnalysis.tokens).
+    */
+  private val TermFreqCte =
+    """tk AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> x <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    // Transitive closure by recursive CTE: reach(id → node) over the
+    // undirected simhash-pair edges; cluster = min reachable id.
+    "q_d_cc_clusters" ->
+      s"""WITH RECURSIVE ${DataOpsQueries.SimhashCte},
+          pr AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          e AS (SELECT ida AS a, idb AS b FROM pr
+                UNION ALL SELECT idb, ida FROM pr),
+          r AS (
+            SELECT doc_id AS id, doc_id AS reach FROM documents
+            UNION
+            SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+          lab AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id),
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+          SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+
+    // floor(0.3 · 2³²) = 1288490188 — integer cut on both sides.
+    "q_c_hash_sample" ->
+      """SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS sample_key
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 1288490188
+         ORDER BY doc_id""",
+
+    "q_c_stratified_sample" ->
+      """WITH k AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                             doc_id ASC) AS sample_rank
+           FROM documents)
+         SELECT doc_id, lang, sample_rank FROM k
+         WHERE sample_rank <= 20 ORDER BY doc_id""",
+
+    // Float path mirrors Relevance.tfidfTopK op-for-op:
+    // tf::double * (ln((1.0 + N)/(1.0 + df)) + 1.0), round 6.
+    "q_t_tfidf_topk" ->
+      s"""WITH $TermFreqCte,
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf AS DOUBLE) *
+                     (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0) AS tfidf
+            FROM tf JOIN dfq USING (term), n),
+          r AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS rank
+            FROM sc)
+          SELECT doc_id, term, rank,
+                 ${graft.functions.Parity.sqlRound("tfidf", 6)} AS tfidf
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // k1+1 is written as the EXPRESSION (1.2 + 1.0) — the IEEE sum —
+    // on both sides, never the decimal literal 2.2 (a different
+    // double). avgdl = sum/count in explicit order.
+    "q_t_bm25_topk" ->
+      s"""WITH $TermFreqCte,
+          dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+          corpus AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM dl),
+          sc AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1.0 + (corpus.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                     (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(tf.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / corpus.avgdl))) AS bm25
+            FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), corpus),
+          r AS (
+            SELECT doc_id, term, bm25,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY bm25 DESC, term ASC) AS rank
+            FROM sc)
+          SELECT doc_id, term, rank,
+                 ${graft.functions.Parity.sqlRound("bm25", 6)} AS bm25
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+  )
+}

@@ -189,7 +189,7 @@ object DataOpsQueries {
         SELECT ida, idb, jaccard FROM p
         WHERE jaccard >= 0.5 ORDER BY ida, idb"""
 
-  private val SimhashCte =
+  private[queries] val SimhashCte =
     """fp AS (
          SELECT doc_id,
                 list_sum(list_transform(range(0, 32), b -> CASE

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{Clusters, Dedup}
+import graft.operators.Sampling
+import graft.text.Relevance
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Sf = TestSpark.Sf
+
+  private lazy val docs = Tables.load(spark, Sf, "documents")
+
+  test("connected components label chains, cliques and singletons") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — needs propagation depth),
+    // {10,11,12} (a triangle), {20} (singleton)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("simhash clusters agree with a transitive closure of the pairs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // union-find ground truth on the collected pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val got = Clusters.simhashClusters(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expLabel = got.map(_._1).map(id => id -> find(id)).toMap
+    // the min-reachable root IS the union-find root with min-merge
+    got.foreach { case (id, cid, _) => assert(cid == expLabel(id)) }
+    // sizes consistent: every cluster's size equals its member count
+    val bySize = got.groupBy(_._2).map { case (cid, rows) => cid -> rows.length }
+    got.foreach { case (_, cid, sz) => assert(sz == bySize(cid)) }
+  }
+
+  test("hash sample is a deterministic subset at roughly the rate") {
+    val n = docs.count()
+    val kept = Sampling.hashSample(docs, "doc_id", 0.3)
+    val k = kept.count()
+    assert(math.abs(k.toDouble / n - 0.3) < 0.15, s"kept $k of $n")
+    // determinism + subset of rerun at a higher rate
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    val wider = Sampling.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(wider), "rate sampling must nest by rate")
+  }
+
+  test("stratified sample takes exactly n per stratum (or the stratum)") {
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang", 20)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == perLang.keySet)
+    got.foreach { case (lang, n) => assert(n == math.min(20L, perLang(lang))) }
+  }
+
+  test("tfidf scores match the smooth-idf closed form") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common zebra"),
+      (2L, "common words only"),
+      (3L, "common words again")).toDF("doc_id", "text")
+    val scores = Relevance.tfidfTopK(corpus, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // N=3: common tf=2 df=3 → 2·(ln(4/4)+1) = 2.0;
+    //      zebra  tf=1 df=1 → 1·(ln(4/2)+1) ≈ 1.693147
+    assert(scores("common") == 2.0)
+    assert(math.abs(scores("zebra") - (math.log(2.0) + 1.0)) < 1e-6)
+  }
+
+  test("bm25 saturates tf and rewards rarity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "rare " + Seq.fill(20)("common").mkString(" ")),
+      (2L, "common stuff here"),
+      (3L, "common other text")).toDF("doc_id", "text")
+    val scores = Relevance.bm25TopK(corpus, "doc_id", "text", 5)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // 'common' appears in every doc → idf = ln(1 + 0.5/3.5), tiny;
+    // 'rare' appears once → idf = ln(1 + 2.5/0.5) ≈ 1.79. tf=20 cannot
+    // overcome the idf gap because bm25 saturates at (k1+1)·idf.
+    assert(scores("rare") > scores("common"),
+      s"rare=${scores("rare")} common=${scores("common")}")
+  }
+}
