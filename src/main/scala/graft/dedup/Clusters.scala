@@ -38,31 +38,53 @@ object Clusters {
   /** Labels every node (one-column frame `id`) with the smallest id
     * reachable through `edges` (columns `a`, `b`, undirected).
     * Returns (id, cluster_id).
+    *
+    * Frontier form: after the seeding round only nodes whose label
+    * CHANGED last round propagate (a label can only drop via a
+    * neighbor that itself dropped), so late rounds join a shrinking
+    * delta against the edge list instead of re-broadcasting every
+    * label — and the empty-delta test doubles as the convergence
+    * probe, one materialization per round instead of two heavy ones.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 64): DataFrame = {
-    // both directions once, reused every round
+    // Both directions once, PRE-PARTITIONED on the join key before the
+    // lineage cut: localCheckpoint preserves the partitioning, so every
+    // round's edge⋈frontier join shuffles only the (shrinking) frontier
+    // — the edge list, the big side at corpus scale, never moves again.
     val e = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
-    var converged = false
+    var frontier = labels
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val prop = e.join(labels.withColumnRenamed("id", "a"), "a")
-        .select(col("b").as("id"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    while (frontier != null && iter < maxIter) {
+      val prop = e.join(frontier.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("cluster_id").as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      val delta = prop.join(labels, "id")
+        .filter(col("cand") < col("cluster_id"))
+        .select(col("id"), col("cand").as("cluster_id"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") < col("prev"))
-        .limit(1).isEmpty
-      labels = next
+      if (delta.isEmpty) frontier = null
+      else {
+        // Labels stay LAZY (a join chain over the checkpointed tiny
+        // deltas) — one materialization per round, not two; the chain
+        // is reset periodically so plan depth stays bounded even on
+        // adversarial long-diameter graphs.
+        labels = labels
+          .join(delta.withColumnRenamed("cluster_id", "next"), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("next"), col("cluster_id")).as("cluster_id"))
+        if (iter % 4 == 3) labels = labels.localCheckpoint()
+        frontier = delta
+      }
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    require(frontier == null,
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 
