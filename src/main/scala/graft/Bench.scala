@@ -132,13 +132,21 @@ $fs
     val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900)
       .getOrElse {
         // last resort if the suite outgrows even 1-decimal precision:
-        // keep the slowest queries (the ones perf review needs) and
-        // flag the cut — BENCH_FULL.json always has everything
-        val keep = times.toSeq.sortBy(-_._2).take(50).map(_._1).toSet
-        val qs = times.toSeq.filter(t => keep(t._1)).sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
-          .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,"queries_truncated":true,"sf":"$sfLabel"}"""
+        // drop the FASTEST queries one at a time (perf review needs the
+        // slow ones) until the line fits, and record how many seconds
+        // the omitted set carries so the total still reconciles —
+        // BENCH_FULL.json always has everything
+        val bySlow = times.toSeq.sortBy(-_._2)
+        def lineFor(keepN: Int): String = {
+          val keep = bySlow.take(keepN).map(_._1).toSet
+          val omitted = bySlow.drop(keepN)
+          val qs = times.toSeq.filter(t => keep(t._1)).sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+            .mkString("{", ",", "}")
+          s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_sum":${f"${omitted.map(_._2).sum}%.1f"},"sf":"$sfLabel"}"""
+        }
+        (times.size to 1 by -1).view.map(lineFor).find(_.length <= 1900)
+          .getOrElse(lineFor(1))
       }
     println(line)
   }

@@ -181,6 +181,41 @@ object ScaleRehearsal {
               |deterministic corpus sample, not planted seeds.
               |""".stripMargin
 
+    // ---- 5. Connected-components convergence ----------------------
+    // Frontier min-label propagation over the simhash near-dup graph:
+    // the scale claims are (a) rounds stay at graph diameter — small
+    // for near-clique dup groups even at 20× — and (b) the frontier
+    // SHRINKS monotonically, so late rounds join a vanishing delta.
+    val edges = graft.dedup.Dedup
+      .simhashPairs(docsBig, "doc_id", "text", maxDist = 3)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val nEdges = edges.count()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val labels = graft.dedup.Clusters.connectedComponents(
+      docsBig.select(col("doc_id").as("id")), edges,
+      onDelta = (i, d) => rounds += ((i, d.count())))
+    val comp = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (nc, cp50, cp99, cmax) = hist(comp, "n")
+    val frontierTrace = rounds.map { case (i, n) => s"r$i=$n" }.mkString(", ")
+    sb ++= s"""
+              |## Connected components over simhash pairs
+              |
+              || metric | value |
+              ||---|---|
+              || edges | $nEdges |
+              || rounds to converge | ${rounds.size} (last delta empty) |
+              || frontier sizes | $frontierTrace |
+              || components | $nc |
+              || component size p50 / p99 / max | $cp50 / $cp99 / $cmax |
+              |
+              |Growth rule: rounds = dup-graph diameter (≈2 for clique-shaped
+              |dup groups, independent of N); per-round cost is one
+              |frontier⋈edges join where the edge side is pre-partitioned on
+              |the join key and never re-shuffles, so total work is
+              |O(rounds · |frontier|) on top of the one-time edge shuffle.
+              |""".stripMargin
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)

@@ -47,7 +47,10 @@ object Clusters {
     * probe, one materialization per round instead of two heavy ones.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64,
+      // observation hook (scale rehearsal): called with each round's
+      // materialized delta — no-op by default, zero extra actions
+      onDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // Both directions once, PRE-PARTITIONED on the join key before the
     // lineage cut: localCheckpoint preserves the partitioning, so every
     // round's edge⋈frontier join shuffles only the (shrinking) frontier
@@ -68,6 +71,7 @@ object Clusters {
         .filter(col("cand") < col("cluster_id"))
         .select(col("id"), col("cand").as("cluster_id"))
         .localCheckpoint()
+      onDelta(iter, delta)
       if (delta.isEmpty) frontier = null
       else {
         // Labels stay LAZY (a join chain over the checkpointed tiny

@@ -26,6 +26,32 @@ class CurationSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connected components on a random graph + a long path match union-find") {
+    import spark.implicits._
+    // random sparse graph (fixed seed) UNION a 16-node path — the path
+    // needs 15 propagation rounds, driving the lazy-label chain through
+    // multiple plan resets (labels checkpoint every 4 rounds)
+    val rnd = new scala.util.Random(11)
+    val randomEdges = Seq.fill(120)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val pathEdges = (300L until 315L).map(i => (i, i + 1))
+    val edges = randomEdges ++ pathEdges
+    val nodeIds = (0L until 200L) ++ (300L to 315L)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val got = Clusters.connectedComponents(
+      nodeIds.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nodeIds.foreach { id => assert(got(id) == find(id), s"node $id") }
+  }
+
   test("simhash clusters agree with a transitive closure of the pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("ida", "idb").collect()
