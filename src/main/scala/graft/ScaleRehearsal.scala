@@ -182,38 +182,59 @@ object ScaleRehearsal {
               |""".stripMargin
 
     // ---- 5. Connected-components convergence ----------------------
-    // Frontier min-label propagation over the simhash near-dup graph:
-    // the scale claims are (a) rounds stay at graph diameter — small
-    // for near-clique dup groups even at 20× — and (b) the frontier
+    // Frontier min-label propagation over the simhash near-dup graph,
+    // with identical fingerprints COLLAPSED to star edges before the
+    // quadratic pair stage (the naive full-pair materialization OOM'd
+    // this very rehearsal on a ${rep}×339-doc identical-fp clique).
+    // Scale claims: (a) pair volume follows DISTINCT fingerprints, not
+    // dup depth; (b) rounds stay at graph diameter; (c) the frontier
     // SHRINKS monotonically, so late rounds join a vanishing delta.
-    val edges = graft.dedup.Dedup
-      .simhashPairs(docsBig, "doc_id", "text", maxDist = 3)
-      .select(col("ida").as("a"), col("idb").as("b"))
-    val nEdges = edges.count()
+    val fpBig = graft.dedup.Dedup.withSimhash(docsBig, "doc_id", "text")
+      .localCheckpoint()
+    val repsBig = fpBig.groupBy("simhash").agg(min("doc_id").as("rep"))
+      .localCheckpoint()
+    val nFp = repsBig.count()
+    val maxClique = fpBig.groupBy("simhash").agg(count(lit(1)).as("n"))
+      .agg(max("n")).first().getLong(0)
+    val starEdges = fpBig.join(repsBig, "simhash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val repPairs = graft.dedup.Dedup.simhashPairsOf(
+        repsBig.select(col("rep").as("doc_id"), col("simhash")), 3)
+      .select(col("ida").as("a"), col("idb").as("b")).localCheckpoint()
+    val nStar = starEdges.count()
+    val nPairs = repPairs.count()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val labels = graft.dedup.Clusters.connectedComponents(
-      docsBig.select(col("doc_id").as("id")), edges,
+      docsBig.select(col("doc_id").as("id")), starEdges.union(repPairs),
       onDelta = (i, d) => rounds += ((i, d.count())))
     val comp = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val (nc, cp50, cp99, cmax) = hist(comp, "n")
     val frontierTrace = rounds.map { case (i, n) => s"r$i=$n" }.mkString(", ")
     sb ++= s"""
-              |## Connected components over simhash pairs
+              |## Connected components over simhash near-dups (collapse-first)
               |
               || metric | value |
               ||---|---|
-              || edges | $nEdges |
+              || docs / distinct fingerprints | $nDocs / $nFp |
+              || largest identical-fp clique | $maxClique |
+              || star edges (linear) / rep pairs (banded) | $nStar / $nPairs |
               || rounds to converge | ${rounds.size} (last delta empty) |
               || frontier sizes | $frontierTrace |
               || components | $nc |
               || component size p50 / p99 / max | $cp50 / $cp99 / $cmax |
               |
-              |Growth rule: rounds = dup-graph diameter (≈2 for clique-shaped
-              |dup groups, independent of N); per-round cost is one
-              |frontier⋈edges join where the edge side is pre-partitioned on
-              |the join key and never re-shuffles, so total work is
-              |O(rounds · |frontier|) on top of the one-time edge shuffle.
+              |The naive pairwise form emits Σ clique² pairs — ${rep}× dup
+              |depth squares it — and OOM'd here; collapse-first emits one
+              |star edge per duplicate (linear in N) and runs the banded
+              |pair join on the $nFp distinct fingerprints only.
+              |Growth rule: rounds = dup-graph diameter (≈2-3 for
+              |clique-shaped dup groups, independent of N); per-round cost
+              |is one frontier⋈edges join where the edge side is
+              |pre-partitioned on the join key and never re-shuffles, so
+              |total work is O(rounds · |frontier|) on top of the one-time
+              |edge shuffle.
               |""".stripMargin
 
     Files.write(Paths.get("SCALE_REHEARSAL.md"),

@@ -96,13 +96,30 @@ object Clusters {
     * labeled with its component's min doc_id plus the component size.
     * Returns (doc_id, cluster_id, cluster_size); singletons keep their
     * own id with size 1.
+    *
+    * Identical fingerprints are collapsed BEFORE pairwise banding:
+    * docs sharing a simhash connect to their min-id representative by
+    * STAR edges (linear), and the quadratic banded pair join runs only
+    * between DISTINCT fingerprints. Connectivity is unchanged
+    * (hamming(x,x)=0 ⇒ same component), but exact-dup blowup — 339
+    * docs share one fingerprint on the sf0.1 corpus; the 20× scale
+    * rehearsal OOM'd the naive pair materialization on a 6780-doc
+    * clique — can no longer touch the pair stage. Pair volume scales
+    * with distinct near-identical fingerprints, not corpus dup depth.
     */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val edges = Dedup.simhashPairs(df, idCol, textCol, maxDist)
+    val fp = Dedup.withSimhash(df, idCol, textCol).localCheckpoint()
+    val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
+      .localCheckpoint()
+    val starEdges = fp.join(reps, "simhash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val repPairs = Dedup.simhashPairsOf(
+        reps.select(col("rep").as("doc_id"), col("simhash")), maxDist)
       .select(col("ida").as("a"), col("idb").as("b"))
     val nodes = df.select(col(idCol).as("id"))
-    val labels = connectedComponents(nodes, edges)
+    val labels = connectedComponents(nodes, starEdges.union(repPairs))
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

@@ -225,11 +225,22 @@ object Dedup {
     * revisit if the data changes.)
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    simhashPairsOf(withSimhash(df, idCol, textCol), maxDist)
+
+  /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame.
+    * NOTE the pair-list CONTRACT is inherently quadratic in
+    * identical-fingerprint clique size (339 docs share one fingerprint
+    * on the sf0.1 corpus alone); callers that only need CONNECTIVITY
+    * (duplicate clustering) must collapse identical fingerprints first
+    * and call this on the distinct-fingerprint frame — see
+    * [[Clusters.simhashClusters]].
+    */
+  def simhashPairsOf(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "byte banding guarantees only d <= 3")
     // materialize: the banded self-join would otherwise recompute the
     // simhash aggregation for BOTH sides (measured ~10x the join cost)
-    val fp = withSimhash(df, idCol, textCol).localCheckpoint()
+    val fp = fingerprints.localCheckpoint()
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)
