@@ -229,12 +229,15 @@ object ScaleRehearsal {
               |depth squares it — and OOM'd here; collapse-first emits one
               |star edge per duplicate (linear in N) and runs the banded
               |pair join on the $nFp distinct fingerprints only.
-              |Growth rule: rounds = dup-graph diameter (≈2-3 for
-              |clique-shaped dup groups, independent of N); per-round cost
-              |is one frontier⋈edges join where the edge side is
-              |pre-partitioned on the join key and never re-shuffles, so
-              |total work is O(rounds · |frontier|) on top of the one-time
-              |edge shuffle.
+              |Growth rule: rounds = dup-graph DIAMETER. Isolated dup
+              |groups are near-cliques (2-3 rounds); this synthetic corpus
+              |is the adversarial case — salting chains replica cliques
+              |into one giant component — and still converges with a
+              |geometrically collapsing frontier, so the late rounds join
+              |a vanishing delta against the never-re-shuffled edge list.
+              |If diameters ever grow past tens, the small-star/large-star
+              |scheme (O(log n) rounds, same labels contract) is the
+              |drop-in replacement.
               |""".stripMargin
 
     Files.write(Paths.get("SCALE_REHEARSAL.md"),

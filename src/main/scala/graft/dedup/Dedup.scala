@@ -229,40 +229,67 @@ object Dedup {
     simhashPairsOf(withSimhash(df, idCol, textCol), maxDist)
 
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame.
-    * NOTE the pair-list CONTRACT is inherently quadratic in
-    * identical-fingerprint clique size (339 docs share one fingerprint
-    * on the sf0.1 corpus alone); callers that only need CONNECTIVITY
-    * (duplicate clustering) must collapse identical fingerprints first
-    * and call this on the distinct-fingerprint frame — see
-    * [[Clusters.simhashClusters]].
+    *
+    * Collapse-first: the banded candidate join runs on DISTINCT
+    * fingerprints only, and the full pair list is reconstituted by
+    * expanding each rep-level pair across its two identical-fp cliques
+    * (hamming between members == hamming between reps) plus the
+    * within-clique pairs at hamming 0. Output is byte-identical to the
+    * direct pairwise form, but candidate GENERATION no longer scales
+    * with dup depth — 339 docs share one fingerprint on the sf0.1
+    * corpus, which inflated every matching band bucket by 339 and each
+    * bucket join by 339². The pair-list OUTPUT stays quadratic in true
+    * dup-clique size by contract; callers that only need CONNECTIVITY
+    * use star edges instead — see [[Clusters.simhashClusters]].
+    * (On a distinct-fingerprint input the collapse is a no-op: every
+    * clique has size 1 and the within set is empty.)
     */
   def simhashPairsOf(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "byte banding guarantees only d <= 3")
     // materialize: the banded self-join would otherwise recompute the
     // simhash aggregation for BOTH sides (measured ~10x the join cost)
-    val fp = fingerprints.localCheckpoint()
+    val members = fingerprints
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("simhash")))
+      .localCheckpoint()
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded = reps.select(col("doc_id"), col("simhash"),
         explode(bandStructs).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
     val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("ida"), col("simhash").as("fpa"))
+      col("doc_id").as("ra"), col("simhash").as("fpa"))
     val b = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("idb"), col("simhash").as("fpb"))
+      col("doc_id").as("rb"), col("simhash").as("fpb"))
     val firstBandOnly = (0 until 4).map { j =>
       when(col("band_id") > j,
         shiftright(col("fpa"), j * 8).bitwiseAND(lit(255L)) =!=
           shiftright(col("fpb"), j * 8).bitwiseAND(lit(255L)))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    a.join(b, Seq("band_id", "band_val"))
-      .filter(col("ida") < col("idb") && firstBandOnly)
+    val repPairs = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("ra") < col("rb") && firstBandOnly)
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
       .filter(col("hamming") <= maxDist)
-      .select("ida", "idb", "hamming")
+      .select("ra", "rb", "hamming")
+    // cross-clique expansion: every member pair inherits its reps'
+    // hamming; least/greatest restores the ida<idb orientation (member
+    // ids of different cliques interleave arbitrarily)
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("ida"),
+        greatest(col("da"), col("db")).as("idb"), col("hamming"))
+    // within-clique pairs: identical fingerprints, hamming 0
+    val within = members.select(col("simhash"), col("doc_id").as("ida"))
+      .join(members.select(col("simhash"), col("doc_id").as("idb")), "simhash")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        lit(0).cast("integer").as("hamming"))
+    cross.union(within)
   }
 
   /** Streaming-style first-seen-wins dedup for batch frames: keep the
