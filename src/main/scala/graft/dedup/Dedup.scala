@@ -102,21 +102,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
 
+  /** (doc_id, __text, rep) with rep = min doc_id among byte-identical
+    * texts: the exact-dup collapse shared by the near-dup pair
+    * operators, so candidate generation runs on DISTINCT texts and can
+    * never scale with duplicate depth (identical texts have identical
+    * shingle sets, hence identical signatures, band keys, and pairwise
+    * jaccard — the expansion is exact, not approximate).
+    */
+  private def exactCollapse(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("rep",
+        min("doc_id").over(Window.partitionBy(md5(col("__text")))))
+      .localCheckpoint()
+
+  /** Expand rep-level (ida, idb, jaccard) pairs back to the full pair
+    * list: cross-clique members inherit their reps' jaccard;
+    * within-clique pairs are exact duplicates (jaccard 1.0), emitted
+    * only for cliques whose rep was ELIGIBLE (non-empty shingle set) —
+    * matching the direct pairwise form, which drops shingle-less docs
+    * before candidate generation.
+    */
+  private def expandExactCliques(repPairs: DataFrame, keyed: DataFrame,
+      eligibleReps: DataFrame, threshold: Double): DataFrame = {
+    val members = keyed.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ida"), col("doc_id").as("da")), "ida")
+      .join(members.select(col("rep").as("idb"), col("doc_id").as("db")), "idb")
+      .select(least(col("da"), col("db")).as("ida"),
+        greatest(col("da"), col("db")).as("idb"), col("jaccard"))
+    if (threshold > 1.0) cross
+    else {
+      val m = members.join(
+        eligibleReps.select(col("doc_id").as("rep")), "rep")
+      val within = m.select(col("rep"), col("doc_id").as("ida"))
+        .join(m.select(col("rep"), col("doc_id").as("idb")), "rep")
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), lit(1.0).as("jaccard"))
+      cross.union(within)
+    }
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Pipeline: shingles → base hash → k-signature → bands → explode →
-    * ONE shuffle on (band_id, band_key) → distinct candidate ID pairs
-    * inside buckets → re-join shingle sets for candidates only →
-    * verify. Candidate generation is linear in corpus size; only
-    * bucket collisions pay the pair cost — the shape that survives
-    * 1000× scale, unlike any all-pairs formulation.
+    * Pipeline: exact-dup collapse → shingles → base hash → k-signature
+    * → bands → explode → ONE shuffle on (band_id, band_key) → distinct
+    * candidate ID pairs inside buckets → re-join shingle sets for
+    * candidates only → verify → clique expansion. Candidate generation
+    * is linear in DISTINCT corpus size (byte-identical duplicates
+    * collapse before signing, so dup depth can't inflate any band
+    * bucket); only bucket collisions pay the pair cost — the shape
+    * that survives 1000× scale, unlike any all-pairs formulation.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 16, rowsPerBand: Int = 4,
       shingleN: Int = 3, maxBandBucket: Int = 4096): DataFrame = {
+    val keyed = exactCollapse(df, idCol, textCol)
+    val reps = keyed.filter(col("doc_id") === col("rep"))
     // materialized: `sh` feeds the signature path AND both candidate
     // re-joins — without a lineage cut each consumer re-shingles
-    val sh = withShingles(df, idCol, textCol, shingleN)
+    val sh = withShingles(reps, "doc_id", "__text", shingleN)
       .filter(size(col("sh")) > 0).localCheckpoint()
     val sig = minhashSignatures(sh, numHashes)
     val bands = sig.select(col("doc_id"),
@@ -142,7 +187,7 @@ object Dedup {
     val pairs = cand
       .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
       .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
-    verifyJaccard(pairs, threshold)
+    expandExactCliques(verifyJaccard(pairs, threshold), keyed, sh, threshold)
   }
 
   /** EXACT n-gram Jaccard pairs above a threshold, via the inverted
@@ -172,7 +217,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = 256): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, shingleN)
+    val keyed = exactCollapse(df, idCol, textCol)
+    val reps = keyed.filter(col("doc_id") === col("rep"))
+    val sh = withShingles(reps, "doc_id", "__text", shingleN)
       .filter(size(col("sh")) > 0).localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -183,13 +230,14 @@ object Dedup {
       .join(e.select(col("doc_id").as("idb"), col("s")), "s")
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sa")), "ida")
       .join(sizes.select(col("doc_id").as("idb"), col("sz").as("sb")), "idb")
       .withColumn("jaccard", Parity.roundHalfUp(
         jaccardFromInter(col("inter"), col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
+    expandExactCliques(repPairs, keyed, sh, threshold)
   }
 
   /** 32-bit SimHash fingerprints per row (adds `simhash` LongType).
