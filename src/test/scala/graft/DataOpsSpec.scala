@@ -165,4 +165,49 @@ class DataOpsSpec extends AnyFunSuite {
     val d = Dedup.firstSeen(e, Seq("user_id"), "ts_ns")
     assert(d.count() == e.select("user_id").distinct().count())
   }
+
+  test("exact-dup cliques expand to the full pair list with exact jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    val uniq = (0 until 8).map(i => (i.toLong, words(30)))
+    // planted exact-dup cliques: {0,100,101} and {1,200,201,202}
+    val dups = Seq((100L, uniq(0)._2), (101L, uniq(0)._2),
+      (200L, uniq(1)._2), (201L, uniq(1)._2), (202L, uniq(1)._2))
+    val all = uniq ++ dups
+    val corpus = all.toDF("doc_id", "text")
+    // plain-Scala ground truth over every pair (matches the operator
+    // contract: distinct 3-shingles, empty under 3 tokens, round-6)
+    def sh(t: String) = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / (sa ++ sb).size
+      jr = math.floor(j * 1e6 + 0.5) / 1e6 if jr >= 0.5
+    } yield (ia, ib, jr)).toSet
+    assert(expected.count(_._3 == 1.0) == 3 + 6, "planted clique pairs")
+    val ngram = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ngram == expected)
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5,
+      numHashes = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == expected)
+    // simhash: dup copies share fingerprints — every clique pair at
+    // hamming 0, exactly once
+    val sp = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sp.length == sp.map(p => (p._1, p._2)).distinct.length)
+    val cliquePairs = for {
+      c <- Seq(Seq(0L, 100L, 101L), Seq(1L, 200L, 201L, 202L))
+      a <- c; b <- c if a < b
+    } yield (a, b)
+    cliquePairs.foreach { case (a, b) =>
+      assert(sp.contains((a, b, 0)), s"missing clique pair ($a,$b)")
+    }
+  }
 }
