@@ -49,4 +49,46 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Mixture sampling: per-stratum keep rates (training-mix weighting —
+    * e.g. upsample low-resource languages, downsample boilerplate
+    * sources). Same map-side integer cut as [[hashSample]], the cut
+    * point looked up per row from a literal map — still ZERO shuffles
+    * and fully deterministic. Strata absent from `rates` fall back to
+    * `defaultRate`.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def cut(rate: Double): Long = math.floor(rate * 4294967296.0).toLong
+    val cutCol = rates.foldLeft(lit(cut(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(cut(rate))).otherwise(acc)
+    }
+    df.withColumn("sample_key", sampleKey32(col(idCol)))
+      .filter(col("sample_key") < cutCol)
+  }
+
+  /** Greedy sequential token packing per stratum (sequence packing for
+    * training batches): rows ordered by hash key within their stratum,
+    * each assigned to pack floor(running_token_total_before_it /
+    * budget) — the deterministic first-fit fill. A pack may overrun
+    * the budget by at most one document (the straddler stays in the
+    * pack it started in), which is the standard greedy contract.
+    *
+    * Scale: ONE shuffle on the stratum key; the running sum is a
+    * per-stratum window, never a global one (a global cumsum would
+    * serialize the corpus through one task). Strata are the
+    * parallelism unit — at 100 TB pack within (stratum, shard) where
+    * shard = sampleKey32 mod k for any k that bounds per-task volume.
+    */
+  def packByTokens(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleKey32(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      // integer division — the double-division-then-cast form can
+      // misbucket at exact budget boundaries (oracle-parity rule)
+      .withColumn("pack_id", expr(s"(__cum - $tokensCol) div $budget"))
+      .drop("__cum")
+  }
 }

@@ -38,6 +38,22 @@ object CurationQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", n = 20)
         .select("doc_id", "lang", "sample_rank").orderBy("doc_id")),
 
+    // Mixture sampling: per-language keep rates (training-mix
+    // weighting), same zero-shuffle integer cut as the rate sample.
+    "q_c_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(docs(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .select("doc_id", "lang", "sample_key").orderBy("doc_id")),
+
+    // Greedy sequential token packing per language stratum: rows in
+    // hash order, pack = floor(tokens-before / 2048).
+    "q_c_token_packing" -> ((s, dir) =>
+      Sampling.packByTokens(
+        docs(s, dir).withColumn("n_tokens",
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")),
+        "doc_id", "lang", "n_tokens", budget = 2048L)
+        .select("doc_id", "lang", "n_tokens", "pack_id").orderBy("doc_id")),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -99,6 +115,33 @@ object CurationQueries {
            FROM documents)
          SELECT doc_id, lang, sample_rank FROM k
          WHERE sample_rank <= 20 ORDER BY doc_id""",
+
+    // Per-stratum cuts: en 0.5 → 2147483648, zh 0.1 → 429496729,
+    // default 0.25 → 1073741824 (floor(rate·2³²), integers both sides).
+    "q_c_mixture_sample" ->
+      """SELECT doc_id, lang,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS sample_key
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+               CASE lang WHEN 'en' THEN 2147483648
+                         WHEN 'zh' THEN 429496729
+                         ELSE 1073741824 END
+         ORDER BY doc_id""",
+
+    "q_c_token_packing" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                             doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+         FROM c ORDER BY doc_id""",
 
     // Float path mirrors Relevance.tfidfTopK op-for-op:
     // tf::double * (ln((1.0 + N)/(1.0 + df)) + 1.0), round 6.

@@ -102,6 +102,50 @@ class CurationSpec extends AnyFunSuite {
     got.foreach { case (lang, n) => assert(n == math.min(20L, perLang(lang))) }
   }
 
+  test("mixture sample applies per-stratum rates") {
+    val kept = Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+    val keptByLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(l: String) = keptByLang.getOrElse(l, 0L).toDouble / totalByLang(l)
+    assert(math.abs(frac("en") - 0.5) < 0.2, s"en=${frac("en")}")
+    assert(frac("zh") < 0.25, s"zh=${frac("zh")}")
+    // the en selection at rate 0.5 must nest the uniform 0.3 sample
+    val uniform = Sampling.hashSample(docs, "doc_id", 0.3)
+      .filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixEn = kept.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uniform.subsetOf(mixEn))
+  }
+
+  test("token packing: greedy fill respects the budget contract") {
+    val budget = 2048L
+    val packed = Sampling.packByTokens(
+      docs.withColumn("n_tokens",
+        graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")),
+      "doc_id", "lang", "n_tokens", budget)
+      .select("lang", "pack_id", "n_tokens", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPack = packed.groupBy(p => (p._1, p._2))
+    byPack.foreach { case ((lang, pid), rows) =>
+      val total = rows.map(_._3).sum
+      // a pack only exceeds the budget by its final straddling doc
+      assert(total - rows.map(_._3).max < budget,
+        s"pack ($lang,$pid) pre-straddle total ${total - rows.map(_._3).max}")
+    }
+    // pack ids are contiguous from 0 within each stratum (holds
+    // whenever no single doc exceeds the budget — verified first;
+    // an over-budget doc legitimately skips pack ids)
+    assert(packed.map(_._3).max < budget)
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val ids = rows.map(_._2).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length.toLong), s"$lang ids $ids")
+    }
+  }
+
   test("tfidf scores match the smooth-idf closed form") {
     import spark.implicits._
     val corpus = Seq(
