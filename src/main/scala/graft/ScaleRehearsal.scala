@@ -196,18 +196,18 @@ object ScaleRehearsal {
     val nFp = repsBig.count()
     val maxClique = fpBig.groupBy("simhash").agg(count(lit(1)).as("n"))
       .agg(max("n")).first().getLong(0)
-    val starEdges = fpBig.join(repsBig, "simhash")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a"), col("doc_id").as("b"))
     val repPairs = graft.dedup.Dedup.simhashPairsOf(
         repsBig.select(col("rep").as("doc_id"), col("simhash")), 3)
       .select(col("ida").as("a"), col("idb").as("b")).localCheckpoint()
-    val nStar = starEdges.count()
+    val nStar = nDocs - nFp // members attached by one join, not iterated
     val nPairs = repPairs.count()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    val labels = graft.dedup.Clusters.connectedComponents(
-      docsBig.select(col("doc_id").as("id")), starEdges.union(repPairs),
+    val repLabels = graft.dedup.Clusters.connectedComponents(
+      repsBig.select(col("rep").as("id")), repPairs,
       onDelta = (i, d) => rounds += ((i, d.count())))
+    val labels = fpBig.join(repsBig, "simhash")
+      .join(repLabels.withColumnRenamed("id", "rep"), "rep")
+      .select(col("doc_id"), col("cluster_id"))
     val comp = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val (nc, cp50, cp99, cmax) = hist(comp, "n")
@@ -219,7 +219,7 @@ object ScaleRehearsal {
               ||---|---|
               || docs / distinct fingerprints | $nDocs / $nFp |
               || largest identical-fp clique | $maxClique |
-              || star edges (linear) / rep pairs (banded) | $nStar / $nPairs |
+              || members attached by join (non-iterated) / rep pairs (banded) | $nStar / $nPairs |
               || rounds to converge | ${rounds.size} (last delta empty) |
               || frontier sizes | $frontierTrace |
               || components | $nc |

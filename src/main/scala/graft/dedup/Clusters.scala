@@ -112,17 +112,21 @@ object Clusters {
     val fp = Dedup.withSimhash(df, idCol, textCol).localCheckpoint()
     val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
       .localCheckpoint()
-    val starEdges = fp.join(reps, "simhash")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a"), col("doc_id").as("b"))
+    // CC iterates over the DISTINCT-fingerprint graph only; members
+    // inherit their rep's component afterwards with one join. The
+    // output contract is unchanged: rep = min doc_id of its clique, so
+    // the component's min rep id IS the component's min doc_id.
     val repPairs = Dedup.simhashPairsOf(
         reps.select(col("rep").as("doc_id"), col("simhash")), maxDist)
       .select(col("ida").as("a"), col("idb").as("b"))
-    val nodes = df.select(col(idCol).as("id"))
-    val labels = connectedComponents(nodes, starEdges.union(repPairs))
+    val repLabels = connectedComponents(
+      reps.select(col("rep").as("id")), repPairs)
+    val labels = fp.join(reps, "simhash")
+      .join(repLabels.withColumnRenamed("id", "rep"), "rep")
+      .select(col("doc_id"), col("cluster_id"))
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 }
