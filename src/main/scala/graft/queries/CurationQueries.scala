@@ -79,21 +79,28 @@ object CurationQueries {
 
   def oracleSql: Map[String, String] = Map(
 
-    // Transitive closure by recursive CTE: reach(id → node) over the
-    // undirected simhash-pair edges; cluster = min reachable id.
+    // Transitive closure by recursive CTE, mirroring the operator's
+    // collapse: closure runs over DISTINCT-fingerprint reps (the full
+    // pair graph's closure is quadratic in identical-fp clique size and
+    // does not finish at sf0.1), members inherit their rep's component;
+    // cluster = min reachable rep = min doc_id of the component.
     "q_d_cc_clusters" ->
       s"""WITH RECURSIVE ${DataOpsQueries.SimhashCte},
+          rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
           pr AS (
-            SELECT a.doc_id AS ida, b.doc_id AS idb
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            SELECT a.rep AS ida, b.rep AS idb
+            FROM rp a JOIN rp b ON a.rep < b.rep
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
           e AS (SELECT ida AS a, idb AS b FROM pr
                 UNION ALL SELECT idb, ida FROM pr),
           r AS (
-            SELECT doc_id AS id, doc_id AS reach FROM documents
+            SELECT rep AS id, rep AS reach FROM rp
             UNION
             SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
-          lab AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id),
+          replab AS (SELECT id AS rep, min(reach) AS cluster_id FROM r GROUP BY id),
+          lab AS (
+            SELECT fp.doc_id, replab.cluster_id
+            FROM fp JOIN rp USING (simhash) JOIN replab USING (rep)),
           sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
           SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
           FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
