@@ -266,11 +266,83 @@ case class LexiconSentiment(child: Expression, pos: Seq[String],
     copy(child = newChild)
 }
 
+/** F16 entity normalization as one kernel (reference
+  * api/services/topic_analyzer.py:17-69): first-k whitespace tokens →
+  * synonym map → stop-term removal → order-preserving dedup → joined
+  * string. The column composition (slice → transform(element_at) →
+  * filter → positional-dedup filter) nests four HOF lambdas, each
+  * re-evaluating its child chain PER ELEMENT interpreted — the same
+  * multiplicative trap as keyword priority (spark4 perf notes).
+  */
+object EntityNormOps {
+  def normalize(text: UTF8String, syn: java.util.Map[String, String],
+      stops: java.util.Set[String], k: Int): UTF8String = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    var taken = 0
+    while (i < toks.length && taken < k) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        taken += 1
+        val mapped = syn.getOrDefault(t, t)
+        if (!stops.contains(mapped)) seen.add(mapped)
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    val it = seen.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(',')
+      sb.append(it.next())
+      first = false
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class EntityNorm(child: Expression, synonyms: Seq[(String, String)],
+    stopTerms: Seq[String], k: Int) extends UnaryExpression {
+
+  private lazy val synMap: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String](synonyms.size * 2)
+    synonyms.foreach { case (a, b) => m.put(a, b) }
+    m
+  }
+  private lazy val stopSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String](stopTerms.size * 2)
+    stopTerms.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "entity_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    EntityNormOps.normalize(input.asInstanceOf[UTF8String], synMap, stopSet, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("synMap", synMap, "java.util.Map<String, String>")
+    val s = ctx.addReferenceObj("stopSet", stopSet, "java.util.Set<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.EntityNormOps$$.MODULE$$.normalize($c, $m, $s, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EntityNorm =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   def wordShingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+
+  def entityNorm(c: Column, synonyms: Seq[(String, String)],
+      stopTerms: Seq[String], k: Int): Column =
+    column(EntityNorm(expression(c), synonyms, stopTerms, k))
 
   def keywordPriority(c: Column, topK: Int): Column =
     column(KeywordPriority(expression(c), topK))

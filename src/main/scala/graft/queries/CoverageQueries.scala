@@ -25,10 +25,6 @@ object CoverageQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Order-preserving dedup: Spark side. */
-  private def dedupOrdered(arr: org.apache.spark.sql.Column) =
-    filter(arr, (x, i) => array_position(arr, x) === (i + 1).cast("long"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // J6/F18/R5: card assembly from event base + enrichment lookups.
@@ -250,17 +246,16 @@ object CoverageQueries {
     // F16: entity normalization — synonym map, stop-term removal,
     // order-preserving dedup (reference api/services/topic_analyzer
     // .py:17-69).
-    "q_f16_entity_norm" -> ((s, dir) => {
-      val syn = map(
-        lit("spark"), lit("apache"), lit("join"), lit("merge"),
-        lit("dup"), lit("duplicate"))
-      val ents = slice(TextAnalysis.tokens(col("text")), 1, 8)
-      val mapped = transform(ents, t => coalesce(element_at(syn, t), t))
-      val stopped = filter(mapped, t => !t.isInCollection(Seq("the", "a")))
+    // One codegen'd kernel: the HOF composition (slice → transform →
+    // filter → positional dedup) nests four interpreted lambdas that
+    // re-evaluate their child chain per element (measured 1.6 s for
+    // 5 000 rows at sf0.1; kernel ≈0.3 s).
+    "q_f16_entity_norm" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-          array_join(dedupOrdered(stopped), ",").as("entities"))
-        .orderBy("doc_id")
-    }),
+          graft.expressions.ShingleFunctions.entityNorm(col("text"),
+            Seq("spark" -> "apache", "join" -> "merge", "dup" -> "duplicate"),
+            Seq("the", "a"), k = 8).as("entities"))
+        .orderBy("doc_id")),
 
     // F21: serialization contracts — DECIMAL 3dp HALF_UP via exact
     // decimal arithmetic, UTC ISO-8601 Z timestamps (reference

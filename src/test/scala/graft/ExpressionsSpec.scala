@@ -54,6 +54,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(keys(0) != keys(1), "CA identity must differ from symbol|chain identity")
   }
 
+  test("entity norm kernel: first-k, synonyms, stops, ordered dedup") {
+    val got = Seq(
+      "The Spark JOIN dup spark rest beyond the window limit",
+      "", "a the a")
+      .toDF("s")
+      .select(graft.expressions.ShingleFunctions.entityNorm(col("s"),
+        Seq("spark" -> "apache", "join" -> "merge", "dup" -> "duplicate"),
+        Seq("the", "a"), k = 8).as("e"))
+      .collect().map(_.getString(0))
+    // first 8 tokens: the spark join dup spark rest beyond the →
+    // mapped: the apache merge duplicate apache rest beyond the →
+    // stops out, ordered dedup: apache merge duplicate rest beyond
+    assert(got(0) == "apache,merge,duplicate,rest,beyond")
+    assert(got(1) == "")
+    assert(got(2) == "")
+  }
+
   test("nfc normalize composes decomposed unicode") {
     val decomposed = "éclair" // e + combining acute
     val df = Seq(decomposed).toDF("s")
