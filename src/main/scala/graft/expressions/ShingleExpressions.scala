@@ -302,6 +302,71 @@ object EntityNormOps {
   }
 }
 
+/** Heuristic document quality score in one pass (Gopher/C4-style
+  * length / repetition / stopword-density gates):
+  * 0.3·min(n/100,1) + 0.3·uniq_ratio + 0.2·min(5·stop_ratio,1)
+  * + 0.2·min(avg_len/8,1), roundHalfUp 4. The column form nested
+  * `aggregate(transform(tokens))` + `array_distinct` + a stopword
+  * filter, re-tokenizing per element interpreted. Float-op order
+  * mirrors the original Column chain exactly (left-assoc sums, same
+  * divisions), so results are bit-identical; token length counts CODE
+  * POINTS (Spark `length` / DuckDB `length` semantics, not UTF-16
+  * units).
+  */
+object QualityOps {
+  def score(text: UTF8String, stops: java.util.Set[String]): Double = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val uniq = new java.util.HashSet[String]()
+    var n = 0
+    var stopHits = 0
+    var totalLen = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        uniq.add(t)
+        if (stops.contains(t)) stopHits += 1
+        totalLen += t.codePointCount(0, t.length)
+      }
+      i += 1
+    }
+    val nd = n.toDouble
+    val score =
+      0.3 * math.min(nd / 100.0, 1.0) +
+      0.3 * (if (n > 0) uniq.size.toDouble / nd else 0.0) +
+      0.2 * math.min((if (n > 0) stopHits.toDouble / nd else 0.0) * 5.0, 1.0) +
+      0.2 * math.min((if (n > 0) totalLen.toDouble / nd else 0.0) / 8.0, 1.0)
+    math.floor(score * 10000.0 + 0.5) / 10000.0
+  }
+}
+
+case class QualityScore(child: Expression, stopTerms: Seq[String])
+    extends UnaryExpression {
+
+  private lazy val stopSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String](stopTerms.size * 2)
+    stopTerms.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualityOps.score(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("stopSet", stopSet, "java.util.Set<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.QualityOps$$.MODULE$$.score($c, $s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
 case class EntityNorm(child: Expression, synonyms: Seq[(String, String)],
     stopTerms: Seq[String], k: Int) extends UnaryExpression {
 
@@ -343,6 +408,9 @@ object ShingleFunctions {
   def entityNorm(c: Column, synonyms: Seq[(String, String)],
       stopTerms: Seq[String], k: Int): Column =
     column(EntityNorm(expression(c), synonyms, stopTerms, k))
+
+  def qualityScore(c: Column, stopTerms: Seq[String]): Column =
+    column(QualityScore(expression(c), stopTerms))
 
   def keywordPriority(c: Column, topK: Int): Column =
     column(KeywordPriority(expression(c), topK))

@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.Parity
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, fingerprinting.
@@ -28,9 +27,6 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
-
   /** Language ID: argmax of per-language stopword hit counts with a
     * fixed priority order on ties; "und" when no list hits at all.
     * Returns a struct(lang, conf) with conf = hits/n_tokens. Runs as
@@ -46,22 +42,13 @@ object TextAnalysis {
   /** Heuristic document quality score in [0,1] (Gopher/C4-style
     * length / repetition / stopword-density gates):
     * 0.3*min(n/100,1) + 0.3*uniq_ratio + 0.2*min(5*stop_ratio,1)
-    * + 0.2*min(avg_len/8,1).
+    * + 0.2*min(avg_len/8,1). One codegen'd pass — the HOF composition
+    * (`aggregate(transform(tokens))` + distinct + stopword filter)
+    * re-tokenized per element interpreted; float-op order preserved
+    * bit-for-bit in [[graft.expressions.QualityOps]].
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double")
-    val stops = hitCount(toks, Stopwords.head._2).cast("double")
-    val totalLen = aggregate(transform(toks, t => length(t)),
-      lit(0), (acc, x) => acc + x).cast("double")
-    val score =
-      lit(0.3) * least(n / 100.0, lit(1.0)) +
-      lit(0.3) * when(n > 0, uniq / n).otherwise(0.0) +
-      lit(0.2) * least(when(n > 0, stops / n).otherwise(0.0) * 5.0, lit(1.0)) +
-      lit(0.2) * least(when(n > 0, totalLen / n).otherwise(0.0) / 8.0, lit(1.0))
-    Parity.roundHalfUp(score, 4)
-  }
+  def qualityScore(text: Column): Column =
+    graft.expressions.ShingleFunctions.qualityScore(text, Stopwords.head._2)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
