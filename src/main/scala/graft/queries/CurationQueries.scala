@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Clusters
 import graft.operators.Sampling
-import graft.text.Relevance
+import graft.text.{Decontam, Pii, Relevance}
 
 /** Training-data curation operators beyond pairwise dedup: duplicate
   * CLUSTER assignment (connected components), deterministic sampling,
@@ -54,6 +54,25 @@ object CurationQueries {
         "doc_id", "lang", "n_tokens", budget = 2048L)
         .select("doc_id", "lang", "n_tokens", "pack_id").orderBy("doc_id")),
 
+    // PII detect + redact (emails / phones / IPv4 / hex addresses) —
+    // one codegen'd map-side projection, zero shuffles. The corpus is
+    // synthetic word-soup with no PII, so the fixture PLANTS
+    // deterministic PII derived from doc_id (same construction in the
+    // oracle SQL), the same planted-fixture treatment as q_f2/q_f5.
+    "q_t_pii_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .select(Pii.scrubDocs(col("doc_id"),
+          plantedPii(col("doc_id"), col("text"))): _*)
+        .orderBy("doc_id")),
+
+    // Eval-set decontamination: any shared word 8-gram with the
+    // held-out eval slice (doc_id % 20 == 7) marks a training doc
+    // contaminated. Eval n-grams broadcast; corpus scanned once.
+    "q_c_decontam" -> ((s, dir) =>
+      Decontam.flagOverlap(docs(s, dir), "doc_id", "text",
+        id => id % 20 === 7, n = 8)
+        .orderBy("doc_id")),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -64,6 +83,33 @@ object CurationQueries {
       Relevance.bm25TopK(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank"))
   )
+
+  /** Deterministic planted-PII fixture: synthetic email / phone /
+    * IPv4 / hex-address snippets derived from doc_id, appended to the
+    * text. The oracle SQL rebuilds the identical string, so the hash
+    * compare proves detection AND redaction byte-for-byte.
+    */
+  private def plantedPii(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = id.cast("string")
+    concat(
+      text,
+      when(id % 3 === 0,
+        concat(lit(" contact user"), s, lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call +1-202-555-"),
+          lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" from 10."), (id % 200).cast("string"),
+          lit(".3."), (id % 250).cast("string")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" wallet 0x"), md5(s),
+          substring(md5(concat(s, lit("w"))), 1, 8)))
+        .otherwise(lit(""))) // md5 (32 hex) + 8 = the 40-hex address body
+  }
 
   /** Shared term/document-frequency CTEs (whitespace tokens — the
     * exact mirror of TextAnalysis.tokens).
@@ -149,6 +195,60 @@ object CurationQueries {
            FROM t)
          SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS pack_id
          FROM c ORDER BY doc_id""",
+
+    // The oracle rebuilds the planted-PII string byte-for-byte, then
+    // runs the IDENTICAL regex chain (the patterns live in the shared
+    // Java/RE2 subset — no lookarounds/backrefs). DuckDB needs the
+    // explicit 'g' flag; Spark's regexp_replace is global by default.
+    "q_t_pii_scrub" ->
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' wallet 0x' || md5(CAST(doc_id AS VARCHAR)) || substr(md5(CAST(doc_id AS VARCHAR) || 'w'), 1, 8) ELSE '' END AS r
+            FROM documents),
+          cnt AS (
+            SELECT doc_id, r,
+                   CAST(len(regexp_extract_all(r, '${Pii.EmailPat}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(r, '${Pii.PhonePat}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(r, '${Pii.Ipv4Pat}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(r, '${Pii.AddrPat}')) AS BIGINT) AS n_addrs
+            FROM raw)
+          SELECT doc_id, n_emails, n_phones, n_ips, n_addrs,
+                 (n_emails + n_phones + n_ips + n_addrs) > 0 AS has_pii,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   r, '${Pii.EmailPat}', '<EMAIL>', 'g'),
+                      '${Pii.PhonePat}', '<PHONE>', 'g'),
+                      '${Pii.Ipv4Pat}', '<IP>', 'g'),
+                      '${Pii.AddrPat}', '<ADDR>', 'g') AS clean
+          FROM cnt ORDER BY doc_id""",
+
+    // Same tokenization as TermFreqCte (lower, \s+ split, drop
+    // empties); 8-gram shingles via list_slice over a row-expanded
+    // range; DISTINCT mirrors the kernel's per-doc dedup.
+    "q_c_decontam" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         ng AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ng
+           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+                 FROM tk WHERE len(toks) >= 8)),
+         ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 20 = 7),
+         hits AS (
+           SELECT ng.doc_id, count(*) AS n_overlap
+           FROM ng JOIN ev USING (ng)
+           WHERE ng.doc_id % 20 <> 7 GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                coalesce(h.n_overlap, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
 
     // Float path mirrors Relevance.tfidfTopK op-for-op:
     // tf::double * (ln((1.0 + N)/(1.0 + df)) + 1.0), round 6.

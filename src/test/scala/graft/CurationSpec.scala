@@ -176,4 +176,49 @@ class CurationSpec extends AnyFunSuite {
     assert(scores("rare") > scores("common"),
       s"rare=${scores("rare")} common=${scores("common")}")
   }
+
+  test("pii scrub redacts all four types and counts on the raw text") {
+    import spark.implicits._
+    import graft.text.Pii
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.co or call +1-202-555-0134" +
+        " from 192.168.1.25 wallet 0xdeadbeefdeadbeefdeadbeefdeadbeefdeadbeef"),
+      (2L, "no pii here, just 1.2 numbers and version 3.4.5 text"),
+      (3L, "two mails: a@b.io c@d.org")).toDF("doc_id", "text")
+    val got = rows.select(Pii.scrubDocs(col("doc_id"), col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getString(6))).toMap
+    val (e1, p1, i1, a1, h1, c1) = got(1L)
+    assert((e1, p1, i1, a1, h1) == (1L, 1L, 1L, 1L, true))
+    assert(c1.contains("<EMAIL>") && c1.contains("<PHONE>") &&
+      c1.contains("<IP>") && c1.contains("<ADDR>"))
+    assert(!c1.contains("@") && !c1.contains("0xdead"))
+    val (e2, p2, i2, a2, h2, c2) = got(2L)
+    // dotted version strings are NOT ipv4 (needs 4 octets); bare
+    // numbers are not phones
+    assert((e2, p2, i2, a2, h2) == (0L, 0L, 0L, 0L, false))
+    assert(c2 == "no pii here, just 1.2 numbers and version 3.4.5 text")
+    assert(got(3L)._1 == 2L && got(3L)._5)
+  }
+
+  test("decontamination flags only docs sharing an 8-gram with the eval slice") {
+    import spark.implicits._
+    import graft.text.Decontam
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val corpus = Seq(
+      (7L, s"EVAL doc with $shared inside"), // eval slice (id % 20 == 7)
+      (1L, s"train doc leaking $shared verbatim"), // contaminated
+      (2L, "train doc with alpha beta gamma only — a 3-gram is fine"),
+      (3L, s"another leak $shared and $shared again")) // dedup'd per doc
+      .toDF("doc_id", "text")
+    val got = Decontam.flagOverlap(corpus, "doc_id", "text",
+      id => id % 20 === 7, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(!got.contains(7L), "eval docs are excluded from the output")
+    assert(got(1L)._2 && got(1L)._1 >= 1L)
+    assert(got(2L) == (0L -> false))
+    assert(got(3L)._2)
+  }
 }
