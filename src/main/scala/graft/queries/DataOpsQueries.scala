@@ -83,6 +83,17 @@ object DataOpsQueries {
         dupThreshold = 0.9, dim = 64, planes = 8, tables = 4)
         .orderBy("vec_id")),
 
+    // IVF TRAINING: 2 spherical-Lloyd rounds from the md5-seeded init
+    // (assign map-side on literal centroids; recompute = partial-agg
+    // groupBy over nlist×dim cells; 9-dp centroid rounding each round
+    // keeps the distributed sum and the oracle's SQL agg bit-equal
+    // downstream). Output = the trained partition map: list id, list
+    // population, cosine-to-centroid. The oracle unrolls both rounds.
+    "q_s_ivf_train" -> ((s, dir) =>
+      Similarity.ivfTrainAssignments(embs(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 2)
+        .orderBy("vec_id")),
+
     // Sign-LSH bucketed ANN with Hamming-1 multi-probe (scale path);
     // full DuckDB mirror oracle — zero rows-only checks left.
     "q_s_ann_lsh" -> ((s, dir) =>
@@ -201,6 +212,31 @@ object DataOpsQueries {
                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
            FROM documents))"""
+
+  /** One unrolled spherical-Lloyd round: assignment under centroid set
+    * `cin` → per-(list, dim) sum/count cells → mean, renormalize,
+    * 9-dp half-up round (the Similarity.kmeansCentroids contract) →
+    * `cout`; an empty list keeps its previous centroid via the LEFT
+    * JOIN + coalesce.
+    */
+  private def lloydRoundCte(cin: String, a: String, cell: String,
+      m: String, cout: String): String =
+    s"""$a AS (
+          SELECT vec_id, cid FROM (
+            SELECT n.vec_id, $cin.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.e, $cin.c) DESC, $cin.cid ASC) AS rn
+            FROM n CROSS JOIN $cin) WHERE rn = 1),
+        $cell AS (
+          SELECT $a.cid, dm.d, sum(u.u[dm.d + 1]) AS sx, count(*) AS cnt
+          FROM $a JOIN u USING (vec_id), dm GROUP BY 1, 2),
+        $m AS (SELECT cid, list(sx / cnt ORDER BY d) AS m FROM $cell GROUP BY cid),
+        $cout AS (
+          SELECT $cin.cid,
+                 coalesce(list_transform($m.m,
+                   x -> floor(x / sqrt(list_dot_product($m.m, $m.m)) * 1000000000.0 + 0.5) / 1000000000.0),
+                   $cin.c) AS c
+          FROM $cin LEFT JOIN $m USING (cid))"""
 
   private val PreparedVecsCte =
     """n AS (
@@ -397,6 +433,31 @@ object DataOpsQueries {
             FROM sc)
           SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // Both Lloyd rounds unrolled; init == the q_s_ann_ivf md5-ranked
+    // sample, so the hash compare proves init, both assigns, both
+    // mean/renorm/round recomputes, and the final partition map.
+    "q_s_ivf_train" ->
+      s"""WITH $PreparedVecsCte,
+          dm AS (SELECT unnest(range(64)) AS d),
+          u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          ${lloydRoundCte("c0", "a0", "cell1", "m1", "c1")},
+          ${lloydRoundCte("c1", "a1", "cell2", "m2", "c2")},
+          fin AS (
+            SELECT vec_id, cid AS list_id, cr FROM (
+              SELECT n.vec_id, c2.cid,
+                     list_dot_product(n.e, c2.c) / n.nrm AS cr,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.e, c2.c) DESC, c2.cid ASC) AS rn
+              FROM n CROSS JOIN c2) WHERE rn = 1),
+          sz AS (SELECT list_id, count(*) AS list_size FROM fin GROUP BY 1)
+          SELECT fin.vec_id, fin.list_id, sz.list_size,
+                 floor(fin.cr * 1000000.0 + 0.5) / 1000000.0 AS cos_c
+          FROM fin JOIN sz USING (list_id) ORDER BY vec_id""",
 
     "q_d7_topic_merge_embed" ->
       s"""WITH $PreparedVecsCte,

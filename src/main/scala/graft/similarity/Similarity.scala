@@ -196,6 +196,78 @@ object Similarity {
       .toSeq
       .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)))
 
+  /** Spherical k-means (Lloyd) training for the IVF coarse quantizer:
+    * md5-ranked sample init ([[ivfCentroids]]), then `iters` rounds of
+    * assign → recompute → renormalize.
+    *
+    * Scale shape: assignment is the map-side literal-centroid argmax
+    * (no join, no corpus shuffle); the recompute is a posexplode +
+    * `groupBy(list, pos).sum` whose map-side partial aggregation means
+    * the exchange carries only partitions × nlist × dim partial cells,
+    * and the driver collect is BOUNDED at nlist × dim aggregated cells
+    * per round — the model artifact, exactly as in [[ivfCentroids]].
+    * The corpus itself is scanned once per round and never shuffled.
+    *
+    * Determinism: centroid components are rounded half-up at 9 dp
+    * after each renormalize, so the (order-dependent) distributed sum
+    * and the oracle's SQL aggregate agree bit-for-bit downstream; the
+    * per-row assignment then runs on identical doubles on both sides.
+    * Empty lists keep their previous centroid (classic Lloyd fallback).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    val base = prepared(df, idCol, embCol)
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+    var cents = ivfCentroids(df, idCol, embCol, nlist)
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val cells = base
+        .withColumn("list_id", ivfAssign(col("e"), cents))
+        .select(col("list_id"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnts = new Array[Long](nlist)
+      cells.foreach { r =>
+        val l = r.getInt(0)
+        sums(l)(r.getInt(1)) = r.getDouble(2)
+        cnts(l) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (prev, l) =>
+        if (cnts(l) == 0L) prev
+        else {
+          val m = sums(l).map(_ / cnts(l))
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += m(j) * m(j); j += 1 }
+          val nrm = math.sqrt(s)
+          m.toSeq.map(x => math.floor(x / nrm * 1e9 + 0.5) / 1e9)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Trained-IVF partition map: every vector labeled with its list
+    * under the k-means-trained centroids, the list population, and the
+    * cosine to its centroid (the quantization-quality signal that
+    * drives nlist growth at scale). One small shuffle for the sizes;
+    * the assignment itself is map-side.
+    */
+  def ivfTrainAssignments(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, embCol, nlist, iters)
+    val top = element_at(centroidRank(col("e"), cents), 1)
+    val w = Window.partitionBy("list_id")
+    prepared(df, idCol, embCol)
+      .select(col("vec_id"), top.getField("cid").as("list_id"),
+        (-top.getField("nd") / col("nrm")).as("cos_raw"))
+      .withColumn("list_size", count(lit(1)).over(w))
+      .select(col("vec_id"), col("list_id"), col("list_size"),
+        Parity.roundHalfUp(col("cos_raw"), 6).as("cos_c"))
+  }
+
   /** Centroid ranking as a sortable literal array: element i holds
     * (-e·ĉᵢ, i), so ascending sort = cosine DESC with centroid-index
     * ties first (centroids are unit-norm, so the dot IS the cosine

@@ -137,6 +137,38 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF top-1 recall was $recall")
   }
 
+  test("k-means training recovers planted clusters and lifts quantization quality") {
+    import spark.implicits._
+    // 3 well-separated clusters around orthogonal-ish anchors
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val anchors = Array.fill(3)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val pts = (0 until 300).map { i =>
+      val a = anchors(i % 3)
+      val noise = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+      (i.toLong, unit(a.zip(noise).map { case (x, e) => x + 0.2f * e }))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val trained = Similarity.ivfTrainAssignments(df, "vec_id", "embedding",
+      nlist = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(3))).toMap
+    // assignments form exactly the planted partition (i % 3)
+    val byPlanted = trained.groupBy { case (id, _) => id % 3 }
+      .map { case (g, m) => g -> m.values.map(_._1).toSet }
+    assert(byPlanted.values.forall(_.size == 1),
+      s"planted clusters split across lists: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3,
+      "planted clusters collapsed into a shared list")
+    // training strictly improves quantization vs the seeded init
+    val init = Similarity.ivfTrainAssignments(df, "vec_id", "embedding",
+      nlist = 3, iters = 0).collect().map(_.getDouble(3))
+    assert(trained.values.map(_._2).sum / 300.0 > init.sum / 300.0 + 0.05,
+      "mean cosine-to-centroid did not improve over the init")
+  }
+
   test("nearDupLsh recall >= 0.9 and matches exact NN on planted pairs") {
     val got = Similarity.nearDupLsh(planted, "vec_id", "embedding",
       dupThreshold = 0.9, dim = 64, planes = 8, tables = 4)
