@@ -240,6 +240,68 @@ object ScaleRehearsal {
               |drop-in replacement.
               |""".stripMargin
 
+    // ---- 6. IVF k-means training: balance lift --------------------
+    // 2 spherical-Lloyd rounds at the same nlist; compare list balance
+    // vs the seeded init (section 4). Per-round driver traffic is the
+    // nlist×dim aggregated cell table — the model artifact — NOT data.
+    val tCents = Similarity.kmeansCentroids(embBig, "vec_id", "embedding",
+      nlist, iters = 2)
+    val tCounts = prep.withColumn("list_id",
+        Similarity.ivfAssign(col("e"), tCents))
+      .groupBy("list_id").agg(count(lit(1)).as("n")).localCheckpoint()
+    val (tnl, tp50, tp99, tmax) = hist(tCounts, "n")
+    sb ++= s"""
+              |## IVF k-means training (2 Lloyd rounds, nlist = $nlist)
+              |
+              || metric | seeded init | trained |
+              ||---|---|---|
+              || non-empty lists | $nl / $nlist | $tnl / $nlist |
+              || list size p50 / p99 / max | $ip50 / $ip99 / $imax | $tp50 / $tp99 / $tmax |
+              || balance (max / mean) | ${f"${imax.toDouble * nl / nEmb}%.1f"} | ${f"${tmax.toDouble * tnl / nEmb}%.1f"} |
+              |
+              |Each round costs one corpus scan (map-side assignment against
+              |literal centroids) plus a partial-agg shuffle of
+              |partitions × nlist × dim cells (${32L * nlist * dim} cells here)
+              |and a bounded nlist×dim = ${nlist * dim}-cell collect. At 10⁹
+              |vectors / nlist=32k the cell table is ~${32 * 32768 * 128 / 1000000} M
+              |partials — still far below one corpus shuffle. Training follows
+              |density, so max-list skew (the probe-cost tail) drops vs the
+              |seeded init without any repartition of the corpus.
+              |""".stripMargin
+
+    // ---- 7. Decontamination broadcast + hit volume ----------------
+    // Eval slice = the %20==7 cut of the ORIGINAL replica only (a real
+    // eval set does not grow with the training corpus). Claims:
+    // (a) the broadcast is O(|eval| n-grams), independent of N;
+    // (b) post-join volume is the contamination mass, not the corpus.
+    val evalDocs = docs0.filter(col("doc_id") % 20 === 7)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+    val corpusPlus = docsBig.unionByName(evalDocs)
+    val dec = graft.text.Decontam.flagOverlap(corpusPlus, "doc_id", "text",
+      id => id >= 900000000L, n = 8).localCheckpoint()
+    val nEvalNg = evalDocs
+      .select(explode(graft.text.TextAnalysis.shingles(col("text"), 8)).as("ng"))
+      .distinct().count()
+    val nContaminated = dec.filter(col("contaminated")).count()
+    val hitMass = dec.agg(sum("n_overlap")).first().getLong(0)
+    sb ++= s"""
+              |## Decontamination (8-gram overlap vs a fixed eval slice)
+              |
+              || metric | value |
+              ||---|---|
+              || eval docs / distinct eval 8-grams (broadcast) | ${evalDocs.count()} / $nEvalNg |
+              || training docs scanned | $nDocs |
+              || contaminated docs | $nContaminated |
+              || hit rows reaching the count shuffle | $hitMass |
+              |
+              |The broadcast is the eval n-gram set alone (~${nEvalNg / 1000} k
+              |grams ≈ a few MB) — fixed as the corpus grows. The corpus is
+              |scanned once map-side; only hit rows (contamination mass, here
+              |${f"${hitMass.toDouble / nDocs}%.2f"} rows/doc) reach the per-doc
+              |count shuffle. The exact-dup replica guarantees every eval doc's
+              |duplicates are flagged — the planted-leak recall proof at ${rep}×.
+              |""".stripMargin
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)

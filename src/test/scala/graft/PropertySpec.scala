@@ -155,6 +155,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub is idempotent and leaves no matchable pii behind") {
+    // Same engine Spark's regexp_replace uses (java.util.regex), same
+    // pattern data — the Column form is a fold of these replaceAll's.
+    def scrub(s: String): String =
+      graft.text.Pii.Rules.foldLeft(s) { case (t, (p, r)) => t.replaceAll(p, r) }
+    val genPiece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.chooseNum(0, 999999).map(n => s"user$n@host$n.example.org"),
+      Gen.chooseNum(0, 9999).map(n => f"+1-415-555-$n%04d"),
+      Gen.chooseNum(0, 255).map(n => s"10.$n.$n.$n"),
+      Gen.chooseNum(0, 15).map(n => "0x" + (n.toHexString * 40).take(40)))
+    val genText: Gen[String] =
+      Gen.listOfN(8, genPiece).map(_.mkString(" "))
+    samples(genText, 300).foreach { s =>
+      val once = scrub(s)
+      assert(scrub(once) == once, s"not idempotent on: $s")
+      // with the type tokens cut out, nothing PII-shaped may remain
+      val residue = Seq("<EMAIL>", "<PHONE>", "<IP>", "<ADDR>")
+        .foldLeft(once)(_.replace(_, " "))
+      graft.text.Pii.Rules.foreach { case (p, _) =>
+        assert(p.r.findFirstIn(residue).isEmpty,
+          s"residual $p match in: $residue")
+      }
+    }
+  }
+
   test("Parity.roundHalfUp stays within half an ulp-of-digit of the input") {
     val p = math.pow(10, 6)
     samples(Gen.chooseNum(-1000.0, 1000.0), 500).foreach { x =>
