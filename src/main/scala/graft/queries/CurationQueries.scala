@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.Clusters
+import graft.functions.Parity
 import graft.operators.Sampling
 import graft.text.{Decontam, Pii, Relevance}
 
@@ -72,6 +73,24 @@ object CurationQueries {
       Decontam.flagOverlap(docs(s, dir), "doc_id", "text",
         id => id % 20 === 7, n = 8)
         .orderBy("doc_id")),
+
+    // Corpus profile: per-language doc-length quantiles (exact R-7
+    // interpolation — Spark `percentile` == DuckDB `quantile_cont`),
+    // token mean as an explicit sum/count. One map-side-combinable
+    // aggregation; at 100 TB swap `percentile` for the
+    // `percentile_approx` sketch (same plan shape, mergeable state).
+    "q_c_corpus_profile" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Parity.roundHalfUp(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+          Parity.roundHalfUp(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"),
+          Parity.roundHalfUp(percentile(col("n_chars"), lit(0.99)), 6).as("p99_chars"),
+          Parity.roundHalfUp(
+            sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"),
+            6).as("mean_chars"))
+        .orderBy("lang")),
 
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
@@ -249,6 +268,14 @@ object CurationQueries {
                 coalesce(h.n_overlap, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    "q_c_corpus_profile" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.5)", 6)} AS p50_chars,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.9)", 6)} AS p90_chars,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.99)", 6)} AS p99_chars,
+                 ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // Float path mirrors Relevance.tfidfTopK op-for-op:
     // tf::double * (ln((1.0 + N)/(1.0 + df)) + 1.0), round 6.
