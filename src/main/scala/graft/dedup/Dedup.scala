@@ -37,6 +37,45 @@ object Dedup {
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
 
+  /** LINE-level exact dedup across the whole corpus (the C4 move:
+    * drop every repeated line globally, keep its FIRST occurrence by
+    * (page, position), and reassemble each page from its surviving
+    * lines in order).
+    *
+    * Scale shape: two keyed shuffles — one on the line content (the
+    * global first-occurrence window; same cost class as exact doc
+    * dedup) and one back on the page id for ordered reassembly
+    * (`array_sort` on (pos, line) structs makes the collect_list
+    * order-deterministic). No self-join, no driver path; empty pages
+    * survive via the left join.
+    *
+    * Returns (page_id, n_lines, n_kept, text_kept).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("page_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+    val w = Window.partitionBy("line").orderBy(col("page_id"), col("pos"))
+    val kept = lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("page_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text_kept"))
+    val totals = lines.groupBy("page_id").agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol).as("page_id"))
+      .join(totals, Seq("page_id"), "left")
+      .join(kept, Seq("page_id"), "left")
+      .select(col("page_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Large prime for the affine minhash family (2^31 - 1). */
   private val P: Long = 2147483647L
 

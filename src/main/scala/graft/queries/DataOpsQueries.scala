@@ -43,6 +43,23 @@ object DataOpsQueries {
         threshold = 0.5, numHashes = 16, rowsPerBand = 2)
         .orderBy("ida", "idb")),
 
+    // C4-style LINE dedup. The corpus has no multi-line docs, so the
+    // fixture composes overlapping "pages" (page i = texts of docs i,
+    // i+1, i+2 joined by \n — every text recurs in up to 3 pages) on
+    // both sides; the operator then drops repeated lines globally,
+    // keeping the (page, pos)-first occurrence, and reassembles pages.
+    "q_d_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pages = d.select(col("doc_id").as("page_id"), col("text").as("t0"))
+        .join(d.select((col("doc_id") - 1).as("page_id"), col("text").as("t1")),
+          Seq("page_id"), "left")
+        .join(d.select((col("doc_id") - 2).as("page_id"), col("text").as("t2")),
+          Seq("page_id"), "left")
+        .select(col("page_id"),
+          concat_ws("\n", col("t0"), col("t1"), col("t2")).as("page"))
+      Dedup.lineDedup(pages, "page_id", "page").orderBy("page_id")
+    }),
+
     // SimHash fingerprint per document.
     "q_d_simhash" -> ((s, dir) =>
       Dedup.withSimhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -433,6 +450,41 @@ object DataOpsQueries {
             FROM sc)
           SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // Pages rebuilt with the same overlapping self-joins; the zipped
+    // double-unnest mirrors posexplode; first occurrence by
+    // (page, pos) via the same window rule.
+    "q_d_line_dedup" ->
+      """WITH pages AS (
+           SELECT a.doc_id AS page_id,
+                  concat_ws(chr(10), a.text, b.text, c.text) AS page
+           FROM documents a
+           LEFT JOIN documents b ON b.doc_id = a.doc_id + 1
+           LEFT JOIN documents c ON c.doc_id = a.doc_id + 2),
+         ls AS (SELECT page_id, string_split(page, chr(10)) AS l FROM pages),
+         lf AS (
+           SELECT page_id, pos, ln FROM (
+             SELECT page_id, unnest(range(len(l))) AS pos, unnest(l) AS ln
+             FROM ls)
+           WHERE ln <> ''),
+         k AS (
+           SELECT page_id, pos, ln,
+                  row_number() OVER (PARTITION BY ln
+                    ORDER BY page_id, pos) AS rn
+           FROM lf),
+         agg AS (
+           SELECT page_id, count(*) AS n_kept,
+                  array_to_string(list(ln ORDER BY pos), chr(10)) AS text_kept
+           FROM k WHERE rn = 1 GROUP BY 1),
+         tot AS (SELECT page_id, count(*) AS n_lines FROM lf GROUP BY 1)
+         SELECT p.page_id,
+                CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(a.text_kept, '') AS text_kept
+         FROM pages p
+         LEFT JOIN tot t USING (page_id)
+         LEFT JOIN agg a USING (page_id)
+         ORDER BY page_id""",
 
     // Both Lloyd rounds unrolled; init == the q_s_ann_ivf md5-ranked
     // sample, so the hash compare proves init, both assigns, both

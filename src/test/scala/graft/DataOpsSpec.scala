@@ -137,6 +137,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF top-1 recall was $recall")
   }
 
+  test("line dedup keeps first global occurrence and reassembles in order") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "intro\nboilerplate footer\nbody one"),
+      (2L, "boilerplate footer\nbody two"), // footer dup'd → dropped
+      (3L, "body one\nintro\nfresh"), // both lines seen in page 1
+      (4L, "")).toDF("page_id", "text")
+    val got = Dedup.lineDedup(pages, "page_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == (3L, 3L, "intro\nboilerplate footer\nbody one"))
+    assert(got(2L) == (2L, 1L, "body two"))
+    assert(got(3L) == (3L, 1L, "fresh"))
+    assert(got(4L) == (0L, 0L, "")) // fully empty page survives
+  }
+
   test("k-means training recovers planted clusters and lifts quantization quality") {
     import spark.implicits._
     // 3 well-separated clusters around orthogonal-ish anchors
