@@ -7,7 +7,7 @@ import graft.Tables
 import graft.dedup.Clusters
 import graft.functions.Parity
 import graft.operators.Sampling
-import graft.text.{Decontam, Pii, Relevance}
+import graft.text.{Decontam, Pii, Relevance, UrlFilter}
 
 /** Training-data curation operators beyond pairwise dedup: duplicate
   * CLUSTER assignment (connected components), deterministic sampling,
@@ -74,6 +74,17 @@ object CurationQueries {
         id => id % 20 === 7, n = 8)
         .orderBy("doc_id")),
 
+    // URL/domain blocklist gate (C4): planted URLs (the corpus has
+    // none) derived from doc_id; hosts spam0..spam9.example.com are
+    // blocklisted, so docs with doc_id % 4 == 0 AND doc_id % 50 < 10
+    // are dropped. Map-side projection, literal blocklist, no shuffle.
+    "q_t_url_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .select(UrlFilter.flagBlocked(col("doc_id"),
+          plantedUrls(col("doc_id"), col("text")),
+          (0 until 10).map(i => s"spam$i.example.com")): _*)
+        .orderBy("doc_id")),
+
     // Corpus profile: per-language doc-length quantiles (exact R-7
     // interpolation — Spark `percentile` == DuckDB `quantile_cont`),
     // token mean as an explicit sum/count. One map-side-combinable
@@ -129,6 +140,23 @@ object CurationQueries {
           substring(md5(concat(s, lit("w"))), 1, 8)))
         .otherwise(lit(""))) // md5 (32 hex) + 8 = the 40-hex address body
   }
+
+  /** Deterministic planted-URL fixture (same treatment as
+    * [[plantedPii]]): docs cite a rotating host — spamK hosts land on
+    * the blocklist, newsK hosts don't.
+    */
+  private def plantedUrls(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      when(id % 4 === 0,
+        concat(lit(" see https://spam"), (id % 50).cast("string"),
+          lit(".example.com/p?id="), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 6 === 0,
+        concat(lit(" via http://news"), (id % 30).cast("string"),
+          lit(".example.org/a/"), id.cast("string")))
+        .otherwise(lit("")))
 
   /** Shared term/document-frequency CTEs (whitespace tokens — the
     * exact mirror of TextAnalysis.tokens).
@@ -268,6 +296,29 @@ object CurationQueries {
                 coalesce(h.n_overlap, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    // Same planted URLs; blocklist as a literal IN set inside the
+    // list_filter lambda.
+    "q_t_url_filter" -> {
+      val blocklist = (0 until 10)
+        .map(i => s"'spam$i.example.com'").mkString(", ")
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 4 = 0 THEN ' see https://spam' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p?id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+                   CASE WHEN doc_id % 6 = 0 THEN ' via http://news' || CAST(doc_id % 30 AS VARCHAR) || '.example.org/a/' || CAST(doc_id AS VARCHAR) ELSE '' END AS r
+            FROM documents),
+          f AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(r, '${UrlFilter.UrlPat}')) AS BIGINT) AS n_urls,
+                   CAST(len(list_filter(
+                     list_transform(regexp_extract_all(r, '${UrlFilter.UrlPat}'),
+                       u -> regexp_extract(u, '${UrlFilter.HostPat}', 1)),
+                     h -> h IN ($blocklist))) AS BIGINT) AS n_blocked
+            FROM raw)
+          SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep
+          FROM f ORDER BY doc_id"""
+    },
 
     "q_c_corpus_profile" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -202,6 +202,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._1 == 2L && got(3L)._5)
   }
 
+  test("url filter counts urls and blocks only blocklisted hosts") {
+    import spark.implicits._
+    import graft.text.UrlFilter
+    val rows = Seq(
+      (1L, "read https://spam3.example.com/x and http://ok.example.org/y"),
+      (2L, "no urls at all"),
+      (3L, "https://spam3.example.com/a https://spam4.example.com/b")
+    ).toDF("doc_id", "text")
+    val got = rows.select(UrlFilter.flagBlocked(col("doc_id"), col("text"),
+        Seq("spam3.example.com", "spam4.example.com")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == (2L, 1L, false))
+    assert(got(2L) == (0L, 0L, true))
+    assert(got(3L) == (2L, 2L, false))
+  }
+
   test("decontamination flags only docs sharing an 8-gram with the eval slice") {
     import spark.implicits._
     import graft.text.Decontam
