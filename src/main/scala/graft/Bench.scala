@@ -105,7 +105,11 @@ $fs
 }
 """
     }
-    Files.write(Paths.get("BENCH_FULL.json"),
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact (dev smokes at
+    // small SF must not clobber the committed sf0.1 snapshot); the
+    // driver never sets it, so its artifact path is unchanged.
+    Files.write(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       fullJson.getBytes(StandardCharsets.UTF_8))
 
     // Compact stdout line — must fit (with sbt's trailing "[success]"

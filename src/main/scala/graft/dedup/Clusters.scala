@@ -92,6 +92,69 @@ object Clusters {
     labels
   }
 
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-rounds scheme for ADVERSARIAL diameters,
+    * where [[connectedComponents]]'s frontier propagation (rounds =
+    * diameter) would iterate too long. Same (id, cluster_id) contract.
+    *
+    *   - large-star: every node attaches its strictly-larger
+    *     neighbors to its neighborhood minimum — one groupBy(min) +
+    *     one join, no neighbor-list collection, so a hot star center
+    *     never materializes its degree in one task.
+    *   - small-star: every node folds its ≤-neighbors (canonical
+    *     orientation) onto their minimum.
+    *
+    * Each round rewires the (distinct) edge list rather than joining
+    * a label table, so the per-round cost is ~3 keyed shuffles of the
+    * CURRENT edge set — more per round than the frontier scheme, in
+    * exchange for exponentially fewer rounds on long chains. The
+    * convergence probe is a symmetric `except` emptiness test, and the
+    * converged graph is a forest of stars whose centers are the
+    * component minima.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 32): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .distinct()
+    var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over both orientations of every edge
+      val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val lm = dir.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      val large = dir.join(lm, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star over the canonical (big → small) orientation
+      val sm = large.groupBy("a").agg(min("b").as("m"))
+      val small = large.join(sm, "a")
+        .select(explode(array(col("b"), col("a"))).as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+        .localCheckpoint()
+      converged = small.except(e).isEmpty && e.except(small).isEmpty
+      e = small
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star leaves point at their component minimum; centers and
+    // singletons label themselves
+    nodes.select(col("id"))
+      .join(e.groupBy("a").agg(min("b").as("cl"))
+          .select(col("a").as("id"), col("cl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cl"), col("id")).as("cluster_id"))
+  }
+
   /** Duplicate clusters over SimHash near-dup pairs: every document
     * labeled with its component's min doc_id plus the component size.
     * Returns (doc_id, cluster_id, cluster_size); singletons keep their
@@ -108,7 +171,11 @@ object Clusters {
     * with distinct near-identical fingerprints, not corpus dup depth.
     */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      // CC scheme: frontier propagation by default; pass
+      // [[connectedComponentsStar]] for adversarial-diameter graphs
+      cc: (DataFrame, DataFrame) => DataFrame =
+        connectedComponents(_, _)): DataFrame = {
     val fp = Dedup.withSimhash(df, idCol, textCol).localCheckpoint()
     val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
       .localCheckpoint()
@@ -119,7 +186,7 @@ object Clusters {
     val repPairs = Dedup.simhashPairsOf(
         reps.select(col("rep").as("doc_id"), col("simhash")), maxDist)
       .select(col("ida").as("a"), col("idb").as("b"))
-    val repLabels = connectedComponents(
+    val repLabels = cc(
       reps.select(col("rep").as("id")), repPairs)
     val labels = fp.join(reps, "simhash")
       .join(repLabels.withColumnRenamed("id", "rep"), "rep")

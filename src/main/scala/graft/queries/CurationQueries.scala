@@ -27,6 +27,15 @@ object CurationQueries {
       Clusters.simhashClusters(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("doc_id")),
 
+    // Same cluster contract through the ALTERNATE CC scheme
+    // (large-star/small-star, O(log n) rounds — the adversarial-
+    // diameter path). Shares q_d_cc_clusters' oracle verbatim: both
+    // schemes must produce the identical component labeling.
+    "q_d_cc_star" -> ((s, dir) =>
+      Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
+        maxDist = 3, cc = Clusters.connectedComponentsStar(_, _))
+        .orderBy("doc_id")),
+
     // Deterministic rate sampling: md5-prefix integer cut, no shuffle,
     // no floats — membership is a pure function of doc_id.
     "q_c_hash_sample" -> ((s, dir) =>
@@ -103,6 +112,35 @@ object CurationQueries {
             6).as("mean_chars"))
         .orderBy("lang")),
 
+    // END-TO-END curation pass as ONE declarative plan — the composite
+    // a 100 TB pipeline actually runs: PII scrub → quality gate →
+    // language ID → winnowing-fingerprint dedup (min-shingle collapse,
+    // first doc_id keeps; 113/500 docs collapse at sf0.01) →
+    // deterministic 50 % sample. Everything is map-side except the one
+    // dedup window shuffle; Catalyst fuses the whole chain over a
+    // single scan. Flags per stage, final_keep = AND of the gates.
+    "q_c_curation_pipeline" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val base = docs(s, dir).select(col("doc_id"),
+        Pii.scrub(plantedPii(col("doc_id"), col("text"))).as("clean"))
+      val fp = coalesce(
+        TextAnalysis.minShingleFingerprint(col("clean")), md5(col("clean")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(fp).orderBy(col("doc_id"))
+      base
+        .withColumn("quality", TextAnalysis.qualityScore(col("clean")))
+        .withColumn("lang", TextAnalysis.langId(col("clean")).getField("lang"))
+        .withColumn("dedup_keep", row_number().over(w) === 1)
+        .withColumn("sampled",
+          Sampling.sampleKey32(col("doc_id")) < 2147483648L)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          (col("quality") >= 0.5).as("q_pass"),
+          col("dedup_keep"), col("sampled"),
+          (col("quality") >= 0.5 && col("dedup_keep") && col("sampled"))
+            .as("final_keep"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -158,6 +196,31 @@ object CurationQueries {
           lit(".example.org/a/"), id.cast("string")))
         .otherwise(lit("")))
 
+  /** Transitive-closure cluster oracle shared by BOTH CC schemes
+    * (frontier q_d_cc_clusters and star q_d_cc_star): the labeling
+    * contract is scheme-independent, so one recursive CTE proves both.
+    */
+  private val CcClustersOracle: String =
+    s"""WITH RECURSIVE ${DataOpsQueries.SimhashCte},
+        rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
+        pr AS (
+          SELECT a.rep AS ida, b.rep AS idb
+          FROM rp a JOIN rp b ON a.rep < b.rep
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        e AS (SELECT ida AS a, idb AS b FROM pr
+              UNION ALL SELECT idb, ida FROM pr),
+        r AS (
+          SELECT rep AS id, rep AS reach FROM rp
+          UNION
+          SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+        replab AS (SELECT id AS rep, min(reach) AS cluster_id FROM r GROUP BY id),
+        lab AS (
+          SELECT fp.doc_id, replab.cluster_id
+          FROM fp JOIN rp USING (simhash) JOIN replab USING (rep)),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+        FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""
+
   /** Shared term/document-frequency CTEs (whitespace tokens — the
     * exact mirror of TextAnalysis.tokens).
     */
@@ -177,26 +240,10 @@ object CurationQueries {
     // pair graph's closure is quadratic in identical-fp clique size and
     // does not finish at sf0.1), members inherit their rep's component;
     // cluster = min reachable rep = min doc_id of the component.
-    "q_d_cc_clusters" ->
-      s"""WITH RECURSIVE ${DataOpsQueries.SimhashCte},
-          rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
-          pr AS (
-            SELECT a.rep AS ida, b.rep AS idb
-            FROM rp a JOIN rp b ON a.rep < b.rep
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          e AS (SELECT ida AS a, idb AS b FROM pr
-                UNION ALL SELECT idb, ida FROM pr),
-          r AS (
-            SELECT rep AS id, rep AS reach FROM rp
-            UNION
-            SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
-          replab AS (SELECT id AS rep, min(reach) AS cluster_id FROM r GROUP BY id),
-          lab AS (
-            SELECT fp.doc_id, replab.cluster_id
-            FROM fp JOIN rp USING (simhash) JOIN replab USING (rep)),
-          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
-          SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
-          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+    "q_d_cc_clusters" -> CcClustersOracle,
+
+    // identical contract, alternate CC scheme — SAME oracle
+    "q_d_cc_star" -> CcClustersOracle,
 
     // floor(0.3 · 2³²) = 1288490188 — integer cut on both sides.
     "q_c_hash_sample" ->
@@ -296,6 +343,60 @@ object CurationQueries {
                 coalesce(h.n_overlap, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    // The whole pipeline composed from the per-stage mirrors: planted
+    // PII + regex chain (q_t_pii_scrub), tokenization + quality
+    // (q_t_quality), langid argmax (q_t_langid), min-shingle
+    // fingerprint (q_t_fingerprint) dedup window, md5-prefix sample
+    // cut (q_c_hash_sample) — all over the SCRUBBED text.
+    "q_c_curation_pipeline" -> {
+      val (scores, best, cases) = DataOpsQueries.langIdSqlParts("toks")
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' wallet 0x' || md5(CAST(doc_id AS VARCHAR)) || substr(md5(CAST(doc_id AS VARCHAR) || 'w'), 1, 8) ELSE '' END AS r
+            FROM documents),
+          cl AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     r, '${Pii.EmailPat}', '<EMAIL>', 'g'),
+                        '${Pii.PhonePat}', '<PHONE>', 'g'),
+                        '${Pii.Ipv4Pat}', '<IP>', 'g'),
+                        '${Pii.AddrPat}', '<ADDR>', 'g') AS clean
+            FROM raw),
+          t AS (
+            SELECT doc_id, clean,
+                   list_filter(string_split_regex(lower(clean), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM cl),
+          fpt AS (
+            SELECT doc_id, clean, toks,
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_min(list_transform(
+                       list_transform(range(len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')),
+                       x -> md5(x)))
+                   ELSE md5(clean) END AS fp
+            FROM t),
+          q AS (
+            SELECT doc_id, fp, toks, ${DataOpsQueries.qualitySql("toks")} AS quality
+            FROM fpt),
+          sc AS (SELECT doc_id, fp, quality, len(toks) AS n, $scores FROM q),
+          b AS (SELECT *, $best AS best FROM sc),
+          g AS (
+            SELECT doc_id, quality,
+                   CASE $cases ELSE 'und' END AS lang,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS dedup_keep,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 2147483648 AS sampled
+            FROM b)
+          SELECT doc_id, lang, quality,
+                 quality >= 0.5 AS q_pass, dedup_keep, sampled,
+                 (quality >= 0.5 AND dedup_keep AND sampled) AS final_keep
+          FROM g ORDER BY doc_id"""
+    },
 
     // Same planted URLs; blocklist as a literal IN set inside the
     // list_filter lambda.

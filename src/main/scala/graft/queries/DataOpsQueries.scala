@@ -283,8 +283,35 @@ object DataOpsQueries {
                     THEN (1::BIGINT << s.p) ELSE 0 END)::BIGINT AS bucket
          FROM n, sgn s GROUP BY n.vec_id, s.t)"""
 
-  private val EnStop =
+  private[queries] val EnStop =
     TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Quality-score SQL over a `toks` column (mirror of
+    * TextAnalysis.qualityScore / QualityOps float-op order).
+    */
+  private[queries] def qualitySql(toks: String): String =
+    s"""floor((0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN len($toks) > 0 THEN CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) ELSE 0.0 END)
+         + 0.2 * least((CASE WHEN len($toks) > 0 THEN CAST(len(list_filter($toks, t -> list_contains($EnStop, t))) AS DOUBLE) / len($toks) ELSE 0.0 END) * 5.0, 1.0)
+         + 0.2 * least((CASE WHEN len($toks) > 0 THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) ELSE 0.0 END) / 8.0, 1.0))
+       * 10000.0 + 0.5) / 10000.0"""
+
+  /** Language-ID SQL pieces over a `toks` column (mirror of
+    * TextAnalysis.langId / LangIdOps): per-language stopword hit
+    * counts, argmax with fixed priority order, 'und' on zero hits.
+    * Returns (score projections, best expr, lang CASE arms).
+    */
+  private[queries] def langIdSqlParts(toks: String): (String, String, String) = {
+    val scores = TextAnalysis.Stopwords.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, t -> list_contains($lst, t))) AS s_$l"
+    }.mkString(",\n                  ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    (scores, best, cases)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_d_exact_dedup" ->
@@ -535,14 +562,7 @@ object DataOpsQueries {
           FROM p ORDER BY ta, tb""",
 
     "q_t_langid" -> {
-      val scores = TextAnalysis.Stopwords.map { case (l, ws) =>
-        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
-      }.mkString(",\n                  ")
-      val langs = TextAnalysis.Stopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l =>
-        s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      val (scores, best, cases) = langIdSqlParts("toks")
       s"""WITH t AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
@@ -562,21 +582,9 @@ object DataOpsQueries {
       s"""WITH t AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-            FROM documents),
-          m AS (
-            SELECT doc_id,
-                   CAST(len(toks) AS DOUBLE) AS n,
-                   CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq,
-                   CAST(len(list_filter(toks, t -> list_contains($EnStop, t))) AS DOUBLE) AS stops,
-                   CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS total_len
-            FROM t)
-          SELECT doc_id,
-                 floor((0.3 * least(n / 100.0, 1.0)
-                     + 0.3 * (CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END)
-                     + 0.2 * least((CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 5.0, 1.0)
-                     + 0.2 * least((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) / 8.0, 1.0))
-                   * 10000.0 + 0.5) / 10000.0 AS quality
-          FROM m ORDER BY doc_id""",
+            FROM documents)
+          SELECT doc_id, ${qualitySql("toks")} AS quality
+          FROM t ORDER BY doc_id""",
 
     "q_t_token_counts" ->
       """SELECT doc_id,

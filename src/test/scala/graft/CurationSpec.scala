@@ -52,6 +52,48 @@ class CurationSpec extends AnyFunSuite {
     nodeIds.foreach { id => assert(got(id) == find(id), s"node $id") }
   }
 
+  test("star CC matches frontier CC on chains, cliques, random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val randomEdges = Seq.fill(150)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+      .filter { case (a, b) => a != b }
+    // a 300-node path: diameter 299 — frontier needs ~299 rounds
+    // (over its maxIter), star must land it in its 32-round budget
+    val pathEdges = (1000L until 1299L).map(i => (i, i + 1))
+    val nodes = ((0L until 250L) ++ (1000L to 1299L)).toDF("id")
+    val edges = (randomEdges ++ pathEdges).toDF("a", "b")
+    val star = Clusters.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (randomEdges ++ pathEdges).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val roots = ((0L until 250L) ++ (1000L to 1299L))
+      .map(i => i -> find(i)).toMap
+    // same partition AND same canonical (min-id) labels
+    assert(star == roots.map { case (i, r) =>
+      i -> roots.filter(_._2 == r).keys.min })
+  }
+
+  test("star CC handles empty edge sets and self-loops") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Clusters.connectedComponentsStar(nodes, noEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val loops = Seq((1L, 1L), (2L, 3L)).toDF("a", "b")
+    val got2 = Clusters.connectedComponentsStar(nodes, loops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("simhash clusters agree with a transitive closure of the pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("ida", "idb").collect()
