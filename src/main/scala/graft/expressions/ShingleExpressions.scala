@@ -237,6 +237,67 @@ case class LangIdExpr(child: Expression, langs: Seq[String],
     copy(child = newChild)
 }
 
+/** Gopher-style repetition probe: the most frequent word n-gram per
+  * document (count DESC, gram ASC on ties) in ONE tokenization pass —
+  * the HOF formulation (non-distinct shingle build → explode →
+  * re-aggregate) would cost two shuffles and per-element interpreted
+  * lambdas; this is map-side and codegen'd.
+  */
+object TopNgramOps {
+  def top(text: UTF8String, n: Int): InternalRow = {
+    val toks0 = text.toLowerCase.toString.split("\\s+")
+    val toks = toks0.filter(_.nonEmpty)
+    if (toks.length < n)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString(""), 0))
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestGram: String = null
+    var bestCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+        bestCnt = c
+        bestGram = e.getKey
+      }
+    }
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(bestGram), bestCnt))
+  }
+}
+
+case class TopNgram(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_ngram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopNgramOps.top(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TopNgramOps$$.MODULE$$.top($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgram =
+    copy(child = newChild)
+}
+
 case class LexiconSentiment(child: Expression, pos: Seq[String],
     neg: Seq[String]) extends UnaryExpression {
 
@@ -404,6 +465,9 @@ object ShingleFunctions {
 
   def wordShingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+
+  def topNgram(c: Column, n: Int): Column =
+    column(TopNgram(expression(c), n))
 
   def entityNorm(c: Column, synonyms: Seq[(String, String)],
       stopTerms: Seq[String], k: Int): Column =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.Dedup
+import graft.functions.Parity
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -174,6 +175,24 @@ object DataOpsQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // Gopher repetition metrics: the most frequent word 2-/3-gram and
+    // the fraction of characters it covers (cnt·len(gram)/len(text)) —
+    // the "fraction of chars in most common n-gram" gate. One
+    // codegen'd map-side pass per n; no explode/re-aggregate shuffle.
+    "q_t_repetition" -> ((s, dir) => {
+      def cols(n: Int, tag: String) = {
+        val g = TextAnalysis.topNgram(col("text"), n)
+        Seq(g.getField("gram").as(s"top$tag"),
+          g.getField("cnt").cast("long").as(s"n$tag"),
+          Parity.roundHalfUp(
+            (g.getField("cnt") * length(g.getField("gram"))).cast("double") /
+              length(col("text")).cast("double"), 6).as(s"frac$tag"))
+      }
+      docs(s, dir)
+        .select(col("doc_id") +: (cols(2, "2") ++ cols(3, "3")): _*)
+        .orderBy("doc_id")
+    }),
 
     // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
     "q_t_token_counts" -> ((s, dir) =>
@@ -585,6 +604,44 @@ object DataOpsQueries {
             FROM documents)
           SELECT doc_id, ${qualitySql("toks")} AS quality
           FROM t ORDER BY doc_id""",
+
+    // Non-distinct n-gram counts rebuilt by slice-expansion; top-1 by
+    // (count DESC, gram ASC); short docs fall back to ('', 0, 0.0).
+    "q_t_repetition" -> {
+      def part(n: Int, tag: String) =
+        s"""g$tag AS (
+              SELECT doc_id, ng, count(*) AS c
+              FROM (SELECT doc_id,
+                           array_to_string(list_slice(toks, i + 1, i + $n), ' ') AS ng
+                    FROM (SELECT doc_id, toks, unnest(range(len(toks) - ${n - 1})) AS i
+                          FROM t WHERE len(toks) >= $n))
+              GROUP BY 1, 2),
+            b$tag AS (
+              SELECT doc_id, ng, c,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, ng ASC) AS rn
+              FROM g$tag)"""
+      s"""WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          ${part(2, "2")},
+          ${part(3, "3")}
+          SELECT t.doc_id,
+                 coalesce(b2.ng, '') AS top2,
+                 CAST(coalesce(b2.c, 0) AS BIGINT) AS n2,
+                 floor(CAST(coalesce(b2.c, 0) * length(coalesce(b2.ng, '')) AS DOUBLE)
+                   / CAST(length(t.text) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS frac2,
+                 coalesce(b3.ng, '') AS top3,
+                 CAST(coalesce(b3.c, 0) AS BIGINT) AS n3,
+                 floor(CAST(coalesce(b3.c, 0) * length(coalesce(b3.ng, '')) AS DOUBLE)
+                   / CAST(length(t.text) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS frac3
+          FROM t
+          LEFT JOIN b2 ON b2.doc_id = t.doc_id AND b2.rn = 1
+          LEFT JOIN b3 ON b3.doc_id = t.doc_id AND b3.rn = 1
+          ORDER BY t.doc_id"""
+    },
 
     "q_t_token_counts" ->
       """SELECT doc_id,

@@ -71,6 +71,15 @@ object TextAnalysis {
   def shingles(text: Column, n: Int = 3): Column =
     graft.expressions.ShingleFunctions.wordShingles(text, n)
 
+  /** Gopher-style repetition probe: struct(gram, cnt) of the most
+    * frequent word n-gram (count DESC, gram ASC ties), one codegen'd
+    * pass ([[graft.expressions.TopNgram]]); empty gram / cnt 0 when
+    * the doc is shorter than n. The character-fraction gate divides
+    * cnt·len(gram) by len(text).
+    */
+  def topNgram(text: Column, n: Int): Column =
+    graft.expressions.ShingleFunctions.topNgram(text, n)
+
   /** Whole-document fingerprint (md5) + winnowing-style min-shingle
     * fingerprint: min over md5(shingle) — stable under small
     * permutations, the rolling-hash-fingerprint analog.

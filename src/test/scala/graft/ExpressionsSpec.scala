@@ -128,6 +128,24 @@ class ExpressionsSpec extends AnyFunSuite {
       "http://[half-open/x")
   }
 
+  test("top ngram: counts, lexicographic ties, short docs") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "a b a b a"), // "a b"×2 ties "b a"×2 → lexicographic first
+      (2L, "x y x y x y z"), // "x y"×3 clear winner
+      (3L, "solo"), // shorter than n=2
+      (4L, "Go GO go run") // lowercased: "go go"×2
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.topNgram(col("text"), 2).as("g"))
+      .select(col("doc_id"), col("g.gram"), col("g.cnt"))
+    val got = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) == ("a b", 2))
+    assert(got(2L) == ("x y", 3))
+    assert(got(3L) == ("", 0))
+    assert(got(4L) == ("go go", 2))
+  }
+
   test("canonical url column handles null and empty") {
     val df = Seq(Some("example.com/a?utm_x=1"), Some(""), None).toDF("u")
       .select(GraftFunctions.canonicalUrl(col("u")).as("c"))
