@@ -237,7 +237,34 @@ object ScaleRehearsal {
               |a vanishing delta against the never-re-shuffled edge list.
               |If diameters ever grow past tens, the small-star/large-star
               |scheme (O(log n) rounds, same labels contract) is the
-              |drop-in replacement.
+              |drop-in replacement — measured next.
+              |""".stripMargin
+
+    // ---- 5b. Star-scheme CC on the same graph -------------------
+    val starRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val starLabels = graft.dedup.Clusters.connectedComponentsStar(
+      repsBig.select(col("rep").as("id")), repPairs,
+      onRound = (i, d) => starRounds += ((i, d.count())))
+    val agree = starLabels
+      .join(repLabels.withColumnRenamed("cluster_id", "cl2"), "id")
+      .filter(col("cluster_id") =!= col("cl2")).count()
+    val starTrace = starRounds.map { case (i, n) => s"r$i=$n" }.mkString(", ")
+    sb ++= s"""
+              |## Star-scheme CC (large-star/small-star) on the same graph
+              |
+              || metric | value |
+              ||---|---|
+              || rounds to converge | ${starRounds.size} (frontier: ${rounds.size}) |
+              || edge-list size per round | $starTrace |
+              || label disagreements vs frontier scheme | $agree |
+              |
+              |The alternating star scheme lands the same labeling in
+              |${starRounds.size} rounds where the frontier scheme needed
+              |${rounds.size} on this chained-replica graph — the O(log n)
+              |guarantee for adversarial diameters, bought with ~3 keyed
+              |shuffles of the current edge list per round and no
+              |neighbor-list collection (hot star centers never materialize
+              |their degree in one task).
               |""".stripMargin
 
     // ---- 6. IVF k-means training: balance lift --------------------

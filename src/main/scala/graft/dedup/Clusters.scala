@@ -114,7 +114,10 @@ object Clusters {
     * component minima.
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 32): DataFrame = {
+      maxIter: Int = 32,
+      // observation hook (scale rehearsal): called with each round's
+      // surviving edge list — no-op by default, zero extra actions
+      onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("a"),
@@ -143,6 +146,7 @@ object Clusters {
         .localCheckpoint()
       converged = small.except(e).isEmpty && e.except(small).isEmpty
       e = small
+      onRound(iter, e)
       iter += 1
     }
     require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
