@@ -101,6 +101,17 @@ object DataOpsQueries {
         dupThreshold = 0.9, dim = 64, planes = 8, tables = 4)
         .orderBy("vec_id")),
 
+    // IVF-PQ: coarse IVF routing + product-quantized ADC scoring —
+    // the compressed-scan composition a 10⁹-vector corpus runs.
+    // Corpus carried as m=8 codes (4-bit class), query builds one
+    // 8×16 ADC table, each candidate costs 8 lookups. The oracle
+    // re-derives codebooks, codes, probes, tables and the ranked ADC
+    // distances entirely in SQL.
+    "q_s_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5)
+        .orderBy("qid", "rank")),
+
     // IVF TRAINING: 2 spherical-Lloyd rounds from the md5-seeded init
     // (assign map-side on literal centroids; recompute = partial-agg
     // groupBy over nlist×dim cells; 9-dp centroid rounding each round
@@ -531,6 +542,61 @@ object DataOpsQueries {
          LEFT JOIN tot t USING (page_id)
          LEFT JOIN agg a USING (page_id)
          ORDER BY page_id""",
+
+    // Codebooks = unit-sample subvector slices; codes = per-subspace
+    // argmin of (-2·x_s·c + ‖c‖²); ADC = Σ_s (‖q_s‖² + q_s·c·(-2) +
+    // ‖c‖²) over the coded entries, summed in subspace order. Probes
+    // and list assignment reuse the q_s_ann_ivf centroid SQL.
+    "q_s_ivf_pq" ->
+      s"""WITH $PreparedVecsCte,
+          u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n),
+          cent AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          rnk AS (
+            SELECT n.vec_id, cent.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.e, cent.c) DESC, cent.cid ASC) AS rn
+            FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, cid AS list_id FROM rnk WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM rnk
+            WHERE rn <= 4 AND vec_id % 50 = 0),
+          books AS (
+            SELECT sp.s, cent.cid AS j,
+                   list_slice(cent.c, sp.s * 8 + 1, sp.s * 8 + 8) AS c
+            FROM cent, (SELECT unnest(range(8)) AS s) sp),
+          enc AS (
+            SELECT vec_id, s, j AS code FROM (
+              SELECT u.vec_id, b.s, b.j,
+                     row_number() OVER (PARTITION BY u.vec_id, b.s
+                       ORDER BY (list_dot_product(list_slice(u.u, b.s * 8 + 1, b.s * 8 + 8), b.c) * -2.0
+                                 + list_dot_product(b.c, b.c)) ASC, b.j ASC) AS rn
+              FROM u CROSS JOIN books b) WHERE rn = 1),
+          pr AS (
+            SELECT p.qid, a.vec_id AS nn_id
+            FROM probes p JOIN asg a ON a.list_id = p.list_id
+            WHERE a.vec_id <> p.qid),
+          adc AS (
+            SELECT pr.qid, pr.nn_id,
+                   list_sum(list(
+                     list_dot_product(list_slice(qu.u, b.s * 8 + 1, b.s * 8 + 8),
+                                      list_slice(qu.u, b.s * 8 + 1, b.s * 8 + 8))
+                       + list_dot_product(list_slice(qu.u, b.s * 8 + 1, b.s * 8 + 8), b.c) * -2.0
+                       + list_dot_product(b.c, b.c)
+                     ORDER BY b.s)) AS d
+            FROM pr
+            JOIN enc ON enc.vec_id = pr.nn_id
+            JOIN books b ON b.s = enc.s AND b.j = enc.code
+            JOIN u qu ON qu.vec_id = pr.qid
+            GROUP BY 1, 2),
+          r AS (
+            SELECT qid, nn_id, d,
+                   row_number() OVER (PARTITION BY qid ORDER BY d ASC, nn_id ASC) AS rank
+            FROM adc)
+          SELECT qid, nn_id, floor(d * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     // Both Lloyd rounds unrolled; init == the q_s_ann_ivf md5-ranked
     // sample, so the hash compare proves init, both assigns, both

@@ -325,6 +325,97 @@ object Similarity {
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
 
+  // ---------- product quantization (IVF-PQ, the 100 TB ANN form) ----
+
+  /** PQ codebooks: the unit-sphere md5-ranked sample (the
+    * [[ivfCentroids]] seed), sliced into `m` subspaces — codebook
+    * entry (s, j) is sample vector j's s-th subvector. Init-only by
+    * design (the [[kmeansCentroids]] Lloyd machinery is the training
+    * path, applied per subspace); the gate pins the encode + ADC
+    * mechanics, which are training-independent.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = ivfCentroids(df, idCol, embCol, k)
+    val w = sample.head.length / m
+    (0 until m).map(s => sample.map(_.slice(s * w, (s + 1) * w)))
+  }
+
+  /** Per-subspace code assignment: argmin_j of the L2 distance to the
+    * codebook entry, computed as `-2·x_s·c + ‖c‖²` (the `‖x_s‖²` term
+    * is constant within a subspace, so it cannot change the argmin and
+    * is dropped on BOTH engines). Map-side over literal codebooks; ties
+    * break to the smaller code. Returns an array<int> of m codes.
+    */
+  def pqEncode(u: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val w = books.head.head.size
+    array((0 until m).map { s =>
+      val sub = slice(u, s * w + 1, w)
+      val ranked = sort_array(array(books(s).zipWithIndex.map { case (c, j) =>
+        val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((dot(sub, typedlit(c)) * -2.0 + lit(c2)).as("d"),
+          lit(j).as("j"))
+      }: _*))
+      element_at(ranked, 1).getField("j")
+    }: _*)
+  }
+
+  /** Per-query ADC table: the m×k flattened array of true squared
+    * subspace distances `‖q_s‖² − 2·q_s·c + ‖c‖²`, computed ONCE per
+    * query (map-side); pair scoring is then m array lookups.
+    */
+  private def adcTable(u: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val w = books.head.head.size
+    concat((0 until m).map { s =>
+      val sub = slice(u, s * w + 1, w)
+      val q2 = dot(sub, sub)
+      array(books(s).map { c =>
+        val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        q2 + dot(sub, typedlit(c)) * -2.0 + lit(c2)
+      }: _*)
+    }: _*)
+  }
+
+  /** IVF-PQ top-k — the composition a 10⁹-vector corpus actually runs:
+    * coarse IVF routing (corpus assigned map-side to literal
+    * centroids, never shuffled; queries probe `nprobe` lists via a
+    * broadcast join) + PQ-compressed scoring (corpus vectors carried
+    * as m 4-bit-class codes, query builds its ADC table once, each
+    * candidate costs m array lookups instead of a dim-wide dot).
+    * Approximate distances rank the probed lists' candidates; the
+    * uncompressed kernels ([[ivfTopK]]/[[bruteForceTopK]]) remain the
+    * exact baselines.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, codesPerSub: Int = 16): DataFrame = {
+    val cents = ivfCentroids(df, idCol, embCol, nlist)
+    val books = pqCodebooks(df, idCol, embCol, m, codesPerSub)
+    val base = prepared(df, idCol, embCol)
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+    val corpus = base
+      .select(col("vec_id"), ivfAssign(col("e"), cents).as("list_id"),
+        pqEncode(col("u"), books).as("codes"))
+    val q = base.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), adcTable(col("u"), books).as("tbl"),
+        explode(ivfProbes(col("e"), cents, nprobe)).as("list_id"))
+    val adc = (0 until m)
+      .map(s => element_at(col("tbl"),
+        element_at(col("codes"), s + 1) + lit(s * codesPerSub) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc_raw").asc, col("nn_id").asc)
+    corpus.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"), adc.as("adc_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("adc_raw"), 6).as("adc_dist"), col("rank"))
+  }
+
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
       queryPred: Column => Column, k: Int, dim: Int, planes: Int = 8,
       tables: Int = 4): DataFrame = {

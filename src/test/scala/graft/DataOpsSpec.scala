@@ -137,6 +137,17 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF top-1 recall was $recall")
   }
 
+  test("IVF-PQ top-k recall >= 0.9 on planted near-dups") {
+    val got = Similarity.ivfPqTopK(planted, "vec_id", "embedding",
+      id => id >= 1000 && id < 5000, k = 1, nlist = 16, nprobe = 4,
+      m = 8, codesPerSub = 16)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 200).count(i => got.get(1000L + i).contains(i.toLong))
+    val recall = hits / 200.0
+    assert(recall >= 0.9, s"IVF-PQ top-1 recall was $recall")
+  }
+
   test("line dedup keeps first global occurrence and reassembles in order") {
     import spark.implicits._
     val pages = Seq(
