@@ -41,8 +41,19 @@ object Tables {
   * tests) gets identical, oracle-parity-critical configuration.
   */
 object Sessions {
+  /** Scratch root for stream staging, checkpoints and spark.local.dir.
+    * local-mode runs prefer tmpfs (/dev/shm) — ext4 /tmp fsyncs every
+    * state-store commit and shuffle spill, which both slows the
+    * streaming gate ~2x and adds multi-second run-to-run jitter. On a
+    * real cluster this is the node's local NVMe (override via
+    * SPARK_GRAFT_SCRATCH).
+    */
+  val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft" else "/tmp/graft")
+
   def builderDefaults(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", s"$scratchRoot/local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

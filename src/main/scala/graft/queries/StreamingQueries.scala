@@ -39,12 +39,17 @@ object StreamingQueries {
       val fingerprint = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val stage = s"/tmp/graft_stream_stage/${src.getParentFile.getName}_$fingerprint"
+      val stage = s"${graft.Sessions.scratchRoot}/stream_stage/${src.getParentFile.getName}_$fingerprint"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         posts.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(posts.schema).parquet(stage).as[RawPost]
 
       val qn = "q_stream_event_upsert_sink"
+      // fresh per-run checkpoint on the scratch root (tmpfs in local
+      // mode): a resumed checkpoint would replay nothing into the
+      // memory sink, and ext4 /tmp fsync per state commit is the
+      // dominant jitter source
+      val chk = s"${graft.Sessions.scratchRoot}/chk/${java.util.UUID.randomUUID()}"
       // project the gate's columns BEFORE the sink: Catalyst's
       // ObjectSerializerPruning then drops the evidence-array
       // serialization from the flatMapGroupsWithState output, and the
@@ -52,8 +57,12 @@ object StreamingQueries {
       val q = PostPipeline.eventStream(stream)
         .select("eventKey", "evidenceCount", "startUs", "lastUs", "version")
         .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", chk)
         .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
 
       // final state per key = highest version emitted
       val w = Window.partitionBy("eventKey").orderBy(col("version").desc)
@@ -91,14 +100,14 @@ object StreamingQueries {
       val fingerprint = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val stage = s"/tmp/graft_stream_stage/${src.getParentFile.getName}_$fingerprint"
+      val stage = s"${graft.Sessions.scratchRoot}/stream_stage/${src.getParentFile.getName}_$fingerprint"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         posts.write.mode("overwrite").parquet(stage)
       // the base dir is keyed by source identity AND a pipeline-logic
       // version: the checkpointed table holds derived event keys, so a
       // key-derivation change must start a fresh table (a resumed
       // checkpoint would otherwise replay nothing and serve stale keys)
-      val base = s"/tmp/graft_sink_gate/${src.getParentFile.getName}_${fingerprint}_k2"
+      val base = s"${graft.Sessions.scratchRoot}/sink_gate/${src.getParentFile.getName}_${fingerprint}_k2"
       val q = graft.streaming.EventSink.start(
         s.readStream.schema(posts.schema).parquet(stage).as[RawPost],
         s"$base/events", s"$base/outbox", s"$base/chk")
