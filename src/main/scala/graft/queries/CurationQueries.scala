@@ -141,6 +141,16 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity filter: add-one-smoothed bigram LM
+    // trained on the doc_id % 10 < 3 reference slice, every doc scored
+    // by mean bigram NLL (1e-6 fixed point — integer sums commute, so
+    // the distributed aggregation is order-independent), keep = low
+    // perplexity. Two count aggregations + two key joins; no collect.
+    "q_t_perplexity" -> ((s, dir) =>
+      graft.text.LangModel.perplexity(docs(s, dir), "doc_id", "text",
+        id => id % 10 < 3, threshold = 33.0)
+        .orderBy("doc_id")),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -428,6 +438,46 @@ object CurationQueries {
                  ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.99)", 6)} AS p99_chars,
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // The model CTEs mirror LangModel op-for-op: same tokenization as
+    // TermFreqCte, bigrams via 1-based list indexing, add-one NLL in
+    // 1e-6 fixed point (ln at 1e-6 resolution is cross-engine-safe,
+    // the repo's tfidf/bm25 precedent), LONG sums. DuckDB sum(BIGINT)
+    // widens to HUGEINT — cast back.
+    "q_t_perplexity" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+          trp AS (
+            SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+                  FROM tk2 WHERE doc_id % 10 < 3)),
+          big AS (SELECT w1, w2, count(*) AS c12 FROM trp GROUP BY 1, 2),
+          hist AS (SELECT w1, count(*) AS c1 FROM trp GROUP BY 1),
+          voc AS (SELECT count(DISTINCT w) AS v FROM
+                  (SELECT unnest(toks) AS w FROM tk2 WHERE doc_id % 10 < 3)),
+          cp AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                  FROM tk2)),
+          sc AS (
+            SELECT cp.doc_id,
+                   CAST(floor((ln(CAST(coalesce(h.c1, 0) AS DOUBLE) + CAST(voc.v AS DOUBLE)) -
+                               ln(CAST(coalesce(b.c12, 0) AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+            FROM cp LEFT JOIN big b USING (w1, w2)
+                    LEFT JOIN hist h USING (w1), voc),
+          ag AS (SELECT doc_id, count(*) AS n_bigrams,
+                        CAST(sum(nll_u) AS BIGINT) AS nll_sum_u
+                 FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, nll_sum_u,
+                 ${graft.functions.Parity.sqlRound(
+                   "exp((CAST(nll_sum_u AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))", 6)} AS ppl,
+                 ${graft.functions.Parity.sqlRound(
+                   "exp((CAST(nll_sum_u AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))", 6)} <= 33.0 AS keep
+          FROM ag ORDER BY doc_id""",
 
     // Float path mirrors Relevance.tfidfTopK op-for-op:
     // tf::double * (ln((1.0 + N)/(1.0 + df)) + 1.0), round 6.

@@ -281,4 +281,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == (0L -> false))
     assert(got(3L)._2)
   }
+
+  test("bigram LM perplexity: add-one math exact, OOV text scores higher") {
+    import spark.implicits._
+    import graft.text.LangModel
+    // train slice (id % 2 == 0): c(a b)=5, c(b a)=3, hist(a)=5,
+    // hist(b)=3, V=2
+    val corpus = Seq(
+      (0L, "a b a b a b"),
+      (2L, "a b a b"),
+      (1L, "a b a b"), // all transitions seen in training
+      (3L, "x y x y")) // fully out-of-vocabulary
+      .toDF("doc_id", "text")
+    val got = LangModel.perplexity(corpus, "doc_id", "text",
+      id => id % 2 === 0, threshold = 1.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // doc 1: nll = (2·ln(7/6) + ln(5/4)) / 3 → ppl ≈ 1.193800
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - 1.193800) < 1e-4, s"ppl=${got(1L)._2}")
+    assert(got(1L)._3, "seen-text doc passes the keep gate")
+    // doc 3: every transition is unseen → nll = ln(0 + V) = ln 2 → ppl = 2
+    assert(math.abs(got(3L)._2 - 2.0) < 1e-5, s"ppl=${got(3L)._2}")
+    assert(!got(3L)._3, "OOV doc fails the keep gate")
+    assert(got(3L)._2 > got(1L)._2)
+  }
 }
