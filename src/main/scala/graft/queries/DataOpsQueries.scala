@@ -123,6 +123,16 @@ object DataOpsQueries {
         nlist = 16, iters = 2)
         .orderBy("vec_id")),
 
+    // SemDeDup: same trained quantizer as q_s_ivf_train (the oracle
+    // reuses the unrolled Lloyd rounds verbatim), then within-cluster
+    // cosine pruning — drop any vector with a lower-id cluster-mate at
+    // cos >= 0.35. One list_id self-join shuffle; pairwise cost is
+    // per-cluster, bounded by growing nlist with the corpus.
+    "q_s_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 2, tau = 0.35)
+        .orderBy("vec_id")),
+
     // Sign-LSH bucketed ANN with Hamming-1 multi-probe (scale path);
     // full DuckDB mirror oracle — zero rows-only checks left.
     "q_s_ann_lsh" -> ((s, dir) =>
@@ -622,6 +632,40 @@ object DataOpsQueries {
           SELECT fin.vec_id, fin.list_id, sz.list_size,
                  floor(fin.cr * 1000000.0 + 0.5) / 1000000.0 AS cos_c
           FROM fin JOIN sz USING (list_id) ORDER BY vec_id""",
+
+    // Same trained model as q_s_ivf_train (c0→c1→c2 unrolled), then
+    // the within-cluster lower-id cosine prune. Unit vectors and the
+    // pair dot mirror the Spark chain op-for-op (list_dot_product ==
+    // the DotProduct kernel, both ascending), so the raw >= 0.35
+    // compare is cross-engine-exact.
+    "q_s_semdedup" ->
+      s"""WITH $PreparedVecsCte,
+          dm AS (SELECT unnest(range(64)) AS d),
+          u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          ${lloydRoundCte("c0", "a0", "cell1", "m1", "c1")},
+          ${lloydRoundCte("c1", "a1", "cell2", "m2", "c2")},
+          fin AS (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT n.vec_id, c2.cid,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.e, c2.c) DESC, c2.cid ASC) AS rn
+              FROM n CROSS JOIN c2) WHERE rn = 1),
+          fu AS (SELECT fin.vec_id, fin.list_id, u.u
+                 FROM fin JOIN u USING (vec_id)),
+          d AS (
+            SELECT b.vec_id, count(*) AS n_dup_lower
+            FROM fu b JOIN fu a
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.u, b.u) >= 0.35
+            GROUP BY 1)
+          SELECT fu.vec_id, fu.list_id,
+                 CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+                 coalesce(d.n_dup_lower, 0) = 0 AS keep
+          FROM fu LEFT JOIN d USING (vec_id) ORDER BY vec_id""",
 
     "q_d7_topic_merge_embed" ->
       s"""WITH $PreparedVecsCte,

@@ -325,6 +325,43 @@ object Similarity {
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication: k-means
+    * cluster the embedding space, then prune within each cluster any
+    * vector whose cosine to a LOWER-id cluster-mate reaches `tau`
+    * (the deterministic analog of the paper's keep-one-per-duplicate-
+    * group rule; min id keeps, exactly the repo's dedup convention).
+    *
+    * Scale shape: clustering reuses the spherical-Lloyd trainer
+    * ([[kmeansCentroids]] — corpus scanned once per round, never
+    * shuffled); assignment is the map-side literal-centroid argmax;
+    * the ONLY shuffle is the self-join on `list_id`. The within-
+    * cluster pairwise cost is the published algorithm's cost — at
+    * 100 TB `nlist` grows with the corpus to hold the expected list
+    * size constant (the paper runs ~100k clusters for LAION-scale),
+    * so the per-cluster quadratic stays bounded.
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, embCol, nlist, iters)
+    val base = prepared(df, idCol, embCol)
+      .select(col("vec_id"),
+        transform(col("e"), x => x / col("nrm")).as("u"),
+        ivfAssign(col("e"), cents).as("list_id"))
+    val lower = base.select(col("list_id"), col("vec_id").as("ida"),
+      col("u").as("ua"))
+    val dups = base
+      .select(col("list_id"), col("vec_id").as("idb"), col("u").as("ub"))
+      .join(lower, Seq("list_id"))
+      .filter(col("ida") < col("idb") && dot(col("ua"), col("ub")) >= tau)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_lower"))
+    base.select(col("vec_id"), col("list_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        (coalesce(col("n_dup_lower"), lit(0L)) === 0L).as("keep"))
+  }
+
   // ---------- product quantization (IVF-PQ, the 100 TB ANN form) ----
 
   /** PQ codebooks: the unit-sphere md5-ranked sample (the

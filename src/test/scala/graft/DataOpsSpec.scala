@@ -148,6 +148,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF-PQ top-1 recall was $recall")
   }
 
+  test("SemDeDup drops planted semantic dups, keeps bases and distractors") {
+    val out = Similarity.semDedup(planted, "vec_id", "embedding",
+      nlist = 8, iters = 2, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 500)
+    // a dup is pruned when it co-clusters with its base (cos ≈ 0.99);
+    // k-means can split a pair across a list boundary, hence recall-
+    // style: >= 90 % of planted dups must be dropped
+    val dropped = (0 until 200).count(i => !out(1000L + i)._2)
+    assert(dropped >= 180, s"only $dropped/200 planted dups pruned")
+    // bases hold the lower id of every planted pair and random 64-dim
+    // unit vectors stay far below tau, so every base and distractor
+    // survives
+    (0 until 200).foreach(i => assert(out(i.toLong)._2, s"base $i dropped"))
+    (0 until 100).foreach(i =>
+      assert(out(5000L + i)._2, s"distractor ${5000 + i} dropped"))
+  }
+
   test("line dedup keeps first global occurrence and reassembles in order") {
     import spark.implicits._
     val pages = Seq(
