@@ -151,6 +151,15 @@ object CurationQueries {
         id => id % 10 < 3, threshold = 33.0)
         .orderBy("doc_id")),
 
+    // fastText-style quality classifier: unigram+bigram features,
+    // md5 feature hashing, integer mean pooling (fixed-order array
+    // fold — no float sum-order risk), sigmoid + label. Map-side,
+    // zero shuffle; the hash-derived weights are the documented
+    // deterministic stand-in for a trained .bin broadcast.
+    "q_t_quality_classifier" -> ((s, dir) =>
+      graft.text.QualityClassifier.classify(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -438,6 +447,36 @@ object CurationQueries {
                  ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.99)", 6)} AS p99_chars,
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // Feature hashing + pooling mirrored op-for-op: same tokenization,
+    // bigrams via 1-based list indexing, md5-prefix weights recentred
+    // to [-2^31, 2^31), INTEGER list_sum (order-free), one double
+    // chain into sigmoid at the end. DuckDB list_sum widens — cast.
+    "q_t_quality_classifier" -> {
+      val sig = graft.functions.Parity.sqlRound(
+        "1.0 / (1.0 + exp(-4.0 * (CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) / 2147483648.0)))", 6)
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          f AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 2
+                        THEN toks || list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE toks END AS feats
+            FROM tk),
+          w AS (
+            SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+                   CAST(list_sum(list_transform(feats,
+                     ft -> ('0x' || substr(md5(ft), 1, 8))::BIGINT - 2147483648)) AS BIGINT) AS w_sum
+            FROM f WHERE len(feats) > 0)
+          SELECT doc_id, n_features, w_sum, $sig AS score,
+                 CASE WHEN $sig >= 0.5 THEN '__label__keep'
+                      ELSE '__label__drop' END AS label
+          FROM w ORDER BY doc_id"""
+    },
 
     // The model CTEs mirror LangModel op-for-op: same tokenization as
     // TermFreqCte, bigrams via 1-based list indexing, add-one NLL in

@@ -282,6 +282,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._2)
   }
 
+  test("quality classifier: feature hashing + pooling reproducible by hand") {
+    import spark.implicits._
+    import graft.text.QualityClassifier
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) - 2147483648L
+    }
+    val corpus = Seq((1L, "Alpha beta"), (2L, "alpha BETA"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = QualityClassifier.classify(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+    // "alpha beta" → features [alpha, beta, "alpha beta"], n = 2·2-1
+    val expected = h32("alpha") + h32("beta") + h32("alpha beta")
+    assert(got(1L)._1 == 3L && got(1L)._2 == expected)
+    // case-insensitive: doc 2 is byte-identical after lowering
+    assert(got(2L) == got(1L))
+    // single token → unigram only, sigmoid stays within (0, 1)
+    assert(got(3L)._1 == 1L && got(3L)._2 == h32("solo"))
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0)
+    val lbl = if (got(3L)._3 >= 0.5) "__label__keep" else "__label__drop"
+    assert(got(3L)._4 == lbl)
+  }
+
   test("bigram LM perplexity: add-one math exact, OOV text scores higher") {
     import spark.implicits._
     import graft.text.LangModel
