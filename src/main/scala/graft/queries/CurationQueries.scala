@@ -151,6 +151,14 @@ object CurationQueries {
         id => id % 10 < 3, threshold = 33.0)
         .orderBy("doc_id")),
 
+    // Fixed-width token chunking with stride (64/48 → 16-token
+    // overlap): the sequence-prep explode between curation and
+    // tokenization. Map-side fan-out, zero shuffle, full provenance.
+    "q_c_chunking" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByTokens(docs(s, dir), "doc_id", "text",
+        width = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // fastText-style quality classifier: unigram+bigram features,
     // md5 feature hashing, integer mean pooling (fixed-order array
     // fold — no float sum-order risk), sigmoid + label. Map-side,
@@ -447,6 +455,25 @@ object CurationQueries {
                  ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.99)", 6)} AS p99_chars,
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // Start offsets = multiples of 48 below len(toks) on both engines
+    // (Spark sequence(0, n-1, 48) == DuckDB range(0, n, 48));
+    // list_slice end-clamps exactly like Spark slice's length cap.
+    "q_c_chunking" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         st AS (
+           SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+           FROM tk WHERE len(toks) > 0)
+         SELECT doc_id,
+                CAST(s // 48 AS BIGINT) AS chunk_idx,
+                CAST(s AS BIGINT) AS start_tok,
+                CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT) AS n_tok,
+                array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_idx""",
 
     // Feature hashing + pooling mirrored op-for-op: same tokenization,
     // bigrams via 1-based list indexing, md5-prefix weights recentred

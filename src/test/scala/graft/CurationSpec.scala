@@ -282,6 +282,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._2)
   }
 
+  test("token chunking: stride windows, overlap, tail clamp, provenance") {
+    import spark.implicits._
+    import graft.operators.Chunking
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val corpus = Seq((1L, text), (2L, "only three tokens"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(corpus, "doc_id", "text",
+      width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // doc 1: starts 0,3,6,9 → windows of 4 with 1-token overlap,
+    // tail clamps to 1 token
+    assert(got((1L, 0L)) == (0L, 4L, "w1 w2 w3 w4"))
+    assert(got((1L, 1L)) == (3L, 4L, "w4 w5 w6 w7"))
+    assert(got((1L, 2L)) == (6L, 4L, "w7 w8 w9 w10"))
+    assert(got((1L, 3L)) == (9L, 1L, "w10"))
+    // doc 2: a single clamped chunk; doc 3: no tokens → no rows
+    assert(got((2L, 0L)) == (0L, 3L, "only three tokens"))
+    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("quality classifier: feature hashing + pooling reproducible by hand") {
     import spark.implicits._
     import graft.text.QualityClassifier
