@@ -52,9 +52,23 @@ object Bench {
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    runSet(plain, sfDir, runs, times, allRuns, failures)
-    // In-process fallback set if the fork fails:
-    var isoPending = iso
+    // Isolated (streaming) set runs FIRST, in a forked child, while
+    // this JVM is still pristine — forking after the 90+ plain queries
+    // left the child contending with the parent's fully-grown heap and
+    // measurably inflated the stateful queries (13 s vs a 6 s isolated
+    // floor in round-5 runs).
+    var isoFailed = Seq.empty[String]
+    if (iso.nonEmpty) {
+      forkChild(iso, runs) match {
+        case Some((ctimes, cruns, cfails)) =>
+          times ++= ctimes; allRuns ++= cruns; failures ++= cfails
+        case None =>
+          Console.err.println("[bench] child fork failed; running isolated set in-process")
+          isoFailed = iso
+      }
+    }
+
+    runSet(plain ++ isoFailed, sfDir, runs, times, allRuns, failures)
 
     if (childMode) {
       // Child: report per-query lines on stdout for the parent to parse.
@@ -63,17 +77,6 @@ object Bench {
         println(s"BENCH_CHILD_RUNS $k ${vs.mkString(",")}") }
       failures.foreach { case (k, v) => println(s"BENCH_CHILD_FAIL $k $v") }
       return
-    }
-
-    if (isoPending.nonEmpty) {
-      forkChild(isoPending, runs) match {
-        case Some((ctimes, cruns, cfails)) =>
-          times ++= ctimes; allRuns ++= cruns; failures ++= cfails
-          isoPending = Seq.empty
-        case None =>
-          Console.err.println("[bench] child fork failed; running isolated set in-process")
-          runSet(isoPending, sfDir, runs, times, allRuns, failures)
-      }
     }
 
     val total = times.values.sum
