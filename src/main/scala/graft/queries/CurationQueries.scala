@@ -214,9 +214,20 @@ object CurationQueries {
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       text,
-      when(id % 4 === 0,
-        concat(lit(" see https://spam"), (id % 50).cast("string"),
-          lit(".example.com/p?id="), id.cast("string")))
+      // spam hosts rotate through the three disguises a naive exact
+      // match misses: UPPERCASE + explicit port, userinfo@ prefix,
+      // and the plain lowercase form — all must normalize onto the
+      // blocklist entry.
+      when(id % 12 === 0,
+        concat(lit(" see https://SPAM"), (id % 50).cast("string"),
+          lit(".Example.COM:443/p?id="), id.cast("string")))
+        .when(id % 12 === 4,
+          concat(lit(" see https://u"), id.cast("string"),
+            lit("@spam"), (id % 50).cast("string"),
+            lit(".example.com/p?id="), id.cast("string")))
+        .when(id % 4 === 0,
+          concat(lit(" see https://spam"), (id % 50).cast("string"),
+            lit(".example.com/p?id="), id.cast("string")))
         .otherwise(lit("")),
       when(id % 6 === 0,
         concat(lit(" via http://news"), (id % 30).cast("string"),
@@ -314,7 +325,8 @@ object CurationQueries {
                              doc_id ASC
                     ROWS UNBOUNDED PRECEDING) AS cum
            FROM t)
-         SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+         SELECT doc_id, lang, n_tokens,
+                CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
 
     // The oracle rebuilds the planted-PII string byte-for-byte, then
@@ -433,7 +445,10 @@ object CurationQueries {
       s"""WITH raw AS (
             SELECT doc_id,
                    text ||
-                   CASE WHEN doc_id % 4 = 0 THEN ' see https://spam' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p?id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+                   CASE WHEN doc_id % 12 = 0 THEN ' see https://SPAM' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:443/p?id=' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 12 = 4 THEN ' see https://u' || CAST(doc_id AS VARCHAR) || '@spam' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p?id=' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 4 = 0 THEN ' see https://spam' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p?id=' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END ||
                    CASE WHEN doc_id % 6 = 0 THEN ' via http://news' || CAST(doc_id % 30 AS VARCHAR) || '.example.org/a/' || CAST(doc_id AS VARCHAR) ELSE '' END AS r
             FROM documents),
           f AS (
@@ -441,7 +456,7 @@ object CurationQueries {
                    CAST(len(regexp_extract_all(r, '${UrlFilter.UrlPat}')) AS BIGINT) AS n_urls,
                    CAST(len(list_filter(
                      list_transform(regexp_extract_all(r, '${UrlFilter.UrlPat}'),
-                       u -> regexp_extract(u, '${UrlFilter.HostPat}', 1)),
+                       u -> lower(regexp_extract(u, '${UrlFilter.HostPat}', 1))),
                      h -> h IN ($blocklist))) AS BIGINT) AS n_blocked
             FROM raw)
           SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep

@@ -274,7 +274,11 @@ object DataOpsQueries {
     * `cin` → per-(list, dim) sum/count cells → mean, renormalize,
     * 9-dp half-up round (the Similarity.kmeansCentroids contract) →
     * `cout`; an empty list keeps its previous centroid via the LEFT
-    * JOIN + coalesce.
+    * JOIN + coalesce. The cell sum quantizes each u-component to a
+    * 1e-12 fixed-point BIGINT per row and sums exactly (DuckDB widens
+    * to HUGEINT), mirroring the engine's decimal(38,0) accumulator —
+    * the sum is order-free on both sides, so the downstream IEEE
+    * chain (÷1e12, ÷cnt, renormalize, 9-dp round) is bit-for-bit.
     */
   private def lloydRoundCte(cin: String, a: String, cell: String,
       m: String, cout: String): String =
@@ -285,9 +289,12 @@ object DataOpsQueries {
                      ORDER BY list_dot_product(n.e, $cin.c) DESC, $cin.cid ASC) AS rn
             FROM n CROSS JOIN $cin) WHERE rn = 1),
         $cell AS (
-          SELECT $a.cid, dm.d, sum(u.u[dm.d + 1]) AS sx, count(*) AS cnt
+          SELECT $a.cid, dm.d,
+                 sum(CAST(floor(u.u[dm.d + 1] * 1000000000000.0 + 0.5) AS BIGINT)) AS sx,
+                 count(*) AS cnt
           FROM $a JOIN u USING (vec_id), dm GROUP BY 1, 2),
-        $m AS (SELECT cid, list(sx / cnt ORDER BY d) AS m FROM $cell GROUP BY cid),
+        $m AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000000000.0 / cnt ORDER BY d) AS m
+               FROM $cell GROUP BY cid),
         $cout AS (
           SELECT $cin.cid,
                  coalesce(list_transform($m.m,

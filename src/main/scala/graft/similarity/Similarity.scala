@@ -208,11 +208,18 @@ object Similarity {
     * per round — the model artifact, exactly as in [[ivfCentroids]].
     * The corpus itself is scanned once per round and never shuffled.
     *
-    * Determinism: centroid components are rounded half-up at 9 dp
-    * after each renormalize, so the (order-dependent) distributed sum
-    * and the oracle's SQL aggregate agree bit-for-bit downstream; the
-    * per-row assignment then runs on identical doubles on both sides.
-    * Empty lists keep their previous centroid (classic Lloyd fallback).
+    * Determinism: the ONLY order-dependent step of Lloyd is the
+    * per-(list, dim) sum over member rows, so each u-component is
+    * quantized per row to a 1e-12 fixed-point integer (exact — the
+    * per-row value is a deterministic IEEE chain on both engines) and
+    * summed as unbounded integers (decimal(38,0) here, HUGEINT in the
+    * oracle): an integer sum is associative/commutative, hence
+    * identical under any partitioning or row order. The mean,
+    * renormalize, and final 9-dp half-up round are then fixed IEEE
+    * chains on identical inputs — genuinely bit-for-bit cross-engine,
+    * not merely rounded-and-hoped (the nll_sum_u pattern from
+    * [[graft.text.LangModel]]). Empty lists keep their previous
+    * centroid (classic Lloyd fallback).
     */
   def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
       nlist: Int, iters: Int): Seq[Seq[Double]] = {
@@ -224,14 +231,16 @@ object Similarity {
       val cells = base
         .withColumn("list_id", ivfAssign(col("e"), cents))
         .select(col("list_id"), posexplode(col("u")).as(Seq("pos", "x")))
+        // quantize per row (exact), sum as unbounded integers: order-free
         .groupBy("list_id", "pos")
-        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .agg(sum(floor(col("x") * lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
+          .as("sx"), count(lit(1)).as("cnt"))
         .collect()
       val sums = Array.fill(nlist)(new Array[Double](dim))
       val cnts = new Array[Long](nlist)
       cells.foreach { r =>
         val l = r.getInt(0)
-        sums(l)(r.getInt(1)) = r.getDouble(2)
+        sums(l)(r.getInt(1)) = r.getDecimal(2).doubleValue() / 1e12
         cnts(l) = r.getLong(3)
       }
       cents = cents.zipWithIndex.map { case (prev, l) =>

@@ -43,7 +43,12 @@ object Decontam {
       .agg(count(lit(1)).as("n_overlap")) // shingles are per-doc distinct
     df.filter(!evalPred(col(idCol)))
       .select(col(idCol))
-      .join(broadcast(hits), Seq(idCol), "left") // hits ≈ contamination volume, tiny
+      // hits' row count tracks the contamination volume — data-dependent
+      // and unbounded (boilerplate-heavy corpora contaminate millions of
+      // docs), so unlike the eval-set broadcast above this join must
+      // shuffle on the id key; AQE still downgrades it to broadcast at
+      // runtime when the measured size is actually small.
+      .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0L).as("contaminated"))

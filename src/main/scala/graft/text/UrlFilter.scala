@@ -17,14 +17,19 @@ object UrlFilter {
   /** Scheme-anchored URL matcher (whitespace-delimited, as in C4). */
   val UrlPat = "https?://[^\\s]+"
 
-  /** Host capture out of a matched URL. */
-  val HostPat = "https?://([^/\\s]+)"
+  /** Host capture out of a matched URL: skips an optional
+    * `userinfo@` prefix and stops before `:port`, `/path`, or
+    * whitespace, so `https://u@SPAM.Example.COM:443/x` yields
+    * `SPAM.Example.COM` (lowercased by [[hosts]] before any
+    * blocklist compare — DNS names are case-insensitive).
+    */
+  val HostPat = "https?://(?:[^/@\\s]*@)?([^/:@\\s]+)"
 
   def urls(text: Column): Column =
     regexp_extract_all(text, lit(UrlPat), lit(0))
 
   def hosts(text: Column): Column =
-    transform(urls(text), u => regexp_extract(u, HostPat, 1))
+    transform(urls(text), u => lower(regexp_extract(u, HostPat, 1)))
 
   /** (id, n_urls, n_blocked, keep): keep = no host on the blocklist.
     * One projection; the blocklist is a literal set (broadcast-scale

@@ -250,7 +250,13 @@ class CurationSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "read https://spam3.example.com/x and http://ok.example.org/y"),
       (2L, "no urls at all"),
-      (3L, "https://spam3.example.com/a https://spam4.example.com/b")
+      (3L, "https://spam3.example.com/a https://spam4.example.com/b"),
+      // host disguises that must still hit the blocklist: uppercase,
+      // explicit port, userinfo@ prefix — and a lookalike that must NOT
+      // (spam3.example.com.evil.net is a different registrable host)
+      (4L, "https://SPAM3.Example.COM/x http://spam4.example.com:8080/y"),
+      (5L, "https://alice:pw@spam3.example.com/z"),
+      (6L, "https://spam3.example.com.evil.net/a")
     ).toDF("doc_id", "text")
     val got = rows.select(UrlFilter.flagBlocked(col("doc_id"), col("text"),
         Seq("spam3.example.com", "spam4.example.com")): _*)
@@ -260,6 +266,9 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == (2L, 1L, false))
     assert(got(2L) == (0L, 0L, true))
     assert(got(3L) == (2L, 2L, false))
+    assert(got(4L) == (2L, 2L, false))
+    assert(got(5L) == (1L, 1L, false))
+    assert(got(6L) == (1L, 0L, true))
   }
 
   test("decontamination flags only docs sharing an 8-gram with the eval slice") {
