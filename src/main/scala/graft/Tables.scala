@@ -41,19 +41,31 @@ object Tables {
   * tests) gets identical, oracle-parity-critical configuration.
   */
 object Sessions {
-  /** Scratch root for stream staging, checkpoints and spark.local.dir.
-    * local-mode runs prefer tmpfs (/dev/shm) — ext4 /tmp fsyncs every
-    * state-store commit and shuffle spill, which both slows the
-    * streaming gate ~2x and adds multi-second run-to-run jitter. On a
-    * real cluster this is the node's local NVMe (override via
-    * SPARK_GRAFT_SCRATCH).
+  /** Scratch root for stream staging and checkpoints. Local-mode runs
+    * prefer tmpfs (/dev/shm) — ext4 fsyncs every state-store commit,
+    * which slows the streaming gate ~2x and adds multi-second
+    * run-to-run jitter; the state footprint is BOUNDED (keyed state
+    * with TTLs), so tmpfs residency is safe. On a real cluster this is
+    * the node's local NVMe (override via SPARK_GRAFT_SCRATCH).
     */
   val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft" else "/tmp/graft")
 
+  /** Shuffle/spill directory (spark.local.dir) — deliberately NOT the
+    * tmpfs scratch: spill exists to relieve memory pressure, and its
+    * size tracks the DATA (a larger-SF shuffle can spill far past any
+    * RAM budget), so writing it to tmpfs would convert "disk" spill
+    * back into RAM consumption exactly when memory is tightest.
+    * Shuffle writes are buffered, never fsync'd, so real disk costs
+    * little here. Override via SPARK_GRAFT_LOCAL_DIR (tmpfs for tiny
+    * latency-sensitive runs, node NVMe on a cluster).
+    */
+  val localDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    "/tmp/graft/local")
+
   def builderDefaults(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", s"$scratchRoot/local")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -109,9 +109,10 @@ object Clusters {
     * a label table, so the per-round cost is ~3 keyed shuffles of the
     * CURRENT edge set — more per round than the frontier scheme, in
     * exchange for exponentially fewer rounds on long chains. The
-    * convergence probe is a symmetric `except` emptiness test, and the
-    * converged graph is a forest of stars whose centers are the
-    * component minima.
+    * convergence probe is count-guarded: a count tie between rounds
+    * (cheap — both edge sets are localCheckpoint'd) gates one exact
+    * symmetric-difference emptiness check. The converged graph is a
+    * forest of stars whose centers are the component minima.
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 32,
@@ -124,7 +125,8 @@ object Clusters {
           least(col("a"), col("b")).as("b"))
         .distinct()
     var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star over both orientations of every edge
@@ -144,8 +146,19 @@ object Clusters {
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
         .localCheckpoint()
-      converged = small.except(e).isEmpty && e.except(small).isEmpty
+      // Convergence = edge set unchanged. Cheap-first: counts over the
+      // two localCheckpoint'd sets (in-memory scans, no shuffle) rule
+      // out most progressing rounds; only a count tie pays the single
+      // symmetric-difference probe — both sides are internally
+      // distinct, so a (a,b) group of size 1 lives in exactly one set.
+      // One keyed shuffle + one action, vs the former two except()s
+      // (~4 shuffles + 2 actions) on EVERY round.
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
+        small.union(e).groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .filter(col("n") === 1L).isEmpty
       e = small
+      eCount = smallCount
       onRound(iter, e)
       iter += 1
     }

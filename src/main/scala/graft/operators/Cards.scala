@@ -93,11 +93,21 @@ object Cards {
     * Spark `length`/`substring` count code points, matching Python
     * `len`/slicing.
     */
-  def pyTruncate(s: Column, max: Int): Column = {
-    val squeezed = trim(regexp_replace(s, "(?U)\\s+", " "))
+  def pyTruncate(s: Column, max: Int): Column =
+    pyCut(pySqueeze(s), max)
+
+  /** The squeeze half of `_truncate`: collapse runs of (unicode)
+    * whitespace and trim. Split out so callers can materialize it once
+    * per row before [[pyCut]] references it three times (condition +
+    * both branches). */
+  def pySqueeze(s: Column): Column =
+    trim(regexp_replace(s, "(?U)\\s+", " "))
+
+  /** The cut half of `_truncate`: `squeezed` should be a plain column
+    * reference — it is evaluated up to three times. */
+  def pyCut(squeezed: Column, max: Int): Column =
     when(length(squeezed) <= max, squeezed)
       .otherwise(concat(substring(squeezed, 1, max - 1), lit("…")))
-  }
 
   /** Reference `_strip_trailing_punct` (summarizer.py:96-98):
     * `rstrip(" ,;，；")`.
@@ -121,23 +131,35 @@ object Cards {
     * payload symbol whenever it is non-null.
     */
   def templateSummary(symbol: Column, price: Column, liq: Column,
+      level: Column): Column =
+    pyCut(templateSummaryRaw(symbol, price, liq, level), SummaryMax)
+
+  /** Everything up to (not including) the final length cut — the
+    * %.6g renders and regex squeeze. Callers that consume the summary
+    * more than once materialize THIS once and [[pyCut]] the column. */
+  def templateSummaryRaw(symbol: Column, price: Column, liq: Column,
       level: Column): Column = {
     val g = graft.expressions.GraftFunctions.py6g _
-    pyTruncate(stripTrailingPunct(concat_ws(" | ",
+    pySqueeze(stripTrailingPunct(concat_ws(" | ",
       symbol,
       when(price.isNotNull && price =!= 0.0,
         concat(lit("价格≈$"), g(price.cast("double")))),
       when(liq.isNotNull && liq =!= 0.0,
         concat(lit("流动性≈$"), g(liq.cast("double")))),
-      concat(lit("规则判定"), level))), SummaryMax)
+      concat(lit("规则判定"), level))))
   }
 
   /** `合约体检<risk>；关注税率/LP/交易限制` (summarizer.py:136-138),
     * through the same `_truncate(160)` as the reference (:288).
     */
   def templateRiskNote(risk: Column): Column =
-    pyTruncate(concat(lit("合约体检"), coalesce(risk, lit("unknown")),
-      lit("；关注税率/LP/交易限制")), RiskNoteMax)
+    pyCut(templateRiskNoteRaw(risk), RiskNoteMax)
+
+  /** Pre-cut half of [[templateRiskNote]] (same split rationale as
+    * [[templateSummaryRaw]]). */
+  def templateRiskNoteRaw(risk: Column): Column =
+    pySqueeze(concat(lit("合约体检"), coalesce(risk, lit("unknown")),
+      lit("；关注税率/LP/交易限制")))
 
   /** Assemble the full nested card document and render it with
     * `to_json` (null fields omitted — Spark's default — mirrors the
@@ -219,12 +241,16 @@ object Cards {
 
     // rules.reasons: own reasons first (max 3), degrade reasons fill
     // the remaining slots (build.py:364-372); missing rules → the
-    // degrade reasons themselves (build.py:341-346)
+    // degrade reasons themselves (build.py:341-346). `reasonsOut` is
+    // referenced from both the document and the validity predicate and
+    // its tree re-expands degradeReasons three times, so it gets
+    // materialized as a column below (same rationale as summary_str).
     val ownReasons = when(hasRules, slice(coalesce(col("reasons"),
       array().cast("array<string>")), 1, 3)).otherwise(degradeReasons)
-    val reasonsOut = when(hasRules,
+    val reasonsOutExpr = when(hasRules,
         slice(concat(ownReasons, degradeReasons), 1, 3))
       .otherwise(slice(degradeReasons, 1, 3))
+    val reasonsOut = col("reasons_out")
     val rulesSection = struct(
       levelOut.as("level"),
       when(hasRules, col("score")).as("score"),
@@ -255,9 +281,24 @@ object Cards {
       .when(levelOut === "watch", "secondary")
       .otherwise("topic")
 
-    val summaryCol = templateSummary(col("symbol"), col("price_usd"),
-      col("liquidity_usd"), levelOut)
-    val riskNoteCol = templateRiskNote(riskOut)
+    // Render summary/risk_note ONCE per row: both strings feed the JSON
+    // document AND the schema-validity predicate, and the %.6g +
+    // regex-squeeze chain is the most expensive scalar work in the card
+    // path. Materializing them as a dedicated projection keeps
+    // CollapseProject from inlining (= double-evaluating) the kernels
+    // into the two consumers.
+    // two projection layers: the expensive raw render (regex squeeze +
+    // %.6g kernels) lands in its own project, and the cut references it
+    // as a plain column (pyCut evaluates its argument up to 3×)
+    val jr = j
+      .withColumn("summary_sq", templateSummaryRaw(col("symbol"),
+        col("price_usd"), col("liquidity_usd"), levelOut))
+      .withColumn("risk_note_sq", templateRiskNoteRaw(riskOut))
+      .withColumn("reasons_out", reasonsOutExpr)
+      .withColumn("summary_str", pyCut(col("summary_sq"), SummaryMax))
+      .withColumn("risk_note_str", pyCut(col("risk_note_sq"), RiskNoteMax))
+    val summaryCol = col("summary_str")
+    val riskNoteCol = col("risk_note_str")
 
     val doc = struct(
       col("event_key"),
@@ -276,7 +317,7 @@ object Cards {
         lit("template").as("summary_backend"),
         when(degrade, lit(true)).as("degrade")).as("meta"))
 
-    j.select(
+    jr.select(
       col("event_key"),
       cardType.as("card_type"),
       to_json(doc).as("card_json"),
