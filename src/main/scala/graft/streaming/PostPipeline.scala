@@ -17,6 +17,19 @@ import graft.state.StatefulOps
   */
 object PostPipeline {
 
+  /** S1 — typed post stream off the cursor-poll source
+    * ([[graft.sources.CursorPollSource]]): per-handle since-cursors as
+    * checkpointed offsets, per-batch page cap as admission control.
+    */
+  def pollPosts(spark: SparkSession, feedRoot: String,
+      maxPagesPerBatch: Int = 16): Dataset[RawPost] = {
+    import spark.implicits._
+    spark.readStream.format("graft-poll")
+      .option("path", feedRoot)
+      .option("maxPagesPerHandlePerBatch", maxPagesPerBatch.toString)
+      .load().as[RawPost]
+  }
+
   /** D1/D2 — drop duplicate post ids (and fingerprints) within the
     * 14-day dedup window, keyed state bounded by the watermark.
     */
