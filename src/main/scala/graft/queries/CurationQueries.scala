@@ -7,7 +7,7 @@ import graft.Tables
 import graft.dedup.Clusters
 import graft.functions.Parity
 import graft.operators.Sampling
-import graft.text.{Decontam, Pii, Relevance, UrlFilter}
+import graft.text.{Decontam, GopherRules, Pii, Relevance, UrlFilter}
 
 /** Training-data curation operators beyond pairwise dedup: duplicate
   * CLUSTER assignment (connected components), deterministic sampling,
@@ -92,6 +92,31 @@ object CurationQueries {
         .select(UrlFilter.flagBlocked(col("doc_id"),
           plantedUrls(col("doc_id"), col("text")),
           (0 until 10).map(i => s"spam$i.example.com")): _*)
+        .orderBy("doc_id")),
+
+    // Gopher rule battery (Rae et al. 2021 A1.1): per-rule verdict
+    // columns for ablation, one codegen'd map-side projection. The
+    // corpus is single-line prose, so line/symbol/length structure is
+    // planted from doc_id (same treatment as plantedPii): %13 truncates
+    // below the word floor, %3 adds bullet lines, %5 an ellipsis line
+    // (which also contributes 'to'/'be' stopword hits), %7 symbol runs.
+    "q_t_gopher_rules" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          plantedGopherText(col("doc_id"), col("text")).as("t"))
+        .select(graft.text.GopherRules.columns(col("doc_id"), col("t")): _*)
+        .orderBy("doc_id")),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram LMs
+    // for a planted target domain (doc_id % 17 == 3) vs the raw pool;
+    // every raw doc scored by its summed per-bucket log-likelihood
+    // ratio. The domain vocabulary is planted into the target docs AND
+    // a raw slice (% 4 == 1) so selection separates genuinely.
+    "q_t_dsir_weights" -> ((s, dir) =>
+      graft.text.Dsir.importanceWeights(
+        docs(s, dir).select(col("doc_id"),
+          plantedDomainText(col("doc_id"), col("text")).as("t")),
+        "doc_id", "t", id => id % 17 === 3, buckets = 1024)
         .orderBy("doc_id")),
 
     // Corpus profile: per-language doc-length quantiles (exact R-7
@@ -232,6 +257,38 @@ object CurationQueries {
       when(id % 6 === 0,
         concat(lit(" via http://news"), (id % 30).cast("string"),
           lit(".example.org/a/"), id.cast("string")))
+        .otherwise(lit("")))
+
+  /** Deterministic structural fixture for the Gopher rule battery:
+    * the synthetic corpus is single-line ASCII prose, so the
+    * line-/symbol-sensitive rules need planted shape to exercise both
+    * verdicts of every rule.
+    */
+  private def plantedGopherText(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      // %15: a bullet-spam doc (10/11 bullet lines > 0.9, 1-char
+      // words) flips r_bullet_lines AND r_mean_word_len to false —
+      // the base corpus alone never exercises those verdicts
+      when(id % 15 === 0,
+        lit((1 to 30).map(i => s"• x$i").mkString("", "\n", "\nplain line")))
+        .when(id % 13 === 0, substring(text, 1, 100))
+        .otherwise(text),
+      when(id % 3 === 0,
+        lit("\n• bullet point\n• second bullet\nplain line"))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit("\nto be continued...")).otherwise(lit("")),
+      when(id % 7 === 0, lit(" ## ### … #")).otherwise(lit("")))
+
+  /** DSIR fixture: the synthetic corpus shares one vocabulary, so the
+    * target-domain signal is planted — target docs and a raw slice
+    * carry six domain words the rest of the pool never sees.
+    */
+  private def plantedDomainText(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 17 === 3 || id % 4 === 1,
+        lit(" quant alpha hedge momentum arbitrage desk"))
         .otherwise(lit("")))
 
   /** Transitive-closure cluster oracle shared by BOTH CC schemes
@@ -462,6 +519,116 @@ object CurationQueries {
           SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep
           FROM f ORDER BY doc_id"""
     },
+
+    // Same planted structure; verdicts compare the UNROUNDED ratios
+    // (mirroring the Scala battery), displayed ratios 6-dp half-up.
+    "q_t_gopher_rules" -> {
+      val stops = GopherRules.RequiredStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 15 = 0 THEN ${
+        (1 to 30).map(i => s"'• x$i'").mkString(" || chr(10) || ")
+      } || chr(10) || 'plain line'
+                         WHEN doc_id % 13 = 0 THEN substr(text, 1, 100)
+                         ELSE text END) ||
+                   CASE WHEN doc_id % 3 = 0 THEN chr(10) || '• bullet point' || chr(10) || '• second bullet' || chr(10) || 'plain line' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' ## ### … #' ELSE '' END AS t
+            FROM documents),
+          m AS (
+            SELECT doc_id, t,
+                   list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS words,
+                   string_split(t, chr(10)) AS lines
+            FROM raw),
+          c AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_len,
+                   CAST(len(t) - len(replace(t, '#', '')) AS BIGINT)
+                     + CAST(len(t) - len(replace(t, '…', '')) AS BIGINT) AS n_symbols,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines, l -> substr(l, 1, 2) IN ('• ', '- ', '* '))) AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(lines, l -> ends_with(l, '…') OR ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+                   CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                   CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))), $stops)) AS BIGINT) AS n_req_stops
+            FROM m),
+          r AS (
+            SELECT doc_id, n_words, n_req_stops,
+                   CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_raw,
+                   CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_raw,
+                   CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_raw,
+                   CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_raw,
+                   CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_raw
+            FROM c)
+          SELECT doc_id, n_words,
+                 ${Parity.sqlRound("mean_raw", 6)} AS mean_word_len,
+                 ${Parity.sqlRound("symbol_raw", 6)} AS symbol_ratio,
+                 ${Parity.sqlRound("bullet_raw", 6)} AS bullet_ratio,
+                 ${Parity.sqlRound("ellipsis_raw", 6)} AS ellipsis_ratio,
+                 ${Parity.sqlRound("alpha_raw", 6)} AS alpha_ratio,
+                 n_req_stops,
+                 (n_words >= ${GopherRules.MinWords} AND n_words <= ${GopherRules.MaxWords}) AS r_word_count,
+                 (mean_raw >= ${GopherRules.MinMeanWordLen} AND mean_raw <= ${GopherRules.MaxMeanWordLen}) AS r_mean_word_len,
+                 (symbol_raw <= ${GopherRules.MaxSymbolRatio}) AS r_symbol_ratio,
+                 (bullet_raw <= ${GopherRules.MaxBulletLineRatio}) AS r_bullet_lines,
+                 (ellipsis_raw <= ${GopherRules.MaxEllipsisLineRatio}) AS r_ellipsis_lines,
+                 (alpha_raw >= ${GopherRules.MinAlphaWordRatio}) AS r_alpha_words,
+                 (n_req_stops >= ${GopherRules.MinRequiredStops}) AS r_stopwords,
+                 ((n_words >= ${GopherRules.MinWords} AND n_words <= ${GopherRules.MaxWords})
+                   AND (mean_raw >= ${GopherRules.MinMeanWordLen} AND mean_raw <= ${GopherRules.MaxMeanWordLen})
+                   AND (symbol_raw <= ${GopherRules.MaxSymbolRatio})
+                   AND (bullet_raw <= ${GopherRules.MaxBulletLineRatio})
+                   AND (ellipsis_raw <= ${GopherRules.MaxEllipsisLineRatio})
+                   AND (alpha_raw >= ${GopherRules.MinAlphaWordRatio})
+                   AND (n_req_stops >= ${GopherRules.MinRequiredStops})) AS keep
+          FROM r ORDER BY doc_id"""
+    },
+
+    // Mirror of Dsir.importanceWeights: exact integer bucket counts,
+    // λ_b = ln of integer ratios quantized to 1e-6 LONG, exact sums.
+    "q_t_dsir_weights" ->
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 17 = 3 OR doc_id % 4 = 1
+                     THEN ' quant alpha hedge momentum arbitrage desk' ELSE '' END AS t,
+                   doc_id % 17 = 3 AS is_target
+            FROM documents),
+          tk AS (
+            SELECT doc_id, is_target,
+                   list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> '') AS toks
+            FROM raw),
+          ng AS (
+            SELECT doc_id, is_target, unnest(toks) AS ng FROM tk
+            UNION ALL
+            SELECT doc_id, is_target,
+                   unnest(list_transform(range(len(toks) - 1),
+                     i -> toks[i + 1] || ' ' || toks[i + 2])) AS ng
+            FROM tk WHERE len(toks) >= 2),
+          f AS (
+            SELECT doc_id, is_target,
+                   ('0x' || substr(md5(ng), 1, 8))::BIGINT % 1024 AS b
+            FROM ng),
+          pb AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM f GROUP BY b),
+          tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+            FROM pb),
+          lam AS (
+            SELECT b,
+                   CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam_q
+            FROM pb, tot)
+          SELECT f.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_features,
+                 CAST(CAST(sum(lam_q) AS BIGINT) AS DOUBLE) / 1000000.0 AS weight,
+                 CAST(sum(lam_q) AS BIGINT) > 0 AS selected
+          FROM f JOIN lam USING (b)
+          WHERE NOT is_target
+          GROUP BY f.doc_id ORDER BY f.doc_id""",
 
     "q_c_corpus_profile" ->
       s"""SELECT lang, count(*) AS n_docs,
