@@ -379,6 +379,72 @@ object Dedup {
     cross.union(within)
   }
 
+  /** Cross-document repeated-substring detection — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * exact-substring pass, re-expressed distributed. A monolithic
+    * suffix array is inherently single-address-space, so instead every
+    * document hashes ALL of its rolling `window`-token spans and keeps
+    * the CONTENT-DEFINED selection `hash ≡ 0 (mod p)` — the
+    * Karp-Rabin / CDC anchoring trick. Selection depends only on span
+    * content, never on position, so two copies of a run select the
+    * SAME fingerprints whatever their offsets (a stride grid — the
+    * obvious "cheaper" alternative — never matches across unaligned
+    * copies: grid phases are disjoint mod stride, which is exactly why
+    * the paper reaches for suffix arrays). A selected hash seen in ≥
+    * `minDocs` distinct docs marks every occurrence as repeated text.
+    *
+    * Recall is probabilistic, quantified: a shared run of L ≥ window
+    * tokens is missed with probability (1−1/p)^(L−window+1) — at the
+    * defaults (window 50, p 4) a 100-token run is missed 4·10⁻⁷ of
+    * the time; the LSH family in this file makes the same trade.
+    *
+    * Scale shape: span hashing is map-side (the md5-per-span here is
+    * O(n·window) — at 100 TB swap in a polynomial rolling-hash
+    * `Expression`, O(n), same selection contract); the mod-p filter
+    * keeps n/p rows per doc; one groupBy(hash) with map-side partial
+    * agg finds hot spans; the hot-set join back is a plain SHUFFLE
+    * join — its size tracks boilerplate volume, data-dependent and
+    * unbounded, so it must not broadcast (same rule as
+    * [[graft.text.Decontam]]). Output carries the first repeated
+    * fingerprint position — the handle span-surgery needs.
+    */
+  def repeatedSubstringFlags(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, p: Int = 4, minDocs: Int = 2): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("toks"))
+      .withColumn("nh", when(size(col("toks")) >= window,
+        size(col("toks")) - window + 1).otherwise(0))
+    val sel = base.filter(col("nh") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), (col("nh") - 1).cast("int")),
+        i => conv(substring(
+          md5(array_join(slice(col("toks"), i + 1, lit(window)), " ")),
+          1, 8), 16, 10).cast("long")))
+        .as(Seq("w", "h")))
+      .filter(col("h") % p === 0L)
+    val hot = sel.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val fps = sel.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+    val rep = sel.join(hot, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_rep"), min(col("w")).cast("long").as("first_w"))
+    base.select(col(idCol), col("nh").cast("long").as("n_windows"))
+      .join(fps, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_windows"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep_fps"),
+        when(coalesce(col("n_fps"), lit(0L)) > 0L, Parity.roundHalfUp(
+          coalesce(col("n_rep"), lit(0L)).cast("double") /
+            col("n_fps").cast("double"), 6)).otherwise(lit(0.0))
+          .as("rep_frac"),
+        coalesce(col("first_w"), lit(-1L)).as("first_rep_w"),
+        (coalesce(col("n_rep"), lit(0L)) > 0L).as("has_repeat"))
+  }
+
   /** Streaming-style first-seen-wins dedup for batch frames: keep the
     * earliest row per key (D1/D2 batch analog).
     */

@@ -119,6 +119,19 @@ object CurationQueries {
         "doc_id", "t", id => id % 17 === 3, buckets = 1024)
         .orderBy("doc_id")),
 
+    // Lee et al. exact-substring pass (content-defined mod-p span
+    // selection): docs with doc_id % 6 == 0 carry a planted 60-token
+    // uniform boilerplate run whose interior 50-window ('zz'×50)
+    // hashes to 0 mod 4 — selected and shared by every planted doc
+    // regardless of offset. The corpus's own duplicate documents are
+    // also (correctly) caught.
+    "q_d_substring_rep" -> ((s, dir) =>
+      graft.dedup.Dedup.repeatedSubstringFlags(
+        docs(s, dir).select(col("doc_id"),
+          plantedBoilerplate(col("doc_id"), col("text")).as("t")),
+        "doc_id", "t")
+        .orderBy("doc_id")),
+
     // Corpus profile: per-language doc-length quantiles (exact R-7
     // interpolation — Spark `percentile` == DuckDB `quantile_cont`),
     // token mean as an explicit sum/count. One map-side-combinable
@@ -279,6 +292,15 @@ object CurationQueries {
         .otherwise(lit("")),
       when(id % 5 === 0, lit("\nto be continued...")).otherwise(lit("")),
       when(id % 7 === 0, lit(" ## ### … #")).otherwise(lit("")))
+
+  /** Repeated-substring fixture: a 60-token run of ONE token — interior
+    * 50-windows hash identically across docs whatever the stride grid
+    * offset, so every planted doc is guaranteed a cross-doc repeat.
+    */
+  private def plantedBoilerplate(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 6 === 0, lit(" zz" * 60)).otherwise(lit("")))
 
   /** DSIR fixture: the synthetic corpus shares one vocabulary, so the
     * target-domain signal is planted — target docs and a raw slice
@@ -629,6 +651,50 @@ object CurationQueries {
           FROM f JOIN lam USING (b)
           WHERE NOT is_target
           GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // Mirror of Dedup.repeatedSubstringFlags (window 50, p 4,
+    // minDocs 2); DuckDB list_slice is inclusive-1-based == Spark
+    // slice(start, length).
+    "q_d_substring_rep" ->
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 6 = 0
+                     THEN repeat(' zz', 60) ELSE '' END AS t
+            FROM documents),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> '') AS toks
+            FROM raw),
+          b AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 50
+                     THEN len(toks) - 50 + 1 ELSE 0 END AS nh
+            FROM tk),
+          sel AS (
+            SELECT doc_id, i AS w,
+                   ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 50), ' ')), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, toks, unnest(range(nh)) AS i
+                  FROM b WHERE nh > 0)
+            WHERE ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 50), ' ')), 1, 8))::BIGINT % 4 = 0),
+          hot AS (
+            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                           FROM sel GROUP BY h)
+            WHERE nd >= 2),
+          fps AS (SELECT doc_id, count(*) AS n_fps FROM sel GROUP BY doc_id),
+          rep AS (
+            SELECT doc_id, count(*) AS n_rep, min(w) AS first_w
+            FROM sel JOIN hot USING (h) GROUP BY doc_id)
+          SELECT b.doc_id,
+                 CAST(nh AS BIGINT) AS n_windows,
+                 CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+                 CAST(coalesce(n_rep, 0) AS BIGINT) AS n_rep_fps,
+                 CASE WHEN coalesce(n_fps, 0) > 0 THEN ${Parity.sqlRound(
+        "CAST(coalesce(n_rep, 0) AS DOUBLE) / CAST(n_fps AS DOUBLE)", 6)}
+                      ELSE 0.0 END AS rep_frac,
+                 CAST(coalesce(first_w, -1) AS BIGINT) AS first_rep_w,
+                 coalesce(n_rep, 0) > 0 AS has_repeat
+          FROM b LEFT JOIN fps USING (doc_id) LEFT JOIN rep USING (doc_id)
+          ORDER BY b.doc_id""",
 
     "q_c_corpus_profile" ->
       s"""SELECT lang, count(*) AS n_docs,

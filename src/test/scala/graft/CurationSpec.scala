@@ -331,6 +331,30 @@ class CurationSpec extends AnyFunSuite {
     got.values.foreach { case (w, sel) => assert(sel == (w > 0.0)) }
   }
 
+  test("repeated-substring: shared runs flag all copies at any alignment") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val boiler = (1 to 120).map(i => s"bp${i % 7}").mkString(" ") // 120-token run
+    def filler(seed: Int, n: Int) =
+      (1 to n).map(i => s"w${(i * seed) % 97}x$i$seed").mkString(" ")
+    val rows = Seq(
+      // same run at arbitrary, different offsets: selection is
+      // content-defined, so the copies share fingerprints anyway
+      (1L, s"${filler(3, 23)} $boiler ${filler(5, 30)}"),
+      (2L, s"${filler(11, 7)} $boiler ${filler(13, 40)}"),
+      (3L, filler(17, 120)), // unique text, ≥ window tokens → clean
+      (4L, filler(19, 30))) // below window → zero windows
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringFlags(rows, "doc_id", "text",
+        window = 50, p = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(r.fieldIndex("has_repeat"))))
+      .toMap
+    assert(got(1L)._3 && got(2L)._3, s"both copies must flag: $got")
+    assert(!got(3L)._3 && got(3L)._1 > 0)
+    assert(got(4L) == ((0L, 0L, false)), got(4L).toString)
+  }
+
   test("decontamination flags only docs sharing an 8-gram with the eval slice") {
     import spark.implicits._
     import graft.text.Decontam
