@@ -42,12 +42,18 @@ object Dedup {
     * (page, position), and reassemble each page from its surviving
     * lines in order).
     *
-    * Scale shape: two keyed shuffles — one on the line content (the
-    * global first-occurrence window; same cost class as exact doc
-    * dedup) and one back on the page id for ordered reassembly
-    * (`array_sort` on (pos, line) structs makes the collect_list
-    * order-deterministic). No self-join, no driver path; empty pages
-    * survive via the left join.
+    * Scale shape: the first-occurrence rule is `min(struct(page, pos))`
+    * per line — a PARTIAL aggregation, so a boilerplate hot line
+    * ("subscribe…" × 10⁹ pages) combines map-side and each reducer key
+    * receives at most one row per map partition; the window-sort form
+    * would instead drag every occurrence of the hot line into one task
+    * (the skew SCALE_REHEARSAL.md §line-dedup measures). The winners
+    * table alone (one row per distinct line) rebuilds the kept text —
+    * occurrences are never joined back, so no hot-key join exists.
+    * Two keyed shuffles total: line content (agg), page id (ordered
+    * reassembly; `array_sort` on (pos, line) structs keeps the
+    * collect_list order-deterministic). No self-join, no driver path;
+    * empty pages survive via the left join.
     *
     * Returns (page_id, n_lines, n_kept, text_kept).
     */
@@ -56,10 +62,13 @@ object Dedup {
       .select(col(idCol).as("page_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .filter(col("line") =!= "")
-    val w = Window.partitionBy("line").orderBy(col("page_id"), col("pos"))
+    // struct ordering is lexicographic, so min(struct(page_id, pos))
+    // IS "first occurrence by (page, position)".
     val kept = lines
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("line")
+      .agg(min(struct(col("page_id"), col("pos"))).as("w"))
+      .select(col("w.page_id").as("page_id"), col("w.pos").as("pos"),
+        col("line"))
       .groupBy("page_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

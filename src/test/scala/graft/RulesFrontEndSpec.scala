@@ -139,4 +139,52 @@ class RulesFrontEndSpec extends AnyFunSuite {
     assert(!hits(r).contains("MR02"))
     assert(!allReasons(r).exists(_.contains("liquidity")))
   }
+
+  test("HotRules: touch-not-changed no-op, size/count caps reject to last-good") {
+    import java.nio.file.{Files => F}
+    import java.nio.file.attribute.FileTime
+    val yml = F.createTempDirectory("graft_hotrules_unit_").resolve("r.yml")
+    def oneRule(version: String) =
+      s"""version: "$version"
+         |groups:
+         |  - name: "g"
+         |    priority: 1
+         |    rules:
+         |      - condition: "buy_tax > 10"
+         |        score: -1
+         |        reason: "r"
+         |""".stripMargin
+    F.write(yml, oneRule("a").getBytes("UTF-8"))
+    F.setLastModifiedTime(yml, FileTime.fromMillis(1000L))
+    val hot = new graft.rules.HotRules(yml, ttlMillis = 0L, env = Map.empty)
+    assert(hot.version() == "a")
+
+    // same bytes, new mtime: sha short-circuit, no swap
+    F.setLastModifiedTime(yml, FileTime.fromMillis(2000L))
+    assert(!hot.reloadIfStale(force = true) && hot.version() == "a")
+
+    // over the 200-rule cap: rejected, last-good serves
+    val many = (0 until 201).map(i =>
+      s"""      - condition: "buy_tax > $i"
+         |        score: -1
+         |        reason: "r$i"""".stripMargin).mkString("\n")
+    F.write(yml,
+      s"version: \"b\"\ngroups:\n  - name: \"g\"\n    priority: 1\n    rules:\n$many\n"
+        .getBytes("UTF-8"))
+    F.setLastModifiedTime(yml, FileTime.fromMillis(3000L))
+    assert(!hot.reloadIfStale(force = true))
+    assert(hot.version() == "a" && hot.rejected == 1L)
+
+    // over the 256 KB cap: rejected before reading
+    val pad = "# " + ("x" * 300000) + "\n"
+    F.write(yml, (oneRule("c") + pad).getBytes("UTF-8"))
+    F.setLastModifiedTime(yml, FileTime.fromMillis(4000L))
+    assert(!hot.reloadIfStale(force = true))
+    assert(hot.version() == "a" && hot.rejected == 2L)
+
+    // a good swap still lands after rejections
+    F.write(yml, oneRule("d").getBytes("UTF-8"))
+    F.setLastModifiedTime(yml, FileTime.fromMillis(5000L))
+    assert(hot.reloadIfStale(force = true) && hot.version() == "d")
+  }
 }

@@ -394,4 +394,67 @@ class StreamingSpec extends AnyFunSuite {
       .as[EventRow].collect().map(e => e.eventKey -> e).toMap
     assert(events("k2").version == 1 && events.size == 2)
   }
+
+  test("rules hot-reload: YAML swap lands on the next micro-batch; bad swap keeps last-good") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+
+    val yml = Files.createTempDirectory("graft_hotrules_").resolve("rules.yml")
+    def rulesYaml(version: String, thinScore: Double): String =
+      s"""version: "$version"
+         |groups:
+         |  - name: "dex"
+         |    priority: 8
+         |    rules:
+         |      - condition: "dex_liquidity < 100"
+         |        score: $thinScore
+         |        reason: "thin liquidity"
+         |""".stripMargin
+    def swap(text: String, mtimeMillis: Long): Unit = {
+      Files.write(yml, text.getBytes("UTF-8"))
+      // writes can land inside one mtime tick; pin it monotonic
+      Files.setLastModifiedTime(yml,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    }
+    swap(rulesYaml("v1", -5), 1000L)
+
+    var clock = 0L // injected monotonic nanos: TTL throttle under test control
+    val hot = new graft.rules.HotRules(yml, ttlMillis = 60000L,
+      env = Map.empty, nowNanos = () => clock)
+    assert(hot.version() == "v1")
+
+    val in = MemoryStream[(Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val q = in.toDF().toDF("id", "dex_liquidity").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch doc resolution: rule conditions compile to literal
+        // columns, so THIS batch's plan carries THIS doc — the swap is
+        // atomic at the batch boundary
+        val doc = hot.current()
+        val v = hot.version()
+        graft.rules.RuleEngine.evaluateDoc(batch, doc)
+          .select(col("id"), col("rules_score")).collect()
+          .foreach(r => got += ((r.getLong(0), r.getDouble(1), v)))
+        ()
+      }.start()
+    try {
+      in.addData((1L, 10.0)); drain(q) // batch under v1
+      swap(rulesYaml("v2", -9), 2000L)
+      in.addData((2L, 10.0)); drain(q) // TTL not elapsed → still v1
+      clock += 61000L * 1000000L
+      in.addData((3L, 10.0)); drain(q) // TTL elapsed → v2 applies
+      swap("version: \"v3\"\ngroups: [", 3000L) // broken YAML mid-stream
+      clock += 61000L * 1000000L
+      in.addData((4L, 10.0)); drain(q) // last-good v2 keeps serving
+    } finally q.stop()
+
+    assert(got.toList == List(
+      (1L, -5.0, "v1"),
+      (2L, -5.0, "v1"), // throttled: stat not even attempted yet
+      (3L, -9.0, "v2"),
+      (4L, -9.0, "v2"))) // rejected swap left last-good serving
+    assert(hot.rejected == 1L)
+  }
 }
