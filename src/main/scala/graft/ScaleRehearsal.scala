@@ -407,7 +407,7 @@ object ScaleRehearsal {
     val sixWordLines = {
       val words = split(col("text"), " ")
       array_join(
-        transform(sequence(lit(0), (size(words) - lit(1)) / 6),
+        transform(sequence(lit(0), ((size(words) - lit(1)) / 6).cast("int")),
           i => array_join(slice(words, i * 6 + 1, lit(6)), " ")),
         "\n")
     }

@@ -124,7 +124,12 @@ object Clusters {
         .select(greatest(col("a"), col("b")).as("a"),
           least(col("a"), col("b")).as("b"))
         .distinct()
-    var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
+    // LAZY checkpoints throughout the loop: the count() that follows
+    // each one is a full scan, so it materializes the checkpoint as a
+    // side effect — one job per round instead of eager-materialize +
+    // count (the probe action doubles as the lineage cut).
+    var e = canon(edges.select(col("a"), col("b")))
+      .localCheckpoint(eager = false)
     var eCount = e.count()
     var converged = eCount == 0L
     var iter = 0
@@ -133,11 +138,14 @@ object Clusters {
       val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val lm = dir.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("mb"), col("a")).as("m"))
+      // NOT distinct'd: duplicate (a, m) rows (edges of one hot node
+      // collapsing onto the same min) flow into small-star, where the
+      // map-side-combining min and the final distinct absorb them —
+      // cheaper than a dedicated full-shuffle dedup of the same rows
       val large = dir.join(lm, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
       // small-star over the canonical (big → small) orientation
       val sm = large.groupBy("a").agg(min("b").as("m"))
       val small = large.join(sm, "a")
@@ -145,7 +153,7 @@ object Clusters {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // Convergence = edge set unchanged. Cheap-first: counts over the
       // two localCheckpoint'd sets (in-memory scans, no shuffle) rule
       // out most progressing rounds; only a count tie pays the single
@@ -193,7 +201,11 @@ object Clusters {
       // [[connectedComponentsStar]] for adversarial-diameter graphs
       cc: (DataFrame, DataFrame) => DataFrame =
         connectedComponents(_, _)): DataFrame = {
-    val fp = Dedup.withSimhash(df, idCol, textCol).localCheckpoint()
+    // fp's checkpoint is LAZY: the reps aggregation right below is its
+    // first full scan, so one job runs the simhash kernel, checkpoints
+    // fp, and folds reps — instead of a dedicated materialize job.
+    val fp = Dedup.withSimhash(df, idCol, textCol)
+      .localCheckpoint(eager = false)
     val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
       .localCheckpoint()
     // CC iterates over the DISTINCT-fingerprint graph only; members
