@@ -91,4 +91,60 @@ object Sampling {
       .withColumn("pack_id", expr(s"(__cum - $tokensCol) div $budget"))
       .drop("__cum")
   }
+
+  /** Per-domain quota cap (the RefinedWeb/C4 "at most k pages per
+    * host" rule): keep the k hash-smallest rows per domain, rank
+    * attached as `cap_rank`. Selection is the same deterministic
+    * md5-order as [[stratifiedSample]], so membership is reproducible
+    * and oracle-checkable.
+    *
+    * Scale shape: TWO window passes, not one. A direct per-domain
+    * window funnels every row of a hot domain (at 100 TB a big host
+    * is 10⁸ pages) into one task for the sort. Pass 1 ranks within
+    * (domain, salt) — `salts` subsets of bounded size — and keeps ≤ k
+    * per salt; pass 2 ranks the ≤ salts·k survivors per domain. The
+    * hot task is now bounded at salts·k rows regardless of domain
+    * size, and pass 1's partial sets provably contain the global
+    * top-k (each salt keeps ITS k hash-smallest; any row in the
+    * domain's true top-k is in its own salt's top-k). Result is
+    * bit-identical to the single-window form the oracle runs.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String, k: Int,
+      salts: Int = 32): DataFrame = {
+    val key = sampleKey32(col(idCol))
+    val w1 = Window
+      .partitionBy(col(domainCol), pmod(col(idCol), lit(salts.toLong)))
+      .orderBy(key.asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(domainCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("cap_rank", row_number().over(w2))
+      .filter(col("cap_rank") <= k)
+  }
+
+  /** Leakage-free split assignment: every row of a GROUP (a near-dup
+    * cluster, a host, an author) lands in the same split, so no
+    * near-duplicate pair can straddle train/eval — the contamination
+    * mode document-level splitting cannot prevent. `fracs` are
+    * (name, fraction) in declaration order; the group key is hashed
+    * once (`md5(group || "|split")`, domain-separated from the sample
+    * keys) and cut at cumulative 32-bit thresholds, so assignment is a
+    * map-side pure function of the group id — ZERO shuffles beyond
+    * whatever produced the groups, reproducible cross-engine.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fracs")
+    val key = sampleKey32(concat(col(groupCol).cast("string"), lit("|split")))
+    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    val split = fracs.init.zip(cuts.init).foldRight(
+      lit(fracs.last._1)) { case (((name, _), cut), acc) =>
+      when(key < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
 }

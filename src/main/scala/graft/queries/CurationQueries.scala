@@ -55,6 +55,26 @@ object CurationQueries {
         rates = Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
         .select("doc_id", "lang", "sample_key").orderBy("doc_id")),
 
+    // Per-domain quota cap (≤ 50 pages per source, hash-preferred):
+    // salted two-phase top-k — the hot-domain task is bounded at
+    // salts·k rows however large the domain, and the result is
+    // bit-identical to the oracle's single window.
+    "q_c_domain_cap" -> ((s, dir) =>
+      Sampling.domainCap(docs(s, dir), "doc_id", "source", k = 50,
+        salts = 8)
+        .select("doc_id", "source", "cap_rank").orderBy("doc_id")),
+
+    // Leakage-free split: near-dup CLUSTERS (not documents) are the
+    // split unit, so no near-duplicate pair straddles train/eval —
+    // the dedup-aware form of test-set isolation.
+    "q_c_leakage_split" -> ((s, dir) =>
+      Sampling.splitByGroup(
+        Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
+          maxDist = 3),
+        "cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split").orderBy("doc_id")),
+
     // Greedy sequential token packing per language stratum: rows in
     // hash order, pack = floor(tokens-before / 2048).
     "q_c_token_packing" -> ((s, dir) =>
@@ -317,8 +337,11 @@ object CurationQueries {
     * (frontier q_d_cc_clusters and star q_d_cc_star): the labeling
     * contract is scheme-independent, so one recursive CTE proves both.
     */
-  private val CcClustersOracle: String =
-    s"""WITH RECURSIVE ${DataOpsQueries.SimhashCte},
+  /** CTE chain ending in `lab(doc_id, cluster_id)` — shared by the
+    * cluster oracle and the leakage-free split oracle.
+    */
+  private val CcLabCte: String =
+    s"""${DataOpsQueries.SimhashCte},
         rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
         pr AS (
           SELECT a.rep AS ida, b.rep AS idb
@@ -333,7 +356,10 @@ object CurationQueries {
         replab AS (SELECT id AS rep, min(reach) AS cluster_id FROM r GROUP BY id),
         lab AS (
           SELECT fp.doc_id, replab.cluster_id
-          FROM fp JOIN rp USING (simhash) JOIN replab USING (rep)),
+          FROM fp JOIN rp USING (simhash) JOIN replab USING (rep))"""
+
+  private val CcClustersOracle: String =
+    s"""WITH RECURSIVE $CcLabCte,
         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
         SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""
@@ -361,6 +387,29 @@ object CurationQueries {
 
     // identical contract, alternate CC scheme — SAME oracle
     "q_d_cc_star" -> CcClustersOracle,
+
+    // single window per source — the two-phase operator must match it
+    // bit-for-bit
+    "q_c_domain_cap" ->
+      """WITH k AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                             doc_id ASC) AS cap_rank
+           FROM documents)
+         SELECT doc_id, source, cap_rank FROM k
+         WHERE cap_rank <= 50 ORDER BY doc_id""",
+
+    // same recursive closure as the cluster oracle; split = cumulative
+    // 32-bit cuts on md5(cluster_id || '|split'): floor(0.8·2³²) =
+    // 3435973836, floor(0.9·2³²) = 3865470566
+    "q_c_leakage_split" ->
+      s"""WITH RECURSIVE $CcLabCte
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 8))::BIGINT < 3435973836 THEN 'train'
+                      WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 8))::BIGINT < 3865470566 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lab ORDER BY doc_id""",
 
     // floor(0.3 · 2³²) = 1288490188 — integer cut on both sides.
     "q_c_hash_sample" ->

@@ -163,6 +163,52 @@ class CurationSpec extends AnyFunSuite {
     assert(uniform.subsetOf(mixEn))
   }
 
+  test("domain cap: salted two-phase equals the single window exactly") {
+    import spark.implicits._
+    // skewed fixture: one hot domain with 400 rows, two cold ones
+    val rows = ((0 until 400).map(i => (i.toLong, "hot")) ++
+      (400 until 430).map(i => (i.toLong, "cold1")) ++
+      (430 until 435).map(i => (i.toLong, "cold2"))).toDF("doc_id", "dom")
+    val twoPhase = Sampling.domainCap(rows, "doc_id", "dom", k = 20,
+        salts = 4)
+      .select("doc_id", "dom", "cap_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // single-window reference (salts = 1 degenerates to it)
+    val oneWindow = Sampling.domainCap(rows, "doc_id", "dom", k = 20,
+        salts = 1)
+      .select("doc_id", "dom", "cap_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(twoPhase == oneWindow)
+    assert(twoPhase.count(_._2 == "hot") == 20)
+    assert(twoPhase.count(_._2 == "cold1") == 20)
+    assert(twoPhase.count(_._2 == "cold2") == 5) // under-quota domain intact
+  }
+
+  test("leakage-free split: clusters never straddle; fractions roughly hold") {
+    import spark.implicits._
+    val labeled = Clusters.simhashClusters(docs, "doc_id", "text", maxDist = 3)
+    val split = Sampling.splitByGroup(labeled, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // the invariant: one split per cluster
+    val mixed = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(mixed == 0L)
+    // fractions hold at the CLUSTER level (the assignment unit)
+    val byCluster = split.select("cluster_id", "split").distinct()
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byCluster.values.sum.toDouble
+    assert(byCluster("train") / total > 0.7 && byCluster("train") / total < 0.9)
+    assert(byCluster.keySet == Set("train", "val", "test"))
+    // determinism: a second run assigns identically
+    val again = Sampling.splitByGroup(labeled, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
   test("token packing: greedy fill respects the budget contract") {
     val budget = 2048L
     val packed = Sampling.packByTokens(
