@@ -492,6 +492,70 @@ object FastTextPoolOps {
   }
 }
 
+object DsirBucketOps {
+  /** Per-doc hashed-ngram bucket histogram for DSIR: one tokenize
+    * pass, unigrams + bigrams hashed to `first-8-hex-of-md5 mod
+    * nBuckets` (the engine-portable bucket rule — identical to the
+    * SQL `conv(substring(md5(ng), 1, 8), 16, 10) % nBuckets`), counts
+    * pre-aggregated per doc inside the kernel. Replaces the HOF
+    * explode of raw n-gram strings, whose element_at-into-split
+    * lambdas re-tokenized per invocation (O(n²) per row — the
+    * FastTextPool pathology) and whose md5 went through the
+    * per-call-MessageDigest builtin; the digest here is reused across
+    * the doc. Returns array<struct<b, cnt>>.
+    */
+  def buckets(text: UTF8String, nBuckets: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new java.util.TreeMap[java.lang.Long, Long]()
+    def add(feat: String): Unit = {
+      md.reset()
+      val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val b = java.lang.Long.valueOf(u % nBuckets)
+      val prev = counts.get(b)
+      counts.put(b, if (prev == null) 1L else prev + 1L)
+    }
+    var i = 0
+    while (i < toks.length) {
+      add(toks(i))
+      if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    val rows = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = new GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+case class DsirBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("cnt", org.apache.spark.sql.types.LongType,
+      nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dsir_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DsirBucketOps.buckets(input.asInstanceOf[UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.DsirBucketOps$$.MODULE$$.buckets($c, $nBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
 case class FastTextPool(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_features", org.apache.spark.sql.types.LongType, nullable = false),
@@ -521,6 +585,9 @@ object ShingleFunctions {
 
   def fastTextPool(c: Column): Column =
     column(FastTextPool(expression(c)))
+
+  def dsirBuckets(c: Column, nBuckets: Int): Column =
+    column(DsirBuckets(expression(c), nBuckets))
 
   def entityNorm(c: Column, synonyms: Seq[(String, String)],
       stopTerms: Seq[String], k: Int): Column =

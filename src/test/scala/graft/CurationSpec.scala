@@ -377,6 +377,29 @@ class CurationSpec extends AnyFunSuite {
     got.values.foreach { case (w, sel) => assert(sel == (w > 0.0)) }
   }
 
+  test("dsir bucket kernel matches the builtin md5-prefix formula") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val fixture = Seq(
+      (1L, "Alpha beta GAMMA  delta alpha beta"),
+      (2L, "single"),
+      (3L, "a b a b a b"), // repeated bigrams → counts > 1
+      (4L, "  ")) // whitespace-only → empty histogram
+      .toDF("doc_id", "text")
+    val viaKernel = fixture
+      .select(col("doc_id"), explode(graft.expressions.ShingleFunctions
+        .dsirBuckets(col("text"), 256)).as("e"))
+      .select(col("doc_id"), col("e.b"), col("e.cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBuiltins = fixture
+      .select(col("doc_id"),
+        explode(Dsir.ngramFeatures(col("text"))).as("ng"))
+      .groupBy(col("doc_id"), Dsir.bucketOf(col("ng"), 256).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaKernel == viaBuiltins)
+  }
+
   test("repeated-substring: shared runs flag all copies at any alignment") {
     import spark.implicits._
     import graft.dedup.Dedup
