@@ -139,6 +139,18 @@ object CurationQueries {
         "doc_id", "t", id => id % 17 === 3, buckets = 1024)
         .orderBy("doc_id")),
 
+    // Mixed-language detection: langid votes over 50-token windows
+    // rolled up per doc — surfaces concatenation artifacts whole-doc
+    // langid absorbs silently. The corpus is monolingual soup, so
+    // docs with doc_id % 9 == 2 get a planted 50-token Spanish run
+    // (mirrored in the oracle).
+    "q_t_language_mix" -> ((s, dir) =>
+      graft.text.LanguageMix.profile(
+        docs(s, dir).select(col("doc_id"),
+          plantedMixText(col("doc_id"), col("text")).as("t")),
+        "doc_id", "t", window = 50)
+        .orderBy("doc_id")),
+
     // Lee et al. exact-substring pass (content-defined mod-p span
     // selection): docs with doc_id % 6 == 0 carry a planted 60-token
     // uniform boilerplate run whose interior 50-window ('zz'×50)
@@ -321,6 +333,16 @@ object CurationQueries {
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(text,
       when(id % 6 === 0, lit(" zz" * 60)).otherwise(lit("")))
+
+  /** Language-mix fixture: a 50-token Spanish-stopword run appended to
+    * every ninth-ish doc — long enough to dominate at least one
+    * 50-token window's vote whatever the window grid offset.
+    */
+  private def plantedMixText(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 9 === 2, lit(" el la de que y en un los se no" * 5))
+        .otherwise(lit("")))
 
   /** DSIR fixture: the synthetic corpus shares one vocabulary, so the
     * target-domain signal is planted — target docs and a raw slice
@@ -657,6 +679,45 @@ object CurationQueries {
 
     // Mirror of Dsir.importanceWeights: exact integer bucket counts,
     // λ_b = ln of integer ratios quantized to 1e-6 LONG, exact sums.
+    // chunk grid = q_c_chunking's (stride == width == 50), langid per
+    // window = q_t_langid's scores/argmax over the window's tokens,
+    // then per-doc vote rollup; mix_ratio float order matches the
+    // Spark fold (1.0 − primary/total, 6-dp half-up)
+    "q_t_language_mix" -> {
+      val (scores, best, cases) = DataOpsQueries.langIdSqlParts("ctoks")
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text ||
+                     CASE WHEN doc_id % 9 = 2
+                       THEN repeat(' el la de que y en un los se no', 5)
+                       ELSE '' END), '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+          st AS (
+            SELECT doc_id, list_slice(toks, s + 1, s + 50) AS ctoks
+            FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 50)) AS s
+                  FROM tk WHERE len(toks) > 0)),
+          sc AS (
+            SELECT doc_id,
+                  $scores
+            FROM st),
+          b AS (
+            SELECT doc_id, CASE $cases ELSE 'und' END AS wl
+            FROM (SELECT *, $best AS best FROM sc)),
+          pl AS (SELECT doc_id, wl, count(*) AS c FROM b GROUP BY 1, 2),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, wl ASC) AS rn
+            FROM pl)
+          SELECT doc_id,
+                 max(CASE WHEN rn = 1 THEN wl END) AS primary_lang,
+                 CAST(sum(c) AS BIGINT) AS n_windows,
+                 CAST(count(CASE WHEN wl <> 'und' THEN 1 END) AS BIGINT) AS n_langs,
+                 ${graft.functions.Parity.sqlRound(
+                   "1.0 - CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 6)} AS mix_ratio,
+                 count(CASE WHEN wl <> 'und' THEN 1 END) > 1 AS is_mixed
+          FROM r GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     "q_t_dsir_weights" ->
       s"""WITH raw AS (
             SELECT doc_id,

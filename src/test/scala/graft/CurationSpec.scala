@@ -400,6 +400,31 @@ class CurationSpec extends AnyFunSuite {
     assert(viaKernel == viaBuiltins)
   }
 
+  test("language mix: window votes find the embedded foreign segment") {
+    import spark.implicits._
+    val en = ("the cat and the dog of the house " * 8).trim // 64 toks, en
+    val es = ("el perro de la casa y el gato se fue " * 6).trim // 60 toks, es
+    val und = "xyzzy plugh grue zork frobozz" // no stopword hits
+    val corpus = Seq(
+      (1L, s"$en $es"), // en windows + es windows → mixed
+      (2L, en), // pure en
+      (3L, und), // single window, no votes → und
+      (4L, "")) // tokenless → absent from output
+      .toDF("doc_id", "text")
+    val got = graft.text.LanguageMix.profile(corpus, "doc_id", "text",
+        window = 50)
+      .collect().map(r => r.getLong(0) -> (
+        r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val (l1, w1, n1, m1, mixed1) = got(1L)
+    assert(mixed1 && n1 == 2L && w1 == 3L, s"doc1: ${got(1L)}")
+    assert(m1 > 0.0)
+    assert(Set("en", "es").contains(l1))
+    assert(got(2L) == (("en", 2L, 1L, 0.0, false)))
+    assert(got(3L) == (("und", 1L, 0L, 0.0, false)))
+  }
+
   test("repeated-substring: shared runs flag all copies at any alignment") {
     import spark.implicits._
     import graft.dedup.Dedup
