@@ -195,6 +195,34 @@ object Clusters {
     * clique — can no longer touch the pair stage. Pair volume scales
     * with distinct near-identical fingerprints, not corpus dup depth.
     */
+  /** Keep-BEST-per-cluster selection: dedup pipelines keep the
+    * highest-quality member of each duplicate cluster, not the
+    * smallest id (the C4/RefinedWeb rule — boilerplate-laden copies
+    * lose to the clean one). Winner = max(quality), ties to the
+    * smaller doc id.
+    *
+    * Scale shape: the winner is `max(struct(quality, −doc_id))` per
+    * cluster — a PARTIAL aggregation (the line-dedup pattern), so a
+    * giant boilerplate cluster combines map-side instead of sorting
+    * all members in one window task; the one-row-per-cluster winner
+    * table then joins back on the already-shuffled cluster key.
+    *
+    * @param labeled (doc, cluster) frame — [[simhashClusters]] output
+    *                or any grouping with the same columns
+    * @param qualityCol double column on `labeled` to maximize
+    */
+  def keepBestPerCluster(labeled: DataFrame, idCol: String,
+      clusterCol: String, qualityCol: String): DataFrame = {
+    val winners = labeled
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col(qualityCol), (-col(idCol)).as("neg_id")))
+        .as("w"))
+      .select(col(clusterCol), (-col("w.neg_id")).as("__winner_id"))
+    labeled.join(winners, Seq(clusterCol))
+      .withColumn("keep", col(idCol) === col("__winner_id"))
+      .drop("__winner_id")
+  }
+
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3,
       // CC scheme: frontier propagation by default; pass

@@ -36,6 +36,21 @@ object CurationQueries {
         maxDist = 3, cc = Clusters.connectedComponentsStar(_, _))
         .orderBy("doc_id")),
 
+    // Keep-BEST-per-cluster: dedup keeps each duplicate cluster's
+    // highest-quality member (ties → smaller id), not the smallest id
+    // — boilerplate-laden copies lose to the clean one. Winner via
+    // partial-agg max(struct), no per-cluster window sort.
+    "q_d_keep_best" -> ((s, dir) => {
+      val quality = docs(s, dir).select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+      Clusters.keepBestPerCluster(
+        Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
+          maxDist = 3).join(quality, Seq("doc_id")),
+        "doc_id", "cluster_id", "quality")
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic rate sampling: md5-prefix integer cut, no shuffle,
     // no floats — membership is a pure function of doc_id.
     "q_c_hash_sample" -> ((s, dir) =>
@@ -409,6 +424,28 @@ object CurationQueries {
 
     // identical contract, alternate CC scheme — SAME oracle
     "q_d_cc_star" -> CcClustersOracle,
+
+    // winner = rank 1 by (quality DESC, doc_id ASC) per cluster —
+    // equivalent to the engine's max(struct(quality, −doc_id))
+    "q_d_keep_best" -> {
+      val q = DataOpsQueries.qualitySql("toks")
+      s"""WITH RECURSIVE $CcLabCte,
+          tq AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          ql AS (SELECT doc_id, $q AS quality FROM tq),
+          j AS (
+            SELECT lab.doc_id, lab.cluster_id, ql.quality
+            FROM lab JOIN ql USING (doc_id)),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM j)
+          SELECT doc_id, cluster_id, quality, rn = 1 AS keep
+          FROM rk ORDER BY doc_id"""
+    },
 
     // single window per source — the two-phase operator must match it
     // bit-for-bit

@@ -400,6 +400,19 @@ class CurationSpec extends AnyFunSuite {
     assert(viaKernel == viaBuiltins)
   }
 
+  test("keep-best-per-cluster keeps max quality, ties to the smaller id") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // tie → doc 2
+      (7L, 200L, 0.1)) // singleton keeps itself
+      .toDF("doc_id", "cluster_id", "quality")
+    val got = Clusters.keepBestPerCluster(labeled, "doc_id", "cluster_id",
+        "quality")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
+  }
+
   test("language mix: window votes find the embedded foreign segment") {
     import spark.implicits._
     val en = ("the cat and the dog of the house " * 8).trim // 64 toks, en
