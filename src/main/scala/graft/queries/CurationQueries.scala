@@ -154,6 +154,18 @@ object CurationQueries {
         "doc_id", "t", id => id % 17 === 3, buckets = 1024)
         .orderBy("doc_id")),
 
+    // Mojibake repair (ftfy-lite): UTF-8-as-cp1252 sequences fixed by
+    // the shared table-driven replace chain; the corpus is clean
+    // ASCII, so sequences are planted (doc_id % 8 == 5) and mirrored
+    // in the oracle. Map-side, zero shuffle.
+    "q_t_mojibake" -> ((s, dir) => {
+      val t = plantedMojibakeText(col("doc_id"), col("text"))
+      docs(s, dir).select(col("doc_id"),
+        graft.text.Mojibake.hitCount(t).as("n_fixes"),
+        graft.text.Mojibake.fix(t).as("text_fixed"))
+        .orderBy("doc_id")
+    }),
+
     // Mixed-language detection: langid votes over 50-token windows
     // rolled up per doc — surfaces concatenation artifacts whole-doc
     // langid absorbs silently. The corpus is monolingual soup, so
@@ -348,6 +360,17 @@ object CurationQueries {
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(text,
       when(id % 6 === 0, lit(" zz" * 60)).otherwise(lit("")))
+
+  /** Mojibake fixture: six table sequences planted per eighth-ish doc
+    * (é, ü, “, …, ’, – in their UTF-8-as-cp1252 disguise).
+    */
+  private val PlantedMojibake =
+    " CafÃ© â€œsmartâ€¦ donâ€™t â€“ Ã¼ber"
+
+  private def plantedMojibakeText(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 8 === 5, lit(PlantedMojibake)).otherwise(lit("")))
 
   /** Language-mix fixture: a 50-token Spanish-stopword run appended to
     * every ninth-ish doc — long enough to dominate at least one
@@ -716,6 +739,25 @@ object CurationQueries {
 
     // Mirror of Dsir.importanceWeights: exact integer bucket counts,
     // λ_b = ln of integer ratios quantized to 1e-6 LONG, exact sums.
+    // replace chain + per-sequence counts generated from the SAME fix
+    // table the engine folds over, in the same order
+    "q_t_mojibake" -> {
+      val planted =
+        s"""text || CASE WHEN doc_id % 8 = 5
+             THEN '$PlantedMojibake' ELSE '' END"""
+      val fixed = graft.text.Mojibake.Fixes.foldLeft("t") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      val cnt = graft.text.Mojibake.Fixes.map { case (bad, _) =>
+        s"CAST((length(t) - length(replace(t, '$bad', ''))) // ${bad.length} AS BIGINT)"
+      }.mkString("\n                 + ")
+      s"""WITH raw AS (SELECT doc_id, $planted AS t FROM documents)
+          SELECT doc_id,
+                 $cnt AS n_fixes,
+                 $fixed AS text_fixed
+          FROM raw ORDER BY doc_id"""
+    },
+
     // chunk grid = q_c_chunking's (stride == width == 50), langid per
     // window = q_t_langid's scores/argmax over the window's tokens,
     // then per-doc vote rollup; mix_ratio float order matches the

@@ -400,6 +400,24 @@ class CurationSpec extends AnyFunSuite {
     assert(viaKernel == viaBuiltins)
   }
 
+  test("mojibake: fix chain repairs planted sequences; count on original") {
+    import spark.implicits._
+    import graft.text.Mojibake
+    val rows = Seq(
+      (1L, "CafÃ© donâ€™t â€œsmartâ€¦ â€“ Ã¼ber"),
+      (2L, "clean ascii text"),
+      (3L, "Ã©Ã©Ã©")) // repeated sequence counts 3
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        Mojibake.hitCount(col("text")).as("n"),
+        Mojibake.fix(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == ((6L, "Café don’t “smart… – über")))
+    assert(got(2L) == ((0L, "clean ascii text")))
+    assert(got(3L) == ((3L, "ééé")))
+  }
+
   test("keep-best-per-cluster keeps max quality, ties to the smaller id") {
     import spark.implicits._
     val labeled = Seq(
