@@ -70,8 +70,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // RocksDB state store: bounded heap + faster per-batch state
-      // round-trips than the default HDFS-backed in-memory maps
+      // RocksDB state store: BOUNDED HEAP — at scale the keyed state
+      // must live off-heap/on-disk, not in executor memory. Measured
+      // tradeoff (round 6, 100k-event single-batch replay): the
+      // default HDFS-backed in-memory provider is ~1.3 s faster on
+      // this tiny-state shape (5.5 s vs 6.8 s gate time) — override
+      // via SPARK_GRAFT_STATESTORE when state is provably small;
+      // RocksDB stays the default because heap-resident state is the
+      // thing that falls over at 100 TB, not the extra second here
       .config("spark.sql.streaming.stateStore.providerClass", sys.env.getOrElse("SPARK_GRAFT_STATESTORE",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       // skip RocksDB's get-before-put row counting — we never read the

@@ -188,4 +188,64 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(r - x) <= 0.5 / p + 1e-9, s"x=$x r=$r")
     }
   }
+
+  test("mojibake fix is idempotent and leaves zero countable sequences") {
+    // adversarial generator: raw pattern fragments, their first/second
+    // halves, and replacement outputs interleaved — the shapes most
+    // likely to form NEW sequences across a replace boundary
+    val pieces = graft.text.Mojibake.Fixes.flatMap { case (bad, good) =>
+      Seq(bad, bad.take(1), bad.drop(1), good) } ++ Seq("Ã", "â€", "x", " ")
+    def fixS(s: String): String =
+      graft.text.Mojibake.Fixes.foldLeft(s) { case (t, (b, g)) =>
+        t.replace(b, g) }
+    def countS(s: String): Long =
+      graft.text.Mojibake.Fixes.map { case (b, _) =>
+        ((s.length - s.replace(b, "").length) / b.length).toLong }.sum
+    samples(Gen.listOfN(12, Gen.oneOf(pieces)).map(_.mkString), 400)
+      .foreach { s =>
+        val once = fixS(s)
+        assert(fixS(once) == once, s"not idempotent on: $s")
+        assert(countS(once) == 0L, s"residual sequences in: $once")
+      }
+  }
+
+  test("splitByGroup: deterministic cut matches the md5 reference; fractions partition") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = samples(Gen.chooseNum(0L, 1000000L), 300).distinct
+    val got = graft.operators.Sampling.splitByGroup(
+        ids.toDF("cluster_id"), "cluster_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference: first 8 md5 hex chars of "<id>|split" as unsigned int
+    def ref(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|split".getBytes("UTF-8"))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (u < math.floor(0.8 * 4294967296.0).toLong) "train"
+      else if (u < math.floor(0.9 * 4294967296.0).toLong) "val"
+      else "test"
+    }
+    ids.foreach(id => assert(got(id) == ref(id), s"id $id"))
+  }
+
+  test("domainCap: per-domain counts = min(k, size) and salts never change the result") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"d${rnd.nextInt(5)}")) // skewed random domains
+    val df = rows.toDF("doc_id", "dom")
+    val sizes = rows.groupBy(_._2).map { case (d, xs) => d -> xs.size }
+    def run(salts: Int) = graft.operators.Sampling
+      .domainCap(df, "doc_id", "dom", k = 17, salts = salts)
+      .select("doc_id", "dom", "cap_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val base = run(1)
+    Seq(2, 7, 32).foreach(sl => assert(run(sl) == base, s"salts=$sl"))
+    base.groupBy(_._2).foreach { case (d, kept) =>
+      assert(kept.size == math.min(17, sizes(d)), s"domain $d")
+    }
+  }
 }
