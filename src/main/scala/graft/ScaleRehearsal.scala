@@ -457,6 +457,50 @@ object ScaleRehearsal {
               |is the straggler this section retires.
               |""".stripMargin
 
+    // ---- 11. Domain cap: salted two-phase bound on the hot domain --
+    // 60 % of the corpus shares ONE domain: the single-window form
+    // sorts all of it in one task; the salted form's biggest task is
+    // the largest (domain, salt) group in pass 1 and salts·k rows in
+    // pass 2 — both bounded however big the domain grows.
+    val domained = docsBig.select(col("doc_id"),
+      when(col("doc_id") % 5 < 3, lit("hot"))
+        .otherwise(concat(lit("d"), (col("doc_id") % 20).cast("string")))
+        .as("dom")).localCheckpoint()
+    val capK = 50
+    val capSalts = 32
+    val hotN = domained.filter(col("dom") === "hot").count()
+    val saltGroups = domained
+      .groupBy(col("dom"), pmod(col("doc_id"), lit(capSalts.toLong)).as("sl"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val (_, gq50, gq99, gmax) = hist(saltGroups, "n")
+    val twoPhase = graft.operators.Sampling
+      .domainCap(domained, "doc_id", "dom", capK, capSalts)
+      .select("doc_id", "dom", "cap_rank").localCheckpoint()
+    val oneWindow = graft.operators.Sampling
+      .domainCap(domained, "doc_id", "dom", capK, salts = 1)
+      .select("doc_id", "dom", "cap_rank")
+    val capDiff = twoPhase.union(oneWindow)
+      .groupBy("doc_id", "dom", "cap_rank").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1L).count()
+    sb ++= s"""
+              |## Domain cap at ${rep}× (k = $capK, salts = $capSalts, hot domain = 60 %)
+              |
+              || metric | value |
+              ||---|---|
+              || hot-domain rows (= single-window task size) | $hotN |
+              || (domain, salt) group p50 / p99 / max — pass-1 task bound | $gq50 / $gq99 / $gmax |
+              || pass-2 task bound (salts·k survivors) | ${capSalts * capK} |
+              || two-phase vs single-window symmetric difference | $capDiff |
+              |
+              |The hot task shrinks from $hotN rows (single window) to
+              |$gmax (pass 1) and ${capSalts * capK} (pass 2) — a
+              |${hotN / math.max(gmax, 1)}× reduction that GROWS with the
+              |domain since pass-1 groups scale as N/salts and the salt
+              |count is a free knob; the kept set is bit-identical
+              |(difference $capDiff). At 10⁸ pages for one host, salts =
+              |4096 holds every task under ~25 k rows.
+              |""".stripMargin
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)
