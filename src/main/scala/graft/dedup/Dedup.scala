@@ -85,6 +85,35 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** INCREMENTAL snapshot dedup — the production ingest shape: a new
+    * crawl batch is deduped against the historical fingerprint index
+    * AND within itself, so only first-seen content enters the corpus.
+    * Returns every batch row with (fp, in_history, batch_dup, keep);
+    * keep = not in history and first occurrence (min id) in the batch.
+    *
+    * Scale shape: the batch-side first-occurrence is a partial-agg
+    * min on fp (map-side combine, the line-dedup pattern); the
+    * history probe is ONE equi-join on fp whose cost is O(batch) on
+    * the history side when the index is stored bucketed by fp (the
+    * BucketingSpec layout — no shuffle of the 100 TB history at ingest
+    * time, ever). The index stays append-only: each run appends its
+    * `keep` rows' fingerprints.
+    */
+  def incrementalDedup(batch: DataFrame, historyFps: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val b = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    val first = b.groupBy("fp").agg(min(col(idCol)).as("__first_id"))
+    val hist = historyFps.select(col("fp")).distinct()
+      .withColumn("__h", lit(true))
+    b.join(first, Seq("fp"))
+      .join(hist, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        coalesce(col("__h"), lit(false)).as("in_history"),
+        (col(idCol) =!= col("__first_id")).as("batch_dup"),
+        (coalesce(col("__h"), lit(false)) === false &&
+          col(idCol) === col("__first_id")).as("keep"))
+  }
+
   /** Large prime for the affine minhash family (2^31 - 1). */
   private val P: Long = 2147483647L
 

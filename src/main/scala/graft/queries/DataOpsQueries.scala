@@ -32,6 +32,19 @@ object DataOpsQueries {
     "q_d_exact_dedup" -> ((s, dir) =>
       Dedup.exactDuplicates(docs(s, dir), "doc_id", "text").orderBy("fp")),
 
+    // Incremental snapshot dedup: the doc_id % 3 == 0 slice plays the
+    // new crawl batch, the rest the historical index; the corpus's
+    // natural exact dups straddle the split, so both in_history and
+    // batch_dup fire on real data.
+    "q_d_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0).select(md5(col("text")).as("fp")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Exact all-pairs n-gram Jaccard near-dup baseline (quadratic —
     // the correctness oracle for the LSH path).
     "q_d_ngram_jaccard" -> ((s, dir) =>
@@ -364,6 +377,18 @@ object DataOpsQueries {
     "q_d_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q_d_incremental_dedup" ->
+      """WITH h AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+         b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+         f AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp)
+         SELECT b.doc_id, b.fp,
+                h.fp IS NOT NULL AS in_history,
+                b.doc_id <> f.first_id AS batch_dup,
+                h.fp IS NULL AND b.doc_id = f.first_id AS keep
+         FROM b JOIN f USING (fp) LEFT JOIN h USING (fp)
+         ORDER BY doc_id""",
 
     "q_d_ngram_jaccard" -> JaccardPairsSql,
 

@@ -84,6 +84,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("incremental dedup: history hits, batch dups, and fresh content") {
+    import spark.implicits._
+    val history = Seq("old one", "old two").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val batch = Seq(
+      (1L, "old one"), // in history → drop
+      (2L, "fresh"), // first seen → keep
+      (3L, "fresh"), // batch dup of 2 → drop
+      (4L, "old two"), // in history → drop
+      (5L, "also new")) // keep
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, history, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (
+        r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // (in_history, batch_dup, keep)
+    assert(got(1L) == ((true, false, false)))
+    assert(got(2L) == ((false, false, true)))
+    assert(got(3L) == ((false, true, false)))
+    assert(got(4L) == ((true, false, false)))
+    assert(got(5L) == ((false, false, true)))
+  }
+
   test("simhash near-dup pairs include the jaccard near-dups") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
