@@ -98,12 +98,21 @@ object Dedup {
     * BucketingSpec layout — no shuffle of the 100 TB history at ingest
     * time, ever). The index stays append-only: each run appends its
     * `keep` rows' fingerprints.
+    *
+    * CONTRACT: `historyFps` must be unique by fp. The append-only
+    * protocol guarantees it — each run appends only its `keep` rows,
+    * and a row is `keep` only when its fp is NOT already in history —
+    * so no defensive `distinct()` runs here (it would be a full
+    * aggregation of the 100 TB index on every ingest, the exact
+    * shuffle the scaladoc forbids). A violated contract surfaces as
+    * duplicate join matches, i.e. output rows > batch rows — cheap to
+    * assert in the caller if the index provenance is untrusted.
     */
   def incrementalDedup(batch: DataFrame, historyFps: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val b = batch.select(col(idCol), md5(col(textCol)).as("fp"))
     val first = b.groupBy("fp").agg(min(col(idCol)).as("__first_id"))
-    val hist = historyFps.select(col("fp")).distinct()
+    val hist = historyFps.select(col("fp"))
       .withColumn("__h", lit(true))
     b.join(first, Seq("fp"))
       .join(hist, Seq("fp"), "left")

@@ -10,19 +10,27 @@ object ScaleOps {
 
   /** Two-phase salted aggregation for skewed keys: phase 1 groups by
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
-    * phase 2 re-aggregates per key. Correct for any algebraic
+    * phase 2 re-aggregates per key. Correct for any MERGEABLE
     * aggregate supplied as (partial, merge) column pairs with matching
-    * names.
+    * names: counts/sums/min/max/collect_set re-aggregate losslessly;
+    * non-algebraic aggregates (exact medians, first/last, positional
+    * picks) must NOT go through a salted split.
+    *
+    * `saltCol` must be a DETERMINISTIC per-row expression (a row id:
+    * `pmod(id, buckets)` is the canonical form, shared with
+    * Sampling.domainCap). The earlier `spark_partition_id() +
+    * monotonically_increasing_id()` salt was partition-layout-dependent
+    * — harmless for counts (re-agg erases it) but unreproducible
+    * run-to-run, so it could never sit under the oracle gate.
     *
     * AQE's skew-join handling covers JOIN skew at runtime; aggregation
     * skew on a hot GROUP BY key still needs salting, which is why this
     * exists as a first-class operator.
     */
-  def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int)(
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], saltCol: Column,
+      saltBuckets: Int)(
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+    val salted = df.withColumn("__salt", pmod(saltCol, lit(saltBuckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
@@ -31,15 +39,15 @@ object ScaleOps {
   }
 
   /** Salted count per key — result identical to a direct groupBy count. */
-  def saltedCount(df: DataFrame, keyCols: Seq[String],
+  def saltedCount(df: DataFrame, keyCols: Seq[String], idCol: String,
       saltBuckets: Int = 16): DataFrame =
-    saltedAgg(df, keyCols, saltBuckets)(
+    saltedAgg(df, keyCols, col(idCol), saltBuckets)(
       Seq(count(lit(1)).as("__c")), Seq(sum("__c").as("cnt")))
 
   /** Salted sum per key. */
-  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      saltBuckets: Int = 16): DataFrame =
-    saltedAgg(df, keyCols, saltBuckets)(
+  def saltedSum(df: DataFrame, keyCols: Seq[String], idCol: String,
+      valueCol: String, saltBuckets: Int = 16): DataFrame =
+    saltedAgg(df, keyCols, col(idCol), saltBuckets)(
       Seq(sum(valueCol).as("__s")), Seq(sum("__s").as(s"sum_$valueCol")))
 
   /** A6/A7-style window aggregate with an exact / approximate distinct

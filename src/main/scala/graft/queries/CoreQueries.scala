@@ -51,6 +51,39 @@ object CoreQueries {
         .orderBy("l_partkey")
     }),
 
+    // A6 through the APPROX-distinct path (ScaleOps.activeWindow with
+    // exact=false): the 100 TB variant swaps countDistinct's per-key
+    // value shuffle for a mergeable HLL++ sketch at a declared rsd.
+    // HLL values can't hash-match an oracle, so the gate contract is a
+    // TOLERANCE row: the query outputs the EXACT count (oracle-checked)
+    // plus `within_rsd` = |approx − exact| ≤ max(4·rsd·exact, 8) — a
+    // 4-sigma band with an absolute floor for small groups — and the
+    // oracle asserts TRUE. Spark's HLL++ is deterministic for fixed
+    // data, so the row is stable, and a sketch regression (wrong rsd,
+    // broken merge) flips the boolean and fails the gate.
+    "q_a6_active_window_approx" -> ((s, dir) => {
+      import graft.operators.ScaleOps
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        // 16 coarse groups so each carries thousands of distinct orders
+        // — the regime where the HLL sketch actually estimates (per-key
+        // tiny cardinalities sit in its exact range and test nothing)
+        .select(pmod(col("l_partkey"), lit(16)).as("grp"), col("l_orderkey"))
+      val exact = ScaleOps.activeWindow(li, "grp", "l_orderkey",
+        exact = true)
+        .select(col("grp"), col("tx_count"), col("uniq").as("uniq_orders"))
+      val approx = ScaleOps.activeWindow(li, "grp", "l_orderkey",
+        exact = false, rsd = 0.05)
+        .select(col("grp"), col("uniq").as("__approx"))
+      exact.join(approx, Seq("grp"))
+        .select(col("grp"), col("tx_count"), col("uniq_orders"),
+          (abs(col("__approx") - col("uniq_orders")).cast("double") <=
+            greatest(lit(4 * 0.05) * col("uniq_orders").cast("double"),
+              lit(8.0))).as("within_rsd"))
+        .orderBy("grp")
+    }),
+
     // A8: top-holders snapshot: global share + top-N (reference
     // templates/sql/eth/top_holders_snapshot.sql:7-44).
     // Plan shape matters at scale: orderBy().limit(N) compiles to
@@ -281,6 +314,18 @@ object CoreQueries {
          WHERE l_shipdate >= TIMESTAMP '1994-01-01'
            AND l_shipdate <  TIMESTAMP '1996-01-01'
          GROUP BY l_partkey ORDER BY l_partkey""",
+
+    // the oracle checks the exact values and asserts the sketch's
+    // tolerance boolean — see the query comment for the band
+    "q_a6_active_window_approx" ->
+      """SELECT l_partkey % 16 AS grp,
+                count(*) AS tx_count,
+                count(DISTINCT l_orderkey) AS uniq_orders,
+                TRUE AS within_rsd
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY grp""",
 
     "q_a8_top_holders" ->
       """SELECT c_custkey, c_acctbal,

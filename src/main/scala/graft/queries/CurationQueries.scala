@@ -209,6 +209,44 @@ object CurationQueries {
             6).as("mean_chars"))
         .orderBy("lang")),
 
+    // L23 through the SKETCH path: `percentile_approx` (the mergeable
+    // KLL-style summary the 100 TB profile actually runs — exact
+    // `percentile` buffers every value per group) at accuracy 1000
+    // (rank error ε ≤ 1/1000 of the group). A sketch value can't
+    // hash-match an oracle, so the gate contract is the sketch's OWN
+    // guarantee: the returned value's rank is within ε·n of the target,
+    // hence its VALUE lies between the exact quantiles at p ± 0.05
+    // (δ = 0.05 ≫ ε leaves slack for interpolation: quantile_cont
+    // interpolates, the sketch returns a dataset element). The query
+    // emits `pXX_in_band` booleans the oracle asserts TRUE, plus exact
+    // n_docs/mean_chars it checks by value — a broken sketch (wrong
+    // accuracy, bad merge) flips a boolean and fails the gate.
+    "q_c_corpus_profile_approx" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("__a50"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("__a90"),
+          percentile_approx(col("n_chars"), lit(0.99), lit(1000)).as("__a99"),
+          percentile(col("n_chars"), lit(0.45)).as("__lo50"),
+          percentile(col("n_chars"), lit(0.55)).as("__hi50"),
+          percentile(col("n_chars"), lit(0.85)).as("__lo90"),
+          percentile(col("n_chars"), lit(0.95)).as("__hi90"),
+          percentile(col("n_chars"), lit(0.94)).as("__lo99"),
+          max(col("n_chars")).cast("double").as("__hi99"),
+          Parity.roundHalfUp(
+            sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"),
+            6).as("mean_chars"))
+        .select(col("lang"), col("n_docs"), col("mean_chars"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_in_band"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+            .as("p90_in_band"),
+          (col("__a99") >= col("__lo99") && col("__a99") <= col("__hi99"))
+            .as("p99_in_band"))
+        .orderBy("lang")),
+
     // END-TO-END curation pass as ONE declarative plan — the composite
     // a 100 TB pipeline actually runs: PII scrub → quality gate →
     // language ID → winnowing-fingerprint dedup (min-shingle collapse,
@@ -891,6 +929,16 @@ object CurationQueries {
                  ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.9)", 6)} AS p90_chars,
                  ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.99)", 6)} AS p99_chars,
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    // exact columns checked by value; the sketch's rank-error contract
+    // travels as booleans the oracle asserts TRUE
+    "q_c_corpus_profile_approx" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars,
+                 TRUE AS p50_in_band,
+                 TRUE AS p90_in_band,
+                 TRUE AS p99_in_band
          FROM documents GROUP BY lang ORDER BY lang""",
 
     // Start offsets = multiples of 48 below len(toks) on both engines

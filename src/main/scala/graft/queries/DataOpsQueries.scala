@@ -35,12 +35,17 @@ object DataOpsQueries {
     // Incremental snapshot dedup: the doc_id % 3 == 0 slice plays the
     // new crawl batch, the rest the historical index; the corpus's
     // natural exact dups straddle the split, so both in_history and
-    // batch_dup fire on real data.
+    // batch_dup fire on real data. The operator's contract requires
+    // the index unique by fp (append-only keep-rows guarantee it in
+    // production); this fixture fabricates the index from a raw slice,
+    // so the distinct() here is INDEX CONSTRUCTION — a one-time build
+    // cost, not the per-ingest full-history pass the operator forbids.
     "q_d_incremental_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.incrementalDedup(
         d.filter(col("doc_id") % 3 === 0),
-        d.filter(col("doc_id") % 3 =!= 0).select(md5(col("text")).as("fp")),
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(md5(col("text")).as("fp")).distinct(),
         "doc_id", "text")
         .orderBy("doc_id")
     }),

@@ -266,6 +266,31 @@ object PipelineQueries {
         .orderBy("topic_id")
     }),
 
+    // A2 through the SALTED two-phase path (ScaleOps.saltedAgg, the
+    // hot-key defense for A2/A3-style groupBys): phase 1 aggregates per
+    // (topic_id, pmod(event_id, 16)), phase 2 re-merges per topic_id.
+    // count/max re-merge as sum/max; the entity set re-merges as
+    // distinct-flatten of the partial sets, sorted ONCE at the end — so
+    // the result is bit-identical to q_a2_topic_aggregate and this row
+    // shares that oracle SQL VERBATIM. A hot topic's reducer now sees
+    // ≤ saltBuckets partial rows instead of every event.
+    "q_a2_topic_aggregate_salted" -> ((s, dir) => {
+      import graft.operators.ScaleOps
+      val e = Tables.load(s, dir, "events")
+        .withColumn("topic_id", col("user_id") % 7)
+      ScaleOps.saltedAgg(e, Seq("topic_id"), col("event_id"), 16)(
+        partial = Seq(
+          count(lit(1)).as("__c"),
+          collect_set(col("event_type")).as("__ents"),
+          max(expr("ts_ns div 1000")).as("__last")),
+        merge = Seq(
+          sum("__c").as("mention_count"),
+          array_join(array_sort(array_distinct(
+            flatten(collect_list(col("__ents"))))), ",").as("entities"),
+          max("__last").as("last_ts_us")))
+        .orderBy("topic_id")
+    }),
+
     // A14: evidence-completion metric — fraction satisfying a predicate.
     "q_a14_completion" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -622,6 +647,14 @@ object PipelineQueries {
     },
 
     "q_a2_topic_aggregate" ->
+      """SELECT user_id % 7 AS topic_id, count(*) AS mention_count,
+                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS entities,
+                max(epoch_us(ts)) AS last_ts_us
+         FROM events GROUP BY 1 ORDER BY topic_id""",
+
+    // shared VERBATIM with q_a2_topic_aggregate: the salted two-phase
+    // plan must be bit-identical to the direct aggregation
+    "q_a2_topic_aggregate_salted" ->
       """SELECT user_id % 7 AS topic_id, count(*) AS mention_count,
                 string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS entities,
                 max(epoch_us(ts)) AS last_ts_us

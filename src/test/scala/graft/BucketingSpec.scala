@@ -47,4 +47,54 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("incremental-dedup history probe never shuffles the bucketed index") {
+    // L40's headline scale claim, pinned as an executed-plan assertion:
+    // with the fingerprint index stored bucketed by fp, the per-ingest
+    // probe join reads the bucket layout directly — the Exchange(s) in
+    // the plan belong to the BATCH side only, so ingest cost is
+    // O(batch) regardless of index size.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+    d.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").option("path", s"$wh/hist_fps_b")
+      // bucket count = test shuffle partitions so the probe join can
+      // co-partition by shuffling ONLY the batch side
+      .bucketBy(4, "fp").saveAsTable("hist_fps_b")
+    try {
+      // AQE re-plans stages at runtime and hides the static exchanges;
+      // broadcast would trivially elide the test (a 100 TB index is
+      // never broadcast-able) — pin both off for the assertion
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = graft.dedup.Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 3 === 0), spark.table("hist_fps_b"),
+        "doc_id", "text")
+      val plan = probe.queryExecution.executedPlan
+      val leaves = plan.collectLeaves().map(_.toString)
+      assert(leaves.exists(_.contains("hist_fps_b")),
+        "probe must scan the bucketed index table")
+      val shuffledHistory = plan
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.collectLeaves().exists(_.toString.contains("hist_fps_b")))
+      assert(shuffledHistory.isEmpty,
+        s"history side of the probe join must come straight off the bucket " +
+          s"layout, found: ${shuffledHistory.map(_.nodeName).mkString(",")}")
+      // and the probe result matches the unbucketed computation
+      val expect = graft.dedup.Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(md5(col("text")).as("fp")).distinct(),
+        "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val got = probe.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS hist_fps_b")
+    }
+  }
 }

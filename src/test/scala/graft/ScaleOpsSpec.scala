@@ -13,7 +13,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("salted count equals direct groupBy count") {
     val direct = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = ScaleOps.saltedCount(li, Seq("l_returnflag"))
+    val salted = ScaleOps.saltedCount(li, Seq("l_returnflag"), "l_orderkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
   }
@@ -21,7 +21,8 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("salted sum equals direct groupBy sum (within fp tolerance)") {
     val direct = li.groupBy("l_returnflag").agg(sum("l_quantity"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity")
+    val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_orderkey",
+      "l_quantity")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     direct.foreach { case (k, v) =>
       assert(math.abs(salted(k) - v) < 1e-6 * math.abs(v).max(1.0), k)
