@@ -68,6 +68,22 @@ object Bench {
       }
     }
 
+    // Sustained streaming bench (BASELINE's events/min + P50/P95
+    // contract, measured directly — round-7 verdict item 1): its own
+    // pristine fork, same isolation rationale as the q_stream_* set.
+    // Skipped in child/no-fork/filtered dev modes.
+    val streamingJson: Option[String] =
+      if (childMode || noFork || only.isDefined ||
+          sys.env.contains("SPARK_GRAFT_BENCH_NO_STREAMING")) None
+      else forkMain("graft.StreamBench", Map.empty) match {
+        case Some(out) =>
+          out.find(_.startsWith("STREAM_BENCH_JSON "))
+            .map(_.stripPrefix("STREAM_BENCH_JSON "))
+        case None =>
+          Console.err.println("[bench] streaming fork failed; omitting streaming section")
+          None
+      }
+
     runSet(plain ++ isoFailed, sfDir, runs, times, allRuns, failures)
 
     if (childMode) {
@@ -98,7 +114,9 @@ object Bench {
   "sf": "$sfLabel",
   "sf_dir": "$sfDir",
   "runs_per_query": $runs,
+  "reading_rule": "warm min-of-$runs after a JVM warm-up pass; run-to-run band is ±30% or ±0.3s per query (BENCH_VARIANCE.md, 4 full runs) — deltas inside the band are noise, not regressions",
   "isolated_jvm": [${selected.filter(isolated).map("\"" + _ + "\"").mkString(", ")}],
+  "streaming": ${streamingJson.getOrElse("null")},
   "queries": {
 $q
   },
@@ -120,6 +138,17 @@ $fs
     // so target ≤1900. Trailing zeros are stripped ("1.10" → "1.1"),
     // empty failures are omitted; precision degrades 3 → 2 → 1
     // decimals only as needed. Full precision lives in BENCH_FULL.json.
+    // compact-line streaming summary: the three contract numbers only
+    // (full record sits in BENCH_FULL.json's "streaming" object)
+    val streamCompact = streamingJson.map { j =>
+      def grab(key: String): String =
+        s""""$key":\\s*([-0-9.]+)""".r.findFirstMatchIn(j)
+          .map(_.group(1)).getOrElse("null")
+      s""","streaming":{"events_per_min":${grab("events_per_min")},""" +
+        s""""batch_p50_s":${grab("batch_p50_s")},""" +
+        s""""batch_p95_s":${grab("batch_p95_s")}}"""
+    }.getOrElse("")
+
     def compactLine(decimals: Int): String = {
       def r(v: Double) = {
         val s = BigDecimal(v)
@@ -134,7 +163,7 @@ $fs
         if (failures.isEmpty) ""
         else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString(""","failures":{""", ",", "}")
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$fs$streamCompact,"sf":"$sfLabel"}"""
     }
     val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900)
       .getOrElse {
@@ -150,7 +179,7 @@ $fs
           val qs = times.toSeq.filter(t => keep(t._1)).sortBy(_._1)
             .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
             .mkString("{", ",", "}")
-          s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_sum":${f"${omitted.map(_._2).sum}%.1f"},"sf":"$sfLabel"}"""
+          s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_sum":${f"${omitted.map(_._2).sum}%.1f"}$streamCompact,"sf":"$sfLabel"}"""
         }
         (times.size to 1 by -1).view.map(lineFor).find(_.length <= 1900)
           .getOrElse(lineFor(1))
@@ -170,6 +199,17 @@ $fs
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qmap = SparkEntry.queries
+    // JVM/catalog warm-up (round-6 verdict: whichever heavy query runs
+    // early in a cold JVM eats the JIT/codegen/parquet-footer warm-up
+    // and over-reports): one untimed pass over three cheap
+    // representative queries — a scan-agg, a broadcast join, a text
+    // kernel — before anything is measured. Per-query cold-start is
+    // already absorbed by min-of-n.
+    Seq("q_a13_status_rollup", "q_j2_context_join", "q_t_quality")
+      .flatMap(qmap.get).foreach { fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
     names.foreach { name =>
       val fn = qmap(name)
       val rs = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -198,10 +238,12 @@ $fs
     spark.stop()
   }
 
-  /** Fork a child JVM (same classpath + module opens) to bench `names`
-    * in isolation; parse its BENCH_CHILD lines. None on any failure. */
-  private def forkChild(names: Seq[String], runs: Int)
-      : Option[(Map[String, Double], Map[String, Seq[Double]], Map[String, String])] = {
+  /** Fork a child JVM (same classpath + module opens) running
+    * `mainClass` with `extraEnv`; return its stdout lines, or None if
+    * the fork failed outright (nonzero exit with no output).
+    */
+  private def forkMain(mainClass: String, extraEnv: Map[String, String])
+      : Option[List[String]] = {
     try {
       val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val cp = System.getProperty("java.class.path")
@@ -217,11 +259,9 @@ $fs
       val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
       val cmd = (Seq(java) ++ addOpens ++ Seq(
         xmx, "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Bench")).toArray
+        "-cp", cp, mainClass)).toArray
       val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
-      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(false)
       val proc = pb.start()
       // Drain stderr concurrently (child's Spark logs can exceed the
@@ -233,6 +273,20 @@ $fs
       errDrain.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
       val rc = proc.waitFor()
+      if (rc != 0 && out.isEmpty) None else Some(out)
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] fork error ($mainClass): $e"); None
+    }
+  }
+
+  /** Fork a bench child for `names` in isolation; parse its
+    * BENCH_CHILD lines. None on any failure. */
+  private def forkChild(names: Seq[String], runs: Int)
+      : Option[(Map[String, Double], Map[String, Seq[Double]], Map[String, String])] = {
+    forkMain("graft.Bench", Map(
+      "SPARK_GRAFT_BENCH_CHILD" -> "1",
+      "SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
+      "SPARK_GRAFT_BENCH_RUNS" -> runs.toString)).flatMap { out =>
       val t = out.collect { case l if l.startsWith("BENCH_CHILD ") =>
         val Array(_, k, v) = l.split(" ", 3); k -> v.toDouble }.toMap
       val r = out.collect { case l if l.startsWith("BENCH_CHILD_RUNS ") =>
@@ -240,11 +294,7 @@ $fs
         k -> vs.split(",").map(_.toDouble).toSeq }.toMap
       val f = out.collect { case l if l.startsWith("BENCH_CHILD_FAIL ") =>
         val Array(_, k, v) = l.split(" ", 3); k -> v }.toMap
-      if (rc != 0 && t.isEmpty) None
-      else if (t.isEmpty && f.isEmpty) None
-      else Some((t, r, f))
-    } catch { case e: Throwable =>
-      Console.err.println(s"[bench] fork error: $e"); None
+      if (t.isEmpty && f.isEmpty) None else Some((t, r, f))
     }
   }
 

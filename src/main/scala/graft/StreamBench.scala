@@ -1,0 +1,187 @@
+package graft
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Sustained streaming bench — the BASELINE contract dimension the
+  * batch gate can only grade by proxy: the reference publishes
+  * ~500 events/min sustained with P50 45 s / P95 110 s end-to-end
+  * (README.md:410-417); this harness measures the repo's equivalent
+  * directly. CursorPollSource (per-handle cursor admission control) →
+  * the FULL pipeline (watermarked dedup → normalize → key → A1 keyed
+  * upsert) → EventSink's durable idempotent MERGE, driven at a PINNED
+  * admission rate (`pagesPerBatch` pages per handle per micro-batch)
+  * until the feed drains.
+  *
+  * Reported: steady-state events/min (rows / processing time over the
+  * post-warm-up batches) and the per-batch trigger-execution P50/P95 —
+  * the end-to-end latency proxy: with admission pinned, an event's
+  * ingest-to-durable-commit latency is bounded by one batch duration
+  * plus queueing, so a P95 batch far under the reference's P95 event
+  * latency is the apples-to-apples win.
+  *
+  * The feed is the sf events table replicated `replicas`× under
+  * distinct ids, written ONCE (fingerprint-keyed cache) as
+  * `handles` directories of `rowsPerPage`-line TSV pages — the
+  * CursorPollSource page format. Feed building is distributed
+  * (foreachPartition, one partition per handle); nothing corpus-sized
+  * crosses the driver.
+  */
+object StreamBench {
+
+  final case class Stats(
+      eventsPerMin: Double, batchP50: Double, batchP95: Double,
+      batches: Int, warmupDropped: Int, rows: Long, spanSec: Double,
+      rowsPerBatch: Double)
+
+  /** Build (or reuse) the paged feed for `sfDir`'s events table. */
+  def buildFeed(spark: SparkSession, sfDir: String, handles: Int,
+      rowsPerPage: Int, replicas: Int): String = {
+    val src = new File(s"$sfDir/events.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = s"${Sessions.scratchRoot}/stream_feed/" +
+      s"${src.getParentFile.getName}_${fp}_h${handles}_p${rowsPerPage}_r$replicas"
+    if (new File(s"$root/_FEED_DONE").exists()) return root
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+
+    val base = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("tsUs"))
+    val posts = (0 until replicas).map { k =>
+      base.select(
+        concat(col("event_id").cast("string"), lit(s"-$k")).as("id"),
+        col("event_type"), col("tsUs"))
+    }.reduce(_ unionByName _)
+    // page line format (CursorPollReader): id \t source \t author \t
+    // tokenCa \t symbol \t isCandidate \t sentimentScore \t tsUs \t text
+    val lines = posts.select(
+      pmod(xxhash64(col("id")), lit(handles.toLong)).cast("int").as("handle"),
+      col("tsUs"), col("id"),
+      concat_ws("\t", col("id"), lit("x"), lit("kol"), lit(""),
+        col("event_type"), lit("true"), lit("0.0"),
+        col("tsUs").cast("string"), col("event_type")).as("line"))
+    val rpp = rowsPerPage
+    val rootC = root
+    lines.repartition(handles, col("handle"))
+      .sortWithinPartitions(col("handle"), col("tsUs"), col("id"))
+      .select("handle", "line")
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        var curHandle = Int.MinValue
+        var w: BufferedWriter = null
+        var inPage = 0
+        var page = 0
+        def roll(handle: Int): Unit = {
+          if (w != null) w.close()
+          val dir = new File(rootC, s"h$handle")
+          dir.mkdirs()
+          w = new BufferedWriter(new FileWriter(
+            new File(dir, f"page_$page%06d")), 1 << 16)
+          inPage = 0
+        }
+        it.foreach { r =>
+          val h = r.getInt(0)
+          if (h != curHandle) { curHandle = h; page = 0; roll(h) }
+          else if (inPage == rpp) { page += 1; roll(h) }
+          w.write(r.getString(1)); w.write('\n'); inPage += 1
+        }
+        if (w != null) w.close()
+      }
+    Files.write(Paths.get(root, "_FEED_DONE"),
+      "ok".getBytes(StandardCharsets.UTF_8))
+    root
+  }
+
+  /** Drive the full pipeline over the feed at the pinned admission
+    * rate; return steady-state stats (first `warmup` data batches
+    * excluded from both throughput and latency).
+    */
+  def runSustained(spark: SparkSession, feedRoot: String,
+      pagesPerBatch: Int, warmup: Int = 2): Stats = {
+    val progress =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val rows = e.progress.numInputRows
+        val dur = Option(e.progress.durationMs.get("triggerExecution"))
+          .map(_.toDouble / 1000.0).getOrElse(0.0)
+        if (rows > 0) progress.add((rows, dur))
+      }
+    }
+    spark.streams.addListener(listener)
+    val base = s"${Sessions.scratchRoot}/stream_bench/${java.util.UUID.randomUUID()}"
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventSink.start(
+      graft.streaming.PostPipeline.pollPosts(spark, feedRoot, pagesPerBatch),
+      s"$base/events", s"$base/outbox", s"$base/chk",
+      trigger = Trigger.ProcessingTime(0))
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(base))
+    }
+    val spanSec = (System.nanoTime() - t0) / 1e9
+    // the listener bus is async — progress events can trail the query
+    // stop by a beat; give the tail a moment to land
+    val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+    var last = -1
+    while (System.nanoTime() < deadline && progress.size != last) {
+      last = progress.size; Thread.sleep(200)
+    }
+    import scala.jdk.CollectionConverters._
+    val all = progress.asScala.toVector
+    val dropped = math.min(warmup, math.max(0, all.size - 2))
+    val steady = all.drop(dropped)
+    val durs = steady.map(_._2).sorted
+    def pctl(p: Double): Double =
+      if (durs.isEmpty) 0.0
+      else durs(math.min(durs.size - 1, (p * durs.size).toInt))
+    val rows = steady.map(_._1).sum
+    val procSec = steady.map(_._2).sum
+    Stats(
+      eventsPerMin = if (procSec > 0) rows / procSec * 60.0 else 0.0,
+      batchP50 = pctl(0.50), batchP95 = pctl(0.95),
+      batches = steady.size, warmupDropped = dropped,
+      rows = rows, spanSec = spanSec,
+      rowsPerBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0)
+  }
+
+  /** Child-process entry: run at SPARK_GRAFT_SF_DIR, print ONE
+    * `STREAM_BENCH_JSON {...}` line for graft.Bench to embed.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val handles = sys.env.getOrElse("SPARK_GRAFT_STREAM_HANDLES", "32").toInt
+    val rowsPerPage =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS_PER_PAGE", "500").toInt
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "5").toInt
+    val pagesPerBatch =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES_PER_BATCH", "1").toInt
+    val spark = Sessions.builderDefaults(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val feed = buildFeed(spark, sfDir, handles, rowsPerPage, replicas)
+    val s = runSustained(spark, feed, pagesPerBatch)
+    println(f"""STREAM_BENCH_JSON {"events_per_min": ${s.eventsPerMin}%.0f, """ +
+      f""""batch_p50_s": ${s.batchP50}%.3f, "batch_p95_s": ${s.batchP95}%.3f, """ +
+      f""""batches": ${s.batches}, "warmup_dropped": ${s.warmupDropped}, """ +
+      f""""rows": ${s.rows}, "span_s": ${s.spanSec}%.1f, """ +
+      f""""rows_per_batch": ${s.rowsPerBatch}%.0f, """ +
+      s""""admission": {"handles": $handles, "rows_per_page": $rowsPerPage, """ +
+      s""""pages_per_handle_per_batch": $pagesPerBatch}, """ +
+      s""""baseline": {"events_per_min": 500, "p50_s": 45, "p95_s": 110}}""")
+    spark.stop()
+  }
+}

@@ -26,9 +26,21 @@ import org.apache.spark.sql.functions._
   *     converges in 2. For adversarial long-chain graphs the
   *     alternating small-star/large-star scheme (Kiveris et al.,
   *     "Connected Components in MapReduce and Beyond", SoCC'14)
-  *     drops rounds to O(log n) at the cost of two shuffles per
-  *     round; the labels contract here is identical, so it's a
-  *     drop-in if chain-shaped similarity graphs ever appear.
+  *     drops rounds to O(log n); the labels contract is identical,
+  *     so [[connectedComponentsStar]] is a drop-in.
+  *   - CROSSOVER (measured, SCALE_REHEARSAL.md "Frontier vs star"):
+  *     on the chained-replica family at 2×-100× sf0.1, star needed
+  *     4-5 rounds at every scale while frontier needed 8-14; star
+  *     won wall-clock at every point, but only narrowly at 8
+  *     frontier rounds (4.0 vs 3.6 s) and 2× at 14 (26 vs 13 s).
+  *     Heuristic: default to FRONTIER for dup-clique graphs
+  *     (diameter ≲ 6, its per-round cost is one shrinking-delta
+  *     join); switch to STAR when the expected diameter reaches ~8,
+  *     or adaptively when a frontier run is still producing deltas
+  *     past round 8 (restart cost is two cheap rounds). Both schemes
+  *     stayed comfortably inside the 128 GiB sandbox at 100×
+  *     (10.5 M rep pairs) — memory is not the binding constraint,
+  *     round latency is.
   *   - `localCheckpoint` cuts lineage each round (labels are one row
   *     per node — tiny next to the pair graph), keeping the plan from
   *     growing with the iteration count.

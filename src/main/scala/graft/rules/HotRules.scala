@@ -13,8 +13,15 @@ import graft.rules.RulesConfig.RulesDoc
   *
   *   - reload checks are throttled to one stat per `ttlMillis`
   *     (monotonic clock; reference min-1s TTL scan), `force` bypasses;
-  *   - change detection is mtime-first (cheap), then content sha1 —
-  *     a touch without a byte change does NOT swap the doc;
+  *   - change detection is (mtime, size)-first — a pure cache hint:
+  *     any difference in EITHER falls through to the content sha1, so
+  *     a rewrite landing within the same millisecond still swaps as
+  *     long as the byte count moved, and a touch without a byte change
+  *     never does;
+  *   - a REJECTED file version (oversize, overcount, parse failure) is
+  *     remembered by its (mtime, size), so it is stat'd once and
+  *     counted once in `rejected` — not re-read and re-counted on
+  *     every TTL tick while it sits on disk;
   *   - the swap is atomic (single volatile reference) and LAST-GOOD:
   *     a file that fails size/count validation or YAML parsing leaves
   *     the previous doc serving, mirroring the reference returning
@@ -42,6 +49,9 @@ final class HotRules(path: Path, ttlMillis: Long = 60000L,
   private val state = new AtomicReference[Option[State]](None)
   @volatile private var lastCheckNanos: Long = Long.MinValue
   @volatile private var rejectedCount: Long = 0L
+  // (mtime, size) of the last REJECTED file version — reject once per
+  // distinct version, not once per TTL tick
+  @volatile private var lastRejected: Option[(Long, Long)] = None
 
   reloadIfStale(force = true)
 
@@ -69,32 +79,44 @@ final class HotRules(path: Path, ttlMillis: Long = 60000L,
     if (!due) return false
     lastCheckNanos = now
     val prev = state.get()
+    var statted: Option[(Long, Long)] = None
+    def reject(): Boolean = {
+      if (statted != lastRejected || statted.isEmpty) rejectedCount += 1
+      lastRejected = statted
+      false // last-good keeps serving
+    }
     try {
       val mtime = Files.getLastModifiedTime(path).toMillis
-      if (prev.exists(_.mtimeMillis == mtime)) return false
-      if (Files.size(path) > HotRules.MaxFileBytes) { rejectedCount += 1; return false }
+      val size = Files.size(path)
+      statted = Some((mtime, size))
+      // (mtime, size) is a HINT only: a match with the serving or the
+      // last-rejected version skips the read; any mismatch falls
+      // through to the sha compare
+      if (prev.exists(s => s.mtimeMillis == mtime && s.sizeBytes == size))
+        return false
+      if (lastRejected.contains((mtime, size))) return false
+      if (size > HotRules.MaxFileBytes) return reject()
       val bytes = Files.readAllBytes(path)
       val sha = HotRules.sha1Hex(bytes)
       if (prev.exists(_.sha1 == sha)) { // touched, not changed
-        state.set(prev.map(_.copy(mtimeMillis = mtime)))
+        state.set(prev.map(_.copy(mtimeMillis = mtime, sizeBytes = size)))
         return false
       }
       val doc = RulesConfig.parse(new String(bytes, StandardCharsets.UTF_8), env)
-      if (doc.rules.size > HotRules.MaxRulesCount) { rejectedCount += 1; return false }
+      if (doc.rules.size > HotRules.MaxRulesCount) return reject()
       val version = Option(doc.version).filter(_.nonEmpty).getOrElse(sha.take(12))
-      state.set(Some(State(mtime, sha, doc, version)))
+      state.set(Some(State(mtime, size, sha, doc, version)))
+      lastRejected = None
       true
     } catch {
-      case scala.util.control.NonFatal(_) =>
-        rejectedCount += 1
-        false // last-good keeps serving
+      case scala.util.control.NonFatal(_) => reject()
     }
   }
 }
 
 object HotRules {
-  private final case class State(mtimeMillis: Long, sha1: String,
-      doc: RulesDoc, version: String)
+  private final case class State(mtimeMillis: Long, sizeBytes: Long,
+      sha1: String, doc: RulesDoc, version: String)
 
   /** Reference safety limits (eval_event.py:22-24). */
   val MaxFileBytes: Long = 262144L

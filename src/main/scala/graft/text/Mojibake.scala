@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * two-column contract.
   *
   * Pure `replace` chain over codegen'd built-ins — map-side, zero
-  * shuffle, DuckDB-mirrorable. Fix order is the declared table order
-  * on BOTH engines; no table entry is a prefix of another, so the
-  * chain is order-insensitive in practice but pinned anyway.
+  * shuffle, DuckDB-mirrorable. The declared table order is
+  * LOAD-BEARING: replacements can cascade (on "â€"+"â€œ", fixing
+  * â€œ→“ first creates the sequence â€“, which only the
+  * later-ordered â€“ rule rewrites — reversing the order changes the
+  * output), so the chain must run in exactly this order on BOTH
+  * engines. The generated oracle SQL folds the same order; parity
+  * holds because the orders match, not because order is irrelevant.
   */
 object Mojibake {
 

@@ -182,9 +182,20 @@ class RulesFrontEndSpec extends AnyFunSuite {
     assert(!hot.reloadIfStale(force = true))
     assert(hot.version() == "a" && hot.rejected == 2L)
 
+    // a rejected version is counted ONCE: re-checking the same bad
+    // file (same mtime+size) must not re-read or re-count it
+    assert(!hot.reloadIfStale(force = true) && hot.rejected == 2L)
+    assert(!hot.reloadIfStale(force = true) && hot.rejected == 2L)
+
     // a good swap still lands after rejections
     F.write(yml, oneRule("d").getBytes("UTF-8"))
     F.setLastModifiedTime(yml, FileTime.fromMillis(5000L))
     assert(hot.reloadIfStale(force = true) && hot.version() == "d")
+
+    // same-millisecond rewrite with a DIFFERENT size still swaps:
+    // (mtime, size) is a hint, not the change detector
+    F.write(yml, oneRule("e2").getBytes("UTF-8")) // "e2" ≠ "d" length
+    F.setLastModifiedTime(yml, FileTime.fromMillis(5000L))
+    assert(hot.reloadIfStale(force = true) && hot.version() == "e2")
   }
 }

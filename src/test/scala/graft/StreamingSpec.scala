@@ -395,6 +395,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(events("k2").version == 1 && events.size == 2)
   }
 
+  test("sustained stream bench: rate-pinned feed drains with sane stats") {
+    // tiny feed (sf0.001, 4 handles, 50-row pages, no replication) —
+    // exercises the whole StreamBench path: distributed feed build,
+    // cursor-source admission at 1 page/handle/batch, full pipeline to
+    // EventSink, listener-collected per-batch stats
+    val feed = StreamBench.buildFeed(spark, TestSpark.Sf,
+      handles = 4, rowsPerPage = 50, replicas = 1)
+    val expectRows = Tables.load(spark, TestSpark.Sf, "events").count()
+    val fed = new java.io.File(feed).listFiles().filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.startsWith("page_"))).sum
+    assert(fed > 0, "feed must contain page files")
+    val s = StreamBench.runSustained(spark, feed, pagesPerBatch = 1,
+      warmup = 0)
+    assert(s.rows == expectRows,
+      s"all feed rows must flow through: got ${s.rows}, want $expectRows")
+    // 4 handles × 1 page × 50 rows = ≤200 rows per batch → several batches
+    assert(s.batches >= 2, s"admission cap must split the feed: ${s.batches}")
+    assert(s.eventsPerMin > 0 && s.batchP95 >= s.batchP50)
+  }
+
   test("rules hot-reload: YAML swap lands on the next micro-batch; bad swap keeps last-good") {
     val s = spark
     import s.implicits._
