@@ -246,7 +246,21 @@ object DataOpsQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.docFingerprint(col("text")).as("fp"),
         TextAnalysis.minShingleFingerprint(col("text")).as("min_shingle_fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // L41: BPE pair counting (tokenizer-training inner loop): top-50
+    // adjacent character pairs of the whitespace vocabulary, weighted
+    // by word frequency — the pair explode runs over DISTINCT words
+    // (see TextAnalysis.bpePairCounts scaladoc for the 100 TB shape).
+    // orderBy().limit() compiles to TakeOrderedAndProject; the rank
+    // window sees only the 50 survivors (the q_a8 pattern).
+    "q_t_bpe_pairs" -> ((s, dir) => {
+      val top = TextAnalysis.bpePairCounts(docs(s, dir), "text")
+        .orderBy(col("pair_count").desc, col("pair").asc).limit(50)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pair_count").desc, col("pair").asc)
+      top.withColumn("rn", row_number().over(w)).orderBy("rn")
+    })
   )
 
   private val ShinglesCte =
@@ -802,6 +816,25 @@ object DataOpsQueries {
           SELECT d.doc_id, md5(d.text) AS fp,
                  list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_fp
           FROM documents d JOIN sh s ON d.doc_id = s.doc_id
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // range(1, len) is [1, len) = Spark sequence(1, len-1) inclusive;
+    // substr is 1-based chars on both engines
+    "q_t_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS word
+           FROM documents),
+         wc AS (
+           SELECT word, count(*) AS n FROM w
+           WHERE length(word) >= 2 GROUP BY word),
+         pp AS (
+           SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
+           FROM (SELECT word, n, unnest(range(1, length(word))) AS i
+                 FROM wc))
+         SELECT pair, sum(n) AS pair_count,
+                row_number() OVER (ORDER BY sum(n) DESC, pair ASC) AS rn
+         FROM pp GROUP BY pair
+         QUALIFY rn <= 50 ORDER BY rn"""
   )
 }

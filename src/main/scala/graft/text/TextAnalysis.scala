@@ -63,6 +63,36 @@ object TextAnalysis {
   def tokenEstimateChars(text: Column): Column =
     ceil(length(text).cast("double") / 4.0).cast("long")
 
+  /** BPE merge-step statistics — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING: corpus-wide adjacent character-pair
+    * frequencies, weighted by word frequency. (Real BPE iterates
+    * merge→recount; this is the per-iteration counting step, the part
+    * that touches the corpus.)
+    *
+    * Scale shape: aggregate WORD COUNTS first — the classic BPE
+    * preprocessing — so the pair explode runs over DISTINCT words
+    * (vocabulary-sized: ~10⁵-10⁶ rows regardless of corpus size)
+    * weighted by their counts, never over the raw corpus. Two keyed
+    * shuffles (word, then pair), both map-side combinable; at 100 TB
+    * the word-count table is the only corpus-scale aggregation and it
+    * is exactly the token-frequency table other stages (TF-IDF, DSIR)
+    * already build.
+    *
+    * Returns (pair, pair_count) — every adjacent pair of the
+    * lowercased whitespace vocabulary, count summed over occurrences.
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("pair_count"))
+  }
+
   /** Word n-gram shingles (distinct), the base for MinHash / Jaccard /
     * winnowing fingerprints. Empty array when the doc is shorter than n.
     * Native kernel ([[graft.expressions.WordShingles]]): the HOF
