@@ -192,6 +192,27 @@ object Clusters {
       .select(col("id"), coalesce(col("cl"), col("id")).as("cluster_id"))
   }
 
+  /** The measured crossover heuristic as an operator: FRONTIER first
+    * (optimal for the near-clique graphs dup pipelines actually
+    * produce — 2-3 rounds at one shrinking-delta join each), and when
+    * the frontier is still producing deltas past `switchAfter` rounds
+    * — the long-diameter regime where the rehearsal curve shows star
+    * winning at every point — restart with the O(log n) star scheme.
+    * The restart re-pays ~2 star rounds of work, bounded by the same
+    * curve: at 8 frontier rounds the schemes were within 10 % of each
+    * other, so the worst case of switching is a near-tie, while the
+    * worst case of NOT switching grows with the diameter (14 frontier
+    * rounds ran 2× star's wall-clock at 100×).
+    */
+  def connectedComponentsAdaptive(nodes: DataFrame, edges: DataFrame,
+      switchAfter: Int = 8, maxIter: Int = 32): DataFrame =
+    try connectedComponents(nodes, edges, maxIter = switchAfter)
+    catch {
+      case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains("did not converge") =>
+        connectedComponentsStar(nodes, edges, maxIter)
+    }
+
   /** Duplicate clusters over SimHash near-dup pairs: every document
     * labeled with its component's min doc_id plus the component size.
     * Returns (doc_id, cluster_id, cluster_size); singletons keep their

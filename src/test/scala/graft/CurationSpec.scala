@@ -81,6 +81,26 @@ class CurationSpec extends AnyFunSuite {
       i -> roots.filter(_._2 == r).keys.min })
   }
 
+  test("adaptive CC: frontier on short diameters, star fallback on long") {
+    import spark.implicits._
+    // short-diameter: triangle + singleton — frontier converges well
+    // inside switchAfter, no fallback fires
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val got = Clusters.connectedComponentsAdaptive(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // long diameter: a 40-node path needs 39 frontier rounds — with
+    // switchAfter=4 the frontier budget trips and the star restart
+    // must still label the whole path with its min id
+    val pathNodes = (100L to 140L).toDF("id")
+    val pathEdges = (100L until 140L).map(i => (i, i + 1)).toDF("a", "b")
+    val got2 = Clusters.connectedComponentsAdaptive(
+      pathNodes, pathEdges, switchAfter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (100L to 140L).map(_ -> 100L).toMap)
+  }
+
   test("star CC handles empty edge sets and self-loops") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L).toDF("id")
