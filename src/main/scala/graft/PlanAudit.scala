@@ -22,7 +22,8 @@ object PlanAudit {
     "q_t_tfidf_topk" -> "1-row corpus scalar (N) broadcast",
     "q_t_bm25_topk" -> "1-row corpus scalars (N, avgdl) broadcast",
     "q_t_perplexity" -> "1-row LM scalar (vocab size V) broadcast",
-    "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast")
+    "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast",
+    "q_c_temperature_mix" -> "1-row mixture scalars (wsum, N) broadcast")
 
   /** One audited plan: anti-pattern hits, the whitelist reason if any,
     * and the build error if the plan could not even be constructed.

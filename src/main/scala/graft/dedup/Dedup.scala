@@ -123,6 +123,89 @@ object Dedup {
           col(idCol) === col("__first_id")).as("keep"))
   }
 
+  /** Serialized Bloom filter over the history fingerprint index — the
+    * per-snapshot sketch artifact that lets [[incrementalDedupBloom]]
+    * rule out definite-miss fingerprints WITHOUT touching the index.
+    *
+    * Built by Spark's native `BloomFilterAggregate` (the expression
+    * behind runtime row-level filtering): per-partition bloom buffers
+    * merge associatively, so the build is one map-side pass over the
+    * index — no shuffle of fingerprints, one bounded binary collected
+    * to the driver (the IVF-centroid precedent: a model artifact, not
+    * data). Size = n·ln(1/p)/ln²2 bits ≈ 0.9 GB at 10⁹ fps / 3 % fpp —
+    * broadcastable; past ~10¹⁰ shard by pmod(xxhash64(fp), S) with one
+    * bloom per shard and route probes by the same key. Append-only
+    * maintenance matches the index protocol: each ingest unions the
+    * batch's keep-fps into the sketch (`BloomFilter.mergeInPlace`), no
+    * rebuild.
+    *
+    * Returns null for an empty index (callers treat null as
+    * "nothing can be in history").
+    */
+  def fpBloom(historyFps: DataFrame, expectedItems: Long,
+      fpp: Double = 0.03): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val agg = new BloomFilterAggregate(
+      expression(xxhash64(col("fp"))),
+      Literal(expectedItems), Literal(numBits))
+    val row = historyFps.select(
+      column(agg.toAggregateExpression()).as("bf")).head
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd bloom membership probe (`BloomFilterMightContain`,
+    * xxhash64 keying — the exact pairing `fpBloom` builds with).
+    */
+  def mightContainFp(bloom: Array[Byte], fp: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    column(BloomFilterMightContain(Literal(bloom), expression(xxhash64(fp))))
+  }
+
+  /** [[incrementalDedup]] with a Bloom pre-filter on the history probe
+    * — same output, bit for bit. Correctness does not depend on the
+    * bloom: a negative probe is a GUARANTEED miss (in_history = false
+    * with no join), and every positive — true or false — is verified
+    * by the exact fp equi-join, so false positives only cost probe
+    * volume, never wrong answers.
+    *
+    * Scale shape: the per-ingest history join's stream side shrinks
+    * from |batch| to (true-dup mass + fpp·|batch|) — on a
+    * mostly-novel crawl that is ~fpp of the batch, and with the
+    * bucketed-by-fp index layout the join reads only the buckets the
+    * surviving probes hash to. The bloom itself is the amortized
+    * artifact of [[fpBloom]]: built once per snapshot, appended per
+    * ingest, never rebuilt from the 100 TB index.
+    */
+  def incrementalDedupBloom(batch: DataFrame, historyFps: DataFrame,
+      idCol: String, textCol: String, bloom: Array[Byte]): DataFrame = {
+    val b = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    val first = b.groupBy("fp").agg(min(col(idCol)).as("__first_id"))
+      .localCheckpoint() // consumed twice (miss + maybe branches)
+    val flags =
+      if (bloom == null)
+        first.withColumn("__h", lit(false))
+      else {
+        val probe = coalesce(mightContainFp(bloom, col("fp")), lit(false))
+        val miss = first.filter(!probe).withColumn("__h", lit(false))
+        val hist = historyFps.select(col("fp")).withColumn("__h0", lit(true))
+        val maybe = first.filter(probe)
+          .join(hist, Seq("fp"), "left")
+          .select(col("fp"), col("__first_id"),
+            coalesce(col("__h0"), lit(false)).as("__h"))
+        miss.unionByName(maybe)
+      }
+    b.join(flags, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        col("__h").as("in_history"),
+        (col(idCol) =!= col("__first_id")).as("batch_dup"),
+        (!col("__h") && col(idCol) === col("__first_id")).as("keep"))
+  }
+
   /** Large prime for the affine minhash family (2^31 - 1). */
   private val P: Long = 2147483647L
 

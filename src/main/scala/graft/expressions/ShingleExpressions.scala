@@ -50,6 +50,31 @@ object ShingleOps {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** EVERY word n-gram occurrence, in order, WITHOUT dedup — the
+    * frequency-mining base (corpus-level phrase counting needs
+    * multiplicity; the distinct form above is the set-semantics base
+    * for MinHash/Jaccard). Same tokenize-once discipline.
+    */
+  def shinglesAll(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -66,6 +91,27 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expressions.ShingleOps$$.MODULE$$.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** [[ShingleOps.shinglesAll]] as an expression: every n-gram
+  * occurrence with multiplicity (no dedup) — the frequency-mining
+  * counterpart of [[WordShingles]].
+  */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.shinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleOps$$.MODULE$$.shinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
     copy(child = newChild)
 }
 
@@ -579,6 +625,9 @@ object ShingleFunctions {
 
   def wordShingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+
+  def wordShinglesAll(c: Column, n: Int): Column =
+    column(WordShinglesAll(expression(c), n))
 
   def topNgram(c: Column, n: Int): Column =
     column(TopNgram(expression(c), n))

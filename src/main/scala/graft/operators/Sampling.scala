@@ -147,4 +147,41 @@ object Sampling {
     }
     df.withColumn("split", split)
   }
+
+  /** Temperature-scaled mixture weights per domain (the multilingual /
+    * multi-source rebalancing rule: p_d ∝ n_d^(1/τ), τ=1 proportional,
+    * τ→∞ uniform — the upsampling schedule used for low-resource
+    * domains in multilingual LM training).
+    *
+    * Input: one row per document with its domain and size (tokens).
+    * Output: one row per domain — (domain, n_tokens, p_mix, epochs)
+    * where p_mix is the normalized temperature weight and epochs =
+    * p_mix·N/n_d is how many times the domain's data is effectively
+    * repeated under the mix (the oversampling-factor the schedule
+    * implies; epochs > 1 on small domains is the overfitting signal
+    * curation reports watch).
+    *
+    * Scale shape: ONE map-side-combinable sum per domain (the only
+    * shuffle, carrying #domains rows), then the normalization joins
+    * the 1-row total back by broadcast — the whitelisted scalar
+    * BroadcastNestedLoopJoin shape, never a global window over data.
+    * Doubles are rounded (6 dp, HALF_UP) at the boundary so the
+    * output is engine-parity-stable.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String,
+      sizeCol: Column, tau: Double): DataFrame = {
+    require(tau > 0, s"temperature must be positive: $tau")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(sizeCol).as("n_tokens"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(1.0 / tau)))
+    val totals = perDomain.agg(
+      sum("__w").as("__wsum"), sum("n_tokens").as("__n"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_tokens"),
+        graft.functions.Parity.roundHalfUp(
+          col("__w") / col("__wsum"), 6).as("p_mix"),
+        graft.functions.Parity.roundHalfUp(
+          col("__w") / col("__wsum") * col("__n").cast("double") /
+            col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 }

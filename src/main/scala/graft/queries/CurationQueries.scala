@@ -118,6 +118,24 @@ object CurationQueries {
         id => id % 20 === 7, n = 8)
         .orderBy("doc_id")),
 
+    // FUZZY decontamination: per-(train, eval) 3-gram Jaccard ≥ 0.5 —
+    // catches the near-duplicate leakage the any-8-gram rule above
+    // misses once a benchmark doc is lightly paraphrased. Exact (no
+    // sketch): eval postings + sizes broadcast, one co-occurrence
+    // shuffle (see Decontam.flagNearOverlap scaladoc).
+    "q_c_fuzzy_decontam" -> ((s, dir) =>
+      Decontam.flagNearOverlap(docs(s, dir), "doc_id", "text",
+        id => id % 20 === 7, n = 3, theta = 0.5)
+        .orderBy("doc_id")),
+
+    // Temperature-scaled domain mixture (p_d ∝ n_d^(1/τ), τ = 2):
+    // per-source token mass → sampling weight + effective epochs.
+    "q_c_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixture(docs(s, dir), "source",
+        graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+        tau = 2.0)
+        .orderBy("source")),
+
     // URL/domain blocklist gate (C4): planted URLs (the corpus has
     // none) derived from doc_id; hosts spam0..spam9.example.com are
     // blocklisted, so docs with doc_id % 4 == 0 AND doc_id % 50 < 10
@@ -630,6 +648,67 @@ object CurationQueries {
                 coalesce(h.n_overlap, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    // per-(train, eval) 3-gram Jaccard, best match per train doc
+    // (ties → smallest eval id), contaminated = some match ≥ 0.5
+    "q_c_fuzzy_decontam" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3 THEN
+                    list_distinct(list_transform(range(len(toks) - 2),
+                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                  ELSE [] END AS sh
+           FROM tk),
+         ng AS (SELECT doc_id, unnest(sh) AS ng FROM sh),
+         co AS (
+           SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, count(*) AS inter
+           FROM ng a JOIN ng b USING (ng)
+           WHERE a.doc_id % 20 <> 7 AND b.doc_id % 20 = 7
+           GROUP BY 1, 2),
+         j AS (
+           SELECT co.doc_id, co.eval_id,
+                  floor(CAST(co.inter AS DOUBLE)
+                        / (len(sa.sh) + len(sb.sh) - co.inter)
+                        * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+           FROM co
+           JOIN sh sa ON sa.doc_id = co.doc_id
+           JOIN sh sb ON sb.doc_id = co.eval_id),
+         best AS (
+           SELECT doc_id, eval_id, jaccard,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, eval_id ASC) AS rn
+           FROM j WHERE jaccard >= 0.5)
+         SELECT d.doc_id,
+                coalesce(b.jaccard, 0.0) AS near_j,
+                b.eval_id AS near_eval,
+                b.eval_id IS NOT NULL AS contaminated
+         FROM documents d
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    // τ = 2: weight = n^0.5; floats rounded 6 dp HALF_UP on both sides
+    "q_c_temperature_mix" ->
+      """WITH t AS (
+           SELECT source,
+                  sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''))) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS wsum,
+                  sum(n_tokens) AS n
+           FROM t)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / wsum
+                      * 1000000.0 + 0.5) / 1000000.0 AS p_mix,
+                floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / wsum
+                      * CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS epochs
+         FROM t, tot ORDER BY source""",
 
     // The whole pipeline composed from the per-stage mirrors: planted
     // PII + regex chain (q_t_pii_scrub), tokenization + quality

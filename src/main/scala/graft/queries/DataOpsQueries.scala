@@ -50,6 +50,30 @@ object DataOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered incremental dedup: same fixture and same
+    // oracle as q_d_incremental_dedup — the bloom pre-filter must be
+    // invisible in the output (negatives are guaranteed misses,
+    // positives are exact-join verified). expectedItems is the index
+    // cardinality the append-only protocol tracks; the fixture passes
+    // a round bound.
+    "q_d_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+      val bloom = Dedup.fpBloom(hist, expectedItems = 4096, fpp = 0.03)
+      Dedup.incrementalDedupBloom(
+        d.filter(col("doc_id") % 3 === 0), hist, "doc_id", "text", bloom)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-level frequent-phrase mining (boilerplate detection):
+    // word bigrams at 1500 ppm support — exact counts via the
+    // two-pass Misra-Gries candidate sketch (HeavyHitters scaladoc).
+    "q_t_phrase_hh" -> ((s, dir) =>
+      graft.operators.HeavyHitters.frequentPhrases(
+        docs(s, dir), "text", n = 2, supportPpm = 1500L)
+        .orderBy("item")),
+
     // Exact all-pairs n-gram Jaccard near-dup baseline (quadratic —
     // the correctness oracle for the LSH path).
     "q_d_ngram_jaccard" -> ((s, dir) =>
@@ -408,6 +432,36 @@ object DataOpsQueries {
                 h.fp IS NULL AND b.doc_id = f.first_id AS keep
          FROM b JOIN f USING (fp) LEFT JOIN h USING (fp)
          ORDER BY doc_id""",
+
+    // bloom pre-filter is output-invisible — the oracle IS the exact
+    // form's oracle, verbatim
+    "q_d_incremental_bloom" ->
+      """WITH h AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+         b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+         f AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp)
+         SELECT b.doc_id, b.fp,
+                h.fp IS NOT NULL AS in_history,
+                b.doc_id <> f.first_id AS batch_dup,
+                h.fp IS NULL AND b.doc_id = f.first_id AS keep
+         FROM b JOIN f USING (fp) LEFT JOIN h USING (fp)
+         ORDER BY doc_id""",
+
+    // plain exact frequency + support threshold — the sketch only
+    // bounds where the operator looks, never what it reports
+    "q_t_phrase_hh" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS item
+           FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+                 FROM tk WHERE len(toks) >= 2)),
+         tot AS (SELECT count(*) AS n FROM t)
+         SELECT item, count(*) AS cnt FROM t, tot
+         GROUP BY item, n HAVING count(*) * 1000000 >= 1500 * n
+         ORDER BY item""",
 
     "q_d_ngram_jaccard" -> JaccardPairsSql,
 

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Parity
+
 /** Eval-set decontamination — the n-gram-overlap scrub run before
   * training (the GPT-3 13-gram rule): a training document is
   * contaminated when it shares ANY word n-gram with a held-out
@@ -52,5 +54,62 @@ object Decontam {
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** FUZZY decontamination — per-(train, eval) n-gram JACCARD instead
+    * of any-overlap: a training doc is contaminated when its shingle
+    * set is ≥ `theta`-similar to SOME eval doc (the near-duplicate
+    * form of test-set leakage that any-single-n-gram rules either miss
+    * at large n or drown in false hits at small n).
+    *
+    * EXACT, not sketched — and still linear in the corpus: because the
+    * eval side is small by construction, its postings list
+    * (eval n-grams) and its per-doc set sizes both BROADCAST; the
+    * corpus is scanned once map-side, and the only shuffle is the
+    * per-(train, eval) intersection count whose volume is the
+    * co-occurrence mass (≈ contamination volume), never a corpus
+    * self-join. The MinHash/LSH formulation is strictly worse here:
+    * sketches pay a recall risk to avoid a quadratic blow-up this
+    * shape never had.
+    *
+    * Returns every non-eval doc: (id, near_j, near_eval, contaminated)
+    * with near_j the best Jaccard (rounded 6, 0.0 when no candidate),
+    * near_eval the best-matching eval id (min id on ties, null when
+    * none ≥ theta).
+    */
+  def flagNearOverlap(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int, theta: Double): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val sizes = base.select(col(idCol), size(col("sh")).as("sa"))
+    val ng = base.select(col(idCol), explode(col("sh")).as("ng"))
+    val evalNg = ng.filter(evalPred(col(idCol)))
+      .select(col(idCol).as("__eval_id"), col("ng"))
+    val evalSz = sizes.filter(evalPred(col(idCol)))
+      .select(col(idCol).as("__eval_id"), col("sa").as("sb"))
+    val co = ng.filter(!evalPred(col(idCol)))
+      .join(broadcast(evalNg), Seq("ng"))
+      .groupBy(col(idCol), col("__eval_id"))
+      .agg(count(lit(1)).as("inter")) // shingles are per-doc distinct
+    val j = co
+      .join(broadcast(evalSz), Seq("__eval_id"))
+      .join(sizes, Seq(idCol))
+      .withColumn("jaccard", Parity.roundHalfUp(
+        col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= theta)
+    // best match per train doc: max jaccard, ties to the SMALLEST eval
+    // id — max(struct(j, -id)) keeps it a partial aggregation (no
+    // per-doc window sort; the keep-best-per-cluster pattern)
+    val best = j.groupBy(col(idCol))
+      .agg(max(struct(col("jaccard"), (-col("__eval_id")).as("neg"))).as("w"))
+      .select(col(idCol), col("w.jaccard").as("near_j"),
+        (-col("w.neg")).as("near_eval"))
+    df.filter(!evalPred(col(idCol))).select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("near_j"), lit(0.0)).as("near_j"),
+        col("near_eval"),
+        col("near_eval").isNotNull.as("contaminated"))
   }
 }

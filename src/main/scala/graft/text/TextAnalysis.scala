@@ -101,6 +101,12 @@ object TextAnalysis {
   def shingles(text: Column, n: Int = 3): Column =
     graft.expressions.ShingleFunctions.wordShingles(text, n)
 
+  /** Word n-gram occurrences WITH multiplicity (no dedup) — the
+    * corpus-frequency-mining base ([[graft.expressions.WordShinglesAll]]).
+    */
+  def shinglesAll(text: Column, n: Int): Column =
+    graft.expressions.ShingleFunctions.wordShinglesAll(text, n)
+
   /** Gopher-style repetition probe: struct(gram, cnt) of the most
     * frequent word n-gram (count DESC, gram ASC ties), one codegen'd
     * pass ([[graft.expressions.TopNgram]]); empty gram / cnt 0 when

@@ -520,6 +520,55 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._2)
   }
 
+  test("fuzzy decontamination: jaccard vs eval docs, best match, ties") {
+    import spark.implicits._
+    import graft.text.Decontam
+    val corpus = Seq(
+      (7L, "a b c d e f"), // eval (id % 20 == 7)
+      (27L, "a b c d e g"), // eval — same first 3 shingles as 7
+      (1L, "a b c d e f"), // identical to 7 → j = 1.0, eval 7
+      // shingles {a b c, b c d, c d e, d e z}: inter with 7 = 3,
+      // union = 5 → j = 0.6
+      (2L, "a b c d e z"),
+      (3L, "x y z w v u"), // no overlap
+      (4L, "a b c q r s")) // 1 shared shingle of 4+4 → j = 1/7 < θ
+      .toDF("doc_id", "text")
+    val got = Decontam.flagNearOverlap(corpus, "doc_id", "text",
+      id => id % 20 === 7, n = 3, theta = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3))).toMap
+    assert(!got.contains(7L) && !got.contains(27L))
+    assert(got(1L) == ((1.0, Some(7L), true)))
+    assert(got(2L)._1 == 0.6 && got(2L)._3)
+    // doc 2 matches eval 7 (j .6) and eval 27 ({a b c, b c d, c d e}
+    // shared = 3, union 5 → also .6): tie breaks to the SMALLER id
+    assert(got(2L)._2 == Some(7L))
+    assert(got(3L) == ((0.0, None, false)))
+    assert(got(4L) == ((0.0, None, false)))
+  }
+
+  test("temperature mixture: τ=1 proportional, τ=2 flattens toward uniform") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = Seq(("big", 900L), ("big", 700L), ("small", 100L))
+      .toDF("source", "n") // big: 1600 tokens, small: 100
+    def mix(tau: Double) = Sampling
+      .temperatureMixture(d, "source", col("n"), tau)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val t1 = mix(1.0)
+    assert(t1("big") == ((1600L, math.floor(1600.0 / 1700 * 1e6 + 0.5) / 1e6, 1.0)))
+    assert(t1("small") == ((100L, math.floor(100.0 / 1700 * 1e6 + 0.5) / 1e6, 1.0)))
+    val t2 = mix(2.0)
+    val (wb, ws) = (math.sqrt(1600.0), math.sqrt(100.0)) // 40, 10
+    assert(t2("big")._2 == 0.8 && t2("small")._2 == 0.2)
+    // small domain upsampled: 0.2 of the mix from 100/1700 of the data
+    assert(t2("small")._3 == math.floor(0.2 * 1700 / 100 * 1e6 + 0.5) / 1e6)
+    assert(t2("big")._3 < 1.0 && t2("small")._3 > 3.0)
+    assert(wb / (wb + ws) == 0.8) // sanity on the hand math
+  }
+
   test("token chunking: stride windows, overlap, tail clamp, provenance") {
     import spark.implicits._
     import graft.operators.Chunking

@@ -106,6 +106,78 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((false, false, true)))
   }
 
+  test("bloom incremental dedup matches the exact form bit for bit") {
+    val d = docs
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val hist = d.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    val bloom = Dedup.fpBloom(hist, expectedItems = 4096, fpp = 0.03)
+    assert(bloom != null)
+    val exact = Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    val bloomed = Dedup.incrementalDedupBloom(batch, hist, "doc_id", "text", bloom)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(bloomed == exact)
+  }
+
+  test("bloom incremental dedup: empty history and definite-miss probes") {
+    import spark.implicits._
+    val emptyHist = Seq.empty[String].toDF("fp")
+    assert(Dedup.fpBloom(emptyHist, 16) == null)
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupBloom(batch, emptyHist, "doc_id", "text", null)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(4))).toMap
+    assert(got == Map(1L -> ((false, true)), 2L -> ((false, false)),
+      3L -> ((false, true))))
+    // a definite miss never reaches the index: every present fp probes
+    // true (no false negatives), absent fps probe overwhelmingly false
+    val hist = (0 until 1000).map(i => s"h$i").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val bloom = Dedup.fpBloom(hist, 1000, fpp = 0.01)
+    val probes = hist.select(Dedup.mightContainFp(bloom, col("fp")).as("p"))
+      .collect().map(_.getBoolean(0))
+    assert(probes.forall(identity), "bloom false negative")
+    val absent = (0 until 1000).map(i => s"x$i").toDF("text")
+      .select(md5(col("text")).as("fp"))
+      .select(Dedup.mightContainFp(bloom, col("fp")).as("p"))
+      .collect().count(_.getBoolean(0))
+    assert(absent < 50, s"false-positive rate way over fpp: $absent/1000")
+  }
+
+  test("heavy hitters: exact counts at support, sketch forced to decrement") {
+    import spark.implicits._
+    // zipf-ish skew: item i appears ~ 3000/i times — 600 distinct
+    // items against the default k = ⌈1/s⌉+2 = 52 counters, so
+    // decrement rounds fire in every partition that sees >52 distinct
+    // items; expected output = plain exact computation at 2% support
+    val rows = (1 to 600).flatMap(i => Seq.fill(3000 / i)(s"item_$i"))
+    val n = rows.size.toLong
+    val expect = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 1000000L >= 20000L * n }.toMap
+    assert(expect.nonEmpty && expect.size < 20)
+    // partitioning must not change the answer (superset guarantee)
+    for (parts <- Seq(3, 16)) {
+      val items = spark.sparkContext.parallelize(rows, parts).toDF("item")
+      val got = graft.operators.HeavyHitters
+        .frequentItems(items, supportPpm = 20000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("frequent phrases count occurrences with multiplicity") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b a b"), (2L, "a b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    // bigrams: "a b"×4, "b a"×2, "b c", "c d", "x y" — N=9
+    val got = graft.operators.HeavyHitters
+      .frequentPhrases(d, "text", n = 2, supportPpm = 220000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a b" -> 4L, "b a" -> 2L))
+  }
+
   test("simhash near-dup pairs include the jaccard near-dups") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
