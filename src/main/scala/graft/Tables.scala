@@ -5,14 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * All tables are plain parquet except `events`, whose `ts` column is
-  * written as parquet TIMESTAMP(NANOS) — a physical type Spark does not
-  * map to TimestampType. We read it as nanosecond epoch longs
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions]])
-  * and expose BOTH:
-  *   - `ts_ns`  — raw nanosecond epoch (LongType), exactly what DuckDB's
-  *                `epoch_ns(ts)` returns, for oracle parity;
-  *   - `ts`     — TimestampType truncated to microseconds.
+  * All tables are plain parquet except `events`, whose `ts` column has
+  * already been regenerated in two different physical encodings across
+  * rounds:
+  *   - parquet TIMESTAMP(NANOS) — Spark maps it to LongType nanos under
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Sessions]]);
+  *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark maps it
+  *     to TimestampNTZType (the encoding since the round-7 regen).
+  * The loader branches on the OBSERVED dtype (VERDICT r7 item 1) and in
+  * both cases exposes the same engine-visible contract:
+  *   - `ts_ns`  — nanosecond epoch (LongType), exactly what DuckDB's
+  *                `epoch_ns(ts)` returns on the same file, for oracle
+  *                parity (epoch_ns on micros data = micros * 1000);
+  *   - `ts`     — TimestampType (micros precision; session TZ is UTC, so
+  *                the NTZ→TZ cast is a no-op on the wall-clock value).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -25,9 +31,22 @@ object Tables {
     val raw = spark.read.parquet(path(sfDir, name))
     name match {
       case "events" =>
-        // `ts` arrives as LongType nanos (legacy.parquet.nanosAsLong).
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        import org.apache.spark.sql.types._
+        raw.schema("ts").dataType match {
+          case LongType =>
+            // TIMESTAMP(NANOS) read as nanos longs (legacy.parquet.nanosAsLong).
+            raw.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          case TimestampNTZType | TimestampType =>
+            // TIMESTAMP(MICROS); NTZ→TZ cast is wall-clock-preserving in UTC.
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+              .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          case other =>
+            throw new IllegalStateException(
+              s"events.ts has unsupported dtype $other (expected LongType nanos, " +
+                "TimestampType, or TimestampNTZType) — testdata regenerated with a " +
+                "new encoding; extend Tables.load for it")
+        }
       case _ => raw
     }
   }

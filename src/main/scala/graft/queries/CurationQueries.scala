@@ -36,6 +36,15 @@ object CurationQueries {
         maxDist = 3, cc = Clusters.connectedComponentsStar(_, _))
         .orderBy("doc_id")),
 
+    // Same cluster contract through the ADAPTIVE scheme (frontier
+    // with the measured crossover fallback to star, Clusters.scala's
+    // connectedComponentsAdaptive). Shares the same oracle verbatim:
+    // whichever path the heuristic takes, the labeling is identical.
+    "q_d_cc_adaptive" -> ((s, dir) =>
+      Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
+        maxDist = 3, cc = Clusters.connectedComponentsAdaptive(_, _))
+        .orderBy("doc_id")),
+
     // Keep-BEST-per-cluster: dedup keeps each duplicate cluster's
     // highest-quality member (ties → smaller id), not the smallest id
     // — boilerplate-laden copies lose to the clean one. Winner via
@@ -503,6 +512,9 @@ object CurationQueries {
 
     // identical contract, alternate CC scheme — SAME oracle
     "q_d_cc_star" -> CcClustersOracle,
+
+    // identical contract, adaptive frontier→star scheme — SAME oracle
+    "q_d_cc_adaptive" -> CcClustersOracle,
 
     // winner = rank 1 by (quality DESC, doc_id ASC) per cluster —
     // equivalent to the engine's max(struct(quality, −doc_id))

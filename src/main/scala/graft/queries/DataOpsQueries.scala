@@ -886,7 +886,7 @@ object DataOpsQueries {
            SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
            FROM (SELECT word, n, unnest(range(1, length(word))) AS i
                  FROM wc))
-         SELECT pair, sum(n) AS pair_count,
+         SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count,
                 row_number() OVER (ORDER BY sum(n) DESC, pair ASC) AS rn
          FROM pp GROUP BY pair
          QUALIFY rn <= 50 ORDER BY rn"""
