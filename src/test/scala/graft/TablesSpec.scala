@@ -51,6 +51,25 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy INT64-nanos events encoding still loads (LongType branch)") {
+    import org.apache.spark.sql.functions._
+    // The live testdata no longer exercises the nanos path; synthesize
+    // it so the branch stays covered if the driver reverts encodings.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    val sq = spark
+    import sq.implicits._
+    Seq((1L, 1723500000123456789L, "x"), (2L, 1723500001987654321L, "y"))
+      .toDF("event_id", "ts", "payload")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.load(spark, dir, "events")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("ts_ns") == LongType && byName("ts") == TimestampType)
+    val r = df.orderBy("event_id")
+      .select(col("ts_ns"), unix_micros(col("ts"))).head()
+    assert(r.getLong(0) == 1723500000123456789L)
+    assert(r.getLong(1) == 1723500000123456L) // truncated to micros
+  }
+
   test("non-events tables keep stable key dtypes") {
     val expect: Map[(String, String), DataType] = Map(
       ("lineitem", "l_quantity") -> DoubleType,
