@@ -116,6 +116,8 @@ object Bench {
   "runs_per_query": $runs,
   "reading_rule": "warm min-of-$runs after a JVM warm-up pass; run-to-run band is ±30% or ±0.3s per query (BENCH_VARIANCE.md, 4 full runs) — deltas inside the band are noise, not regressions",
   "isolated_jvm": [${selected.filter(isolated).map("\"" + _ + "\"").mkString(", ")}],
+  "n_queries": ${times.size},
+  "n_failed": ${failures.size},
   "streaming": ${streamingJson.getOrElse("null")},
   "queries": {
 $q
@@ -163,7 +165,10 @@ $fs
         if (failures.isEmpty) ""
         else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString(""","failures":{""", ",", "}")
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$fs$streamCompact,"sf":"$sfLabel"}"""
+      // n_failed is always present (0 on a clean sweep) so automation
+      // can distinguish "all ran" from "some failed" without parsing
+      // the free-text tail (round-7 advice: rc 0 + 31 silent misses).
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","n_failed":${failures.size},"queries":$qs$fs$streamCompact,"sf":"$sfLabel"}"""
     }
     val line = Seq(3, 2, 1).map(compactLine).find(_.length <= 1900)
       .getOrElse {

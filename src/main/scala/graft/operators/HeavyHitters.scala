@@ -66,6 +66,21 @@ object HeavyHitters {
     out.iterator
   }
 
+  /** Pass 1 alone: the map-side MG sketch rows, (item, n_p) per
+    * surviving counter plus one (null, partition total) row. Public so
+    * the scale rehearsal can measure the candidate-superset size the
+    * two-pass design broadcasts; [[frequentItems]] is the user API.
+    */
+  def mgPass1(items: DataFrame, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("item").cast("string"))
+      .filter(col("item").isNotNull)
+      .as[String]
+      .mapPartitions(it => mgCandidates(it, k))
+      .toDF("item", "n_p")
+  }
+
   /** All items (single string column `item`) with exact count ≥
     * supportPpm·N/10⁶, as (item, cnt). `counters` defaults to the MG
     * bound ⌈10⁶/supportPpm⌉ + 1 (the smallest k with a superset
@@ -78,13 +93,7 @@ object HeavyHitters {
     val k =
       if (counters > 0) counters
       else (1000000L / supportPpm).toInt + 2
-    val spark = items.sparkSession
-    import spark.implicits._
-    val pass1 = items.select(col("item").cast("string"))
-      .filter(col("item").isNotNull)
-      .as[String]
-      .mapPartitions(it => mgCandidates(it, k))
-      .toDF("item", "n_p")
+    val pass1 = mgPass1(items, k)
       .localCheckpoint() // consumed twice (total + candidates), tiny
     val total = pass1.filter(col("item").isNull)
       .agg(sum("n_p")).head.getLong(0)
