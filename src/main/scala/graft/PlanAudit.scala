@@ -23,7 +23,8 @@ object PlanAudit {
     "q_t_bm25_topk" -> "1-row corpus scalars (N, avgdl) broadcast",
     "q_t_perplexity" -> "1-row LM scalar (vocab size V) broadcast",
     "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast",
-    "q_c_temperature_mix" -> "1-row mixture scalars (wsum, N) broadcast")
+    "q_c_temperature_mix" -> "1-row mixture scalars (wsum, N) broadcast",
+    "q_c_corpus_overlap" -> "pair matrix over one-sketch-row-per-source (sources² rows, k-long arrays)")
 
   /** One audited plan: anti-pattern hits, the whitelist reason if any,
     * and the build error if the plan could not even be constructed.

@@ -145,6 +145,45 @@ object CurationQueries {
         tau = 2.0)
         .orderBy("source")),
 
+    // Corpus-level overlap audit (L46): per source PAIR, exact 3-gram
+    // Jaccard (oracle-checked) + a tolerance row asserting the KMV
+    // bottom-k sketch estimate sits within its 4-sigma band. The
+    // sketch path — one partial-agg pass per source, pair math over a
+    // sources²-row table — is what runs at 100 TB; the exact side here
+    // is the verification harness (it pays the (source, gram) shuffle
+    // the sketch avoids).
+    "q_c_corpus_overlap" -> ((s, dir) => {
+      import graft.similarity.CorpusSketch
+      val k = 512
+      val d = docs(s, dir)
+      val grams = d
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      val est = CorpusSketch.pairEstimates(
+        CorpusSketch.sourceSketches(d, "source", "text", 3, k), k)
+      val exact = col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")
+      val band = greatest(
+        lit(4.0) * sqrt(exact * (lit(1.0) - exact) / lit(k.toDouble)),
+        lit(8.0 / k))
+      est
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+        .join(inter, Seq("sa", "sb"), "left")
+        .na.fill(0L, Seq("inter"))
+        .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+          Parity.roundHalfUp(exact, 6).as("jaccard"),
+          (abs(col("est_jaccard") - exact) <= band).as("within_band"))
+        .orderBy("sa", "sb")
+    }),
+
     // URL/domain blocklist gate (C4): planted URLs (the corpus has
     // none) derived from doc_id; hosts spam0..spam9.example.com are
     // blocklisted, so docs with doc_id % 4 == 0 AND doc_id % 50 < 10
@@ -721,6 +760,42 @@ object CurationQueries {
                       * CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                       * 1000000.0 + 0.5) / 1000000.0 AS epochs
          FROM t, tot ORDER BY source""",
+
+    // exact pairwise 3-gram Jaccard between sources; the sketch's
+    // tolerance boolean asserted TRUE (q_a6_active_window_approx
+    // convention — the estimate itself can't be reproduced off-engine)
+    "q_c_corpus_overlap" ->
+      """WITH tk AS (
+           SELECT source,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT source,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [] END AS sh
+           FROM tk),
+         g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
+         sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         p AS (
+           SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+           FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb
+           FROM sizes x JOIN sizes y ON x.source < y.source)
+         SELECT sa, sb,
+                CAST(coalesce(p.inter, 0) AS BIGINT) AS inter,
+                CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                floor(CAST(coalesce(p.inter, 0) AS DOUBLE)
+                      / (na + nb - coalesce(p.inter, 0))
+                      * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                TRUE AS within_band
+         FROM pairs LEFT JOIN p USING (sa, sb)
+         ORDER BY sa, sb""",
 
     // The whole pipeline composed from the per-stage mirrors: planted
     // PII + regex chain (q_t_pii_scrub), tokenization + quality

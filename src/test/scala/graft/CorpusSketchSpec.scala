@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.CorpusSketch
+
+class CorpusSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("BottomK reduce/merge equal sorted-distinct-take-k, any split") {
+    val rnd = new Random(7)
+    val k = 16
+    val agg = new CorpusSketch.BottomK(k)
+    val values = Array.fill(500)(rnd.nextLong() % 100) // dense → duplicates
+    val expect = values.distinct.sorted.take(k)
+
+    // reduce-only, in arrival order
+    val viaReduce = values.foldLeft(agg.zero)(agg.reduce)
+    assert(viaReduce.toSeq == expect.toSeq)
+
+    // arbitrary partition splits, merged in shuffled order
+    (1 to 10).foreach { _ =>
+      val parts = values.grouped(1 + rnd.nextInt(80)).toSeq
+      val bufs = rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      assert(merged.toSeq == expect.toSeq)
+    }
+  }
+
+  test("KMV estimate tracks exact Jaccard on planted-overlap sources") {
+    val sq = spark
+    import sq.implicits._
+    val k = 512
+    // two sources, 2000 grams each, 500 shared → J = 500/3500 ≈ 0.1429
+    val shared = (0 until 500).map(i => s"shared gram $i")
+    val aOnly = (0 until 1500).map(i => s"alpha gram $i")
+    val bOnly = (0 until 1500).map(i => s"beta gram $i")
+    val rows =
+      (shared ++ aOnly).map(("srcA", _)) ++ (shared ++ bOnly).map(("srcB", _))
+    val grams = rows.toDF("source", "g")
+    val bk = udaf(new CorpusSketch.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = grams.repartition(8)
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .groupBy("source").agg(bk(col("h")).as("sketch"))
+    val est = CorpusSketch.pairEstimates(sketches, k)
+      .select("est_jaccard").head().getDouble(0)
+    val exact = 500.0 / 3500.0
+    val band = 4.0 * math.sqrt(exact * (1 - exact) / k)
+    assert(math.abs(est - exact) <= band,
+      s"est $est vs exact $exact outside 4-sigma $band")
+  }
+
+  test("sketch of <k universe is exhaustive, estimate exact") {
+    val sq = spark
+    import sq.implicits._
+    val grams = ((0 until 40).map(i => ("x", s"g$i")) ++
+      (20 until 60).map(i => ("y", s"g$i"))).toDF("source", "g")
+    val bk = udaf(new CorpusSketch.BottomK(512),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = grams
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .groupBy("source").agg(bk(col("h")).as("sketch"))
+    val est = CorpusSketch.pairEstimates(sketches, 512)
+      .select("est_jaccard").head().getDouble(0)
+    // below k the sketch IS the set: 20 shared / 60 union exactly
+    assert(math.abs(est - 20.0 / 60.0) < 1e-9)
+  }
+}
