@@ -173,6 +173,14 @@ object CurationQueries {
       val band = greatest(
         lit(4.0) * sqrt(exact * (lit(1.0) - exact) / lit(k.toDouble)),
         lit(8.0 / k))
+      // directional containment: exact c(A⊆B) = inter/na, binomial
+      // 4-sigma band on the sketch's effective sample (n_eff)
+      val contAB = col("inter").cast("double") / col("na").cast("double")
+      val contBA = col("inter").cast("double") / col("nb").cast("double")
+      def contBand(c: org.apache.spark.sql.Column,
+          nEff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = greatest(
+        lit(4.0) * sqrt(c * (lit(1.0) - c) / greatest(nEff, lit(1)).cast("double")),
+        lit(8.0) / greatest(nEff, lit(1)).cast("double"))
       est
         .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
         .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
@@ -180,7 +188,12 @@ object CurationQueries {
         .na.fill(0L, Seq("inter"))
         .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
           Parity.roundHalfUp(exact, 6).as("jaccard"),
-          (abs(col("est_jaccard") - exact) <= band).as("within_band"))
+          Parity.roundHalfUp(contAB, 6).as("cont_a_in_b"),
+          Parity.roundHalfUp(contBA, 6).as("cont_b_in_a"),
+          (abs(col("est_jaccard") - exact) <= band &&
+            abs(col("est_cont_a_in_b") - contAB) <= contBand(contAB, col("n_eff_a")) &&
+            abs(col("est_cont_b_in_a") - contBA) <= contBand(contBA, col("n_eff_b")))
+            .as("within_band"))
         .orderBy("sa", "sb")
     }),
 
@@ -793,6 +806,10 @@ object CurationQueries {
                 floor(CAST(coalesce(p.inter, 0) AS DOUBLE)
                       / (na + nb - coalesce(p.inter, 0))
                       * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                floor(CAST(coalesce(p.inter, 0) AS DOUBLE) / na
+                      * 1000000.0 + 0.5) / 1000000.0 AS cont_a_in_b,
+                floor(CAST(coalesce(p.inter, 0) AS DOUBLE) / nb
+                      * 1000000.0 + 0.5) / 1000000.0 AS cont_b_in_a,
                 TRUE AS within_band
          FROM pairs LEFT JOIN p USING (sa, sb)
          ORDER BY sa, sb""",

@@ -109,8 +109,16 @@ object CorpusSketch {
       .agg(bk(col("h")).as("sketch"))
   }
 
-  /** Pairwise KMV Jaccard estimate over the sketch table (one row per
-    * source): (sa, sb, est_jaccard). Pure built-in array math.
+  /** Pairwise KMV estimates over the sketch table (one row per
+    * source): (sa, sb, est_jaccard, est_cont_a_in_b, est_cont_b_in_a,
+    * n_eff_a, n_eff_b). Pure built-in array math.
+    *
+    * Containment is the DIRECTIONAL contamination number — a small
+    * dump fully inside a huge mix has Jaccard ≈ |B|/|A| ≈ 0 but
+    * C(B ⊆ A) ≈ 1. KMV form: bottomK(A ∪ B) is a uniform sample of
+    * the union, so C(A ⊆ B) ≈ |unionK ∩ A ∩ B| / |unionK ∩ A| — the
+    * denominator (`n_eff_a`) is the effective sample size for the
+    * binomial error band, which callers use as √(C(1−C)/n_eff).
     */
   def pairEstimates(sketches: DataFrame, k: Int = 512): DataFrame = {
     val a = sketches.select(col("source").as("sa"), col("sketch").as("ska"))
@@ -118,10 +126,17 @@ object CorpusSketch {
     val unionK = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
     val common = size(array_intersect(unionK,
       array_intersect(col("ska"), col("skb"))))
+    val inA = size(array_intersect(unionK, col("ska")))
+    val inB = size(array_intersect(unionK, col("skb")))
     val denom = least(lit(k), size(array_union(col("ska"), col("skb"))))
     a.join(b, col("sa") < col("sb"))
       .select(col("sa"), col("sb"),
         (common.cast("double") / greatest(denom, lit(1)).cast("double"))
-          .as("est_jaccard"))
+          .as("est_jaccard"),
+        (common.cast("double") / greatest(inA, lit(1)).cast("double"))
+          .as("est_cont_a_in_b"),
+        (common.cast("double") / greatest(inB, lit(1)).cast("double"))
+          .as("est_cont_b_in_a"),
+        inA.as("n_eff_a"), inB.as("n_eff_b"))
   }
 }

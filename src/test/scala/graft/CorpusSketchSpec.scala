@@ -54,6 +54,31 @@ class CorpusSketchSpec extends AnyFunSuite {
       s"est $est vs exact $exact outside 4-sigma $band")
   }
 
+  test("containment detects a small dump inside a big mix (Jaccard can't)") {
+    val sq = spark
+    import sq.implicits._
+    val k = 512
+    // B (300 grams) fully inside A (6000 grams): J = 0.05, C(B⊆A) = 1
+    val aGrams = (0 until 6000).map(i => s"mix gram $i")
+    val bGrams = (0 until 300).map(i => s"mix gram $i")
+    val grams = (aGrams.map(("mixA", _)) ++ bGrams.map(("dumpB", _)))
+      .toDF("source", "g")
+    val bk = udaf(new CorpusSketch.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = grams.repartition(8)
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .groupBy("source").agg(bk(col("h")).as("sketch"))
+    val row = CorpusSketch.pairEstimates(sketches, k)
+      .select("sa", "est_jaccard", "est_cont_a_in_b", "est_cont_b_in_a")
+      .head()
+    // source order is lexicographic: sa = dumpB, sb = mixA
+    assert(row.getString(0) == "dumpB")
+    val (estJ, contDumpInMix) = (row.getDouble(1), row.getDouble(2))
+    assert(contDumpInMix == 1.0,
+      s"fully-contained dump should estimate containment 1.0, got $contDumpInMix")
+    assert(math.abs(estJ - 0.05) <= 4.0 * math.sqrt(0.05 * 0.95 / k))
+  }
+
   test("sketch of <k universe is exhaustive, estimate exact") {
     val sq = spark
     import sq.implicits._
