@@ -154,6 +154,17 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5)
         .orderBy("qid", "rank")),
 
+    // SQ8 scalar quantization (L47): per-dim min/max train (one
+    // partial-agg pass), 8-bit linear codes, asymmetric cosine —
+    // full-precision query against the dequantized corpus. Exact
+    // mirror oracle (the code math is deterministic double
+    // arithmetic), so the hash compare proves train, encode,
+    // dequantize and every distance.
+    "q_s_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5)
+        .orderBy("qid", "rank")),
+
     // IVF TRAINING: 2 spherical-Lloyd rounds from the md5-seeded init
     // (assign map-side on literal centroids; recompute = partial-agg
     // groupBy over nlist×dim cells; 9-dp centroid rounding each round
@@ -711,6 +722,47 @@ object DataOpsQueries {
                    row_number() OVER (PARTITION BY qid ORDER BY d ASC, nn_id ASC) AS rank
             FROM adc)
           SELECT qid, nn_id, floor(d * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // SQ8: train/encode/dequantize mirrored token-for-token (same
+    // IEEE-double op order as the Spark side), then the ann_topk
+    // cosine/rank tail over the dequantized corpus
+    "q_s_sq8_topk" ->
+      s"""WITH $PreparedVecsCte,
+          st AS (
+            SELECT d, min(v) AS mn, max(v) AS mx FROM (
+              SELECT unnest(e) AS v,
+                     unnest(range(1, len(e) + 1)) AS d
+              FROM n)
+            GROUP BY d),
+          lim AS (
+            SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+            FROM st),
+          dqv AS (
+            SELECT vec_id,
+                   list_transform(range(1, 65), i ->
+                     CASE WHEN mxs[i] - mns[i] > 0
+                          THEN mns[i]
+                               + least(255.0, greatest(0.0,
+                                   floor((e[i] - mns[i]) / (mxs[i] - mns[i])
+                                         * 255.0 + 0.5)))
+                                 * (mxs[i] - mns[i]) / 255.0
+                          ELSE mns[i] END) AS dq
+            FROM n, lim),
+          dqn AS (
+            SELECT vec_id, dq,
+                   sqrt(list_dot_product(dq, dq)) AS dqnrm
+            FROM dqv),
+          q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+          p AS (
+            SELECT q.qid, c.vec_id AS nn_id,
+                   list_dot_product(c.dq, q.qe) / (c.dqnrm * q.qnrm) AS cs
+            FROM dqn c CROSS JOIN q WHERE c.vec_id <> q.qid),
+          r AS (
+            SELECT qid, nn_id, cs,
+                   row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nn_id ASC) AS rank
+            FROM p)
+          SELECT qid, nn_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     // Both Lloyd rounds unrolled; init == the q_s_ann_ivf md5-ranked

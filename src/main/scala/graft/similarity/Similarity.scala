@@ -575,4 +575,76 @@ object Similarity {
       .select(col("label"), col("rank"), col("vec_id"),
         Parity.roundHalfUp(col("mmr_score_raw"), 6).as("mmr_score"))
   }
+
+  /** L47 — int8 SCALAR quantization (faiss SQ8): per-dim min/max
+    * train, 8-bit linear codes, asymmetric cosine (full-precision
+    * query against the dequantized corpus). The standard 4× memory
+    * cut between full precision and PQ's 32× — at 100 TB the corpus
+    * codes are what sit in RAM next to the IVF lists.
+    *
+    * Scale shape: training is ONE partial-aggregated pass — the
+    * posexplode collapses map-side to ≤dim rows per partition before
+    * the dim-keyed shuffle moves anything (64 rows per map task, not
+    * N·dim). The (dim × 2 doubles) stats table is a bounded model
+    * artifact collected to the driver and re-broadcast as literals —
+    * the IVF-centroid precedent — so encoding is map-side-only; the
+    * query scan composes with the IVF list pruning at scale exactly
+    * like [[ivfPqTopK]]'s ADC stage.
+    *
+    * Determinism: codes are floor((x−mn)/(mx−mn)·255 + 0.5) clamped
+    * to [0,255] in IEEE double, mirrored token-for-token in the
+    * DuckDB oracle — the code array and every downstream cosine are
+    * bit-equal across engines (the fixed-point convention).
+    */
+  def sq8Stats(df: DataFrame, idCol: String, embCol: String)
+      : (Array[Double], Array[Double]) = {
+    val base = prepared(df, idCol, embCol)
+    val rows = base
+      .select(posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy("d").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("d").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Dequantized-corpus column math shared by the operator and specs:
+    * codes (int 0..255) and the dequantized double vector from
+    * per-dim (mn, mx) literals. Degenerate dims (mx == mn) encode 0
+    * and dequantize to mn.
+    */
+  def sq8Dequantize(e: Column, mn: Array[Double], mx: Array[Double]): Column = {
+    val mnl = typedLit(mn)
+    val mxl = typedLit(mx)
+    transform(e, (x, i) => {
+      val lo = element_at(mnl, i + 1)
+      val hi = element_at(mxl, i + 1)
+      val span = hi - lo
+      val code = least(lit(255.0), greatest(lit(0.0),
+        floor((x - lo) / span * lit(255.0) + lit(0.5)).cast("double")))
+      when(span > lit(0.0), lo + code * span / lit(255.0)).otherwise(lo)
+    })
+  }
+
+  /** SQ8 asymmetric top-k: exact-mirror gate output
+    * (qid, nn_id, cos_sim 6dp, rank).
+    */
+  def sq8TopK(df: DataFrame, idCol: String, embCol: String,
+      queryPred: Column => Column, k: Int): DataFrame = {
+    val (mn, mx) = sq8Stats(df, idCol, embCol)
+    val base = prepared(df, idCol, embCol)
+    val corpus = base
+      .select(col("vec_id"), sq8Dequantize(col("e"), mn, mx).as("dq"))
+      .withColumn("dqnrm", norm(col("dq")))
+    val q = base.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("dq"), col("qe"), col("dqnrm"), col("qnrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
 }

@@ -333,6 +333,36 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 quantization: bounded per-dim error, high top-k recall") {
+    val (mn, mx) = Similarity.sq8Stats(embs, "vec_id", "embedding")
+    // per-dim reconstruction error is at most half a quantization step
+    val base = Similarity.prepared(embs, "vec_id", "embedding")
+    val dq = base.select(col("vec_id"), col("e"),
+      Similarity.sq8Dequantize(col("e"), mn, mx).as("dq"))
+    val steps = typedLit(mx.zip(mn).map(p => (p._1 - p._2) / 255.0))
+    val maxRelErr = dq
+      .select(max(array_max(transform(col("e"), (x, i) =>
+        abs(x - element_at(col("dq"), i + 1)) /
+          greatest(lit(1e-12), element_at(steps, i + 1))))))
+      .head().getDouble(0)
+    assert(maxRelErr <= 0.5 + 1e-9,
+      s"reconstruction error $maxRelErr quantization steps, expected <= 0.5")
+
+    // top-5 recall vs full precision over the gate's query set
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      id => id % 50 === 0, k = 5)
+      .select("qid", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sq = Similarity.sq8TopK(embs, "vec_id", "embedding",
+      id => id % 50 === 0, k = 5)
+      .select("qid", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.map { case (q, ids) =>
+      (ids intersect sq.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"sq8 top-5 recall was $recall")
+  }
+
   test("firstSeen keeps exactly one row per key") {
     val e = Tables.load(spark, Sf, "events")
     val d = Dedup.firstSeen(e, Seq("user_id"), "ts_ns")
