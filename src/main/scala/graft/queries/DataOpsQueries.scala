@@ -154,6 +154,16 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5)
         .orderBy("qid", "rank")),
 
+    // JL random projection + exact re-rank (L48): md5-seeded ±1
+    // projection to 16 dims (map-side, zero shuffle), top-32
+    // candidates by projected cosine, exact-cosine re-rank to top-5.
+    // Deterministic end to end → the oracle mirrors the WHOLE
+    // pipeline including candidate selection.
+    "q_s_jl_rerank" -> ((s, dir) =>
+      Similarity.jlRerankTopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5, dim = 64, r = 16, cand = 32)
+        .orderBy("qid", "rank")),
+
     // SQ8 scalar quantization (L47): per-dim min/max train (one
     // partial-agg pass), 8-bit linear codes, asymmetric cosine —
     // full-precision query against the dequantized corpus. Exact
@@ -722,6 +732,52 @@ object DataOpsQueries {
                    row_number() OVER (PARTITION BY qid ORDER BY d ASC, nn_id ASC) AS rank
             FROM adc)
           SELECT qid, nn_id, floor(d * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // JL: sign matrix from the md5-parity trick (SignBucketsCte
+    // convention, 'jl' namespace), projection p_j = e·s_j / sqrt(16),
+    // projected-cosine top-32 then exact-cosine top-5 — every stage
+    // mirrored
+    "q_s_jl_rerank" ->
+      s"""WITH $PreparedVecsCte,
+          jsgn AS (
+            SELECT j,
+                   list(CASE WHEN substr(md5('jl:' || CAST(j AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR)), 2, 1)
+                          IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+            FROM (SELECT unnest(range(16)) AS j),
+                 (SELECT unnest(range(64)) AS i)
+            GROUP BY j),
+          pv AS (
+            SELECT n.vec_id,
+                   list(list_dot_product(n.e, s.sv) / sqrt(16.0) ORDER BY s.j) AS pe
+            FROM n CROSS JOIN jsgn s GROUP BY n.vec_id),
+          pn AS (
+            SELECT vec_id, pe, sqrt(list_dot_product(pe, pe)) AS pnrm FROM pv),
+          qp AS (SELECT vec_id AS qid, pe AS qpe, pnrm AS qpnrm
+                 FROM pn WHERE vec_id % 50 = 0),
+          cnd AS (
+            SELECT qid, nn_id FROM (
+              SELECT q.qid, c.vec_id AS nn_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(c.pe, q.qpe) / (c.pnrm * q.qpnrm) DESC,
+                                c.vec_id ASC) AS rank_p
+              FROM pn c CROSS JOIN qp q WHERE c.vec_id <> q.qid)
+            WHERE rank_p <= 32),
+          qf AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm
+                 FROM n WHERE vec_id % 50 = 0),
+          rr AS (
+            SELECT cnd.qid, cnd.nn_id,
+                   list_dot_product(c.e, q.qe) / (c.nrm * q.qnrm) AS cs
+            FROM cnd
+            JOIN n c ON c.vec_id = cnd.nn_id
+            JOIN qf q ON q.qid = cnd.qid),
+          r AS (
+            SELECT qid, nn_id, cs,
+                   row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nn_id ASC) AS rank
+            FROM rr)
+          SELECT qid, nn_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     // SQ8: train/encode/dequantize mirrored token-for-token (same

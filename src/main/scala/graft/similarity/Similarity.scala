@@ -576,6 +576,78 @@ object Similarity {
         Parity.roundHalfUp(col("mmr_score_raw"), 6).as("mmr_score"))
   }
 
+  /** L48 — Johnson-Lindenstrauss ±1 random projection: deterministic
+    * md5-seeded sign matrix (the [[planeSigns]] trick under a "jl"
+    * namespace), p_j = e · s_j / √r. Map-side, zero shuffle; the
+    * r-dim projections are the cheap pre-filter space (r/dim of the
+    * IO and FLOPs) in front of exact re-ranking.
+    */
+  def jlSigns(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) * 16 + (h(0) & 0xf)) % 2 == 0) 1.0 else -1.0
+    }
+
+  def jlProject(e: Column, dim: Int, r: Int): Column =
+    array((0 until r).map(j =>
+      dot(e, typedlit(jlSigns(j, dim))) / lit(math.sqrt(r.toDouble))): _*)
+
+  /** JL pre-filter + exact re-rank: top-`cand` in projected space,
+    * re-ranked by full-precision cosine, top-`k` out. Deterministic
+    * end to end (md5 signs), so the WHOLE pipeline exact-mirrors in
+    * the oracle — candidate selection included.
+    *
+    * Recall contract is MARGIN-dependent (the JL distortion bound):
+    * similarities that stand ε above the bulk survive projection when
+    * r ≳ 8·ln(n)/ε² — near-dups (cos ≥ 0.9 over a ~0 bulk) survive
+    * r=16 with recall ≥ 0.9 (spec-pinned on planted pairs), while the
+    * margin-less generic top-k of i.i.d. random vectors does NOT
+    * (measured 0.5-0.8 on this corpus, climbing only as cand → N).
+    * Use it to cheapen near-dup/high-sim candidate generation; use
+    * SQ8/IVF when the ranking must hold in the bulk.
+    *
+    * Scale shape: the candidate scan runs in r-dim space (map-side
+    * projection, broadcast query set — same whitelisted shape as the
+    * brute-force baseline); the full-dim vectors are touched only for
+    * the queries×cand candidate rows, joined back via a broadcast of
+    * that tiny candidate list. At 100 TB the projections are a stored
+    * column and the full-dim re-read is the candidate-only scan.
+    */
+  def jlRerankTopK(df: DataFrame, idCol: String, embCol: String,
+      queryPred: Column => Column, k: Int, dim: Int = 64, r: Int = 16,
+      cand: Int = 32): DataFrame = {
+    val base = prepared(df, idCol, embCol)
+    val proj = base.select(col("vec_id"),
+      jlProject(col("e"), dim, r).as("pe"))
+      .withColumn("pnrm", norm(col("pe")))
+    val qp = proj.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("pe").as("qpe"),
+        col("pnrm").as("qpnrm"))
+    val wc = Window.partitionBy("qid")
+      .orderBy(col("pcos").desc, col("nn_id").asc)
+    val candidates = proj.crossJoin(broadcast(qp))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("pe"), col("qpe"), col("pnrm"), col("qpnrm")).as("pcos"))
+      .withColumn("rank_p", row_number().over(wc))
+      .filter(col("rank_p") <= cand)
+      .select("qid", "nn_id")
+    val qf = base.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    base.select(col("vec_id").as("nn_id"), col("e"), col("nrm"))
+      .join(broadcast(candidates), Seq("nn_id"))
+      .join(broadcast(qf), Seq("qid"))
+      .select(col("qid"), col("nn_id"),
+        cosine(col("e"), col("qe"), col("nrm"), col("qnrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** L47 — int8 SCALAR quantization (faiss SQ8): per-dim min/max
     * train, 8-bit linear codes, asymmetric cosine (full-precision
     * query against the dequantized corpus). The standard 4× memory
