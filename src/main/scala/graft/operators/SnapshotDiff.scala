@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** L49 — corpus snapshot diff: the daily-ops primitive that tells a
+  * pipeline what yesterday→today actually changed, per document:
+  *
+  *   - `added`     — id only in the new snapshot
+  *   - `removed`   — id only in the old snapshot
+  *   - `changed`   — id in both, content fingerprint differs
+  *   - `unchanged` — id in both, fingerprint equal
+  *
+  * Downstream stages re-run on `added ∪ changed` only (the
+  * incremental-dedup ingest contract, L40/L42) and retire state for
+  * `removed` — without this diff every snapshot reprocesses 100 TB.
+  *
+  * Scale shape: ONE full-outer equi-join on the id. Fingerprints are
+  * md5(content) computed map-side before the join, so the shuffle
+  * carries (id, 32-hex) not the documents; with both snapshots stored
+  * bucketed by id (the L40 layout) the join is co-partitioned and
+  * even that shuffle disappears. No skew risk — ids are unique per
+  * side by construction (`firstSeen` upstream guarantees it).
+  */
+object SnapshotDiff {
+
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      md5(col(textCol)).as("old_fp"))
+    val n = newSnap.select(col(idCol).as("id"),
+      md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"), col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

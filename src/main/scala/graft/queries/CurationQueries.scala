@@ -145,6 +145,23 @@ object CurationQueries {
         tau = 2.0)
         .orderBy("source")),
 
+    // Corpus snapshot diff (L49): two deterministic snapshots derived
+    // from documents (old = id%7≠0; new = id%5≠0 with text mutated at
+    // id%3=0), each doc classified added/removed/changed/unchanged.
+    // One full-outer join on id over map-side md5 fingerprints — the
+    // shuffle carries (id, fp32), never the documents; bucketed-by-id
+    // snapshots (the L40 layout) make it co-partitioned.
+    "q_c_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // Corpus-level overlap audit (L46): per source PAIR, exact 3-gram
     // Jaccard (oracle-checked) + a tolerance row asserting the KMV
     // bottom-k sketch estimate sits within its 4-sigma band. The
@@ -773,6 +790,24 @@ object CurationQueries {
                       * CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                       * 1000000.0 + 0.5) / 1000000.0 AS epochs
          FROM t, tot ORDER BY source""",
+
+    // same two synthesized snapshots, full-outer diff mirrored
+    "q_c_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id AS id, md5(text) AS old_fp
+           FROM documents WHERE doc_id % 7 <> 0),
+         nw AS (
+           SELECT doc_id AS id,
+                  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                           ELSE text END) AS new_fp
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.id, nw.id) AS id, old_fp, new_fp,
+                CASE WHEN old_fp IS NULL THEN 'added'
+                     WHEN new_fp IS NULL THEN 'removed'
+                     WHEN old_fp <> new_fp THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN nw ON o.id = nw.id
+         ORDER BY id""",
 
     // exact pairwise 3-gram Jaccard between sources; the sketch's
     // tolerance boolean asserted TRUE (q_a6_active_window_approx

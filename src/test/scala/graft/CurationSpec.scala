@@ -644,4 +644,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!got(3L)._3, "OOV doc fails the keep gate")
     assert(got(3L)._2 > got(1L)._2)
   }
+
+  test("snapshot diff classifies planted add/remove/change/unchange") {
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, "beta"),          // unchanged
+      (3L, "gamma v2"),      // changed
+      (4L, "delta"),         // unchanged
+      (9L, "epsilon"))       // added; 1 removed
+      .toDF("doc_id", "text")
+    val got = graft.operators.SnapshotDiff
+      .diff(oldSnap, newSnap, "doc_id", "text")
+      .select("id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 9L -> "added"))
+  }
 }
