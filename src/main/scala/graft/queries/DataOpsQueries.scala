@@ -154,6 +154,15 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5)
         .orderBy("qid", "rank")),
 
+    // IVF-SQ8 (L50): the production ANN config — IVF list pruning
+    // bounds WHICH vectors are scanned, SQ8 bounds what each costs;
+    // asymmetric distance, full-precision query vs dequantized codes.
+    // Every stage deterministic → exact-mirror oracle.
+    "q_s_ivf_sq8" -> ((s, dir) =>
+      Similarity.ivfSq8TopK(embs(s, dir), "vec_id", "embedding",
+        id => id % 50 === 0, k = 5)
+        .orderBy("qid", "rank")),
+
     // JL random projection + exact re-rank (L48): md5-seeded ±1
     // projection to 16 dims (map-side, zero shuffle), top-32
     // candidates by projected cosine, exact-cosine re-rank to top-5.
@@ -732,6 +741,61 @@ object DataOpsQueries {
                    row_number() OVER (PARTITION BY qid ORDER BY d ASC, nn_id ASC) AS rank
             FROM adc)
           SELECT qid, nn_id, floor(d * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // IVF-SQ8: the ann_ivf CTEs (centroid init, assignment, probes)
+    // composed with the sq8 dequantize CTE; scan the probed lists'
+    // dequantized codes with the asymmetric cosine
+    "q_s_ivf_sq8" ->
+      s"""WITH $PreparedVecsCte,
+          cent AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          rnk AS (
+            SELECT n.vec_id, cent.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.e, cent.c) DESC, cent.cid ASC) AS rn
+            FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, cid AS list_id FROM rnk WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM rnk
+            WHERE rn <= 4 AND vec_id % 50 = 0),
+          st AS (
+            SELECT d, min(v) AS mn, max(v) AS mx FROM (
+              SELECT unnest(e) AS v,
+                     unnest(range(1, len(e) + 1)) AS d
+              FROM n)
+            GROUP BY d),
+          lim AS (
+            SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+            FROM st),
+          dqv AS (
+            SELECT vec_id,
+                   list_transform(range(1, 65), i ->
+                     CASE WHEN mxs[i] - mns[i] > 0
+                          THEN mns[i]
+                               + least(255.0, greatest(0.0,
+                                   floor((e[i] - mns[i]) / (mxs[i] - mns[i])
+                                         * 255.0 + 0.5)))
+                                 * (mxs[i] - mns[i]) / 255.0
+                          ELSE mns[i] END) AS dq
+            FROM n, lim),
+          dqn AS (
+            SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) AS dqnrm
+            FROM dqv),
+          sc AS (
+            SELECT p.qid, a.vec_id AS nn_id,
+                   list_dot_product(x.dq, y.e) / (x.dqnrm * y.nrm) AS cs
+            FROM probes p
+            JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+            JOIN dqn x ON x.vec_id = a.vec_id
+            JOIN n y ON y.vec_id = p.qid),
+          r AS (
+            SELECT qid, nn_id, cs,
+                   row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nn_id ASC) AS rank
+            FROM sc)
+          SELECT qid, nn_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     // JL: sign matrix from the md5-parity trick (SignBucketsCte

@@ -334,6 +334,49 @@ object Similarity {
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** L50 — IVF-SQ8, the production ANN configuration (faiss
+    * IndexIVFScalarQuantizer): IVF list pruning bounds WHICH vectors
+    * are scanned (nprobe/nlist of the corpus), SQ8 bounds what each
+    * scanned vector COSTS (8-bit codes, 4× less memory traffic), and
+    * the distance is asymmetric — full-precision query against the
+    * dequantized corpus. Index-build-time assignment uses the full-
+    * precision vectors (they exist when the index is built); only the
+    * stored codes are quantized.
+    *
+    * Scale shape: assignment + encoding are map-side on literal
+    * centroids/stats (both bounded model artifacts); the one shuffle
+    * is the probe join on `list_id`, identical to [[ivfTopK]] — the
+    * corpus itself is never shuffled. Exact-mirror oracle: every
+    * stage (centroid init, assignment, probes, codes, dequantized
+    * cosine) is deterministic double math.
+    */
+  def ivfSq8TopK(df: DataFrame, idCol: String, embCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(df, idCol, embCol, nlist)
+    val (mn, mx) = sq8Stats(df, idCol, embCol)
+    val base = prepared(df, idCol, embCol)
+    val corpus = base
+      .withColumn("list_id", ivfAssign(col("e"), cents))
+      .withColumn("dq", sq8Dequantize(col("e"), mn, mx))
+      .withColumn("dqnrm", norm(col("dq")))
+      .select("vec_id", "list_id", "dq", "dqnrm")
+    val q = base.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"),
+        explode(ivfProbes(col("e"), cents, nprobe)).as("list_id"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    corpus.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("dq"), col("qe"), col("dqnrm"), col("qnrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) — semantic deduplication: k-means
     * cluster the embedding space, then prune within each cluster any
     * vector whose cosine to a LOWER-id cluster-mate reaches `tau`

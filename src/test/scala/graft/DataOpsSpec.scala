@@ -231,6 +231,16 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF top-1 recall was $recall")
   }
 
+  test("IVF-SQ8 top-k recall >= 0.9 on planted near-dups") {
+    val got = Similarity.ivfSq8TopK(planted, "vec_id", "embedding",
+      id => id >= 1000 && id < 5000, k = 1, nlist = 16, nprobe = 4)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 200).count(i => got.get(1000L + i).contains(i.toLong))
+    val recall = hits / 200.0
+    assert(recall >= 0.9, s"IVF-SQ8 top-1 recall was $recall")
+  }
+
   test("IVF-PQ top-k recall >= 0.9 on planted near-dups") {
     val got = Similarity.ivfPqTopK(planted, "vec_id", "embedding",
       id => id >= 1000 && id < 5000, k = 1, nlist = 16, nprobe = 4,
