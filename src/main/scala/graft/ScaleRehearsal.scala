@@ -724,6 +724,69 @@ object ScaleRehearsal {
               |is what the naive one-shot groupBy lacks.
               |""".stripMargin
 
+    // ---- 15. Corpus-overlap sketch stability (L46) ----------------
+    // The L46 scale claims: per-source state stays ≤ k longs however
+    // large the corpus, and the KMV estimate stays inside its 4-sigma
+    // band. Sources synthesized as pmod(doc_id, 20) over the rep×
+    // corpus, so each source holds rep× the docs of its sf0.1
+    // counterpart; exact pairwise Jaccard (the verification side the
+    // sketch exists to avoid — affordable here because 3-gram df per
+    // source is bounded by 20 sources) vs the sketch estimate.
+    {
+      import graft.similarity.CorpusSketch
+      val k = 512
+      val srcDocs = docsBig.withColumn("source",
+        pmod(col("doc_id"), lit(20L)).cast("string"))
+      val sketches = CorpusSketch.sourceSketches(
+        srcDocs, "source", "text", 3, k).localCheckpoint()
+      val maxSketch = sketches
+        .select(max(size(col("sketch")))).head().getInt(0)
+      val grams = srcDocs
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("g"))
+        .distinct().localCheckpoint()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val interS = grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      val exactJ = col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")
+      val bandJ = greatest(
+        lit(4.0) * sqrt(exactJ * (lit(1.0) - exactJ) / lit(k.toDouble)),
+        lit(8.0 / k))
+      val joined = CorpusSketch.pairEstimates(sketches, k)
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+        .join(interS, Seq("sa", "sb"), "left").na.fill(0L, Seq("inter"))
+        .select(abs(col("est_jaccard") - exactJ).as("err"),
+          (abs(col("est_jaccard") - exactJ) <= bandJ).as("ok"))
+        .localCheckpoint()
+      val nPairs = joined.count()
+      val nOk = joined.filter(col("ok")).count()
+      val maxErr = joined.select(max(col("err"))).head().getDouble(0)
+      sb ++= s"""
+                |## Corpus-overlap KMV sketch at ${rep}× (20 sources, k = $k)
+                |
+                || metric | value |
+                ||---|---|
+                || per-source sketch size (must be ≤ k) | $maxSketch |
+                || source pairs checked | $nPairs |
+                || pairs inside the 4-sigma KMV band | $nOk |
+                || max \\|est − exact\\| | ${f"$maxErr%.4f"} |
+                |
+                |Per-source state is $maxSketch longs at ${rep}× — the same
+                |k·8 bytes it is at 1×, which is the whole point: the sketch
+                |build partial-aggregates map-side, so the (source)-shuffle
+                |moves ≤ k values per map task however large the corpus, and
+                |the estimate error stays inside the k-governed band (grow k
+                |for tighter audits, the cost is linear in k and nothing
+                |else). The exact side this section checks against is the
+                |O(universe) shuffle the operator exists to avoid.
+                |""".stripMargin
+    }
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)
