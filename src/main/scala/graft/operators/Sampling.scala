@@ -50,6 +50,37 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** L51 — Efraimidis-Spirakis WEIGHTED sampling without replacement,
+    * deterministic: the selection counterpart to DSIR's weight
+    * COMPUTATION (L33). Each row gets the E-S key u^(1/w) — in log
+    * space, score = ln(u)/w with u = (sampleKey32+1)/2³² — and the n
+    * largest scores per stratum win: P(selected) scales with w, yet
+    * the draw replays bit-identically on any cluster (no RNG, the md5
+    * key IS the uniform).
+    *
+    * The score is quantized to 1e-6 fixed-point BEFORE ranking (the
+    * DSIR convention, Dsir.scala): `ln` is the one op where JDK and
+    * libm may differ in the last ulp, and an unquantized sort could
+    * flip near-tied ranks across engines. doc-id tie-break keeps the
+    * order total.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — score is
+    * map-side, one stratum-keyed window shuffle, nothing global.
+    * Weights must be strictly positive.
+    */
+  def weightedStratifiedSample(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, n: Int): DataFrame = {
+    val u = (sampleKey32(col(idCol)) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    val scoreQ = floor(log(u) / col(weightCol) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("es_score_q").desc, col(idCol).asc)
+    df.withColumn("es_score_q", scoreQ)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Mixture sampling: per-stratum keep rates (training-mix weighting —
     * e.g. upsample low-resource languages, downsample boilerplate
     * sources). Same map-side integer cut as [[hashSample]], the cut

@@ -145,6 +145,21 @@ object CurationQueries {
         tau = 2.0)
         .orderBy("source")),
 
+    // Weighted sampling without replacement (L51): Efraimidis-
+    // Spirakis keys over the md5 uniform, weights = quality score
+    // (+0.001 floor for strict positivity) — quality-weighted
+    // training-mix selection whose draw replays bit-identically on
+    // any cluster. Score quantized 1e-6 before ranking (ln parity).
+    "q_c_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w",
+        graft.text.TextAnalysis.qualityScore(col("text")) + lit(0.001))
+      Sampling.weightedStratifiedSample(d, "doc_id", "lang", "w", n = 25)
+        .select(col("doc_id"), col("lang"),
+          Parity.roundHalfUp(col("w"), 6).as("w"),
+          col("es_score_q"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
     // Corpus snapshot diff (L49): two deterministic snapshots derived
     // from documents (old = id%7≠0; new = id%5≠0 with text mutated at
     // id%3=0), each doc classified added/removed/changed/unchanged.
@@ -790,6 +805,35 @@ object CurationQueries {
                       * CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                       * 1000000.0 + 0.5) / 1000000.0 AS epochs
          FROM t, tot ORDER BY source""",
+
+    // E-S keys mirrored: same md5 uniform, same quality weights, same
+    // 1e-6 quantization before the rank
+    "q_c_weighted_sample" -> {
+      val q = DataOpsQueries.qualitySql("toks")
+      s"""WITH tq AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          wq AS (
+            SELECT doc_id, lang, $q + 0.001 AS w FROM tq),
+          sc AS (
+            SELECT doc_id, lang, w,
+                   CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                          / 4294967296.0) / w * 1000000.0 + 0.5) AS BIGINT)
+                     AS es_score_q
+            FROM wq),
+          r AS (
+            SELECT doc_id, lang, w, es_score_q,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY es_score_q DESC, doc_id ASC) AS sample_rank
+            FROM sc)
+          SELECT doc_id, lang,
+                 floor(w * 1000000.0 + 0.5) / 1000000.0 AS w,
+                 es_score_q, sample_rank
+          FROM r WHERE sample_rank <= 25
+          ORDER BY lang, sample_rank"""
+    },
 
     // same two synthesized snapshots, full-outer diff mirrored
     "q_c_snapshot_diff" ->

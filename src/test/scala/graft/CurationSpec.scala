@@ -645,6 +645,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._2 > got(1L)._2)
   }
 
+  test("weighted sample prefers heavy rows and replays bit-identically") {
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    // one stratum, 400 rows: ids 0..199 weight 10, ids 200..399 weight 0.1
+    val rows = (0 until 400).map(i =>
+      (i.toLong, "s", if (i < 200) 10.0 else 0.1)).toDF("doc_id", "st", "w")
+    val picked = graft.operators.Sampling
+      .weightedStratifiedSample(rows, "doc_id", "st", "w", n = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val heavy = picked.count(_ < 200)
+    // E-S: P(heavy beats light) per pair ≈ w_h/(w_h+w_l) ≈ 0.99 — the
+    // 50 winners should be overwhelmingly heavy
+    assert(heavy >= 45, s"only $heavy/50 picks were heavy-weight")
+
+    // determinism: same input partitioned differently → same picks
+    val picked2 = graft.operators.Sampling
+      .weightedStratifiedSample(rows.repartition(13), "doc_id", "st", "w", n = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == picked2, "weighted sample is partitioning-dependent")
+  }
+
   test("snapshot diff classifies planted add/remove/change/unchange") {
     import org.apache.spark.sql.functions._
     val sq = spark
