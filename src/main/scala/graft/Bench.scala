@@ -57,14 +57,32 @@ object Bench {
     // left the child contending with the parent's fully-grown heap and
     // measurably inflated the stateful queries (13 s vs a 6 s isolated
     // floor in round-5 runs).
+    // TWO child invocations, per-query min across them: the stateful
+    // streaming queries show whole-JVM jitter windows (round-9
+    // measurement: 5 isolated invocations of q_stream_event_upsert →
+    // warm mins 6.6/6.9/7.4/8.1/23.9 s — one in ~5 JVMs lands ~3× high
+    // for its entire lifetime, host-scheduling noise the in-JVM
+    // min-of-3 cannot escape). Min across two separate JVMs drops the
+    // chance of reporting a jitter-window figure from ~20% to ~4%.
     var isoFailed = Seq.empty[String]
     if (iso.nonEmpty) {
-      forkChild(iso, runs) match {
-        case Some((ctimes, cruns, cfails)) =>
-          times ++= ctimes; allRuns ++= cruns; failures ++= cfails
-        case None =>
-          Console.err.println("[bench] child fork failed; running isolated set in-process")
-          isoFailed = iso
+      val invocations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_JVMS", "2")
+        .toInt.max(1)
+      val results = (1 to invocations).flatMap(_ => forkChild(iso, runs))
+      if (results.nonEmpty) {
+        val keys = results.flatMap(_._1.keys).distinct
+        keys.foreach { k =>
+          val mins = results.flatMap(_._1.get(k))
+          times(k) = mins.min
+          allRuns(k) = results.flatMap(_._2.getOrElse(k, Seq.empty))
+        }
+        // a failure only counts if EVERY invocation failed the query
+        results.flatMap(_._3.keys).distinct
+          .filterNot(times.contains)
+          .foreach(k => failures(k) = results.flatMap(_._3.get(k)).head)
+      } else {
+        Console.err.println("[bench] child fork failed; running isolated set in-process")
+        isoFailed = iso
       }
     }
 
@@ -114,8 +132,9 @@ object Bench {
   "sf": "$sfLabel",
   "sf_dir": "$sfDir",
   "runs_per_query": $runs,
-  "reading_rule": "warm min-of-$runs after a JVM warm-up pass; run-to-run band is ±30% or ±0.3s per query (BENCH_VARIANCE.md, 4 full runs) — deltas inside the band are noise, not regressions",
+  "reading_rule": "warm min-of-$runs after a JVM warm-up pass; run-to-run band is ±30% or ±0.3s per query (BENCH_VARIANCE.md, 4 full runs) — deltas inside the band are noise, not regressions; isolated q_stream_* queries report the min across ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_JVMS", "2")} separate child JVMs (whole-JVM jitter windows, BENCH_VARIANCE.md round 9)",
   "isolated_jvm": [${selected.filter(isolated).map("\"" + _ + "\"").mkString(", ")}],
+  "isolated_jvm_invocations": ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_JVMS", "2")},
   "n_queries": ${times.size},
   "n_failed": ${failures.size},
   "streaming": ${streamingJson.getOrElse("null")},

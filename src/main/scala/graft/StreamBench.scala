@@ -37,7 +37,8 @@ object StreamBench {
   final case class Stats(
       eventsPerMin: Double, batchP50: Double, batchP95: Double,
       batches: Int, warmupDropped: Int, rows: Long, spanSec: Double,
-      rowsPerBatch: Double)
+      rowsPerBatch: Double, latencyP50: Double, latencyP95: Double,
+      latencyMax: Double)
 
   /** Build (or reuse) the paged feed for `sfDir`'s events table. */
   def buildFeed(spark: SparkSession, sfDir: String, handles: Int,
@@ -149,16 +150,60 @@ object StreamBench {
       else durs(math.min(durs.size - 1, (p * durs.size).toInt))
     val rows = steady.map(_._1).sum
     val procSec = steady.map(_._2).sum
+    // Per-EVENT ingest→durable-commit latency (the reference's published
+    // contract is per-event P50 45 s / P95 110 s, README.md:414-415;
+    // per-batch percentiles only bound it). With pinned admission every
+    // event in a micro-batch is read at batch start and becomes durable
+    // at the batch's MERGE commit, so its latency IS its batch's
+    // triggerExecution duration — the per-event percentile is therefore
+    // the ROW-WEIGHTED percentile over batch durations (a 15k-row batch
+    // counts 15k events at that latency, not one sample).
+    def wpctl(p: Double): Double = {
+      if (steady.isEmpty || rows == 0) return 0.0
+      val byDur = steady.sortBy(_._2)
+      val target = p * rows
+      var acc = 0L
+      byDur.find { case (n, _) => acc += n; acc >= target }
+        .map(_._2).getOrElse(byDur.last._2)
+    }
     Stats(
       eventsPerMin = if (procSec > 0) rows / procSec * 60.0 else 0.0,
       batchP50 = pctl(0.50), batchP95 = pctl(0.95),
       batches = steady.size, warmupDropped = dropped,
       rows = rows, spanSec = spanSec,
-      rowsPerBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0)
+      rowsPerBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0,
+      latencyP50 = wpctl(0.50), latencyP95 = wpctl(0.95),
+      latencyMax = if (durs.isEmpty) 0.0 else durs.last)
   }
+
+  private def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def statsJson(s: Stats, load: Double): String =
+    f"""{"events_per_min": ${s.eventsPerMin}%.0f, """ +
+      f""""batch_p50_s": ${s.batchP50}%.3f, "batch_p95_s": ${s.batchP95}%.3f, """ +
+      f""""latency_p50_s": ${s.latencyP50}%.3f, "latency_p95_s": ${s.latencyP95}%.3f, """ +
+      f""""latency_max_s": ${s.latencyMax}%.3f, """ +
+      f""""batches": ${s.batches}, "warmup_dropped": ${s.warmupDropped}, """ +
+      f""""rows": ${s.rows}, "span_s": ${s.spanSec}%.1f, """ +
+      f""""rows_per_batch": ${s.rowsPerBatch}%.0f, """ +
+      f""""load_1m_before": $load%.2f}"""
 
   /** Child-process entry: run at SPARK_GRAFT_SF_DIR, print ONE
     * `STREAM_BENCH_JSON {...}` line for graft.Bench to embed.
+    *
+    * MEASUREMENT PROTOCOL (pinned, round-9 verdict item 2): the
+    * sustained run executes TWICE back-to-back in this one pristine
+    * JVM — the paged feed is reused, each run gets a fresh
+    * checkpoint/table. The TOP-LEVEL numbers are run 2 (warm: JIT,
+    * parquet footers, RocksDB block cache primed — matching the batch
+    * sweep's warm-min reading rule); run 1 and the run-to-run
+    * agreement are recorded alongside, with the 1-minute load average
+    * before each run and the scratch medium, so any future artifact
+    * disagreement is attributable from the artifact alone. Bench forks
+    * this main FIRST, before any batch query, off a pristine parent.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,16 +214,31 @@ object StreamBench {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "5").toInt
     val pagesPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES_PER_BATCH", "1").toInt
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_STREAM_SWEEPS", "2").toInt.max(1)
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val feed = buildFeed(spark, sfDir, handles, rowsPerPage, replicas)
-    val s = runSustained(spark, feed, pagesPerBatch)
-    println(f"""STREAM_BENCH_JSON {"events_per_min": ${s.eventsPerMin}%.0f, """ +
-      f""""batch_p50_s": ${s.batchP50}%.3f, "batch_p95_s": ${s.batchP95}%.3f, """ +
-      f""""batches": ${s.batches}, "warmup_dropped": ${s.warmupDropped}, """ +
-      f""""rows": ${s.rows}, "span_s": ${s.spanSec}%.1f, """ +
-      f""""rows_per_batch": ${s.rowsPerBatch}%.0f, """ +
+    val runs = (1 to sweeps).map { _ =>
+      val load = loadAvg1m()
+      (runSustained(spark, feed, pagesPerBatch), load)
+    }
+    val (warm, _) = runs.last
+    val agreePct =
+      if (runs.size < 2) 100.0
+      else {
+        val (first, _) = runs.head
+        100.0 * math.min(first.eventsPerMin, warm.eventsPerMin) /
+          math.max(first.eventsPerMin, warm.eventsPerMin).max(1e-9)
+      }
+    println(s"STREAM_BENCH_JSON ${statsJson(warm, runs.last._2).dropRight(1)}, " +
+      s""""protocol": {"sweeps_in_jvm": ${runs.size}, "reported": "last (warm)", """ +
+      f""""events_per_min_agreement_pct": $agreePct%.1f, """ +
+      s""""ordering": "forked first from pristine Bench parent, before any batch query", """ +
+      s""""scratch_root": "${Sessions.scratchRoot}", """ +
+      s""""scratch_tmpfs": ${Sessions.scratchRoot.startsWith("/dev/shm")}, """ +
+      s""""latency_method": "per-event ingest-to-durable-commit = row-weighted batch triggerExecution percentile (reads at batch start, MERGE commit at batch end)"}, """ +
+      s""""all_runs": [${runs.map { case (s2, l) => statsJson(s2, l) }.mkString(", ")}], """ +
       s""""admission": {"handles": $handles, "rows_per_page": $rowsPerPage, """ +
       s""""pages_per_handle_per_batch": $pagesPerBatch}, """ +
       s""""baseline": {"events_per_min": 500, "p50_s": 45, "p95_s": 110}}""")
