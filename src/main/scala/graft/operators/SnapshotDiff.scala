@@ -19,22 +19,30 @@ import org.apache.spark.sql.functions._
   * md5(content) computed map-side before the join, so the shuffle
   * carries (id, 32-hex) not the documents; with both snapshots stored
   * bucketed by id (the L40 layout) the join is co-partitioned and
-  * even that shuffle disappears. No skew risk — ids are unique per
-  * side by construction (`firstSeen` upstream guarantees it).
+  * even that shuffle disappears (proven: BucketingSpec "snapshot diff
+  * over bucketed-by-id snapshots joins with no exchange"). No skew
+  * risk — ids are unique per side by construction (`firstSeen`
+  * upstream guarantees it).
   */
 object SnapshotDiff {
 
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // presence is carried as an EXPLICIT per-side flag, not inferred
+    // from fingerprint nullness: a doc with NULL text has md5=NULL but
+    // is still PRESENT, so nullness-as-presence would misread it as
+    // added (and NULL-vs-NULL text as added instead of unchanged)
     val o = oldSnap.select(col(idCol).as("id"),
-      md5(col(textCol)).as("old_fp"))
+      md5(col(textCol)).as("old_fp"), lit(true).as("in_old"))
     val n = newSnap.select(col(idCol).as("id"),
-      md5(col(textCol)).as("new_fp"))
+      md5(col(textCol)).as("new_fp"), lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"), col("old_fp"), col("new_fp"),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          // null-safe: one-sided NULL text reads changed, NULL-vs-NULL
+          // reads unchanged
+          .when(!(col("old_fp") <=> col("new_fp")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -838,17 +838,17 @@ object CurationQueries {
     // same two synthesized snapshots, full-outer diff mirrored
     "q_c_snapshot_diff" ->
       """WITH o AS (
-           SELECT doc_id AS id, md5(text) AS old_fp
+           SELECT doc_id AS id, md5(text) AS old_fp, TRUE AS in_old
            FROM documents WHERE doc_id % 7 <> 0),
          nw AS (
            SELECT doc_id AS id,
                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
-                           ELSE text END) AS new_fp
+                           ELSE text END) AS new_fp, TRUE AS in_new
            FROM documents WHERE doc_id % 5 <> 0)
          SELECT coalesce(o.id, nw.id) AS id, old_fp, new_fp,
-                CASE WHEN old_fp IS NULL THEN 'added'
-                     WHEN new_fp IS NULL THEN 'removed'
-                     WHEN old_fp <> new_fp THEN 'changed'
+                CASE WHEN in_old IS NULL THEN 'added'
+                     WHEN in_new IS NULL THEN 'removed'
+                     WHEN old_fp IS DISTINCT FROM new_fp THEN 'changed'
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN nw ON o.id = nw.id
          ORDER BY id""",

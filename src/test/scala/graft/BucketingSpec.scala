@@ -97,4 +97,72 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS hist_fps_b")
     }
   }
+
+  test("snapshot diff over bucketed-by-id snapshots joins with no exchange") {
+    // L49's scale claim (SnapshotDiff.scala): under the L40 bucketed
+    // layout the full-outer diff join is co-partitioned — NEITHER side
+    // shuffles; the map-side md5 projection preserves the bucket
+    // distribution on id. Round-9 verdict item 4: claim → executed-plan
+    // assertion.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+    d.filter(col("doc_id") % 7 =!= 0)
+      .write.mode("overwrite").option("path", s"$wh/snap_old_b")
+      .bucketBy(4, "doc_id").saveAsTable("snap_old_b")
+    d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").option("path", s"$wh/snap_new_b")
+      .bucketBy(4, "doc_id").saveAsTable("snap_new_b")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diffed = graft.operators.SnapshotDiff.diff(
+        spark.table("snap_old_b"), spark.table("snap_new_b"),
+        "doc_id", "text")
+      val plan = diffed.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed snapshot diff must be exchange-free, found: " +
+          s"${exchanges.map(_.nodeName).mkString(",")}\n$plan")
+      // and it matches the unbucketed computation
+      val unbucketed = graft.operators.SnapshotDiff.diff(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))),
+        "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val got = diffed.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got == unbucketed)
+      assert(got.values.toSet == Set("added", "removed", "changed", "unchanged"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS snap_old_b")
+      spark.sql("DROP TABLE IF EXISTS snap_new_b")
+    }
+  }
+
+  test("snapshot diff presence is flag-based, not fingerprint-null-based") {
+    // ADVICE round 9: a doc PRESENT in both snapshots with NULL text
+    // must read unchanged (NULL fp on both sides) or changed (one
+    // side), never added/removed.
+    import spark.implicits._
+    val o = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "gone")).toDF("doc_id", "text")
+    val n = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, "now set"), (5L, "fresh")).toDF("doc_id", "text")
+    val got = graft.operators.SnapshotDiff.diff(o, n, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      1L -> "unchanged",
+      2L -> "unchanged", // NULL vs NULL text: present both sides, equal
+      3L -> "changed",   // NULL → non-NULL text
+      4L -> "removed",
+      5L -> "added"))
+  }
 }
