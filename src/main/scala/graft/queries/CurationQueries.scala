@@ -45,16 +45,43 @@ object CurationQueries {
         maxDist = 3, cc = Clusters.connectedComponentsAdaptive(_, _))
         .orderBy("doc_id")),
 
+    // INCREMENTAL cluster maintenance (L52): the batch slice
+    // (doc_id % 10 = 0) is merged into the history slice's existing
+    // labeling via label-induced star edges + batch-touching near-dup
+    // pairs — no full-corpus CC. Shares the from-scratch CC oracle
+    // VERBATIM: the merged labeling must be indistinguishable from
+    // recomputing over the union corpus.
+    "q_d_cc_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = Clusters.simhashClusters(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", maxDist = 3)
+      // every near-dup pair touching a batch doc; batch membership is a
+      // pure predicate here, so one filter over the banded pairs stands
+      // in for the production band-probe against the stored fp index
+      val batchEdges = graft.dedup.Dedup
+        .simhashPairs(d, "doc_id", "text", maxDist = 3)
+        .filter(col("ida") % 10 === 0 || col("idb") % 10 === 0)
+        .select(col("ida").as("a"), col("idb").as("b"))
+      graft.dedup.ClusterMaintain.mergeBatch(
+        existing,
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id")),
+        batchEdges)
+        .orderBy("doc_id")
+    }),
+
     // Keep-BEST-per-cluster: dedup keeps each duplicate cluster's
     // highest-quality member (ties → smaller id), not the smallest id
     // — boilerplate-laden copies lose to the clean one. Winner via
-    // partial-agg max(struct), no per-cluster window sort.
+    // partial-agg max(struct), no per-cluster window sort. Labels come
+    // from the MATERIALIZED cluster table (ClusterLabels — clustering
+    // runs once per corpus snapshot; consumers join), the round-9
+    // production shape that q_d_cc_incremental maintains per batch.
     "q_d_keep_best" -> ((s, dir) => {
       val quality = docs(s, dir).select(col("doc_id"),
         graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
       Clusters.keepBestPerCluster(
-        Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
-          maxDist = 3).join(quality, Seq("doc_id")),
+        graft.dedup.ClusterLabels.table(s, dir, maxDist = 3)
+          .select("doc_id", "cluster_id").join(quality, Seq("doc_id")),
         "doc_id", "cluster_id", "quality")
         .select("doc_id", "cluster_id", "quality", "keep")
         .orderBy("doc_id")
@@ -90,11 +117,11 @@ object CurationQueries {
 
     // Leakage-free split: near-dup CLUSTERS (not documents) are the
     // split unit, so no near-duplicate pair straddles train/eval —
-    // the dedup-aware form of test-set isolation.
+    // the dedup-aware form of test-set isolation. Consumes the
+    // materialized cluster table (ClusterLabels), not a fresh CC run.
     "q_c_leakage_split" -> ((s, dir) =>
       Sampling.splitByGroup(
-        Clusters.simhashClusters(docs(s, dir), "doc_id", "text",
-          maxDist = 3),
+        graft.dedup.ClusterLabels.table(s, dir, maxDist = 3),
         "cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "cluster_id", "split").orderBy("doc_id")),
@@ -599,6 +626,10 @@ object CurationQueries {
 
     // identical contract, adaptive frontier→star scheme — SAME oracle
     "q_d_cc_adaptive" -> CcClustersOracle,
+
+    // incremental batch merge (L52) — SAME oracle verbatim: the merged
+    // labeling must equal a from-scratch run on the union corpus
+    "q_d_cc_incremental" -> CcClustersOracle,
 
     // winner = rank 1 by (quality DESC, doc_id ASC) per cluster —
     // equivalent to the engine's max(struct(quality, −doc_id))

@@ -687,4 +687,48 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "unchanged", 9L -> "added"))
   }
+
+  test("incremental cluster merge equals from-scratch CC on the union") {
+    import spark.implicits._
+    // existing: {1,2,3} labeled 1, {5,6} labeled 5, singleton {8}
+    val existing = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L), (8L, 8L, 1L)).toDF(
+      "doc_id", "cluster_id", "cluster_size")
+    // batch: 10 bridges clusters 1 and 5; 11-12 form a new pair;
+    // 13 is an edge-less singleton
+    val batchNodes = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val batchEdges = Seq((3L, 10L), (10L, 6L), (11L, 12L)).toDF("a", "b")
+    val got = graft.dedup.ClusterMaintain
+      .mergeBatch(existing, batchNodes, batchEdges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 6L), 2L -> (1L, 6L), 3L -> (1L, 6L),
+      5L -> (1L, 6L), 6L -> (1L, 6L), 10L -> (1L, 6L),
+      11L -> (11L, 2L), 12L -> (11L, 2L),
+      8L -> (8L, 1L),   // untouched singleton passes through
+      13L -> (13L, 1L)) // edge-less batch doc becomes a singleton
+    )
+    // invariant for the NEXT batch: cluster_id is the component min
+    got.foreach { case (_, (cid, _)) => assert(got(cid)._1 == cid) }
+  }
+
+  test("incremental merge on the documents slice equals from-scratch") {
+    // the gate construction at spec scale: history = doc_id%10 != 0,
+    // batch = the rest; merged labeling must be row-identical to
+    // simhashClusters over the full corpus
+    val existing = Clusters.simhashClusters(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3)
+    val batchEdges = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .filter(col("ida") % 10 === 0 || col("idb") % 10 === 0)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val got = graft.dedup.ClusterMaintain.mergeBatch(
+        existing,
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id")),
+        batchEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Clusters.simhashClusters(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == scratch)
+  }
 }
