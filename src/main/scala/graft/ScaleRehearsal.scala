@@ -756,16 +756,36 @@ object ScaleRehearsal {
       val bandJ = greatest(
         lit(4.0) * sqrt(exactJ * (lit(1.0) - exactJ) / lit(k.toDouble)),
         lit(8.0 / k))
+      // band MARGINS (band − |err|, one per check, mirroring the gate's
+      // three 4-sigma checks): the q_c_corpus_overlap oracle asserts
+      // within_band = TRUE, so the margin is the diagnosable headroom a
+      // hash-mismatch would otherwise hide (ADVICE r9) — a small min
+      // margin here flags regeneration risk BEFORE the gate flips.
+      val contAB = col("inter").cast("double") / col("na").cast("double")
+      val contBA = col("inter").cast("double") / col("nb").cast("double")
+      def contBand(c: org.apache.spark.sql.Column,
+          nEff: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        greatest(lit(4.0) * sqrt(c * (lit(1.0) - c) /
+            greatest(nEff, lit(1)).cast("double")),
+          lit(8.0) / greatest(nEff, lit(1)).cast("double"))
       val joined = CorpusSketch.pairEstimates(sketches, k)
         .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
         .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
         .join(interS, Seq("sa", "sb"), "left").na.fill(0L, Seq("inter"))
         .select(abs(col("est_jaccard") - exactJ).as("err"),
-          (abs(col("est_jaccard") - exactJ) <= bandJ).as("ok"))
+          (abs(col("est_jaccard") - exactJ) <= bandJ).as("ok"),
+          (bandJ - abs(col("est_jaccard") - exactJ)).as("margin_j"),
+          (contBand(contAB, col("n_eff_a")) -
+            abs(col("est_cont_a_in_b") - contAB)).as("margin_ab"),
+          (contBand(contBA, col("n_eff_b")) -
+            abs(col("est_cont_b_in_a") - contBA)).as("margin_ba"))
         .localCheckpoint()
       val nPairs = joined.count()
       val nOk = joined.filter(col("ok")).count()
       val maxErr = joined.select(max(col("err"))).head().getDouble(0)
+      val minMargin = joined.select(
+        min(least(col("margin_j"), col("margin_ab"), col("margin_ba"))))
+        .head().getDouble(0)
       sb ++= s"""
                 |## Corpus-overlap KMV sketch at ${rep}× (20 sources, k = $k)
                 |
@@ -775,6 +795,7 @@ object ScaleRehearsal {
                 || source pairs checked | $nPairs |
                 || pairs inside the 4-sigma KMV band | $nOk |
                 || max \\|est − exact\\| | ${f"$maxErr%.4f"} |
+                || min band margin, all 3 checks × all pairs | ${f"$minMargin%.4f"} |
                 |
                 |Per-source state is $maxSketch longs at ${rep}× — the same
                 |k·8 bytes it is at 1×, which is the whole point: the sketch

@@ -38,7 +38,15 @@ object Tables {
             raw.withColumnRenamed("ts", "ts_ns")
               .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           case TimestampNTZType | TimestampType =>
-            // TIMESTAMP(MICROS); NTZ→TZ cast is wall-clock-preserving in UTC.
+            // TIMESTAMP(MICROS); the NTZ→TZ cast is wall-clock-preserving
+            // ONLY when the session time zone is UTC — a different TZ
+            // would silently shift ts/ts_ns off the oracle's epoch_ns.
+            // Fail loudly instead (ADVICE r9).
+            val tz = spark.conf.get("spark.sql.session.timeZone")
+            require(tz == "UTC",
+              s"events NTZ loader requires spark.sql.session.timeZone=UTC " +
+                s"(got '$tz') — the NTZ→TimestampType cast would shift " +
+                "wall-clock values and break oracle epoch_ns parity")
             raw.withColumn("ts", col("ts").cast(TimestampType))
               .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
           case other =>

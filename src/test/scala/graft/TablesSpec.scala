@@ -89,4 +89,23 @@ class TablesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events NTZ loader fails loudly under a non-UTC session time zone") {
+    // ADVICE r9: the NTZ→TimestampType cast is wall-clock-preserving
+    // only in UTC; a misconfigured session must error, not silently
+    // shift every ts_ns off oracle parity. (Only applicable while the
+    // testdata carries the NTZ encoding — skip otherwise.)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dir = sfDirs.head
+    val enc = spark.read.parquet(Tables.path(dir, "events")).schema("ts").dataType
+    assume(enc == TimestampNTZType || enc == TimestampType)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val e = intercept[IllegalArgumentException] {
+        Tables.load(spark, dir, "events")
+      }
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
