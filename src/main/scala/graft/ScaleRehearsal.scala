@@ -808,6 +808,110 @@ object ScaleRehearsal {
                 |""".stripMargin
     }
 
+    // ---- 16. IVF-SQ8 composed scan at ${rep}× (L50) ----------------
+    // The round-8 composition's two untested scale claims: (a) probed
+    // candidate mass per query stays (nprobe/nlist)·N even when every
+    // vector is replicated rep× (identical vectors all land in ONE
+    // list — the maximal list-skew case); (b) the 8-bit scan still
+    // FINDS the true neighbors under maximal tie pressure, since
+    // identical vectors quantize identically and ranking falls to the
+    // deterministic nn_id tie-break. Measured: per-query probed rows
+    // (from the actual probe lists), recall@10 vs exact brute force,
+    // and the quantized vs full-precision probe-scan wall time at the
+    // same nlist/nprobe.
+    val sqProbe = 20
+    val perQuery = prep.filter(qPred(col("vec_id")))
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbes(col("e"), cents, sqProbe)).as("list_id"))
+      .join(listCounts, Seq("list_id"), "left").na.fill(0L, Seq("n"))
+      .groupBy("qid").agg(sum("n").as("cand")).localCheckpoint()
+    val (_, cq50, _, cqmax) = hist(perQuery, "cand")
+    val sqTop = Similarity.ivfSq8TopK(embBig, "vec_id", "embedding", qPred,
+      k = 10, nlist = nlist, nprobe = sqProbe)
+      .select(col("qid"), col("nn_id")).localCheckpoint()
+    val sqRecall = sqTop.join(exTop, Seq("qid", "nn_id")).count()
+      .toDouble / (nQ * 10)
+    val (_, tSq8) = timed(
+      Similarity.ivfSq8TopK(embBig, "vec_id", "embedding", qPred,
+        k = 10, nlist = nlist, nprobe = sqProbe)
+        .queryExecution.toRdd.count())
+    val (_, tIvfFull) = timed(
+      Similarity.ivfTopK(embBig, "vec_id", "embedding", qPred,
+        k = 10, nlist = nlist, nprobe = sqProbe)
+        .queryExecution.toRdd.count())
+    sb ++= s"""
+              |## IVF-SQ8 composed scan at ${rep}× (nlist = $nlist, nprobe = $sqProbe)
+              |
+              || metric | value |
+              ||---|---|
+              || probed candidate rows per query p50 / max | $cq50 / $cqmax |
+              || expected (nprobe/nlist)·N | ${sqProbe.toLong * nEmb / nlist} |
+              || max probed mass bound (nprobe · max list) | ${sqProbe.toLong * imax} |
+              || recall@10 vs exact brute force | ${f"$sqRecall%.3f"} |
+              || probe-scan wall time, SQ8 vs full precision | ${f"$tSq8%.1f"} s vs ${f"$tIvfFull%.1f"} s |
+              |
+              |Replicated vectors are the worst list-skew case — every
+              |identical clique lands in one list, multiplying that list by
+              |${rep} — yet the probed tail stays bounded by nprobe·max_list
+              |(= ${sqProbe.toLong * imax} rows, vs the $nEmb-row corpus) because
+              |pruning happens BEFORE the scan. Growth rule: nlist ← √N holds
+              |expected probed mass at nprobe·√N; the skew tail is governed by
+              |section 6's trained balance (max/mean), not by N. The SQ8 side
+              |adds a dim×2-double stats artifact — size independent of N —
+              |and the 8-bit codes cut the scanned bytes 4×; at this corpus
+              |size the scan is centroid-math-bound so wall time is ~parity,
+              |with the memory-traffic win materializing at RAM-resident
+              |corpus scale. Recall under maximal tie pressure holds because
+              |identical vectors dequantize identically and the nn_id
+              |tie-break is shared with the oracle.
+              |""".stripMargin
+
+    // ---- 17. JL-rerank candidate mass at ${rep}× (L48) -------------
+    // The round-8 pre-filter's untested scale claim: the full-dim
+    // re-read after the r-dim scan is queries×cand rows — INDEPENDENT
+    // of N — and the broadcast candidate list stays tiny while recall
+    // on margined pairs (the operator's contract) survives the rep×
+    // corpus. The planted identical replicas give every query a
+    // cos = 1 partner: top-1 must find one at rep× or the pre-filter
+    // is dropping exactly the pairs it exists to keep.
+    val jlCand = 32
+    val jlTop = Similarity.jlRerankTopK(embBig, "vec_id", "embedding",
+      qPred, k = 10, dim = dim, r = 16, cand = jlCand).localCheckpoint()
+    val jlRecall = jlTop.select("qid", "nn_id")
+      .join(exTop, Seq("qid", "nn_id")).count().toDouble / (nQ * 10)
+    val jlPlanted = jlTop
+      .filter(col("rank") === 1 && col("cos_sim") >= lit(0.999999))
+      .select("qid").distinct().count()
+    sb ++= s"""
+              |## JL-rerank candidate mass at ${rep}× (r = 16, cand = $jlCand)
+              |
+              || metric | value |
+              ||---|---|
+              || corpus vectors scanned in r-dim space | $nEmb (r/dim = ${f"${16.0 / dim}%.2f"} of full-dim IO) |
+              || full-dim rows re-read (queries × cand) | ${nQ * jlCand} (${f"${100.0 * nQ * jlCand / nEmb}%.2f"} % of corpus) |
+              || broadcast candidate-list rows | ${nQ * jlCand} |
+              || queries whose top-1 is a planted cos = 1 partner | $jlPlanted / $nQ |
+              || recall@10 vs exact brute force | ${f"$jlRecall%.3f"} |
+              |
+              |The full-dim re-read is queries×cand — fixed as the corpus
+              |grows, which is the whole point: at 100 TB the r-dim
+              |projections are a stored column (r/dim of the vector IO) and
+              |the full-precision vectors are touched only for the candidate
+              |join, driven by a broadcast that never exceeds queries×cand
+              |ids. Planted-partner recall at ${rep}× is $jlPlanted/$nQ —
+              |margined (near-dup) pairs survive projection as the JL bound
+              |promises. Overall recall@10 is ${f"$jlRecall%.2f"} here
+              |because on THIS corpus every true top-10 entry IS a planted
+              |cos = 1 partner (the maximally-margined case); the 1× spec's
+              |0.5–0.8 on margin-less i.i.d. bulk remains the documented
+              |non-goal, and r must grow as ln(N)/ε² only when the margin ε
+              |shrinks — not with N per se — so cand (not r) is the knob
+              |that buys bulk recall back. Identical-replica ties resolve
+              |by the shared nn_id tie-break in projected AND exact space,
+              |so the planted cliques cost candidates (rep ids per clique)
+              |but never correctness.
+              |""".stripMargin
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)
