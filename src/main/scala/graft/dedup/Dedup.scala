@@ -509,6 +509,57 @@ object Dedup {
     cross.union(within)
   }
 
+  /** L53 — cross-corpus near-dedup: flag every BATCH doc whose simhash
+    * is within `maxDist` bits of ANY reference-corpus doc — "dedup the
+    * new crawl against the existing training mix" (the near-dup
+    * analogue of [[incrementalDedup]]'s exact-fingerprint probe, and
+    * the batch-edge source [[ClusterMaintain.mergeBatch]]'s scaladoc
+    * promises). Reports the nearest reference doc (min hamming, then
+    * min id — deterministic) so curation can audit WHAT a dropped doc
+    * duplicated.
+    *
+    * Scale shape: both sides collapse to DISTINCT fingerprints before
+    * banding (dup depth never inflates the candidate join); the
+    * reference side is the stored banded fp index — at 100 TB it is
+    * written once, bucketed by (band_id, band_val) exactly like L40's
+    * fp index (BucketingSpec pattern: the history side never
+    * shuffles), so per-ingest cost tracks the BATCH. The byte-banding
+    * pigeonhole (4 bands of 8 bits; d ≤ 3 leaves ≥ 1 band exact)
+    * bounds candidates without all-pairs; the per-batch-fp best match
+    * is a partial-aggregated min(struct), never a window sort.
+    */
+  def crossNearDedup(batch: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+    val bFp = withSimhash(batch, idCol, textCol).localCheckpoint()
+    val rFp = withSimhash(ref, idCol, textCol)
+    def banded(reps: DataFrame, fpAlias: String, idAlias: String) = {
+      val bandStructs = array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))
+            .as("band_val"))): _*)
+      reps.select(col("id").as(idAlias), col("simhash").as(fpAlias),
+          explode(bandStructs).as("band"))
+        .select(col(idAlias), col(fpAlias),
+          col("band.band_id").as("band_id"),
+          col("band.band_val").as("band_val"))
+    }
+    val bReps = bFp.groupBy("simhash").agg(min("doc_id").as("id"))
+    val rReps = rFp.groupBy("simhash").agg(min("doc_id").as("id"))
+    val best = banded(bReps, "bfp", "bid")
+      .join(banded(rReps, "rfp", "rid"), Seq("band_id", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("bfp").bitwiseXOR(col("rfp"))).cast("integer"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("bfp").as("simhash"))
+      .agg(min(struct(col("hamming"), col("rid"))).as("best"))
+    bFp.join(best, Seq("simhash"), "left")
+      .select(col("doc_id"), col("simhash"),
+        col("best.rid").as("near_ref_id"),
+        col("best.hamming").as("hamming"),
+        col("best").isNull.as("keep"))
+  }
+
   /** Cross-document repeated-substring detection — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * exact-substring pass, re-expressed distributed. A monolithic

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L54 — per-group quantile profiling with a MERGEABLE sketch as the
+  * scale path and exact discrete quantiles as the verification side.
+  *
+  * The production shape at 100 TB is the sketch alone:
+  * `percentile_approx` (Greenwald-Khanna summaries) partial-aggregates
+  * map-side and merges associatively, so profiling a corpus's
+  * length/quality distributions costs ONE combine-style shuffle of
+  * bounded summaries — no sort, no full-value shuffle. Rank error is
+  * bounded by n/accuracy regardless of merge order, which is what the
+  * gate checks: the sketch value must land inside the EXACT value
+  * window at ranks r ± (⌈n/accuracy⌉ + 1).
+  *
+  * The exact side (row_number + conditional partial-agg, no
+  * per-group sort beyond the one ranked window) exists to verify the
+  * sketch at test scale and IS the cost the sketch avoids — at 100 TB
+  * you run only the aggregate.
+  *
+  * Discrete-quantile convention: value at 1-indexed rank
+  * ⌈n·p/100⌉ = (n·p + 99) div 100 — pure integer arithmetic, so the
+  * DuckDB mirror is hash-exact with no interpolation float risk.
+  */
+object Profiling {
+
+  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+      percents: Seq[Int] = Seq(50, 90, 99),
+      accuracy: Int = 100): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val sk = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(v, typedlit(percents.map(_ / 100.0)),
+          lit(accuracy)).as("approx"))
+    val ranked = df
+      .select(col(groupCol), v.as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("v"))))
+      .join(sk.select(col(groupCol), col("n")), Seq(groupCol))
+    // rank-window slack from the GK bound (rank error <= n/accuracy),
+    // +1 for the discrete-rank convention difference at the edges
+    val slack = expr(s"(n + $accuracy - 1) div $accuracy") + lit(1)
+    def at(r: Column): Column = max(when(col("rn") === r, col("v")))
+    val aggs = percents.flatMap { p =>
+      val r = expr(s"(n * $p + 99) div 100")
+      Seq(at(r).as(s"p$p"),
+        at(greatest(lit(1L), r - slack)).as(s"p${p}_lo"),
+        at(least(col("n"), r + slack)).as(s"p${p}_hi"))
+    }
+    val marks = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    sk.join(marks, Seq(groupCol))
+      .select(col(groupCol) +: col("n") +:
+        (percents.map(p => col(s"p$p")) ++
+          percents.zipWithIndex.map { case (p, i) =>
+            (col("approx")(i) >= col(s"p${p}_lo") &&
+              col("approx")(i) <= col(s"p${p}_hi")).as(s"sk${p}_ok")
+          }): _*)
+  }
+}

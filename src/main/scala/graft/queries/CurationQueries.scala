@@ -69,6 +69,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // L53 cross-corpus near-dedup: flag batch docs (doc_id%10==0, the
+    // L40/L52 ingest convention) near-duplicating ANY reference doc;
+    // nearest ref doc reported (min hamming, min id). Both sides
+    // collapse to distinct fps before the byte-banded probe; at 100 TB
+    // the ref side is the stored banded index (never shuffled).
+    "q_d_cross_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.dedup.Dedup.crossNearDedup(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", maxDist = 3)
+        .orderBy("doc_id")
+    }),
+
     // Keep-BEST-per-cluster: dedup keeps each duplicate cluster's
     // highest-quality member (ties → smaller id), not the smallest id
     // — boilerplate-laden copies lose to the clean one. Winner via
@@ -125,6 +139,30 @@ object CurationQueries {
         "cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "cluster_id", "split").orderBy("doc_id")),
+
+    // L54 quantile profile: per-language token-count percentiles —
+    // exact discrete quantiles (integer rank convention, hash-exact)
+    // plus the mergeable GK sketch validated inside its rank-error
+    // band. At 100 TB only the sketch aggregation runs.
+    "q_c_quantile_profile" -> ((s, dir) =>
+      graft.operators.Profiling.quantileProfile(
+        docs(s, dir).select(col("lang"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_ws")),
+        "lang", "n_ws")
+        .orderBy("lang")),
+
+    // L55 n-gram novelty: fraction of each batch doc's distinct
+    // 3-grams unseen in the reference corpus (doc_id%10<>0) — the
+    // prefer-novel curation signal; ref gram table is the stored
+    // artifact at scale, batch equi-joins on gram.
+    "q_c_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontam.noveltyScore(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
 
     // Greedy sequential token packing per language stratum: rows in
     // hash order, pack = floor(tokens-before / 2048).
@@ -630,6 +668,79 @@ object CurationQueries {
     // incremental batch merge (L52) — SAME oracle verbatim: the merged
     // labeling must equal a from-scratch run on the union corpus
     "q_d_cc_incremental" -> CcClustersOracle,
+
+    // nearest reference doc per batch doc by (hamming, ref id); the
+    // oracle affords all-pairs at sf0.01 — the banded probe must agree
+    "q_d_cross_dedup" ->
+      s"""WITH ${DataOpsQueries.SimhashCte},
+          b AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 = 0),
+          r AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 <> 0),
+          h AS (SELECT b.doc_id, r.doc_id AS rid,
+                       CAST(bit_count(xor(b.simhash, r.simhash)) AS INTEGER) AS ham
+                FROM b, r),
+          best AS (SELECT doc_id, rid, ham,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ham, rid) AS rn
+                   FROM h WHERE ham <= 3)
+          SELECT b.doc_id, b.simhash,
+                 w.rid AS near_ref_id, w.ham AS hamming,
+                 w.rid IS NULL AS keep
+          FROM b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (doc_id)
+          ORDER BY b.doc_id""",
+
+    // exact discrete quantiles at rank ceil(n*p/100), pure integer
+    // rank arithmetic; the sketch-in-band booleans follow the
+    // q_a6_approx tolerance-row convention (TRUE literals here, the
+    // engine computes the real band check)
+    "q_c_quantile_profile" ->
+      """WITH tk AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS v
+           FROM documents),
+         g AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang),
+         r AS (SELECT lang, v,
+                      row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+               FROM tk),
+         m AS (SELECT r.lang,
+                      max(CASE WHEN rn = (n*50 + 99) // 100 THEN v END) AS p50,
+                      max(CASE WHEN rn = (n*90 + 99) // 100 THEN v END) AS p90,
+                      max(CASE WHEN rn = (n*99 + 99) // 100 THEN v END) AS p99
+               FROM r JOIN g USING (lang) GROUP BY r.lang)
+         SELECT g.lang, g.n, m.p50, m.p90, m.p99,
+                TRUE AS sk50_ok, TRUE AS sk90_ok, TRUE AS sk99_ok
+         FROM g JOIN m USING (lang) ORDER BY g.lang""",
+
+    // novelty = 1 − seen/distinct-3-grams vs the reference side; a
+    // gram-less doc is maximally novel by convention
+    "q_c_novelty" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [] END AS sh
+           FROM tk),
+         b AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
+         rg AS (SELECT DISTINCT unnest(sh) AS g2
+                FROM sh WHERE doc_id % 10 <> 0),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM b),
+         j AS (SELECT e.doc_id, count(*) AS n_grams, count(rg.g2) AS n_seen
+               FROM e LEFT JOIN rg ON e.g = rg.g2 GROUP BY e.doc_id)
+         SELECT b.doc_id,
+                coalesce(j.n_grams, 0) AS n_grams,
+                coalesce(j.n_seen, 0) AS n_seen,
+                CASE WHEN coalesce(j.n_grams, 0) > 0
+                     THEN floor((1.0 - CAST(j.n_seen AS DOUBLE) / j.n_grams)
+                            * 1000000.0 + 0.5) / 1000000.0
+                     ELSE 1.0 END AS novelty
+         FROM b LEFT JOIN j USING (doc_id) ORDER BY b.doc_id""",
 
     // winner = rank 1 by (quality DESC, doc_id ASC) per cluster —
     // equivalent to the engine's max(struct(quality, −doc_id))

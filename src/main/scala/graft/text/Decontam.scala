@@ -112,4 +112,38 @@ object Decontam {
         col("near_eval"),
         col("near_eval").isNotNull.as("contaminated"))
   }
+
+  /** L55 — n-gram novelty vs a REFERENCE corpus: for each batch doc,
+    * the fraction of its distinct word n-grams unseen anywhere in the
+    * reference — the "does this crawl dump add anything" curation
+    * signal (prefer-novel sampling, dump triage), the inverse question
+    * of [[flagOverlap]].
+    *
+    * Scale shape is the inverse too: [[flagOverlap]]'s eval set is
+    * small and broadcasts; here the reference is the 100 TB training
+    * mix, so its DISTINCT gram table is a stored artifact (written
+    * once per corpus snapshot, bucketed by gram — the L40 layout) and
+    * the batch side equi-joins on gram with one batch-sized shuffle.
+    * The reference side is already distinct, so a corpus-boilerplate
+    * gram matches each batch occurrence exactly once — no candidate
+    * blowup, no df cap needed — and the per-doc counts partial-agg
+    * map-side. A doc too short to have any n-gram is maximally novel
+    * by convention (novelty = 1.0, n_grams = 0).
+    */
+  def noveltyScore(batch: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val bg = batch.select(col(idCol).as("doc_id"),
+      explode_outer(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    val rg = ref
+      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+      .distinct().withColumn("seen", lit(true))
+    bg.join(rg, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("g")).as("n_grams"), count(col("seen")).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        Parity.roundHalfUp(
+          when(col("n_grams") > 0,
+            lit(1.0) - col("n_seen").cast("double") / col("n_grams"))
+            .otherwise(lit(1.0)), 6).as("novelty"))
+  }
 }

@@ -731,4 +731,80 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == scratch)
   }
+
+  test("cross-corpus near-dedup flags batch docs near any ref doc") {
+    import spark.implicits._
+    // ref: one doc; batch: an exact copy (hamming 0), a near copy
+    // (a few words changed -> small hamming), an unrelated doc
+    val refText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val ref = Seq((100L, refText), (101L, "completely different words " +
+      "about cooking pasta with tomato sauce and fresh basil leaves"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, refText), // exact dup of 100
+      (3L, "unrelated text regarding quantum chromodynamics lattice " +
+        "simulations on exascale supercomputers with novel algorithms"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossNearDedup(batch, ref, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got(1L) == (Some(100L), Some(0), false))
+    assert(got(3L)._3) // novel doc kept, no near ref
+    assert(got(3L)._1.isEmpty)
+  }
+
+  test("cross-corpus near-dedup agrees with all-pairs on the corpus slice") {
+    // banded probe vs brute-force nearest (min hamming, min id) —
+    // the oracle construction at spec scale
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val ref = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = Dedup.crossNearDedup(batch, ref, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)),
+        r.getBoolean(4))).toSet
+    val bFp = Dedup.withSimhash(batch, "doc_id", "text")
+    val rFp = Dedup.withSimhash(ref, "doc_id", "text")
+    val brute = bFp.crossJoin(
+        rFp.select(col("doc_id").as("rid"), col("simhash").as("rfp")))
+      .withColumn("ham",
+        bit_count(col("simhash").bitwiseXOR(col("rfp"))).cast("integer"))
+      .filter(col("ham") <= 3)
+      .groupBy("doc_id")
+      .agg(min(struct(col("ham"), col("rid"))).as("best"))
+    val want = bFp.join(brute, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best.rid"), col("best.ham"),
+        col("best").isNull)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3))).toSet
+    assert(got == want)
+  }
+
+  test("quantile profile: exact discrete ranks and sketch in band") {
+    import spark.implicits._
+    // group a: 1..100 -> p50=50, p90=90, p99=99; group b: tiny
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 9L), ("b", 11L))).toDF("g", "v")
+    val got = graft.operators.Profiling.quantileProfile(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got("a") == ((100L, 50L, 90L, 99L, true, true, true)))
+    // b: n=3 -> ranks ceil(1.5)=2, ceil(2.7)=3, ceil(2.97)=3
+    assert(got("b") == ((3L, 9L, 11L, 11L, true, true, true)))
+  }
+
+  test("novelty: all-seen is 0, all-new is 1, gram-less is 1") {
+    import spark.implicits._
+    val ref = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "one two three four five"),        // every 3-gram seen
+      (2L, "six seven eight nine ten eleven"), // every 3-gram new
+      (3L, "short text")).toDF("doc_id", "text") // no 3-gram at all
+    val got = graft.text.Decontam.noveltyScore(batch, ref, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 0.0)))
+    assert(got(2L) == ((4L, 0L, 1.0)))
+    assert(got(3L) == ((0L, 0L, 1.0)))
+  }
 }
