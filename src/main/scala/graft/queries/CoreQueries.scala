@@ -269,14 +269,14 @@ object CoreQueries {
 
     // F12: model sentiment with rules fallback — REAL mapPartitions
     // plumbing (per-partition model context, streamed rows, per-row
-    // availability) around a deterministic stub model; unavailable
-    // rows (the reference's HF timeout/degrade path) fall back to the
-    // F11 rules scorer and are tagged with their backend.
+    // availability) around the COMMITTED LR artifact (trained by
+    // graft.TrainSentiment, shipped as a classpath resource);
+    // unavailable rows (the reference's HF timeout/degrade path) fall
+    // back to the F11 rules scorer and are tagged with their backend.
     "q_f12_sentiment_fallback" -> ((s, dir) => {
-      import s.implicits._
       val d = Tables.load(s, dir, "documents")
-      val scored = graft.text.ModelSentiment.score(s,
-        d.select(col("doc_id"), col("text")).as[(Long, String)]).toDF()
+      val scored = graft.text.ModelSentiment.score(s, d, "doc_id", "text")
+        .toDF()
       val rules = TextFunctions.sentimentScore(col("text"), Pos, Neg)
       d.join(scored, col("doc_id") === col("docId"))
         .select(col("doc_id"),
@@ -468,16 +468,34 @@ object CoreQueries {
                      ELSE 'neu' END AS label
          FROM sc ORDER BY doc_id""",
 
-    // mirror of the stub model: first 4 md5 bytes as unsigned 32-bit
-    // big-endian == first 8 hex chars; rules branch == the F11 oracle.
-    "q_f12_sentiment_fallback" ->
-      s"""WITH t AS (
+    // mirror of the committed LR artifact (sentiment-lr-v1.tsv): the
+    // 1e-6 fixed-point weights are interpolated into a VALUES list at
+    // oracle-build time, so SQL and engine score with the SAME
+    // artifact; logit sums as BIGINT (order-free), squash is the one
+    // fixed double chain 2σ(z/10⁶)−1; rules branch == the F11 oracle.
+    "q_f12_sentiment_fallback" -> {
+      val (bias, w) = graft.text.ModelSentiment.LinearModel.loadArtifact()
+      val values = w.toSeq.sortBy(_._1)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', ${v}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH w(term, wi) AS (VALUES $values),
+         mt AS (
            SELECT doc_id,
-                  (('0x' || substr(md5(text), 1, 8))::BIGINT % 2001 - 1000) / 1000.0
-                    AS model_score,
-                  doc_id % 10 <> 0 AS avail,
-                  regexp_extract_all(lower(text), '\\w+') AS toks
+                  list_distinct(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS mtoks
            FROM documents),
+         lg AS (
+           SELECT mt.doc_id,
+                  ${bias}::BIGINT + coalesce(sum(w.wi), 0) AS zmu
+           FROM mt LEFT JOIN w ON list_contains(mt.mtoks, w.term)
+           GROUP BY mt.doc_id),
+         t AS (
+           SELECT d.doc_id,
+                  2.0 / (1.0 + exp(-(lg.zmu / 1000000.0))) - 1.0 AS model_score,
+                  d.doc_id % 10 <> 0 AS avail,
+                  regexp_extract_all(lower(d.text), '\\w+') AS toks
+           FROM documents d JOIN lg ON d.doc_id = lg.doc_id),
          c AS (
            SELECT doc_id, model_score, avail,
                   len(list_filter(toks, x -> list_contains(${sqlList(Pos)}, x))) AS pos_n,
@@ -499,7 +517,8 @@ object CoreQueries {
                 CASE WHEN score > 0.1 THEN 'pos'
                      WHEN score < -0.1 THEN 'neg'
                      ELSE 'neu' END AS label
-         FROM sc ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id"""
+    },
 
     "q_f5_event_key" ->
       """SELECT event_id,
