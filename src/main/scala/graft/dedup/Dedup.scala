@@ -531,8 +531,12 @@ object Dedup {
   def crossNearDedup(batch: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "byte banding guarantees only d <= 3")
+    // materialize both fingerprint sets: the simhash aggregation is the
+    // expensive kernel and would otherwise be re-evaluated at every
+    // plan site that references it (the simhashPairsOf lesson — scan
+    // filter, partial agg, and the final join each inline it)
     val bFp = withSimhash(batch, idCol, textCol).localCheckpoint()
-    val rFp = withSimhash(ref, idCol, textCol)
+    val rFp = withSimhash(ref, idCol, textCol).localCheckpoint()
     def banded(reps: DataFrame, fpAlias: String, idAlias: String) = {
       val bandStructs = array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
