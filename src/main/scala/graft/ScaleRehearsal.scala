@@ -912,6 +912,78 @@ object ScaleRehearsal {
               |but never correctness.
               |""".stripMargin
 
+    // ---- 18. Incremental cluster maintenance vs history growth -----
+    // The L52 contract: per-batch maintenance cost tracks the BATCH as
+    // history grows. History = salted replicas 1..g (grown ~10×),
+    // batch = the original replica's %10==0 slice (fixed). Replica 1
+    // is the exact-dup replica, so every batch doc near-dups history
+    // at every g — dup pressure constant while history grows. The
+    // batch/history fingerprints are stored artifacts in the ingest
+    // pipeline (the L40 index convention), so timed maintenance =
+    // edge probe (banded batch-vs-history, crossNearPairsOf) + merge
+    // (affected-only CC); the from-scratch CC on the union corpus —
+    // what L52 replaces — is timed WITH its simhash, because that is
+    // what a snapshot recompute actually pays.
+    val batch18 = docsBig
+      .filter(col("doc_id") < 10000000L && col("doc_id") % 10 === 0)
+      .localCheckpoint()
+    val bFp18 = Dedup.withSimhash(batch18, "doc_id", "text").localCheckpoint()
+    val nBatch18 = batch18.count()
+    val growRows = Seq(2, 5, 10, rep - 1).distinct.filter(_ <= rep - 1).map { g =>
+      val hist = docsBig.filter(col("doc_id") >= 10000000L &&
+        col("doc_id") < lit((g + 1).toLong * 10000000L))
+      val hFp = Dedup.withSimhash(hist, "doc_id", "text").localCheckpoint()
+      val nHist = hFp.count()
+      val labels = graft.dedup.Clusters
+        .simhashClusters(hist, "doc_id", "text", 3).localCheckpoint()
+      var edges: DataFrame = null
+      val (_, tEdges) = timed {
+        edges = Dedup.crossNearPairsOf(bFp18, hFp, 3)
+          .select(col("a"), col("b"))
+          .union(Dedup.simhashPairsOf(bFp18, 3)
+            .select(col("ida").as("a"), col("idb").as("b")))
+          .localCheckpoint()
+        edges.count()
+      }
+      val nEdges = edges.count()
+      val (_, tMerge) = timed {
+        graft.dedup.ClusterMaintain.mergeBatch(labels,
+            batch18.select(col("doc_id").as("id")), edges)
+          .queryExecution.toRdd.count()
+      }
+      val (_, tScratch) = timed {
+        graft.dedup.Clusters.simhashClusters(
+            hist.unionByName(batch18), "doc_id", "text", 3)
+          .queryExecution.toRdd.count()
+      }
+      (g, nHist, nEdges, tEdges, tMerge, tScratch)
+    }
+    val growTable = growRows.map { case (g, nH, nE, tE, tM, tS) =>
+      f"| ${g}× | $nH | $nE | $tE%.1f s | $tM%.1f s | ${tE + tM}%.1f s | $tS%.1f s |"
+    }.mkString("\n|")
+    val (gMin, gMax) = (growRows.head, growRows.last)
+    sb ++= s"""
+              |## Incremental cluster maintenance vs history growth (L52, batch = $nBatch18 docs)
+              |
+              || history | hist docs | batch edges | probe | merge | maintenance total | from-scratch CC |
+              ||---|---|---|---|---|---|---|
+              |$growTable
+              |
+              |History grew ${gMax._2 / math.max(gMin._2, 1L)}× across the sweep;
+              |maintenance went ${f"${gMin._4 + gMin._5}%.1f"} s → ${f"${gMax._4 + gMax._5}%.1f"} s
+              |(${f"${(gMax._4 + gMax._5) / math.max(gMin._4 + gMin._5, 0.001)}%.1f"}×) while the
+              |from-scratch recompute it replaces went ${f"${gMin._6}%.1f"} s →
+              |${f"${gMax._6}%.1f"} s (${f"${gMax._6 / math.max(gMin._6, 0.001)}%.1f"}×). The probe's
+              |history side is the stored banded fp index (bucketed at 100 TB —
+              |never shuffled, the L40 BucketingSpec pattern), so probe cost
+              |follows batch×bands; the merge's CC runs only over affected
+              |clusters ∪ batch (edges bounded by the probe output), and
+              |unaffected labels pass through a broadcast anti-join. The
+              |residual growth in the maintenance column is the banded-index
+              |scan of the (here unbucketed, in-memory) history fps — exactly
+              |the term the bucketed layout deletes in production.
+              |""".stripMargin
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)

@@ -261,12 +261,21 @@ object Clusters {
       // CC scheme: frontier propagation by default; pass
       // [[connectedComponentsStar]] for adversarial-diameter graphs
       cc: (DataFrame, DataFrame) => DataFrame =
+        connectedComponents(_, _)): DataFrame =
+    // fp's checkpoint is LAZY: the reps aggregation inside the Of form
+    // is its first full scan, so one job runs the simhash kernel,
+    // checkpoints fp, and folds reps — no dedicated materialize job.
+    simhashClustersOf(Dedup.withSimhash(df, idCol, textCol)
+      .localCheckpoint(eager = false), maxDist, cc)
+
+  /** [[simhashClusters]] over a precomputed, MATERIALIZED (doc_id,
+    * simhash) frame — for callers that already paid the simhash kernel
+    * (e.g. the incremental-ingest gate shares one fingerprint pass
+    * between the label table and the edge probe).
+    */
+  def simhashClustersOf(fp: DataFrame, maxDist: Int = 3,
+      cc: (DataFrame, DataFrame) => DataFrame =
         connectedComponents(_, _)): DataFrame = {
-    // fp's checkpoint is LAZY: the reps aggregation right below is its
-    // first full scan, so one job runs the simhash kernel, checkpoints
-    // fp, and folds reps — instead of a dedicated materialize job.
-    val fp = Dedup.withSimhash(df, idCol, textCol)
-      .localCheckpoint(eager = false)
     val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
       .localCheckpoint()
     // CC iterates over the DISTINCT-fingerprint graph only; members

@@ -564,6 +564,67 @@ object Dedup {
         col("best").isNull.as("keep"))
   }
 
+  /** ALL near-dup pairs BETWEEN a batch and a reference corpus
+    * (hamming ≤ maxDist, identical fingerprints included) — the
+    * production edge builder [[ClusterMaintain.mergeBatch]]'s contract
+    * names: batch↔history edges at cost ∝ batch (union with
+    * [[simhashPairs]] over the batch alone for batch↔batch edges).
+    * Complement of [[crossNearDedup]], which keeps only each batch
+    * doc's best match.
+    *
+    * Same scale shape as the probe: both sides collapse to distinct
+    * fingerprints, byte-banded pigeonhole join (first-matching-band
+    * predicate — no distinct() over candidates), then both identical-
+    * fp cliques expand by membership joins. At 100 TB the ref side is
+    * the stored banded fp index, bucketed, never shuffled.
+    */
+  def crossNearPairs(batch: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame =
+    crossNearPairsOf(withSimhash(batch, idCol, textCol).localCheckpoint(),
+      withSimhash(ref, idCol, textCol).localCheckpoint(), maxDist)
+
+  /** [[crossNearPairs]] over precomputed (doc_id, simhash) frames;
+    * callers must materialize them (the simhash-recompute pitfall).
+    * Output: (a = batch doc, b = ref doc, hamming).
+    */
+  def crossNearPairsOf(bFp: DataFrame, rFp: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+    val bM = bFp.withColumn("rep",
+      min("doc_id").over(Window.partitionBy("simhash"))).localCheckpoint()
+    val rM = rFp.withColumn("rep",
+      min("doc_id").over(Window.partitionBy("simhash"))).localCheckpoint()
+    def bandedReps(m: DataFrame, fpAlias: String, idAlias: String) = {
+      val reps = m.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id").as(idAlias), col("simhash").as(fpAlias))
+      val bandStructs = array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col(fpAlias), b * 8).bitwiseAND(lit(255L))
+            .as("band_val"))): _*)
+      reps.select(col(idAlias), col(fpAlias), explode(bandStructs).as("band"))
+        .select(col(idAlias), col(fpAlias),
+          col("band.band_id").as("band_id"),
+          col("band.band_val").as("band_val"))
+    }
+    val firstBandOnly = (0 until 4).map { j =>
+      when(col("band_id") > j,
+        shiftright(col("bfp"), j * 8).bitwiseAND(lit(255L)) =!=
+          shiftright(col("rfp"), j * 8).bitwiseAND(lit(255L)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val repPairs = bandedReps(bM, "bfp", "ra")
+      .join(bandedReps(rM, "rfp", "rb"), Seq("band_id", "band_val"))
+      .filter(firstBandOnly)
+      .withColumn("hamming",
+        bit_count(col("bfp").bitwiseXOR(col("rfp"))).cast("integer"))
+      .filter(col("hamming") <= maxDist)
+      .select("ra", "rb", "hamming")
+    repPairs
+      .join(bM.select(col("rep").as("ra"), col("doc_id").as("a")), "ra")
+      .join(rM.select(col("rep").as("rb"), col("doc_id").as("b")), "rb")
+      .select("a", "b", "hamming")
+  }
+
   /** Cross-document repeated-substring detection — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * exact-substring pass, re-expressed distributed. A monolithic

@@ -53,19 +53,25 @@ object CurationQueries {
     // recomputing over the union corpus.
     "q_d_cc_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      val existing = Clusters.simhashClusters(
-        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", maxDist = 3)
-      // every near-dup pair touching a batch doc; batch membership is a
-      // pure predicate here, so one filter over the banded pairs stands
-      // in for the production band-probe against the stored fp index
+      val history = d.filter(col("doc_id") % 10 =!= 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      // ONE simhash pass per side, shared by the label table and the
+      // edge probe (in production both are stored artifacts)
+      val hFp = graft.dedup.Dedup
+        .withSimhash(history, "doc_id", "text").localCheckpoint()
+      val bFp = graft.dedup.Dedup
+        .withSimhash(batch, "doc_id", "text").localCheckpoint()
+      val existing = Clusters.simhashClustersOf(hFp, maxDist = 3)
+      // the PRODUCTION edge construction (∝ batch): band-probe the
+      // batch fps against the history index (crossNearPairsOf) plus
+      // the batch-internal pairs — never a full-corpus pair pass
       val batchEdges = graft.dedup.Dedup
-        .simhashPairs(d, "doc_id", "text", maxDist = 3)
-        .filter(col("ida") % 10 === 0 || col("idb") % 10 === 0)
-        .select(col("ida").as("a"), col("idb").as("b"))
+        .crossNearPairsOf(bFp, hFp, maxDist = 3)
+        .select(col("a"), col("b"))
+        .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
+          .select(col("ida").as("a"), col("idb").as("b")))
       graft.dedup.ClusterMaintain.mergeBatch(
-        existing,
-        d.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id")),
-        batchEdges)
+        existing, batch.select(col("doc_id").as("id")), batchEdges)
         .orderBy("doc_id")
     }),
 

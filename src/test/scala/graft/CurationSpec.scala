@@ -779,6 +779,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cross-corpus near-PAIRS ∪ batch pairs = full-corpus pairs touching batch") {
+    // the production edge construction for mergeBatch must produce
+    // exactly the edge set the old full-pair filter produced
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = Dedup.crossNearPairs(batch, hist, "doc_id", "text", 3)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).toSet ++
+      Dedup.simhashPairs(batch, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .filter(col("ida") % 10 === 0 || col("idb") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
   test("quantile profile: exact discrete ranks and sketch in band") {
     import spark.implicits._
     // group a: 1..100 -> p50=50, p90=90, p99=99; group b: tiny
