@@ -529,29 +529,52 @@ object Dedup {
     * is a partial-aggregated min(struct), never a window sort.
     */
   def crossNearDedup(batch: DataFrame, ref: DataFrame, idCol: String,
-      textCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+      textCol: String, maxDist: Int = 3): DataFrame =
     // materialize both fingerprint sets: the simhash aggregation is the
     // expensive kernel and would otherwise be re-evaluated at every
     // plan site that references it (the simhashPairsOf lesson — scan
     // filter, partial agg, and the final join each inline it)
-    val bFp = withSimhash(batch, idCol, textCol).localCheckpoint()
-    val rFp = withSimhash(ref, idCol, textCol).localCheckpoint()
-    def banded(reps: DataFrame, fpAlias: String, idAlias: String) = {
-      val bandStructs = array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))
-            .as("band_val"))): _*)
-      reps.select(col("id").as(idAlias), col("simhash").as(fpAlias),
-          explode(bandStructs).as("band"))
-        .select(col(idAlias), col(fpAlias),
-          col("band.band_id").as("band_id"),
-          col("band.band_val").as("band_val"))
-    }
-    val bReps = bFp.groupBy("simhash").agg(min("doc_id").as("id"))
-    val rReps = rFp.groupBy("simhash").agg(min("doc_id").as("id"))
-    val best = banded(bReps, "bfp", "bid")
-      .join(banded(rReps, "rfp", "rid"), Seq("band_id", "band_val"))
+    crossNearDedupProbe(withSimhash(batch, idCol, textCol).localCheckpoint(),
+      bandedFpIndex(withSimhash(ref, idCol, textCol).localCheckpoint()),
+      maxDist)
+
+  /** The banded fingerprint index over a reference corpus' DISTINCT
+    * fingerprints: one row per (band_key, rid, rfp), band_key =
+    * band_id·256 + band_val (a single join key so the stored layout
+    * can bucket on it). This is the STORED artifact of the
+    * cross-corpus probe family — at 100 TB written once per corpus
+    * snapshot, bucketed by band_key; [[crossNearDedupProbe]] then
+    * joins it with only the batch side shuffling (BucketingSpec pins
+    * the executed plan).
+    */
+  def bandedFpIndex(refFp: DataFrame): DataFrame = {
+    val reps = refFp.groupBy("simhash").agg(min("doc_id").as("rid"))
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b.toLong * 256L).as("base"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))
+          .as("v"))): _*)
+    reps.select(col("rid"), col("simhash").as("rfp"),
+        explode(bandStructs).as("band"))
+      .select((col("band.base") + col("band.v")).as("band_key"),
+        col("rid"), col("rfp"))
+  }
+
+  /** [[crossNearDedup]] against a prebuilt [[bandedFpIndex]] — the
+    * ingest-time shape: the index streams off its stored (bucketed)
+    * layout, the batch reps shuffle to meet it, and the per-batch-fp
+    * best match is a partial-aggregated min(struct).
+    */
+  def crossNearDedupProbe(bFp: DataFrame, refIndex: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b.toLong * 256L).as("base"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))
+          .as("v"))): _*)
+    val bBanded = bFp.groupBy("simhash").agg(min("doc_id").as("bid"))
+      .select(col("simhash").as("bfp"), explode(bandStructs).as("band"))
+      .select((col("band.base") + col("band.v")).as("band_key"), col("bfp"))
+    val best = bBanded.join(refIndex, Seq("band_key"))
       .withColumn("hamming",
         bit_count(col("bfp").bitwiseXOR(col("rfp"))).cast("integer"))
       .filter(col("hamming") <= maxDist)

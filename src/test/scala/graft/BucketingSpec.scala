@@ -147,6 +147,59 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus probe never shuffles the bucketed banded fp index") {
+    // L53's scale claim: with the banded fingerprint index stored
+    // bucketed by band_key, the candidate join streams the index off
+    // its layout — only the batch side shuffles, so per-ingest probe
+    // cost is O(batch) regardless of reference-corpus size.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_crossdedup").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+    val rFp = graft.dedup.Dedup.withSimhash(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text").localCheckpoint()
+    graft.dedup.Dedup.bandedFpIndex(rFp)
+      .write.mode("overwrite").option("path", s"$wh/banded_idx_b")
+      .bucketBy(4, "band_key").saveAsTable("banded_idx_b")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bFp = graft.dedup.Dedup.withSimhash(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text").localCheckpoint()
+      val probe = graft.dedup.Dedup.crossNearDedupProbe(
+        bFp, spark.table("banded_idx_b"), 3)
+      val plan = probe.queryExecution.executedPlan
+      // locate the candidate join and assert its INDEX-side child has
+      // no exchange between the join and the bucketed scan (downstream
+      // aggregation exchanges are expected and irrelevant)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.filter(_.collectLeaves().exists(_.toString.contains("banded_idx_b")))
+      assert(joins.nonEmpty, s"probe must join the bucketed index:\n$plan")
+      // collect is pre-order: the LAST join containing the index leaf
+      // is the innermost — the candidate join itself (the outer result
+      // join also contains the leaf in its subtree)
+      val idxSide = joins.last.children
+        .find(_.collectLeaves().exists(_.toString.contains("banded_idx_b"))).get
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"index side of the probe join must stream off the bucket layout, " +
+          s"found: ${shuffled.map(_.nodeName).mkString(",")}")
+      // and the probe matches the unbucketed computation
+      val expect = graft.dedup.Dedup.crossNearDedupProbe(
+        bFp, graft.dedup.Dedup.bandedFpIndex(rFp), 3)
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+      val got = probe.collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS banded_idx_b")
+    }
+  }
+
   test("snapshot diff presence is flag-based, not fingerprint-null-based") {
     // ADVICE round 9: a doc PRESENT in both snapshots with NULL text
     // must read unchanged (NULL fp on both sides) or changed (one
