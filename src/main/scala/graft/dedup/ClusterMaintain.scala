@@ -12,29 +12,35 @@ import org.apache.spark.sql.functions._
   * tracks the BATCH, while a from-scratch CC pays the corpus every
   * snapshot.
   *
-  * Identity used: an existing labeling (cluster_id = min member id) is
-  * connectivity-equivalent to its label-induced STAR graph (every
-  * member → its cluster min). The union corpus' components are
-  * therefore the components of star(existing) ∪ batchEdges — and since
-  * every new edge touches a batch doc, only clusters containing a
-  * batch-edge endpoint can change. The merge:
+  * Identity used: each existing cluster is internally connected, so
+  * for CONNECTIVITY it can be CONTRACTED to a single node named by its
+  * cluster_id; the union corpus' components are the components of the
+  * contracted graph (affected-cluster nodes ∪ batch-doc nodes, edges =
+  * batchEdges with each endpoint mapped to its cluster node). And
+  * since cluster_id = min member id, the contracted component's min
+  * NODE id equals the merged component's min MEMBER id — contraction
+  * preserves the labeling contract, not just connectivity. Only
+  * clusters containing a batch-edge endpoint can change. The merge:
   *
   *   1. affected = clusters owning any batch-edge endpoint (∝ batch;
   *      broadcast);
-  *   2. star edges restricted to affected clusters — ONE broadcast-
-  *      filtered scan of the label table, which is never shuffled (at
-  *      100 TB the table is additionally bucketed/partition-pruned by
-  *      cluster_id, making the scan itself ∝ affected);
-  *   3. frontier CC over the affected ∪ batch subgraph only (∝ batch:
-  *      dup cliques are bounded, so affected membership is a constant
-  *      factor of the batch size);
-  *   4. unaffected labels pass through untouched (anti broadcast
-  *      semi-join — no shuffle of the big table).
+  *   2. contract: map each batch-edge endpoint to its cluster node
+  *      (itself if a batch doc) and drop now-internal self-loops —
+  *      the CC input shrinks from member-level star+pair edges to the
+  *      DISTINCT cluster-pair/doc-pair edges (duplicate clique
+  *      expansions collapse);
+  *   3. frontier CC over that contracted graph (nodes ∝ affected
+  *      clusters + batch — never members);
+  *   4. members of affected clusters inherit their cluster node's new
+  *      label with ONE broadcast-filtered scan of the label table
+  *      (never shuffled; at 100 TB additionally bucketed/partition-
+  *      pruned by cluster_id); unaffected labels pass through via an
+  *      anti broadcast semi-join.
   *
   * The result is IDENTICAL to a from-scratch run on the union corpus
-  * (gate: q_d_cc_incremental shares the CC oracle verbatim); star
-  * graphs preserve component minima, so merged cluster ids are again
-  * the component min — the invariant the next batch's merge relies on.
+  * (gate: q_d_cc_incremental shares the CC oracle verbatim), and the
+  * merged cluster ids are again component minima — the invariant the
+  * next batch's merge relies on.
   *
   * `batchEdges` must contain every near-dup pair with ≥ 1 batch
   * endpoint (batch↔history and batch↔batch, hamming ≤ maxDist,
@@ -57,27 +63,49 @@ object ClusterMaintain {
     val edges = batchEdges.select(col("a"), col("b"))
     val endpoints = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
-    // clusters that can change: any owning a batch-edge endpoint
-    val affected = existing.join(endpoints, "doc_id")
-      .select("cluster_id").distinct()
-    // members of affected clusters: one broadcast-filtered scan of the
-    // label table — the table itself is never shuffled
-    val affectedMembers = existing
-      .join(broadcast(affected), Seq("cluster_id"))
-      .select("doc_id", "cluster_id")
       .localCheckpoint()
-    // connectivity of the affected slice = its label-induced star
-    val starEdges = affectedMembers
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
-    val nodes = affectedMembers.select(col("doc_id").as("id"))
+    // clusters that can change: any owning a batch-edge endpoint; the
+    // endpoint→cluster map is ∝ batch and broadcasts
+    val endpointCluster = existing.join(endpoints, "doc_id")
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val affected = endpointCluster.select("cluster_id").distinct()
+    // contract: each endpoint becomes its cluster node (itself if a
+    // batch doc); internal edges become self-loops and drop; clique
+    // expansions collapse onto the same cluster pair
+    val cEdges = edges
+      .join(broadcast(endpointCluster
+        .select(col("doc_id").as("a"), col("cluster_id").as("ca"))),
+        Seq("a"), "left")
+      .join(broadcast(endpointCluster
+        .select(col("doc_id").as("b"), col("cluster_id").as("cb"))),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val cNodes = affected.select(col("cluster_id").as("id"))
       .union(batchNodes.select(col("id"))).distinct()
-    val relabeled = Clusters.connectedComponents(
-      nodes, starEdges.union(edges))
-    val sizes = relabeled.groupBy("cluster_id")
+    // CC over the contracted graph: nodes ∝ affected clusters + batch;
+    // min node id of a component == min member id of the merged
+    // component because cluster_id is already its cluster's min member
+    val relabeled = Clusters.connectedComponents(cNodes, cEdges)
+      .select(col("id").as("cnode"), col("cluster_id").as("ncid"))
+      .localCheckpoint()
+    // members of affected clusters inherit their cluster node's label:
+    // one broadcast-filtered scan of the label table (never shuffled)
+    val memberLabels = existing
+      .join(broadcast(relabeled.withColumnRenamed("cnode", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("ncid"))
+    val batchLabels = batchNodes
+      .join(broadcast(relabeled), col("id") === col("cnode"))
+      .select(col("id").as("doc_id"), col("ncid"))
+    val relabeledMembers = memberLabels.union(batchLabels)
+    val sizes = relabeledMembers.groupBy("ncid")
       .agg(count(lit(1)).as("cluster_size"))
-    val changed = relabeled.join(sizes, "cluster_id")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    val changed = relabeledMembers.join(sizes, "ncid")
+      .select(col("doc_id"), col("ncid").as("cluster_id"),
+        col("cluster_size"))
     // unaffected clusters keep their labels AND sizes (no new member
     // can have joined them — every new edge lands in an affected one)
     val untouched = existing
