@@ -59,4 +59,39 @@ object Profiling {
               col("approx")(i) <= col(s"p${p}_hi")).as(s"sk${p}_ok")
           }): _*)
   }
+
+  /** L57 — per-group quantile TRIM (outlier filter): flag every row
+    * whose value falls outside the group's [p_lo, p_hi] discrete
+    * quantile window — the "drop the freakishly short / freakishly
+    * long documents per language" curation rule (winsorized corpus
+    * membership).
+    *
+    * The marks table is ONE row per group (lo/hi bounds), so the
+    * filter itself is a broadcast join + a map-side comparison that
+    * fuses into the scan. What the bounds COST depends on the path:
+    * here they are exact discrete quantiles (same integer-rank
+    * convention as [[quantileProfile]] — rank ⌈n·p/100⌉ — so the
+    * DuckDB mirror is hash-exact), which needs the ranked window; at
+    * 100 TB you feed the SKETCH bounds from [[quantileProfile]]'s
+    * `percentile_approx` aggregate into the identical broadcast-filter
+    * stage and never rank — the bounds are where exactness is traded,
+    * the trim stage is unchanged. Rows keep their original columns
+    * plus `lo`, `hi`, `keep`.
+    */
+  def trimOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      loP: Int = 5, hiP: Int = 95): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val ranked = df.select(col(groupCol), v.as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__v"))))
+      .join(n, Seq(groupCol))
+    val marks = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rn") === expr(s"(__n * $loP + 99) div 100"), col("__v")))
+        .as("lo"),
+      max(when(col("__rn") === expr(s"(__n * $hiP + 99) div 100"), col("__v")))
+        .as("hi"))
+    df.join(broadcast(marks), Seq(groupCol))
+      .withColumn("keep", v >= col("lo") && v <= col("hi"))
+  }
 }

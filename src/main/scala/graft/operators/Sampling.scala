@@ -123,6 +123,67 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** L56 — GLOBAL token-budgeted shard assignment via a distributed
+    * prefix sum (the shard/output-file writer of a training-data
+    * pipeline: docs in id order, cut a new shard every `budget`
+    * tokens). Unlike [[packByTokens]] the running total is over the
+    * WHOLE corpus in one global order — the naive form is a global
+    * window, which serializes 100 TB through a single task and is
+    * exactly what PlanAuditSpec tripwires.
+    *
+    * Two-phase scan instead (the textbook parallel prefix sum):
+    *   1. rows bucket by `id div bucketWidth` (order-preserving range
+    *      buckets on the sort key); ONE partial-agg shuffle computes
+    *      per-bucket token sums, which collect to the driver —
+    *      #buckets ≈ #partitions entries (at 100 TB / 128 MB splits
+    *      ~10⁶ longs, the same order as the AQE shuffle statistics the
+    *      driver already holds) — and fold into exclusive prefix
+    *      offsets, re-broadcast as a two-column frame.
+    *   2. a per-BUCKET window (never global) adds the in-bucket
+    *      running sum to the broadcast bucket offset; shard =
+    *      (global_cum − tokens) div budget, pure integer arithmetic.
+    *
+    * Result is bit-identical to the single-global-window form the
+    * DuckDB oracle runs, for ANY bucketWidth ≥ 1 (prefix sums are
+    * associative) — ShardAssignSpec asserts this. A shard may overrun
+    * the budget by at most one straddling document, the same greedy
+    * contract as [[packByTokens]]. Ids must be non-negative.
+    */
+  def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, bucketWidth: Long): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    val spark = df.sparkSession
+    val withB = df.withColumn("__bucket", expr(s"$idCol div $bucketWidth"))
+    val bucketSums = withB.groupBy(col("__bucket"))
+      .agg(sum(col(tokensCol).cast("long")).as("__bsum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = bucketSums.map { case (b, s) =>
+      val o = acc; acc += s; (b, o)
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__bucket", "__offset")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(idCol).asc)
+    withB.join(broadcast(offDf), Seq("__bucket"))
+      .withColumn("__cum",
+        sum(col(tokensCol).cast("long")).over(w) + col("__offset"))
+      .withColumn("shard_id", expr(s"(__cum - $tokensCol) div $budget"))
+      .drop("__bucket", "__offset", "__cum")
+  }
+
+  /** Per-shard manifest for [[shardByTokens]] output — the sidecar a
+    * shard writer emits (doc count, token mass, id range per shard).
+    * One partial-agg shuffle on shard_id.
+    */
+  def shardManifest(assigned: DataFrame, idCol: String,
+      tokensCol: String): DataFrame =
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+
   /** Per-domain quota cap (the RefinedWeb/C4 "at most k pages per
     * host" rule): keep the k hash-smallest rows per domain, rank
     * attached as `cap_rank`. Selection is the same deterministic

@@ -157,6 +157,29 @@ object CurationQueries {
         "lang", "n_ws")
         .orderBy("lang")),
 
+    // L56 global shard assignment: corpus-order token-budgeted shard
+    // ids via the two-phase distributed prefix sum — bit-identical to
+    // the oracle's single global window without ever running one.
+    "q_c_shard_assign" -> ((s, dir) =>
+      Sampling.shardByTokens(
+        docs(s, dir).select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L)
+        .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
+
+    // L57 quantile trim: drop per-language token-count outliers
+    // outside the exact discrete [p5, p95] window (winsorized corpus
+    // membership); bounds broadcast, filter fuses into the scan.
+    "q_c_quantile_trim" -> ((s, dir) =>
+      graft.operators.Profiling.trimOutliers(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("n_ws")),
+        "lang", "n_ws", loP = 5, hiP = 95)
+        .select("doc_id", "lang", "n_ws", "lo", "hi", "keep")
+        .orderBy("doc_id")),
+
     // L55 n-gram novelty: fraction of each batch doc's distinct
     // 3-grams unseen in the reference corpus (doc_id%10<>0) — the
     // prefer-novel curation signal; ref gram table is the stored
@@ -716,6 +739,41 @@ object CurationQueries {
          SELECT g.lang, g.n, m.p50, m.p90, m.p99,
                 TRUE AS sk50_ok, TRUE AS sk90_ok, TRUE AS sk99_ok
          FROM g JOIN m USING (lang) ORDER BY g.lang""",
+
+    // the single global window the engine's two-phase prefix sum must
+    // reproduce bit-for-bit
+    "q_c_shard_assign" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, n_tokens,
+                CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
+         FROM c ORDER BY doc_id""",
+
+    // same integer-rank discrete-quantile convention as
+    // q_c_quantile_profile, at p5/p95, applied as a row filter flag
+    "q_c_quantile_trim" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_ws
+           FROM documents),
+         g AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang),
+         r AS (SELECT lang, n_ws AS v,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_ws) AS rn
+               FROM tk),
+         m AS (SELECT r.lang,
+                      max(CASE WHEN rn = (n*5 + 99) // 100 THEN v END) AS lo,
+                      max(CASE WHEN rn = (n*95 + 99) // 100 THEN v END) AS hi
+               FROM r JOIN g USING (lang) GROUP BY r.lang)
+         SELECT tk.doc_id, tk.lang, tk.n_ws, m.lo, m.hi,
+                tk.n_ws >= m.lo AND tk.n_ws <= m.hi AS keep
+         FROM tk JOIN m USING (lang) ORDER BY tk.doc_id""",
 
     // novelty = 1 − seen/distinct-3-grams vs the reference side; a
     // gram-less doc is maximally novel by convention

@@ -823,4 +823,65 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 0L, 1.0)))
     assert(got(3L) == ((0L, 0L, 1.0)))
   }
+
+  test("shard assignment: two-phase prefix sum matches the global cumsum for any bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 257L).map(i => (i, 1L + rnd.nextInt(50).toLong))
+    // deliberately mis-partitioned input: the result must not depend
+    // on physical layout, only on the id order
+    val df = rows.toDF("doc_id", "n_tokens").repartition(13)
+    var cum = 0L
+    val want = rows.map { case (id, t) => cum += t; id -> (cum - t) / 100L }.toMap
+    for (w <- Seq(1L, 7L, 32L, 1000L)) {
+      val got = Sampling.shardByTokens(df, "doc_id", "n_tokens",
+          budget = 100L, bucketWidth = w)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"bucketWidth=$w")
+    }
+  }
+
+  test("shard manifest: budget plus one straddler, shards tile the id order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 400L).map(i => (i, 1L + rnd.nextInt(64).toLong))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val assigned = Sampling.shardByTokens(df, "doc_id", "n_tokens",
+      budget = 256L, bucketWidth = 32L)
+    val man = Sampling.shardManifest(assigned, "doc_id", "n_tokens")
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val maxTok = rows.map(_._2).max
+    man.foreach { case (sid, nDocs, nTok, _, _) =>
+      assert(nDocs > 0, s"shard $sid empty")
+      assert(nTok < 256L + maxTok, s"shard $sid over budget+straddler: $nTok")
+    }
+    // consecutive shards cover consecutive id ranges (dense ids here)
+    man.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b._1 == a._1 + 1 && b._4 == a._5 + 1,
+        s"gap between shard ${a._1} and ${b._1}")
+    }
+    assert(man.map(_._2).sum == 400L)
+    assert(man.map(_._3).sum == rows.map(_._2).sum)
+  }
+
+  test("quantile trim: exact p5/p95 window per group, outliers flagged") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => (v.toLong, "a", v.toLong)) :+
+      ((200L, "b", 5L))).toDF("doc_id", "g", "v")
+    val got = graft.operators.Profiling.trimOutliers(df, "g", "v")
+      .select("doc_id", "v", "lo", "hi", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // group a: n=100 -> lo at rank 5 = 5, hi at rank 95 = 95
+    assert(got(1L) == ((1L, 5L, 95L, false)))
+    assert(got(5L) == ((5L, 5L, 95L, true)))
+    assert(got(95L) == ((95L, 5L, 95L, true)))
+    assert(got(96L) == ((96L, 5L, 95L, false)))
+    assert(got.count { case (id, (_, _, _, keep)) => id <= 100 && keep } == 91)
+    // singleton group: both ranks resolve to 1 -> keep
+    assert(got(200L) == ((5L, 5L, 5L, true)))
+  }
 }
