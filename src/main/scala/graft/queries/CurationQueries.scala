@@ -168,6 +168,19 @@ object CurationQueries {
         "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L)
         .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
 
+    // L56's writer sidecar: per-shard manifest (doc count, token
+    // mass, id range) over the same assignment — one partial-agg
+    // shuffle on shard_id.
+    "q_c_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(
+        Sampling.shardByTokens(
+          docs(s, dir).select(col("doc_id"),
+            graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+              .as("n_tokens")),
+          "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L),
+        "doc_id", "n_tokens")
+        .orderBy("shard_id")),
+
     // L57 quantile trim: drop per-language token-count outliers
     // outside the exact discrete [p5, p95] window (winsorized corpus
     // membership); bounds broadcast, filter fuses into the scan.
@@ -754,6 +767,25 @@ object CurationQueries {
          SELECT doc_id, n_tokens,
                 CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
          FROM c ORDER BY doc_id""",
+
+    // manifest over the same global cumsum
+    "q_c_shard_manifest" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t),
+         a AS (
+           SELECT doc_id, n_tokens,
+                  CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
+           FROM c)
+         SELECT shard_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
 
     // same integer-rank discrete-quantile convention as
     // q_c_quantile_profile, at p5/p95, applied as a row filter flag
