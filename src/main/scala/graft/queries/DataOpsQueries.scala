@@ -223,6 +223,22 @@ object DataOpsQueries {
         id => id % 50 === 0, k = 5, nlist = 16, nprobe = 4)
         .orderBy("qid", "rank")),
 
+    // L58 incremental IVF maintenance: centroids are the stored
+    // quantizer from the history snapshot (vec_id % 10 <> 0); the
+    // batch slice is assigned map-side against those frozen centroids
+    // and appended to the lists; the query set (% 50 = 0, all batch
+    // members) searches history ∪ batch through the standard probe
+    // join. Cost ∝ batch — no retrain, no history reshuffle.
+    "q_s_ivf_incremental" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopKIncremental(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", id => id % 50 === 0,
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // D7 embedding branch of semantic topic merge (reference
     // api/services/topic_analyzer.py:311-353: merge topics whose
     // entity-set embedding cosine ≥ threshold; the Jaccard branch is
@@ -630,6 +646,38 @@ object DataOpsQueries {
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
                    list_transform(e, x -> x / nrm) AS c
             FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          rnk AS (
+            SELECT n.vec_id, cent.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.e, cent.c) DESC, cent.cid ASC) AS rn
+            FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, cid AS list_id FROM rnk WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM rnk
+            WHERE rn <= 4 AND vec_id % 50 = 0),
+          sc AS (
+            SELECT p.qid, a.vec_id AS nn_id,
+                   list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
+            FROM probes p
+            JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+            JOIN n x ON x.vec_id = a.vec_id
+            JOIN n y ON y.vec_id = p.qid),
+          r AS (
+            SELECT qid, nn_id, c,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+            FROM sc)
+          SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // identical pipeline to q_s_ann_ivf except the centroid CTE is
+    // restricted to the history slice — the frozen stored quantizer
+    "q_s_ivf_incremental" ->
+      s"""WITH $PreparedVecsCte,
+          cent AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n WHERE vec_id % 10 <> 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
           rnk AS (
             SELECT n.vec_id, cent.cid,
                    row_number() OVER (PARTITION BY n.vec_id

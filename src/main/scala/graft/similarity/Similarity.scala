@@ -334,6 +334,45 @@ object Similarity {
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** L58 — incremental IVF list maintenance: the ANN analogue of the
+    * L40/L52 ingest contract. The coarse quantizer (centroids) is the
+    * STORED model artifact from the history snapshot — production IVF
+    * indexes retrain it rarely, not per batch — so ingesting a batch
+    * costs: (a) a map-side assignment of the batch's vectors against
+    * the broadcast centroid literals (∝ batch), and (b) an append to
+    * the stored per-list layout (at 100 TB the history lists are a
+    * bucketed-by-list_id table that never reshuffles — the L40
+    * BucketingSpec pattern). Search is [[ivfTopK]]'s probe join over
+    * history ∪ batch, unchanged.
+    *
+    * The gate's oracle re-derives the same pipeline with the centroid
+    * CTE restricted to the history slice; with an EMPTY batch this
+    * reduces exactly to [[ivfTopK]] over the history (spec-asserted).
+    */
+  def ivfTopKIncremental(history: DataFrame, batch: DataFrame,
+      idCol: String, embCol: String, queryPred: Column => Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(history, idCol, embCol, nlist)
+    val corpus = prepared(history, idCol, embCol)
+      .withColumn("list_id", ivfAssign(col("e"), cents))
+      .unionByName(prepared(batch, idCol, embCol)
+        .withColumn("list_id", ivfAssign(col("e"), cents)))
+    val q = corpus.filter(queryPred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"),
+        explode(ivfProbes(col("e"), cents, nprobe)).as("list_id"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim_raw").desc, col("nn_id").asc)
+    corpus.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("e"), col("qe"), col("nrm"), col("qnrm")).as("cos_sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nn_id"),
+        Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** L50 — IVF-SQ8, the production ANN configuration (faiss
     * IndexIVFScalarQuantizer): IVF list pruning bounds WHICH vectors
     * are scanned (nprobe/nlist of the corpus), SQ8 bounds what each

@@ -231,6 +231,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF top-1 recall was $recall")
   }
 
+  test("incremental IVF: empty batch reduces exactly to ivfTopK; batch near-dups retrieved") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val pred = (id: org.apache.spark.sql.Column) => id >= 1000 && id < 5000
+    val full = Similarity.ivfTopK(planted, "vec_id", "embedding",
+      pred, k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inc = Similarity.ivfTopKIncremental(planted, empty, "vec_id", "embedding",
+      pred, k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(inc == full)
+    // ingest the near-dup queries as the BATCH against a base-only
+    // history: centroids frozen on the bases, queries still find their
+    // planted partners through the appended lists
+    val hist = planted.filter(col("vec_id") < 1000 || col("vec_id") >= 5000)
+    val batch = planted.filter(col("vec_id") >= 1000 && col("vec_id") < 5000)
+    val got = Similarity.ivfTopKIncremental(hist, batch, "vec_id", "embedding",
+      pred, k = 1, nlist = 16, nprobe = 4)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val recall = (0 until 200).count(i => got.get(1000L + i).contains(i.toLong)) / 200.0
+    assert(recall >= 0.9, s"incremental IVF top-1 recall was $recall")
+  }
+
   test("IVF-SQ8 top-k recall >= 0.9 on planted near-dups") {
     val got = Similarity.ivfSq8TopK(planted, "vec_id", "embedding",
       id => id >= 1000 && id < 5000, k = 1, nlist = 16, nprobe = 4)
