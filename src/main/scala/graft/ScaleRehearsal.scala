@@ -1023,6 +1023,8 @@ object ScaleRehearsal {
       }
       val nDiff = twoPhase.join(naive, Seq("doc_id"))
         .filter(col("shard_id") =!= col("shard_naive")).count()
+      require(nDiff == 0L,
+        s"two-phase shard assignment diverged from the global window on $nDiff docs")
       val nShards = twoPhase.select("shard_id").distinct().count()
       sb ++= s"""
                 |## Global shard assignment at ${rep}× (L56, width = $width, budget = $budget tokens)
@@ -1032,7 +1034,7 @@ object ScaleRehearsal {
                 || wall time | ${f"$tTwo%.1f"} s | ${f"$tNaive%.1f"} s |
                 || max rows through one window task | $maxBucketRows (= max bucket) | $nDocs (entire corpus) |
                 || driver-side state | $nBuckets offsets (${nBuckets * 16} B) | — |
-                || shard ids differing | 0 of $nDocs (checked: $nDiff) | baseline |
+                || shard ids differing | $nDiff of $nDocs | baseline |
                 |
                 |Shards produced: $nShards. The two paths are bit-identical
                 |(prefix sums are associative), but their worst tasks differ

@@ -72,11 +72,11 @@ object Profiling {
     * here they are exact discrete quantiles (same integer-rank
     * convention as [[quantileProfile]] — rank ⌈n·p/100⌉ — so the
     * DuckDB mirror is hash-exact), which needs the ranked window; at
-    * 100 TB you feed the SKETCH bounds from [[quantileProfile]]'s
-    * `percentile_approx` aggregate into the identical broadcast-filter
-    * stage and never rank — the bounds are where exactness is traded,
-    * the trim stage is unchanged. Rows keep their original columns
-    * plus `lo`, `hi`, `keep`.
+    * 100 TB you feed the SKETCH bounds from [[approxQuantileBounds]]
+    * into [[trimOutliersWith]] — the identical broadcast-filter stage,
+    * no ranked window anywhere. The bounds are where exactness is
+    * traded; the trim stage is shared code. Rows keep their original
+    * columns plus `lo`, `hi`, `keep`.
     */
   def trimOutliers(df: DataFrame, groupCol: String, valueCol: String,
       loP: Int = 5, hiP: Int = 95): DataFrame = {
@@ -91,7 +91,37 @@ object Profiling {
         .as("lo"),
       max(when(col("__rn") === expr(s"(__n * $hiP + 99) div 100"), col("__v")))
         .as("hi"))
-    df.join(broadcast(marks), Seq(groupCol))
+    trimOutliersWith(df, groupCol, valueCol, marks)
+  }
+
+  /** The trim stage against PRECOMPUTED per-group bounds — one row per
+    * group with columns (`groupCol`, `lo`, `hi`). [[trimOutliers]]
+    * delegates its exact bounds here; the 100 TB path feeds
+    * [[approxQuantileBounds]] (or any stored bounds table) instead.
+    * The stage itself is a broadcast join + a codegen'd comparison
+    * that fuses into the scan, whatever produced the bounds.
+    */
+  def trimOutliersWith(df: DataFrame, groupCol: String, valueCol: String,
+      bounds: DataFrame): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("keep", v >= col("lo") && v <= col("hi"))
+  }
+
+  /** Sketch-side bounds for [[trimOutliersWith]]: per-group [pLo, pHi]
+    * from `percentile_approx` (mergeable GK summaries — ONE map-side-
+    * combining aggregation, no ranked window, rank error ≤ n/accuracy
+    * per group). This is the bounds producer the 100 TB trim actually
+    * runs; the exact ranked-window path exists to verify it at test
+    * scale (ScaleOpsSpec pins the sketch bounds inside the exact
+    * rank-slack window).
+    */
+  def approxQuantileBounds(df: DataFrame, groupCol: String,
+      valueCol: String, loP: Int = 5, hiP: Int = 95,
+      accuracy: Int = 100): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.groupBy(col(groupCol)).agg(
+      percentile_approx(v, lit(loP / 100.0), lit(accuracy)).as("lo"),
+      percentile_approx(v, lit(hiP / 100.0), lit(accuracy)).as("hi"))
   }
 }

@@ -134,42 +134,64 @@ object Sampling {
     * Two-phase scan instead (the textbook parallel prefix sum):
     *   1. rows bucket by `id div bucketWidth` (order-preserving range
     *      buckets on the sort key); ONE partial-agg shuffle computes
-    *      per-bucket token sums, which collect to the driver —
-    *      #buckets ≈ #partitions entries (at 100 TB / 128 MB splits
-    *      ~10⁶ longs, the same order as the AQE shuffle statistics the
-    *      driver already holds) — and fold into exclusive prefix
-    *      offsets, re-broadcast as a two-column frame.
-    *   2. a per-BUCKET window (never global) adds the in-bucket
-    *      running sum to the broadcast bucket offset; shard =
-    *      (global_cum − tokens) div budget, pure integer arithmetic.
+    *      per-bucket token sums, folded into exclusive prefix offsets
+    *      by a single-task ordered window over the SUMMARY rows —
+    *      #buckets ≈ #splits entries (at 100 TB / 128 MB splits ~10⁶
+    *      longs, the same order as the AQE shuffle statistics the
+    *      driver already holds), never data rows — and re-broadcast.
+    *      The whole step is a LAZY subplan of the returned frame (no
+    *      eager driver collect), so the operator composes like any
+    *      other and Catalyst sees one plan.
+    *   2. a per-BUCKET window (never global over data) adds the
+    *      in-bucket running sum to the broadcast bucket offset;
+    *      shard = (global_cum − tokens) div budget, pure integer
+    *      arithmetic.
     *
     * Result is bit-identical to the single-global-window form the
     * DuckDB oracle runs, for ANY bucketWidth ≥ 1 (prefix sums are
-    * associative) — ShardAssignSpec asserts this. A shard may overrun
-    * the budget by at most one straddling document, the same greedy
-    * contract as [[packByTokens]]. Ids must be non-negative.
+    * associative) — CurationSpec asserts this ("two-phase prefix sum
+    * matches the global cumsum for any bucket width"). A shard may
+    * overrun the budget by at most one straddling document, the same
+    * greedy contract as [[packByTokens]].
+    *
+    * Ids must be non-null and non-negative and token counts non-null —
+    * violations raise a named error from inside the plan instead of
+    * silently mis-bucketing. The input is scanned twice (bucket sums +
+    * final assignment); a NONDETERMINISTIC upstream must be
+    * checkpointed by the caller or the offsets can disagree with the
+    * second scan.
     */
   def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, bucketWidth: Long): DataFrame = {
     require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
-    val spark = df.sparkSession
-    val withB = df.withColumn("__bucket", expr(s"$idCol div $bucketWidth"))
+    // validation rides on the token column (used by every downstream
+    // expression, so it cannot be pruned away): a null/negative id or a
+    // null token count fails loudly with the offending values
+    val bad = col(idCol).isNull || col(idCol) < 0 || col(tokensCol).isNull
+    val tok = when(bad, raise_error(concat(
+        lit(s"shardByTokens: $idCol must be non-null and non-negative, " +
+          s"$tokensCol non-null; got ($idCol="),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(s", $tokensCol="),
+        coalesce(col(tokensCol).cast("string"), lit("NULL")), lit(")"))))
+      .otherwise(col(tokensCol).cast("long"))
+    val withB = df.withColumn("__btok", tok)
+      .withColumn("__bucket", expr(s"$idCol div $bucketWidth"))
     val bucketSums = withB.groupBy(col("__bucket"))
-      .agg(sum(col(tokensCol).cast("long")).as("__bsum"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = bucketSums.map { case (b, s) =>
-      val o = acc; acc += s; (b, o)
-    }.toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("__bucket", "__offset")
+      .agg(sum(col("__btok")).as("__bsum"))
+    // exclusive prefix fold over the per-bucket sums: an ordered window
+    // with no partition — deliberately, over #buckets summary rows only
+    // (bounded like the driver-side fold it replaces, but lazy and
+    // inside the plan)
+    val offsets = bucketSums.withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__offset")
     val w = Window.partitionBy(col("__bucket")).orderBy(col(idCol).asc)
-    withB.join(broadcast(offDf), Seq("__bucket"))
-      .withColumn("__cum",
-        sum(col(tokensCol).cast("long")).over(w) + col("__offset"))
-      .withColumn("shard_id", expr(s"(__cum - $tokensCol) div $budget"))
-      .drop("__bucket", "__offset", "__cum")
+    withB.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__cum", sum(col("__btok")).over(w) + col("__offset"))
+      .withColumn("shard_id", expr(s"(__cum - __btok) div $budget"))
+      .drop("__bucket", "__offset", "__cum", "__btok")
   }
 
   /** Per-shard manifest for [[shardByTokens]] output — the sidecar a

@@ -884,4 +884,41 @@ class CurationSpec extends AnyFunSuite {
     // singleton group: both ranks resolve to 1 -> keep
     assert(got(200L) == ((5L, 5L, 5L, true)))
   }
+
+  test("quantile trim: sketch-bounds path shares the trim stage with the exact path") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => (v.toLong, "a", v.toLong)) :+
+      ((200L, "b", 5L))).toDF("doc_id", "g", "v")
+    // at accuracy 10000 the GK sketch is exact on 100 values, so the
+    // sketch-fed trim must agree with the exact ranked-window trim
+    // row-for-row — proving trimOutliersWith IS the shared stage
+    val exact = graft.operators.Profiling.trimOutliers(df, "g", "v")
+      .select("doc_id", "lo", "hi", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val sketch = graft.operators.Profiling.trimOutliersWith(df, "g", "v",
+        graft.operators.Profiling.approxQuantileBounds(df, "g", "v",
+          accuracy = 10000))
+      .select("doc_id", "lo", "hi", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(sketch == exact)
+  }
+
+  test("shard assignment: null and negative ids fail with a named error") {
+    import spark.implicits._
+    val neg = Seq((1L, 5L), (-2L, 3L)).toDF("doc_id", "n_tokens")
+    val e1 = intercept[Exception] {
+      Sampling.shardByTokens(neg, "doc_id", "n_tokens", 100L, 32L).collect()
+    }
+    assert(String.valueOf(e1.getMessage).contains("shardByTokens") ||
+      String.valueOf(e1.getCause).contains("shardByTokens"))
+    val nullTok = Seq((1L, Some(5L)), (2L, Option.empty[Long]))
+      .toDF("doc_id", "n_tokens")
+    val e2 = intercept[Exception] {
+      Sampling.shardByTokens(nullTok, "doc_id", "n_tokens", 100L, 32L).collect()
+    }
+    assert(String.valueOf(e2.getMessage).contains("shardByTokens") ||
+      String.valueOf(e2.getCause).contains("shardByTokens"))
+  }
 }
