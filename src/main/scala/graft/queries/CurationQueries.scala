@@ -75,6 +75,56 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // The incremental-ingest chain END TO END as one gate (round-9
+    // verdict item 1): L49 snapshot diff names the batch → L40 band
+    // probe builds the batch-touching edge set → L52 ClusterMaintain
+    // merges it into the history labeling → L38 keep-best + L36
+    // leakage-free split consume the merged labels. The oracle is the
+    // from-scratch CTE chain over the UNION corpus: the curated output
+    // must be bit-identical to never having ingested incrementally —
+    // the composition contract the family advertises, asserted in one
+    // plan. The only full-corpus passes are the history artifacts'
+    // first build (fp index + labeling, stored tables in production)
+    // and the consumers' single scan for quality; everything between
+    // diff and merge is ∝ batch.
+    "q_c_incremental_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val history = d.filter(col("doc_id") % 10 =!= 0)
+      // L49: old snapshot = history, new snapshot = history ∪ batch;
+      // only rows the diff classifies `added` enter the ingest path
+      val added = graft.operators.SnapshotDiff
+        .diff(history, d, "doc_id", "text")
+        .filter(col("status") === "added")
+        .select(col("id").as("doc_id"))
+      val batch = d.join(added, "doc_id")
+      // history artifacts — first build here; stored at 100 TB
+      val hFp = graft.dedup.Dedup
+        .withSimhash(history, "doc_id", "text").localCheckpoint()
+      val existing = Clusters.simhashClustersOf(hFp, maxDist = 3)
+      // L40 probe ∝ batch: batch fps banded against the history index,
+      // plus the batch-internal pairs
+      val bFp = graft.dedup.Dedup
+        .withSimhash(batch, "doc_id", "text").localCheckpoint()
+      val batchEdges = graft.dedup.Dedup
+        .crossNearPairsOf(bFp, hFp, maxDist = 3)
+        .select(col("a"), col("b"))
+        .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
+          .select(col("ida").as("a"), col("idb").as("b")))
+      // L52: merge the batch into the existing labeling (cost ∝ batch)
+      val labels = graft.dedup.ClusterMaintain.mergeBatch(
+        existing, batch.select(col("doc_id").as("id")), batchEdges)
+      // L38 + L36 consumers over the MERGED labels
+      val quality = d.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+      val kept = Clusters.keepBestPerCluster(
+        labels.select("doc_id", "cluster_id").join(quality, Seq("doc_id")),
+        "doc_id", "cluster_id", "quality")
+      Sampling.splitByGroup(kept, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "quality", "keep", "split")
+        .orderBy("doc_id")
+    }),
+
     // L53 cross-corpus near-dedup: flag batch docs (doc_id%10==0, the
     // L40/L52 ingest convention) near-duplicating ANY reference doc;
     // nearest ref doc reported (min hamming, min id). Both sides
@@ -710,6 +760,32 @@ object CurationQueries {
     // incremental batch merge (L52) — SAME oracle verbatim: the merged
     // labeling must equal a from-scratch run on the union corpus
     "q_d_cc_incremental" -> CcClustersOracle,
+
+    // from-scratch over the UNION corpus: CC labels (shared CTE) →
+    // keep-best ranking → split cuts — the incremental chain must be
+    // indistinguishable from this, end to end
+    "q_c_incremental_ingest" -> {
+      val q = DataOpsQueries.qualitySql("toks")
+      s"""WITH RECURSIVE $CcLabCte,
+          tq AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          ql AS (SELECT doc_id, $q AS quality FROM tq),
+          j AS (
+            SELECT lab.doc_id, lab.cluster_id, ql.quality
+            FROM lab JOIN ql USING (doc_id)),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM j)
+          SELECT doc_id, cluster_id, quality, rn = 1 AS keep,
+                 CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 8))::BIGINT < 3435973836 THEN 'train'
+                      WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 8))::BIGINT < 3865470566 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM rk ORDER BY doc_id"""
+    },
 
     // nearest reference doc per batch doc by (hamming, ref id); the
     // oracle affords all-pairs at sf0.01 — the banded probe must agree
