@@ -27,15 +27,28 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    diffFingerprints(
+      oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("fp")),
+      newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("fp")),
+      "id", "fp")
+
+  /** [[diff]] over PRECOMPUTED content fingerprints (`idCol`, `fpCol`)
+    * — for callers whose old side is a STORED fingerprint table (the
+    * production shape: yesterday's snapshot exists only as its
+    * artifact, e.g. [[graft.dedup.ClusterLabels]]' refresh) rather
+    * than re-hashable documents. Same join shape and status contract.
+    */
+  def diffFingerprints(oldFps: DataFrame, newFps: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
     // presence is carried as an EXPLICIT per-side flag, not inferred
     // from fingerprint nullness: a doc with NULL text has md5=NULL but
     // is still PRESENT, so nullness-as-presence would misread it as
     // added (and NULL-vs-NULL text as added instead of unchanged)
-    val o = oldSnap.select(col(idCol).as("id"),
-      md5(col(textCol)).as("old_fp"), lit(true).as("in_old"))
-    val n = newSnap.select(col(idCol).as("id"),
-      md5(col(textCol)).as("new_fp"), lit(true).as("in_new"))
+    val o = oldFps.select(col(idCol).as("id"),
+      col(fpCol).as("old_fp"), lit(true).as("in_old"))
+    val n = newFps.select(col(idCol).as("id"),
+      col(fpCol).as("new_fp"), lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"), col("old_fp"), col("new_fp"),
         when(col("in_old").isNull, "added")
