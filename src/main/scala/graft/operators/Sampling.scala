@@ -206,6 +206,26 @@ object Sampling {
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
+  /** L56's WRITER — land the assignment as the partitioned on-disk
+    * layout it exists to produce (one `shard_id=N` directory per
+    * shard, the output-file layout of a training-data pipeline). One
+    * keyed repartition so a shard's rows arrive at one task — without
+    * it every write task opens a file in every shard directory it
+    * sees, fragmenting each shard into #tasks small files — then
+    * `partitionBy` routes rows to their directory.
+    *
+    * Durable-readback contract (the q_stream_sink_table pattern): the
+    * gate `q_c_shard_write` recomputes the manifest FROM the written
+    * files and hash-matches the same oracle as the in-plan manifest —
+    * what landed on disk, not what the plan promised, is what gets
+    * checked.
+    */
+  def writeShards(assigned: DataFrame, idCol: String, tokensCol: String,
+      dest: String): Unit =
+    assigned.select(col(idCol), col(tokensCol), col("shard_id"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
+
   /** Per-domain quota cap (the RefinedWeb/C4 "at most k pages per
     * host" rule): keep the k hash-smallest rows per domain, rank
     * attached as `cap_rank`. Selection is the same deterministic

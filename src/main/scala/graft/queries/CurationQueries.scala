@@ -231,6 +231,30 @@ object CurationQueries {
         "doc_id", "n_tokens")
         .orderBy("shard_id")),
 
+    // L56's writer VERIFIED DURABLY (round-9 verdict item 3): the
+    // assignment lands as a shard_id-partitioned parquet layout, and
+    // the manifest is recomputed FROM the written files — same oracle
+    // as q_c_shard_manifest, so a writer that drops, duplicates, or
+    // mis-routes a single row hash-fails the gate (the
+    // q_stream_sink_table durable-readback pattern).
+    "q_c_shard_write" -> ((s, dir) => {
+      val assigned = Sampling.shardByTokens(
+        docs(s, dir).select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val dest = s"${graft.Sessions.scratchRoot}/shards/${src.getParentFile.getName}"
+      Sampling.writeShards(assigned, "doc_id", "n_tokens", dest)
+      // partition-column readback: directory values parse as INT by
+      // default — restore the assignment's long type
+      Sampling.shardManifest(
+        s.read.parquet(dest)
+          .withColumn("shard_id", col("shard_id").cast("long")),
+        "doc_id", "n_tokens")
+        .orderBy("shard_id")
+    }),
+
     // L57 quantile trim: drop per-language token-count outliers
     // outside the exact discrete [p5, p95] window (winsorized corpus
     // membership); bounds broadcast, filter fuses into the scan.
@@ -846,6 +870,26 @@ object CurationQueries {
 
     // manifest over the same global cumsum
     "q_c_shard_manifest" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t),
+         a AS (
+           SELECT doc_id, n_tokens,
+                  CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
+           FROM c)
+         SELECT shard_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
+
+    // manifest recomputed from the DURABLE files — same global-cumsum
+    // oracle as q_c_shard_manifest by construction
+    "q_c_shard_write" ->
       """WITH t AS (
            SELECT doc_id,
                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
