@@ -105,8 +105,8 @@ object StreamBench {
     */
   def runSustained(spark: SparkSession, feedRoot: String,
       pagesPerBatch: Int, warmup: Int = 2): Stats = {
-    val progress =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Double, Long, String)]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -117,16 +117,28 @@ object StreamBench {
         val rows = e.progress.numInputRows
         val dur = Option(e.progress.durationMs.get("triggerExecution"))
           .map(_.toDouble / 1000.0).getOrElse(0.0)
-        if (rows > 0) progress.add((rows, dur))
+        val endOff =
+          if (e.progress.sources.nonEmpty)
+            String.valueOf(e.progress.sources.head.endOffset)
+          else ""
+        if (rows > 0) progress.add((rows, dur, e.progress.batchId, endOff))
       }
     }
     spark.streams.addListener(listener)
+    // fresh measurement window: a rerun replays the same cursor
+    // sequence, so stale admission stamps must not serve it
+    graft.sources.CursorPollSource.resetAdmissions()
+    // durable-commit wall-clock per batch id, recorded by the sink
+    // AFTER both table MERGEs — the emit side of per-event latency
+    val commits =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val base = s"${Sessions.scratchRoot}/stream_bench/${java.util.UUID.randomUUID()}"
     val t0 = System.nanoTime()
     val q = graft.streaming.EventSink.start(
       graft.streaming.PostPipeline.pollPosts(spark, feedRoot, pagesPerBatch),
       s"$base/events", s"$base/outbox", s"$base/chk",
-      trigger = Trigger.ProcessingTime(0))
+      trigger = Trigger.ProcessingTime(0),
+      onBatchCommit = (bid, tUs) => commits.put(bid, tUs))
     try q.processAllAvailable() finally {
       q.stop()
       spark.streams.removeListener(listener)
@@ -150,21 +162,32 @@ object StreamBench {
       else durs(math.min(durs.size - 1, (p * durs.size).toInt))
     val rows = steady.map(_._1).sum
     val procSec = steady.map(_._2).sum
-    // Per-EVENT ingest→durable-commit latency (the reference's published
-    // contract is per-event P50 45 s / P95 110 s, README.md:414-415;
-    // per-batch percentiles only bound it). With pinned admission every
-    // event in a micro-batch is read at batch start and becomes durable
-    // at the batch's MERGE commit, so its latency IS its batch's
-    // triggerExecution duration — the per-event percentile is therefore
-    // the ROW-WEIGHTED percentile over batch durations (a 15k-row batch
-    // counts 15k events at that latency, not one sample).
+    // TRUE per-event ingest→durable-commit latency (the reference's
+    // published contract is per-event P50 45 s / P95 110 s,
+    // README.md:414-415): ingest is the wall-clock at which the
+    // source ADMITTED the batch's end offset (recorded inside
+    // latestOffset), emit is the wall-clock AFTER both table MERGEs
+    // committed (recorded by the sink's onBatchCommit hook). Every
+    // row of a batch was admitted at the batch's admission instant
+    // and became durable at its commit, so the batch contributes
+    // `rows` samples at (commit − admission) — which includes the
+    // admission→execution scheduling gap the triggerExecution proxy
+    // missed. Falls back to the trigger duration for a batch missing
+    // either endpoint (listener racing the stop).
+    val lats = steady.map { case (n, dur, bid, endOff) =>
+      val measured = for {
+        c <- Option(commits.get(bid)).map(_.toLong)
+        a <- graft.sources.CursorPollSource.admissionTimeUs(endOff)
+      } yield (c - a) / 1e6
+      (n, measured.getOrElse(dur))
+    }
     def wpctl(p: Double): Double = {
-      if (steady.isEmpty || rows == 0) return 0.0
-      val byDur = steady.sortBy(_._2)
+      if (lats.isEmpty || rows == 0) return 0.0
+      val byLat = lats.sortBy(_._2)
       val target = p * rows
       var acc = 0L
-      byDur.find { case (n, _) => acc += n; acc >= target }
-        .map(_._2).getOrElse(byDur.last._2)
+      byLat.find { case (n, _) => acc += n; acc >= target }
+        .map(_._2).getOrElse(byLat.last._2)
     }
     Stats(
       eventsPerMin = if (procSec > 0) rows / procSec * 60.0 else 0.0,
@@ -173,7 +196,7 @@ object StreamBench {
       rows = rows, spanSec = spanSec,
       rowsPerBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0,
       latencyP50 = wpctl(0.50), latencyP95 = wpctl(0.95),
-      latencyMax = if (durs.isEmpty) 0.0 else durs.last)
+      latencyMax = if (lats.isEmpty) 0.0 else lats.map(_._2).max)
   }
 
   private def loadAvg1m(): Double =
@@ -237,7 +260,7 @@ object StreamBench {
       s""""ordering": "forked first from pristine Bench parent, before any batch query", """ +
       s""""scratch_root": "${Sessions.scratchRoot}", """ +
       s""""scratch_tmpfs": ${Sessions.scratchRoot.startsWith("/dev/shm")}, """ +
-      s""""latency_method": "per-event ingest-to-durable-commit = row-weighted batch triggerExecution percentile (reads at batch start, MERGE commit at batch end)"}, """ +
+      s""""latency_method": "per-row wall-clock: source admission (latestOffset instant, recorded per end offset) to durable commit (after events+outbox MERGE, onBatchCommit hook); row-weighted percentile over all events"}, """ +
       s""""all_runs": [${runs.map { case (s2, l) => statsJson(s2, l) }.mkString(", ")}], """ +
       s""""admission": {"handles": $handles, "rows_per_page": $rowsPerPage, """ +
       s""""pages_per_handle_per_batch": $pagesPerBatch}, """ +

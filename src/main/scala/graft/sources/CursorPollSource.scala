@@ -100,6 +100,33 @@ object CursorPollSource {
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
   }
+
+  /** Instrumentation: the wall-clock at which each end offset was
+    * ADMITTED (decided in `latestOffset`) — the per-event ingest
+    * timestamp of every row in that offset's micro-batch. StreamBench
+    * joins this against the durable-commit wall-clock to report TRUE
+    * per-event ingest→commit latency (the reference's published
+    * contract) instead of a batch-duration proxy. Bounded map, driver
+    * side only; the measurement path is outside every gate plan.
+    */
+  private val admissionUs =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** First-production wins: once the feed drains, every subsequent
+    * trigger re-produces the SAME (unchanged) end offset — re-stamping
+    * it would post-date admission past the batch's own commit.
+    */
+  private[sources] def recordAdmission(offsetJson: String): Unit = {
+    if (admissionUs.size > 100000) admissionUs.clear()
+    admissionUs.putIfAbsent(offsetJson, System.currentTimeMillis() * 1000L)
+  }
+
+  def admissionTimeUs(offsetJson: String): Option[Long] =
+    Option(admissionUs.get(offsetJson))
+
+  /** Start a fresh measurement window (a new bench run re-plays the
+    * same cursor sequence; stale stamps must not serve it). */
+  def resetAdmissions(): Unit = admissionUs.clear()
 }
 
 /** `spark.readStream.format("graft-poll").option("path", root)` (the
@@ -150,10 +177,12 @@ class CursorPollStream(root: String, maxPagesPerBatch: Int)
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CursorOffset].cursors
-    CursorOffset(handlesOf(root).map { h =>
+    val off = CursorOffset(handlesOf(root).map { h =>
       val have = pagesOf(root, h).size
       h -> math.min(have, from.getOrElse(h, 0) + maxPagesPerBatch)
     }.toMap)
+    recordAdmission(off.json())
+    off
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

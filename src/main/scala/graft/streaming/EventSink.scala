@@ -158,7 +158,10 @@ object EventSink {
   def start(posts: Dataset[RawPost], eventsPath: String, outboxPath: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
       deliver: OutboxEntry => Boolean = _ => true,
-      dlqMinAgeUs: Long = 3600L * 1000000L): StreamingQuery =
+      dlqMinAgeUs: Long = 3600L * 1000000L,
+      // measurement hook (StreamBench per-event latency): invoked with
+      // (batchId, wall-clock µs) AFTER both table commits are durable
+      onBatchCommit: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     PostPipeline.eventStream(posts).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -166,6 +169,7 @@ object EventSink {
       .foreachBatch { (batch: Dataset[EventRow], batchId: Long) =>
         processBatch(batch, batchId, eventsPath, outboxPath, deliver,
           dlqMinAgeUs)
+        onBatchCommit(batchId, System.currentTimeMillis() * 1000L)
       }
       .start()
 }
