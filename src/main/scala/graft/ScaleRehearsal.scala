@@ -1052,6 +1052,89 @@ object ScaleRehearsal {
                 |""".stripMargin
     }
 
+    // ---- 19. IVF incremental drift + retrain trigger (L58) --------
+    // ivfTopKIncremental freezes the history-trained coarse quantizer;
+    // repeated batch appends from a SHIFTED distribution pile onto few
+    // lists, and probe tail cost is nprobe·max_list — so the operator
+    // needs a stated retrain rule, not just a one-batch rehearsal.
+    // Drift model: batch k mixes every base vector toward one fixed
+    // attractor vector with weight min(0.85, 0.15·k) — mild drift
+    // first, near-collapse by k≈6.
+    {
+      import graft.similarity.Similarity
+      val history = embBig.filter(col("vec_id") % 5 =!= 0).localCheckpoint()
+      val nHist = history.count()
+      val nlistI = math.max(16, math.sqrt(nHist.toDouble).toInt)
+      val centsI = Similarity.ivfCentroids(history, "vec_id", "embedding", nlistI)
+      def balanceOf(df: DataFrame,
+          cents: Seq[Seq[Double]]): (Long, Double) = {
+        val counts = Similarity.prepared(df, "vec_id", "embedding")
+          .withColumn("list_id", Similarity.ivfAssign(col("e"), cents))
+          .groupBy("list_id").agg(count(lit(1)).as("n"))
+          .select(col("n"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        val mx = counts.max
+        (mx, mx * nlistI.toDouble / counts.sum)
+      }
+      val attractor = emb0.orderBy("vec_id").limit(1)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble)
+      val aLit = typedlit(attractor)
+      val (max0, bal0) = balanceOf(history, centsI)
+      val trigger = 2.0 * bal0
+      var corpus = history
+      var rows = Vector.empty[(Int, Long, Long, Double)]
+      var crossedAt = 0
+      var k = 1
+      while (k <= 8 && crossedAt == 0) {
+        val m = math.min(0.85, 0.15 * k)
+        val batch = emb0.select(
+          (col("vec_id") + lit(900000000L + k.toLong * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), aLit,
+            (x, a) => x * lit(1.0 - m) + a * lit(m)).as("embedding"))
+        corpus = corpus.select("vec_id", "embedding")
+          .unionByName(batch).localCheckpoint()
+        val n = corpus.count()
+        val (mx, bal) = balanceOf(corpus, centsI)
+        rows :+= ((k, n, mx, bal))
+        if (bal > trigger) crossedAt = k
+        k += 1
+      }
+      // what a retrain buys at the crossing point: the TRAINED
+      // quantizer (2 Lloyd rounds — the section-6 shape), since a
+      // drifted distribution is exactly where sample-init misplaces
+      // centroids
+      val centsR = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+        nlistI, iters = 2)
+      val (maxR, balR) = balanceOf(corpus, centsR)
+      sb ++= s"""
+                |## IVF incremental drift at ${rep}× (L58, nlist = $nlistI, frozen history centroids)
+                |
+                |Post-train balance (history only): max list $max0,
+                |max/mean ${f"$bal0%.1f"}; retrain trigger = 2× post-train
+                |= ${f"$trigger%.1f"}.
+                |
+                || batch k | drift mix | corpus N | max list | max/mean |
+                ||---|---|---|---|---|
+                |${rows.map { case (kk, n, mx, bal) =>
+                   s"| $kk | ${f"${math.min(0.85, 0.15 * kk)}%.2f"} | $n | $mx | ${f"$bal%.1f"} |"
+                 }.mkString("\n|")}
+                |
+                |Drifted batches crossed the trigger at batch ${if (crossedAt > 0) crossedAt else s"never (8 batches)"};
+                |re-training the quantizer (2 Lloyd rounds) on the union at that
+                |point brings it back to max list $maxR, max/mean ${f"$balR%.1f"}.
+                |**Retrain rule**:
+                |track per-list occupancy (the same counts the manifest
+                |already aggregates, ∝ batch per append) and retrain the
+                |coarse quantizer when max/mean exceeds 2× its post-train
+                |value — probe tail cost is nprobe·max_list, so the bound
+                |caps tail growth at 2× while in-distribution appends (the
+                |one-batch rehearsal above) never fire it. Retraining is the
+                |bounded k-means collect (nlist×dim cells) + one map-side
+                |re-assignment pass — no shuffle of the stored lists.
+                |""".stripMargin
+    }
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)

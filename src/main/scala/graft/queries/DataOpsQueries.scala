@@ -123,6 +123,60 @@ object DataOpsQueries {
         "label", k = 5, alpha = 0.65, poolCap = 50)
         .orderBy("label", "rank")),
 
+    // The ENCODER slot retired the F12 way (round-9 stretch): each
+    // document pooled into the TRAINED word-embedding space — a real
+    // committed PPMI+SVD artifact (embedding-svd-v1.tsv, trained by
+    // graft.TrainEmbedding) loaded once per partition behind the same
+    // mapPartitions slot as ModelSentiment. Sum pooling keeps the
+    // vector an EXACT fixed-point integer (cosine is scale-invariant,
+    // so sum ≡ mean for every ranking consumer), making this gate
+    // hash-exact against the artifact interpolated into the oracle as
+    // a VALUES list.
+    "q_t_embed_doc" -> ((s, dir) => {
+      val dim = graft.text.WordEmbedding.loadArtifact()._1
+      graft.text.WordEmbedding.embed(s, docs(s, dir), "doc_id", "text")
+        .toDF()
+        .select(col("docId").as("doc_id") +: col("nHit").as("n_hit") +:
+          (0 until dim).map(i => col("emb")(i).as(s"e${i + 1}")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine search FED BY the trained artifact: exact
+    // brute-force top-3 over the pooled document vectors (the
+    // verification harness; the scale path over the same vectors is
+    // the existing LSH/IVF family, which consumes any vector column).
+    "q_t_embed_nn" -> ((s, dir) => {
+      val vecs = graft.text.WordEmbedding
+        .embed(s, docs(s, dir), "doc_id", "text").toDF()
+        .filter(col("nHit") > 0 && exists(col("emb"), x => x =!= 0L))
+        .select(col("docId").as("doc_id"),
+          transform(col("emb"), x => x.cast("double")).as("emb"))
+      Similarity.bruteForceTopK(vecs, "doc_id", "emb",
+        id => id % 50 === 0, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // F14's MMR selection over the TRAINED document vectors, grouped
+    // by language: the same greedy algebra as q_f14_mmr_keyphrases
+    // (shared operator AND shared oracle CTE chain), with the learned
+    // artifact replacing the embeddings-table stand-in as the encoder.
+    "q_f14_mmr_trained" -> ((s, dir) => {
+      val langIdx = when(col("lang") === "de", 0)
+        .when(col("lang") === "en", 1).when(col("lang") === "es", 2)
+        .when(col("lang") === "fr", 3).when(col("lang") === "zh", 4)
+        .otherwise(9)
+      val groups = docs(s, dir).select(col("doc_id"), langIdx.as("grp"))
+      val vecs = graft.text.WordEmbedding
+        .embed(s, docs(s, dir), "doc_id", "text").toDF()
+        .filter(col("nHit") > 0 && exists(col("emb"), x => x =!= 0L))
+        .select(col("docId").as("doc_id"),
+          transform(col("emb"), x => x.cast("double")).as("emb"))
+        .join(groups, "doc_id")
+      Similarity.mmrKeyphrases(vecs, "doc_id", "emb", "grp",
+        k = 5, alpha = 0.65, poolCap = 50)
+        .orderBy("label", "rank")
+    }),
+
     // Brute-force cosine top-k ANN for a broadcast query subset.
     "q_s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
@@ -410,6 +464,94 @@ object DataOpsQueries {
                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          FROM embeddings)"""
 
+  /** Trained word-embedding artifact as CTEs (the F12 convention —
+    * the oracle scores with the SAME committed resource): `w` is the
+    * VALUES-list artifact, `dv` the per-document fixed-point sum
+    * pooling over the engine's exact token sequence.
+    */
+  private lazy val EmbArtifactCte: String = {
+    val dim = graft.text.WordEmbedding.loadArtifact()._1
+    val cols = (1 to dim).map(i => s"d$i").mkString(", ")
+    val sums = (1 to dim)
+      .map(i => s"CAST(coalesce(sum(d$i), 0) AS BIGINT) AS e$i")
+      .mkString(", ")
+    s"""w(term, $cols) AS (VALUES ${graft.text.WordEmbedding.sqlValues()}),
+       tkq AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS t
+         FROM documents),
+       dv AS (
+         SELECT tkq.doc_id, CAST(count(w.term) AS INTEGER) AS n_hit, $sums
+         FROM tkq LEFT JOIN w ON tkq.t = w.term
+         GROUP BY tkq.doc_id)"""
+  }
+
+  /** Pooled vectors as a (vec_id, e DOUBLE[]) select over `dv`,
+    * nonzero-vector docs only (cosine needs a norm).
+    */
+  private lazy val EmbVecSelect: String = {
+    val dim = graft.text.WordEmbedding.loadArtifact()._1
+    val list = (1 to dim).map(i => s"CAST(e$i AS DOUBLE)").mkString(", ")
+    val nonzero = (1 to dim).map(i => s"e$i <> 0").mkString(" OR ")
+    s"""SELECT doc_id AS vec_id, [$list] AS e
+        FROM dv WHERE n_hit > 0 AND ($nonzero)"""
+  }
+
+  /** The greedy-MMR oracle (5 chained argmax CTEs) over any candidate
+    * CTE chain ending in `nv(vec_id, label, e, nrm)` — shared verbatim
+    * by the embeddings-table gate and the trained-artifact gate: the
+    * selection algebra is the operator under test, whatever encoder
+    * produced the vectors.
+    */
+  private def mmrOracleSql(nvCte: String): String = {
+    val steps = (2 to 5).map { n =>
+      val prev = (1 until n).map(m => s"s$m")
+      val joins = prev.map(m => s"JOIN $m ON $m.label = p.label")
+        .mkString("\n             ")
+      val notSel = prev.map(m => s"p.vec_id <> $m.vec_id")
+        .mkString(" AND ")
+      val divSum = prev
+        .map(m => s"list_dot_product(p.e, $m.e) / (p.nrm * $m.nrm)")
+        .mkString(" + ")
+      s"""c$n AS (
+         SELECT p.label, p.vec_id, p.rel, p.e, p.nrm, p.rnk,
+                0.65 * p.rel - (1 - 0.65) * (($divSum) / ${n - 1}) AS score
+         FROM pool p
+           $joins
+         WHERE $notSel),
+       s$n AS (
+         SELECT * FROM c$n QUALIFY row_number() OVER (
+           PARTITION BY label ORDER BY score DESC, rnk ASC) = 1)"""
+    }.mkString(",\n         ")
+    val selects = (2 to 5).map(n =>
+      s"SELECT label, $n AS rank, vec_id, " +
+        s"${graft.functions.Parity.sqlRound("score", 6)} AS mmr_score FROM s$n")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $nvCte,
+       doc AS (SELECT label, min(vec_id) AS doc_id FROM nv GROUP BY label),
+       docv AS (
+         SELECT d.label, d.doc_id, nv.e AS de, nv.nrm AS dnrm
+         FROM doc d JOIN nv ON nv.vec_id = d.doc_id),
+       pool0 AS (
+         SELECT nv.label, nv.vec_id, nv.e, nv.nrm,
+                list_dot_product(nv.e, v.de) / (nv.nrm * v.dnrm) AS rel
+         FROM nv JOIN docv v ON nv.label = v.label
+         WHERE nv.vec_id <> v.doc_id),
+       pool AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY label ORDER BY rel DESC, vec_id ASC) AS rnk
+         FROM pool0 QUALIFY rnk <= 50),
+       s1 AS (SELECT *, rel AS score FROM pool WHERE rnk = 1),
+       $steps
+       SELECT * FROM (
+         SELECT label, 1 AS rank, vec_id,
+                ${graft.functions.Parity.sqlRound("rel", 6)} AS mmr_score
+         FROM s1
+       UNION ALL $selects)
+       ORDER BY label, rank"""
+  }
+
   /** SQL mirror of Similarity.planeSigns/signBuckets: ±1 from the
     * parity of the first md5 byte of "t:p:j" (parity of a byte == the
     * parity of its 2nd hex char), bucket = Σ (e·signs > 0) << p per
@@ -531,57 +673,58 @@ object DataOpsQueries {
     // 0.65*rel - (1-0.65)*mean(sim to sel-1..N-1) among the pool rows
     // not yet selected — float ops in the exact order of the Spark
     // fold (left-to-right div sum, literal (1 - 0.65)).
-    "q_f14_mmr_keyphrases" -> {
-      val steps = (2 to 5).map { n =>
-        val prev = (1 until n).map(m => s"s$m")
-        val joins = prev.map(m => s"JOIN $m ON $m.label = p.label")
-          .mkString("\n             ")
-        val notSel = prev.map(m => s"p.vec_id <> $m.vec_id")
-          .mkString(" AND ")
-        val divSum = prev
-          .map(m => s"list_dot_product(p.e, $m.e) / (p.nrm * $m.nrm)")
-          .mkString(" + ")
-        s"""c$n AS (
-           SELECT p.label, p.vec_id, p.rel, p.e, p.nrm, p.rnk,
-                  0.65 * p.rel - (1 - 0.65) * (($divSum) / ${n - 1}) AS score
-           FROM pool p
-             $joins
-           WHERE $notSel),
-         s$n AS (
-           SELECT * FROM c$n QUALIFY row_number() OVER (
-             PARTITION BY label ORDER BY score DESC, rnk ASC) = 1)"""
-      }.mkString(",\n         ")
-      val selects = (2 to 5).map(n =>
-        s"SELECT label, $n AS rank, vec_id, " +
-          s"${graft.functions.Parity.sqlRound("score", 6)} AS mmr_score FROM s$n")
-        .mkString("\n         UNION ALL ")
-      s"""WITH nv AS (
+    "q_f14_mmr_keyphrases" -> mmrOracleSql(
+      """nv AS (
            SELECT vec_id, CAST(label AS INT) AS label,
                   embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         doc AS (SELECT label, min(vec_id) AS doc_id FROM nv GROUP BY label),
-         docv AS (
-           SELECT d.label, d.doc_id, nv.e AS de, nv.nrm AS dnrm
-           FROM doc d JOIN nv ON nv.vec_id = d.doc_id),
-         pool0 AS (
-           SELECT nv.label, nv.vec_id, nv.e, nv.nrm,
-                  list_dot_product(nv.e, v.de) / (nv.nrm * v.dnrm) AS rel
-           FROM nv JOIN docv v ON nv.label = v.label
-           WHERE nv.vec_id <> v.doc_id),
-         pool AS (
-           SELECT *, row_number() OVER (
-             PARTITION BY label ORDER BY rel DESC, vec_id ASC) AS rnk
-           FROM pool0 QUALIFY rnk <= 50),
-         s1 AS (SELECT *, rel AS score FROM pool WHERE rnk = 1),
-         $steps
-         SELECT * FROM (
-           SELECT label, 1 AS rank, vec_id,
-                  ${graft.functions.Parity.sqlRound("rel", 6)} AS mmr_score
-           FROM s1
-         UNION ALL $selects)
-         ORDER BY label, rank"""
+           FROM embeddings)"""),
+
+    // pooled-vector parity against the committed artifact: fixed-point
+    // BIGINT sums on both sides, hash-exact
+    "q_t_embed_doc" -> {
+      val dim = graft.text.WordEmbedding.loadArtifact()._1
+      val picks = (1 to dim)
+        .map(i => s"coalesce(e$i, 0::BIGINT) AS e$i").mkString(", ")
+      s"""WITH $EmbArtifactCte
+         SELECT d.doc_id, coalesce(dv.n_hit, 0) AS n_hit, $picks
+         FROM documents d LEFT JOIN dv USING (doc_id)
+         ORDER BY d.doc_id"""
     },
+
+    // brute-force cosine over the trained doc vectors (q_s_ann_topk
+    // shape with nv = the artifact-pooled vectors)
+    "q_t_embed_nn" ->
+      s"""WITH $EmbArtifactCte,
+          n AS (
+            SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+            FROM ($EmbVecSelect)),
+          q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+          p AS (
+            SELECT q.qid, n.vec_id AS nn_id,
+                   list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) AS c
+            FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+          r AS (
+            SELECT qid, nn_id, c,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+            FROM p)
+          SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
+          FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // SAME greedy MMR CTE chain as q_f14_mmr_keyphrases, nv = the
+    // trained doc vectors grouped by language
+    "q_f14_mmr_trained" -> mmrOracleSql(
+      s"""$EmbArtifactCte,
+          lv AS (
+            SELECT doc_id,
+                   CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                             WHEN 'es' THEN 2 WHEN 'fr' THEN 3
+                             WHEN 'zh' THEN 4 ELSE 9 END AS label
+            FROM documents),
+          nv AS (
+            SELECT v.vec_id, lv.label, v.e,
+                   sqrt(list_dot_product(v.e, v.e)) AS nrm
+            FROM ($EmbVecSelect) v JOIN lv ON v.vec_id = lv.doc_id)"""),
 
     "q_s_ann_topk" ->
       s"""WITH $PreparedVecsCte,
