@@ -18,6 +18,7 @@ object PlanAudit {
     "q_a5_mention_24h" -> "1-row scalar max(ts) broadcast",
     "q_a8_top_holders" -> "1-row scalar total broadcast",
     "q_s_ann_topk" -> "brute-force baseline: broadcast query set (deliberate)",
+    "q_t_embed_nn" -> "brute-force baseline over trained doc vectors: broadcast query set (deliberate)",
     "q_s_sq8_topk" -> "SQ8 asymmetric scan: broadcast query set (composes with IVF lists at scale)",
     "q_s_jl_rerank" -> "JL candidate scan in r-dim space: broadcast query set + broadcast candidate list",
     "q_d7_topic_merge_embed" -> "non-equi pair join over ~20 topic centroids",

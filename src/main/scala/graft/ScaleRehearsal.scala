@@ -1100,10 +1100,14 @@ object ScaleRehearsal {
         if (bal > trigger) crossedAt = k
         k += 1
       }
-      // what a retrain buys at the crossing point: the TRAINED
-      // quantizer (2 Lloyd rounds — the section-6 shape), since a
-      // drifted distribution is exactly where sample-init misplaces
-      // centroids
+      // what a retrain buys at the crossing point — BOTH retrain
+      // flavors, because they optimize different things: sample
+      // re-init reallocates centroids ∝ current density (occupancy),
+      // Lloyd refinement minimizes distortion (and its empty-list
+      // fallback can MERGE centroids competing inside a collapsed
+      // cone, worsening occupancy)
+      val centsS = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlistI)
+      val (maxS, balS) = balanceOf(corpus, centsS)
       val centsR = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
         nlistI, iters = 2)
       val (maxR, balR) = balanceOf(corpus, centsR)
@@ -1120,18 +1124,29 @@ object ScaleRehearsal {
                    s"| $kk | ${f"${math.min(0.85, 0.15 * kk)}%.2f"} | $n | $mx | ${f"$bal%.1f"} |"
                  }.mkString("\n|")}
                 |
-                |Drifted batches crossed the trigger at batch ${if (crossedAt > 0) crossedAt else s"never (8 batches)"};
-                |re-training the quantizer (2 Lloyd rounds) on the union at that
-                |point brings it back to max list $maxR, max/mean ${f"$balR%.1f"}.
-                |**Retrain rule**:
-                |track per-list occupancy (the same counts the manifest
-                |already aggregates, ∝ batch per append) and retrain the
-                |coarse quantizer when max/mean exceeds 2× its post-train
-                |value — probe tail cost is nprobe·max_list, so the bound
-                |caps tail growth at 2× while in-distribution appends (the
-                |one-batch rehearsal above) never fire it. Retraining is the
-                |bounded k-means collect (nlist×dim cells) + one map-side
-                |re-assignment pass — no shuffle of the stored lists.
+                |Drifted batches crossed the trigger at batch ${if (crossedAt > 0) crossedAt else s"never (8 batches)"}.
+                |Retraining on the union at that point, both flavors:
+                |density-proportional sample re-init → max list $maxS,
+                |max/mean ${f"$balS%.1f"}; 2 Lloyd rounds → max list $maxR,
+                |max/mean ${f"$balR%.1f"}. The measured ordering is the finding:
+                |for OCCUPANCY under drift, sample re-init wins — it
+                |reallocates centroids ∝ the current density, while Lloyd
+                |minimizes distortion and its empty-list fallback merges
+                |centroids competing inside the collapsed cone. Neither fully
+                |restores the post-train ${f"$bal0%.1f"}: a near-collapsed
+                |mass is partly irreducible (the IVF-SQ8 replicated-vector
+                |skew argument) and the residual tail stays bounded by
+                |nprobe·max_list. **Retrain rule**: track per-list occupancy
+                |(the same counts the manifest already aggregates, ∝ batch
+                |per append); when max/mean exceeds 2× its post-train value,
+                |retrain by SAMPLE RE-INIT (+ Lloyd only if recall, not
+                |occupancy, regressed); if occupancy does not recover, the
+                |mass is collapsed and the hot list is handled by the SQ8
+                |section's cap/split, not by more retraining. Retraining is
+                |the bounded centroid collect (nlist×dim cells) + one
+                |map-side re-assignment pass — no shuffle of the stored
+                |lists. In-distribution appends (the one-batch rehearsal
+                |above) never fire the trigger.
                 |""".stripMargin
     }
 
