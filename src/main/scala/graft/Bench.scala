@@ -167,7 +167,9 @@ $fs
           .map(_.group(1)).getOrElse("null")
       s""","streaming":{"events_per_min":${grab("events_per_min")},""" +
         s""""batch_p50_s":${grab("batch_p50_s")},""" +
-        s""""batch_p95_s":${grab("batch_p95_s")}}"""
+        s""""batch_p95_s":${grab("batch_p95_s")},""" +
+        s""""latency_p50_s":${grab("latency_p50_s")},""" +
+        s""""latency_p95_s":${grab("latency_p95_s")}}"""
     }.getOrElse("")
 
     def compactLine(decimals: Int): String = {
