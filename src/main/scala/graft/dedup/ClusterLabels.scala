@@ -79,10 +79,25 @@ object ClusterLabels {
     * (doc_id, cluster_id, cluster_size).
     */
   def table(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val state = ensured(spark, sfDir, maxDist)
+    spark.read.parquet(s"$state/labels")
+  }
+
+  /** The maintained fingerprint index (doc_id, simhash) of the same
+    * state — the banded-probe side of the incremental-ingest chain
+    * (L40): consumers probe batch fps against THIS stored table
+    * instead of re-fingerprinting the history corpus.
+    */
+  def fps(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val state = ensured(spark, sfDir, maxDist)
+    spark.read.parquet(s"$state/fps")
+  }
+
+  private def ensured(spark: SparkSession, sfDir: String, maxDist: Int): String = {
     val root = rootFor(sfDir, maxDist)
     val state = s"$root/state_${corpusFp(sfDir)}"
     if (!Files.exists(Paths.get(s"$state/_STATE"))) refresh(spark, sfDir, maxDist, state, root)
-    spark.read.parquet(s"$state/labels")
+    state
   }
 
   private def refresh(spark: SparkSession, sfDir: String, maxDist: Int,
