@@ -156,6 +156,21 @@ object DataOpsQueries {
         .orderBy("qid", "rank")
     }),
 
+    // L59 — LEARNED BPE token counts (the F12 committed-artifact
+    // pattern, third instance): real byte-pair merges trained from
+    // the corpus (graft.TrainBpe), applied by the standard
+    // lowest-rank-first loop inside a per-partition memoized slot.
+    // The oracle joins the artifact's train-vocab subtoken counts
+    // (VALUES list) — BpeSpec proves the live encoder reproduces
+    // every stored count, so the join IS the encoder on trained
+    // vocabulary; OOV occurrences surface as n_oov.
+    "q_t_bpe_tokens" -> ((s, dir) =>
+      graft.text.BpeTokenizer.tokenCounts(s, docs(s, dir), "doc_id", "text")
+        .toDF()
+        .select(col("docId").as("doc_id"), col("nWords").as("n_words"),
+          col("nBpeKnown").as("n_bpe"), col("nOov").as("n_oov"))
+        .orderBy("doc_id")),
+
     // F14's MMR selection over the TRAINED document vectors, grouped
     // by language: the same greedy algebra as q_f14_mmr_keyphrases
     // (shared operator AND shared oracle CTE chain), with the learned
@@ -710,6 +725,29 @@ object DataOpsQueries {
             FROM p)
           SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // learned-BPE counts against the artifact's vocab table; the
+    // engine runs the real merge loop, the spec pins table == encoder
+    "q_t_bpe_tokens" ->
+      s"""WITH bv(term, n_sub) AS (VALUES ${graft.text.BpeTokenizer.sqlValues()}),
+          tkb AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents),
+          j AS (
+            SELECT tkb.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_words,
+                   CAST(coalesce(sum(bv.n_sub), 0) AS BIGINT) AS n_bpe,
+                   CAST(count(*) - count(bv.term) AS INTEGER) AS n_oov
+            FROM tkb LEFT JOIN bv ON tkb.t = bv.term
+            GROUP BY tkb.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(j.n_words, 0) AS INTEGER) AS n_words,
+                 CAST(coalesce(j.n_bpe, 0) AS BIGINT) AS n_bpe,
+                 CAST(coalesce(j.n_oov, 0) AS INTEGER) AS n_oov
+          FROM documents d LEFT JOIN j USING (doc_id)
+          ORDER BY d.doc_id""",
 
     // SAME greedy MMR CTE chain as q_f14_mmr_keyphrases, nv = the
     // trained doc vectors grouped by language
