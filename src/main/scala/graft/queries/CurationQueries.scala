@@ -246,6 +246,22 @@ object CurationQueries {
         "doc_id", "n_tokens")
         .orderBy("shard_id")),
 
+    // L56 × L59: the shard budget running on the LEARNED tokenizer —
+    // token counts from the committed BPE artifact (known subtokens +
+    // one per OOV occurrence, the UNK convention) feed the same
+    // two-phase prefix-sum assignment. This is the production pairing:
+    // shard cuts are denominated in the tokens the model will actually
+    // train on, not a regex approximation.
+    "q_c_shard_assign_learned" -> ((s, dir) => {
+      val counts = graft.text.BpeTokenizer
+        .tokenCounts(s, docs(s, dir), "doc_id", "text").toDF()
+        .select(col("docId").as("doc_id"),
+          (col("nBpeKnown") + col("nOov")).as("n_tokens"))
+      Sampling.shardByTokens(counts, "doc_id", "n_tokens",
+        budget = 8192L, bucketWidth = 32L)
+        .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")
+    }),
+
     // L56's writer VERIFIED DURABLY (round-9 verdict item 3): the
     // assignment lands as a shard_id-partitioned parquet layout, and
     // the manifest is recomputed FROM the written files — same oracle
@@ -901,6 +917,33 @@ object CurationQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM a GROUP BY shard_id ORDER BY shard_id""",
+
+    // learned-tokenizer shard budget: counts from the BPE artifact's
+    // vocab table (+1 per OOV), then the single global window the
+    // two-phase engine form must reproduce bit-for-bit
+    "q_c_shard_assign_learned" ->
+      s"""WITH bv(term, n_sub) AS (VALUES ${graft.text.BpeTokenizer.sqlValues()}),
+          tkb AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents),
+          cnt AS (
+            SELECT tkb.doc_id,
+                   CAST(coalesce(sum(bv.n_sub), 0)
+                     + (count(*) - count(bv.term)) AS BIGINT) AS n_tokens
+            FROM tkb LEFT JOIN bv ON tkb.t = bv.term
+            GROUP BY tkb.doc_id),
+          t AS (
+            SELECT d.doc_id, CAST(coalesce(cnt.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN cnt USING (doc_id)),
+          c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+          SELECT doc_id, n_tokens,
+                 CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
+          FROM c ORDER BY doc_id""",
 
     // manifest recomputed from the DURABLE files — same global-cumsum
     // oracle as q_c_shard_manifest by construction

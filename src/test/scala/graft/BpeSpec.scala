@@ -33,6 +33,20 @@ class BpeSpec extends AnyFunSuite {
       BpeTokenizer.encodeWith(merges, "sparkle"))
   }
 
+  test("property: any word reconstructs from its subtokens, with sane bounds") {
+    val (merges, _) = BpeTokenizer.loadArtifact()
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val toks = BpeTokenizer.encodeWith(merges, w)
+      assert(toks.mkString.stripSuffix("</w>") == w, s"'$w' broke")
+      assert(toks.nonEmpty && toks.length <= w.length,
+        s"'$w' -> ${toks.length} subtokens")
+      assert(toks.last.endsWith("</w>"), s"'$w' lost the end marker")
+    }
+  }
+
   test("tokenCounts slot: known sums + OOV tally per document") {
     import spark.implicits._
     val (merges, vocab) = BpeTokenizer.loadArtifact()
