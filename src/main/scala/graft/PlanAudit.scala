@@ -27,7 +27,12 @@ object PlanAudit {
     "q_t_perplexity" -> "1-row LM scalar (vocab size V) broadcast",
     "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast",
     "q_c_temperature_mix" -> "1-row mixture scalars (wsum, N) broadcast",
-    "q_c_corpus_overlap" -> "pair matrix over one-sketch-row-per-source (sources² rows, k-long arrays)")
+    "q_c_corpus_overlap" -> "pair matrix over one-sketch-row-per-source (sources² rows, k-long arrays)",
+    "q_c_shard_assign" -> "ordered global window over per-BUCKET summary rows only (#buckets ≈ #splits), not data rows — the two-phase prefix-sum offsets fold",
+    "q_c_shard_assign_learned" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
+    "q_c_shard_manifest" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
+    "q_c_shard_write" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
+    "q_t_bpe_pairs" -> "rank window over the 50 TakeOrderedAndProject survivors only (the q_a8 pattern)")
 
   /** One audited plan: anti-pattern hits, the whitelist reason if any,
     * and the build error if the plan could not even be constructed.
@@ -45,8 +50,19 @@ object PlanAudit {
         val hits = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "GlobalWindow" -> plan.linesIterator.exists(l =>
-            l.contains("Window") && l.contains("windowspecdefinition()") )
+          // a window with NO partition columns serializes its input
+          // through one task — catch both the unordered form (empty
+          // spec) and the ordered form (first spec argument is an
+          // ordering, i.e. "col ASC/DESC ...", not a partition column)
+          "GlobalWindow" -> plan.linesIterator.exists { l =>
+            l.contains("windowspecdefinition(") && {
+              val arg1 = l.substring(
+                  l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+                .takeWhile(_ != ',')
+              arg1.isEmpty || arg1.endsWith(")") ||
+                arg1.contains(" ASC") || arg1.contains(" DESC")
+            }
+          }
         ).filter(_._2).map(_._1)
         Audited(name, hits, Whitelist.get(name).filter(_ => hits.nonEmpty), None)
       } catch { case e: Throwable =>
