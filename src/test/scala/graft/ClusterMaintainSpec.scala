@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ClusterMaintain, Clusters}
+
+/** Randomized contract check for the L52 batch merge: for ANY prior
+  * graph and ANY batch (nodes + edges touching ≥ 1 batch node), the
+  * merged labeling must equal from-scratch connected components over
+  * the union graph — the contraction identity, pinned beyond the
+  * single real-data slicing the oracle gate exercises.
+  */
+class ClusterMaintainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("mergeBatch == from-scratch CC on random graphs and batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 5) {
+      val nHist = 40 + rnd.nextInt(40)
+      val nBatch = 1 + rnd.nextInt(15)
+      val histIds = (0L until nHist.toLong)
+      val batchIds = (1000L until 1000L + nBatch)
+      // prior graph: random sparse edges among history nodes
+      val histEdges = Seq.fill(nHist / 2)(
+        (histIds(rnd.nextInt(nHist)), histIds(rnd.nextInt(nHist))))
+        .filter { case (a, b) => a != b }
+      val existing = Clusters.connectedComponents(
+          histIds.toDF("id"), histEdges.toDF("a", "b"))
+        .groupBy("cluster_id").agg(collect_list("id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("cluster_id"),
+          size(col("ids")).as("cluster_size"))
+      // batch edges: each touches >= 1 batch node (batch-batch and
+      // batch-history mixes, including duplicates both ways)
+      val batchEdges = Seq.fill(nBatch * 2) {
+        val a = batchIds(rnd.nextInt(nBatch))
+        val b = if (rnd.nextBoolean()) histIds(rnd.nextInt(nHist))
+        else batchIds(rnd.nextInt(nBatch))
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val merged = ClusterMaintain.mergeBatch(existing,
+          batchIds.toDF("id"), batchEdges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // ground truth: CC over the union graph
+      val unionLabels = Clusters.connectedComponents(
+          (histIds ++ batchIds).toDF("id"),
+          (histEdges ++ batchEdges).toDF("a", "b"))
+        .groupBy("cluster_id").agg(collect_list("id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("cluster_id"),
+          size(col("ids")).as("cluster_size"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2).toLong)).toMap
+      assert(merged == unionLabels, s"trial $trial diverged")
+    }
+  }
+
+  test("empty batch is the identity") {
+    import spark.implicits._
+    val existing = Seq((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val merged = ClusterMaintain.mergeBatch(existing,
+        Seq.empty[Long].toDF("id"),
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == Set((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L)))
+  }
+}
