@@ -33,6 +33,17 @@ import graft.dedup.{ClusterMaintain, Dedup}
   * This is the streaming twin of [[graft.dedup.ClusterLabels]]'
   * batch-refresh path; both call the same merge operator against the
   * same three-table state shape.
+  *
+  * Scale note on the STATE WRITES: [[SnapshotTable.commit]] rewrites
+  * a full snapshot — that is the sandbox stand-in's cost, not the
+  * operator's (its own scaladoc: swap for a lakehouse table at
+  * cluster scale). The fp index and content snapshot are APPEND-ONLY
+  * (this loop only ever unions new rows in), so at 100 TB they are
+  * partition appends ∝ batch; the label table changes only in the
+  * affected clusters, an id-keyed MERGE touching ∝-batch partitions
+  * under the bucketed-by-doc_id layout. The COMPUTE side is ∝ batch
+  * end to end (the r9-rehearsed mergeBatch bound); nothing in the
+  * loop's dataflow scans the corpus after the state exists.
   */
 object IngestStream {
 
