@@ -43,6 +43,16 @@ import graft.operators.SnapshotDiff
   * NOT read this cache: each exists to exercise its clustering scheme
   * against the oracle, and a cache read would make the two alternate-
   * scheme gates vacuous copies of the first.
+  *
+  * Relationship to [[graft.streaming.IngestStream]]: same three-table
+  * state SHAPE, same merge operator, two deliberate lifecycles. This
+  * object is a corpus-identity-keyed CACHE on the scratch root —
+  * rebuildable at will, keyed so regenerated testdata can never serve
+  * stale labels, owned by batch consumers. IngestStream's state is a
+  * DURABLE versioned store coupled to a streaming checkpoint
+  * (batch-id-idempotent commits, crash-replay contract) — owned by
+  * the ingest loop. Collapsing them would couple every batch
+  * consumer's cache key to a stream's checkpoint lineage.
   */
 object ClusterLabels {
 
