@@ -585,11 +585,19 @@ object Similarity {
     * on label; pool capped at `poolCap` so the within-group pair count
     * is bounded at poolCap²), and the inherently-sequential greedy fold
     * runs per group over ≤poolCap collected candidates — the same
-    * bounded-group pattern as the heat EMA fold.
+    * bounded-group pattern as the heat EMA fold. Pool SELECTION is the
+    * salted two-phase top-k (the domainCap pattern): pass 1 ranks
+    * within (label, vec_id mod salts) and keeps ≤ pool per salt —
+    * bounding the hot task at salts·pool rows however large the group
+    * (a LANGUAGE-grouped corpus has a handful of giant groups; a
+    * single-window rank would funnel a fifth of the corpus through one
+    * task) — pass 2 ranks the ≤ salts·pool survivors. Bit-identical to
+    * the oracle's single window: each salt keeps its own pool-best, so
+    * the global top-pool is contained in the union.
     */
   def mmrKeyphrases(df: DataFrame, idCol: String, embCol: String,
       groupCol: String, k: Int = 5, alpha: Double = 0.65,
-      poolCap: Int = 50): DataFrame = {
+      poolCap: Int = 50, salts: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(groupCol).cast("int").as("label"),
@@ -600,12 +608,21 @@ object Similarity {
         doc("label") === base("label") && col("doc_id") === col("vec_id"))
       .select(doc("label").as("dlabel"), col("doc_id"),
         col("e").as("de"), col("nrm").as("dnrm"))
-    val w = Window.partitionBy("label")
-      .orderBy(col("rel").desc, col("vec_id").asc)
-    val pool = base.join(broadcast(docv), col("label") === col("dlabel"))
+    val pool0 = base.join(broadcast(docv), col("label") === col("dlabel"))
       .filter(col("vec_id") =!= col("doc_id"))
       .select(col("label"), col("vec_id"), col("e"), col("nrm"),
         cosine(col("e"), col("de"), col("nrm"), col("dnrm")).as("rel"))
+    // salted pre-prune: each salt keeps its own pool-best, so the
+    // global top-pool survives; the hot task is bounded at salts·pool
+    val w1 = Window
+      .partitionBy(col("label"), pmod(col("vec_id"), lit(salts.toLong)))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val w = Window.partitionBy("label")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = pool0
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= math.max(poolCap, k))
+      .drop("__r1")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= math.max(poolCap, k))
     val other = pool.select(col("label").as("plabel"),
