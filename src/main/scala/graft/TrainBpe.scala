@@ -20,9 +20,14 @@ import graft.text.TextAnalysis
   * frequency table (a map-side-combining count shuffle; the corpus
   * itself is never collected), and the merge loop then runs over that
   * BOUNDED type table on the driver (pair counts are weighted by type
-  * frequency, so the loop never needs the corpus again). Every
-  * selection is deterministic: merge = max pair count with
-  * lexicographic (left, right) tie order.
+  * frequency, so the loop never needs the corpus again). At web scale
+  * the type table gets the standard frequency floor before collection
+  * (drop count < N types — singleton junk dominates raw web type
+  * counts and contributes ~nothing to any pair statistic), keeping
+  * the driver table at the 10⁵-10⁶ types real tokenizers train on;
+  * this corpus has 31 types, so no floor is applied. Every selection
+  * is deterministic: merge = max pair count with lexicographic
+  * (left, right) tie order.
   *
   * The artifact has two sections:
   *   - `merges`: rank-ordered (left, right) pairs — the tokenizer
