@@ -226,6 +226,45 @@ object Sampling {
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
 
+  /** L60 — curriculum staging (easy→hard training-data ordering):
+    * every row assigned a difficulty stage 1..k within its group
+    * (difficulty is group-relative — a "long" Chinese doc and a
+    * "long" English doc are different percentiles), plus the
+    * deterministic in-stage order key; the training reader consumes
+    * `(stage, ord_key)` ascending and gets the curriculum schedule,
+    * reproducibly on any engine.
+    *
+    * Stage cuts are the exact discrete quantiles at rank ⌈n·i/k⌉
+    * (the [[Profiling.trimOutliers]] integer-rank convention, so the
+    * oracle mirror is hash-exact); ties at a cut fall to the LOWER
+    * stage (strict `>` against the cut). Scale shape: the cuts table
+    * is one row per group — broadcast, assignment map-side, order key
+    * a hash — so nothing global anywhere; at 100 TB the cuts come
+    * from the `percentile_approx` sketch ([[Profiling.approxQuantileBounds]]
+    * generalized to k points) and the assignment stage is unchanged,
+    * the same exact-vs-sketch split as the trim operator.
+    */
+  def curriculumStage(df: DataFrame, idCol: String, groupCol: String,
+      diffCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 stages: $k")
+    val v = col(diffCol).cast("long")
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val ranked = df.select(col(groupCol), v.as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__v"))))
+      .join(n, Seq(groupCol))
+    val cutAggs = (1 until k).map(i =>
+      max(when(col("__rn") === expr(s"(__n * $i + ${k - 1}) div $k"),
+        col("__v"))).as(s"__c$i"))
+    val marks = ranked.groupBy(col(groupCol)).agg(cutAggs.head, cutAggs.tail: _*)
+    val stage = (1 until k).map(i =>
+      when(v > col(s"__c$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    df.join(broadcast(marks), Seq(groupCol))
+      .withColumn("stage", stage)
+      .withColumn("ord_key", sampleKey32(col(idCol)))
+      .drop((1 until k).map(i => s"__c$i"): _*)
+  }
+
   /** Per-domain quota cap (the RefinedWeb/C4 "at most k pages per
     * host" rule): keep the k hash-smallest rows per domain, rank
     * attached as `cap_rank`. Selection is the same deterministic

@@ -298,6 +298,20 @@ object CurationQueries {
         .select("doc_id", "lang", "n_ws", "lo", "hi", "keep")
         .orderBy("doc_id")),
 
+    // L60 curriculum staging: per-language easy→hard quartiles over
+    // token count + the deterministic in-stage order key — the
+    // training reader's (stage, ord_key) schedule. Cuts broadcast,
+    // assignment map-side; at 100 TB the cuts come from the L54
+    // sketch, the same exact-vs-sketch split as quantile trim.
+    "q_c_curriculum" -> ((s, dir) =>
+      Sampling.curriculumStage(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("n_ws")),
+        "doc_id", "lang", "n_ws", k = 4)
+        .select("doc_id", "lang", "n_ws", "stage", "ord_key")
+        .orderBy("doc_id")),
+
     // L55 n-gram novelty: fraction of each batch doc's distinct
     // 3-grams unseen in the reference corpus (doc_id%10<>0) — the
     // prefer-novel curation signal; ref gram table is the stored
@@ -983,6 +997,31 @@ object CurationQueries {
                FROM r JOIN g USING (lang) GROUP BY r.lang)
          SELECT tk.doc_id, tk.lang, tk.n_ws, m.lo, m.hi,
                 tk.n_ws >= m.lo AND tk.n_ws <= m.hi AS keep
+         FROM tk JOIN m USING (lang) ORDER BY tk.doc_id""",
+
+    // per-language quartile cuts at rank ceil(n*i/4) (the trim
+    // integer-rank convention), stage = 1 + strict-> cut count,
+    // ord_key = the shared md5 32-bit sample key
+    "q_c_curriculum" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_ws
+           FROM documents),
+         g AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang),
+         r AS (SELECT lang, n_ws AS v,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_ws) AS rn
+               FROM tk),
+         m AS (SELECT r.lang,
+                      max(CASE WHEN rn = (n*1 + 3) // 4 THEN v END) AS c1,
+                      max(CASE WHEN rn = (n*2 + 3) // 4 THEN v END) AS c2,
+                      max(CASE WHEN rn = (n*3 + 3) // 4 THEN v END) AS c3
+               FROM r JOIN g USING (lang) GROUP BY r.lang)
+         SELECT tk.doc_id, tk.lang, tk.n_ws,
+                1 + CASE WHEN tk.n_ws > m.c1 THEN 1 ELSE 0 END
+                  + CASE WHEN tk.n_ws > m.c2 THEN 1 ELSE 0 END
+                  + CASE WHEN tk.n_ws > m.c3 THEN 1 ELSE 0 END AS stage,
+                ('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord_key
          FROM tk JOIN m USING (lang) ORDER BY tk.doc_id""",
 
     // novelty = 1 − seen/distinct-3-grams vs the reference side; a

@@ -905,6 +905,23 @@ class CurationSpec extends AnyFunSuite {
     assert(sketch == exact)
   }
 
+  test("curriculum staging: quartile cuts, ties to the lower stage, per-group scope") {
+    import spark.implicits._
+    // group a: values 1..8 -> cuts at ranks 2/4/6 = values 2/4/6;
+    // group b: constant value -> everything stage 1 (ties at cut)
+    val df = ((1 to 8).map(v => (v.toLong, "a", v.toLong)) ++
+      (101 to 104).map(i => (i.toLong, "b", 7L))).toDF("doc_id", "g", "v")
+    val got = Sampling.curriculumStage(df, "doc_id", "g", "v", k = 4)
+      .select("doc_id", "stage")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 1 && got(2L) == 1) // tie at cut c1=2 -> lower stage
+    assert(got(3L) == 2 && got(4L) == 2)
+    assert(got(5L) == 3 && got(6L) == 3)
+    assert(got(7L) == 4 && got(8L) == 4)
+    // constant group: every value equals every cut -> all stage 1
+    assert((101L to 104L).forall(got(_) == 1))
+  }
+
   test("shard assignment: null and negative ids fail with a named error") {
     import spark.implicits._
     val neg = Seq((1L, 5L), (-2L, 3L)).toDF("doc_id", "n_tokens")
