@@ -112,6 +112,38 @@ object DataOpsQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("ida", "idb")),
 
+    // L61 — semantic CONFIRMATION of lexical dedup candidates: the
+    // two-stage production pattern (cheap banded SimHash candidates →
+    // embedding-cosine verify, here with the TRAINED doc vectors) that
+    // kills the near-miss false positives word-level hashing admits.
+    // At sf0.01 the candidate cosines spread 0.68-0.99 (median 0.94),
+    // so θ=0.95 genuinely discriminates; the oracle recomputes both
+    // stages from the simhash CTE + the artifact VALUES list. Scale
+    // shape: candidates ∝ banding output; the verify is two hash joins
+    // on the pair endpoints + a map-side 16-dim cosine — never a pass
+    // over non-candidate pairs.
+    "q_d_semantic_confirm" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        maxDist = 3)
+      val vecs = graft.text.WordEmbedding
+        .embed(s, docs(s, dir), "doc_id", "text").toDF()
+        .filter(col("nHit") > 0 && exists(col("emb"), x => x =!= 0L))
+        .select(col("docId"),
+          transform(col("emb"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
+      val va = vecs.select(col("docId").as("ida"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val vb = vecs.select(col("docId").as("idb"), col("e").as("eb"),
+        col("nrm").as("nb"))
+      val cosRaw = Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+      pairs.join(va, "ida").join(vb, "idb")
+        .select(col("ida"), col("idb"),
+          col("hamming").cast("integer").as("hamming"),
+          Parity.roundHalfUp(cosRaw, 6).as("cos_sim"),
+          (cosRaw >= 0.95).as("confirmed"))
+        .orderBy("ida", "idb")
+    }),
+
     // F14: MMR keyphrase selection (greedy maximal-marginal-relevance
     // top-5, α=0.65, pool 50 — reference api/keyphrases.py:166-188)
     // per label group of the embeddings table; the doc vector is the
@@ -683,6 +715,31 @@ object DataOpsQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY ida, idb""",
+
+    // both stages recomputed: banded-candidate pairs from the simhash
+    // CTE, cosine from the artifact-pooled vectors; raw-double
+    // threshold compare (both engines run the identical IEEE chain,
+    // the q_s_embedding_nn convention)
+    "q_d_semantic_confirm" ->
+      s"""WITH $SimhashCte,
+          $EmbArtifactCte,
+          n AS (
+            SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+            FROM ($EmbVecSelect)),
+          p AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          c AS (
+            SELECT p.ida, p.idb, p.hamming,
+                   list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS craw
+            FROM p JOIN n x ON x.vec_id = p.ida
+                   JOIN n y ON y.vec_id = p.idb)
+          SELECT ida, idb, hamming,
+                 floor(craw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+                 craw >= 0.95 AS confirmed
+          FROM c ORDER BY ida, idb""",
 
     // MMR greedy unrolled: sel-N picks argmax of
     // 0.65*rel - (1-0.65)*mean(sim to sel-1..N-1) among the pool rows
