@@ -410,50 +410,11 @@ object CurationQueries {
     // sources²-row table — is what runs at 100 TB; the exact side here
     // is the verification harness (it pays the (source, gram) shuffle
     // the sketch avoids).
-    "q_c_corpus_overlap" -> ((s, dir) => {
-      import graft.similarity.CorpusSketch
-      val k = 512
-      val d = docs(s, dir)
-      val grams = d
-        .select(col("source"),
-          explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("g"))
-        .distinct()
-      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a")
-        .join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
-        .agg(count(lit(1)).as("inter"))
-      val est = CorpusSketch.pairEstimates(
-        CorpusSketch.sourceSketches(d, "source", "text", 3, k), k)
-      val exact = col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double")
-      val band = greatest(
-        lit(4.0) * sqrt(exact * (lit(1.0) - exact) / lit(k.toDouble)),
-        lit(8.0 / k))
-      // directional containment: exact c(A⊆B) = inter/na, binomial
-      // 4-sigma band on the sketch's effective sample (n_eff)
-      val contAB = col("inter").cast("double") / col("na").cast("double")
-      val contBA = col("inter").cast("double") / col("nb").cast("double")
-      def contBand(c: org.apache.spark.sql.Column,
-          nEff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = greatest(
-        lit(4.0) * sqrt(c * (lit(1.0) - c) / greatest(nEff, lit(1)).cast("double")),
-        lit(8.0) / greatest(nEff, lit(1)).cast("double"))
-      est
-        .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
-        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
-        .join(inter, Seq("sa", "sb"), "left")
-        .na.fill(0L, Seq("inter"))
-        .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
-          Parity.roundHalfUp(exact, 6).as("jaccard"),
-          Parity.roundHalfUp(contAB, 6).as("cont_a_in_b"),
-          Parity.roundHalfUp(contBA, 6).as("cont_b_in_a"),
-          (abs(col("est_jaccard") - exact) <= band &&
-            abs(col("est_cont_a_in_b") - contAB) <= contBand(contAB, col("n_eff_a")) &&
-            abs(col("est_cont_b_in_a") - contBA) <= contBand(contBA, col("n_eff_b")))
-            .as("within_band"))
-        .orderBy("sa", "sb")
-    }),
+    "q_c_corpus_overlap" -> ((s, dir) =>
+      corpusOverlapFull(s, dir)
+        .select("sa", "sb", "inter", "na", "nb", "jaccard",
+          "cont_a_in_b", "cont_b_in_a", "within_band")
+        .orderBy("sa", "sb")),
 
     // URL/domain blocklist gate (C4): planted URLs (the corpus has
     // none) derived from doc_id; hosts spam0..spam9.example.com are
@@ -656,6 +617,71 @@ object CurationQueries {
     * text. The oracle SQL rebuilds the identical string, so the hash
     * compare proves detection AND redaction byte-for-byte.
     */
+  /** The L46 corpus-overlap audit with DIAGNOSTIC band margins
+    * exposed (round-9 verdict item 4): for each of the three sketch
+    * checks the margin is `band − |estimate − exact|`, positive when
+    * the estimate sits inside its 4σ band. The gate selects the
+    * oracle-facing columns (margins are sketch-valued — an external
+    * oracle cannot reproduce them); CorpusSketchSpec reads the margin
+    * columns and asserts headroom, so a future testdata regen that
+    * erodes a band surfaces as a named failing margin instead of an
+    * opaque hash mismatch.
+    */
+  def corpusOverlapFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.CorpusSketch
+    val k = 512
+    val d = docs(s, dir)
+    val grams = d
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    val est = CorpusSketch.pairEstimates(
+      CorpusSketch.sourceSketches(d, "source", "text", 3, k), k)
+    val exact = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    val band = greatest(
+      lit(4.0) * sqrt(exact * (lit(1.0) - exact) / lit(k.toDouble)),
+      lit(8.0 / k))
+    // directional containment: exact c(A⊆B) = inter/na, binomial
+    // 4-sigma band on the sketch's effective sample (n_eff)
+    val contAB = col("inter").cast("double") / col("na").cast("double")
+    val contBA = col("inter").cast("double") / col("nb").cast("double")
+    def contBand(c: org.apache.spark.sql.Column,
+        nEff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = greatest(
+      lit(4.0) * sqrt(c * (lit(1.0) - c) / greatest(nEff, lit(1)).cast("double")),
+      lit(8.0) / greatest(nEff, lit(1)).cast("double"))
+    val mJ = band - abs(col("est_jaccard") - exact)
+    val mAB = contBand(contAB, col("n_eff_a")) -
+      abs(col("est_cont_a_in_b") - contAB)
+    val mBA = contBand(contBA, col("n_eff_b")) -
+      abs(col("est_cont_b_in_a") - contBA)
+    est
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        Parity.roundHalfUp(exact, 6).as("jaccard"),
+        Parity.roundHalfUp(contAB, 6).as("cont_a_in_b"),
+        Parity.roundHalfUp(contBA, 6).as("cont_b_in_a"),
+        // the gate boolean keeps the original comparison form (a
+        // margin-sign rewrite could flip on a sub-ulp edge); margins
+        // are the diagnostic view of the same three checks
+        (abs(col("est_jaccard") - exact) <= band &&
+          abs(col("est_cont_a_in_b") - contAB) <= contBand(contAB, col("n_eff_a")) &&
+          abs(col("est_cont_b_in_a") - contBA) <= contBand(contBA, col("n_eff_b")))
+          .as("within_band"),
+        mJ.as("margin_jaccard"),
+        mAB.as("margin_cont_ab"),
+        mBA.as("margin_cont_ba"))
+  }
+
   private def plantedPii(id: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val s = id.cast("string")

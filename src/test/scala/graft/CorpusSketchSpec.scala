@@ -94,4 +94,25 @@ class CorpusSketchSpec extends AnyFunSuite {
     // below k the sketch IS the set: 20 shared / 60 union exactly
     assert(math.abs(est - 20.0 / 60.0) < 1e-9)
   }
+
+  test("corpus-overlap gate: all band margins positive, headroom printed") {
+    // the diagnosability contract (round-9 verdict item 4): a future
+    // testdata regen that erodes a 4σ band fails HERE as a named
+    // margin, not as an opaque gate hash mismatch
+    val rows = graft.queries.CurationQueries
+      .corpusOverlapFull(spark, TestSpark.Sf)
+      .select("sa", "sb", "margin_jaccard", "margin_cont_ab",
+        "margin_cont_ba")
+      .collect()
+    assert(rows.nonEmpty)
+    val margins = rows.flatMap(r => Seq(
+      (s"${r.getString(0)}/${r.getString(1)} jaccard", r.getDouble(2)),
+      (s"${r.getString(0)}/${r.getString(1)} cont_ab", r.getDouble(3)),
+      (s"${r.getString(0)}/${r.getString(1)} cont_ba", r.getDouble(4))))
+    margins.foreach { case (name, m) =>
+      assert(m > 0.0, s"band margin non-positive for $name: $m")
+    }
+    val (minName, minM) = margins.minBy(_._2)
+    info(f"minimum band margin: $minM%.4f ($minName)")
+  }
 }
