@@ -31,7 +31,9 @@ object PlanAudit {
     "q_c_shard_assign" -> "ordered global window over per-BUCKET summary rows only (#buckets ≈ #splits), not data rows — the two-phase prefix-sum offsets fold",
     "q_c_shard_assign_learned" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
     "q_c_shard_manifest" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
-    "q_c_shard_write" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
+    // q_c_shard_write deliberately absent: its returned plan is only
+    // the durable-readback manifest (the write runs eagerly before it)
+    // and must stay window-free
     "q_t_bpe_pairs" -> "rank window over the 50 TakeOrderedAndProject survivors only (the q_a8 pattern)")
 
   /** One audited plan: anti-pattern hits, the whitelist reason if any,
