@@ -60,6 +60,29 @@ object ClusterMaintain {
     */
   def mergeBatch(existing: DataFrame, batchNodes: DataFrame,
       batchEdges: DataFrame): DataFrame = {
+    val (changed, affected) = mergeBatchDelta(existing, batchNodes, batchEdges)
+    // unaffected clusters keep their labels AND sizes (no new member
+    // can have joined them — every new edge lands in an affected one)
+    val untouched = existing
+      .join(broadcast(affected.withColumnRenamed("cluster_id", "cid")),
+        col("cluster_id") === col("cid"), "left_anti")
+      .select("doc_id", "cluster_id", "cluster_size")
+    untouched.union(changed)
+  }
+
+  /** The DELTA view of [[mergeBatch]]: only the rows whose label row
+    * can have changed — members of affected clusters (relabeled
+    * and/or resized) plus the batch docs — and the affected prior
+    * cluster ids. This is what a ∝-batch label-store MERGE writes
+    * ([[graft.streaming.BucketedTable]]): `changed` replaces same-key
+    * rows, every other row of the store is untouched by construction.
+    * `mergeBatch` == untouched-prior ∪ `changed` (shared code path).
+    *
+    * @return (changed rows `(doc_id, cluster_id, cluster_size)`,
+    *          affected prior cluster ids `(cluster_id)`)
+    */
+  def mergeBatchDelta(existing: DataFrame, batchNodes: DataFrame,
+      batchEdges: DataFrame): (DataFrame, DataFrame) = {
     val edges = batchEdges.select(col("a"), col("b"))
     val endpoints = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
@@ -106,12 +129,6 @@ object ClusterMaintain {
     val changed = relabeledMembers.join(sizes, "ncid")
       .select(col("doc_id"), col("ncid").as("cluster_id"),
         col("cluster_size"))
-    // unaffected clusters keep their labels AND sizes (no new member
-    // can have joined them — every new edge lands in an affected one)
-    val untouched = existing
-      .join(broadcast(affected.withColumnRenamed("cluster_id", "cid")),
-        col("cluster_id") === col("cid"), "left_anti")
-      .select("doc_id", "cluster_id", "cluster_size")
-    untouched.union(changed)
+    (changed, affected)
   }
 }

@@ -46,7 +46,7 @@ class IngestStreamSpec extends AnyFunSuite {
 
     val want = labelMap(
       Clusters.simhashClusters(d, "doc_id", "text", maxDist = 3))
-    val labelsT = new graft.streaming.SnapshotTable(spark, s"$state/labels")
+    val labelsT = IngestStream.labelsTable(spark, state)
     assert(labelMap(labelsT.read().get) == want)
     val v1 = labelsT.latest.get
 
@@ -56,10 +56,110 @@ class IngestStreamSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(s"$feed/*.parquet"),
       state, chk, maxDist = 3)
     try q2.processAllAvailable() finally q2.stop()
-    assert(new graft.streaming.SnapshotTable(spark, s"$state/labels")
-      .latest.get == v1)
+    assert(IngestStream.labelsTable(spark, state).latest.get == v1)
     assert(labelMap(labelsT.read().get) == want)
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** Every parquet data file under `dir`, as relative paths. */
+  private def dataFiles(dir: String): Set[String] = {
+    val base = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Set.empty[String]
+    if (java.nio.file.Files.exists(base))
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+          out += base.relativize(p).toString
+      }
+    out.toSet
+  }
+
+  test("state writes are ∝ batch: appends carry only the batch, label MERGE touches a strict bucket subset") {
+    val root = Files.createTempDirectory("ingest_prop").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val state = s"$root/state"
+
+    // the batch: three docs that are SINGLETONS in the from-scratch
+    // clustering (picked dynamically so a testdata regen keeps the
+    // test honest) — their change-set is exactly themselves, the
+    // ∝-batch case this test pins. A batch that near-dups into the
+    // corpus's 400-doc mega-cluster would LEGITIMATELY rewrite that
+    // cluster's rows (cluster_size changes for every member); that is
+    // ∝ affected-clusters, not ∝ corpus, and is covered by the
+    // convergence test above.
+    val singletons = Clusters
+      .simhashClusters(d, "doc_id", "text", maxDist = 3)
+      .filter(col("cluster_size") === 1)
+      .orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(singletons.size == 3, "testdata must contain ≥3 singleton docs")
+
+    // batch 0: everything else (bootstrap — writes everything)
+    IngestStream.processBatch(
+      d.filter(!col("doc_id").isin(singletons: _*)), 0L, state, maxDist = 3)
+    val after0 = dataFiles(state)
+
+    // batch 1: the singleton slice
+    val slice = d.filter(col("doc_id").isin(singletons: _*))
+    val sliceN = slice.count()
+    IngestStream.processBatch(slice, 1L, state, maxDist = 3)
+    val after1 = dataFiles(state)
+
+    // nothing from commit 0 is rewritten, ever
+    assert(after0.subsetOf(after1), "batch 1 must not rewrite batch 0's files")
+    val newFiles = after1 -- after0
+
+    // the appends carry exactly the batch's rows
+    val fpsNew = spark.read.parquet(s"$state/fps/b_1").count()
+    val snapNew = spark.read.parquet(s"$state/snap/b_1").count()
+    assert(fpsNew == sliceN && snapNew == sliceN,
+      s"appends must be batch-sized: fps=$fpsNew snap=$snapNew batch=$sliceN")
+
+    // the label MERGE rewrote a strict subset of the buckets — the
+    // ∝-batch write bound (a full rewrite would touch all of them)
+    val labelBuckets = newFiles
+      .filter(f => f.startsWith("labels/c_1/"))
+      .map(_.split("/")(2)) // "__bucket=k"
+    assert(labelBuckets.nonEmpty && labelBuckets.size <= sliceN &&
+        labelBuckets.size < IngestStream.LabelBuckets,
+      s"label MERGE touched ${labelBuckets.size} of " +
+        s"${IngestStream.LabelBuckets} buckets for a $sliceN-row " +
+        "change-set — expected ≤ one bucket per changed row")
+
+    // and the merged store still reads as the from-scratch labeling
+    val want = labelMap(
+      Clusters.simhashClusters(d, "doc_id", "text", maxDist = 3))
+    assert(labelMap(
+      IngestStream.labelsTable(spark, state).read().get) == want)
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("conflicting texts for one doc_id in a batch resolve deterministically (smallest digest wins)") {
+    val s = spark
+    import s.implicits._
+    val rootA = Files.createTempDirectory("ingest_tieA").toString
+    val rootB = Files.createTempDirectory("ingest_tieB").toString
+    val tA = "alpha text variant"
+    val tB = "beta text variant"
+    val winner = Seq(tA, tB).minBy(t => java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // same conflicting batch, both row orders → identical stored fp
+    for ((root, rows) <- Seq(rootA -> Seq(7L -> tA, 7L -> tB),
+                             rootB -> Seq(7L -> tB, 7L -> tA))) {
+      val batch = rows.toDF("doc_id", "text").repartition(2)
+      IngestStream.processBatch(batch, 0L, s"$root/state", maxDist = 3)
+      val snap = IngestStream.snapTable(spark, s"$root/state").read().get
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val wantFp = java.security.MessageDigest.getInstance("MD5")
+        .digest(winner.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(snap == Map(7L -> wantFp),
+        s"snapshot fp must be the smallest-digest text's, got $snap")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootA))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootB))
   }
 }
