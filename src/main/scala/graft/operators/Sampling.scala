@@ -240,9 +240,13 @@ object Sampling {
     * stage (strict `>` against the cut). Scale shape: the cuts table
     * is one row per group — broadcast, assignment map-side, order key
     * a hash — so nothing global anywhere; at 100 TB the cuts come
-    * from the `percentile_approx` sketch ([[Profiling.approxQuantileBounds]]
-    * generalized to k points) and the assignment stage is unchanged,
-    * the same exact-vs-sketch split as the trim operator.
+    * from the `percentile_approx` sketch
+    * ([[Profiling.approxQuantileCuts]]) fed into
+    * [[curriculumStageWith]] — the identical broadcast-assignment
+    * stage this exact path delegates to, the same exact-vs-sketch
+    * split as [[Profiling.trimOutliers]]/`trimOutliersWith`
+    * (CurationSpec pins both: the delegation is row-identical, and a
+    * sketch-fed run sits within the GK rank-error band).
     */
   def curriculumStage(df: DataFrame, idCol: String, groupCol: String,
       diffCol: String, k: Int): DataFrame = {
@@ -257,12 +261,28 @@ object Sampling {
       max(when(col("__rn") === expr(s"(__n * $i + ${k - 1}) div $k"),
         col("__v"))).as(s"__c$i"))
     val marks = ranked.groupBy(col(groupCol)).agg(cutAggs.head, cutAggs.tail: _*)
-    val stage = (1 until k).map(i =>
-      when(v > col(s"__c$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
-    df.join(broadcast(marks), Seq(groupCol))
-      .withColumn("stage", stage)
+      .select(col(groupCol),
+        array((1 until k).map(i => col(s"__c$i")): _*).as("__cuts"))
+    curriculumStageWith(df, idCol, groupCol, diffCol, marks)
+  }
+
+  /** The curriculum ASSIGNMENT stage against PRECOMPUTED per-group
+    * cuts — one row per group with (`groupCol`, `__cuts` ascending
+    * array of k−1 stage boundaries). [[curriculumStage]] delegates
+    * its exact integer-rank cuts here; the 100 TB path feeds
+    * [[Profiling.approxQuantileCuts]] (or any stored cuts table)
+    * instead. Stage = 1 + #cuts strictly below the value (ties fall
+    * to the LOWER stage), so the semantics are cut-source-agnostic;
+    * the stage itself is a broadcast join + a map-side array scan
+    * that fuses into the scan, whatever produced the cuts.
+    */
+  def curriculumStageWith(df: DataFrame, idCol: String, groupCol: String,
+      diffCol: String, cuts: DataFrame): DataFrame = {
+    val v = col(diffCol).cast("long")
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("stage", size(filter(col("__cuts"), c => v > c)) + lit(1))
       .withColumn("ord_key", sampleKey32(col(idCol)))
-      .drop((1 until k).map(i => s"__c$i"): _*)
+      .drop("__cuts")
   }
 
   /** Per-domain quota cap (the RefinedWeb/C4 "at most k pages per

@@ -922,6 +922,33 @@ class CurationSpec extends AnyFunSuite {
     assert((101L to 104L).forall(got(_) == 1))
   }
 
+  test("curriculum staging: sketch-cuts path shares the assignment stage with the exact path") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => (v.toLong, "a", v.toLong)) ++
+      (101 to 104).map(i => (i.toLong, "b", 7L))).toDF("doc_id", "g", "v")
+    def stages(got: org.apache.spark.sql.DataFrame) =
+      got.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = stages(Sampling.curriculumStage(df, "doc_id", "g", "v", k = 4))
+    // at accuracy 10000 the GK sketch is exact on 100 values, so the
+    // sketch-fed assignment must agree with the exact integer-rank
+    // path row-for-row — proving curriculumStageWith IS the shared
+    // stage (the trimOutliersWith precedent)
+    val cutsHi = graft.operators.Profiling.approxQuantileCuts(
+      df, "g", "v", Seq(0.25, 0.50, 0.75), accuracy = 10000)
+    assert(stages(Sampling.curriculumStageWith(
+      df, "doc_id", "g", "v", cutsHi)) == exact)
+    // at accuracy 100 the per-point rank error is ≤ n/accuracy = 1
+    // rank, so every sketch-fed stage sits within one stage of the
+    // exact one — the documented rank band
+    val cutsLo = graft.operators.Profiling.approxQuantileCuts(
+      df, "g", "v", Seq(0.25, 0.50, 0.75), accuracy = 100)
+    val approx = stages(Sampling.curriculumStageWith(
+      df, "doc_id", "g", "v", cutsLo))
+    assert(exact.forall { case (id, st) => (approx(id) - st).abs <= 1 },
+      "sketch-fed stage drifted beyond the 1-rank GK band")
+  }
+
   test("shard assignment: null and negative ids fail with a named error") {
     import spark.implicits._
     val neg = Seq((1L, 5L), (-2L, 3L)).toDF("doc_id", "n_tokens")
