@@ -36,6 +36,29 @@ object PlanAudit {
     // and must stay window-free
     "q_t_bpe_pairs" -> "rank window over the 50 TakeOrderedAndProject survivors only (the q_a8 pattern)")
 
+  /** A window with NO partition columns serializes its input through
+    * one task. Three textual forms of `windowspecdefinition(...)` in
+    * an executed plan mean "no partition":
+    *   - empty first argument (unordered, frameless — rare);
+    *   - first argument IS an ordering ("col ASC NULLS FIRST ..." —
+    *     ordered global window);
+    *   - first argument IS the frame spec
+    *     (`specifiedwindowframe(RowFrame, ...)` — unordered global
+    *     window; the first-comma truncation used to miss this form,
+    *     a round-10 advice fix: the frame being first means neither
+    *     partition nor order columns precede it).
+    * Anything else starts with a partition column.
+    */
+  private[graft] def globalWindowHit(l: String): Boolean =
+    l.contains("windowspecdefinition(") && {
+      val arg1 = l.substring(
+          l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+        .takeWhile(_ != ',')
+      arg1.isEmpty || arg1.endsWith(")") ||
+        arg1.startsWith("specifiedwindowframe(") ||
+        arg1.contains(" ASC") || arg1.contains(" DESC")
+    }
+
   /** One audited plan: anti-pattern hits, the whitelist reason if any,
     * and the build error if the plan could not even be constructed.
     */
@@ -52,19 +75,7 @@ object PlanAudit {
         val hits = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          // a window with NO partition columns serializes its input
-          // through one task — catch both the unordered form (empty
-          // spec) and the ordered form (first spec argument is an
-          // ordering, i.e. "col ASC/DESC ...", not a partition column)
-          "GlobalWindow" -> plan.linesIterator.exists { l =>
-            l.contains("windowspecdefinition(") && {
-              val arg1 = l.substring(
-                  l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
-                .takeWhile(_ != ',')
-              arg1.isEmpty || arg1.endsWith(")") ||
-                arg1.contains(" ASC") || arg1.contains(" DESC")
-            }
-          }
+          "GlobalWindow" -> plan.linesIterator.exists(globalWindowHit)
         ).filter(_._2).map(_._1)
         Audited(name, hits, Whitelist.get(name).filter(_ => hits.nonEmpty), None)
       } catch { case e: Throwable =>

@@ -38,7 +38,12 @@ object StreamBench {
       eventsPerMin: Double, batchP50: Double, batchP95: Double,
       batches: Int, warmupDropped: Int, rows: Long, spanSec: Double,
       rowsPerBatch: Double, latencyP50: Double, latencyP95: Double,
-      latencyMax: Double)
+      latencyMax: Double,
+      // batches whose per-row admission→commit measurement degraded to
+      // the batch-duration proxy (missing stamp or commit): 0 in a
+      // healthy run; nonzero makes a degraded measurement VISIBLE in
+      // the artifact instead of silently blending methods
+      latencyFallbackBatches: Int)
 
   /** Build (or reuse) the paged feed for `sfDir`'s events table. */
   def buildFeed(spark: SparkSession, sfDir: String, handles: Int,
@@ -179,14 +184,15 @@ object StreamBench {
         c <- Option(commits.get(bid)).map(_.toLong)
         a <- graft.sources.CursorPollSource.admissionTimeUs(endOff)
       } yield (c - a) / 1e6
-      (n, measured.getOrElse(dur))
+      (n, measured.getOrElse(dur), measured.isEmpty)
     }
+    val fallbackBatches = lats.count(_._3)
     def wpctl(p: Double): Double = {
       if (lats.isEmpty || rows == 0) return 0.0
       val byLat = lats.sortBy(_._2)
       val target = p * rows
       var acc = 0L
-      byLat.find { case (n, _) => acc += n; acc >= target }
+      byLat.find { case (n, _, _) => acc += n; acc >= target }
         .map(_._2).getOrElse(byLat.last._2)
     }
     Stats(
@@ -196,7 +202,8 @@ object StreamBench {
       rows = rows, spanSec = spanSec,
       rowsPerBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0,
       latencyP50 = wpctl(0.50), latencyP95 = wpctl(0.95),
-      latencyMax = if (lats.isEmpty) 0.0 else lats.map(_._2).max)
+      latencyMax = if (lats.isEmpty) 0.0 else lats.map(_._2).max,
+      latencyFallbackBatches = fallbackBatches)
   }
 
   private def loadAvg1m(): Double =
@@ -210,6 +217,7 @@ object StreamBench {
       f""""latency_p50_s": ${s.latencyP50}%.3f, "latency_p95_s": ${s.latencyP95}%.3f, """ +
       f""""latency_max_s": ${s.latencyMax}%.3f, """ +
       f""""batches": ${s.batches}, "warmup_dropped": ${s.warmupDropped}, """ +
+      f""""latency_fallback_batches": ${s.latencyFallbackBatches}, """ +
       f""""rows": ${s.rows}, "span_s": ${s.spanSec}%.1f, """ +
       f""""rows_per_batch": ${s.rowsPerBatch}%.0f, """ +
       f""""load_1m_before": $load%.2f}"""

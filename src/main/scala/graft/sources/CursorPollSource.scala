@@ -109,17 +109,31 @@ object CursorPollSource {
     * contract) instead of a batch-duration proxy. Bounded map, driver
     * side only; the measurement path is outside every gate plan.
     */
-  private val admissionUs =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val AdmissionCap = 100000
+
+  /** Insertion-order LRU: when the cap is hit, only the OLDEST stamp
+    * is dropped — the offset most likely already committed and
+    * measured. The previous clear-the-whole-map overflow behavior
+    * dropped stamps for offsets whose batches had NOT yet committed
+    * (round-10 advice), silently degrading those batches to the
+    * batch-duration fallback while the artifact still claimed the
+    * per-row method; consumers now count fallback batches explicitly
+    * (StreamBench `latency_fallback_batches`) so any residual
+    * degradation is visible, not claimed away.
+    */
+  private val admissionUs = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Long](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Long]): Boolean =
+        size() > AdmissionCap
+    })
 
   /** First-production wins: once the feed drains, every subsequent
     * trigger re-produces the SAME (unchanged) end offset — re-stamping
     * it would post-date admission past the batch's own commit.
     */
-  private[sources] def recordAdmission(offsetJson: String): Unit = {
-    if (admissionUs.size > 100000) admissionUs.clear()
+  private[sources] def recordAdmission(offsetJson: String): Unit =
     admissionUs.putIfAbsent(offsetJson, System.currentTimeMillis() * 1000L)
-  }
 
   def admissionTimeUs(offsetJson: String): Option[Long] =
     Option(admissionUs.get(offsetJson))

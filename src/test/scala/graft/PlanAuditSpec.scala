@@ -25,4 +25,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val stale = PlanAudit.Whitelist.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"whitelist entries without a query: $stale")
   }
+
+  test("global-window detector catches all three no-partition forms") {
+    // ordered global window: first spec argument is an ordering
+    assert(PlanAudit.globalWindowHit(
+      "windowspecdefinition(x#1L ASC NULLS FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))"))
+    // UNORDERED global window: first spec argument is the frame itself
+    // (the form the first-comma truncation used to silently miss)
+    assert(PlanAudit.globalWindowHit(
+      "windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$()))"))
+    // empty spec
+    assert(PlanAudit.globalWindowHit("windowspecdefinition()"))
+    // partitioned windows — ordered and unordered — do not hit
+    assert(!PlanAudit.globalWindowHit(
+      "windowspecdefinition(g#2, x#1L ASC NULLS FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))"))
+    assert(!PlanAudit.globalWindowHit(
+      "windowspecdefinition(g#2, specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$()))"))
+    assert(!PlanAudit.globalWindowHit("HashAggregate(keys=[g#2])"))
+  }
 }
