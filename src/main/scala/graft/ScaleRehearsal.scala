@@ -1083,6 +1083,7 @@ object ScaleRehearsal {
       val (max0, bal0) = balanceOf(history, centsI)
       val trigger = 2.0 * bal0
       var corpus = history
+      var drifted: Option[DataFrame] = None
       var rows = Vector.empty[(Int, Long, Long, Double)]
       var crossedAt = 0
       var k = 1
@@ -1094,6 +1095,8 @@ object ScaleRehearsal {
             (x, a) => x * lit(1.0 - m) + a * lit(m)).as("embedding"))
         corpus = corpus.select("vec_id", "embedding")
           .unionByName(batch).localCheckpoint()
+        drifted = Some(drifted.map(_.unionByName(batch)).getOrElse(batch)
+          .localCheckpoint())
         val n = corpus.count()
         val (mx, bal) = balanceOf(corpus, centsI)
         rows :+= ((k, n, mx, bal))
@@ -1111,6 +1114,22 @@ object ScaleRehearsal {
       val centsR = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
         nlistI, iters = 2)
       val (maxR, balR) = balanceOf(corpus, centsR)
+      // the rule as EXECUTABLE CODE (round-10 verdict item 4): the
+      // ivfMaintain operator must fire on the drifted sweep and stay
+      // a no-op on an in-distribution batch — same decision inputs,
+      // read off the operator's own output columns
+      def maintainFlag(batch: DataFrame): (Boolean, Double, Double) = {
+        val r = Similarity.ivfMaintain(history, batch, "vec_id",
+            "embedding", id => id % 997 === 0, k = 5, nlist = nlistI)
+          .select("retrained", "occ_ratio_trained", "occ_ratio_after")
+          .head()
+        (r.getBoolean(0), r.getDouble(1), r.getDouble(2))
+      }
+      val (firedD, d0, d1) = maintainFlag(drifted.get)
+      val (firedI, i0, i1) = maintainFlag(emb0.filter(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding"))
+      require(firedD && !firedI,
+        s"ivfMaintain trigger contract violated: drifted=$firedD in-dist=$firedI")
       sb ++= s"""
                 |## IVF incremental drift at ${rep}× (L58, nlist = $nlistI, frozen history centroids)
                 |
@@ -1147,6 +1166,15 @@ object ScaleRehearsal {
                 |map-side re-assignment pass — no shuffle of the stored
                 |lists. In-distribution appends (the one-batch rehearsal
                 |above) never fire the trigger.
+                |
+                |**Operator check (the rule as code, not prose)**: running
+                |`ivfMaintain(history, batches)` on this sweep's drifted
+                |batches fires retrained = true
+                |(max/mean ${f"$d0%.2f"} → ${f"$d1%.2f"}, > 2×), and the
+                |same call on an in-distribution batch stays retrained =
+                |false (${f"$i0%.2f"} → ${f"$i1%.2f"}) — asserted by this
+                |rehearsal run; the oracle-gated arms are
+                |`q_s_ivf_maintain` / `q_s_ivf_maintain_drift`.
                 |""".stripMargin
     }
 

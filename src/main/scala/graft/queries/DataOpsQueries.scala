@@ -340,6 +340,42 @@ object DataOpsQueries {
         .orderBy("qid", "rank")
     }),
 
+    // L58's retrain rule EXECUTABLE, no-drift arm: the standard
+    // ingest slice leaves list occupancy inside the 2× trigger, so
+    // ivfMaintain must KEEP the stored quantizer — the search is
+    // identical to q_s_ivf_incremental (DataOpsSpec asserts the
+    // row-level identity), and the trigger arithmetic (both
+    // occupancy ratios + the decision) rides on every row so the
+    // oracle proves the rule evaluated, not just the search it chose.
+    "q_s_ivf_maintain" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfMaintain(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", id => id % 50 === 0,
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    // L58 drift arm: half the corpus arrives concentrated near one
+    // direction (abs + 1 shifts every vector into the positive
+    // orthant), occupancy max/mean blows past 2× the post-train
+    // value (≈8 vs a ≈1.2–1.7 baseline at every SF), and the rule
+    // must RE-INITIALIZE the quantizer from a sample of the union —
+    // the oracle re-derives the occupancy counts, the trigger
+    // comparison, AND the re-balanced search, branching on its own
+    // computed flag.
+    "q_s_ivf_maintain_drift" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfMaintain(
+        e.filter(col("vec_id") % 2 =!= 0),
+        e.filter(col("vec_id") % 2 === 0).withColumn("embedding",
+          transform(col("embedding"), x => abs(x) + lit(1.0))),
+        "vec_id", "embedding", id => id % 50 === 0,
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // D7 embedding branch of semantic topic merge (reference
     // api/services/topic_analyzer.py:311-353: merge topics whose
     // entity-set embedding cosine ≥ threshold; the Jaccard branch is
@@ -504,6 +540,70 @@ object DataOpsQueries {
                    x -> floor(x / sqrt(list_dot_product($m.m, $m.m)) * 1000000000.0 + 0.5) / 1000000000.0),
                    $cin.c) AS c
           FROM $cin LEFT JOIN $m USING (cid))"""
+
+  /** Full mirror of [[graft.similarity.Similarity.ivfMaintain]]: the
+    * occupancy counts under the stored (history-initialized)
+    * quantizer before and after the batch, the 2× trigger comparison,
+    * a genuine SQL BRANCH on the computed flag (stored vs
+    * union-re-initialized centroids), and the probe search under
+    * whichever the branch picked. `nCte` supplies the (possibly
+    * drifted) prepared-vector CTE ending in
+    * `n(vec_id, e, nrm)`; `histCond` names the history slice.
+    */
+  private def ivfMaintainOracle(nCte: String, histCond: String): String =
+    s"""WITH $nCte,
+        cent0 AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                 list_transform(e, x -> x / nrm) AS c
+          FROM n WHERE $histCond
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        rnk0 AS (
+          SELECT n.vec_id, cent0.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.e, cent0.c) DESC, cent0.cid ASC) AS rn
+          FROM n CROSS JOIN cent0),
+        occ0 AS (
+          SELECT cid, count(*) AS cnt FROM rnk0
+          WHERE rn = 1 AND $histCond GROUP BY cid),
+        occu AS (SELECT cid, count(*) AS cnt FROM rnk0 WHERE rn = 1 GROUP BY cid),
+        r0 AS (SELECT max(cnt) / (sum(cnt) / 16.0) AS v FROM occ0),
+        r1 AS (SELECT max(cnt) / (sum(cnt) / 16.0) AS v FROM occu),
+        flag AS (
+          SELECT (SELECT v FROM r1) > 2.0 * (SELECT v FROM r0) AS retrained),
+        centu AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                 list_transform(e, x -> x / nrm) AS c
+          FROM n
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        cent AS (
+          SELECT cid, c FROM centu WHERE (SELECT retrained FROM flag)
+          UNION ALL
+          SELECT cid, c FROM cent0 WHERE NOT (SELECT retrained FROM flag)),
+        rnk AS (
+          SELECT n.vec_id, cent.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.e, cent.c) DESC, cent.cid ASC) AS rn
+          FROM n CROSS JOIN cent),
+        asg AS (SELECT vec_id, cid AS list_id FROM rnk WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS qid, cid AS list_id FROM rnk
+          WHERE rn <= 4 AND vec_id % 50 = 0),
+        sc AS (
+          SELECT p.qid, a.vec_id AS nn_id,
+                 list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c
+          FROM probes p
+          JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+          JOIN n x ON x.vec_id = a.vec_id
+          JOIN n y ON y.vec_id = p.qid),
+        r AS (
+          SELECT qid, nn_id, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nn_id ASC) AS rank
+          FROM sc)
+        SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank,
+               (SELECT retrained FROM flag) AS retrained,
+               floor((SELECT v FROM r0) * 1000000.0 + 0.5) / 1000000.0 AS occ_ratio_trained,
+               floor((SELECT v FROM r1) * 1000000.0 + 0.5) / 1000000.0 AS occ_ratio_after
+        FROM r WHERE rank <= 5 ORDER BY qid, rank"""
 
   private val PreparedVecsCte =
     """n AS (
@@ -938,6 +1038,30 @@ object DataOpsQueries {
             FROM sc)
           SELECT qid, nn_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rank
           FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // no-drift arm: standard vector CTE, %10 ingest slices — the
+    // computed flag must come out false and the cent branch must
+    // fall through to the stored quantizer
+    "q_s_ivf_maintain" -> ivfMaintainOracle(
+      """n AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)""",
+      "vec_id % 10 <> 0"),
+
+    // drift arm: the even half arrives shifted into the positive
+    // orthant; the flag must come out true and the cent branch must
+    // take the union-sample re-init
+    "q_s_ivf_maintain_drift" -> ivfMaintainOracle(
+      """n0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+         n1 AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 2 = 0
+                       THEN list_transform(e0, x -> abs(x) + 1.0)
+                       ELSE e0 END AS e
+           FROM n0),
+         n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n1)""",
+      "vec_id % 2 <> 0"),
 
     // Pages rebuilt with the same overlapping self-joins; the zipped
     // double-unnest mirrors posexplode; first occurrence by

@@ -354,9 +354,21 @@ object Similarity {
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = ivfCentroids(history, idCol, embCol, nlist)
     val corpus = prepared(history, idCol, embCol)
-      .withColumn("list_id", ivfAssign(col("e"), cents))
-      .unionByName(prepared(batch, idCol, embCol)
-        .withColumn("list_id", ivfAssign(col("e"), cents)))
+      .unionByName(prepared(batch, idCol, embCol))
+    ivfProbeSearch(corpus, cents, queryPred, k, nprobe)
+  }
+
+  /** The shared IVF probe-join search over a PREPARED corpus frame
+    * (`vec_id`, `e`, `nrm`) against literal centroids: map-side list
+    * assignment, broadcast query probes, per-query top-k. Both the
+    * frozen-quantizer path ([[ivfTopKIncremental]]) and the
+    * retrain-on-drift path ([[ivfMaintain]]) end here — which
+    * centroids to search with is the ONLY thing the maintenance rule
+    * decides.
+    */
+  private def ivfProbeSearch(prep: DataFrame, cents: Seq[Seq[Double]],
+      queryPred: Column => Column, k: Int, nprobe: Int): DataFrame = {
+    val corpus = prep.withColumn("list_id", ivfAssign(col("e"), cents))
     val q = corpus.filter(queryPred(col("vec_id")))
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qnrm"),
@@ -371,6 +383,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nn_id"),
         Parity.roundHalfUp(col("cos_sim_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** L58's retrain rule EXECUTABLE (round-10 verdict item 4): measure
+    * the inverted lists' occupancy drift after an ingest batch and
+    * re-initialize the coarse quantizer from a sample of the union
+    * corpus when the stated trigger fires — the SCALE_REHEARSAL.md
+    * rule ("max/mean occupancy > `driftFactor` × the post-train
+    * value → sample re-init") as an operator, not prose.
+    *
+    *   - occupancy is measured under the STORED quantizer (history
+    *     centroids) before and after the batch: max list count over
+    *     mean (total/nlist, empty lists counted) — two bounded
+    *     nlist-row aggregations, the same model-artifact-sized
+    *     driver collect as the trainer;
+    *   - NO drift → the result is IDENTICAL to [[ivfTopKIncremental]]
+    *     (same centroids, same probe search; DataOpsSpec asserts the
+    *     identity row-for-row, and `q_s_ivf_maintain` shares the
+    *     search SQL with `q_s_ivf_incremental`);
+    *   - drift → centroids re-initialize via [[ivfCentroids]] over
+    *     history ∪ batch (the rehearsed remedy) and the search runs
+    *     under the re-balanced lists (`q_s_ivf_maintain_drift` — the
+    *     oracle re-derives the trigger arithmetic AND the re-init).
+    *
+    * The decision inputs ride on every output row (`retrained`,
+    * `occ_ratio_trained`, `occ_ratio_after`) so the oracle's hash
+    * compare proves the trigger, not just the search it selected.
+    */
+  def ivfMaintain(history: DataFrame, batch: DataFrame, idCol: String,
+      embCol: String, queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      driftFactor: Double = 2.0): DataFrame = {
+    val cents0 = ivfCentroids(history, idCol, embCol, nlist)
+    def occupancyRatio(prep: DataFrame): Double = {
+      val counts = prep
+        .withColumn("list_id", ivfAssign(col("e"), cents0))
+        .groupBy("list_id").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1))
+      if (counts.isEmpty) 1.0
+      else counts.max / (counts.sum.toDouble / nlist)
+    }
+    val hPrep = prepared(history, idCol, embCol)
+    val uPrep = hPrep.unionByName(prepared(batch, idCol, embCol))
+    val r0 = occupancyRatio(hPrep)
+    val r1 = occupancyRatio(uPrep)
+    val retrain = r1 > driftFactor * r0
+    val cents =
+      if (retrain) ivfCentroids(history.unionByName(batch), idCol, embCol, nlist)
+      else cents0
+    ivfProbeSearch(uPrep, cents, queryPred, k, nprobe)
+      .withColumn("retrained", lit(retrain))
+      .withColumn("occ_ratio_trained", Parity.roundHalfUp(lit(r0), 6))
+      .withColumn("occ_ratio_after", Parity.roundHalfUp(lit(r1), 6))
   }
 
   /** L50 — IVF-SQ8, the production ANN configuration (faiss

@@ -255,6 +255,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"incremental IVF top-1 recall was $recall")
   }
 
+  test("ivfMaintain: no drift == frozen-quantizer incremental search; drift fires the re-init") {
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val pred = (id: org.apache.spark.sql.Column) => id % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nn_id", "cos_sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    // the no-drift identity contract: same centroids, same probe
+    // search, row-for-row — ivfMaintain degenerates to
+    // ivfTopKIncremental when the trigger does not fire
+    val inc = rows(Similarity.ivfTopKIncremental(hist, batch,
+      "vec_id", "embedding", pred, k = 5, nlist = 16, nprobe = 4))
+    val mnt = Similarity.ivfMaintain(hist, batch,
+      "vec_id", "embedding", pred, k = 5, nlist = 16, nprobe = 4)
+    assert(mnt.select("retrained").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+    assert(rows(mnt) == inc)
+    // a concentrated half-corpus batch fires the 2× trigger
+    val driftBatch = e.filter(col("vec_id") % 2 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => abs(x) + lit(1.0)))
+    val fired = Similarity.ivfMaintain(e.filter(col("vec_id") % 2 =!= 0),
+        driftBatch, "vec_id", "embedding", pred, k = 5)
+      .select("retrained", "occ_ratio_trained", "occ_ratio_after").head()
+    assert(fired.getBoolean(0),
+      s"drifted batch must fire: r0=${fired.getDouble(1)} r1=${fired.getDouble(2)}")
+    assert(fired.getDouble(2) > 2.0 * fired.getDouble(1))
+  }
+
   test("IVF-SQ8 top-k recall >= 0.9 on planted near-dups") {
     val got = Similarity.ivfSq8TopK(planted, "vec_id", "embedding",
       id => id >= 1000 && id < 5000, k = 1, nlist = 16, nprobe = 4)
