@@ -286,6 +286,40 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // L56 × L60 (round-10 verdict item 6): the shard writer landing
+    // CURRICULUM ORDER inside each shard — the training reader's
+    // (stage, ord_key)-ascending contract as a property of the bytes
+    // on disk. The gate reads the order back FROM the written files
+    // (_metadata.row_index = the position a sequential reader
+    // consumes) and the oracle recomputes the whole expected layout —
+    // token counts, cumsum shard cuts, per-language quartile stages,
+    // order keys, and the within-shard rank — from scratch in SQL; an
+    // unsorted, fragmented, dropped, or duplicated row hash-fails.
+    "q_c_shard_write_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val assigned = Sampling.shardByTokens(
+        d.select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L)
+      val staged = Sampling.curriculumStage(
+        d.select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("n_ws")),
+        "doc_id", "lang", "n_ws", k = 4)
+        .select("doc_id", "stage", "ord_key")
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val dest = s"${graft.Sessions.scratchRoot}/shards_curriculum/" +
+        src.getParentFile.getName
+      Sampling.writeShardsOrdered(assigned.join(staged, Seq("doc_id")),
+        "doc_id", "n_tokens", "stage", "ord_key", dest)
+      s.read.parquet(dest)
+        .select(col("shard_id").cast("long").as("shard_id"),
+          col("doc_id"), col("stage"), col("ord_key"),
+          col("_metadata.row_index").as("pos"))
+        .orderBy("shard_id", "pos")
+    }),
+
     // L57 quantile trim: drop per-language token-count outliers
     // outside the exact discrete [p5, p95] window (winsorized corpus
     // membership); bounds broadcast, filter fuses into the scan.
@@ -404,16 +438,20 @@ object CurationQueries {
     }),
 
     // Corpus-level overlap audit (L46): per source PAIR, exact 3-gram
-    // Jaccard (oracle-checked) + a tolerance row asserting the KMV
-    // bottom-k sketch estimate sits within its 4-sigma band. The
-    // sketch path — one partial-agg pass per source, pair math over a
-    // sources²-row table — is what runs at 100 TB; the exact side here
-    // is the verification harness (it pays the (source, gram) shuffle
-    // the sketch avoids).
+    // Jaccard + the KMV bottom-k sketch estimates + the 4-sigma band
+    // boolean — ALL oracle-mirrored (round-10 verdict item 5): the
+    // sketch hash is the engine-neutral md5-prefix long, so DuckDB
+    // re-derives the identical per-source bottom-k arrays, the three
+    // estimates, the bands, and within_band, instead of asserting
+    // TRUE. The sketch path — one partial-agg pass per source, pair
+    // math over a sources²-row table — is what runs at 100 TB; the
+    // exact side here is the verification harness (it pays the
+    // (source, gram) shuffle the sketch avoids).
     "q_c_corpus_overlap" -> ((s, dir) =>
       corpusOverlapFull(s, dir)
         .select("sa", "sb", "inter", "na", "nb", "jaccard",
-          "cont_a_in_b", "cont_b_in_a", "within_band")
+          "cont_a_in_b", "cont_b_in_a",
+          "est_j", "est_c_ab", "est_c_ba", "within_band")
         .orderBy("sa", "sb")),
 
     // URL/domain blocklist gate (C4): planted URLs (the corpus has
@@ -620,10 +658,13 @@ object CurationQueries {
   /** The L46 corpus-overlap audit with DIAGNOSTIC band margins
     * exposed (round-9 verdict item 4): for each of the three sketch
     * checks the margin is `band − |estimate − exact|`, positive when
-    * the estimate sits inside its 4σ band. The gate selects the
-    * oracle-facing columns (margins are sketch-valued — an external
-    * oracle cannot reproduce them); CorpusSketchSpec reads the margin
-    * columns and asserts headroom, so a future testdata regen that
+    * the estimate sits inside its 4σ band. Since round 11 the sketch
+    * hash is engine-neutral (md5-prefix long), so the gate also
+    * exposes the ESTIMATES and the oracle re-derives sketch,
+    * estimates, bands, and `within_band` in SQL — the hash compare
+    * proves the whole KMV pipeline, not just the exact side. The
+    * margins stay gate-external (diagnostics): CorpusSketchSpec reads
+    * them and asserts headroom, so a future testdata regen that
     * erodes a band surfaces as a named failing margin instead of an
     * opaque hash mismatch.
     */
@@ -670,6 +711,11 @@ object CurationQueries {
         Parity.roundHalfUp(exact, 6).as("jaccard"),
         Parity.roundHalfUp(contAB, 6).as("cont_a_in_b"),
         Parity.roundHalfUp(contBA, 6).as("cont_b_in_a"),
+        // sketch estimates, oracle-mirrored since the hash is
+        // engine-neutral (see CorpusSketch scaladoc)
+        Parity.roundHalfUp(col("est_jaccard"), 6).as("est_j"),
+        Parity.roundHalfUp(col("est_cont_a_in_b"), 6).as("est_c_ab"),
+        Parity.roundHalfUp(col("est_cont_b_in_a"), 6).as("est_c_ba"),
         // the gate boolean keeps the original comparison form (a
         // margin-sign rewrite could flip on a sub-ulp edge); margins
         // are the diagnostic view of the same three checks
@@ -1005,6 +1051,52 @@ object CurationQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM a GROUP BY shard_id ORDER BY shard_id""",
 
+    // the on-disk curriculum order recomputed from scratch: BPE-regex
+    // token counts → global cumsum shard cuts (q_c_shard_assign),
+    // whitespace counts → per-language quartile stages + md5 order
+    // keys (q_c_curriculum), expected position = the within-shard
+    // (stage, ord_key, doc_id) rank — compared against positions read
+    // from the written files
+    "q_c_shard_write_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t),
+         a AS (
+           SELECT doc_id,
+                  CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
+           FROM c),
+         tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_ws
+           FROM documents),
+         g AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang),
+         r AS (SELECT lang, n_ws AS v,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_ws) AS rn
+               FROM tk),
+         m AS (SELECT r.lang,
+                      max(CASE WHEN rn = (n*1 + 3) // 4 THEN v END) AS c1,
+                      max(CASE WHEN rn = (n*2 + 3) // 4 THEN v END) AS c2,
+                      max(CASE WHEN rn = (n*3 + 3) // 4 THEN v END) AS c3
+               FROM r JOIN g USING (lang) GROUP BY r.lang),
+         st AS (
+           SELECT tk.doc_id,
+                  1 + CASE WHEN tk.n_ws > m.c1 THEN 1 ELSE 0 END
+                    + CASE WHEN tk.n_ws > m.c2 THEN 1 ELSE 0 END
+                    + CASE WHEN tk.n_ws > m.c3 THEN 1 ELSE 0 END AS stage,
+                  ('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord_key
+           FROM tk JOIN m USING (lang))
+         SELECT a.shard_id, a.doc_id, st.stage, st.ord_key,
+                row_number() OVER (PARTITION BY a.shard_id
+                  ORDER BY st.stage, st.ord_key, a.doc_id) - 1 AS pos
+         FROM a JOIN st USING (doc_id)
+         ORDER BY shard_id, pos""",
+
     // same integer-rank discrete-quantile convention as
     // q_c_quantile_profile, at p5/p95, applied as a row filter flag
     "q_c_quantile_trim" ->
@@ -1334,9 +1426,10 @@ object CurationQueries {
          FROM o FULL OUTER JOIN nw ON o.id = nw.id
          ORDER BY id""",
 
-    // exact pairwise 3-gram Jaccard between sources; the sketch's
-    // tolerance boolean asserted TRUE (q_a6_active_window_approx
-    // convention — the estimate itself can't be reproduced off-engine)
+    // FULL KMV mirror (round-10 verdict item 5): the engine-neutral
+    // md5-prefix hash lets the oracle re-derive each source's
+    // bottom-512 sketch, the union-bottom-k estimates, the 4-sigma
+    // bands, and within_band — no asserted-TRUE column left
     "q_c_corpus_overlap" ->
       """WITH tk AS (
            SELECT source,
@@ -1353,26 +1446,73 @@ object CurationQueries {
            FROM tk),
          g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
          sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         hs AS (
+           SELECT DISTINCT source,
+                  ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+           FROM g),
+         sk AS (
+           SELECT source,
+                  list_slice(list_sort(list(h)), 1, 512) AS sketch
+           FROM hs GROUP BY source),
          p AS (
            SELECT a.source AS sa, b.source AS sb, count(*) AS inter
            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
            GROUP BY 1, 2),
          pairs AS (
-           SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb
-           FROM sizes x JOIN sizes y ON x.source < y.source)
+           SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb,
+                  xs.sketch AS ska, ys.sketch AS skb
+           FROM sizes x JOIN sizes y ON x.source < y.source
+           JOIN sk xs ON xs.source = x.source
+           JOIN sk ys ON ys.source = y.source),
+         uk AS (
+           SELECT sa, sb, na, nb, ska, skb,
+                  list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+                    1, 512) AS unionk,
+                  least(512, len(list_distinct(list_concat(ska, skb)))) AS denom
+           FROM pairs),
+         cnts AS (
+           SELECT sa, sb, na, nb, denom,
+                  len(list_intersect(unionk,
+                    list_intersect(ska, skb))) AS common,
+                  len(list_intersect(unionk, ska)) AS in_a,
+                  len(list_intersect(unionk, skb)) AS in_b
+           FROM uk),
+         f AS (
+           SELECT c.sa, c.sb,
+                  coalesce(p.inter, 0) AS inter, c.na, c.nb,
+                  CAST(coalesce(p.inter, 0) AS DOUBLE)
+                    / (c.na + c.nb - coalesce(p.inter, 0)) AS ex_j,
+                  CAST(coalesce(p.inter, 0) AS DOUBLE) / c.na AS ex_ab,
+                  CAST(coalesce(p.inter, 0) AS DOUBLE) / c.nb AS ex_ba,
+                  CAST(c.common AS DOUBLE)
+                    / CAST(greatest(c.denom, 1) AS DOUBLE) AS es_j,
+                  CAST(c.common AS DOUBLE)
+                    / CAST(greatest(c.in_a, 1) AS DOUBLE) AS es_ab,
+                  CAST(c.common AS DOUBLE)
+                    / CAST(greatest(c.in_b, 1) AS DOUBLE) AS es_ba,
+                  c.in_a, c.in_b
+           FROM cnts c LEFT JOIN p USING (sa, sb))
          SELECT sa, sb,
-                CAST(coalesce(p.inter, 0) AS BIGINT) AS inter,
+                CAST(inter AS BIGINT) AS inter,
                 CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-                floor(CAST(coalesce(p.inter, 0) AS DOUBLE)
-                      / (na + nb - coalesce(p.inter, 0))
-                      * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
-                floor(CAST(coalesce(p.inter, 0) AS DOUBLE) / na
-                      * 1000000.0 + 0.5) / 1000000.0 AS cont_a_in_b,
-                floor(CAST(coalesce(p.inter, 0) AS DOUBLE) / nb
-                      * 1000000.0 + 0.5) / 1000000.0 AS cont_b_in_a,
-                TRUE AS within_band
-         FROM pairs LEFT JOIN p USING (sa, sb)
-         ORDER BY sa, sb""",
+                floor(ex_j * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                floor(ex_ab * 1000000.0 + 0.5) / 1000000.0 AS cont_a_in_b,
+                floor(ex_ba * 1000000.0 + 0.5) / 1000000.0 AS cont_b_in_a,
+                floor(es_j * 1000000.0 + 0.5) / 1000000.0 AS est_j,
+                floor(es_ab * 1000000.0 + 0.5) / 1000000.0 AS est_c_ab,
+                floor(es_ba * 1000000.0 + 0.5) / 1000000.0 AS est_c_ba,
+                (abs(es_j - ex_j) <=
+                   greatest(4.0 * sqrt(ex_j * (1.0 - ex_j) / 512.0), 0.015625)
+                 AND abs(es_ab - ex_ab) <=
+                   greatest(4.0 * sqrt(ex_ab * (1.0 - ex_ab)
+                              / CAST(greatest(in_a, 1) AS DOUBLE)),
+                            8.0 / CAST(greatest(in_a, 1) AS DOUBLE))
+                 AND abs(es_ba - ex_ba) <=
+                   greatest(4.0 * sqrt(ex_ba * (1.0 - ex_ba)
+                              / CAST(greatest(in_b, 1) AS DOUBLE)),
+                            8.0 / CAST(greatest(in_b, 1) AS DOUBLE)))
+                  AS within_band
+         FROM f ORDER BY sa, sb""",
 
     // The whole pipeline composed from the per-stage mirrors: planted
     // PII + regex chain (q_t_pii_scrub), tokenization + quality

@@ -15,7 +15,7 @@ import graft.text.TextAnalysis
   * dups"; this answers the corpus-level question with a bottom-k
   * (k-minimum-values) MinHash sketch per source:
   *
-  *   - pass 1: per-source bottom-k sketch of xxhash64(word n-gram) —
+  *   - pass 1: per-source bottom-k sketch of hash(word n-gram) —
   *     a mergeable [[Aggregator]] (bounded sorted array, ≤ k longs),
   *     so it PARTIAL-aggregates: each map task reduces its slice to
   *     ≤ k values before the (source)-keyed shuffle moves anything.
@@ -31,10 +31,16 @@ import graft.text.TextAnalysis
   * 4-sigma-with-floor tolerance-row contract as the HLL and
   * percentile sketch gates (`q_a6_active_window_approx`).
   *
-  * Signed-long ordering note: xxhash64 values are uniform over the
-  * full signed range, and KMV only needs A uniform total order — the
-  * sketch, the union-bottom-k, and `array_sort` all use the same
-  * signed order, so the estimate is consistent.
+  * Hash choice (round-10 verdict item 5): the shingle hash is the
+  * first 15 hex chars of md5 parsed as a 60-bit non-negative long —
+  * ENGINE-NEUTRAL, so the DuckDB oracle re-derives the identical
+  * sketch, estimates, bands, and `within_band` boolean instead of
+  * asserting TRUE (`('0x' || substr(md5(g),1,15))::BIGINT` is the
+  * mirror, the sampleKey32 convention at 60 bits). KMV only needs a
+  * uniform total order, which a truncated cryptographic hash gives;
+  * the swap from xxhash64 costs one md5 per distinct shingle — at
+  * 100 TB still map-side, and the sketch pass is shared with the
+  * md5-keyed sampling family anyway.
   */
 object CorpusSketch {
 
@@ -104,7 +110,8 @@ object CorpusSketch {
     docs
       .select(col(srcCol).as("source"),
         explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
-      .select(col("source"), xxhash64(col("g")).as("h"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy("source")
       .agg(bk(col("h")).as("sketch"))
   }
