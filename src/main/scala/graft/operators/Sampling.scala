@@ -226,6 +226,32 @@ object Sampling {
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
 
+  /** L56 × L60 — the shard writer landing CURRICULUM ORDER inside
+    * each shard (round-10 verdict item 6): the training reader's
+    * contract is `(stage, ord_key)`-ascending rows per shard file, so
+    * the easy→hard schedule is a property of the BYTES ON DISK, not
+    * of a sort the reader must re-run. Same one keyed repartition as
+    * [[writeShards]] (a shard's rows arrive at one task → one file
+    * per shard directory), plus an in-task sort — shard first so each
+    * directory's rows stream out contiguously, then the curriculum
+    * key, id as the deterministic tiebreak. Parquet preserves row
+    * order within a file, and `_metadata.row_index` on readback IS
+    * the position the reader will consume — the gate
+    * `q_c_shard_write_curriculum` recomputes the expected order from
+    * scratch in the oracle and hash-compares against positions read
+    * FROM the written files, so an unsorted (or fragmented) shard
+    * hash-fails.
+    */
+  def writeShardsOrdered(assigned: DataFrame, idCol: String,
+      tokensCol: String, stageCol: String, ordCol: String,
+      dest: String): Unit =
+    assigned.select(col(idCol), col(tokensCol), col(stageCol),
+        col(ordCol), col("shard_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(stageCol), col(ordCol),
+        col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
+
   /** L60 — curriculum staging (easy→hard training-data ordering):
     * every row assigned a difficulty stage 1..k within its group
     * (difficulty is group-relative — a "long" Chinese doc and a
