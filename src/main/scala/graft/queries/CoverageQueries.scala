@@ -179,6 +179,25 @@ object CoverageQueries {
         .orderBy("media_id")
     }),
 
+    // Multimodal, REAL decode (round-10 stretch): genuine BMP and WAV
+    // bytes are synthesized per doc (real headers, bottom-up padded
+    // pixel rows, RIFF chunk list), then parsed by the pure-JVM
+    // decoders inside the same mapPartitions slot the stub occupied.
+    // The oracle predicts the DECODED features (dimensions, weighted
+    // mean luma, sample count/duration/mean amplitude) analytically
+    // from the id — the decoder only ever sees file bytes, so a
+    // wrong offset, padding, row order, or chunk walk hash-fails.
+    "q_m_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) (id, "bmp", Multimodal.Fixtures.bmpBytes(id))
+          else (id, "wav", Multimodal.Fixtures.wavBytes(id))
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.decodeMedia(media).toDF().orderBy("media_id")
+    }),
+
     // Multimodal: frame-sampling plumbing (video rows, 5s cadence).
     "q_m_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -637,6 +656,49 @@ object CoverageQueries {
                   * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
                 CAST(greatest(1, (n_chars * 10) // 1000) AS BIGINT) AS frame_count
          FROM documents ORDER BY media_id""",
+
+    // analytic mirror of the encoded pixel/sample content: the gate's
+    // decoder must land on exactly these numbers from the BYTES alone
+    "q_m_media_decode" ->
+      """WITH b AS (
+           SELECT doc_id AS media_id,
+                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 4 AS BIGINT) AS h
+           FROM documents WHERE doc_id % 2 = 0),
+         bp AS (
+           SELECT media_id, w, h,
+                  list_sum(flatten(list_transform(range(h), y ->
+                    list_transform(range(w), x ->
+                        299 * ((media_id + x + 11*y) % 256)
+                      + 587 * ((media_id + 5*x + y) % 256)
+                      + 114 * ((media_id + 3*x + 7*y) % 256))))) AS lsum
+           FROM b),
+         wv AS (
+           SELECT doc_id AS media_id,
+                  CAST(64 + doc_id % 129 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 2 = 1),
+         wp AS (
+           SELECT media_id, n,
+                  list_sum(list_transform(range(n), i ->
+                    abs(((media_id * 31 + i * 17) % 65536) - 32768))) AS asum
+           FROM wv)
+         SELECT media_id, 'bmp' AS format,
+                CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                w AS width, h AS height,
+                floor(CAST(lsum AS DOUBLE) / (1000.0 * w * h)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+                CAST(NULL AS BIGINT) AS n_samples,
+                CAST(NULL AS BIGINT) AS duration_ms,
+                CAST(NULL AS DOUBLE) AS mean_abs
+         FROM bp
+         UNION ALL
+         SELECT media_id, 'wav',
+                CAST(44 + n * 2 AS BIGINT),
+                NULL, NULL, NULL,
+                n, n * 1000 // 8000,
+                floor(CAST(asum AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
+         FROM wp
+         ORDER BY media_id""",
 
     "q_m_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars * 10, 5000)) AS frame_ms,
