@@ -104,15 +104,17 @@ object StreamingQueries {
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         posts.write.mode("overwrite").parquet(stage)
       // the base dir is keyed by source identity AND a pipeline-logic
-      // version: the checkpointed table holds derived event keys, so a
-      // key-derivation change must start a fresh table (a resumed
-      // checkpoint would otherwise replay nothing and serve stale keys)
-      val base = s"${graft.Sessions.scratchRoot}/sink_gate/${src.getParentFile.getName}_${fingerprint}_k2"
+      // version: the checkpointed table holds derived event keys AND a
+      // storage layout, so a key-derivation or table-format change
+      // must start a fresh table (a resumed checkpoint would otherwise
+      // replay nothing and serve stale keys; k3 = the bucketed events
+      // MERGE layout)
+      val base = s"${graft.Sessions.scratchRoot}/sink_gate/${src.getParentFile.getName}_${fingerprint}_k3"
       val q = graft.streaming.EventSink.start(
         s.readStream.schema(posts.schema).parquet(stage).as[RawPost],
         s"$base/events", s"$base/outbox", s"$base/chk")
       try q.processAllAvailable() finally q.stop()
-      new graft.streaming.SnapshotTable(s, s"$base/events").read().get
+      graft.streaming.EventSink.eventsTable(s, s"$base/events").read().get
         .select(col("eventKey").as("event_key"),
           col("evidenceCount").as("evidence_count"),
           col("startUs").as("start_us"), col("lastUs").as("last_us"))

@@ -62,6 +62,21 @@ final class SnapshotTable(spark: SparkSession, path: String) {
   */
 object EventSink {
 
+  /** The events table is an id-bucketed [[BucketedTable]] since round
+    * 11: a micro-batch's MERGE reads only the buckets its keys hash
+    * into ([[BucketedTable.readKeys]]) and rewrites only those — both
+    * sides ∝ batch, the same write-shape contract as the ingest
+    * loop's label store (IngestStreamSpec's files-touched bound; the
+    * events analogue is pinned in StreamingSpec). The OUTBOX stays a
+    * full snapshot deliberately: its per-batch step is a pass over
+    * every due row (the reference's retry-loop semantics), so its
+    * state is ∝ undelivered backlog, not ∝ corpus — at scale the done
+    * rows would be partition-pruned by status, which the snapshot
+    * stand-in does not model.
+    */
+  def eventsTable(spark: SparkSession, path: String): BucketedTable =
+    new BucketedTable(spark, path, "eventKey", 16)
+
   /** MERGE semantics for the events table (A10 versioned upsert):
     * keep the row with the HIGHEST version per key — a replayed or
     * out-of-order update can never clobber newer state (reference
@@ -122,9 +137,9 @@ object EventSink {
       eventsPath: String, outboxPath: String,
       deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long): Unit = {
     val spark = batch.sparkSession
-    val eventsTable = new SnapshotTable(spark, eventsPath)
+    val eventsT = eventsTable(spark, eventsPath)
     val outboxTable = new SnapshotTable(spark, outboxPath)
-    val replayEvents = eventsTable.lastBatchId >= batchId
+    val replayEvents = eventsT.lastBatchId >= batchId
     val replayOutbox = outboxTable.lastBatchId >= batchId
     if ((replayEvents && replayOutbox) || batch.isEmpty) return
 
@@ -132,8 +147,13 @@ object EventSink {
     // per trigger, but a replayed+reprocessed batch could carry
     // several — keep the newest
     val updates = mergeEvents(None, batch.toDF()).localCheckpoint()
-    if (!replayEvents)
-      eventsTable.commit(mergeEvents(eventsTable.read(), updates), batchId)
+    if (!replayEvents) {
+      // ∝-batch MERGE: the highest-version winner is decided against
+      // ONLY the prior rows of the batch's keys (read from their
+      // buckets), and only those buckets are rewritten
+      val prior = eventsT.readKeys(updates.select("eventKey"))
+      eventsT.merge(mergeEvents(prior, updates), batchId)
+    }
 
     if (!replayOutbox) {
       // outbox: enqueue new entries (id collision = already enqueued →

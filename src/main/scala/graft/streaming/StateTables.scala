@@ -134,6 +134,26 @@ final class BucketedTable(spark: SparkSession, path: String,
       .map(rel => s"$path/$rel"): _*)
   }
 
+  /** The stored rows whose key is in `keys` (one column, `keyCol`),
+    * reading ONLY the buckets those keys hash into — the ∝-batch
+    * point-lookup side of a MERGE (a lakehouse's dynamic partition
+    * pruning). `keys` must be bounded (a batch's key set): it is
+    * collected to prune the bucket list and broadcast for the
+    * semi-join.
+    */
+  def readKeys(keys: DataFrame): Option[DataFrame] = latest.flatMap {
+    case (v, _) =>
+      val m = manifest(v)
+      val touched = keys.select(bucketOf(col(keyCol)).as("__bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val dirs = touched.toSeq.sorted.flatMap(m.get).distinct
+        .map(rel => s"$path/$rel")
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*)
+        .join(broadcast(keys.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi"))
+  }
+
   /** Upsert `changed` (full new contents of every changed row) as
     * batch `batchId`, rewriting only the buckets they hash into.
     */

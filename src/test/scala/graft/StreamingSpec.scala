@@ -313,7 +313,7 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = startQuery()
     try q1.processAllAvailable() finally q1.stop()
 
-    val events1 = new SnapshotTable(s, eventsPath).read().get
+    val events1 = EventSink.eventsTable(s, eventsPath).read().get
       .as[EventRow].collect().map(e => e.eventKey -> e).toMap
     assert(events1.size == 2, "PEPE and DOGE keys")
     val pepeKey1 = events1.values.find(_.evidenceCount == 2).get
@@ -325,7 +325,7 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
 
-    val events2 = new SnapshotTable(s, eventsPath).read().get
+    val events2 = EventSink.eventsTable(s, eventsPath).read().get
       .as[EventRow].collect().map(e => e.eventKey -> e).toMap
     assert(events2.size == 3, "WIF appears; nothing duplicated on restart")
     val pepe2 = events2(pepeKey1.eventKey)
@@ -345,9 +345,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(outbox.filter(_.status == "retry").forall(_.attempt > 0))
 
     // replaying an already-committed batch id is a no-op
-    val table = new SnapshotTable(s, eventsPath)
+    val table = EventSink.eventsTable(s, eventsPath)
     val before = table.latest.get
-    table.commit(events2.values.toSeq.toDS().toDF(), before._2)
+    table.merge(events2.values.toSeq.toDS().toDF(), before._2)
     assert(table.latest.get == before)
   }
 
@@ -367,30 +367,37 @@ class StreamingSpec extends AnyFunSuite {
     // batch 0: both tables commit
     val b0 = Seq(evRow("k1", 1, t0)).toDS()
     EventSink.processBatch(b0, 0L, eventsPath, outboxPath, _ => true, 0L)
-    assert(new SnapshotTable(s, eventsPath).lastBatchId == 0L)
+    assert(EventSink.eventsTable(s, eventsPath).lastBatchId == 0L)
     assert(new SnapshotTable(s, outboxPath).lastBatchId == 0L)
 
     // simulate a crash AFTER the events commit of batch 1 but BEFORE
     // the outbox commit: commit batch 1 to the events table only
     val b1 = Seq(evRow("k2", 1, t0 + 1000000L)).toDS()
-    val eventsTable = new SnapshotTable(s, eventsPath)
-    eventsTable.commit(
-      EventSink.mergeEvents(eventsTable.read(),
-        EventSink.mergeEvents(None, b1.toDF())), 1L)
-    assert(new SnapshotTable(s, eventsPath).lastBatchId == 1L)
+    val eventsTable = EventSink.eventsTable(s, eventsPath)
+    val b1u = EventSink.mergeEvents(None, b1.toDF())
+    eventsTable.merge(
+      EventSink.mergeEvents(
+        eventsTable.readKeys(b1u.select("eventKey")), b1u), 1L)
+    assert(EventSink.eventsTable(s, eventsPath).lastBatchId == 1L)
     assert(new SnapshotTable(s, outboxPath).lastBatchId == 0L)
+    // write shape: the one-key batch rewrote exactly ONE of the 16
+    // event buckets (the ingest-loop files-touched contract, here for
+    // the sink's events MERGE)
+    val touched = Option(new java.io.File(s"$eventsPath/c_1").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("__bucket="))
+    assert(touched.length == 1, s"expected 1 rewritten bucket, got ${touched.length}")
 
     // the replayed batch must skip the events MERGE but still land the
     // outbox entries for k2
     EventSink.processBatch(b1, 1L, eventsPath, outboxPath, _ => true, 0L)
-    assert(new SnapshotTable(s, eventsPath).lastBatchId == 1L)
+    assert(EventSink.eventsTable(s, eventsPath).lastBatchId == 1L)
     assert(new SnapshotTable(s, outboxPath).lastBatchId == 1L)
     val outbox = new SnapshotTable(s, outboxPath).read().get
       .as[OutboxEntry].collect()
     assert(outbox.exists(_.eventKey == "k1"))
     assert(outbox.exists(_.eventKey == "k2"), "outbox must not lose the batch")
     // events were not double-merged: k2 still at version 1
-    val events = new SnapshotTable(s, eventsPath).read().get
+    val events = EventSink.eventsTable(s, eventsPath).read().get
       .as[EventRow].collect().map(e => e.eventKey -> e).toMap
     assert(events("k2").version == 1 && events.size == 2)
   }
