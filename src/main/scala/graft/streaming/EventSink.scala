@@ -147,13 +147,12 @@ object EventSink {
     // per trigger, but a replayed+reprocessed batch could carry
     // several — keep the newest
     val updates = mergeEvents(None, batch.toDF()).localCheckpoint()
-    if (!replayEvents) {
-      // ∝-batch MERGE: the highest-version winner is decided against
-      // ONLY the prior rows of the batch's keys (read from their
-      // buckets), and only those buckets are rewritten
-      val prior = eventsT.readKeys(updates.select("eventKey"))
-      eventsT.merge(mergeEvents(prior, updates), batchId)
-    }
+    if (!replayEvents)
+      // ∝-batch MERGE: highest-version-wins runs over ONLY the prior
+      // rows of the buckets the batch's keys hash into, and only
+      // those buckets are rewritten — mergeEvents IS the resolve
+      // function, so the commit costs one pruned read + one write
+      eventsT.mergeResolve(updates, batchId)(mergeEvents)
 
     if (!replayOutbox) {
       // outbox: enqueue new entries (id collision = already enqueued →

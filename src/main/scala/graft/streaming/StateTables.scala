@@ -155,31 +155,50 @@ final class BucketedTable(spark: SparkSession, path: String,
   }
 
   /** Upsert `changed` (full new contents of every changed row) as
-    * batch `batchId`, rewriting only the buckets they hash into.
+    * batch `batchId`, rewriting only the buckets they hash into:
+    * prior rows of the touched buckets minus replaced keys (broadcast
+    * anti-join), plus the changed rows.
     */
-  def merge(changed: DataFrame, batchId: Long): Unit = {
+  def merge(changed: DataFrame, batchId: Long): Unit =
+    mergeResolve(changed, batchId) { (prior, chg) =>
+      prior match {
+        case Some(p) => p
+          .join(broadcast(chg.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_anti")
+          .unionByName(chg)
+        case None => chg
+      }
+    }
+
+  /** The general ∝-batch MERGE: `resolve` receives (prior rows of the
+    * buckets touched by `updates`, updates) and returns the FULL new
+    * contents of those buckets in ONE plan — so a caller whose merge
+    * semantics are already a set transformation (e.g. the event
+    * sink's highest-version-wins window) pays exactly one pruned
+    * read and one write per commit, with no extra point-lookup pass.
+    * Rows resolving into untouched buckets are dropped (they would
+    * orphan outside the manifest); the touched-bucket list itself is
+    * the one bounded driver collect (≤ nBuckets ids).
+    */
+  def mergeResolve(updates: DataFrame, batchId: Long)(
+      resolve: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     if (lastBatchId >= batchId) return
     val prior = latest
     val v = prior.map(_._1 + 1).getOrElse(0L)
     val priorManifest = prior.map(p => manifest(p._1)).getOrElse(Map.empty)
 
-    val withB = changed.withColumn("__bucket", bucketOf(col(keyCol)))
     // touched bucket ids: bounded at nBuckets rows — a model-sized
     // driver artifact, same class as the manifest itself
-    val touched = withB.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).toSet
+    val touched = updates.select(bucketOf(col(keyCol)).as("__bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
     val priorTouchedDirs = touched.toSeq.sorted.flatMap(priorManifest.get)
       .distinct.map(rel => s"$path/$rel")
-    // new contents of the touched buckets: prior rows minus replaced
-    // keys (changed keys are ∝ batch → broadcast anti-join), plus the
-    // changed rows
-    val changedKeys = changed.select(col(keyCol)).distinct()
-    val newData = (if (priorTouchedDirs.isEmpty) withB
-      else spark.read.parquet(priorTouchedDirs: _*)
-        .withColumn("__bucket", bucketOf(col(keyCol)))
-        .filter(col("__bucket").isin(touched.toSeq: _*))
-        .join(broadcast(changedKeys), Seq(keyCol), "left_anti")
-        .unionByName(withB))
+    val priorRows =
+      if (priorTouchedDirs.isEmpty) None
+      else Some(spark.read.parquet(priorTouchedDirs: _*))
+    val newData = resolve(priorRows, updates)
+      .withColumn("__bucket", bucketOf(col(keyCol)))
+      .filter(col("__bucket").isin(touched.toSeq: _*))
     if (touched.nonEmpty)
       newData.repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)

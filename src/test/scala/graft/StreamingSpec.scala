@@ -375,9 +375,7 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = Seq(evRow("k2", 1, t0 + 1000000L)).toDS()
     val eventsTable = EventSink.eventsTable(s, eventsPath)
     val b1u = EventSink.mergeEvents(None, b1.toDF())
-    eventsTable.merge(
-      EventSink.mergeEvents(
-        eventsTable.readKeys(b1u.select("eventKey")), b1u), 1L)
+    eventsTable.mergeResolve(b1u, 1L)(EventSink.mergeEvents)
     assert(EventSink.eventsTable(s, eventsPath).lastBatchId == 1L)
     assert(new SnapshotTable(s, outboxPath).lastBatchId == 0L)
     // write shape: the one-key batch rewrote exactly ONE of the 16
