@@ -11,8 +11,10 @@ import graft.functions.TextFunctions
   * The reference's refiner degrades from LLM to a deterministic rules
   * path (api/refiner.py:166-231): regex asset extraction (≤5), keyword
   * reasons (1-4), fixed confidence 0.35 — that deterministic path is
-  * the default here (the LLM path is a pluggable mapPartitions slot,
-  * like the sentiment/keyphrase backends). R3
+  * `q_f17_refine_rules`; since round 11 the MODEL path is the
+  * committed trained LR artifact behind the same mapPartitions slot
+  * ([[graft.text.ModelRefiner]], `q_f17_refine_model` — the F12
+  * sentiment pattern). R3
   * (worker/jobs/secondary_proxy_scan.py:32-146): window thresholds on
   * txns/liquidity/volume emit a degraded secondary signal.
   */
@@ -48,6 +50,26 @@ object RefineQueries {
           array_join(assets, ",").as("impacted_assets"),
           array_join(slice(reasons, 1, 4), ";").as("reasons"),
           lit(0.35).as("confidence"))
+        .orderBy("doc_id")
+    }),
+
+    // F17 MODEL path (round-10 carry-over #5 retired): the refiner's
+    // LLM slot carries the committed trained LR artifact
+    // (refiner-lr-v1.tsv) — learned type decision on the integer
+    // logit sign + a per-post confidence σ(|z|), degrading to the
+    // rules branch (constant 0.35) for the unavailable rows. The
+    // oracle scores with the SAME artifact via a VALUES list.
+    "q_f17_refine_model" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("post",
+          concat(lit("$"), upper(col("source")), lit(" "), col("text"),
+            when(col("doc_id") % 4 === 0, " launch now").otherwise(""),
+            lit(" ca 0x"), md5(col("text")),
+            substring(md5(col("source")), 1, 8)))
+      graft.text.ModelRefiner.refine(s, d, "doc_id", "post").toDF()
+        .select(col("docId").as("doc_id"),
+          col("refinedType").as("refined_type"),
+          col("confidence"), col("backend"))
         .orderBy("doc_id")
     }),
 
@@ -102,6 +124,51 @@ object RefineQueries {
                  coalesce(array_to_string(reasons[1:4], ';'), '') AS reasons,
                  0.35 AS confidence
           FROM a ORDER BY doc_id"""
+    },
+
+    // mirror of the committed refiner artifact: integer logit over
+    // the distinct whitespace tokens of the SAME synthesized post,
+    // type on the logit sign, confidence σ(|z|/10⁶) at 4 dp; rules
+    // branch for the unavailable rows
+    "q_f17_refine_model" -> {
+      val (bias, w) = graft.text.ModelRefiner.Model.loadArtifact()
+      val values = w.toSeq.sortBy(_._1)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', ${v}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH w(term, wi) AS (VALUES $values),
+          p AS (
+            SELECT doc_id,
+                   '$$' || upper(source) || ' ' || text ||
+                   (CASE WHEN doc_id % 4 = 0 THEN ' launch now' ELSE '' END) ||
+                   ' ca 0x' || md5(text) || substr(md5(source), 1, 8) AS post
+            FROM documents),
+          mt AS (
+            SELECT doc_id, post,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(post), '\\s+'),
+                     x -> x <> '')) AS mtoks
+            FROM p),
+          lg AS (
+            SELECT mt.doc_id,
+                   ${bias}::BIGINT + coalesce(sum(w.wi), 0) AS zmu
+            FROM mt LEFT JOIN w ON list_contains(mt.mtoks, w.term)
+            GROUP BY mt.doc_id)
+          SELECT mt.doc_id,
+                 CASE WHEN mt.doc_id % 10 <> 0
+                      THEN CASE WHEN lg.zmu >= 0
+                                THEN 'token_launch' ELSE 'market_update' END
+                      ELSE CASE WHEN contains(lower(mt.post), 'launch')
+                                THEN 'token_launch' ELSE 'market_update' END
+                 END AS refined_type,
+                 CASE WHEN mt.doc_id % 10 <> 0
+                      THEN floor(1.0 / (1.0 + exp(-(abs(lg.zmu) / 1000000.0)))
+                             * 10000.0 + 0.5) / 10000.0
+                      ELSE 0.35
+                 END AS confidence,
+                 CASE WHEN mt.doc_id % 10 <> 0 THEN 'model' ELSE 'rules'
+                 END AS backend
+          FROM mt JOIN lg USING (doc_id)
+          ORDER BY mt.doc_id"""
     },
 
     "q_r3_secondary_trigger" ->
