@@ -408,6 +408,18 @@ object DataOpsQueries {
         .orderBy("ta", "tb")
     }),
 
+    // L62 TextRank keywords: per-doc word co-occurrence graph →
+    // weighted PageRank (4 fixed iterations, d = 0.85, fixed-point
+    // neighbor sums) → top-3 by centrality. The whole graph lives
+    // inside a map-side per-doc kernel — no edge table, no
+    // per-iteration join, no shuffle; the oracle unrolls the same
+    // iterations over the exploded pair table and matches
+    // bit-for-bit.
+    "q_t_textrank" -> ((s, dir) =>
+      graft.text.TextRank.keywords(s, docs(s, dir), "doc_id", "text",
+        k = 3, iters = 4)
+        .orderBy("doc_id", "rank")),
+
     // Language ID (stopword heuristic).
     "q_t_langid" -> ((s, dir) => {
       val lid = TextAnalysis.langId(col("text"))
@@ -1376,6 +1388,60 @@ object DataOpsQueries {
                  floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
                  cs >= 0.80 AS merged
           FROM p ORDER BY ta, tb""",
+
+    // TextRank mirror: adjacency pairs by position self-join, both
+    // directions with multiplicity, wdeg per node, then the SAME four
+    // synchronous iterations (fixed-point 1e-9 neighbor sums, the
+    // Lloyd unroll convention), rank on the unrounded final score
+    "q_t_textrank" -> {
+      def iter(n: Int): String =
+        s"""i$n AS (
+           SELECT n.doc_id, n.v,
+                  0.15 + 0.85 * (coalesce(s.q, 0) / 1000000000.0) AS ws
+           FROM nodes n LEFT JOIN (
+             SELECT e.doc_id, e.v,
+                    sum(CAST(floor(((CAST(e.w AS DOUBLE) / e.wdeg) * i.ws)
+                      * 1000000000.0 + 0.5) AS BIGINT)) AS q
+             FROM e JOIN i${n - 1} i
+               ON i.doc_id = e.doc_id AND i.v = e.u
+             GROUP BY e.doc_id, e.v) s
+           ON s.doc_id = n.doc_id AND s.v = n.v)"""
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(toks) AS w,
+                  unnest(range(len(toks))) AS p
+           FROM tk),
+         pr AS (
+           SELECT a.doc_id, a.w AS x, b.w AS y
+           FROM pos a JOIN pos b
+             ON b.doc_id = a.doc_id AND b.p = a.p + 1
+           WHERE a.w <> b.w),
+         ed AS (
+           SELECT doc_id, u, v, count(*) AS w FROM (
+             SELECT doc_id, x AS u, y AS v FROM pr
+             UNION ALL
+             SELECT doc_id, y AS u, x AS v FROM pr)
+           GROUP BY doc_id, u, v),
+         dg AS (SELECT doc_id, u, sum(w) AS wdeg FROM ed GROUP BY doc_id, u),
+         e AS (
+           SELECT ed.doc_id, ed.u, ed.v, ed.w, dg.wdeg
+           FROM ed JOIN dg USING (doc_id, u)),
+         nodes AS (SELECT DISTINCT doc_id, unnest(toks) AS v FROM tk),
+         i0 AS (SELECT doc_id, v, 1.0 AS ws FROM nodes),
+         ${(1 to 4).map(iter).mkString(",\n")},
+         r AS (
+           SELECT doc_id, v AS keyword, ws,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY ws DESC, v ASC) AS rank
+           FROM i4)
+         SELECT doc_id, keyword,
+                floor(ws * 1000000.0 + 0.5) / 1000000.0 AS score, rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+    },
 
     "q_t_langid" -> {
       val (scores, best, cases) = langIdSqlParts("toks")
