@@ -420,6 +420,17 @@ object DataOpsQueries {
         k = 3, iters = 4)
         .orderBy("doc_id", "rank")),
 
+    // L63 TextRank extractive summary: pseudo-sentence chunks (8
+    // tokens — the corpus is unpunctuated), paper similarity
+    // |overlap|/(ln n_i + ln n_j) quantized per edge, same PageRank
+    // kernel, top-2 chunks as the summary. Shuffle-free per-doc
+    // kernel; oracle unrolls identically (ln probed bit-identical
+    // across engines on the chunk-length range).
+    "q_t_textrank_summary" -> ((s, dir) =>
+      graft.text.TextRank.summarize(s, docs(s, dir), "doc_id", "text",
+        chunkSize = 8, k = 2, iters = 4)
+        .orderBy("doc_id", "rank")),
+
     // Language ID (stopword heuristic).
     "q_t_langid" -> ((s, dir) => {
       val lid = TextAnalysis.langId(col("text"))
@@ -1388,6 +1399,71 @@ object DataOpsQueries {
                  floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
                  cs >= 0.80 AS merged
           FROM p ORDER BY ta, tb""",
+
+    // summary mirror: 8-token chunk slices, pairwise distinct-token
+    // overlap over ln-length denominators (quantized per edge), the
+    // same four unrolled iterations, top-2 by (ws DESC, chunk ASC)
+    "q_t_textrank_summary" -> {
+      def iter(n: Int): String =
+        s"""i$n AS (
+           SELECT n.doc_id, n.v,
+                  0.15 + 0.85 * (coalesce(s.q, 0) / 1000000000.0) AS ws
+           FROM nodes n LEFT JOIN (
+             SELECT e.doc_id, e.v,
+                    sum(CAST(floor(((CAST(e.wq AS DOUBLE) / e.wdeg) * i.ws)
+                      * 1000000000.0 + 0.5) AS BIGINT)) AS q
+             FROM e JOIN i${n - 1} i
+               ON i.doc_id = e.doc_id AND i.v = e.u
+             GROUP BY e.doc_id, e.v) s
+           ON s.doc_id = n.doc_id AND s.v = n.v)"""
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         ch AS (
+           SELECT doc_id, unnest(range((len(toks) + 7) // 8)) AS ci, toks
+           FROM tk),
+         cs AS (
+           SELECT doc_id, CAST(ci AS INT) AS ci,
+                  list_slice(toks, ci * 8 + 1, ci * 8 + 8) AS ctoks
+           FROM ch),
+         cf AS (
+           SELECT doc_id, ci, ctoks, len(ctoks) AS n,
+                  list_distinct(ctoks) AS dt
+           FROM cs),
+         pr AS (
+           SELECT a.doc_id, a.ci AS u, b.ci AS v,
+                  len(list_intersect(a.dt, b.dt)) AS ov,
+                  a.n AS na, b.n AS nb
+           FROM cf a JOIN cf b
+             ON a.doc_id = b.doc_id AND a.ci <> b.ci
+           WHERE a.n > 1 AND b.n > 1),
+         e0 AS (
+           SELECT doc_id, u, v,
+                  CAST(floor((CAST(ov AS DOUBLE)
+                      / (ln(CAST(na AS DOUBLE)) + ln(CAST(nb AS DOUBLE))))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS wq
+           FROM pr WHERE ov > 0),
+         ed AS (SELECT * FROM e0 WHERE wq > 0),
+         dg AS (SELECT doc_id, u, sum(wq) AS wdeg FROM ed GROUP BY doc_id, u),
+         e AS (
+           SELECT ed.doc_id, ed.u, ed.v, ed.wq, dg.wdeg
+           FROM ed JOIN dg USING (doc_id, u)),
+         nodes AS (SELECT doc_id, ci AS v FROM cf),
+         i0 AS (SELECT doc_id, v, 1.0 AS ws FROM nodes),
+         ${(1 to 4).map(iter).mkString(",\n")},
+         r AS (
+           SELECT i4.doc_id, i4.v, i4.ws,
+                  row_number() OVER (PARTITION BY i4.doc_id
+                    ORDER BY i4.ws DESC, i4.v ASC) AS rank
+           FROM i4)
+         SELECT r.doc_id, r.v AS chunk_idx,
+                array_to_string(cf.ctoks, ' ') AS summary,
+                floor(r.ws * 1000000.0 + 0.5) / 1000000.0 AS score, r.rank
+         FROM r JOIN cf ON cf.doc_id = r.doc_id AND cf.ci = r.v
+         WHERE r.rank <= 2 ORDER BY r.doc_id, r.rank"""
+    },
 
     // TextRank mirror: adjacency pairs by position self-join, both
     // directions with multiplicity, wdeg per node, then the SAME four

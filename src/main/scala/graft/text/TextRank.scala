@@ -73,6 +73,80 @@ object TextRank {
       }
   }
 
+  final case class Summary(docId: Long, chunkIdx: Int, summary: String,
+      score: Double, rank: Int)
+
+  /** L63 — the SENTENCE half of the paper, over PSEUDO-sentences:
+    * this corpus carries unpunctuated token streams, so "sentences"
+    * are fixed `chunkSize`-token windows (the standard recourse for
+    * boundary-less text; a punctuated corpus would swap the chunker
+    * and nothing else). Chunk similarity is the paper's
+    * `|overlap| / (ln|s_i| + ln|s_j|)` (ln is bit-identical across
+    * JVM/DuckDB on the bounded chunk-length range — probed before
+    * this was adopted), quantized to a 1e-9 fixed-point long per
+    * edge so degrees and neighbor sums stay order-free integers;
+    * PageRank then runs exactly as [[keywordsOf]] and the top-k
+    * chunks are the extractive summary. Same shuffle-free per-doc
+    * kernel shape.
+    */
+  def summarizeOf(toks: Seq[String], chunkSize: Int, k: Int,
+      iters: Int): Seq[(Int, String, Double, Int)] = {
+    val chunks = toks.grouped(chunkSize).toArray
+    if (chunks.isEmpty) return Seq.empty
+    val dts = chunks.map(_.distinct.toSet)
+    val w = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (i <- chunks.indices; j <- chunks.indices if i != j) {
+      val (ni, nj) = (chunks(i).length, chunks(j).length)
+      if (ni > 1 && nj > 1) {
+        val ov = dts(i).count(dts(j))
+        if (ov > 0) {
+          val wq = math.floor((ov.toDouble /
+            (math.log(ni.toDouble) + math.log(nj.toDouble)))
+            * 1000000000.0 + 0.5).toLong
+          if (wq > 0L) w((i, j)) = wq
+        }
+      }
+    }
+    val wdeg = new Array[Long](chunks.length)
+    w.foreach { case ((u, _), c) => wdeg(u) += c }
+    var ws = Array.fill(chunks.length)(1.0)
+    for (_ <- 0 until iters) {
+      val q = new Array[Long](chunks.length)
+      w.foreach { case ((u, v), c) =>
+        q(v) += math.floor(((c.toDouble / wdeg(u)) * ws(u))
+          * 1000000000.0 + 0.5).toLong
+      }
+      ws = q.map(s => 0.15 + 0.85 * (s / 1000000000.0))
+    }
+    chunks.indices
+      .sortBy(i => (-ws(i), i))
+      .take(k)
+      .zipWithIndex
+      .map { case (i, r) =>
+        (i, chunks(i).mkString(" "),
+          math.floor(ws(i) * 1000000.0 + 0.5) / 1000000.0, r + 1)
+      }
+  }
+
+  /** Extractive-summary operator: top-k pseudo-sentence chunks per
+    * doc as (doc_id, chunk_idx, summary, score, rank).
+    */
+  def summarize(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int = 8, k: Int = 2,
+      iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, toks) =>
+        summarizeOf(toks, chunkSize, k, iters).map { case (ci, t, s, r) =>
+          Summary(id, ci, t, s, r)
+        }
+      })
+      .toDF()
+      .select(col("docId").as("doc_id"), col("chunkIdx").as("chunk_idx"),
+        col("summary"), col("score"), col("rank"))
+  }
+
   /** The operator: one exploded row per (doc, keyword) with score and
     * rank. Tokenization happens in the ENGINE (the F12 convention) so
     * the oracle mirrors the exact token sequence.
