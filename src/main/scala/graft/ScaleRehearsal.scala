@@ -1178,6 +1178,91 @@ object ScaleRehearsal {
                 |""".stripMargin
     }
 
+    // ---- 20. ∝-batch state writes (round-11 layouts) --------------
+    // The ingest loop's three state tables claim writes ∝ batch
+    // (AppendTable batch dirs + BucketedTable touched-bucket MERGE);
+    // IngestStreamSpec pins the shape at test SF — this section
+    // MEASURES the bound at 20×: bootstrap the full corpus, ingest a
+    // ~1/1000 batch, compare bytes written per commit.
+    {
+      import graft.streaming.IngestStream
+      def walk(p: String): (Long, Long) = {
+        var bytes = 0L; var files = 0L
+        val base = Paths.get(p)
+        if (Files.exists(base)) Files.walk(base).forEach { f =>
+          if (Files.isRegularFile(f)) { bytes += Files.size(f); files += 1 }
+        }
+        (bytes, files)
+      }
+      val stateRoot = s"${Sessions.scratchRoot}/rehearsal_ingest_state"
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(stateRoot))
+      // a quarter slice of the 20× corpus: the bound under test is the
+      // RATIO of batch bytes to bootstrap bytes, which needs a big
+      // corpus, not the biggest — the full 20× bootstrap's transient
+      // lineage checkpoints on top of every prior section's cached
+      // state exceeds the rehearsal JVM's heap
+      val bootDocs = docsBig.filter(col("doc_id") % 4 === 0)
+        .localCheckpoint()
+      val nBoot = bootDocs.count()
+      // batch A: genuinely NOVEL docs (md5-derived text, nowhere near
+      // any stored fingerprint) — the pure ∝-batch case
+      val novel = bootDocs.orderBy("doc_id").limit(5)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat(lit("zq "), md5(col("text")), lit(" "),
+            md5(concat(col("text"), lit("2"))), lit(" qnovel")).as("text"))
+        .localCheckpoint()
+      val nNovel = novel.count()
+      // batch B: NEAR-DUPS of stored docs (salted suffix) — each one
+      // merges into its source's cluster, and the rehearsal corpus
+      // deliberately plants an exact-dup replica of everything, so
+      // "affected clusters" here is the worst case by construction
+      val near = bootDocs.filter(col("doc_id") % 997 === 0)
+        .select((col("doc_id") + lit(910000000L)).as("doc_id"),
+          concat(col("text"), lit(" qbatch")).as("text"))
+        .localCheckpoint()
+      val nNear = near.count()
+      val (_, tBoot) = timed(
+        IngestStream.processBatch(bootDocs, 0L, stateRoot, maxDist = 3))
+      val (b0, f0) = walk(stateRoot)
+      val (_, tNovel) = timed(
+        IngestStream.processBatch(novel, 1L, stateRoot, maxDist = 3))
+      val (b1, f1) = walk(stateRoot)
+      val (_, tNear) = timed(
+        IngestStream.processBatch(near, 2L, stateRoot, maxDist = 3))
+      val (b2, f2) = walk(stateRoot)
+      def buckets(v: Long): Int = Option(
+          new java.io.File(s"$stateRoot/labels/c_$v").listFiles())
+        .getOrElse(Array.empty)
+        .count(_.getName.startsWith("__bucket="))
+      sb ++= s"""
+                |## ∝-batch state writes (round-11 AppendTable/BucketedTable; ${rep}×/4 slice)
+                |
+                |Bootstrap: $nBoot docs → ${b0 / 1024} KiB / $f0 files in
+                |${f"$tBoot%.1f"} s (the one full write the layout ever performs).
+                |
+                || batch | docs | new bytes | % of bootstrap | label buckets rewritten | s |
+                ||---|---|---|---|---|---|
+                || novel (no near-dups) | $nNovel | ${(b1 - b0) / 1024} KiB | ${f"${(b1 - b0) * 100.0 / b0}%.2f"} % | ${buckets(1)}/${IngestStream.LabelBuckets} | ${f"$tNovel%.1f"} |
+                || near-dup (planted worst case) | $nNear | ${(b2 - b1) / 1024} KiB | ${f"${(b2 - b1) * 100.0 / b0}%.2f"} % | ${buckets(2)}/${IngestStream.LabelBuckets} | ${f"$tNear%.1f"} |
+                |
+                |The novel batch writes only its own rows (fps/snap appends +
+                |its keys' label buckets) — the pure ∝-batch bound. The
+                |near-dup batch additionally rewrites the rows of every
+                |cluster it merges into, and THIS corpus plants an exact-dup
+                |replica of every doc (the mega-cluster worst case), so its
+                |write is ∝ (batch + affected clusters) — the contractual
+                |bound, still never ∝ corpus: nothing from the bootstrap
+                |commit is rewritten either way. Read-side note: append dirs
+                |accumulate one per commit; compaction is the lakehouse's
+                |background job (it does not change the per-commit write
+                |bound), and the bucketed label reads stay manifest-pruned at
+                |any commit count.
+                |""".stripMargin
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(stateRoot))
+    }
+
     Files.write(Paths.get("SCALE_REHEARSAL.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(sb.toString)
