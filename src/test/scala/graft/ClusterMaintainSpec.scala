@@ -54,6 +54,52 @@ class ClusterMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeBatchDelta reconstructs mergeBatch: changed covers exactly the rows that can differ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val nHist = 30 + rnd.nextInt(30)
+      val nBatch = 1 + rnd.nextInt(10)
+      val histIds = (0L until nHist.toLong)
+      val batchIds = (1000L until 1000L + nBatch)
+      val histEdges = Seq.fill(nHist / 2)(
+        (histIds(rnd.nextInt(nHist)), histIds(rnd.nextInt(nHist))))
+        .filter { case (a, b) => a != b }
+      val existing = Clusters.connectedComponents(
+          histIds.toDF("id"), histEdges.toDF("a", "b"))
+        .groupBy("cluster_id").agg(collect_list("id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("cluster_id"),
+          size(col("ids")).cast("long").as("cluster_size"))
+        .localCheckpoint()
+      val batchEdges = Seq.fill(nBatch * 2) {
+        val a = batchIds(rnd.nextInt(nBatch))
+        val b = if (rnd.nextBoolean()) histIds(rnd.nextInt(nHist))
+        else batchIds(rnd.nextInt(nBatch))
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val full = rows(ClusterMaintain.mergeBatch(existing,
+        batchIds.toDF("id"), batchEdges.toDF("a", "b")))
+      val (changedDf, affectedDf) = ClusterMaintain.mergeBatchDelta(
+        existing, batchIds.toDF("id"), batchEdges.toDF("a", "b"))
+      val changed = rows(changedDf)
+      val affected = affectedDf.collect().map(_.getLong(0)).toSet
+      val prior = rows(existing)
+      // the ∝-batch MERGE contract: prior rows of unaffected clusters
+      // plus the changed rows reproduce the full merge exactly
+      val reconstructed =
+        prior.filter { case (_, (cid, _)) => !affected(cid) } ++ changed
+      assert(reconstructed == full, s"trial $trial: delta reconstruction diverged")
+      // and every row whose label differs from its prior IS in changed
+      val diffing = full.filter { case (id, v) => prior.get(id).exists(_ != v) }
+        .keySet ++ full.keySet.diff(prior.keySet)
+      assert(diffing.subsetOf(changed.keySet),
+        s"trial $trial: a differing row escaped the delta")
+    }
+  }
+
   test("empty batch is the identity") {
     import spark.implicits._
     val existing = Seq((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L))
