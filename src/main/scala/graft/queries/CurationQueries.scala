@@ -454,6 +454,31 @@ object CurationQueries {
           "est_j", "est_c_ab", "est_c_ba", "within_band")
         .orderBy("sa", "sb")),
 
+    // L46 INCREMENTAL: the stored per-source sketches absorb an
+    // ingest batch's sketches via the bottom-k semilattice merge —
+    // cost ∝ sources × k, the history corpus never re-touched — and
+    // the estimates from the merged sketches must be IDENTICAL to
+    // sketching the union corpus from scratch (which is what the
+    // oracle re-derives in SQL). The audit family's L52 moment.
+    "q_c_overlap_incremental" -> ((s, dir) => {
+      import graft.similarity.CorpusSketch
+      val d = docs(s, dir)
+      val k = 512
+      val stored = CorpusSketch.sourceSketches(
+        d.filter(col("doc_id") % 10 =!= 0), "source", "text", 3, k)
+      val batchSk = CorpusSketch.sourceSketches(
+        d.filter(col("doc_id") % 10 === 0), "source", "text", 3, k)
+      CorpusSketch.pairEstimates(
+          CorpusSketch.mergeSketches(stored, batchSk, k), k)
+        .select(col("sa"), col("sb"),
+          Parity.roundHalfUp(col("est_jaccard"), 6).as("est_j"),
+          Parity.roundHalfUp(col("est_cont_a_in_b"), 6).as("est_c_ab"),
+          Parity.roundHalfUp(col("est_cont_b_in_a"), 6).as("est_c_ba"),
+          col("n_eff_a").cast("long").as("n_eff_a"),
+          col("n_eff_b").cast("long").as("n_eff_b"))
+        .orderBy("sa", "sb")
+    }),
+
     // URL/domain blocklist gate (C4): planted URLs (the corpus has
     // none) derived from doc_id; hosts spam0..spam9.example.com are
     // blocklisted, so docs with doc_id % 4 == 0 AND doc_id % 50 < 10
@@ -1425,6 +1450,64 @@ object CurationQueries {
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN nw ON o.id = nw.id
          ORDER BY id""",
+
+    // the incremental merge's IDENTITY oracle: sketches re-derived
+    // from scratch over the UNION corpus (all documents) — the
+    // semilattice property means the engine's stored+batch merge must
+    // land on exactly these arrays, hence exactly these estimates
+    "q_c_overlap_incremental" ->
+      """WITH tk AS (
+           SELECT source,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT source,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [] END AS sh
+           FROM tk),
+         g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
+         hs AS (
+           SELECT DISTINCT source,
+                  ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+           FROM g),
+         sk AS (
+           SELECT source,
+                  list_slice(list_sort(list(h)), 1, 512) AS sketch
+           FROM hs GROUP BY source),
+         pairs AS (
+           SELECT a.source AS sa, b.source AS sb,
+                  a.sketch AS ska, b.sketch AS skb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         uk AS (
+           SELECT sa, sb, ska, skb,
+                  list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+                    1, 512) AS unionk,
+                  least(512, len(list_distinct(list_concat(ska, skb)))) AS denom
+           FROM pairs),
+         cnts AS (
+           SELECT sa, sb, denom,
+                  len(list_intersect(unionk,
+                    list_intersect(ska, skb))) AS common,
+                  len(list_intersect(unionk, ska)) AS in_a,
+                  len(list_intersect(unionk, skb)) AS in_b
+           FROM uk)
+         SELECT sa, sb,
+                floor((CAST(common AS DOUBLE)
+                    / CAST(greatest(denom, 1) AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS est_j,
+                floor((CAST(common AS DOUBLE)
+                    / CAST(greatest(in_a, 1) AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS est_c_ab,
+                floor((CAST(common AS DOUBLE)
+                    / CAST(greatest(in_b, 1) AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS est_c_ba,
+                CAST(in_a AS BIGINT) AS n_eff_a,
+                CAST(in_b AS BIGINT) AS n_eff_b
+         FROM cnts ORDER BY sa, sb""",
 
     // FULL KMV mirror (round-10 verdict item 5): the engine-neutral
     // md5-prefix hash lets the oracle re-derive each source's

@@ -116,6 +116,28 @@ object CorpusSketch {
       .agg(bk(col("h")).as("sketch"))
   }
 
+  /** INCREMENTAL sketch maintenance (the L52 ingest pattern applied
+    * to the L46 audit): bottom-k is a semilattice —
+    * `bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B)` — so the
+    * stored per-source sketches absorb an ingest batch's sketches
+    * with pure built-in array math over one (sources)-row join, cost
+    * ∝ sources × k, never re-touching the history corpus. The gate
+    * `q_c_overlap_incremental` pins the identity: estimates from the
+    * merged sketches hash-match an oracle that re-derives the
+    * sketches from scratch over the union corpus.
+    */
+  def mergeSketches(stored: DataFrame, batch: DataFrame,
+      k: Int = 512): DataFrame = {
+    val a = stored.select(col("source"), col("sketch").as("ska"))
+    val b = batch.select(col("source"), col("sketch").as("skb"))
+    a.join(b, Seq("source"), "full_outer")
+      .select(col("source"),
+        slice(array_sort(array_union(
+            coalesce(col("ska"), array().cast("array<bigint>")),
+            coalesce(col("skb"), array().cast("array<bigint>")))),
+          1, k).as("sketch"))
+  }
+
   /** Pairwise KMV estimates over the sketch table (one row per
     * source): (sa, sb, est_jaccard, est_cont_a_in_b, est_cont_b_in_a,
     * n_eff_a, n_eff_b). Pure built-in array math.

@@ -10,6 +10,23 @@ import graft.similarity.CorpusSketch
 class CorpusSketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("mergeSketches is the bottom-k semilattice join, incl. one-sided sources") {
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val a = Seq(("s1", Seq(1L, 3L, 5L, 7L)), ("only_a", Seq(2L, 4L)))
+      .toDF("source", "sketch")
+    val b = Seq(("s1", Seq(2L, 3L, 6L, 9L)), ("only_b", Seq(8L)))
+      .toDF("source", "sketch")
+    val got = CorpusSketch.mergeSketches(a, b, k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    // union {1,2,3,5,6,7,9} → bottom-4; one-sided sources pass through
+    assert(got == Map(
+      "s1" -> Seq(1L, 2L, 3L, 5L),
+      "only_a" -> Seq(2L, 4L),
+      "only_b" -> Seq(8L)))
+  }
+
   test("BottomK reduce/merge equal sorted-distinct-take-k, any split") {
     val rnd = new Random(7)
     val k = 16
