@@ -28,6 +28,7 @@ object PlanAudit {
     "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast",
     "q_c_temperature_mix" -> "1-row mixture scalars (wsum, N) broadcast",
     "q_c_corpus_overlap" -> "pair matrix over one-sketch-row-per-source (sources² rows, k-long arrays)",
+    "q_c_overlap_incremental" -> "same sources² pair matrix over the MERGED one-row-per-source sketches",
     "q_c_shard_assign" -> "ordered global window over per-BUCKET summary rows only (#buckets ≈ #splits), not data rows — the two-phase prefix-sum offsets fold",
     "q_c_shard_assign_learned" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
     "q_c_shard_manifest" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
