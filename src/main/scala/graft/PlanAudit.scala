@@ -23,6 +23,7 @@ object PlanAudit {
     "q_s_jl_rerank" -> "JL candidate scan in r-dim space: broadcast query set + broadcast candidate list",
     "q_d7_topic_merge_embed" -> "non-equi pair join over ~20 topic centroids",
     "q_t_tfidf_topk" -> "1-row corpus scalar (N) broadcast",
+    "q_t_tfidf_incremental" -> "same 1-row corpus scalar (merged N) broadcast",
     "q_t_bm25_topk" -> "1-row corpus scalars (N, avgdl) broadcast",
     "q_t_perplexity" -> "1-row LM scalar (vocab size V) broadcast",
     "q_t_dsir_weights" -> "1-row corpus scalars (Tt, Tr) broadcast",

@@ -672,7 +672,33 @@ object CurationQueries {
     // BM25 top-3 salient terms per document (k1=1.2, b=0.75).
     "q_t_bm25_topk" -> ((s, dir) =>
       Relevance.bm25TopK(docs(s, dir), "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // TF-IDF INCREMENTAL (the corpus-statistics family's L52 moment):
+    // document frequencies are additive over disjoint doc sets, so
+    // the STORED history df table + the batch's own df counts merge
+    // with one vocabulary-keyed outer join, the doc count adds, and
+    // scoring the batch under the merged statistics must be IDENTICAL
+    // to from-scratch TF-IDF over the union corpus (the oracle, which
+    // re-derives everything and restricts to the batch docs). The
+    // history corpus is never re-tokenized.
+    "q_t_tfidf_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 10 =!= 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      // stored artifacts (built once per corpus snapshot)
+      val histTf = Relevance.termFreqs(hist, "doc_id", "text")
+      val histDf = histTf.groupBy("term").agg(count(lit(1)).as("df"))
+      val histN = hist.agg(count(lit(1)).as("n_docs"))
+      // ingest side: batch-local stats, ∝ batch
+      val bTf = Relevance.termFreqs(batch, "doc_id", "text")
+      val bDf = bTf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bN = batch.agg(count(lit(1)).as("n_docs"))
+      Relevance.tfidfTopKWith(bTf,
+          Relevance.mergeDocFreqs(histDf, bDf),
+          Relevance.mergeCorpusCount(histN, bN), k = 3)
+        .orderBy("doc_id", "rank")
+    })
   )
 
   /** Deterministic planted-PII fixture: synthetic email / phone /
@@ -2014,6 +2040,27 @@ object CurationQueries {
           SELECT doc_id, term, rank,
                  ${graft.functions.Parity.sqlRound("tfidf", 6)} AS tfidf
           FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // incremental identity oracle: from-scratch TF-IDF over the union
+    // corpus (all documents), restricted to the batch docs — the
+    // merged-statistics engine path must land on exactly these rows
+    "q_t_tfidf_incremental" ->
+      s"""WITH $TermFreqCte,
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf AS DOUBLE) *
+                     (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0) AS tfidf
+            FROM tf JOIN dfq USING (term), n),
+          r AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS rank
+            FROM sc)
+          SELECT doc_id, term, rank,
+                 ${graft.functions.Parity.sqlRound("tfidf", 6)} AS tfidf
+          FROM r WHERE rank <= 3 AND doc_id % 10 = 0
+          ORDER BY doc_id, rank""",
 
     // k1+1 is written as the EXPRESSION (1.2 + 1.0) — the IEEE sum —
     // on both sides, never the decimal literal 2.2 (a different

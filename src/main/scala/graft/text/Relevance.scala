@@ -31,11 +31,33 @@ import graft.functions.Parity
   */
 object Relevance {
 
-  /** (doc_id, term, tf) term frequencies over whitespace tokens. */
-  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (doc_id, term, tf) term frequencies over whitespace tokens —
+    * public since round 11: the incremental path needs a batch's
+    * doc-local tf frame to score against stored corpus statistics.
+    */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Document frequencies are ADDITIVE over disjoint doc sets, so the
+    * stored df table absorbs an ingest batch's df counts with one
+    * vocabulary-keyed outer join (∝ batch vocab at 100 TB under a
+    * term-bucketed layout) — the corpus-statistics family's L52
+    * moment; `q_t_tfidf_incremental` pins the identity against
+    * from-scratch union statistics.
+    */
+  def mergeDocFreqs(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.select(col("term"), col("df").as("__a"))
+      .join(batch.select(col("term"), col("df").as("__b")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L)))
+          .as("df"))
+
+  /** Additive merge of the 1-row corpus doc-count frames. */
+  def mergeCorpusCount(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch).agg(sum("n_docs").as("n_docs"))
 
   /** Smooth-idf TF-IDF (sklearn convention:
     * idf = ln((1+N)/(1+df)) + 1, score = tf·idf), top-k terms per doc
@@ -47,6 +69,18 @@ object Relevance {
     val tf = termFreqs(docs, idCol, textCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tfidfTopKWith(tf, dfreq, nDocs, k)
+  }
+
+  /** The TF-IDF scoring stage against PRECOMPUTED corpus statistics
+    * (`dfreq` = (term, df), `nDocs` = 1-row doc count): [[tfidfTopK]]
+    * delegates its from-scratch statistics here; the incremental path
+    * feeds [[mergeDocFreqs]]/[[mergeCorpusCount]] of stored + batch
+    * stats instead. Scoring itself only ever touches the docs in
+    * `tf`, so scoring an ingest batch costs ∝ batch.
+    */
+  def tfidfTopKWith(tf: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
+      k: Int): DataFrame = {
     val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
