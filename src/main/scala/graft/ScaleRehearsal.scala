@@ -1189,8 +1189,11 @@ object ScaleRehearsal {
       def walk(p: String): (Long, Long) = {
         var bytes = 0L; var files = 0L
         val base = Paths.get(p)
-        if (Files.exists(base)) Files.walk(base).forEach { f =>
-          if (Files.isRegularFile(f)) { bytes += Files.size(f); files += 1 }
+        if (Files.exists(base)) {
+          val st = Files.walk(base)
+          try st.forEach { f =>
+            if (Files.isRegularFile(f)) { bytes += Files.size(f); files += 1 }
+          } finally st.close() // walk holds open directory handles
         }
         (bytes, files)
       }

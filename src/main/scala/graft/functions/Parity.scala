@@ -22,6 +22,16 @@ object Parity {
     floor(c * p + 0.5) / p
   }
 
+  /** Scalar twin of [[roundHalfUp]] for per-row JVM kernels (decoder
+    * features, trained-model confidences, TextRank scores) — ONE home
+    * for the house rounding convention on both the Column and scalar
+    * paths.
+    */
+  def roundHalfUpScalar(v: Double, digits: Int): Double = {
+    val p = math.pow(10.0, digits)
+    math.floor(v * p + 0.5) / p
+  }
+
   /** The DuckDB-side expression equivalent to [[roundHalfUp]]. */
   def sqlRound(exprSql: String, digits: Int): String = {
     val p = "1" + ("0" * digits) + ".0"

@@ -45,8 +45,6 @@ object Multimodal {
 
   object MediaCodec {
 
-    private def roundHalfUp6(v: Double): Double =
-      math.floor(v * 1000000.0 + 0.5) / 1000000.0
 
     private def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -70,10 +68,18 @@ object Multimodal {
       val dataOffset = le32(bytes, 10)
       val w = le32(bytes, 18)
       val h = le32(bytes, 22)
+      require(w > 0, s"non-positive BMP width $w: media $mediaId")
       require(h > 0, s"top-down BMP unsupported: media $mediaId")
       require(le16(bytes, 28) == 24 && le32(bytes, 30) == 0,
         s"only uncompressed 24-bit BMP supported: media $mediaId")
       val rowSize = (w * 3 + 3) / 4 * 4
+      // truncated-file guard: the declared pixel area must exist —
+      // without it a short buffer dies with a raw AIOOBE instead of
+      // the named-error contract MultimodalSpec pins
+      require(dataOffset >= 54 &&
+        dataOffset.toLong + h.toLong * rowSize <= bytes.length,
+        s"BMP pixel data out of bounds (off=$dataOffset w=$w h=$h " +
+          s"len=${bytes.length}): media $mediaId")
       var lumaSum = 0L
       var y = 0
       while (y < h) {
@@ -93,7 +99,7 @@ object Multimodal {
       }
       DecodedMedia(mediaId, "bmp", bytes.length.toLong,
         Some(w.toLong), Some(h.toLong),
-        Some(roundHalfUp6(lumaSum.toDouble / (1000.0 * w * h))),
+        Some(graft.functions.Parity.roundHalfUpScalar(lumaSum.toDouble / (1000.0 * w * h), 6)),
         None, None, None)
     }
 
@@ -118,7 +124,14 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val size = le32(bytes, off + 4)
+        // malformed-chunk guard: a negative size would stall the walk
+        // forever (off never advances), an oversized one would read
+        // past the buffer — both must fail NAMED, not hang or AIOOBE
+        require(size >= 0 && off + 8 + size.toLong <= bytes.length,
+          s"WAV chunk '$id' size $size out of bounds at offset $off " +
+            s"(len=${bytes.length}): media $mediaId")
         if (id == "fmt ") {
+          require(size >= 16, s"WAV fmt chunk too short ($size): media $mediaId")
           require(le16(bytes, off + 8) == 1 && le16(bytes, off + 10) == 1 &&
             le16(bytes, off + 22) == 16,
             s"only PCM 16-bit mono supported: media $mediaId")
@@ -140,7 +153,7 @@ object Multimodal {
       require(haveData && rate > 0, s"no PCM data: media $mediaId")
       DecodedMedia(mediaId, "wav", bytes.length.toLong, None, None, None,
         Some(nSamples), Some(nSamples * 1000L / rate),
-        Some(roundHalfUp6(absSum.toDouble / nSamples)))
+        Some(graft.functions.Parity.roundHalfUpScalar(absSum.toDouble / nSamples, 6)))
     }
 
     /** STUB — deterministic fake decode. Real implementation would

@@ -129,9 +129,10 @@ final class BucketedTable(spark: SparkSession, path: String,
         line.substring(0, i).toLong -> line.substring(i + 1)
       }.toMap
 
-  def read(): Option[DataFrame] = latest.map { case (v, _) =>
-    spark.read.parquet(manifest(v).values.toSeq.distinct
-      .map(rel => s"$path/$rel"): _*)
+  def read(): Option[DataFrame] = latest.flatMap { case (v, _) =>
+    val dirs = manifest(v).values.toSeq.distinct.map(rel => s"$path/$rel")
+    if (dirs.isEmpty) None // every bucket emptied by resolves
+    else Some(spark.read.parquet(dirs: _*))
   }
 
   /** The stored rows whose key is in `keys` (one column, `keyCol`),
@@ -204,8 +205,20 @@ final class BucketedTable(spark: SparkSession, path: String,
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/c_$v")
 
-    val newManifest = priorManifest ++
-      touched.map(k => k -> s"c_$v/__bucket=$k").toMap
+    // the manifest records the buckets partitionBy ACTUALLY wrote: a
+    // touched bucket whose resolved contents came out empty (a
+    // filtering/compacting resolve) gets no directory, and an entry
+    // pointing at a nonexistent path would brick every later read —
+    // such a bucket is now EMPTY, so its prior entry is dropped
+    val written: Set[Long] =
+      if (touched.isEmpty) Set.empty
+      else Option(new java.io.File(s"$path/c_$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(_.getName.stripPrefix("__bucket=").toLong)
+        .toSet
+    val newManifest = (priorManifest -- (touched -- written)) ++
+      written.map(k => k -> s"c_$v/__bucket=$k").toMap
     val mTmp = Paths.get(path, s"manifest_v$v.tmp")
     Files.createDirectories(Paths.get(path))
     Files.write(mTmp, newManifest.toSeq.sortBy(_._1)

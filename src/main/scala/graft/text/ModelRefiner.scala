@@ -59,8 +59,6 @@ object ModelRefiner {
     }
   }
 
-  private def round4(v: Double): Double =
-    math.floor(v * 10000.0 + 0.5) / 10000.0
 
   /** Refine posts (`idCol`, `postCol`): model branch when available,
     * rules branch (launch keyword, constant 0.35) otherwise.
@@ -80,7 +78,8 @@ object ModelRefiner {
           // confidence IN THE EMITTED LABEL: σ(|z|) = max(p, 1−p)
           Refined(id,
             if (z >= 0L) "token_launch" else "market_update",
-            round4(1.0 / (1.0 + math.exp(-(math.abs(z) / 1000000.0)))),
+            graft.functions.Parity.roundHalfUpScalar(
+              1.0 / (1.0 + math.exp(-(math.abs(z) / 1000000.0))), 4),
             "model")
         } else Refined(id,
           if (rulesLaunch) "token_launch" else "market_update",

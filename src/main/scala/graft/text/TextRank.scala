@@ -69,7 +69,7 @@ object TextRank {
       .take(k)
       .zipWithIndex
       .map { case (i, r) =>
-        (vocab(i), math.floor(ws(i) * 1000000.0 + 0.5) / 1000000.0, r + 1)
+        (vocab(i), graft.functions.Parity.roundHalfUpScalar(ws(i), 6), r + 1)
       }
   }
 
@@ -124,7 +124,7 @@ object TextRank {
       .zipWithIndex
       .map { case (i, r) =>
         (i, chunks(i).mkString(" "),
-          math.floor(ws(i) * 1000000.0 + 0.5) / 1000000.0, r + 1)
+          graft.functions.Parity.roundHalfUpScalar(ws(i), 6), r + 1)
       }
   }
 

@@ -66,12 +66,14 @@ class IngestStreamSpec extends AnyFunSuite {
   private def dataFiles(dir: String): Set[String] = {
     val base = java.nio.file.Paths.get(dir)
     val out = scala.collection.mutable.Set.empty[String]
-    if (java.nio.file.Files.exists(base))
-      java.nio.file.Files.walk(base).forEach { p =>
+    if (java.nio.file.Files.exists(base)) {
+      val st = java.nio.file.Files.walk(base)
+      try st.forEach { p =>
         if (p.toString.endsWith(".parquet") &&
             java.nio.file.Files.isRegularFile(p))
           out += base.relativize(p).toString
-      }
+      } finally st.close()
+    }
     out.toSet
   }
 

@@ -94,4 +94,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not a WAV"))
   }
+
+  test("adversarial headers fail named: truncated BMP, zero width, hostile WAV chunk sizes") {
+    // a valid BMP truncated mid-pixel-data: named, not AIOOBE
+    val whole = Fixtures.bmpBytes(2L)
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp(2L, whole.take(whole.length - 4))
+    }
+    assert(e1.getMessage.contains("out of bounds"))
+    // width 0 passes no-op pixel loops if unchecked → would emit NaN
+    val zeroW = Fixtures.bmpBytes(2L).clone()
+    zeroW(18) = 0; zeroW(19) = 0; zeroW(20) = 0; zeroW(21) = 0
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp(2L, zeroW)
+    }
+    assert(e2.getMessage.contains("non-positive BMP width"))
+    // WAV chunk with NEGATIVE declared size: unchecked, the walk
+    // offset never advances → infinite loop inside the executor
+    val negChunk = Fixtures.wavBytes(3L).clone()
+    negChunk(16) = -1; negChunk(17) = -1; negChunk(18) = -1; negChunk(19) = -1
+    val e3 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav(3L, negChunk)
+    }
+    assert(e3.getMessage.contains("out of bounds"))
+    // data chunk declaring more samples than the buffer holds
+    val wav = Fixtures.wavBytes(3L)
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav(3L, wav.take(wav.length - 10))
+    }
+    assert(e4.getMessage.contains("out of bounds"))
+  }
 }

@@ -48,6 +48,26 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable: a resolve that empties a touched bucket drops its manifest entry instead of bricking reads") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_empty").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge((0L until 12L).map(k => (k, k * 10)).toDF("k", "v"), 0L)
+    val live = t.read().get.collect().map(_.getLong(0)).toSet
+    // a compacting resolve that deletes EVERY row of the touched
+    // buckets: partitionBy writes no dirs for them — the manifest must
+    // not point at paths that were never written
+    t.mergeResolve((0L until 12L).toDF("k"), 1L)((_, _) =>
+      Seq.empty[(Long, Long)].toDF("k", "v"))
+    assert(t.lastBatchId == 1L)
+    // read() must still work (possibly empty), not PATH_NOT_FOUND
+    val after = t.read().map(_.collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    assert(after.subsetOf(live) && after.intersect((0L until 12L).toSet).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable: appends accumulate, replays are no-ops, orphan dirs stay invisible") {
     val s = spark
     import s.implicits._
