@@ -1257,10 +1257,11 @@ object ScaleRehearsal {
                 |write is ∝ (batch + affected clusters) — the contractual
                 |bound, still never ∝ corpus: nothing from the bootstrap
                 |commit is rewritten either way. Read-side note: append dirs
-                |accumulate one per commit; compaction is the lakehouse's
-                |background job (it does not change the per-commit write
-                |bound), and the bucketed label reads stay manifest-pruned at
-                |any commit count.
+                |accumulate one per commit; `AppendTable.compact()` folds them
+                |crash-safely into one consolidated dir on whatever cadence the
+                |operator chooses (StateTablesSpec pins the layout and the
+                |stale-dir invisibility), and the bucketed label reads stay
+                |manifest-pruned at any commit count.
                 |""".stripMargin
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(stateRoot))

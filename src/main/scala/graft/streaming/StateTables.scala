@@ -32,30 +32,65 @@ import org.apache.spark.sql.functions._
   * id ≤ the committed pointer, so the orphan of a crashed future batch
   * is invisible until its own commit.
   *
-  * At 100 TB the analogue is partition-append + background compaction
-  * (every lakehouse ships one); compaction is deliberately out of
-  * scope here because it does not change the per-commit write bound.
+  * Read amplification is bounded by [[compact]] — the lakehouse's
+  * background job, here as a crash-safe method: all committed batch
+  * directories fold into one consolidated directory `k_<through>`
+  * referenced from the pointer's second line, after which `read()`
+  * unions the consolidated dir with only the batches appended since.
+  * Compaction never changes the per-commit write bound; it trades one
+  * deliberate full rewrite for O(1) read fan-in, on whatever cadence
+  * the operator chooses.
   */
 final class AppendTable(spark: SparkSession, path: String) {
 
   private val ptrPath = Paths.get(path, "_LATEST")
 
-  def lastBatchId: Long =
-    if (!Files.exists(ptrPath)) -1L
-    else new String(Files.readAllBytes(ptrPath), StandardCharsets.UTF_8)
-      .trim.toLong
+  /** (last committed batch id, compacted-through id or −1). */
+  private def pointer(): (Long, Long) =
+    if (!Files.exists(ptrPath)) (-1L, -1L)
+    else {
+      val lines = new String(Files.readAllBytes(ptrPath),
+        StandardCharsets.UTF_8).trim.linesIterator.toSeq
+      val last = lines.head.toLong
+      val ct = lines.collectFirst {
+        case l if l.startsWith("compact=") => l.stripPrefix("compact=").toLong
+      }.getOrElse(-1L)
+      (last, ct)
+    }
 
-  /** Directories of committed batches (id ≤ pointer), sorted. */
+  private def writePointer(last: Long, compactedThrough: Long): Unit = {
+    val body =
+      if (compactedThrough < 0) last.toString
+      else s"$last\ncompact=$compactedThrough"
+    val tmp = Paths.get(path, s"_LATEST.tmp.$last")
+    Files.createDirectories(Paths.get(path))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def lastBatchId: Long = pointer()._1
+
+  /** Committed data dirs: the consolidated dir (if any) + batch dirs
+    * appended after it, up to the pointer. Stale pre-compaction batch
+    * dirs (a crash between the pointer move and their deletion) are
+    * EXCLUDED by the `> ct` filter — their rows live in `k_<ct>`.
+    */
   private def committedDirs(): Seq[String] = {
-    val last = lastBatchId
+    val (last, ct) = pointer()
     val d = new java.io.File(path)
-    Option(d.listFiles()).getOrElse(Array.empty)
+    val batches = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b_"))
       .map(f => (f.getName.stripPrefix("b_").toLong, f.getAbsolutePath))
-      .filter(_._1 <= last)
+      .filter { case (id, _) => id > ct && id <= last }
       .sortBy(_._1)
       .map(_._2)
       .toSeq
+    val compacted =
+      if (ct >= 0 && new java.io.File(s"$path/k_$ct").isDirectory)
+        Seq(s"$path/k_$ct")
+      else Seq.empty
+    compacted ++ batches
   }
 
   def read(): Option[DataFrame] = {
@@ -65,13 +100,39 @@ final class AppendTable(spark: SparkSession, path: String) {
 
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
   def append(df: DataFrame, batchId: Long): Unit = {
-    if (lastBatchId >= batchId) return
+    val (last, ct) = pointer()
+    if (last >= batchId) return
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
-    val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
-    Files.createDirectories(Paths.get(path))
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writePointer(batchId, ct)
+  }
+
+  /** Fold every committed directory into ONE consolidated dir.
+    * Crash-safe: the consolidated data lands under `k_<last>` first
+    * (an orphan until the pointer names it), the pointer move is
+    * atomic, and old directories are deleted only afterwards — a
+    * crash at any point leaves `read()` correct (stale dirs are
+    * filtered by the compacted-through id, orphan `k_` dirs are
+    * never referenced). Idempotent when already compacted to `last`.
+    */
+  def compact(): Unit = {
+    val (last, ct) = pointer()
+    if (last < 0 || ct == last) return
+    val dirs = committedDirs()
+    if (dirs.isEmpty) return
+    spark.read.parquet(dirs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/k_$last")
+    writePointer(last, last)
+    // cleanup AFTER the pointer is durable; best-effort — leftovers
+    // are invisible and re-collected by the next compact
+    val d = new java.io.File(path)
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val stale =
+        (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
+          (n.startsWith("k_") && n != s"k_$last")
+      if (f.isDirectory && stale)
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
   }
 }
 

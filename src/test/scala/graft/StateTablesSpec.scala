@@ -93,4 +93,37 @@ class StateTablesSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("AppendTable.compact folds batch dirs crash-safely and later appends still land") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_compact").toString
+    val t = new AppendTable(spark, s"$root/t")
+    t.append(Seq(1L, 2L).toDF("x"), 0L)
+    t.append(Seq(3L).toDF("x"), 1L)
+    t.append(Seq(4L).toDF("x"), 2L)
+    t.compact()
+    def rows() = t.read().get.collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows() == Seq(1L, 2L, 3L, 4L))
+    assert(t.lastBatchId == 2L)
+    // batch dirs are gone, one consolidated dir remains
+    val dirs = new java.io.File(s"$root/t").listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("k_2"), s"unexpected layout: $dirs")
+    // compacting again is a no-op; appends after compaction stack on top
+    t.compact()
+    t.append(Seq(5L).toDF("x"), 3L)
+    assert(rows() == Seq(1L, 2L, 3L, 4L, 5L))
+    // replay of a pre-compaction batch id stays a no-op
+    t.append(Seq(99L).toDF("x"), 1L)
+    assert(rows() == Seq(1L, 2L, 3L, 4L, 5L))
+    // crash-sim: a stale batch dir REAPPEARING below the compaction
+    // watermark (deletion raced a crash) must stay invisible
+    Seq(77L).toDF("x").write.parquet(s"$root/t/b_1")
+    assert(rows() == Seq(1L, 2L, 3L, 4L, 5L))
+    // and the second compact folds the post-compaction appends too
+    t.compact()
+    assert(rows() == Seq(1L, 2L, 3L, 4L, 5L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
