@@ -602,6 +602,65 @@ case class DsirBuckets(child: Expression, nBuckets: Int)
     copy(child = newChild)
 }
 
+object TrainedPoolOps {
+  /** One tokenize pass pooling TRAINED per-bucket weights — the
+    * production form of [[FastTextPoolOps.pool]] where the weight of
+    * a feature comes from a committed model artifact instead of the
+    * feature hash itself: every unigram and bigram hashes to
+    * `first-8-hex-of-md5 mod weights.length` (identical to the
+    * [[DsirBucketOps]] bucket rule, so the DuckDB oracle mirrors it
+    * with the same SQL) and contributes the artifact's 1e-6
+    * fixed-point weight for that bucket. Integer accumulation —
+    * order-free, exact; the sigmoid runs once per row outside.
+    */
+  def pool(text: UTF8String, weights: Array[Long]): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = weights.length
+    def w(feat: String): Long = {
+      md.reset()
+      val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      weights((u % n).toInt)
+    }
+    var nf = 0L
+    var s = 0L
+    var i = 0
+    while (i < toks.length) {
+      s += w(toks(i)); nf += 1
+      if (i + 1 < toks.length) { s += w(toks(i) + " " + toks(i + 1)); nf += 1 }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nf, s))
+  }
+}
+
+/** Trained-artifact feature pooling: weights ride into generated code
+  * as a reference object (one `long[]` per task, broadcast-sized —
+  * the bucket space is bounded by construction).
+  */
+case class TrainedQualityPool(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("w_sum", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trained_quality_pool"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrainedPoolOps.pool(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("qweights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TrainedPoolOps$$.MODULE$$.pool($c, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrainedQualityPool =
+    copy(child = newChild)
+}
+
 case class FastTextPool(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_features", org.apache.spark.sql.types.LongType, nullable = false),
@@ -634,6 +693,9 @@ object ShingleFunctions {
 
   def fastTextPool(c: Column): Column =
     column(FastTextPool(expression(c)))
+
+  def trainedQualityPool(c: Column, weights: Array[Long]): Column =
+    column(TrainedQualityPool(expression(c), weights))
 
   def dsirBuckets(c: Column, nBuckets: Int): Column =
     column(DsirBuckets(expression(c), nBuckets))

@@ -664,6 +664,23 @@ object CurationQueries {
       graft.text.QualityClassifier.classify(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The TRAINED form: same kernel shape, weights from the COMMITTED
+    // artifact quality-lr-v1.tsv (graft.TrainQuality — LR over the
+    // md5%1024 bucket space, trained to separate clean docs from the
+    // planted boilerplate degradation, the spam-detection face of the
+    // production quality LR). The gate scores the SAME planted corpus
+    // the trainer saw, so the keep/drop split demonstrates genuine
+    // discrimination. Map-side, zero shuffle; the weight table rides
+    // as a codegen reference object.
+    "q_t_quality_trained" -> ((s, dir) => {
+      import graft.text.QualityClassifier.Degradation
+      val planted = docs(s, dir).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      graft.text.QualityClassifier
+        .classifyTrained(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -1980,6 +1997,52 @@ object CurationQueries {
                  CASE WHEN $sig >= 0.5 THEN '__label__keep'
                       ELSE '__label__drop' END AS label
           FROM w ORDER BY doc_id"""
+    },
+
+    // Trained-artifact mirror: the committed 1e-6 fixed-point bucket
+    // weights interpolate into a VALUES list (the f12/f17/BPE/embed
+    // convention), features re-derived with the DSIR bucket rule
+    // (md5-prefix % 1024), pooled as BIGINT sums, one double chain
+    // into sigmoid. Engine and oracle score with the SAME artifact.
+    "q_t_quality_trained" -> {
+      val (bias, w) =
+        graft.text.QualityClassifier.TrainedModel.loadArtifact()
+      val values = w.zipWithIndex.collect { case (q, b) if q != 0L =>
+        s"($b, ${q}::BIGINT)" }.mkString(", ")
+      val sig = graft.functions.Parity.sqlRound(
+        s"1.0 / (1.0 + exp(-((CAST(${bias} AS DOUBLE) + " +
+          "CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE)) / 1000000.0)))", 6)
+      s"""WITH qw(b, q) AS (VALUES $values),
+          raw AS (
+            SELECT doc_id,
+                   ${graft.text.QualityClassifier.Degradation.SqlPlant} AS t
+            FROM documents),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM raw),
+          ng AS (
+            SELECT doc_id, unnest(toks) AS ft FROM tk
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 1),
+                     i -> toks[i + 1] || ' ' || toks[i + 2])) AS ft
+            FROM tk WHERE len(toks) >= 2),
+          f AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(ft), 1, 8))::BIGINT % 1024 AS b
+            FROM ng),
+          ag AS (
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(coalesce(sum(qw.q), 0) AS BIGINT) AS w_sum
+            FROM f LEFT JOIN qw USING (b)
+            GROUP BY f.doc_id)
+          SELECT doc_id, n_features, w_sum, $sig AS score,
+                 CASE WHEN $sig >= 0.5 THEN '__label__keep'
+                      ELSE '__label__drop' END AS label
+          FROM ag WHERE n_features > 0 ORDER BY doc_id"""
     },
 
     // The model CTEs mirror LangModel op-for-op: same tokenization as

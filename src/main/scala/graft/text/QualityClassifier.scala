@@ -11,13 +11,14 @@ import graft.functions.Parity
   * word unigram + bigram features, feature hashing into a bounded
   * bucket space, mean pooling, a linear layer, sigmoid.
   *
-  * The sandbox has no trained artifact, so the bucket weights are a
-  * DETERMINISTIC pseudo-model derived from the feature hash itself
-  * (uniform in [-2³¹, 2³¹), the same honest-stub treatment as
-  * ModelSentiment/Multimodal): swapping in a real fastText .bin means
-  * replacing [[hashWeight]] with a broadcast lookup — every other part
-  * of the plan (tokenize, hash, pool, squash, threshold) is the real
-  * production shape.
+  * Two weight sources behind the same plan shape: [[classify]] keeps
+  * the hash-derived pseudo-model (uniform in [-2³¹, 2³¹) — the
+  * generic-weights gate), and [[classifyTrained]] carries the
+  * COMMITTED trained artifact quality-lr-v1.tsv ([[graft.TrainQuality]],
+  * round 11 — the fifth artifact retired by the F12/F14/L59/F17
+  * pattern): a per-bucket logistic regression whose weights ride into
+  * the codegen'd kernel as a reference object. Every other part of the
+  * plan (tokenize, hash, pool, squash, threshold) is identical.
   *
   * Scale shape: pure map-side projection, zero shuffles — tokenize,
   * hash and pool run in ONE pass inside the codegen'd
@@ -42,6 +43,89 @@ object QualityClassifier {
           col("n_features").cast("double") / lit(2147483648.0)))), 6)
     df.select(col(idCol),
         graft.expressions.ShingleFunctions.fastTextPool(col(textCol)).as("p"))
+      .select(col(idCol), col("p.n_features").as("n_features"),
+        col("p.w_sum").as("w_sum"))
+      .filter(col("n_features") > 0L)
+      .select(col(idCol), col("n_features"), col("w_sum"),
+        score.as("score"),
+        when(score >= 0.5, lit("__label__keep"))
+          .otherwise(lit("__label__drop")).as("label"))
+  }
+
+  /** The committed TRAINED model (quality-lr-v1.tsv, via
+    * [[graft.TrainQuality]]): logistic regression over the hashed
+    * unigram+bigram bucket space, 1e-6 fixed-point weights. Bucket
+    * rule == [[graft.expressions.DsirBucketOps]] (first-8-hex-of-md5
+    * mod NBuckets), so the oracle re-derives features in SQL and joins
+    * the artifact's VALUES list.
+    */
+  /** The planted degradation fixture shared by trainer, gate and
+    * oracle (the plantedPii/DSIR convention): every doc_id % 3 == 0
+    * document carries one of two deterministic boilerplate tails, so
+    * the trained model's job — separate clean from degraded token
+    * distributions — is defined once and mirrored byte-for-byte in
+    * SQL.
+    */
+  object Degradation {
+    val TailA = " click here free bonus prize winner claim reward now subscribe newsletter offer"
+    val TailB = " buy cheap discount limited deal best price order today shipping coupon sale"
+
+    def plant(id: Column, text: Column): Column =
+      when(id % 3 === 0,
+        concat(text,
+          when(id % 2 === 0, lit(TailA)).otherwise(lit(TailB))))
+        .otherwise(text)
+
+    /** DuckDB mirror of [[plant]] over (doc_id, text). */
+    val SqlPlant: String =
+      s"text || CASE WHEN doc_id % 3 = 0 THEN " +
+        s"CASE WHEN doc_id % 2 = 0 THEN '$TailA' ELSE '$TailB' END " +
+        "ELSE '' END"
+
+    /** keep = clean (not planted). */
+    def label(id: Column): Column = (id % 3 =!= 0).cast("int")
+  }
+
+  object TrainedModel {
+    val Resource = "/graft/quality-lr-v1.tsv"
+    val NBuckets = 1024
+
+    /** (bias, dense weight array of NBuckets 1e-6 fixed-point longs). */
+    def loadArtifact(): (Long, Array[Long]) = {
+      val in = getClass.getResourceAsStream(Resource)
+      require(in != null, s"missing model artifact $Resource")
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+      in.close()
+      var bias = Option.empty[Long]
+      val w = new Array[Long](NBuckets)
+      lines.foreach { l =>
+        val Array(k, v) = l.split("\t", 2)
+        if (k == "__bias__") bias = Some(v.toLong)
+        else w(k.toInt) = v.toLong
+      }
+      (bias.getOrElse(sys.error(s"$Resource has no __bias__ row")), w)
+    }
+  }
+
+  /** Per-doc score under the COMMITTED trained artifact — the
+    * production form of [[classify]]: same single-pass tokenize+hash
+    * +pool kernel shape, but the pooled weight of each feature is the
+    * model's learned bucket weight (integer, exact) instead of the
+    * hash stand-in. z = bias + w_sum/n_features (1e-6 fixed point);
+    * score = σ(z) at 6 dp; keep at score ≥ 0.5. Map-side, zero
+    * shuffle; the weight array rides as a codegen reference object.
+    */
+  def classifyTrained(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (bias, w) = TrainedModel.loadArtifact()
+    val z = (lit(bias.toDouble) +
+      col("w_sum").cast("double") / col("n_features").cast("double")) /
+      lit(1000000.0)
+    val score = Parity.roundHalfUp(
+      lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    df.select(col(idCol),
+        graft.expressions.ShingleFunctions
+          .trainedQualityPool(col(textCol), w).as("p"))
       .select(col(idCol), col("p.n_features").as("n_features"),
         col("p.w_sum").as("w_sum"))
       .filter(col("n_features") > 0L)

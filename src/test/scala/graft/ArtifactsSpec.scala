@@ -18,7 +18,8 @@ class ArtifactsSpec extends AnyFunSuite {
     "/graft/sentiment-lr-v1.tsv" -> "23b645f101b5f6ecea36e6ce69bf3716",
     "/graft/embedding-svd-v1.tsv" -> "29305e2abbe8cac9c70fec47f8ced650",
     "/graft/bpe-merges-v1.tsv" -> "b466c7dd06e61e85ca6dae232c50cd05",
-    "/graft/refiner-lr-v1.tsv" -> "72bafa960fed1256e6c921ce636552cd")
+    "/graft/refiner-lr-v1.tsv" -> "72bafa960fed1256e6c921ce636552cd",
+    "/graft/quality-lr-v1.tsv" -> "03c7eceb25891c96f17951b7bf412417")
 
   test("committed artifacts match their golden checksums") {
     Golden.foreach { case (res, want) =>

@@ -619,6 +619,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._4 == lbl)
   }
 
+  test("trained quality classifier: artifact pools by hand and discriminates the planted degradation") {
+    import spark.implicits._
+    import graft.text.QualityClassifier
+    import graft.text.QualityClassifier.{Degradation, TrainedModel}
+    // artifact == live scorer: recompute one doc's pooled sum by hand
+    // from the loaded artifact + the md5 % 1024 bucket rule
+    val (bias, w) = TrainedModel.loadArtifact()
+    def bucket(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % TrainedModel.NBuckets).toInt
+    }
+    val tiny = Seq((1L, "Alpha beta")).toDF("doc_id", "text")
+    val row = QualityClassifier.classifyTrained(tiny, "doc_id", "text")
+      .collect().head
+    val expected = w(bucket("alpha")) + w(bucket("beta")) + w(bucket("alpha beta"))
+    assert(row.getLong(1) == 3L && row.getLong(2) == expected)
+    val z = (bias.toDouble + expected.toDouble / 3.0) / 1e6
+    assert(math.abs(row.getDouble(3) - 1.0 / (1.0 + math.exp(-z))) < 1e-5)
+
+    // discrimination on the planted corpus (the training objective):
+    // accuracy ≥ 0.95 against the fixture labels, both classes present
+    val planted = docs.select(col("doc_id"),
+      Degradation.plant(col("doc_id"), col("text")).as("text"),
+      Degradation.label(col("doc_id")).as("y"))
+    val scored = QualityClassifier.classifyTrained(planted, "doc_id", "text")
+      .join(planted.select("doc_id", "y"), "doc_id")
+      .select(col("y"),
+        (col("label") === "__label__keep").cast("int").as("pred"))
+      .collect()
+    val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
+    assert(acc >= 0.95, s"planted-degradation accuracy $acc")
+    assert(scored.map(_.getInt(1)).distinct.length == 2, "degenerate predictions")
+  }
+
   test("bigram LM perplexity: add-one math exact, OOV text scores higher") {
     import spark.implicits._
     import graft.text.LangModel
