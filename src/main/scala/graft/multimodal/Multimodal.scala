@@ -156,6 +156,139 @@ object Multimodal {
         Some(graft.functions.Parity.roundHalfUpScalar(absSum.toDouble / nSamples, 6)))
     }
 
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be32u(b: Array[Byte], o: Int): Long = be32(b, o) & 0xffffffffL
+
+    /** REAL PNG decode (round 11 — the first COMPRESSED format in the
+      * slot): walks the chunk list verifying each CRC-32, parses IHDR
+      * (8-bit truecolor, RGB or RGBA, non-interlaced), concatenates
+      * the IDAT payloads, INFLATES the zlib stream with the JVM's
+      * Inflater, reconstructs every scanline through the five PNG
+      * filter types (None/Sub/Up/Average/Paeth), and computes
+      * (width, height, mean integer-weighted luma) over the
+      * reconstructed RGB bytes. Pure JVM — java.util.zip ships the
+      * codec; the fixture cycles the filter type per row, so a wrong
+      * predictor in ANY filter reconstructs different pixels and
+      * fails the analytic oracle.
+      */
+    def decodePng(mediaId: Long, bytes: Array[Byte]): DecodedMedia = {
+      val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      require(bytes.length >= 8 && bytes.take(8).sameElements(Sig),
+        s"not a PNG: media $mediaId")
+      var off = 8
+      var w = 0; var h = 0; var colorType = -1
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenIend) {
+        require(off + 8 <= bytes.length,
+          s"PNG truncated before IEND at offset $off: media $mediaId")
+        val len = be32(bytes, off)
+        require(len >= 0 && off + 12 + len.toLong <= bytes.length,
+          s"PNG chunk length $len out of bounds at offset $off " +
+            s"(len=${bytes.length}): media $mediaId")
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue == be32u(bytes, off + 8 + len),
+          s"PNG chunk $typ CRC mismatch: media $mediaId")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, s"PNG IHDR length $len: media $mediaId")
+            w = be32(bytes, off + 8); h = be32(bytes, off + 12)
+            require(w > 0 && h > 0, s"PNG dims ${w}x$h: media $mediaId")
+            require((bytes(off + 16) & 0xff) == 8,
+              s"only 8-bit PNG supported: media $mediaId")
+            colorType = bytes(off + 17) & 0xff
+            require(colorType == 2 || colorType == 6,
+              s"only truecolor PNG supported (type $colorType): media $mediaId")
+            require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+              bytes(off + 20) == 0,
+              s"unsupported PNG compression/filter/interlace: media $mediaId")
+            seenIhdr = true
+          case "IDAT" =>
+            require(seenIhdr, s"IDAT before IHDR: media $mediaId")
+            idat.write(bytes, off + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks are CRC-checked and skipped
+        }
+        off += 12 + len
+      }
+      require(seenIhdr && idat.size > 0, s"no PNG pixel data: media $mediaId")
+      val bpp = if (colorType == 2) 3 else 4
+      val stride = 1 + w * bpp // filter byte + packed samples
+      require(h.toLong * stride <= Int.MaxValue - 8,
+        s"PNG raster too large (${w}x$h): media $mediaId")
+      val raw = new Array[Byte](h * stride)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          require(n > 0,
+            s"PNG zlib stream truncated at $got/${raw.length}: media $mediaId")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"PNG zlib stream corrupt: media $mediaId", e)
+      } finally inf.end()
+      require(got == raw.length,
+        s"PNG pixel stream short ($got/${raw.length}): media $mediaId")
+      // scanline reconstruction: each row declares its filter; the
+      // reconstructed bytes overwrite `raw` in place so row y-1 is
+      // already reconstructed when row y reads it
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b)
+        val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < h) {
+        val filt = raw(y * stride) & 0xff
+        require(filt <= 4, s"PNG filter type $filt: media $mediaId")
+        var i = 0
+        while (i < w * bpp) {
+          val pos = y * stride + 1 + i
+          val x = raw(pos) & 0xff
+          val a = if (i >= bpp) raw(pos - bpp) & 0xff else 0
+          val b = if (y > 0) raw(pos - stride) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) raw(pos - stride - bpp) & 0xff else 0
+          val recon = filt match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+          }
+          raw(pos) = (recon & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      var lumaSum = 0L
+      y = 0
+      while (y < h) {
+        var px = 0
+        while (px < w) {
+          val o = y * stride + 1 + px * bpp
+          lumaSum += 299L * (raw(o) & 0xff) + 587L * (raw(o + 1) & 0xff) +
+            114L * (raw(o + 2) & 0xff)
+          px += 1
+        }
+        y += 1
+      }
+      DecodedMedia(mediaId, "png", bytes.length.toLong,
+        Some(w.toLong), Some(h.toLong),
+        Some(graft.functions.Parity.roundHalfUpScalar(
+          lumaSum.toDouble / (1000.0 * w * h), 6)),
+        None, None, None)
+    }
+
     /** STUB — deterministic fake decode. Real implementation would
       * decode `bytes` with an image/audio codec; the container has
       * none, so features derive from the bytes deterministically
@@ -199,6 +332,7 @@ object Multimodal {
       .mapPartitions(_.map {
         case (id, "bmp", bytes) => MediaCodec.decodeBmp(id, bytes)
         case (id, "wav", bytes) => MediaCodec.decodeWav(id, bytes)
+        case (id, "png", bytes) => MediaCodec.decodePng(id, bytes)
         case (id, f, _) =>
           throw new IllegalArgumentException(s"unknown format $f: media $id")
       })
@@ -251,6 +385,93 @@ object Multimodal {
         }
         y += 1
       }
+      out
+    }
+
+    private def be32(out: Array[Byte], o: Int, v: Long): Unit = {
+      out(o) = ((v >> 24) & 0xff).toByte; out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+    }
+
+    /** 8-bit RGB non-interlaced PNG, w = 5 + id%4, h = 4 + id%3;
+      * pixel formula == the BMP fixture's (so the oracle shares the
+      * luma expression), but each scanline is FILTERED with type
+      * y % 5 before compression — the decoder must reconstruct
+      * through all five predictors to land on the planted pixels.
+      * The zlib stream is written by hand as ONE STORED block
+      * (header 78 01, BFINAL=1/BTYPE=00, LEN/NLEN, raw, adler32), so
+      * the file size is a closed form the oracle can assert —
+      * 68 + h·(1+3w) bytes — while the decoder still runs the REAL
+      * Inflater over it. Chunk CRCs are genuine CRC-32s.
+      */
+    def pngBytes(id: Long): Array[Byte] = {
+      val w = (5 + id % 4).toInt
+      val h = (4 + id % 3).toInt
+      val stride = 1 + w * 3
+      // raw filtered scanlines
+      val raw = new Array[Byte](h * stride)
+      def px(x: Int, y: Int, ch: Int): Int = ch match {
+        case 0 => ((id + x + 11 * y) % 256).toInt // R
+        case 1 => ((id + 5 * x + y) % 256).toInt // G
+        case 2 => ((id + 3 * x + 7 * y) % 256).toInt // B
+      }
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b)
+        val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < h) {
+        val filt = y % 5
+        raw(y * stride) = filt.toByte
+        var i = 0
+        while (i < w * 3) {
+          val cur = px(i / 3, y, i % 3)
+          val a = if (i >= 3) px((i - 3) / 3, y, i % 3) else 0
+          val b = if (y > 0) px(i / 3, y - 1, i % 3) else 0
+          val c = if (y > 0 && i >= 3) px((i - 3) / 3, y - 1, i % 3) else 0
+          val enc = filt match {
+            case 0 => cur
+            case 1 => cur - a
+            case 2 => cur - b
+            case 3 => cur - (a + b) / 2
+            case 4 => cur - paeth(a, b, c)
+          }
+          raw(y * stride + 1 + i) = (enc & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      // hand-rolled zlib: one stored block
+      val zlen = raw.length + 11
+      val z = new Array[Byte](zlen)
+      z(0) = 0x78.toByte; z(1) = 0x01 // zlib header, no dict
+      z(2) = 0x01 // BFINAL=1, BTYPE=00 (stored)
+      z(3) = (raw.length & 0xff).toByte; z(4) = ((raw.length >> 8) & 0xff).toByte
+      z(5) = (~raw.length & 0xff).toByte; z(6) = ((~raw.length >> 8) & 0xff).toByte
+      System.arraycopy(raw, 0, z, 7, raw.length)
+      val ad = new java.util.zip.Adler32(); ad.update(raw)
+      be32(z, zlen - 4, ad.getValue)
+      // PNG container: sig + IHDR + IDAT + IEND
+      val out = new Array[Byte](8 + 25 + (12 + zlen) + 12)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte).copyToArray(out, 0)
+      def chunk(o: Int, typ: String, data: Array[Byte]): Int = {
+        be32(out, o, data.length.toLong)
+        typ.getBytes("US-ASCII").copyToArray(out, o + 4)
+        data.copyToArray(out, o + 8)
+        val crc = new java.util.zip.CRC32()
+        crc.update(out, o + 4, 4 + data.length)
+        be32(out, o + 8 + data.length, crc.getValue)
+        o + 12 + data.length
+      }
+      val ihdr = new Array[Byte](13)
+      be32(ihdr, 0, w.toLong); be32(ihdr, 4, h.toLong)
+      ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor RGB
+      var o = chunk(8, "IHDR", ihdr)
+      o = chunk(o, "IDAT", z)
+      chunk(o, "IEND", Array.empty[Byte])
       out
     }
 

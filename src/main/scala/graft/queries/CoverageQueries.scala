@@ -179,20 +179,26 @@ object CoverageQueries {
         .orderBy("media_id")
     }),
 
-    // Multimodal, REAL decode (round-10 stretch): genuine BMP and WAV
-    // bytes are synthesized per doc (real headers, bottom-up padded
-    // pixel rows, RIFF chunk list), then parsed by the pure-JVM
-    // decoders inside the same mapPartitions slot the stub occupied.
-    // The oracle predicts the DECODED features (dimensions, weighted
-    // mean luma, sample count/duration/mean amplitude) analytically
-    // from the id — the decoder only ever sees file bytes, so a
-    // wrong offset, padding, row order, or chunk walk hash-fails.
+    // Multimodal, REAL decode (round-10 stretch; PNG added round 11):
+    // genuine BMP, WAV and PNG bytes are synthesized per doc (real
+    // headers, bottom-up padded pixel rows, RIFF chunk list, CRC'd
+    // PNG chunks over a zlib stream with per-row filters cycling all
+    // five types), then parsed by the pure-JVM decoders inside the
+    // same mapPartitions slot the stub occupied — the PNG path runs a
+    // REAL Inflater and the full scanline reconstruction. The oracle
+    // predicts the DECODED features (dimensions, weighted mean luma,
+    // sample count/duration/mean amplitude) analytically from the
+    // id — the decoder only ever sees file bytes, so a wrong offset,
+    // padding, row order, chunk walk, or filter predictor hash-fails.
     "q_m_media_decode" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
-          if (id % 2 == 0) (id, "bmp", Multimodal.Fixtures.bmpBytes(id))
-          else (id, "wav", Multimodal.Fixtures.wavBytes(id))
+          (id % 3) match {
+            case 0 => (id, "bmp", Multimodal.Fixtures.bmpBytes(id))
+            case 1 => (id, "wav", Multimodal.Fixtures.wavBytes(id))
+            case _ => (id, "png", Multimodal.Fixtures.pngBytes(id))
+          }
         })
         .toDF("media_id", "format", "bytes")
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")
@@ -664,7 +670,7 @@ object CoverageQueries {
            SELECT doc_id AS media_id,
                   CAST(4 + doc_id % 5 AS BIGINT) AS w,
                   CAST(3 + doc_id % 4 AS BIGINT) AS h
-           FROM documents WHERE doc_id % 2 = 0),
+           FROM documents WHERE doc_id % 3 = 0),
          bp AS (
            SELECT media_id, w, h,
                   list_sum(flatten(list_transform(range(h), y ->
@@ -676,12 +682,25 @@ object CoverageQueries {
          wv AS (
            SELECT doc_id AS media_id,
                   CAST(64 + doc_id % 129 AS BIGINT) AS n
-           FROM documents WHERE doc_id % 2 = 1),
+           FROM documents WHERE doc_id % 3 = 1),
          wp AS (
            SELECT media_id, n,
                   list_sum(list_transform(range(n), i ->
                     abs(((media_id * 31 + i * 17) % 65536) - 32768))) AS asum
-           FROM wv)
+           FROM wv),
+         g AS (
+           SELECT doc_id AS media_id,
+                  CAST(5 + doc_id % 4 AS BIGINT) AS w,
+                  CAST(4 + doc_id % 3 AS BIGINT) AS h
+           FROM documents WHERE doc_id % 3 = 2),
+         gp AS (
+           SELECT media_id, w, h,
+                  list_sum(flatten(list_transform(range(h), y ->
+                    list_transform(range(w), x ->
+                        299 * ((media_id + x + 11*y) % 256)
+                      + 587 * ((media_id + 5*x + y) % 256)
+                      + 114 * ((media_id + 3*x + 7*y) % 256))))) AS lsum
+           FROM g)
          SELECT media_id, 'bmp' AS format,
                 CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
                 w AS width, h AS height,
@@ -698,6 +717,17 @@ object CoverageQueries {
                 n, n * 1000 // 8000,
                 floor(CAST(asum AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
          FROM wp
+         UNION ALL
+         -- PNG file size is closed-form because the fixture writes the
+         -- zlib stream as ONE STORED block: sig 8 + IHDR 25 + IDAT
+         -- (12 + raster+11) + IEND 12 = 68 + h*(1+3w)
+         SELECT media_id, 'png',
+                CAST(68 + h * (1 + 3 * w) AS BIGINT),
+                w, h,
+                floor(CAST(lsum AS DOUBLE) / (1000.0 * w * h)
+                  * 1000000.0 + 0.5) / 1000000.0,
+                NULL, NULL, NULL
+         FROM gp
          ORDER BY media_id""",
 
     "q_m_frame_sample" ->

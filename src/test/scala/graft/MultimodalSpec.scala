@@ -60,28 +60,123 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("fixture round-trip matches the closed-form content for a sample of ids") {
-    for (id <- Seq(0L, 1L, 2L, 17L, 100L, 12345L)) {
-      if (id % 2 == 0) {
-        val d = MediaCodec.decodeBmp(id, Fixtures.bmpBytes(id))
-        val w = 4 + id % 5
-        val h = 3 + id % 4
-        assert(d.width.contains(w) && d.height.contains(h))
-        var lsum = 0L
-        for (y <- 0L until h; x <- 0L until w)
-          lsum += 299 * ((id + x + 11 * y) % 256) +
-            587 * ((id + 5 * x + y) % 256) + 114 * ((id + 3 * x + 7 * y) % 256)
-        assert(d.mean_luma.contains(
-          math.floor(lsum / (1000.0 * w * h) * 1e6 + 0.5) / 1e6))
-      } else {
-        val d = MediaCodec.decodeWav(id, Fixtures.wavBytes(id))
-        val n = 64 + id % 129
-        assert(d.n_samples.contains(n) && d.duration_ms.contains(n * 1000 / 8000))
-        val asum = (0L until n)
-          .map(i => math.abs((id * 31 + i * 17) % 65536 - 32768)).sum
-        assert(d.mean_abs.contains(
-          math.floor(asum / n.toDouble * 1e6 + 0.5) / 1e6))
-      }
+    def lumaSum(id: Long, w: Long, h: Long): Long = {
+      var lsum = 0L
+      for (y <- 0L until h; x <- 0L until w)
+        lsum += 299 * ((id + x + 11 * y) % 256) +
+          587 * ((id + 5 * x + y) % 256) + 114 * ((id + 3 * x + 7 * y) % 256)
+      lsum
     }
+    for (id <- Seq(0L, 1L, 2L, 17L, 100L, 12345L)) {
+      val db = MediaCodec.decodeBmp(id, Fixtures.bmpBytes(id))
+      val (bw, bh) = (4 + id % 5, 3 + id % 4)
+      assert(db.width.contains(bw) && db.height.contains(bh))
+      assert(db.mean_luma.contains(
+        math.floor(lumaSum(id, bw, bh) / (1000.0 * bw * bh) * 1e6 + 0.5) / 1e6))
+
+      val dw = MediaCodec.decodeWav(id, Fixtures.wavBytes(id))
+      val n = 64 + id % 129
+      assert(dw.n_samples.contains(n) && dw.duration_ms.contains(n * 1000 / 8000))
+      val asum = (0L until n)
+        .map(i => math.abs((id * 31 + i * 17) % 65536 - 32768)).sum
+      assert(dw.mean_abs.contains(
+        math.floor(asum / n.toDouble * 1e6 + 0.5) / 1e6))
+
+      // PNG: same pixel formula as BMP but new dims, per-row filters
+      // cycling all five types, a real zlib stream, CRC'd chunks —
+      // and the closed-form stored-block file size
+      val dp = MediaCodec.decodePng(id, Fixtures.pngBytes(id))
+      val (pw, ph) = (5 + id % 4, 4 + id % 3)
+      assert(dp.width.contains(pw) && dp.height.contains(ph))
+      assert(dp.n_bytes == 68 + ph * (1 + 3 * pw))
+      assert(dp.mean_luma.contains(
+        math.floor(lumaSum(id, pw, ph) / (1000.0 * pw * ph) * 1e6 + 0.5) / 1e6))
+    }
+  }
+
+  /** Hand-assembled PNG (independent of the repo's encoder): stored
+    * zlib block, CRCs via java.util.zip (the chunk LAYOUT is the thing
+    * under test, not the CRC polynomial).
+    */
+  private def mkPng(w: Int, h: Int, scanlines: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bos.write(be32(data.length.toLong))
+      val td = typ.getBytes("US-ASCII") ++ data
+      bos.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      bos.write(be32(crc.getValue))
+    }
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0))
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(Array[Byte](0x78, 0x01, 0x01))
+    z.write(Array((scanlines.length & 0xff).toByte,
+      ((scanlines.length >> 8) & 0xff).toByte,
+      (~scanlines.length & 0xff).toByte,
+      ((~scanlines.length >> 8) & 0xff).toByte))
+    z.write(scanlines)
+    val ad = new java.util.zip.Adler32(); ad.update(scanlines)
+    z.write(be32(ad.getValue))
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    bos.toByteArray
+  }
+
+  test("hand-crafted 2x2 PNG with None+Up filters decodes to the hand-computed luma") {
+    // row 0 (filter 0, raw): (10,20,30) (40,50,60)
+    // row 1 (filter 2, Up, deltas +60 per channel): raw (70,80,90) (100,110,120)
+    val scan = Array[Int](
+      0, 10, 20, 30, 40, 50, 60,
+      2, 60, 60, 60, 60, 60, 60).map(_.toByte)
+    val d = MediaCodec.decodePng(3L, mkPng(2, 2, scan))
+    assert(d.width.contains(2L) && d.height.contains(2L))
+    // luma sum = 299*(10+40+70+100) + 587*(20+50+80+110) + 114*(30+60+90+120)
+    //          = 65780 + 152620 + 34200 = 252600; /4000 = 63.15
+    assert(d.mean_luma.contains(63.15), d)
+    assert(d.n_samples.isEmpty && d.mean_abs.isEmpty)
+  }
+
+  test("hostile PNGs fail named: bad filter, CRC corruption, truncation, short zlib") {
+    // filter type 7 (invalid) — rebuilt with correct CRCs/adler so it
+    // reaches the reconstruction stage
+    val badFilt = Array[Int](7, 1, 2, 3).map(_.toByte)
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(1L, mkPng(1, 1, badFilt))
+    }
+    assert(e1.getMessage.contains("filter type 7"))
+    // flip a byte inside the fixture's IDAT payload: the chunk CRC
+    // must catch it before any pixel math
+    val fx = Fixtures.pngBytes(8L).clone()
+    fx(8 + 25 + 8 + 10) = (fx(8 + 25 + 8 + 10) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(8L, fx)
+    }
+    assert(e2.getMessage.contains("CRC mismatch"))
+    // truncation mid-chunk
+    val whole = Fixtures.pngBytes(8L)
+    val e3 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(8L, whole.take(whole.length - 8))
+    }
+    assert(e3.getMessage.contains("out of bounds") ||
+      e3.getMessage.contains("truncated"))
+    // a VALID zlib stream carrying fewer scanline bytes than h*stride:
+    // the inflater finishes early and the short raster must fail named
+    val short = Array[Int](0, 1, 2, 3).map(_.toByte) // 1 row of a 2-row image
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(9L, mkPng(1, 2, short))
+    }
+    assert(e4.getMessage.contains("truncated") ||
+      e4.getMessage.contains("short"))
+    // not a PNG at all
+    val e5 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(2L, Array.fill[Byte](32)(0))
+    }
+    assert(e5.getMessage.contains("not a PNG"))
   }
 
   test("malformed media fails with a named error, not garbage features") {
