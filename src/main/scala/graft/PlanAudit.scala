@@ -33,6 +33,8 @@ object PlanAudit {
     "q_c_shard_assign" -> "ordered global window over per-BUCKET summary rows only (#buckets ≈ #splits), not data rows — the two-phase prefix-sum offsets fold",
     "q_c_shard_assign_learned" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
     "q_c_shard_manifest" -> "same bounded bucket-offsets fold (two-phase prefix sum)",
+    "q_c_epoch_shuffle" -> "same bounded bucket-offsets fold twice (rank + token prefix sums), never over data rows",
+    "q_c_shard_append" -> "bounded bucket-offsets fold + 1-row scalar broadcasts (split threshold, stored-manifest facts)",
     // q_c_shard_write deliberately absent: its returned plan is only
     // the durable-readback manifest (the write runs eagerly before it)
     // and must stay window-free

@@ -164,6 +164,18 @@ object Sampling {
   def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, bucketWidth: Long): DataFrame = {
     require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    cumByTokens(df, idCol, tokensCol, bucketWidth)
+      .withColumn("shard_id", expr(s"(__cum - __btok) div $budget"))
+      .drop("__cum", "__btok")
+  }
+
+  /** The shared two-phase prefix-sum core of [[shardByTokens]] /
+    * [[shardAppend]]: the input plus `__cum` (running token total in
+    * id order) and `__btok` (validated long token count). Callers
+    * must drop both.
+    */
+  private def cumByTokens(df: DataFrame, idCol: String, tokensCol: String,
+      bucketWidth: Long): DataFrame = {
     // validation rides on the token column (used by every downstream
     // expression, so it cannot be pruned away): a null/negative id or a
     // null token count fails loudly with the offending values
@@ -190,8 +202,7 @@ object Sampling {
     val w = Window.partitionBy(col("__bucket")).orderBy(col(idCol).asc)
     withB.join(broadcast(offsets), Seq("__bucket"))
       .withColumn("__cum", sum(col("__btok")).over(w) + col("__offset"))
-      .withColumn("shard_id", expr(s"(__cum - __btok) div $budget"))
-      .drop("__bucket", "__offset", "__cum", "__btok")
+      .drop("__bucket", "__offset")
   }
 
   /** Per-shard manifest for [[shardByTokens]] output — the sidecar a
@@ -205,6 +216,44 @@ object Sampling {
         sum(col(tokensCol).cast("long")).as("n_tokens"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
+
+  /** L65 — INCREMENTAL shard publish (the L52 maintenance moment for
+    * the shard family): assign an append-at-tail ingest batch its
+    * shard ids from the STORED manifest alone — the running token
+    * total and the max published id are the only history facts the
+    * arithmetic needs — so the batch's assignment is ∝ batch while
+    * already-published shards stay immutable (their manifest rows are
+    * never recomputed, their files never rewritten; the straddling
+    * last shard simply continues filling). Output is bit-identical to
+    * re-running [[shardByTokens]] over the whole union corpus
+    * (CurationSpec pins the identity; the gate's oracle IS the
+    * union-corpus global window restricted to batch docs).
+    *
+    * Append-at-tail is the contract that makes the identity hold:
+    * every batch id must exceed the manifest's max published id —
+    * violations (a backfill arriving mid-range would silently shift
+    * every later shard) raise a named error from inside the plan.
+    * The manifest aggregates to ONE broadcast row (lazy subplan, the
+    * shardByTokens offsets convention).
+    */
+  def shardAppend(batch: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, bucketWidth: Long, manifest: DataFrame): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    val prior = manifest.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("__prior_tokens"),
+      coalesce(max(col("max_id")), lit(-1L)).as("__max_pub"))
+    val idOk = col(idCol) > col("__max_pub")
+    cumByTokens(batch, idCol, tokensCol, bucketWidth)
+      .crossJoin(broadcast(prior))
+      .withColumn("shard_id",
+        when(!idOk, raise_error(concat(
+          lit(s"shardAppend: $idCol must exceed the published max id "),
+          col("__max_pub").cast("string"), lit(s"; got $idCol="),
+          col(idCol).cast("string"))))
+          .otherwise(expr(
+            s"(__prior_tokens + __cum - __btok) div $budget")))
+      .drop("__prior_tokens", "__max_pub", "__cum", "__btok")
+  }
 
   /** L56's WRITER — land the assignment as the partitioned on-disk
     * layout it exists to produce (one `shard_id=N` directory per
@@ -387,6 +436,61 @@ object Sampling {
     * Doubles are rounded (6 dp, HALF_UP) at the boundary so the
     * output is engine-parity-stable.
     */
+  /** L62 — deterministic EPOCH RESHUFFLE (the data-loader's
+    * between-pass permutation, done offline where 100 TB lives): every
+    * row gets a shuffle key = 60-bit md5 prefix of `seed:id` (the
+    * engine-neutral hash rule the overlap sketch already uses, so the
+    * oracle reproduces it bit-for-bit) and `pos` = the row's rank in
+    * the (key, id) total order — a full corpus permutation that is a
+    * pure function of (seed, data): replayable on crash, different per
+    * epoch, identical on every engine. Downstream composes it with
+    * [[shardByTokens]] by passing `pos` as the id column, so each
+    * epoch's shards are a fresh permutation with the same token
+    * budget.
+    *
+    * The rank is the same two-phase prefix sum as [[shardByTokens]] —
+    * a global `row_number()` window is exactly the PlanAudit tripwire:
+    *   1. keys range-bucket by `key div 2⁶⁰/buckets` (keys are uniform
+    *      in [0, 2⁶⁰), so buckets are balanced by construction — no
+    *      skew story needed); ONE count aggregation + an ordered fold
+    *      over the #buckets summary rows → exclusive row offsets,
+    *      broadcast back as a lazy subplan;
+    *   2. a per-BUCKET row_number adds the in-bucket rank to the
+    *      bucket offset. Bit-identical to the single global window for
+    *      any bucket count (CurationSpec asserts widths 1/7/4096 and
+    *      seed replay under deliberate mis-partitioning).
+    *
+    * Null/negative ids raise a named error from inside the plan (the
+    * shardByTokens validation convention).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bad = col(idCol).isNull || col(idCol) < 0
+    val keyRaw = conv(substring(
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    val key = when(bad, raise_error(concat(
+        lit(s"epochShuffle: $idCol must be non-null and non-negative; got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(keyRaw)
+    val bucketWidth = math.max(1L, (1L << 60) / buckets)
+    val withK = df.withColumn("shuffle_key", key)
+      .withColumn("__bucket", expr(s"shuffle_key div $bucketWidth"))
+    val counts = withK.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bcnt"))
+    val offsets = counts.withColumn("__offset",
+        coalesce(sum(col("__bcnt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__offset")
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("shuffle_key").asc, col(idCol).asc)
+    withK.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("pos",
+        row_number().over(w).cast("long") - 1L + col("__offset"))
+      .drop("__bucket", "__offset")
+  }
+
   def temperatureMixture(df: DataFrame, domainCol: String,
       sizeCol: Column, tau: Double): DataFrame = {
     require(tau > 0, s"temperature must be positive: $tau")

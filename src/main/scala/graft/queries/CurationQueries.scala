@@ -233,6 +233,41 @@ object CurationQueries {
         "doc_id", "n_tokens", budget = 8192L, bucketWidth = 32L)
         .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
 
+    // L62 epoch reshuffle composed with the shard cut: a full-corpus
+    // permutation keyed on md5(seed:id) (pure function of seed+data —
+    // replayable, engine-neutral), rank via the same two-phase prefix
+    // sum, then pos feeds shardByTokens as the id so each epoch's
+    // shards are a fresh permutation under the same token budget.
+    "q_c_epoch_shuffle" -> ((s, dir) =>
+      Sampling.shardByTokens(
+        Sampling.epochShuffle(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", seed = 7L, buckets = 64),
+        "pos", "n_chars", budget = 16384L, bucketWidth = 32L)
+        .select("doc_id", "shuffle_key", "pos", "shard_id")
+        .orderBy("doc_id")),
+
+    // L65 incremental shard publish: the tail 20% of the corpus plays
+    // the ingest batch; its shard ids come from the STORED manifest's
+    // two facts (running token total, max published id) — ∝ batch,
+    // published shards immutable — and must equal the from-scratch
+    // union assignment (the oracle: one global window over ALL docs,
+    // restricted to batch docs).
+    "q_c_shard_append" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val thr = d.agg(expr("max(doc_id) * 4 div 5").as("__thr"))
+      val hist = d.crossJoin(broadcast(thr))
+        .filter(col("doc_id") < col("__thr")).drop("__thr")
+      val batch = d.crossJoin(broadcast(thr))
+        .filter(col("doc_id") >= col("__thr")).drop("__thr")
+      val manifest = Sampling.shardManifest(
+        Sampling.shardByTokens(hist, "doc_id", "n_chars",
+          budget = 16384L, bucketWidth = 32L), "doc_id", "n_chars")
+      Sampling.shardAppend(batch, "doc_id", "n_chars",
+          budget = 16384L, bucketWidth = 32L, manifest)
+        .select("doc_id", "n_chars", "shard_id").orderBy("doc_id")
+    }),
+
     // L56's writer sidecar: per-shard manifest (doc count, token
     // mass, id range) over the same assignment — one partial-agg
     // shuffle on shard_id.
@@ -1052,6 +1087,37 @@ object CurationQueries {
          SELECT doc_id, n_tokens,
                 CAST((cum - n_tokens) // 8192 AS BIGINT) AS shard_id
          FROM c ORDER BY doc_id""",
+
+    // epoch shuffle: the permutation and cut re-derived with single
+    // global windows (the form the engine's two-phase sums replace)
+    "q_c_epoch_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id, n_chars,
+                  ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_chars, shuffle_key,
+                  row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+           FROM k),
+         c AS (
+           SELECT doc_id, shuffle_key, pos, n_chars,
+                  sum(n_chars) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum
+           FROM r)
+         SELECT doc_id, shuffle_key, CAST(pos AS BIGINT) AS pos,
+                CAST((cum - n_chars) // 16384 AS BIGINT) AS shard_id
+         FROM c ORDER BY doc_id""",
+
+    // incremental publish: the union-corpus global window restricted
+    // to the batch docs — what the manifest-fed arithmetic must match
+    "q_c_shard_append" ->
+      """WITH thr AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
+         c AS (
+           SELECT doc_id, n_chars,
+                  sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents)
+         SELECT doc_id, n_chars,
+                CAST((cum - n_chars) // 16384 AS BIGINT) AS shard_id
+         FROM c, thr WHERE doc_id >= thr.t ORDER BY doc_id""",
 
     // manifest over the same global cumsum
     "q_c_shard_manifest" ->

@@ -877,6 +877,83 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: two-phase rank matches the global window for any bucket count; seeds permute") {
+    import spark.implicits._
+    val rows = (0L until 257L).map(i => (i, 1L))
+    val df = rows.toDF("doc_id", "n").repartition(13) // layout-independent
+    def md5key(seed: Long, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.map(_._1).sortBy(id => (md5key(7L, id), id))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    for (b <- Seq(1, 7, 4096)) {
+      val got = Sampling.epochShuffle(df, "doc_id", seed = 7L, buckets = b)
+        .select("doc_id", "pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"buckets=$b")
+    }
+    // a different seed is a genuinely different permutation; every pos
+    // is hit exactly once by both
+    val other = Sampling.epochShuffle(df, "doc_id", seed = 8L)
+      .select("doc_id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other.values.toSeq.sorted == (0L until 257L))
+    assert(rows.count { case (id, _) => want(id) != other(id) } > 200,
+      "seed change barely moved the permutation")
+    // invalid ids fail named from inside the plan
+    val e = intercept[Exception] {
+      Seq((-1L, 1L)).toDF("doc_id", "n").transform(d =>
+        Sampling.epochShuffle(d, "doc_id", 7L)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("epochShuffle"))
+  }
+
+  test("shard append: manifest-fed batch assignment equals from-scratch union; non-tail ids fail named") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(50).toLong))
+    val hist = rows.take(230).toDF("doc_id", "n_tokens")
+    val batch = rows.drop(230).toDF("doc_id", "n_tokens").repartition(7)
+    val manifest = Sampling.shardManifest(
+      Sampling.shardByTokens(hist, "doc_id", "n_tokens", 100L, 32L),
+      "doc_id", "n_tokens")
+    val got = Sampling.shardAppend(batch, "doc_id", "n_tokens",
+        budget = 100L, bucketWidth = 32L, manifest)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Sampling.shardByTokens(
+        rows.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 100L, 32L)
+      .filter(col("doc_id") >= 230L)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // published shards stay immutable: the batch never lands below the
+    // manifest's last shard
+    val lastPub = manifest.agg(max("shard_id")).collect().head.getLong(0)
+    assert(got.values.min >= lastPub)
+    // a backfill id inside the published range must fail named, not
+    // silently shift every later shard
+    val e = intercept[Exception] {
+      Sampling.shardAppend(Seq((5L, 3L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 100L, 32L, manifest).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("shardAppend"))
+    // empty manifest degenerates to plain shardByTokens
+    val empty = manifest.filter(lit(false))
+    val fresh = Sampling.shardAppend(batch, "doc_id", "n_tokens",
+        100L, 32L, empty)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val freshWant = Sampling.shardByTokens(batch, "doc_id", "n_tokens",
+        100L, 32L)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fresh == freshWant)
+  }
+
   test("shard manifest: budget plus one straddler, shards tile the id order") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
