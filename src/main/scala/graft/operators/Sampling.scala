@@ -275,6 +275,44 @@ object Sampling {
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
 
+  /** L65's WRITER — land an append batch as partition directories
+    * WITHOUT rewriting published shards: the durable half of
+    * [[shardAppend]]'s ∝-batch contract (assignment ∝ batch is no
+    * win if the writer then rewrites 100 TB of layout). Only the
+    * batch's own shard directories are written — brand-new shards
+    * plus the one straddling shard the batch continues, whose
+    * existing rows ride through via ONE partition-pruned read (the
+    * BucketedTable one-pruned-read-one-write convention); dynamic
+    * partition overwrite leaves every other published directory's
+    * files untouched on disk (CurationSpec pins the untouched file
+    * list byte-for-byte).
+    */
+  def appendShardFiles(assignedBatch: DataFrame, idCol: String,
+      tokensCol: String, dest: String): Unit = {
+    val spark = assignedBatch.sparkSession
+    val rows = assignedBatch.select(col(idCol), col(tokensCol),
+      col("shard_id")).cache()
+    try {
+      // bounded driver action: ONE long (the potential straddler id)
+      val minShard = rows.agg(min("shard_id")).head()
+      if (!minShard.isNullAt(0)) {
+        val straddler = minShard.getLong(0)
+        val existing =
+          if (new java.io.File(dest).exists())
+            spark.read.parquet(dest)
+              .withColumn("shard_id", col("shard_id").cast("long"))
+              .filter(col("shard_id") === straddler) // partition-pruned
+              .select(col(idCol), col(tokensCol), col("shard_id"))
+          else rows.limit(0)
+        existing.unionByName(rows)
+          .repartition(col("shard_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard_id").parquet(dest)
+      }
+    } finally rows.unpersist()
+  }
+
   /** L56 × L60 — the shard writer landing CURRICULUM ORDER inside
     * each shard (round-10 verdict item 6): the training reader's
     * contract is `(stage, ord_key)`-ascending rows per shard file, so

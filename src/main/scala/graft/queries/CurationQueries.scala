@@ -321,6 +321,38 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // L65's writer VERIFIED DURABLY: publish the history snapshot,
+    // append only the batch's shard directories (straddler continued
+    // via one pruned read, published files untouched — CurationSpec
+    // pins the file list), then recompute the manifest FROM the union
+    // layout on disk; the oracle is the from-scratch union manifest,
+    // so a dropped, duplicated, or mis-routed row in the append
+    // hash-fails.
+    "q_c_shard_write_append" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val thr = d.agg(expr("max(doc_id) * 4 div 5").as("__thr"))
+      val hist = d.crossJoin(broadcast(thr))
+        .filter(col("doc_id") < col("__thr")).drop("__thr")
+      val batch = d.crossJoin(broadcast(thr))
+        .filter(col("doc_id") >= col("__thr")).drop("__thr")
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val dest = s"${graft.Sessions.scratchRoot}/shards_append/" +
+        src.getParentFile.getName
+      val histAssigned = Sampling.shardByTokens(hist, "doc_id", "n_chars",
+        budget = 16384L, bucketWidth = 32L)
+      Sampling.writeShards(histAssigned, "doc_id", "n_chars", dest)
+      val manifest = Sampling.shardManifest(histAssigned, "doc_id", "n_chars")
+      Sampling.appendShardFiles(
+        Sampling.shardAppend(batch, "doc_id", "n_chars",
+          budget = 16384L, bucketWidth = 32L, manifest),
+        "doc_id", "n_chars", dest)
+      Sampling.shardManifest(
+        s.read.parquet(dest)
+          .withColumn("shard_id", col("shard_id").cast("long")),
+        "doc_id", "n_chars")
+        .orderBy("shard_id")
+    }),
+
     // L56 × L60 (round-10 verdict item 6): the shard writer landing
     // CURRICULUM ORDER inside each shard — the training reader's
     // (stage, ord_key)-ascending contract as a property of the bytes
@@ -1118,6 +1150,22 @@ object CurationQueries {
          SELECT doc_id, n_chars,
                 CAST((cum - n_chars) // 16384 AS BIGINT) AS shard_id
          FROM c, thr WHERE doc_id >= thr.t ORDER BY doc_id""",
+
+    // durable append: the union-corpus manifest, recomputed by the
+    // gate from the files the publish+append actually landed
+    "q_c_shard_write_append" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars,
+                  sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents),
+         a AS (
+           SELECT doc_id, n_chars,
+                  CAST((cum - n_chars) // 16384 AS BIGINT) AS shard_id
+           FROM c)
+         SELECT shard_id, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
 
     // manifest over the same global cumsum
     "q_c_shard_manifest" ->

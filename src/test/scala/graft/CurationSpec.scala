@@ -954,6 +954,52 @@ class CurationSpec extends AnyFunSuite {
     assert(fresh == freshWant)
   }
 
+  test("durable shard append touches only the batch's shard directories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(50).toLong))
+    val hist = rows.take(230).toDF("doc_id", "n_tokens")
+    val batch = rows.drop(230).toDF("doc_id", "n_tokens")
+    val tmp = java.nio.file.Files.createTempDirectory("shard_append_spec")
+      .toString
+    val histAssigned = Sampling.shardByTokens(hist, "doc_id", "n_tokens",
+      100L, 32L)
+    Sampling.writeShards(histAssigned, "doc_id", "n_tokens", tmp)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tmp))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath.stripPrefix(tmp) ->
+          ((f.length(), f.lastModified()))).toMap
+    }
+    val before = files()
+    val manifest = Sampling.shardManifest(histAssigned, "doc_id", "n_tokens")
+    val appended = Sampling.shardAppend(batch, "doc_id", "n_tokens",
+      100L, 32L, manifest)
+    val straddler = appended.agg(min("shard_id")).head().getLong(0)
+    Sampling.appendShardFiles(appended, "doc_id", "n_tokens", tmp)
+    val after = files()
+    def shardOf(path: String): Long =
+      "shard_id=(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+    // every published file below the straddler is byte-untouched
+    val untouched = before.filter { case (p, _) => shardOf(p) < straddler }
+    assert(untouched.nonEmpty, "degenerate fixture: no untouched shards")
+    untouched.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"published file rewritten: $p")
+    }
+    // the straddler and the new shards changed
+    assert(after.keys.exists(p => shardOf(p) >= straddler))
+    // the union layout on disk is exactly the from-scratch assignment
+    val got = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Sampling.shardByTokens(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 100L, 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("shard manifest: budget plus one straddler, shards tile the id order") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -228,6 +229,53 @@ class PropertySpec extends AnyFunSuite {
       else "test"
     }
     ids.foreach(id => assert(got(id) == ref(id), s"id $id"))
+  }
+
+  test("shardAppend == union assignment for random splits, budgets and bucket widths") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.operators.Sampling
+    for (trial <- 0 until 6) {
+      val rnd = new scala.util.Random(100 + trial)
+      val n = 80 + rnd.nextInt(220)
+      val rows = (0L until n.toLong).map(i => (i, 1L + rnd.nextInt(60).toLong))
+      val split = 1 + rnd.nextInt(n - 1)
+      val budget = 40L + rnd.nextInt(300)
+      val width = 1L + rnd.nextInt(50)
+      val all = rows.toDF("doc_id", "n_tokens")
+      val manifest = Sampling.shardManifest(
+        Sampling.shardByTokens(rows.take(split).toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget, width), "doc_id", "n_tokens")
+      val got = Sampling.shardAppend(
+          rows.drop(split).toDF("doc_id", "n_tokens").repartition(5),
+          "doc_id", "n_tokens", budget, width, manifest)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Sampling.shardByTokens(all, "doc_id", "n_tokens",
+          budget, width)
+        .filter(col("doc_id") >= split.toLong)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trial=$trial n=$n split=$split budget=$budget width=$width")
+    }
+  }
+
+  test("epochShuffle: every seed is a bijection onto 0..n-1 for random corpora") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.operators.Sampling
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(300 + trial)
+      // sparse, non-dense ids — the permutation contract must not
+      // assume contiguity
+      val ids = (0 until 150).map(_ => rnd.nextLong().abs % 1000000L)
+        .distinct.map(i => Tuple1(i))
+      val df = ids.toDF("doc_id").repartition(1 + trial)
+      val pos = Sampling.epochShuffle(df, "doc_id", seed = trial.toLong)
+        .select("pos").collect().map(_.getLong(0)).sorted
+      assert(pos.toSeq == (0L until ids.size.toLong), s"trial=$trial")
+    }
   }
 
   test("domainCap: per-domain counts = min(k, size) and salts never change the result") {
