@@ -1052,6 +1052,98 @@ object ScaleRehearsal {
                 |""".stripMargin
     }
 
+    // ---- L64/L65: epoch reshuffle + incremental shard publish -----
+    // Same two-phase prefix-sum plan shape as L56, rehearsed for the
+    // two new consumers: (a) the epoch permutation at full 20× with a
+    // bit-identity check against the naive global row_number; (b) the
+    // manifest-fed append of ONE replica against the from-scratch
+    // union assignment it must reproduce — the cost ratio is the
+    // ∝-batch claim made measurable.
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      val width = 4096L
+      val budget = 65536L
+      val toksAll = docsBig.select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+          .as("n_tokens")).localCheckpoint()
+      // epoch reshuffle at full size
+      var shuffled: DataFrame = null
+      val (_, tShuf) = timed {
+        shuffled = Sampling.epochShuffle(toksAll, "doc_id", seed = 7L)
+          .localCheckpoint()
+        shuffled.count()
+      }
+      val naiveShuf = toksAll.withColumn("__pos",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(
+            org.apache.spark.sql.functions.conv(
+              org.apache.spark.sql.functions.substring(
+                org.apache.spark.sql.functions.md5(
+                  org.apache.spark.sql.functions.concat_ws(":",
+                    lit("7"), col("doc_id").cast("string"))),
+                1, 15), 16, 10).cast("long"),
+            col("doc_id"))).cast("long") - 1L)
+      val nShufDiff = shuffled.join(naiveShuf, Seq("doc_id"))
+        .filter(col("pos") =!= col("__pos")).count()
+      require(nShufDiff == 0L,
+        s"epoch shuffle diverged from the global row_number on $nShufDiff docs")
+      // incremental publish: history = replicas 0..rep-2 (stored
+      // manifest), batch = the last replica (append-at-tail ids)
+      val cut = (rep - 1).toLong * 10000000L
+      val hist = toksAll.filter(col("doc_id") < cut)
+      val batchT = toksAll.filter(col("doc_id") >= cut).localCheckpoint()
+      val nBatchT = batchT.count()
+      val manifest = Sampling.shardManifest(
+        Sampling.shardByTokens(hist, "doc_id", "n_tokens", budget, width),
+        "doc_id", "n_tokens").localCheckpoint()
+      var appended: DataFrame = null
+      val (_, tApp) = timed {
+        appended = Sampling.shardAppend(batchT, "doc_id", "n_tokens",
+          budget, width, manifest).localCheckpoint()
+        appended.count()
+      }
+      var unionA: DataFrame = null
+      val (_, tUnion) = timed {
+        unionA = Sampling.shardByTokens(toksAll, "doc_id", "n_tokens",
+          budget, width).localCheckpoint()
+        unionA.count()
+      }
+      val nAppDiff = appended.select(col("doc_id"), col("shard_id"))
+        .join(unionA.select(col("doc_id"),
+          col("shard_id").as("__want")), Seq("doc_id"))
+        .filter(col("shard_id") =!= col("__want")).count()
+      require(nAppDiff == 0L,
+        s"shardAppend diverged from the union assignment on $nAppDiff docs")
+      sb ++= s"""
+                |## Epoch reshuffle + incremental shard publish at ${rep}× (L64/L65, width = $width, budget = $budget)
+                |
+                || metric | value |
+                ||---|---|
+                || epoch permutation, two-phase rank over $nDocs docs | ${f"$tShuf%.1f"} s |
+                || positions differing from the naive global row_number | $nShufDiff of $nDocs |
+                || manifest-fed append of $nBatchT batch docs | ${f"$tApp%.1f"} s |
+                || from-scratch union assignment ($nDocs docs) | ${f"$tUnion%.1f"} s |
+                || shard ids differing (append vs union) | $nAppDiff of $nBatchT |
+                |
+                |Both consumers inherit the L56 prefix-sum scale shape (range
+                |buckets, bounded offsets fold, per-bucket windows), so the
+                |epoch permutation costs one aggregation + one keyed window
+                |pass at any corpus size — the naive rank it replaces funnels
+                |all $nDocs rows through one window task. The publish path
+                |reads the history only through its stored manifest (two
+                |facts: running token total, max published id), so its cost is
+                |the batch's own prefix sum — ${f"$tApp%.1f"} s for 1/$rep of
+                |the corpus vs ${f"$tUnion%.1f"} s for the union recompute it
+                |replaces; at a real corpus-to-batch ratio (10⁴–10⁶×, not
+                |$rep×) the gap is the difference between publishing in
+                |minutes and re-sharding 100 TB. Published shards stay
+                |immutable by construction: the batch's first shard id
+                |continues the straddling last shard and every earlier
+                |manifest row is untouched.
+                |""".stripMargin
+    }
+
     // ---- 19. IVF incremental drift + retrain trigger (L58) --------
     // ivfTopKIncremental freezes the history-trained coarse quantizer;
     // repeated batch appends from a SHIFTED distribution pile onto few
