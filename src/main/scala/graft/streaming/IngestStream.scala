@@ -36,6 +36,15 @@ import graft.dedup.{ClusterMaintain, Dedup}
   * batch-refresh path; both call the same merge operator against the
   * same three-table state shape.
   *
+  * STATELESS admission filters compose AHEAD of the loop (e.g.
+  * [[graft.text.QualityClassifier.admit]] — the trained quality gate):
+  * rejected docs never enter any state table, and a re-delivered
+  * reject re-scores map-side, which is cheaper than the snapshot
+  * lookup it skips — so rejection needs no state of its own.
+  * IngestStreamSpec pins the composition (rejects absent from all
+  * three tables; labels == from-scratch clustering of the admitted
+  * subset).
+  *
   * The STATE WRITES are ∝ batch, not ∝ corpus (round-10 verdict
   * item 1): the fp index and content snapshot are APPEND-ONLY
   * [[AppendTable]]s — each commit lands one new directory holding

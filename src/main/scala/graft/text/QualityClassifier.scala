@@ -116,6 +116,26 @@ object QualityClassifier {
     * score = σ(z) at 6 dp; keep at score ≥ 0.5. Map-side, zero
     * shuffle; the weight array rides as a codegen reference object.
     */
+  /** Streaming-safe ADMISSION filter over the trained artifact: keep
+    * rows whose score clears `minScore` (and that have features at
+    * all), preserving every input column — the stateless quality gate
+    * a production loop runs BEFORE its stateful stages
+    * (IngestStreamSpec composes it ahead of the ingest loop: rejected
+    * docs never enter the snapshot/fp/label state, and a re-delivered
+    * reject simply re-scores map-side, which is cheaper than the
+    * snapshot lookup it skips). Pure map-side projection + filter —
+    * no shuffle, no watermark, legal in any streaming plan.
+    */
+  def admit(df: DataFrame, textCol: String, minScore: Double): DataFrame = {
+    val (bias, w) = TrainedModel.loadArtifact()
+    val p = graft.expressions.ShingleFunctions
+      .trainedQualityPool(col(textCol), w)
+    val score = lit(1.0) / (lit(1.0) + exp(-((lit(bias.toDouble) +
+      p.getField("w_sum").cast("double") /
+        p.getField("n_features").cast("double")) / lit(1000000.0))))
+    df.filter(p.getField("n_features") > 0L && score >= lit(minScore))
+  }
+
   def classifyTrained(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (bias, w) = TrainedModel.loadArtifact()
     val z = (lit(bias.toDouble) +

@@ -62,6 +62,55 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("quality admission composes ahead of the loop: rejects never enter any state table") {
+    import graft.text.QualityClassifier
+    import graft.text.QualityClassifier.Degradation
+    val root = Files.createTempDirectory("ingest_admit").toString
+    // planted corpus: every doc_id % 3 == 0 carries the boilerplate
+    // degradation the committed artifact was trained to reject
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), Degradation.plant(col("doc_id"), col("text")).as("text"))
+      .localCheckpoint()
+    val feed = s"$root/feed"
+    d.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$feed/b0.parquet")
+    d.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$feed/b1.parquet")
+
+    val stream = QualityClassifier.admit(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/*.parquet"),
+      "text", minScore = 0.5)
+    val state = s"$root/state"
+    val q = IngestStream.start(stream, state, s"$root/chk", maxDist = 3)
+    try q.processAllAvailable() finally q.stop()
+
+    // the batch-side truth: who passes the same admission rule
+    val admitted = QualityClassifier.admit(d, "text", 0.5).localCheckpoint()
+    val admittedIds = admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val rejectedIds = d.select("doc_id").collect().map(_.getLong(0))
+      .toSet -- admittedIds
+    assert(rejectedIds.nonEmpty && admittedIds.nonEmpty,
+      "degenerate fixture: admission did not split the corpus")
+
+    // rejects are in NO state table; the label table is exactly the
+    // from-scratch clustering of the admitted subset
+    val labels = IngestStream.labelsTable(spark, state).read().get
+    val want = labelMap(
+      Clusters.simhashClusters(admitted, "doc_id", "text", maxDist = 3))
+    assert(labelMap(labels) == want)
+    val fpsIds = IngestStream.fpsTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val snapIds = IngestStream.snapTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((fpsIds intersect rejectedIds).isEmpty)
+    assert((snapIds intersect rejectedIds).isEmpty)
+    assert(fpsIds == admittedIds && snapIds == admittedIds)
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** Every parquet data file under `dir`, as relative paths. */
   private def dataFiles(dir: String): Set[String] = {
     val base = java.nio.file.Paths.get(dir)
