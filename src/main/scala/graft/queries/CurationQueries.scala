@@ -94,50 +94,46 @@ object CurationQueries {
     // the only full-corpus passes being the stored-artifact reads and
     // the consumers' single quality scan. Everything between diff and
     // merge is ∝ batch.
-    "q_c_incremental_ingest" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val history = d.filter(col("doc_id") % 10 =!= 0)
-      // stage the history slice as its own corpus (once per testdata
-      // identity) so ClusterLabels can own its artifacts
-      val src = new java.io.File(graft.Tables.path(dir, "documents"))
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
-          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val staged = s"${graft.Sessions.scratchRoot}/ingest_history/" +
-        s"${src.getParentFile.getName}_$fp"
-      if (!new java.io.File(s"$staged/documents.parquet/_SUCCESS").exists())
-        history.write.mode("overwrite").parquet(s"$staged/documents.parquet")
-      val existing = graft.dedup.ClusterLabels.table(s, staged, maxDist = 3)
-      val hFp = graft.dedup.ClusterLabels.fps(s, staged, maxDist = 3)
-      // L49: old snapshot = history, new snapshot = history ∪ batch;
-      // only rows the diff classifies `added` enter the ingest path
-      val added = graft.operators.SnapshotDiff
-        .diff(history, d, "doc_id", "text")
-        .filter(col("status") === "added")
-        .select(col("id").as("doc_id"))
-      val batch = d.join(added, "doc_id")
-      // L40 probe ∝ batch: batch fps banded against the STORED history
-      // index, plus the batch-internal pairs
-      val bFp = graft.dedup.Dedup
-        .withSimhash(batch, "doc_id", "text").localCheckpoint()
-      val batchEdges = graft.dedup.Dedup
-        .crossNearPairsOf(bFp, hFp, maxDist = 3)
-        .select(col("a"), col("b"))
-        .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
-          .select(col("ida").as("a"), col("idb").as("b")))
-      // L52: merge the batch into the existing labeling (cost ∝ batch)
-      val labels = graft.dedup.ClusterMaintain.mergeBatch(
-        existing, batch.select(col("doc_id").as("id")), batchEdges)
-      // L38 + L36 consumers over the MERGED labels
-      val quality = d.select(col("doc_id"),
-        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
-      val kept = Clusters.keepBestPerCluster(
-        labels.select("doc_id", "cluster_id").join(quality, Seq("doc_id")),
-        "doc_id", "cluster_id", "quality")
-      Sampling.splitByGroup(kept, "cluster_id",
+    "q_c_incremental_ingest" -> ((s, dir) =>
+      Sampling.splitByGroup(ingestKept(s, dir), "cluster_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "cluster_id", "quality", "keep", "split")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // The lifecycle's LAST mile (L52 × L65): the ingest chain's kept
+    // survivors are PUBLISHED as durable shards — history snapshot
+    // written once, the batch's winners appended through the stored
+    // manifest under admission-epoch publish ids (epoch·10¹² +
+    // doc_id, so append-at-tail holds even though batch source ids
+    // interleave history's), only the batch's shard directories
+    // touched on disk — and the gate output is the manifest
+    // recomputed FROM the published files against a from-scratch
+    // union oracle (recursive-CC labels → keep-best → global cumsum).
+    "q_c_ingest_publish" -> ((s, dir) => {
+      val kept = ingestKept(s, dir).filter(col("keep"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("pub_id",
+          when(col("doc_id") % 10 === 0, col("doc_id") + lit(1000000000000L))
+            .otherwise(col("doc_id")))
+        .select("pub_id", "doc_id", "n_chars").localCheckpoint()
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val dest = s"${graft.Sessions.scratchRoot}/shards_publish/" +
+        src.getParentFile.getName
+      val histKept = kept.filter(col("pub_id") < 1000000000000L)
+      val batchKept = kept.filter(col("pub_id") >= 1000000000000L)
+      val histAssigned = Sampling.shardByTokens(histKept, "pub_id",
+        "n_chars", budget = 2048L, bucketWidth = 32L)
+      Sampling.writeShards(histAssigned, "pub_id", "n_chars", dest)
+      Sampling.appendShardFiles(
+        Sampling.shardAppend(batchKept, "pub_id", "n_chars",
+          budget = 2048L, bucketWidth = 32L,
+          Sampling.shardManifest(histAssigned, "pub_id", "n_chars")),
+        "pub_id", "n_chars", dest)
+      Sampling.shardManifest(
+        s.read.parquet(dest)
+          .withColumn("shard_id", col("shard_id").cast("long")),
+        "pub_id", "n_chars")
+        .orderBy("shard_id")
     }),
 
     // L53 cross-corpus near-dedup: flag batch docs (doc_id%10==0, the
@@ -863,6 +859,57 @@ object CurationQueries {
         mBA.as("margin_cont_ba"))
   }
 
+  /** The composed incremental-ingest chain (L49 diff → L40 probe →
+    * L52 merge → L38 keep-best), shared by `q_c_incremental_ingest`
+    * (its splits consumer) and `q_c_ingest_publish` (its durable
+    * publish consumer): history = doc_id % 10 != 0 staged as its own
+    * corpus so ClusterLabels owns the stored artifacts; only docs the
+    * snapshot diff classifies `added` enter the path; every stage
+    * between diff and merge is ∝ batch. Returns
+    * (doc_id, cluster_id, quality, keep).
+    */
+  private def ingestKept(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val history = d.filter(col("doc_id") % 10 =!= 0)
+    // stage the history slice as its own corpus (once per testdata
+    // identity) so ClusterLabels can own its artifacts
+    val src = new java.io.File(graft.Tables.path(dir, "documents"))
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val staged = s"${graft.Sessions.scratchRoot}/ingest_history/" +
+      s"${src.getParentFile.getName}_$fp"
+    if (!new java.io.File(s"$staged/documents.parquet/_SUCCESS").exists())
+      history.write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val existing = graft.dedup.ClusterLabels.table(s, staged, maxDist = 3)
+    val hFp = graft.dedup.ClusterLabels.fps(s, staged, maxDist = 3)
+    // L49: old snapshot = history, new snapshot = history ∪ batch;
+    // only rows the diff classifies `added` enter the ingest path
+    val added = graft.operators.SnapshotDiff
+      .diff(history, d, "doc_id", "text")
+      .filter(col("status") === "added")
+      .select(col("id").as("doc_id"))
+    val batch = d.join(added, "doc_id")
+    // L40 probe ∝ batch: batch fps banded against the STORED history
+    // index, plus the batch-internal pairs
+    val bFp = graft.dedup.Dedup
+      .withSimhash(batch, "doc_id", "text").localCheckpoint()
+    val batchEdges = graft.dedup.Dedup
+      .crossNearPairsOf(bFp, hFp, maxDist = 3)
+      .select(col("a"), col("b"))
+      .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
+        .select(col("ida").as("a"), col("idb").as("b")))
+    // L52: merge the batch into the existing labeling (cost ∝ batch)
+    val labels = graft.dedup.ClusterMaintain.mergeBatch(
+      existing, batch.select(col("doc_id").as("id")), batchEdges)
+    // L38 consumer over the MERGED labels
+    val quality = d.select(col("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+    Clusters.keepBestPerCluster(
+      labels.select("doc_id", "cluster_id").join(quality, Seq("doc_id")),
+      "doc_id", "cluster_id", "quality")
+  }
+
   private def plantedPii(id: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val s = id.cast("string")
@@ -1061,6 +1108,49 @@ object CurationQueries {
                       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 8))::BIGINT < 3865470566 THEN 'val'
                       ELSE 'test' END AS split
           FROM rk ORDER BY doc_id"""
+    },
+
+    // the whole lifecycle re-derived from scratch: recursive-CC
+    // labels → keep-best winners → publish ids (admission epoch in
+    // the high digits) → ONE global cumsum in pub_id order → shard
+    // cut → manifest; the engine recomputed its manifest FROM the
+    // files the publish landed, so drop/dup/mis-route in either the
+    // chain or the writer hash-fails
+    "q_c_ingest_publish" -> {
+      val q = DataOpsQueries.qualitySql("toks")
+      s"""WITH RECURSIVE $CcLabCte,
+          tq AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          ql AS (SELECT doc_id, $q AS quality FROM tq),
+          j AS (
+            SELECT lab.doc_id, lab.cluster_id, ql.quality
+            FROM lab JOIN ql USING (doc_id)),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM j),
+          kept AS (
+            SELECT rk.doc_id,
+                   CASE WHEN rk.doc_id % 10 = 0
+                        THEN rk.doc_id + 1000000000000 ELSE rk.doc_id END AS pub_id,
+                   d.n_chars
+            FROM rk JOIN documents d ON rk.doc_id = d.doc_id
+            WHERE rn = 1),
+          c AS (
+            SELECT pub_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY pub_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM kept),
+          a AS (
+            SELECT pub_id, n_chars,
+                   CAST((cum - n_chars) // 2048 AS BIGINT) AS shard_id
+            FROM c)
+          SELECT shard_id, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                 min(pub_id) AS min_id, max(pub_id) AS max_id
+          FROM a GROUP BY shard_id ORDER BY shard_id"""
     },
 
     // nearest reference doc per batch doc by (hamming, ref id); the
