@@ -40,9 +40,11 @@ import graft.expressions.DsirBucketOps
   * Training protocol is TrainRefiner's verbatim: per iteration one
   * corpus pass, batch gradient as a bounded (nBuckets+1)-cell 1e-9
   * fixed-point partial aggregate (bit-reproducible under any
-  * partitioning), weights quantized to 1e-6 on write. Features are
-  * extracted by the SAME kernel code the runtime uses
-  * (DsirBucketOps.buckets), so trainer and serving cannot drift.
+  * partitioning), weights quantized to 1e-6 on write. The trainer
+  * featurizes through DsirBucketOps.buckets and the serving kernel
+  * (TrainedPoolOps.pool) through the same shared
+  * [[graft.expressions.FeatureHashOps]] tokenize+hash rule, so
+  * trainer and serving cannot drift.
   */
 object TrainQuality {
 

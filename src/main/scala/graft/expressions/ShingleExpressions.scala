@@ -506,6 +506,30 @@ case class EntityNorm(child: Expression, synonyms: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** THE feature-hash rule of the hashed-n-gram family — one definition
+  * shared by the DSIR buckets, the hash-weight pool, and the
+  * trained-weight pool, so a tokenization or hash edit cannot
+  * silently desynchronize a trainer from its serving kernel: words =
+  * lowercase whitespace split, feature value = first 4 bytes of md5
+  * as a big-endian unsigned int (== the SQL
+  * `('0x' || substr(md5(f), 1, 8))::BIGINT` every oracle mirrors).
+  */
+object FeatureHashOps {
+  def tokens(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+
+  /** First-8-hex-of-md5 as an unsigned 32-bit value; `md` is reused
+    * across a document's features (per-call getInstance measured as
+    * the dominant cost of the naive form).
+    */
+  def u32(md: java.security.MessageDigest, feat: String): Long = {
+    md.reset()
+    val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 object FastTextPoolOps {
   /** One tokenize pass: md5-prefix weights for every unigram and
     * bigram, pooled as (n_features, w_sum). Semantics mirror the
@@ -516,16 +540,9 @@ object FastTextPoolOps {
     * 44 s at sf0.1; this kernel is the single-pass replacement.
     */
   def pool(text: UTF8String): InternalRow = {
-    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = FeatureHashOps.tokens(text)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def w(feat: String): Long = {
-      md.reset()
-      val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 8 hex chars == first 4 bytes, big-endian unsigned
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      u - 2147483648L
-    }
+    def w(feat: String): Long = FeatureHashOps.u32(md, feat) - 2147483648L
     var n = 0L
     var s = 0L
     var i = 0
@@ -551,15 +568,11 @@ object DsirBucketOps {
     * the doc. Returns array<struct<b, cnt>>.
     */
   def buckets(text: UTF8String, nBuckets: Int): ArrayData = {
-    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = FeatureHashOps.tokens(text)
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new java.util.TreeMap[java.lang.Long, Long]()
     def add(feat: String): Unit = {
-      md.reset()
-      val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val b = java.lang.Long.valueOf(u % nBuckets)
+      val b = java.lang.Long.valueOf(FeatureHashOps.u32(md, feat) % nBuckets)
       val prev = counts.get(b)
       counts.put(b, if (prev == null) 1L else prev + 1L)
     }
@@ -607,23 +620,20 @@ object TrainedPoolOps {
     * production form of [[FastTextPoolOps.pool]] where the weight of
     * a feature comes from a committed model artifact instead of the
     * feature hash itself: every unigram and bigram hashes to
-    * `first-8-hex-of-md5 mod weights.length` (identical to the
-    * [[DsirBucketOps]] bucket rule, so the DuckDB oracle mirrors it
-    * with the same SQL) and contributes the artifact's 1e-6
+    * `first-8-hex-of-md5 mod weights.length` (the [[FeatureHashOps]]
+    * rule SHARED with [[DsirBucketOps]] — the trainer featurizes
+    * through that kernel, so trainer and serving cannot drift — and
+    * the DuckDB oracle mirrors it in SQL) and contributes the
+    * artifact's 1e-6
     * fixed-point weight for that bucket. Integer accumulation —
     * order-free, exact; the sigmoid runs once per row outside.
     */
   def pool(text: UTF8String, weights: Array[Long]): InternalRow = {
-    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = FeatureHashOps.tokens(text)
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = weights.length
-    def w(feat: String): Long = {
-      md.reset()
-      val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      weights((u % n).toInt)
-    }
+    def w(feat: String): Long =
+      weights((FeatureHashOps.u32(md, feat) % n).toInt)
     var nf = 0L
     var s = 0L
     var i = 0
@@ -634,6 +644,53 @@ object TrainedPoolOps {
     }
     new GenericInternalRow(Array[Any](nf, s))
   }
+}
+
+object TrainedAdmitOps {
+  /** Pool + threshold in ONE kernel call: the admission predicate as
+    * a single boolean expression, because a pooled-struct projection
+    * does NOT survive the optimizer — predicate pushdown substitutes
+    * the alias back into the filter, FilterExec performs no
+    * subexpression elimination, and the tokenize+hash kernel runs
+    * once per textual occurrence (measured 4× in the pushed plan).
+    * The score chain is byte-for-byte the classifyTrained chain
+    * (σ((bias + w_sum/n)/10⁶) rounded half-up at 6 dp), so the two
+    * faces of the model agree on boundary documents.
+    */
+  def admit(text: UTF8String, weights: Array[Long], bias: Long,
+      minScore: Double): Boolean = {
+    val pooled = TrainedPoolOps.pool(text, weights)
+    val n = pooled.getLong(0)
+    val s = pooled.getLong(1)
+    n > 0L && {
+      val z = (bias.toDouble + s.toDouble / n.toDouble) / 1000000.0
+      graft.functions.Parity.roundHalfUpScalar(
+        1.0 / (1.0 + math.exp(-z)), 6) >= minScore
+    }
+  }
+}
+
+/** The admission predicate over the trained artifact — boolean out,
+  * one kernel evaluation per row by construction.
+  */
+case class TrainedQualityAdmit(child: Expression, weights: Array[Long],
+    bias: Long, minScore: Double) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trained_quality_admit"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrainedAdmitOps.admit(input.asInstanceOf[UTF8String], weights, bias,
+      minScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("qweights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TrainedAdmitOps$$.MODULE$$.admit($c, $w, ${bias}L, $minScore)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrainedQualityAdmit =
+    copy(child = newChild)
 }
 
 /** Trained-artifact feature pooling: weights ride into generated code
@@ -696,6 +753,10 @@ object ShingleFunctions {
 
   def trainedQualityPool(c: Column, weights: Array[Long]): Column =
     column(TrainedQualityPool(expression(c), weights))
+
+  def trainedQualityAdmit(c: Column, weights: Array[Long], bias: Long,
+      minScore: Double): Column =
+    column(TrainedQualityAdmit(expression(c), weights, bias, minScore))
 
   def dsirBuckets(c: Column, nBuckets: Int): Column =
     column(DsirBuckets(expression(c), nBuckets))

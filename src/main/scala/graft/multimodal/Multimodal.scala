@@ -217,9 +217,14 @@ object Multimodal {
       }
       require(seenIhdr && idat.size > 0, s"no PNG pixel data: media $mediaId")
       val bpp = if (colorType == 2) 3 else 4
-      val stride = 1 + w * bpp // filter byte + packed samples
-      require(h.toLong * stride <= Int.MaxValue - 8,
+      // Long arithmetic BEFORE the bound check: a hostile IHDR width
+      // near 2³¹/bpp would overflow an Int stride to negative, slip
+      // past the guard, and die with a raw NegativeArraySizeException
+      // instead of the named-error contract
+      val strideL = 1L + w.toLong * bpp // filter byte + packed samples
+      require(h.toLong * strideL <= Int.MaxValue - 8,
         s"PNG raster too large (${w}x$h): media $mediaId")
+      val stride = strideL.toInt
       val raw = new Array[Byte](h * stride)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)

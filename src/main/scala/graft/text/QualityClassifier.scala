@@ -52,13 +52,6 @@ object QualityClassifier {
           .otherwise(lit("__label__drop")).as("label"))
   }
 
-  /** The committed TRAINED model (quality-lr-v1.tsv, via
-    * [[graft.TrainQuality]]): logistic regression over the hashed
-    * unigram+bigram bucket space, 1e-6 fixed-point weights. Bucket
-    * rule == [[graft.expressions.DsirBucketOps]] (first-8-hex-of-md5
-    * mod NBuckets), so the oracle re-derives features in SQL and joins
-    * the artifact's VALUES list.
-    */
   /** The planted degradation fixture shared by trainer, gate and
     * oracle (the plantedPii/DSIR convention): every doc_id % 3 == 0
     * document carries one of two deterministic boilerplate tails, so
@@ -86,6 +79,14 @@ object QualityClassifier {
     def label(id: Column): Column = (id % 3 =!= 0).cast("int")
   }
 
+  /** The committed TRAINED model (quality-lr-v1.tsv, via
+    * [[graft.TrainQuality]]): logistic regression over the hashed
+    * unigram+bigram bucket space, 1e-6 fixed-point weights. Bucket
+    * rule = first-8-hex-of-md5 mod NBuckets, shared code
+    * ([[graft.expressions.FeatureHashOps]]) between the trainer's
+    * featurizer and the serving kernel, and re-derived in SQL by the
+    * oracle, which joins the artifact's VALUES list.
+    */
   object TrainedModel {
     val Resource = "/graft/quality-lr-v1.tsv"
     val NBuckets = 1024
@@ -108,14 +109,6 @@ object QualityClassifier {
     }
   }
 
-  /** Per-doc score under the COMMITTED trained artifact — the
-    * production form of [[classify]]: same single-pass tokenize+hash
-    * +pool kernel shape, but the pooled weight of each feature is the
-    * model's learned bucket weight (integer, exact) instead of the
-    * hash stand-in. z = bias + w_sum/n_features (1e-6 fixed point);
-    * score = σ(z) at 6 dp; keep at score ≥ 0.5. Map-side, zero
-    * shuffle; the weight array rides as a codegen reference object.
-    */
   /** Streaming-safe ADMISSION filter over the trained artifact: keep
     * rows whose score clears `minScore` (and that have features at
     * all), preserving every input column — the stateless quality gate
@@ -124,18 +117,30 @@ object QualityClassifier {
     * docs never enter the snapshot/fp/label state, and a re-delivered
     * reject simply re-scores map-side, which is cheaper than the
     * snapshot lookup it skips). Pure map-side projection + filter —
-    * no shuffle, no watermark, legal in any streaming plan.
+    * no shuffle, no watermark, legal in any streaming plan. The whole
+    * predicate is ONE boolean kernel expression
+    * ([[graft.expressions.TrainedAdmitOps]]), so the tokenize+hash
+    * pass runs exactly once per row — a pooled-struct projection does
+    * not survive predicate pushdown (the alias substitutes back into
+    * the filter, which performs no subexpression elimination) — and
+    * the score chain rounds exactly as [[classifyTrained]] does, so
+    * the two faces of the model agree on boundary documents at the
+    * same threshold.
     */
   def admit(df: DataFrame, textCol: String, minScore: Double): DataFrame = {
     val (bias, w) = TrainedModel.loadArtifact()
-    val p = graft.expressions.ShingleFunctions
-      .trainedQualityPool(col(textCol), w)
-    val score = lit(1.0) / (lit(1.0) + exp(-((lit(bias.toDouble) +
-      p.getField("w_sum").cast("double") /
-        p.getField("n_features").cast("double")) / lit(1000000.0))))
-    df.filter(p.getField("n_features") > 0L && score >= lit(minScore))
+    df.filter(graft.expressions.ShingleFunctions
+      .trainedQualityAdmit(col(textCol), w, bias, minScore))
   }
 
+  /** Per-doc score under the COMMITTED trained artifact — the
+    * production form of [[classify]]: same single-pass tokenize+hash
+    * +pool kernel shape, but the pooled weight of each feature is the
+    * model's learned bucket weight (integer, exact) instead of the
+    * hash stand-in. z = bias + w_sum/n_features (1e-6 fixed point);
+    * score = σ(z) at 6 dp; keep at score ≥ 0.5. Map-side, zero
+    * shuffle; the weight array rides as a codegen reference object.
+    */
   def classifyTrained(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (bias, w) = TrainedModel.loadArtifact()
     val z = (lit(bias.toDouble) +

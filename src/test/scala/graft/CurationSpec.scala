@@ -652,6 +652,16 @@ class CurationSpec extends AnyFunSuite {
     val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
     assert(acc >= 0.95, s"planted-degradation accuracy $acc")
     assert(scored.map(_.getInt(1)).distinct.length == 2, "degenerate predictions")
+
+    // the model's two faces agree document-for-document: the one-pass
+    // admission predicate keeps exactly the classifier's keep set
+    // (same rounding, same threshold — boundary docs cannot diverge)
+    val admitIds = QualityClassifier.admit(planted, "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepIds = QualityClassifier.classifyTrained(planted, "doc_id", "text")
+      .filter(col("label") === "__label__keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitIds == keepIds)
   }
 
   test("bigram LM perplexity: add-one math exact, OOV text scores higher") {

@@ -177,6 +177,13 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.decodePng(2L, Array.fill[Byte](32)(0))
     }
     assert(e5.getMessage.contains("not a PNG"))
+    // hostile IHDR width near 2³¹/bpp: an Int stride would overflow
+    // negative, slip past the size guard, and die with a raw
+    // NegativeArraySizeException — must fail named instead
+    val e6 = intercept[IllegalArgumentException] {
+      MediaCodec.decodePng(4L, mkPng(1000000000, 1, Array[Byte](0, 1, 2, 3)))
+    }
+    assert(e6.getMessage.contains("raster too large"), e6.getMessage)
   }
 
   test("malformed media fails with a named error, not garbage features") {
