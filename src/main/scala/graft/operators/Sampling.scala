@@ -285,7 +285,11 @@ object Sampling {
     * BucketedTable one-pruned-read-one-write convention); dynamic
     * partition overwrite leaves every other published directory's
     * files untouched on disk (CurationSpec pins the untouched file
-    * list byte-for-byte).
+    * list byte-for-byte). REPLAY-IDEMPOTENT: the straddler union
+    * dedups on the id, so re-running the same batch after a crash
+    * (the batch's rows already landed in the straddler) rewrites the
+    * same content instead of duplicating — the property the streaming
+    * publish loop's crash contract rests on.
     */
   def appendShardFiles(assignedBatch: DataFrame, idCol: String,
       tokensCol: String, dest: String): Unit = {
@@ -305,6 +309,7 @@ object Sampling {
               .select(col(idCol), col(tokensCol), col("shard_id"))
           else rows.limit(0)
         existing.unionByName(rows)
+          .dropDuplicates(idCol)
           .repartition(col("shard_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

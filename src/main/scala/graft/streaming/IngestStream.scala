@@ -60,18 +60,39 @@ import graft.dedup.{ClusterMaintain, Dedup}
   */
 object IngestStream {
 
+  /** Durable shard publish riding the loop (L65's streaming face):
+    * every micro-batch's ADMITTED new docs land as training-shard
+    * partition directories under `dest`, exactly once. Publish ids are
+    * `(batchId+1)·10¹² + doc_id` — monotone across batches by
+    * construction, so the append-at-tail contract the manifest-fed
+    * arithmetic needs holds with zero rank computation (pure
+    * map-side). The running manifest lives in a versioned
+    * [[SnapshotTable]]: its full rewrite per commit is ∝ SHARDS, not
+    * corpus (the outbox concession — a bounded sidecar, thousands of
+    * rows at 100 TB), while the shard BYTES written stay ∝ batch
+    * (new directories + the straddler, [[graft.operators.Sampling
+    * .appendShardFiles]]). Crash contract: files land first (their
+    * write is replay-idempotent — same deterministic rows, straddler
+    * union dedups), the manifest commit is the batch-id gate, so a
+    * crash between the two replays the file write and then commits.
+    */
+  final case class PublishConfig(dest: String, budget: Long,
+      bucketWidth: Long = 32L)
+
   /** Start the loop over a streaming (doc_id, text) frame; state under
-    * `statePath/{labels,fps,snap}`.
+    * `statePath/{labels,fps,snap}` (+ `publish_manifest` when
+    * `publish` is set).
     */
   def start(docs: DataFrame, statePath: String, checkpoint: String,
       maxDist: Int = 3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      publish: Option[PublishConfig] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, statePath, maxDist)
+        processBatch(batch, batchId, statePath, maxDist, publish)
       }
       .start()
 
@@ -93,15 +114,25 @@ object IngestStream {
   def snapTable(spark: org.apache.spark.sql.SparkSession,
       statePath: String): AppendTable =
     new AppendTable(spark, s"$statePath/snap")
+  def publishManifest(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): SnapshotTable =
+    new SnapshotTable(spark, s"$statePath/publish_manifest")
 
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
-      maxDist: Int): Unit = {
+      maxDist: Int): Unit =
+    processBatch(batch, batchId, statePath, maxDist, None)
+
+  def processBatch(batch: DataFrame, batchId: Long, statePath: String,
+      maxDist: Int, publish: Option[PublishConfig]): Unit = {
     val spark = batch.sparkSession
     val labelsT = labelsTable(spark, statePath)
     val fpsT = fpsTable(spark, statePath)
     val snapT = snapTable(spark, statePath)
+    val manifestT = publish.map(_ => publishManifest(spark, statePath))
     if (labelsT.lastBatchId >= batchId && fpsT.lastBatchId >= batchId &&
-        snapT.lastBatchId >= batchId) return // full replay → no-op
+        snapT.lastBatchId >= batchId &&
+        manifestT.forall(_.lastBatchId >= batchId))
+      return // full replay → no-op
 
     // within-batch dedup by id, then the L49 gate: only ids absent
     // from the stored snapshot are new work. The survivor among
@@ -154,5 +185,33 @@ object IngestStream {
     if (snapT.lastBatchId < batchId)
       snapT.append(
         added.select(col("doc_id"), md5(col("text")).as("fp")), batchId)
+
+    // durable shard publish of the admitted new docs: files first
+    // (replay-idempotent), then the manifest commit as the batch gate
+    publish.foreach { cfg =>
+      val mT = manifestT.get
+      if (mT.lastBatchId < batchId) {
+        import graft.operators.Sampling
+        val pubRows = added.select(
+          (lit((batchId + 1) * 1000000000000L) + col("doc_id")).as("pub_id"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("n_tok"))
+        val prior = mT.read().getOrElse(
+          spark.range(0).select(col("id").as("shard_id"),
+            col("id").as("n_docs"), col("id").as("n_tokens"),
+            col("id").as("min_id"), col("id").as("max_id")))
+        val assigned = Sampling.shardAppend(pubRows, "pub_id", "n_tok",
+          cfg.budget, cfg.bucketWidth, prior).localCheckpoint()
+        Sampling.appendShardFiles(assigned, "pub_id", "n_tok", cfg.dest)
+        // merge the batch's per-shard facts into the bounded manifest
+        // (the straddler shard appears on both sides and folds)
+        val merged = prior.unionByName(
+            Sampling.shardManifest(assigned, "pub_id", "n_tok"))
+          .groupBy("shard_id")
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            min("min_id").as("min_id"), max("max_id").as("max_id"))
+        mT.commit(merged, batchId)
+      }
+    }
   }
 }

@@ -111,6 +111,89 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("streaming shard publish: admitted docs land exactly once, replay is a no-op, touches stay ∝ batch") {
+    import graft.streaming.IngestStream.PublishConfig
+    val root = Files.createTempDirectory("ingest_publish").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val feed = s"$root/feed"
+    d.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.parquet(s"$feed/b0.parquet")
+    d.filter(col("doc_id") % 3 === 1 ||
+        (col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)).coalesce(1)
+      .write.parquet(s"$feed/b1.parquet")
+    d.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$feed/b2.parquet")
+
+    val state = s"$root/state"
+    val chk = s"$root/chk"
+    val dest = s"$root/shards"
+    val cfg = Some(PublishConfig(dest, budget = 512L))
+    def run(): Unit = {
+      val q = IngestStream.start(spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/*.parquet"),
+        state, chk, maxDist = 3, publish = cfg)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+
+    // every doc published exactly once (re-delivered slice included
+    // once), under its batch-epoch publish id
+    def published() = spark.read.parquet(dest)
+      .select((col("pub_id") % 1000000000000L).as("doc_id"),
+        col("pub_id"), col("n_tok"), col("shard_id").cast("long"))
+    val rows = published().collect()
+    val allIds = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == allIds)
+    assert(rows.length == allIds.size, "duplicate publishes")
+    // shard budget: ≤ budget + one straddling doc
+    val maxTok = rows.map(_.getLong(2)).max
+    rows.groupBy(_.getLong(3)).foreach { case (sid, rs) =>
+      assert(rs.map(_.getLong(2)).sum < 512L + maxTok, s"shard $sid over")
+    }
+    // the bounded manifest equals the manifest of the files on disk
+    val mT = IngestStream.publishManifest(spark, state)
+    val manifest = mT.read().get.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromDisk = rows.groupBy(_.getLong(3)).map { case (sid, rs) =>
+      sid -> (rs.length.toLong, rs.map(_.getLong(2)).sum) }
+    assert(manifest == fromDisk)
+    val v1 = mT.latest.get
+
+    // restart over the same feed: no state version moves, no file
+    // bytes change
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dest)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = files()
+    run()
+    assert(mT.latest.get == v1)
+    assert(files() == before, "replay rewrote published files")
+
+    // one more small batch through the loop: only the straddler and
+    // new shard directories are touched
+    import spark.implicits._
+    val extra = Seq((900001L, "fresh doc about spark shards"),
+      (900002L, "another fresh doc entirely")).toDF("doc_id", "text")
+    IngestStream.processBatch(extra, 99L, state, 3, cfg)
+    val after = files()
+    def shardOf(p: String): Long =
+      "shard_id=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    val lastShard = before.keys.map(shardOf).max
+    before.filter { case (p, _) => shardOf(p) < lastShard }.foreach {
+      case (p, meta) => assert(after.get(p).contains(meta),
+        s"published file rewritten by a later batch: $p")
+    }
+    val pubAfter = published().collect()
+    assert(pubAfter.map(_.getLong(0)).toSet == allIds ++ Set(900001L, 900002L))
+    assert(pubAfter.length == allIds.size + 2)
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** Every parquet data file under `dir`, as relative paths. */
   private def dataFiles(dir: String): Set[String] = {
     val base = java.nio.file.Paths.get(dir)
