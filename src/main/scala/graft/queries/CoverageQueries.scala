@@ -214,6 +214,46 @@ object CoverageQueries {
         .orderBy("media_id", "frame_ms")
     }),
 
+    // Multimodal, REAL frame-sample (round 11 — completes the
+    // decode/feature/resize/frame-sample verb list): genuine
+    // YUV4MPEG2 containers are synthesized per doc (ASCII stream
+    // header, per-frame FRAME marker lines, Y+U+V 4:2:0 planes), then
+    // WALKED by the pure-JVM parser — every 2nd frame sampled to its
+    // mean-Y, timestamped from the container's own F tag. The oracle
+    // predicts the sampled frames analytically from the id; chroma
+    // planes carry non-luma bytes so a mis-sized 4:2:0 skip lands on
+    // wrong luma for the next sampled frame and hash-fails.
+    "q_m_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.Fixtures.y4mBytes(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.sampleVideoFrames(media, everyN = 2).toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Multimodal, REAL resize (round 11): decode the genuine BMP/PNG
+    // fixtures through the real parsers, integer box-filter downscale
+    // by 2 (edge blocks average their actual extent — no
+    // divisibility precondition), then the shared luma summary over
+    // the RESIZED pixels. The oracle re-derives the block floor-means
+    // from the pixel formula — a resize that mis-addresses blocks,
+    // mixes channels, or rounds instead of flooring hash-fails.
+    "q_m_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          (id % 3) match {
+            case 0 => Some((id, "bmp", Multimodal.Fixtures.bmpBytes(id)))
+            case 1 => None // audio rows have no resize
+            case _ => Some((id, "png", Multimodal.Fixtures.pngBytes(id)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.resizeMedia(media, factor = 2).toDF()
+        .orderBy("media_id")
+    }),
+
     // F7: keyword priority ordering — $tokens first, then 2-3 char
     // words, then the rest; order-preserving dedup; top-5
     // (reference api/events.py:244-310). Runs as the codegen'd
@@ -362,6 +402,46 @@ object CoverageQueries {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** One resized channel in the `q_m_media_resize` oracle: the
+    * factor-2 block's floor-mean of the pixel formula `chExpr` (a
+    * function of media_id, x, y), with edge blocks clamped to their
+    * actual extent — `//` on non-negative BIGINTs mirrors the
+    * decoder's integer truncation exactly.
+    */
+  private def blockMean(chExpr: String): String =
+    s"""(list_sum(flatten(list_transform(range(by*2, least(h, by*2+2)), y ->
+                  list_transform(range(bx*2, least(w, bx*2+2)), x -> $chExpr))))
+                // ((least(h, by*2+2) - by*2) * (least(w, bx*2+2) - bx*2)))"""
+
+  // analytic mirror of decode→box-filter→luma over the BMP and PNG
+  // fixtures: per output pixel, three per-channel block floor-means
+  // recombined by the shared luma weights
+  private def resizeOracle: String =
+    s"""WITH b AS (
+         SELECT doc_id AS media_id, 'bmp' AS format,
+                CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                CAST(3 + doc_id % 4 AS BIGINT) AS h
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 'png',
+                CAST(5 + doc_id % 4 AS BIGINT),
+                CAST(4 + doc_id % 3 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 2),
+       r AS (
+         SELECT media_id, format, w, h,
+                (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+                list_sum(flatten(list_transform(range((h + 1) // 2), by ->
+                  list_transform(range((w + 1) // 2), bx ->
+                      299 * ${blockMean("(media_id + x + 11*y) % 256")}
+                    + 587 * ${blockMean("(media_id + 5*x + y) % 256")}
+                    + 114 * ${blockMean("(media_id + 3*x + 7*y) % 256")})))) AS lsum
+         FROM b)
+       SELECT media_id, format, w AS src_width, h AS src_height,
+              ow AS out_width, oh AS out_height,
+              floor(CAST(lsum AS DOUBLE) / (1000.0 * ow * oh)
+                * 1000000.0 + 0.5) / 1000000.0 AS mean_luma
+       FROM r ORDER BY media_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q_f4_symbol_norm" ->
@@ -736,6 +816,33 @@ object CoverageQueries {
          FROM documents
          WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
          ORDER BY media_id, frame_ms""",
+
+    // analytic mirror of the Y4M fixture's sampled frames: the gate's
+    // container walk must land on exactly these luma means and
+    // container-timebase stamps from the BYTES alone
+    "q_m_video_frames" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id,
+                  CAST(4 + 2 * (doc_id % 3) AS BIGINT) AS w,
+                  CAST(2 + 2 * (doc_id % 2) AS BIGINT) AS h,
+                  CAST(2 + doc_id % 4 AS BIGINT) AS nf,
+                  CAST(24 + doc_id % 2 AS BIGINT) AS fnum
+           FROM documents),
+         f AS (
+           SELECT media_id, w, h, fnum, unnest(range(nf)) AS fi FROM v),
+         s AS (
+           SELECT media_id, fi AS frame_idx, fi * 1000 // fnum AS frame_ms,
+                  w AS width, h AS height,
+                  list_sum(flatten(list_transform(range(h), y ->
+                    list_transform(range(w), x ->
+                      (media_id + x + 11*y + 23*fi) % 256)))) AS ysum
+           FROM f WHERE fi % 2 = 0)
+         SELECT media_id, frame_idx, frame_ms, width, height,
+                floor(CAST(ysum AS DOUBLE) / (width * height)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_y
+         FROM s ORDER BY media_id, frame_idx""",
+
+    "q_m_media_resize" -> resizeOracle,
 
     "q_f7_keywords_priority" ->
       """WITH t AS (

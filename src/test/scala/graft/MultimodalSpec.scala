@@ -226,4 +226,155 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("out of bounds"))
   }
+
+  /** Hand-assembled Y4M (independent of the repo's encoder): 2×2
+    * C420jpeg, three frames, one parameterized FRAME marker.
+    */
+  private def mkY4m(header: String, frames: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.getBytes("US-ASCII"))
+    frames.foreach { case (marker, planes) =>
+      bos.write(marker.getBytes("US-ASCII"))
+      bos.write(planes)
+    }
+    bos.toByteArray
+  }
+
+  test("hand-crafted 3-frame Y4M samples every 2nd frame to the hand-computed mean Y") {
+    // w=2 h=2 C420: 4 Y bytes + 1 U + 1 V per frame
+    def fr(y: Array[Int]): Array[Byte] =
+      (y ++ Array(7, 9)).map(_.toByte) // chroma bytes must be skipped
+    val bytes = mkY4m("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n", Seq(
+      ("FRAME\n", fr(Array(10, 20, 30, 40))), // mean 25.0
+      ("FRAME Xskip\n", fr(Array(50, 60, 70, 80))), // skipped by cadence
+      ("FRAME\n", fr(Array(90, 100, 110, 120))))) // mean 105.0
+    val s = MediaCodec.decodeY4m(5L, bytes, everyN = 2)
+    assert(s.map(f => (f.frame_idx, f.frame_ms, f.mean_y)) ==
+      Seq((0L, 0L, 25.0), (2L, 80L, 105.0)), s)
+    assert(s.forall(f => f.width == 2L && f.height == 2L))
+    // cadence 1 samples every frame, including the parameterized marker
+    assert(MediaCodec.decodeY4m(5L, bytes, everyN = 1)
+      .map(_.mean_y) == Seq(25.0, 65.0, 105.0))
+  }
+
+  test("hostile Y4M fails named: magic, chroma, odd dims, truncation, marker, rate") {
+    def f(y: Array[Int]) = (y ++ Array(0, 0)).map(_.toByte)
+    val ok = mkY4m("YUV4MPEG2 W2 H2 F25:1 C420\n",
+      Seq(("FRAME\n", f(Array(1, 2, 3, 4)))))
+    // bad magic
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(1L, "YUV4MPEG3 W2 H2\nFRAME\n".getBytes, 1)
+    }
+    assert(e1.getMessage.contains("not a Y4M"))
+    // 4:4:4 chroma unsupported (plane arithmetic would be wrong)
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(2L, mkY4m("YUV4MPEG2 W2 H2 F25:1 C444\n",
+        Seq(("FRAME\n", f(Array(1, 2, 3, 4))))), 1)
+    }
+    assert(e2.getMessage.contains("only 4:2:0"))
+    // odd width under 4:2:0
+    val e3 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(3L, mkY4m("YUV4MPEG2 W3 H2 F25:1 C420\n",
+        Seq(("FRAME\n", Array.fill[Byte](9)(0)))), 1)
+    }
+    assert(e3.getMessage.contains("odd Y4M dims"))
+    // truncated frame payload
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(4L, ok.take(ok.length - 2), 1)
+    }
+    assert(e4.getMessage.contains("truncated"))
+    // corrupt FRAME marker ("FRAME\n" + 6 plane bytes trail the file)
+    val bad = ok.clone(); bad(ok.length - 12) = 'X'.toByte
+    val e5 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(5L, bad, 1)
+    }
+    assert(e5.getMessage.contains("FRAME marker"))
+    // a header with no frames at all
+    val e6 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(6L, "YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes, 1)
+    }
+    assert(e6.getMessage.contains("no Y4M frames"))
+    // zero frame rate would divide by zero in the timebase
+    val e7 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(7L, mkY4m("YUV4MPEG2 W2 H2 F0:1 C420\n",
+        Seq(("FRAME\n", f(Array(1, 2, 3, 4))))), 1)
+    }
+    assert(e7.getMessage.contains("frame rate"))
+    // unparseable numeric tag
+    val e8 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(8L, mkY4m("YUV4MPEG2 Wx H2 F25:1 C420\n",
+        Seq(("FRAME\n", f(Array(1, 2, 3, 4))))), 1)
+    }
+    assert(e8.getMessage.contains("bad Y4M header tag"))
+  }
+
+  test("Y4M fixture round-trip matches the closed-form sampled frames") {
+    for (id <- Seq(0L, 1L, 2L, 17L, 100L, 12345L)) {
+      val (w, h, nf) = (4 + 2 * (id % 3), 2 + 2 * (id % 2), 2 + id % 4)
+      val num = 24 + id % 2
+      val s = MediaCodec.decodeY4m(id, Fixtures.y4mBytes(id), everyN = 2)
+      assert(s.map(_.frame_idx) == (0L until nf).filter(_ % 2 == 0), s"id=$id")
+      s.foreach { fs =>
+        assert(fs.width == w && fs.height == h)
+        assert(fs.frame_ms == fs.frame_idx * 1000 / num)
+        val ysum = (for (y <- 0L until h; x <- 0L until w)
+          yield (id + x + 11 * y + 23 * fs.frame_idx) % 256).sum
+        assert(fs.mean_y ==
+          math.floor(ysum / (w * h).toDouble * 1e6 + 0.5) / 1e6, s"id=$id $fs")
+      }
+    }
+  }
+
+  test("box-filter resize: hand-computed 3x3→2x2 block means, factor-1 identity") {
+    // channels all equal 10·(3y+x): blocks (0,0)→20, (1,0)→35,
+    // (0,1)→65, (1,1)→80 — edge blocks average their true extent
+    val px = Array.tabulate(27)(i => (10 * (i / 3)).toByte)
+    val (ow, oh, out) = MediaCodec.resizePixels(3, 3, px, 2)
+    assert((ow, oh) == (2, 2))
+    assert(out.map(_ & 0xff).toSeq ==
+      Seq(20, 20, 20, 35, 35, 35, 65, 65, 65, 80, 80, 80))
+    assert(MediaCodec.lumaMean(out, ow, oh) == 50.0)
+    // factor 1 is the identity
+    val (iw, ih, ident) = MediaCodec.resizePixels(3, 3, px, 1)
+    assert((iw, ih) == (3, 3) && ident.sameElements(px))
+  }
+
+  test("resize over the real BMP/PNG fixtures matches an independent block recompute") {
+    for (id <- Seq(0L, 3L, 9L, 42L, 101L)) {
+      for ((fmt, bytes, w, h, chs) <- Seq(
+        ("bmp", Fixtures.bmpBytes(id), (4 + id % 5).toInt, (3 + id % 4).toInt,
+          Seq[(Long, Long) => Long](
+            (x, y) => (id + x + 11 * y) % 256,
+            (x, y) => (id + 5 * x + y) % 256,
+            (x, y) => (id + 3 * x + 7 * y) % 256)),
+        ("png", Fixtures.pngBytes(id), (5 + id % 4).toInt, (4 + id % 3).toInt,
+          Seq[(Long, Long) => Long](
+            (x, y) => (id + x + 11 * y) % 256,
+            (x, y) => (id + 5 * x + y) % 256,
+            (x, y) => (id + 3 * x + 7 * y) % 256)))) {
+        val (pw, ph, px) = if (fmt == "bmp") MediaCodec.pixelsBmp(id, bytes)
+          else MediaCodec.pixelsPng(id, bytes)
+        assert((pw, ph) == (w, h), s"$fmt id=$id")
+        val (ow, oh, out) = MediaCodec.resizePixels(pw, ph, px, 2)
+        assert((ow, oh) == ((w + 1) / 2, (h + 1) / 2))
+        // independent recompute straight from the pixel formulas
+        var lsum = 0L
+        for (by <- 0 until oh; bx <- 0 until ow) {
+          val (y1, x1) = (math.min(h, by * 2 + 2), math.min(w, bx * 2 + 2))
+          val cnt = (y1 - by * 2) * (x1 - bx * 2)
+          val means = chs.map { ch =>
+            (for (y <- by * 2 until y1; x <- bx * 2 until x1)
+              yield ch(x.toLong, y.toLong)).sum / cnt
+          }
+          val p = (by * ow + bx) * 3
+          assert(out(p) == means(0).toByte && out(p + 1) == means(1).toByte &&
+            out(p + 2) == means(2).toByte, s"$fmt id=$id block ($bx,$by)")
+          lsum += 299 * means(0) + 587 * means(1) + 114 * means(2)
+        }
+        assert(MediaCodec.lumaMean(out, ow, oh) ==
+          math.floor(lsum / (1000.0 * ow * oh) * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
 }
