@@ -38,7 +38,8 @@ object PlanAudit {
     // q_c_shard_write deliberately absent: its returned plan is only
     // the durable-readback manifest (the write runs eagerly before it)
     // and must stay window-free
-    "q_t_bpe_pairs" -> "rank window over the 50 TakeOrderedAndProject survivors only (the q_a8 pattern)")
+    "q_t_bpe_pairs" -> "rank window over the 50 TakeOrderedAndProject survivors only (the q_a8 pattern)",
+    "q_t_quality_pr" -> "cumulative sweep window over ≤100 score-bin summary rows + 1-row totals broadcast (the bucket-offsets pattern)")
 
   /** A window with NO partition columns serializes its input through
     * one task. Three textual forms of `windowspecdefinition(...)` in

@@ -744,6 +744,25 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Threshold sweep + calibration over the TRAINED classifier's
+    // scores — the step between training and deployment: one row per
+    // score centile carrying the reliability-diagram columns (n,
+    // n_pos, conf, acc, cal_gap) and the cumulative PR sweep (tp/fp/
+    // fn, prec/rec/f1 at "admit at score ≥ bin/100"). Ground truth is
+    // the planted-degradation label. One map-side-combining shuffle
+    // to ≤100 summary rows; the cumulative window runs over those
+    // bounded rows only.
+    "q_t_quality_pr" -> ((s, dir) => {
+      import graft.text.QualityClassifier.Degradation
+      val planted = docs(s, dir).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      val scored = graft.text.QualityClassifier
+        .classifyTrained(planted, "doc_id", "text")
+        .withColumn("truth", Degradation.label(col("doc_id")))
+      graft.text.ClassifierEval.sweep(scored, "score", "truth", nBins = 100)
+        .orderBy("bin")
+    }),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -2247,6 +2266,82 @@ object CurationQueries {
                  CASE WHEN $sig >= 0.5 THEN '__label__keep'
                       ELSE '__label__drop' END AS label
           FROM ag WHERE n_features > 0 ORDER BY doc_id"""
+    },
+
+    // Same trained-score CTE chain, then the sweep mirrored: scores
+    // recover their exact 1e-6 integer (they are 6-dp rounded), bin
+    // at centile width, cumulative from the top via a window over the
+    // ≤100 bin rows, every ratio a single division of exact integers.
+    "q_t_quality_pr" -> {
+      val (bias, w) =
+        graft.text.QualityClassifier.TrainedModel.loadArtifact()
+      val values = w.zipWithIndex.collect { case (q, b) if q != 0L =>
+        s"($b, ${q}::BIGINT)" }.mkString(", ")
+      val sig = graft.functions.Parity.sqlRound(
+        s"1.0 / (1.0 + exp(-((CAST(${bias} AS DOUBLE) + " +
+          "CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE)) / 1000000.0)))", 6)
+      s"""WITH qw(b, q) AS (VALUES $values),
+          raw AS (
+            SELECT doc_id,
+                   ${graft.text.QualityClassifier.Degradation.SqlPlant} AS t
+            FROM documents),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM raw),
+          ng AS (
+            SELECT doc_id, unnest(toks) AS ft FROM tk
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 1),
+                     i -> toks[i + 1] || ' ' || toks[i + 2])) AS ft
+            FROM tk WHERE len(toks) >= 2),
+          f AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(ft), 1, 8))::BIGINT % 1024 AS b
+            FROM ng),
+          ag AS (
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(coalesce(sum(qw.q), 0) AS BIGINT) AS w_sum
+            FROM f LEFT JOIN qw USING (b)
+            GROUP BY f.doc_id),
+          sc AS (
+            SELECT doc_id,
+                   CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT) AS m,
+                   CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS pos
+            FROM ag WHERE n_features > 0),
+          bins AS (
+            SELECT least(m // 10000, 99) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(m) AS BIGINT) AS score_sum_u
+            FROM sc GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM bins),
+          cum AS (
+            SELECT bin, n, n_pos, score_sum_u,
+                   CAST(sum(n_pos) OVER w AS BIGINT) AS tp,
+                   CAST(sum(n) OVER w AS BIGINT) AS pp
+            FROM bins
+            WINDOW w AS (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT bin, bin * 10000 AS threshold_micros, n, n_pos,
+                 ${graft.functions.Parity.sqlRound(
+                   "CAST(score_sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)", 6)} AS conf,
+                 ${graft.functions.Parity.sqlRound(
+                   "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS acc,
+                 ${graft.functions.Parity.sqlRound(
+                   "abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - " +
+                     "CAST(score_sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))", 6)} AS cal_gap,
+                 tp, pp - tp AS fp, total_pos - tp AS fn,
+                 ${graft.functions.Parity.sqlRound(
+                   "CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)", 6)} AS prec,
+                 CASE WHEN total_pos > 0 THEN ${graft.functions.Parity.sqlRound(
+                   "CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE)", 6)} END AS rec,
+                 CASE WHEN pp + total_pos > 0 THEN ${graft.functions.Parity.sqlRound(
+                   "2.0 * CAST(tp AS DOUBLE) / CAST(pp + total_pos AS DOUBLE)", 6)} END AS f1
+          FROM cum, tot ORDER BY bin"""
     },
 
     // The model CTEs mirror LangModel op-for-op: same tokenization as
