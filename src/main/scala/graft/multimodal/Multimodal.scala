@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing for training-data pipelines.
   *
-  * Media ride as opaque `binary` columns with typed metadata structs —
-  * the Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the actual codec work is STUBBED behind
-  * [[MediaCodec.decodeStub]] (this container ships no image/audio
-  * libraries) with a deterministic fake so tests are reproducible. A
-  * real deployment swaps the stub for a JNI/FFI codec inside the same
-  * `mapPartitions` batch loop — the plumbing does not change.
+  * Media ride as opaque `binary` columns with typed metadata structs.
+  * The decode slot carries REAL pure-JVM parsers for five public
+  * formats — 24-bit BMP, PCM-16 WAV, 8-bit truecolor PNG (genuine
+  * Inflater + all five scanline filters), baseline grayscale JPEG
+  * (hand-rolled canonical Huffman, dequant, zigzag, IDCT, restart
+  * markers), and YUV4MPEG2 video — each gated against an analytic
+  * oracle over genuine file bytes. Only formats needing an external
+  * codec library (color JPEG chroma paths, MP3) remain behind
+  * [[MediaCodec.decodeStub]], the explicitly-marked deterministic
+  * stand-in; a real deployment swaps that stub for a JNI/FFI codec
+  * inside the same `mapPartitions` batch loop — the plumbing does
+  * not change.
   */
 object Multimodal {
 
@@ -480,6 +485,421 @@ object Multimodal {
       (ow, oh, out)
     }
 
+    /** REAL baseline JPEG decode (round 11 — the second COMPRESSED
+      * format, and the first with a hand-rolled entropy coder: PNG
+      * leaned on java.util.zip's Inflater, JPEG's Huffman/DCT stack
+      * has no JVM built-in, so every stage here is implemented from
+      * the public ITU T.81 spec). The decoder is GENERAL over the
+      * baseline grayscale subset: marker walk (APPn/COM skipped by
+      * declared length), DQT (8-bit, any table id), DHT (canonical
+      * Huffman built from arbitrary BITS/HUFFVAL — nothing is
+      * hardwired to the fixture's tables), SOF0, DRI restart
+      * intervals, SOS, then entropy decode with 0xFF00 byte-stuffing
+      * removal, RSTn cycle verification and DC-predictor resets,
+      * run/size AC coefficient expansion (EOB/ZRL), dequantization
+      * in zigzag order, inverse zigzag, float 2-D IDCT, level shift
+      * and clamp — for BOTH grayscale and 3-component YCbCr color
+      * frames (interleaved MCUs, per-component quant/Huffman tables
+      * and DC predictors, 4:4:4/4:2:0/4:2:2 sampling with
+      * box-replicated chroma upsampling, BT.601 fixed-point color
+      * conversion). Non-baseline frames (SOF2 progressive), 16-bit
+      * quant tables, and sampling grids beyond 2×2 fail NAMED — the
+      * documented subset contract every decoder in this slot carries
+      * (24-bit BMP, PCM-16 WAV, 8-bit truecolor PNG).
+      */
+    def decodeJpeg(mediaId: Long, bytes: Array[Byte]): DecodedMedia = {
+      val (w, h, px) = pixelsJpeg(mediaId, bytes)
+      DecodedMedia(mediaId, "jpg", bytes.length.toLong,
+        Some(w.toLong), Some(h.toLong), Some(lumaMean(px, w, h)),
+        None, None, None)
+    }
+
+    /** Zigzag index → natural (row·8 + col) index, ITU T.81 Figure A.6. */
+    private[graft] val ZigZag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10,
+      17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** cos((2i+1)·u·π/16) · C(u), the separable IDCT basis. */
+    private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) {
+      (u, i) =>
+        val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        c * math.cos((2 * i + 1) * u * math.Pi / 16.0)
+    }
+
+    /** Canonical Huffman decode table built from a DHT segment's
+      * BITS/HUFFVAL (T.81 Annex C): per code length, the first code
+      * value and the index of its first symbol.
+      */
+    private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+      val firstCode = new Array[Int](17)
+      val firstSym = new Array[Int](17)
+      locally {
+        var code = 0; var sym = 0; var len = 1
+        while (len <= 16) {
+          firstCode(len) = code; firstSym(len) = sym
+          code = (code + counts(len - 1)) << 1
+          sym += counts(len - 1)
+          len += 1
+        }
+      }
+      def decode(mediaId: Long, bits: BitReader): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | bits.readBit(mediaId)
+          len += 1
+          val n = counts(len - 1)
+          if (n > 0 && code - firstCode(len) < n)
+            return symbols(firstSym(len) + code - firstCode(len))
+        }
+        throw new IllegalArgumentException(
+          s"invalid JPEG Huffman code: media $mediaId")
+      }
+    }
+
+    /** Entropy-segment bit reader: removes 0xFF00 stuffing, refuses to
+      * run past a marker or the buffer (truncated streams fail NAMED).
+      */
+    private final class BitReader(bytes: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nBits = 0
+      def readBit(mediaId: Long): Int = {
+        if (nBits == 0) {
+          require(pos < bytes.length,
+            s"JPEG entropy stream truncated at offset $pos: media $mediaId")
+          var b = bytes(pos) & 0xff; pos += 1
+          if (b == 0xff) {
+            require(pos < bytes.length && bytes(pos) == 0,
+              s"JPEG marker inside entropy segment at offset ${pos - 1}: " +
+                s"media $mediaId")
+            pos += 1 // 0xFF00 stuffing → literal 0xFF
+            b = 0xff
+          }
+          acc = b; nBits = 8
+        }
+        nBits -= 1
+        (acc >> nBits) & 1
+      }
+      def readBits(mediaId: Long, n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | readBit(mediaId); i += 1 }
+        v
+      }
+      def alignToByte(): Unit = nBits = 0
+    }
+
+    /** T.81 F.2.2.1 EXTEND: map `v` read as `t` magnitude bits to the
+      * signed coefficient value.
+      */
+    private def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** One frame component parsed from SOF0/SOS. */
+    private final class JpegComp(val h: Int, val v: Int, val tq: Int) {
+      var td = -1; var ta = -1
+      var dcPred = 0
+      var plane: Array[Byte] = null
+      var planeW = 0
+    }
+
+    /** The JPEG parse + entropy decode + dequant + IDCT behind
+      * [[decodeJpeg]], surfaced as top-down RGB triplets — the shared
+      * pixel form, so decoded JPEGs resize through the same box
+      * filter as BMP/PNG. Grayscale (1 component) emits (Y, Y, Y);
+      * color (3 components, interleaved baseline MCUs, sampling
+      * factors where each component's grid divides the max — 4:4:4,
+      * 4:2:0, 4:2:2) reconstructs per-component planes, box-replicates
+      * the subsampled chroma, and converts YCbCr→RGB with the
+      * BT.601 EXACT fixed-point arithmetic libjpeg uses
+      * (FIX(x) = round(x·2¹⁶); R = Y + (91881·Cr′+32768 >> 16),
+      * G = Y − (22554·Cb′+46802·Cr′+32768 >> 16),
+      * B = Y + (116130·Cb′+32768 >> 16)) — integer end to end, so the
+      * analytic oracle mirrors the conversion bit-for-bit.
+      */
+    private[graft] def pixelsJpeg(mediaId: Long,
+        bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+        s"not a JPEG (no SOI): media $mediaId")
+      var off = 2
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      var w = 0; var h = 0
+      var comps: Array[JpegComp] = null
+      var restartInterval = 0
+      var sosSeen = false
+      var entropyStart = -1
+      while (!sosSeen) {
+        require(off + 4 <= bytes.length,
+          s"JPEG truncated before SOS at offset $off: media $mediaId")
+        require((bytes(off) & 0xff) == 0xff,
+          s"expected JPEG marker at offset $off: media $mediaId")
+        val marker = bytes(off + 1) & 0xff
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        require(len >= 2 && off + 2 + len <= bytes.length,
+          s"JPEG segment 0x${marker.toHexString} length $len out of " +
+            s"bounds at offset $off: media $mediaId")
+        val body = off + 4
+        marker match {
+          case 0xdb => // DQT: one or more tables, 8-bit precision only
+            var p = body
+            while (p < off + 2 + len) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq == 0,
+                s"only 8-bit JPEG quant tables supported (Pq=$pq): " +
+                  s"media $mediaId")
+              require(p + 65 <= off + 2 + len,
+                s"JPEG DQT table truncated: media $mediaId")
+              quant(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = body
+            while (p < off + 2 + len) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th <= 3,
+                s"bad JPEG DHT class/id $tc/$th: media $mediaId")
+              require(p + 17 <= off + 2 + len,
+                s"JPEG DHT truncated: media $mediaId")
+              val counts = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val nSym = counts.sum
+              require(p + 17 + nSym <= off + 2 + len,
+                s"JPEG DHT symbols truncated: media $mediaId")
+              val syms = Array.tabulate(nSym)(i => bytes(p + 17 + i) & 0xff)
+              val t = new HuffTable(counts, syms)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + nSym
+            }
+          case 0xc0 => // SOF0 baseline
+            require(len >= 9, s"JPEG SOF0 too short: media $mediaId")
+            require((bytes(body) & 0xff) == 8,
+              s"only 8-bit JPEG samples supported: media $mediaId")
+            h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
+            w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
+            require(w > 0 && h > 0, s"JPEG dims ${w}x$h: media $mediaId")
+            val nf = bytes(body + 5) & 0xff
+            require(nf == 1 || nf == 3,
+              s"only 1- (grayscale) or 3-component (YCbCr) baseline " +
+                s"JPEG supported ($nf components): media $mediaId")
+            require(len >= 8 + 3 * nf,
+              s"JPEG SOF0 too short for $nf components: media $mediaId")
+            comps = Array.tabulate(nf) { i =>
+              val o = body + 6 + 3 * i
+              val hv = bytes(o + 1) & 0xff
+              new JpegComp(hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
+            }
+            comps.foreach { c =>
+              require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+                s"only 1x1/2x2 JPEG sampling grids supported " +
+                  s"(${c.h}x${c.v}): media $mediaId")
+            }
+          case 0xc2 =>
+            throw new IllegalArgumentException(
+              s"progressive JPEG (SOF2) unsupported: media $mediaId")
+          case 0xdd => // DRI
+            restartInterval =
+              ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
+          case 0xda => // SOS: one interleaved scan in frame order
+            require(w > 0, s"JPEG SOS before SOF0: media $mediaId")
+            val ns = bytes(body) & 0xff
+            require(ns == comps.length,
+              s"JPEG scan must cover all ${comps.length} frame " +
+                s"components ($ns): media $mediaId")
+            var i = 0
+            while (i < ns) {
+              val t = bytes(body + 2 + 2 * i) & 0xff
+              comps(i).td = t >> 4
+              comps(i).ta = t & 0x0f
+              i += 1
+            }
+            val p = body + 1 + 2 * ns
+            require(bytes(p) == 0 && (bytes(p + 1) & 0xff) == 63 &&
+              bytes(p + 2) == 0,
+              s"non-baseline JPEG scan parameters: media $mediaId")
+            sosSeen = true
+          case m if m >= 0xe0 && m <= 0xef => () // APPn: skip
+          case 0xfe => () // COM: skip
+          case m =>
+            throw new IllegalArgumentException(
+              s"unsupported JPEG marker 0x${m.toHexString} at offset " +
+                s"$off: media $mediaId")
+        }
+        off += 2 + len
+        entropyStart = off
+      }
+      require(w.toLong * h <= (Int.MaxValue - 8) / 3,
+        s"JPEG raster too large (${w}x$h): media $mediaId")
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      comps.foreach { c =>
+        require(hMax % c.h == 0 && vMax % c.v == 0,
+          s"JPEG sampling grid ${c.h}x${c.v} does not divide the max " +
+            s"${hMax}x$vMax: media $mediaId")
+        require(quant(c.tq) != null,
+          s"JPEG quant table ${c.tq} undefined: media $mediaId")
+        require(c.td >= 0 && dcTables(c.td) != null &&
+          acTables(c.ta) != null,
+          s"JPEG Huffman table DC${c.td}/AC${c.ta} undefined: media $mediaId")
+      }
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      comps.foreach { c =>
+        c.planeW = mcusX * 8 * c.h
+        c.plane = new Array[Byte](c.planeW * mcusY * 8 * c.v)
+      }
+
+      val bits = new BitReader(bytes, entropyStart)
+      val coef = new Array[Int](64)
+
+      /** One 8×8 block of component `c` at block grid (gx, gy) of its
+        * plane: entropy decode, dequant, inverse zigzag, IDCT (T.81
+        * A.3.3), level shift, clamp.
+        */
+      def decodeBlock(c: JpegComp, gx: Int, gy: Int): Unit = {
+        val qt = quant(c.tq)
+        java.util.Arrays.fill(coef, 0)
+        // DC: category + magnitude bits, differentially predicted
+        val dcCat = dcTables(c.td).decode(mediaId, bits)
+        require(dcCat <= 11, s"bad JPEG DC category $dcCat: media $mediaId")
+        c.dcPred += extend(bits.readBits(mediaId, dcCat), dcCat)
+        coef(0) = c.dcPred * qt(0)
+        // AC: run/size symbols in zigzag order
+        val acT = acTables(c.ta)
+        var k = 1
+        var eob = false
+        while (k <= 63 && !eob) {
+          val sym = acT.decode(mediaId, bits)
+          val run = sym >> 4
+          val size = sym & 0x0f
+          if (size == 0) {
+            if (sym == 0x00) eob = true // EOB
+            else {
+              require(sym == 0xf0,
+                s"bad JPEG AC symbol 0x${sym.toHexString}: media $mediaId")
+              k += 16 // ZRL: sixteen zeros
+            }
+          } else {
+            k += run
+            require(k <= 63,
+              s"JPEG AC run overflows block (k=$k): media $mediaId")
+            coef(ZigZag(k)) = extend(bits.readBits(mediaId, size), size) * qt(k)
+            k += 1
+          }
+        }
+        val bx = gx * 8
+        val by = gy * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var f = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val cf = coef(u * 8 + v)
+                if (cf != 0) f += cf * IdctCos(u)(y) * IdctCos(v)(x)
+                v += 1
+              }
+              u += 1
+            }
+            val s = math.round(0.25 * f + 128.0).toInt
+            c.plane((by + y) * c.planeW + bx + x) =
+              (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+
+      var mcu = 0
+      val nMcu = mcusX * mcusY
+      while (mcu < nMcu) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bits.alignToByte()
+          val p = bits.pos
+          require(p + 2 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
+            (bytes(p + 1) & 0xff) ==
+              0xd0 + ((mcu / restartInterval - 1) % 8),
+            s"JPEG restart marker RST${(mcu / restartInterval - 1) % 8} " +
+              s"missing before MCU $mcu: media $mediaId")
+          bits.pos = p + 2
+          comps.foreach(_.dcPred = 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        // interleaved MCU: components in frame order, each raster-
+        // ordered over its h×v block grid (T.81 A.2.3)
+        comps.foreach { c =>
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeBlock(c, mx * c.h + bx, my * c.v + by)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mcu += 1
+      }
+      bits.alignToByte()
+      val p = bits.pos
+      require(p + 2 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
+        (bytes(p + 1) & 0xff) == 0xd9,
+        s"JPEG EOI missing after entropy data: media $mediaId")
+
+      val px = new Array[Byte](w * h * 3)
+      if (comps.length == 1) {
+        val c = comps(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = c.plane(y * c.planeW + x)
+            val o = (y * w + x) * 3
+            px(o) = g; px(o + 1) = g; px(o + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        // box-replicated chroma upsampling + BT.601 fixed-point
+        // YCbCr→RGB (libjpeg constants: FIX(x) = round(x·65536))
+        val Array(cy, ccb, ccr) = comps
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yy = cy.plane(
+              (y * cy.v / vMax) * cy.planeW + x * cy.h / hMax) & 0xff
+            val cb = (ccb.plane(
+              (y * ccb.v / vMax) * ccb.planeW + x * ccb.h / hMax) & 0xff) - 128
+            val cr = (ccr.plane(
+              (y * ccr.v / vMax) * ccr.planeW + x * ccr.h / hMax) & 0xff) - 128
+            val r = yy + ((91881 * cr + 32768) >> 16)
+            val g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            val b = yy + ((116130 * cb + 32768) >> 16)
+            val o = (y * w + x) * 3
+            px(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            px(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+            px(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, px)
+    }
+
     /** STUB — deterministic fake decode. Real implementation would
       * decode `bytes` with an image/audio codec; the container has
       * none, so features derive from the bytes deterministically
@@ -524,6 +944,7 @@ object Multimodal {
         case (id, "bmp", bytes) => MediaCodec.decodeBmp(id, bytes)
         case (id, "wav", bytes) => MediaCodec.decodeWav(id, bytes)
         case (id, "png", bytes) => MediaCodec.decodePng(id, bytes)
+        case (id, "jpg", bytes) => MediaCodec.decodeJpeg(id, bytes)
         case (id, f, _) =>
           throw new IllegalArgumentException(s"unknown format $f: media $id")
       })
@@ -561,6 +982,7 @@ object Multimodal {
         val (w, h, px) = fmt match {
           case "bmp" => MediaCodec.pixelsBmp(id, bytes)
           case "png" => MediaCodec.pixelsPng(id, bytes)
+          case "jpg" => MediaCodec.pixelsJpeg(id, bytes)
           case f => throw new IllegalArgumentException(
             s"unresizable format $f: media $id")
         }
@@ -730,6 +1152,162 @@ object Multimodal {
         i += 1
       }
       out
+    }
+
+    /** Baseline grayscale JPEG, w = 8·(2 + id%3), h = 16 — n =
+      * 2·(2 + id%3) blocks of 8×8. Compact encoder-chosen Huffman
+      * tables (fully standard-compliant — every real encoder ships
+      * its own DHT; the DECODER builds canonical codes from whatever
+      * arrives) and DRI = 1, so each block is its own restart
+      * interval: the DC predictor resets per block, every block's
+      * byte extent is fixed, and the file size stays the closed form
+      * 148 + 3n the oracle asserts. Blocks 0..n−2 are DC-only with
+      * quantized DC 32 + (id·7 + 29b) % 32 (category 6 always) over
+      * an all-8s quant table → every pixel of block b is exactly
+      * 160 + (id·7 + 29b) % 32. The LAST block carries DC 112 plus a
+      * real AC coefficient (zigzag 10 = vertical basis u=4, run 9 /
+      * size 5, value 24): its IDCT contribution is ±24 by rows
+      * (+,−,−,+,+,−,−,+), so pixels hit 264 → CLAMP at 255 on four
+      * rows and 216 on the rest — the clamp asymmetry makes the AC
+      * decode visible in the MEAN the oracle predicts ((255+216)/2
+      * per pixel instead of the 240 a skipped AC would leave).
+      */
+    def jpegBytes(id: Long): Array[Byte] = {
+      val bwBlocks = (2 + id % 3).toInt
+      val n = bwBlocks * 2
+      val w = bwBlocks * 8
+      val h = 16
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def marker(m: Int, body: Array[Int]): Unit = {
+        b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+        body.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8) // SOI
+      marker(0xdb, Array(0x00) ++ Array.fill(64)(8)) // DQT 0: all 8s
+      marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        1, 1, 0x11, 0)) // SOF0: 8-bit, 1 component, 1x1, Tq 0
+      // DHT DC 0: len-1 code "0" → category 6; len-2 "10" → category 7
+      marker(0xc4, Array(0x00, 1, 1) ++ Array.fill(14)(0) ++ Array(6, 7))
+      // DHT AC 0: len-1 "0" → EOB (0x00); len-2 "10" → run 9 / size 5
+      marker(0xc4, Array(0x10, 1, 1) ++ Array.fill(14)(0) ++ Array(0x00, 0x95))
+      marker(0xdd, Array(0, 1)) // DRI: restart interval 1
+      marker(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+      var blk = 0
+      while (blk < n) {
+        if (blk > 0) b(0xff, 0xd0 + ((blk - 1) % 8)) // RSTm
+        if (blk < n - 1) {
+          // DC-only: "0" + 6 magnitude bits + EOB "0" = exactly 1 byte
+          val dc = 32 + ((id * 7 + 29 * blk) % 32).toInt
+          b((dc << 1) & 0x7e)
+        } else {
+          // DC 112: "10"+1110000; AC: "10"+11000; EOB "0"; pad 1s
+          b(0xb8, 0x58, 0x7f)
+        }
+        blk += 1
+      }
+      b(0xff, 0xd9) // EOI
+      val bytes = out.toByteArray
+      // the closed form the oracle relies on — a fixture drift that
+      // breaks it must fail HERE, not as an opaque hash mismatch
+      require(bytes.length == 148 + 3 * n,
+        s"JPEG fixture size ${bytes.length} != ${148 + 3 * n}: id $id")
+      bytes
+    }
+
+    /** Baseline COLOR JPEG, 4:2:0 — w = 16·(1 + id%2), h = 32, so
+      * M = 2·(1 + id%2) interleaved MCUs of four Y blocks + Cb + Cr.
+      * Same closed-form discipline as [[jpegBytes]]: DRI = 1
+      * byte-aligns every MCU (normal MCU = 44 bits → 6 bytes, the
+      * last = 50 bits → 7), so n_bytes = 266 + 8M exactly. Unlike the
+      * grayscale fixture (DRI=1, one block per MCU, every DC
+      * absolute), the four Y blocks of one MCU share a DC predictor —
+      * so this fixture genuinely exercises DIFFERENTIAL DC decode:
+      * block j=0 carries the absolute per-MCU base 32 + (id·7+29mc)%8
+      * (category 6) and blocks j=1..3 carry the constant diff +8
+      * (category 4), giving Y(mc, j) = 160 + (id·7+29mc)%8 + 8j; the
+      * LAST Y block instead carries diff +32 plus the clamped AC
+      * coefficient (run 9 / size 6, value 48 → Y rows alternate
+      * clamp-at-255 / base−48). Chroma blocks are DC-only through
+      * their own tables (DC1 category 4, AC1 EOB): Cb = 136+(id+mc)%8
+      * per MCU, Cr = 120 − (id+2mc)%8 (a NEGATIVE coefficient — the
+      * encoder's complement form and the decoder's EXTEND must
+      * agree). The decoder must walk the interleaved MCU structure,
+      * keep three independent DC predictors with in-MCU differential
+      * chaining, box-replicate the 2×-subsampled chroma, and convert
+      * through the BT.601 fixed-point constants — any of those wrong
+      * lands on different RGB and hash-fails the analytic oracle.
+      */
+    def jpegColorBytes(id: Long): Array[Byte] = {
+      val mcusX = (1 + id % 2).toInt
+      val mcusY = 2
+      val nMcu = mcusX * mcusY
+      val w = 16 * mcusX
+      val h = 32
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def marker(m: Int, body: Array[Int]): Unit = {
+        b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+        body.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8) // SOI
+      // DQT: tables 0 (luma) and 1 (chroma), both all-8s, one segment
+      marker(0xdb, Array(0x00) ++ Array.fill(64)(8) ++
+        Array(0x01) ++ Array.fill(64)(8))
+      marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x22, 0, // Y: 2x2 sampling, quant 0
+        2, 0x11, 1, // Cb: 1x1, quant 1
+        3, 0x11, 1)) // Cr: 1x1, quant 1
+      // DC0: cat 6 → "0", cat 4 → "10"; AC0: EOB → "0", 0x96 → "10"
+      marker(0xc4, Array(0x00, 1, 1) ++ Array.fill(14)(0) ++ Array(6, 4))
+      marker(0xc4, Array(0x10, 1, 1) ++ Array.fill(14)(0) ++ Array(0x00, 0x96))
+      marker(0xc4, Array(0x01, 1) ++ Array.fill(15)(0) ++ Array(4)) // DC1: cat 4 → "0"
+      marker(0xc4, Array(0x11, 1) ++ Array.fill(15)(0) ++ Array(0x00)) // AC1: EOB → "0"
+      marker(0xdd, Array(0, 1)) // DRI: restart interval 1 MCU
+      marker(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+      // bit writer, flushed (1-padded) at each MCU boundary; no byte
+      // can reach 0xFF (stuffing would break the closed-form size):
+      // content 1-runs are ≤4 (Cb's 1111 is 0-bracketed) and the ≤7
+      // pad 1s follow a 0 (the EOB bit), proven by the require
+      var acc = 0L; var nb = 0
+      def put(v: Int, len: Int): Unit = {
+        acc = (acc << len) | (v & ((1L << len) - 1)); nb += len
+        while (nb >= 8) {
+          val byte = ((acc >> (nb - 8)) & 0xff).toInt
+          require(byte != 0xff,
+            s"JPEG color fixture produced a stuffed byte: id $id")
+          out.write(byte); nb -= 8
+        }
+      }
+      def flush(): Unit = if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+      var mc = 0
+      while (mc < nMcu) {
+        if (mc > 0) b(0xff, 0xd0 + ((mc - 1) % 8)) // RSTm
+        val base = 32 + ((id * 7 + 29 * mc) % 8).toInt
+        var j = 0
+        while (j < 4) {
+          if (j == 0) {
+            put(0, 1); put(base, 6); put(0, 1) // absolute: cat6 + EOB
+          } else if (4 * mc + j < 4 * nMcu - 1) {
+            put(2, 2); put(8, 4); put(0, 1) // diff +8: cat4 + EOB
+          } else {
+            // diff +32 (cat 6) + AC run9/size6 value 48 + EOB
+            put(0, 1); put(32, 6); put(2, 2); put(48, 6); put(0, 1)
+          }
+          j += 1
+        }
+        val cbq = 8 + ((id + mc) % 8).toInt
+        val crq = -(8 + ((id + 2 * mc) % 8).toInt)
+        put(0, 1); put(cbq, 4); put(0, 1) // Cb: cat4 positive
+        put(0, 1); put(crq + 15, 4); put(0, 1) // Cr: cat4 complement form
+        flush()
+        mc += 1
+      }
+      b(0xff, 0xd9) // EOI
+      val bytes = out.toByteArray
+      require(bytes.length == 266 + 8 * nMcu,
+        s"JPEG color fixture size ${bytes.length} != ${266 + 8 * nMcu}: id $id")
+      bytes
     }
 
     /** YUV4MPEG2 C420, w = 4 + 2·(id%3), h = 2 + 2·(id%2), frame rate

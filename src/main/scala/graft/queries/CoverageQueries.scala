@@ -204,6 +204,45 @@ object CoverageQueries {
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")
     }),
 
+    // Multimodal, REAL JPEG decode (round 11 — the first format whose
+    // entropy coder is hand-rolled: no JVM built-in covers Huffman +
+    // DCT, so the decoder implements the full baseline stack from
+    // ITU T.81). Genuine baseline grayscale JPEGs are synthesized per
+    // doc — real marker segments, encoder-chosen canonical Huffman
+    // tables, DRI=1 restart intervals, one block carrying a REAL AC
+    // coefficient whose clamped IDCT contribution shifts the mean —
+    // then parsed by the pure-JVM decoder in the same mapPartitions
+    // slot. The oracle predicts file size, dimensions, and mean luma
+    // analytically from the id: a wrong Huffman table build, restart
+    // handling, dequant, zigzag placement, or IDCT hash-fails.
+    "q_m_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, "jpg", Multimodal.Fixtures.jpegBytes(id))))
+        .toDF("media_id", "format", "bytes")
+      Multimodal.decodeMedia(media).toDF().orderBy("media_id")
+    }),
+
+    // Multimodal, REAL COLOR JPEG decode (round 11): genuine 4:2:0
+    // baseline YCbCr JPEGs — interleaved MCUs of four Y blocks plus
+    // subsampled Cb/Cr, per-component quant and Huffman tables,
+    // DRI=1 restart intervals, a negative chroma DC (the complement
+    // EXTEND path), the clamped-AC Y block last — decoded through
+    // the full stack plus box-replicated chroma upsampling and the
+    // BT.601 EXACT fixed-point YCbCr→RGB (libjpeg's integer
+    // constants). The oracle re-derives every RGB value analytically
+    // through the same integer shifts: a wrong MCU interleave, DC
+    // predictor, upsample mapping, or conversion constant hash-fails.
+    "q_m_jpeg_color" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, "jpg", Multimodal.Fixtures.jpegColorBytes(id))))
+        .toDF("media_id", "format", "bytes")
+      Multimodal.decodeMedia(media).toDF().orderBy("media_id")
+    }),
+
     // Multimodal: frame-sampling plumbing (video rows, 5s cadence).
     "q_m_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -809,6 +848,93 @@ object CoverageQueries {
                 NULL, NULL, NULL
          FROM gp
          ORDER BY media_id""",
+
+    // analytic mirror of the JPEG fixture: blocks 0..n−2 decode to
+    // uniform pixels 160 + (id·7 + 29b) % 32 (DC-only over the all-8s
+    // quant table), the last block to 32 pixels clamped at 255 and 32
+    // at 216 (DC 112 + the ±24 AC basis rows); file size is the
+    // closed form 148 + 3n because DRI=1 byte-aligns every block
+    "q_m_jpeg_decode" ->
+      """WITH j AS (
+           SELECT doc_id AS media_id,
+                  CAST(2 * (2 + doc_id % 3) AS BIGINT) AS n
+           FROM documents),
+         p AS (
+           SELECT media_id, n,
+                  list_sum(list_transform(range(n - 1), b ->
+                    64 * (160 + (media_id * 7 + 29 * b) % 32))) AS bsum
+           FROM j)
+         SELECT media_id, 'jpg' AS format,
+                CAST(148 + 3 * n AS BIGINT) AS n_bytes,
+                CAST(4 * n AS BIGINT) AS width,
+                CAST(16 AS BIGINT) AS height,
+                floor(CAST(bsum + 32 * 255 + 32 * 216 AS DOUBLE)
+                    / (64 * n) * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+                CAST(NULL AS BIGINT) AS n_samples,
+                CAST(NULL AS BIGINT) AS duration_ms,
+                CAST(NULL AS DOUBLE) AS mean_abs
+         FROM p ORDER BY media_id""",
+
+    // analytic mirror of the COLOR JPEG fixture: every Y block is the
+    // DC ramp (the grayscale fixture's formula over the flat block
+    // index), chroma is per-MCU DC-only, and each RGB value passes
+    // through the SAME BT.601 integer shifts the decoder uses —
+    // floor((91881·Cr′+32768)/65536) etc. — with the final clamp
+    // mirrored; the last Y block's clamped 255/216 rows convert
+    // under the last MCU's chroma
+    "q_m_jpeg_color" ->
+      """WITH j AS (
+           SELECT doc_id AS media_id,
+                  CAST(2 * (1 + doc_id % 2) AS BIGINT) AS m
+           FROM documents),
+         ls AS (
+           SELECT media_id, m,
+                  list_sum(list_transform(
+                    list_transform(range(4 * m - 1), i -> {
+                      'y': 160 + (media_id * 7 + 29 * (i // 4)) % 8
+                           + 8 * (i % 4),
+                      'cb': 8 + (media_id + i // 4) % 8,
+                      'cr': -(8 + (media_id + 2 * (i // 4)) % 8)}),
+                    s -> 64 * (
+                        299 * greatest(0, least(255, s.y +
+                          CAST(floor((91881 * s.cr + 32768) / 65536.0) AS BIGINT)))
+                      + 587 * greatest(0, least(255, s.y -
+                          CAST(floor((22554 * s.cb + 46802 * s.cr + 32768) / 65536.0) AS BIGINT)))
+                      + 114 * greatest(0, least(255, s.y +
+                          CAST(floor((116130 * s.cb + 32768) / 65536.0) AS BIGINT)))))) AS nsum,
+                  8 + (media_id + m - 1) % 8 AS cbl,
+                  -(8 + (media_id + 2 * (m - 1)) % 8) AS crl,
+                  -- the AC block's minus rows: (208 + ramp) − 48;
+                  -- the plus rows clamp to 255 before conversion
+                  160 + (media_id * 7 + 29 * (m - 1)) % 8 AS yminus
+           FROM j),
+         tot AS (
+           SELECT media_id, m, nsum
+             + 32 * (
+                 299 * greatest(0, least(255, 255 +
+                   CAST(floor((91881 * crl + 32768) / 65536.0) AS BIGINT)))
+               + 587 * greatest(0, least(255, 255 -
+                   CAST(floor((22554 * cbl + 46802 * crl + 32768) / 65536.0) AS BIGINT)))
+               + 114 * greatest(0, least(255, 255 +
+                   CAST(floor((116130 * cbl + 32768) / 65536.0) AS BIGINT))))
+             + 32 * (
+                 299 * greatest(0, least(255, yminus +
+                   CAST(floor((91881 * crl + 32768) / 65536.0) AS BIGINT)))
+               + 587 * greatest(0, least(255, yminus -
+                   CAST(floor((22554 * cbl + 46802 * crl + 32768) / 65536.0) AS BIGINT)))
+               + 114 * greatest(0, least(255, yminus +
+                   CAST(floor((116130 * cbl + 32768) / 65536.0) AS BIGINT)))) AS lsum
+           FROM ls)
+         SELECT media_id, 'jpg' AS format,
+                CAST(266 + 8 * m AS BIGINT) AS n_bytes,
+                CAST(8 * m AS BIGINT) AS width,
+                CAST(32 AS BIGINT) AS height,
+                floor(CAST(lsum AS DOUBLE) / (1000.0 * 256 * m)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+                CAST(NULL AS BIGINT) AS n_samples,
+                CAST(NULL AS BIGINT) AS duration_ms,
+                CAST(NULL AS DOUBLE) AS mean_abs
+         FROM tot ORDER BY media_id""",
 
     "q_m_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars * 10, 5000)) AS frame_ms,

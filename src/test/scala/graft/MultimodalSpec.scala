@@ -377,4 +377,343 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // JPEG: the hand-rolled baseline stack (Huffman + dequant + zigzag +
+  // IDCT + restart markers)
+  // ------------------------------------------------------------------
+
+  /** base pixel value of fixture block b (blocks 0..n−2). */
+  private def jpegBase(id: Long, b: Int): Int =
+    (160 + (id * 7 + 29 * b) % 32).toInt
+
+  test("JPEG fixture round-trip matches the closed-form features and full pixels") {
+    for (id <- Seq(0L, 1L, 2L, 17L, 100L, 12345L)) {
+      val bytes = Fixtures.jpegBytes(id)
+      val n = 2 * (2 + id % 3).toInt
+      val w = 4 * n
+      val d = MediaCodec.decodeJpeg(id, bytes)
+      assert(d.n_bytes == 148 + 3 * n)
+      assert(d.width.contains(w.toLong) && d.height.contains(16L))
+      val sum = (0 until n - 1).map(b => 64L * jpegBase(id, b)).sum +
+        32L * 255 + 32L * 216
+      assert(d.mean_luma.contains(
+        math.floor(sum / (64.0 * n) * 1e6 + 0.5) / 1e6), s"id=$id")
+
+      // full-pixel check: uniform DC blocks; the AC block's rows
+      // alternate clamp(240+24)=255 / 216 in the u=4 basis sign
+      // pattern (+,−,−,+,+,−,−,+ down the rows)
+      val (pw, ph, px) = MediaCodec.pixelsJpeg(id, bytes)
+      assert((pw, ph) == (w, 16))
+      val rowSign = Array(1, -1, -1, 1, 1, -1, -1, 1)
+      for (y <- 0 until 16; x <- 0 until w) {
+        val blk = (y / 8) * (w / 8) + (x / 8)
+        val want =
+          if (blk < n - 1) jpegBase(id, blk)
+          else if (rowSign(y % 8) > 0) 255
+          else 216
+        val p = (y * w + x) * 3
+        assert((px(p) & 0xff) == want && px(p) == px(p + 1) &&
+          px(p) == px(p + 2), s"id=$id px($x,$y) blk=$blk")
+      }
+    }
+  }
+
+  /** Spec-local JPEG encoder, independent of [[Fixtures.jpegBytes]]:
+    * richer Huffman tables (several DC categories, AC symbols with
+    * varied run/size, ZRL) so the decoder's generic table build,
+    * zigzag placement, negative-coefficient EXTEND, and zero-run
+    * expansion are exercised beyond the fixture's two-symbol tables.
+    * One 8×8 block, no restarts.
+    */
+  private def mkJpeg(quant: Array[Int], dcCat: Int, dcBits: Int,
+      acSyms: Seq[(Int, Int)]): Array[Byte] = {
+    // DC table: cats 2..5 at lengths 2,2,3,3; AC: EOB len 1,
+    // ZRL len 3, (0,3) len 3, (2,2) len 4, (9,5) len 4
+    val dcCounts = Array(0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcSyms = Array(2, 3, 4, 5)
+    val acCounts = Array(1, 0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acSymTable = Array(0x00, 0xf0, 0x03, 0x22, 0x95)
+    // canonical codes per the same rule the decoder must implement
+    def codes(counts: Array[Int]): Array[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var code = 0
+      for (len <- 1 to 16) {
+        for (_ <- 0 until counts(len - 1)) { out += ((code, len)); code += 1 }
+        code <<= 1
+      }
+      out.toArray
+    }
+    val dcCodes = dcSyms.zip(codes(dcCounts)).toMap
+    val acCodes = acSymTable.zip(codes(acCounts)).toMap
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => bos.write(v & 0xff))
+    def marker(m: Int, body: Array[Int]): Unit = {
+      b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => bos.write(v & 0xff))
+    }
+    b(0xff, 0xd8)
+    marker(0xdb, Array(0x00) ++ quant)
+    marker(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    marker(0xc4, Array(0x00) ++ dcCounts ++ dcSyms)
+    marker(0xc4, Array(0x10) ++ acCounts ++ acSymTable)
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // bit-pack the entropy segment (with byte stuffing)
+    var acc = 0L; var nb = 0
+    val ent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        ent += byte
+        if (byte == 0xff) ent += 0x00
+        nb -= 8
+      }
+    }
+    val (dcC, dcL) = dcCodes(dcCat)
+    put(dcC, dcL); put(dcBits, dcCat)
+    acSyms.foreach { case (sym, bits) =>
+      val (c, l) = acCodes(sym); put(c, l)
+      put(bits, sym & 0x0f)
+    }
+    val (eobC, eobL) = acCodes(0x00); put(eobC, eobL)
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb) // pad with 1s
+    ent.foreach(bos.write)
+    b(0xff, 0xd9)
+    bos.toByteArray
+  }
+
+  test("JPEG entropy decode vs an independent IDCT: ZRL, negative coefficients, varied quant") {
+    // quant: position-dependent so a zigzag/dequant mix-up misplaces
+    // energy; coefficients: DC −5 (cat 3, bits = complement form),
+    // AC (0,3) value −7 at zigzag 1, (2,2) value 2 at zigzag 4,
+    // ZRL + (9,5) value 24 at zigzag 30
+    val quant = Array.tabulate(64)(k => 1 + (k % 7))
+    // cat 3 value −5 → bits = −5 + 2³ − 1 = 2 (binary 010)
+    val bytes = mkJpeg(quant, dcCat = 3, dcBits = 2,
+      acSyms = Seq((0x03, 0), (0x22, 2), (0xf0, 0), (0x95, 24)))
+    // (0,3): bits value 0 → EXTEND(0,3) = −7 at zigzag 1
+    // (2,2): run 2 → zigzag 4, EXTEND(2,2) = 2
+    // ZRL: 16 zeros → next at zigzag 5+16=21... then (9,5): run 9 →
+    // zigzag 21+9 = 30, value 24
+    val coefZig = new Array[Int](64)
+    coefZig(0) = -5 * quant(0)
+    coefZig(1) = -7 * quant(1)
+    coefZig(4) = 2 * quant(4)
+    coefZig(30) = 24 * quant(30)
+    val coef = new Array[Int](64)
+    for (k <- 0 until 64) coef(MediaCodec.ZigZag(k)) = coefZig(k)
+    // independent naive IDCT straight from T.81 A.3.3
+    def idct(y: Int, x: Int): Int = {
+      var f = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        f += cu * cv * coef(u * 8 + v) *
+          math.cos((2 * y + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * x + 1) * v * math.Pi / 16.0)
+      }
+      val s = math.round(0.25 * f + 128.0).toInt
+      math.max(0, math.min(255, s))
+    }
+    val (w, h, px) = MediaCodec.pixelsJpeg(42L, bytes)
+    assert((w, h) == (8, 8))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((px((y * 8 + x) * 3) & 0xff) == idct(y, x), s"px($x,$y)")
+  }
+
+  test("hostile JPEGs fail named: SOI, progressive, DQT precision, missing tables, truncation, restart, components") {
+    val good = Fixtures.jpegBytes(5L)
+    def expectNamed(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        MediaCodec.pixelsJpeg(99L, bytes)
+      }
+      assert(e.getMessage.contains(frag) && e.getMessage.contains("99"),
+        s"got: ${e.getMessage}")
+    }
+    expectNamed("nope".getBytes, "not a JPEG")
+    // SOF0 → SOF2 (marker byte is inside the segment stream)
+    val prog = good.clone
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    expectNamed(prog, "progressive")
+    // DQT precision nibble → 16-bit
+    val dqt = good.clone
+    val dqtAt = (0 until dqt.length - 1).find(i =>
+      (dqt(i) & 0xff) == 0xff && (dqt(i + 1) & 0xff) == 0xdb).get
+    dqt(dqtAt + 4) = 0x10.toByte
+    expectNamed(dqt, "8-bit")
+    // truncated mid-entropy: cut EOI + one byte of the last (3-byte)
+    // block so the bit reader runs dry inside the AC decode
+    expectNamed(good.take(good.length - 3), "truncated")
+    // first restart marker corrupted → wrong RST number
+    val rst = good.clone
+    val rstAt = (0 until rst.length - 1).find(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0).get
+    rst(rstAt + 1) = 0xd5.toByte
+    expectNamed(rst, "restart")
+    // claims three components but the SOF segment only carries one
+    val tri = mkJpeg(Array.fill(64)(8), 3, 2, Seq.empty)
+    val triSof = (0 until tri.length - 1).find(i =>
+      (tri(i) & 0xff) == 0xff && (tri(i + 1) & 0xff) == 0xc0).get
+    tri(triSof + 9) = 3.toByte // Nf
+    expectNamed(tri, "too short for 3 components")
+    // SOS referencing a Huffman table that was never defined: strip
+    // the AC DHT segment entirely
+    val noDht = {
+      val at = {
+        // second DHT (AC) segment
+        val idxs = (0 until good.length - 1).filter(i =>
+          (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc4)
+        idxs(1)
+      }
+      val len = ((good(at + 2) & 0xff) << 8) | (good(at + 3) & 0xff)
+      good.take(at) ++ good.drop(at + 2 + len)
+    }
+    expectNamed(noDht, "undefined")
+  }
+
+  /** The decoder's fixed-point YCbCr→RGB, recomputed independently
+    * (plain integer math, no shared code).
+    */
+  private def bt601(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    val cb1 = cb - 128; val cr1 = cr - 128
+    (cl(y + ((91881 * cr1 + 32768) >> 16)),
+      cl(y - ((22554 * cb1 + 46802 * cr1 + 32768) >> 16)),
+      cl(y + ((116130 * cb1 + 32768) >> 16)))
+  }
+
+  test("color JPEG fixture round-trip: 4:2:0 interleave, chroma replication, BT.601 conversion, full pixels") {
+    for (id <- Seq(0L, 1L, 2L, 17L, 100L, 12345L)) {
+      val bytes = Fixtures.jpegColorBytes(id)
+      val m = 2 * (1 + id % 2).toInt
+      val w = 8 * m
+      val d = MediaCodec.decodeJpeg(id, bytes)
+      assert(d.n_bytes == 266 + 8 * m)
+      assert(d.width.contains(w.toLong) && d.height.contains(32L))
+
+      val (pw, ph, px) = MediaCodec.pixelsJpeg(id, bytes)
+      assert((pw, ph) == (w, 32))
+      val mcusX = w / 16
+      val rowSign = Array(1, -1, -1, 1, 1, -1, -1, 1)
+      var lsum = 0L
+      for (y <- 0 until 32; x <- 0 until w) {
+        val mc = (y / 16) * mcusX + (x / 16)
+        val j = ((y % 16) / 8) * 2 + (x % 16) / 8
+        val i = 4 * mc + j
+        val ramp = ((id * 7 + 29 * mc) % 8).toInt
+        val yv =
+          if (i < 4 * m - 1) 160 + ramp + 8 * j // differential DC chain
+          else if (rowSign(y % 8) > 0) 255 // 208 + ramp + 48, clamped
+          else 160 + ramp // 208 + ramp − 48
+        val cb = 136 + ((id + mc) % 8).toInt
+        val cr = 120 - ((id + 2 * mc) % 8).toInt
+        val (er, eg, eb) = bt601(yv, cb, cr)
+        val p = (y * w + x) * 3
+        assert((px(p) & 0xff) == er && (px(p + 1) & 0xff) == eg &&
+          (px(p + 2) & 0xff) == eb, s"id=$id px($x,$y) mcu=$mc blk=$j")
+        lsum += 299L * er + 587L * eg + 114L * eb
+      }
+      assert(d.mean_luma.contains(
+        math.floor(lsum / (1000.0 * w * 32) * 1e6 + 0.5) / 1e6), s"id=$id")
+    }
+  }
+
+  /** Spec-local 4:4:4 color encoder (one 8×8 MCU: Y, Cb, Cr blocks,
+    * all 1x1 sampling, shared compact tables) — pins the NON-subsampled
+    * interleave path the 4:2:0 fixture cannot reach.
+    */
+  private def mkJpeg444(yq: Int, cbq: Int, crq: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => bos.write(v & 0xff))
+    def marker(m: Int, body: Array[Int]): Unit = {
+      b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => bos.write(v & 0xff))
+    }
+    b(0xff, 0xd8)
+    marker(0xdb, Array(0x00) ++ Array.fill(64)(8))
+    marker(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // DC0: cat 4 → "0", cat 6 → "10"; AC0: EOB → "0"
+    marker(0xc4, Array(0x00, 1, 1) ++ Array.fill(14)(0) ++ Array(4, 6))
+    marker(0xc4, Array(0x10, 1) ++ Array.fill(15)(0) ++ Array(0x00))
+    marker(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    // Y: cat6 (yq ∈ [32,63]); Cb/Cr: cat4 (|q| ∈ [8,15])
+    var acc = 0L; var nb = 0
+    val ent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        ent += byte
+        if (byte == 0xff) ent += 0x00
+        nb -= 8
+      }
+    }
+    def cat4(v: Int): Int = if (v < 0) v + 15 else v
+    put(2, 2); put(yq, 6); put(0, 1) // Y: "10" + 6 bits + EOB
+    put(0, 1); put(cat4(cbq), 4); put(0, 1) // Cb
+    put(0, 1); put(cat4(crq), 4); put(0, 1) // Cr
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    ent.foreach(bos.write)
+    b(0xff, 0xd9)
+    bos.toByteArray
+  }
+
+  test("4:4:4 color JPEG: per-pixel chroma (no subsampling), negative Cr through EXTEND") {
+    // Y = 128+40, Cb = 128+12, Cr = 128−9: uniform image
+    val (w, h, px) = MediaCodec.pixelsJpeg(7L, mkJpeg444(40, 12, -9))
+    assert((w, h) == (8, 8))
+    val (er, eg, eb) = bt601(168, 140, 119)
+    for (i <- 0 until 64) {
+      assert((px(i * 3) & 0xff) == er && (px(i * 3 + 1) & 0xff) == eg &&
+        (px(i * 3 + 2) & 0xff) == eb, s"px $i")
+    }
+    // independent spot value: cr1=−9 → R = 168 + floor((91881·−9
+    // + 32768)/65536) = 168 + floor(−12.12) = 155
+    assert(er == 155)
+  }
+
+  test("hostile color JPEGs fail named: scan coverage, sampling grid, missing chroma tables") {
+    def expectNamed(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        MediaCodec.pixelsJpeg(99L, bytes)
+      }
+      assert(e.getMessage.contains(frag) && e.getMessage.contains("99"),
+        s"got: ${e.getMessage}")
+    }
+    val good = Fixtures.jpegColorBytes(4L)
+    def sofAt(a: Array[Byte]): Int = (0 until a.length - 1).find(i =>
+      (a(i) & 0xff) == 0xff && (a(i + 1) & 0xff) == 0xc0).get
+    def sosAt(a: Array[Byte]): Int = (0 until a.length - 1).find(i =>
+      (a(i) & 0xff) == 0xff && (a(i + 1) & 0xff) == 0xda).get
+    // scan covers 1 of 3 components
+    val short = good.clone
+    short(sosAt(short) + 4) = 1.toByte // Ns — length stays, parse sees 1
+    expectNamed(short, "must cover all 3")
+    // Y sampling 3x1
+    val samp = good.clone
+    samp(sofAt(samp) + 11) = 0x31.toByte
+    expectNamed(samp, "sampling grids")
+    // chroma quant table id points at an undefined slot
+    val q = good.clone
+    q(sofAt(q) + 15) = 2.toByte // Cb Tq -> 2
+    expectNamed(q, "quant table 2 undefined")
+  }
+
+  test("JPEG resizes through the shared box filter: factor 8 collapses each block to its mean") {
+    val id = 3L // id%3=0 → 16x16, n=4 blocks
+    val bytes = Fixtures.jpegBytes(id)
+    val (w, h, px) = MediaCodec.pixelsJpeg(id, bytes)
+    assert((w, h) == (16, 16))
+    val (ow, oh, out) = MediaCodec.resizePixels(w, h, px, 8)
+    assert((ow, oh) == (2, 2))
+    // blocks 0..2 are uniform → mean = base; the AC block's 32×255 +
+    // 32×216 floors to 235
+    val want = Seq(jpegBase(id, 0), jpegBase(id, 1), jpegBase(id, 2), 235)
+    for (i <- 0 until 4)
+      assert((out(i * 3) & 0xff) == want(i), s"block $i")
+  }
 }
