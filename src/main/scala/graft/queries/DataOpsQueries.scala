@@ -86,6 +86,18 @@ object DataOpsQueries {
         threshold = 0.5, numHashes = 16, rowsPerBand = 2)
         .orderBy("ida", "idb")),
 
+    // LSH banding S-curve audit: per true-Jaccard bucket, the
+    // empirical candidate rate of the RAW banding stage next to the
+    // analytic 1−(1−s^r)^b curve at the bucket edges — the tuning
+    // report for (numHashes, rowsPerBand). This is the first gate
+    // whose oracle mirrors the minhash signatures, band keys, and
+    // bucket join DIRECTLY (q_d_minhash_lsh's verification stage
+    // makes banding errors invisible as long as recall holds).
+    "q_d_lsh_curve" -> ((s, dir) =>
+      Dedup.lshCurveAudit(docs(s, dir), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 2)
+        .orderBy("bin")),
+
     // C4-style LINE dedup. The corpus has no multi-line docs, so the
     // fixture composes overlapping "pages" (page i = texts of docs i,
     // i+1, i+2 joined by \n — every text recurs in up to 3 pages) on
@@ -826,6 +838,105 @@ object DataOpsQueries {
     // LSH output provably equals the exact pairs at these parameters
     // (see object scaladoc) — same oracle.
     "q_d_minhash_lsh" -> JaccardPairsSql,
+
+    // Full mirror of the banding pipeline — the first direct one:
+    // exact-dup collapse to reps, the L4 capped-postings Jaccard as
+    // ground truth, minhash signatures (15-hex md5 base hash mod
+    // 2^31−1, 16 affine maps, min over shingles), band keys (md5 of
+    // the '|'-joined 2-row slices), the >4096 bucket cap, the bucket
+    // self-join, then the bucket/aggregate and the analytic curve as
+    // the SAME sequential multiplication chain the engine folds.
+    "q_d_lsh_curve" ->
+      """WITH rep AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM rep),
+         sh AS (
+           SELECT doc_id, sh FROM (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                         ELSE [] END AS sh
+             FROM tk) WHERE len(sh) > 0),
+         post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         dfreq AS (SELECT s, count(*) AS df FROM post GROUP BY s),
+         postc AS (
+           SELECT post.doc_id, post.s
+           FROM post JOIN dfreq USING (s) WHERE dfreq.df <= 256),
+         szs AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         inter AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+           FROM postc a JOIN postc b USING (s)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (
+           SELECT ida, idb,
+                  floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)
+                    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+           FROM inter
+           JOIN szs sa ON sa.doc_id = ida
+           JOIN szs sb ON sb.doc_id = idb),
+         sig AS (
+           SELECT doc_id,
+                  list_transform(range(16), k ->
+                    list_min(list_transform(sh, s ->
+                      ((('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+                        * ((k + 1) * 2654435761 % 2147483647)
+                        + k * 12345 + 7) % 2147483647))) AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b.b AS band_id,
+                  md5(array_to_string(list_transform(
+                    list_slice(sig, CAST(2 * b.b + 1 AS INT),
+                      CAST(2 * b.b + 2 AS INT)),
+                    x -> CAST(x AS VARCHAR)), '|')) AS band_key
+           FROM sig, (SELECT unnest(range(8)) AS b) b),
+         bucketn AS (
+           SELECT band_id, band_key, count(*) AS n
+           FROM bands GROUP BY 1, 2),
+         keptb AS (
+           SELECT bands.doc_id, bands.band_id, bands.band_key
+           FROM bands JOIN bucketn USING (band_id, band_key)
+           WHERE bucketn.n <= 4096),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           FROM keptb a JOIN keptb b USING (band_id, band_key)
+           WHERE a.doc_id < b.doc_id),
+         binned AS (
+           SELECT least(CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT)
+                    // 50000, 19) AS bin,
+                  CASE WHEN cand.ida IS NOT NULL THEN 1 ELSE 0 END AS c
+           FROM truth LEFT JOIN cand USING (ida, idb)),
+         agg AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(c) AS BIGINT) AS n_cand
+           FROM binned GROUP BY bin)
+         SELECT bin, bin * 50000 AS j_lo_micros, n_pairs, n_cand,
+                floor(CAST(n_cand AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS cand_rate,
+                floor((1.0 - (((((((1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin AS DOUBLE) / 20) * (CAST(bin AS DOUBLE) / 20)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS curve_lo,
+                floor((1.0 - (((((((1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * (1.0 - (CAST(bin + 1 AS DOUBLE) / 20) * (CAST(bin + 1 AS DOUBLE) / 20)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS curve_hi
+         FROM agg ORDER BY bin""",
 
     "q_d_simhash" ->
       s"""WITH $SimhashCte

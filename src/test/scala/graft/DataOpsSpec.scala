@@ -27,6 +27,61 @@ class DataOpsSpec extends AnyFunSuite {
     df.select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("LSH S-curve audit: curve endpoints, sequential-chain values, high-sim capture, bounded output") {
+    import spark.implicits._
+    // 8 planted pairs (40 words, an end token swapped → one shingle
+    // differs → j = 37/39 ≈ 0.949; the pairs also near-dup each
+    // other at j ∈ {0.9, 0.949}, all bin 18) + unrelated noise docs
+    // that share no shingles with anything
+    val baseWords = (0 until 20).flatMap(i =>
+      Seq(s"tok${i}a", s"tok${i}b")).toVector
+    val nearDups = (0 until 8).flatMap { p =>
+      val a = baseWords.updated(0, s"salt$p")
+      val b = a.updated(a.size - 1, s"odd$p")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }
+    // 3 pairs sharing exactly one 3-shingle (j = 1/35 → bin 0)
+    val lowSim = (0 until 3).flatMap { p =>
+      val shared = Seq(s"sh${p}x", s"sh${p}y", s"sh${p}z")
+      val x = shared ++ (0 until 17).map(i => s"x$p-$i")
+      val y = shared ++ (0 until 17).map(i => s"y$p-$i")
+      Seq((200 + p * 2L, x.mkString(" ")), (201 + p * 2L, y.mkString(" ")))
+    }
+    val noise = (100 until 130).map(i =>
+      (i.toLong, (0 until 20).map(j => s"n${i}w$j").mkString(" ")))
+    val corpus = (nearDups ++ lowSim ++ noise).toDF("doc_id", "text")
+    val rows = Dedup.lshCurveAudit(corpus, "doc_id", "text")
+      .orderBy("bin").collect()
+    assert(rows.length <= 20)
+    val byBin = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byBin.contains(0L), s"low-sim pairs missing: ${rows.mkString(", ")}")
+    // curve columns: bin 0 lower edge is s=0 → 0; a top bin's upper
+    // edge is s=1 → 1; and the chain value at s=0.05 is the
+    // hand-folded 1−(1−0.0025)^8
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("curve_lo"); val hi = r.getAs[Double]("curve_hi")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi)
+    }
+    byBin.get(0L).foreach { r =>
+      assert(r.getAs[Double]("curve_lo") == 0.0)
+      val s = 0.05; val q = 1.0 - s * s
+      val q8 = (1 until 8).foldLeft(q)((a, _) => a * q)
+      assert(r.getAs[Double]("curve_hi") ==
+        math.floor((1.0 - q8) * 1e6 + 0.5) / 1e6)
+    }
+    // the planted ~0.9-Jaccard pairs live in high bins where the
+    // curve says capture is near-certain: the banding must have
+    // surfaced every one of them
+    val high = rows.filter(_.getLong(0) >= 16)
+    assert(high.map(_.getAs[Long]("n_pairs")).sum >= 8,
+      s"planted pairs missing from high bins: ${rows.mkString(", ")}")
+    high.foreach { r =>
+      assert(r.getAs[Long]("n_cand") == r.getAs[Long]("n_pairs"),
+        s"high-sim pair not banded: $r")
+      assert(r.getAs[Double]("cand_rate") == 1.0)
+    }
+  }
+
   // A cap must exceed the size of the largest LEGITIMATE near-dup
   // clique (a clique of c identical docs gives every shared shingle
   // df = c and every LSH band bucket size = c); what it defends
@@ -65,16 +120,40 @@ class DataOpsSpec extends AnyFunSuite {
       s"cap lost ${(uncapped -- capped).size} / gained ${(capped -- uncapped).size}")
   }
 
-  test("undersized band cap loses only pairs inside over-cap cliques") {
+  test("undersized band cap loses pairs ONLY through over-cap buckets") {
+    import spark.implicits._
     val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
     val capped = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
       numHashes = 16, rowsPerBand = 2, maxBandBucket = 2))
     assert(capped.subsetOf(exact))
-    val degree = exact.toSeq.flatMap { case (a, b) => Seq(a, b) }
-      .groupBy(identity).view.mapValues(_.size).toMap
-    (exact -- capped).foreach { case (a, b) =>
-      assert(degree(a) >= 2 && degree(b) >= 2,
-        s"lost pair ($a,$b) is not inside a >=3-clique")
+    // mechanism check: every lost pair was lost because EVERY band
+    // bucket holding both endpoints exceeded the cap — recompute the
+    // banding over the collapsed reps and inspect the shared buckets
+    val lost = exact -- capped
+    if (lost.nonEmpty) {
+      val repOf = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+        .groupBy(_._2).values
+        .flatMap { g => val rep = g.map(_._1).min; g.map(_._1 -> rep) }
+        .toMap
+      val reps = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val sh = Dedup.withShingles(reps, "doc_id", "text")
+        .filter(size(col("sh")) > 0)
+      val bandRows = Dedup.minhashSignatures(sh, 16)
+        .select(col("doc_id"),
+          posexplode(Dedup.bandKeys(col("sig"), 16, 2))
+            .as(Seq("band_id", "band_key")))
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val bucketSize = bandRows.groupBy(_._2).view.mapValues(_.size).toMap
+      val docBuckets = bandRows.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      lost.foreach { case (a, b) =>
+        val shared = docBuckets(repOf(a)) intersect docBuckets(repOf(b))
+        assert(shared.nonEmpty,
+          s"lost pair ($a,$b) shares no bucket — a banding miss, not the cap")
+        assert(shared.forall(bucketSize(_) > 2),
+          s"lost pair ($a,$b) had an under-cap shared bucket — wrongly dropped")
+      }
     }
   }
 
