@@ -534,6 +534,91 @@ object Sampling {
       .drop("__bucket", "__offset")
   }
 
+  /** Temperature mixture under per-source MAX-EPOCH caps — the
+    * waterfilling step real pretraining recipes add on top of
+    * [[temperatureMixture]]: τ-scaling oversamples small sources, so
+    * at a realistic token budget the smallest sources blow past any
+    * sane repetition limit; the recipe answer is "cap them at E_max
+    * epochs and redistribute the freed budget over the rest", which
+    * cascades (redistribution pushes the next-smallest source over
+    * ITS cap). Closed form, no iteration: sort sources by saturation
+    * order cap_d/w_d ascending; a source is capped iff the budget
+    * left after capping every EARLIER source, spread over the
+    * remaining weight, would meet or exceed its own cap —
+    * (B − capΣ_{<r})·w_r ≥ cap_r·wTail_{<r}. The test is
+    * self-consistent as a per-row predicate: capping a source whose
+    * ratio exceeds the current water level LOWERS the level while
+    * the sorted ratios rise, so a first failure can never be
+    * followed by a pass (and symmetrically a pass can never follow a
+    * failure) — the capped set is provably the greedy prefix without
+    * sequential evaluation.
+    *
+    * Scale shape: one groupBy to one row per source, 1-row totals
+    * broadcasts, and the saturation-order window runs over those
+    * bounded per-source rows only (the L45/L56 convention). Parity:
+    * weights quantize to 1e-6 fixed point, caps/budget to integer
+    * tokens, and every comparison and allocation is a product or
+    * single division of exact longs in a fixed order, so the DuckDB
+    * oracle mirrors the arithmetic bit-for-bit.
+    *
+    * @param budgetMultiple training-token budget as a multiple of
+    *                       the corpus total (computed in-plan; a
+    *                       production caller with an absolute budget
+    *                       passes budget/Σn).
+    * @param maxEpochs      per-source repetition cap E_max.
+    */
+  def epochCapMixture(df: DataFrame, domainCol: String, sizeCol: Column,
+      tau: Double, budgetMultiple: Double, maxEpochs: Double): DataFrame = {
+    require(tau > 0, s"temperature must be positive: $tau")
+    require(budgetMultiple > 0 && maxEpochs > 0,
+      s"budget multiple and epoch cap must be positive: " +
+        s"$budgetMultiple, $maxEpochs")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(sizeCol).as("n_tokens"))
+      .withColumn("w_u",
+        floor(pow(col("n_tokens").cast("double"), lit(1.0 / tau)) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("cap_t",
+        floor(col("n_tokens").cast("double") * lit(maxEpochs) + lit(0.5))
+          .cast("long"))
+    val totals = perDomain.agg(sum("n_tokens").as("n_total"),
+      sum("w_u").as("w_total"))
+    // strictly-before prefix sums in saturation order (bounded rows)
+    val wPre = Window
+      .orderBy((col("cap_t").cast("double") / col("w_u").cast("double")).asc,
+        col(domainCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = perDomain.crossJoin(broadcast(totals))
+      .withColumn("budget_t",
+        floor(col("n_total").cast("double") * lit(budgetMultiple) + lit(0.5))
+          .cast("long"))
+      .withColumn("cap_prefix", coalesce(sum("cap_t").over(wPre), lit(0L)))
+      .withColumn("w_prefix", coalesce(sum("w_u").over(wPre), lit(0L)))
+      .withColumn("capped",
+        (col("budget_t") - col("cap_prefix")).cast("double") *
+          col("w_u").cast("double") >=
+          col("cap_t").cast("double") *
+            (col("w_total") - col("w_prefix")).cast("double"))
+    val capTotals = flagged.agg(
+      coalesce(sum(when(col("capped"), col("cap_t"))), lit(0L))
+        .as("cap_capped"),
+      coalesce(sum(when(!col("capped"), col("w_u"))), lit(0L)).as("w_unc"))
+    val alloc = when(col("capped"), col("cap_t"))
+      .otherwise(floor(
+        (col("budget_t") - col("cap_capped")).cast("double") *
+          col("w_u").cast("double") / col("w_unc").cast("double") +
+          lit(0.5)).cast("long"))
+    flagged.crossJoin(broadcast(capTotals))
+      .select(col(domainCol), col("n_tokens"), col("capped"),
+        alloc.as("alloc_tokens"),
+        graft.functions.Parity.roundHalfUp(
+          alloc.cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"),
+        graft.functions.Parity.roundHalfUp(
+          alloc.cast("double") / col("budget_t").cast("double"), 6)
+          .as("p_mix"))
+  }
+
   def temperatureMixture(df: DataFrame, domainCol: String,
       sizeCol: Column, tau: Double): DataFrame = {
     require(tau > 0, s"temperature must be positive: $tau")

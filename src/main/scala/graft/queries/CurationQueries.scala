@@ -468,6 +468,19 @@ object CurationQueries {
         tau = 2.0)
         .orderBy("source")),
 
+    // Temperature mixture under per-source MAX-EPOCH caps
+    // (waterfilling, closed form): at 3× the corpus budget the
+    // τ=2 oversampling pushes the smallest sources past 3.1 epochs —
+    // they cap, the freed budget redistributes over the rest, and
+    // the cascade resolves via the saturation-order prefix test
+    // instead of iteration. Windows run over one-row-per-source
+    // bounded rows only.
+    "q_c_epoch_waterfill" -> ((s, dir) =>
+      Sampling.epochCapMixture(docs(s, dir), "source",
+        graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+        tau = 2.0, budgetMultiple = 3.0, maxEpochs = 3.1)
+        .orderBy("source")),
+
     // Weighted sampling without replacement (L51): Efraimidis-
     // Spirakis keys over the md5 uniform, weights = quality score
     // (+0.001 floor for strict positivity) — quality-weighted
@@ -760,6 +773,50 @@ object CurationQueries {
         .classifyTrained(planted, "doc_id", "text")
         .withColumn("truth", Degradation.label(col("doc_id")))
       graft.text.ClassifierEval.sweep(scored, "score", "truth", nBins = 100)
+        .orderBy("bin")
+    }),
+
+    // Agreement audit between the RULE quality gate (L11 heuristic
+    // score ≥ 0.5) and the TRAINED classifier (L30 artifact score ≥
+    // 0.5) over the planted corpus: 2×2 confusion counts, raw
+    // agreement, Cohen's κ. The planted boilerplate tails are made
+    // of ordinary English words, so the rule gate keeps most planted
+    // docs while the model drops them — κ quantifies exactly how
+    // much the trained model adds over the heuristic.
+    "q_t_filter_agreement" -> ((s, dir) => {
+      import graft.text.QualityClassifier.Degradation
+      val planted = docs(s, dir).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      val rule = planted.select(col("doc_id"),
+        (graft.text.TextAnalysis.qualityScore(col("text")) >= 0.5)
+          .as("rule_keep"))
+      val model = graft.text.QualityClassifier
+        .classifyTrained(planted, "doc_id", "text")
+        .select(col("doc_id"), (col("score") >= 0.5).as("model_keep"))
+      graft.text.ClassifierEval.filterAgreement(
+        rule.join(model, "doc_id"), "rule_keep", "model_keep")
+    }),
+
+    // Score-distribution drift (PSI) between a reference slice (even
+    // ids, the standard %3 planting) and a "current" slice (odd ids,
+    // HEAVIER %3-or-%5 planting): per score decile both shares and
+    // the (p−q)·ln(p/q) summand, plus the exact-integer-sum total —
+    // the monitor a deployed filter runs between snapshots. The
+    // heavier degradation genuinely shifts mass toward low scores,
+    // so the gate's PSI is meaningfully positive.
+    "q_t_score_psi" -> ((s, dir) => {
+      import graft.text.QualityClassifier.Degradation
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      val cur = d.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0,
+          concat(col("text"), lit(Degradation.TailB)))
+          .otherwise(col("text")).as("text"))
+      def scored(df: org.apache.spark.sql.DataFrame) =
+        graft.text.QualityClassifier.classifyTrained(df, "doc_id", "text")
+      graft.text.ClassifierEval
+        .scorePsi(scored(ref), scored(cur), "score", nBins = 10)
         .orderBy("bin")
     }),
 
@@ -1075,6 +1132,59 @@ object CurationQueries {
   /** Shared term/document-frequency CTEs (whitespace tokens — the
     * exact mirror of TextAnalysis.tokens).
     */
+  /** Trained-quality-score CTE chain (the q_t_quality_trained mirror)
+    * over a parameterized input: `plantSql` is the text expression,
+    * `whereSql` filters the documents slice, `p` prefixes the CTE
+    * names so two chains can coexist in one oracle. Ends in
+    * `${p}sc(doc_id, m)` with m = the score's exact 1e-6 integer.
+    * The caller must have `qw(b, q)` (the artifact VALUES list) in
+    * scope.
+    */
+  private def trainedScoreCtes(plantSql: String, whereSql: String,
+      p: String): String = {
+    val sig = graft.functions.Parity.sqlRound(
+      s"1.0 / (1.0 + exp(-((CAST(${QualityBias} AS DOUBLE) + " +
+        "CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE)) / 1000000.0)))", 6)
+    s"""${p}raw AS (
+          SELECT doc_id, $plantSql AS t
+          FROM documents WHERE $whereSql),
+        ${p}tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(t), '\\s+'),
+                   x -> x <> '') AS toks
+          FROM ${p}raw),
+        ${p}ng AS (
+          SELECT doc_id, unnest(toks) AS ft FROM ${p}tk
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(len(toks) - 1),
+                   i -> toks[i + 1] || ' ' || toks[i + 2])) AS ft
+          FROM ${p}tk WHERE len(toks) >= 2),
+        ${p}f AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(ft), 1, 8))::BIGINT % 1024 AS b
+          FROM ${p}ng),
+        ${p}ag AS (
+          SELECT ${p}f.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_features,
+                 CAST(coalesce(sum(qw.q), 0) AS BIGINT) AS w_sum
+          FROM ${p}f LEFT JOIN qw USING (b)
+          GROUP BY ${p}f.doc_id),
+        ${p}sc AS (
+          SELECT doc_id,
+                 CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT) AS m
+          FROM ${p}ag WHERE n_features > 0)"""
+  }
+
+  /** The committed artifact's bias / non-zero weights, rendered once
+    * for every oracle that mirrors the trained scorer.
+    */
+  private lazy val (qualityBiasV, qualityWeightsV) =
+    graft.text.QualityClassifier.TrainedModel.loadArtifact()
+  private def QualityBias: Long = qualityBiasV
+  private def QualityValues: String = qualityWeightsV.zipWithIndex.collect {
+    case (q, b) if q != 0L => s"($b, ${q}::BIGINT)" }.mkString(", ")
+
   private val TermFreqCte =
     """tk AS (
          SELECT doc_id,
@@ -1669,6 +1779,160 @@ object CurationQueries {
                       * CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                       * 1000000.0 + 0.5) / 1000000.0 AS epochs
          FROM t, tot ORDER BY source""",
+
+    // Rule gate mirrored via qualitySql over the planted toks, model
+    // gate via the trained-score chain, κ from the same marginal
+    // formula over exact counts.
+    "q_t_filter_agreement" -> {
+      s"""WITH qw(b, q) AS (VALUES $QualityValues),
+          ${trainedScoreCtes(
+            graft.text.QualityClassifier.Degradation.SqlPlant, "TRUE", "m")},
+          rk AS (
+            SELECT doc_id,
+                   ${DataOpsQueries.qualitySql("toks")} >= 0.5 AS rule_keep
+            FROM mtk),
+          j AS (
+            SELECT rk.rule_keep, msc.m >= 500000 AS model_keep
+            FROM rk JOIN msc USING (doc_id)),
+          c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN rule_keep AND model_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+                   CAST(sum(CASE WHEN rule_keep AND NOT model_keep THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+                   CAST(sum(CASE WHEN NOT rule_keep AND model_keep THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+                   CAST(sum(CASE WHEN NOT rule_keep AND NOT model_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+            FROM j)
+          SELECT n, both_keep, a_only, b_only, both_drop,
+                 floor(CAST(both_keep + both_drop AS DOUBLE) / CAST(n AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS agreement,
+                 CASE WHEN 1.0 - CAST((both_keep + a_only) * (both_keep + b_only)
+                        + (b_only + both_drop) * (a_only + both_drop) AS DOUBLE)
+                        / CAST(n * n AS DOUBLE) <> 0.0 THEN
+                   floor((CAST(both_keep + both_drop AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST((both_keep + a_only) * (both_keep + b_only)
+                          + (b_only + both_drop) * (a_only + both_drop) AS DOUBLE)
+                        / CAST(n * n AS DOUBLE))
+                     / (1.0 - CAST((both_keep + a_only) * (both_keep + b_only)
+                          + (b_only + both_drop) * (a_only + both_drop) AS DOUBLE)
+                        / CAST(n * n AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0
+                 END AS kappa
+          FROM c"""
+    },
+
+    // Both slices' trained scores re-derived (two prefixed CTE
+    // chains, different plantings), then the PSI table: full-outer
+    // bin join, 1e-6-quantized ln, integer psi summands, exact sum.
+    "q_t_score_psi" -> {
+      val tailB = graft.text.QualityClassifier.Degradation.TailB
+      s"""WITH qw(b, q) AS (VALUES $QualityValues),
+          ${trainedScoreCtes(
+            graft.text.QualityClassifier.Degradation.SqlPlant,
+            "doc_id % 2 = 0", "r")},
+          ${trainedScoreCtes(
+            s"text || CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0 " +
+              s"THEN '$tailB' ELSE '' END",
+            "doc_id % 2 = 1", "c")},
+          refbins AS (
+            SELECT least(m // 100000, 9) AS bin, count(*) AS n_ref
+            FROM rsc GROUP BY 1),
+          curbins AS (
+            SELECT least(m // 100000, 9) AS bin, count(*) AS n_cur
+            FROM csc GROUP BY 1),
+          bins AS (
+            SELECT coalesce(r.bin, c.bin) AS bin,
+                   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+            FROM refbins r FULL OUTER JOIN curbins c ON r.bin = c.bin),
+          tot AS (
+            SELECT CAST(sum(n_ref) AS BIGINT) AS nt_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS nt_cur
+            FROM bins),
+          w AS (
+            SELECT bin, n_ref, n_cur,
+                   CAST(n_ref AS DOUBLE) / CAST(nt_ref AS DOUBLE) AS p_ref_raw,
+                   CAST(n_cur AS DOUBLE) / CAST(nt_cur AS DOUBLE) AS p_cur_raw,
+                   CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                     CAST(floor(ln(CAST(n_ref * nt_cur AS DOUBLE)
+                       / CAST(n_cur * nt_ref AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)
+                   END AS ln_u
+            FROM bins, tot),
+          w2 AS (
+            SELECT *,
+                   CASE WHEN ln_u IS NOT NULL THEN
+                     CAST(floor((p_ref_raw - p_cur_raw)
+                       * CAST(ln_u AS DOUBLE) + 0.5) AS BIGINT)
+                   END AS psi_u
+            FROM w),
+          pt AS (
+            SELECT CAST(coalesce(sum(psi_u), 0) AS BIGINT) AS psi_total_u
+            FROM w2)
+          SELECT bin, n_ref, n_cur,
+                 floor(p_ref_raw * 1000000.0 + 0.5) / 1000000.0 AS p_ref,
+                 floor(p_cur_raw * 1000000.0 + 0.5) / 1000000.0 AS p_cur,
+                 CAST(psi_u AS DOUBLE) / 1000000.0 AS psi,
+                 CAST(psi_total_u AS DOUBLE) / 1000000.0 AS psi_total
+          FROM w2, pt ORDER BY bin"""
+    },
+
+    // Waterfilling mirrored: same 1e-6 weight quantization, integer
+    // caps/budget, the saturation-order strictly-before prefix sums,
+    // the per-row cap test as double products of exact longs, and
+    // the same single-division allocations
+    "q_c_epoch_waterfill" ->
+      """WITH t AS (
+           SELECT source,
+                  sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''))) AS n
+           FROM documents GROUP BY source),
+         q AS (
+           SELECT source, CAST(n AS BIGINT) AS n,
+                  CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5)
+                    AS BIGINT) AS w_u,
+                  CAST(floor(CAST(n AS DOUBLE) * 3.1 + 0.5) AS BIGINT) AS cap_t
+           FROM t),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                  CAST(sum(w_u) AS BIGINT) AS w_total
+           FROM q),
+         o AS (
+           SELECT q.source, q.n, q.w_u, q.cap_t, tot.w_total,
+                  CAST(floor(CAST(tot.n_total AS DOUBLE) * 3.0 + 0.5)
+                    AS BIGINT) AS budget_t,
+                  coalesce(CAST(sum(cap_t) OVER wpre AS BIGINT), 0) AS cap_prefix,
+                  coalesce(CAST(sum(w_u) OVER wpre AS BIGINT), 0) AS w_prefix
+           FROM q, tot
+           WINDOW wpre AS (
+             ORDER BY CAST(cap_t AS DOUBLE) / CAST(w_u AS DOUBLE) ASC,
+               source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (
+           SELECT *,
+                  CAST(budget_t - cap_prefix AS DOUBLE) * CAST(w_u AS DOUBLE)
+                    >= CAST(cap_t AS DOUBLE)
+                       * CAST(w_total - w_prefix AS DOUBLE) AS capped
+           FROM o),
+         tc AS (
+           SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap_t END), 0)
+                    AS BIGINT) AS cap_capped,
+                  CAST(coalesce(sum(CASE WHEN NOT capped THEN w_u END), 0)
+                    AS BIGINT) AS w_unc
+           FROM c),
+         f AS (
+           SELECT source, n, capped,
+                  CASE WHEN capped THEN cap_t
+                       ELSE CAST(floor(
+                         CAST(budget_t - cap_capped AS DOUBLE)
+                           * CAST(w_u AS DOUBLE) / CAST(w_unc AS DOUBLE)
+                           + 0.5) AS BIGINT) END AS alloc_tokens,
+                  budget_t
+           FROM c, tc)
+         SELECT source, n AS n_tokens, capped, alloc_tokens,
+                floor(CAST(alloc_tokens AS DOUBLE) / CAST(n AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS epochs,
+                floor(CAST(alloc_tokens AS DOUBLE) / CAST(budget_t AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS p_mix
+         FROM f ORDER BY source""",
 
     // E-S keys mirrored: same md5 uniform, same quality weights, same
     // 1e-6 quantization before the rank

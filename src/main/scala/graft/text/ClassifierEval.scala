@@ -89,4 +89,92 @@ object ClassifierEval {
             (col("pp") + col("total_pos")).cast("double"), 6))
           .as("f1"))
   }
+
+  /** Agreement audit between two document filters — "do my cheap
+    * rule gate and my trained model gate agree, and is the agreement
+    * better than chance?": the 2×2 confusion counts, raw agreement,
+    * and Cohen's κ = (p_o − p_e)/(1 − p_e) with the chance term from
+    * the marginals. One row out of one aggregation — the counts are
+    * map-side-combining conditional sums, every ratio a fixed-order
+    * chain over exact longs (n² stays well inside the exact-double
+    * range at any corpus the κ statistic is meaningful for).
+    *
+    * @param flags one row per doc with two boolean columns.
+    */
+  def filterAgreement(flags: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    val counted = flags.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("both_keep"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("both_drop"))
+    val po = (col("both_keep") + col("both_drop")).cast("double") /
+      col("n").cast("double")
+    val pe = ((col("both_keep") + col("a_only")) *
+      (col("both_keep") + col("b_only")) +
+      (col("b_only") + col("both_drop")) *
+        (col("a_only") + col("both_drop"))).cast("double") /
+      (col("n") * col("n")).cast("double")
+    counted.select(col("n"), col("both_keep"), col("a_only"),
+      col("b_only"), col("both_drop"),
+      Parity.roundHalfUp(po, 6).as("agreement"),
+      when(lit(1.0) - pe =!= 0.0,
+        Parity.roundHalfUp((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Population-stability-index drift between two score
+    * distributions — the monitor a production filter runs between
+    * snapshots ("did my quality scores shift since the reference
+    * corpus?"): per score bin, both sides' shares and the PSI
+    * summand (p − q)·ln(p/q), plus the total.
+    *
+    * Scale shape: ONE combining shuffle tags each doc's bin and side
+    * and collapses both corpora to ≤ nBins summary rows; totals ride
+    * in as a 1-row broadcast. Parity: ln quantizes to 1e-6 fixed
+    * point (the perplexity/tf-idf convention) and the summand
+    * quantizes to an integer psi_u = ⌊(p−q)·ln_u + 0.5⌋, so the
+    * total is an EXACT integer sum — order-free — and every emitted
+    * double is k/1e6. Bins where either side is empty carry a NULL
+    * psi (the standard merge-or-floor caveat, surfaced rather than
+    * fudged) and are excluded from the total.
+    */
+  def scorePsi(ref: DataFrame, cur: DataFrame, scoreCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6 for exact bin edges: $nBins")
+    val width = 1000000L / nBins
+    def binned(df: DataFrame, side: String) = df.select(
+      least(floor(round(col(scoreCol) * lit(1000000.0)).cast("long") /
+        lit(width)), lit(nBins - 1).cast("long")).cast("long").as("bin"),
+      lit(side).as("side"))
+    val bins = binned(ref, "ref").union(binned(cur, "cur"))
+      .groupBy("bin")
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val totals = bins.agg(sum("n_ref").as("nt_ref"), sum("n_cur").as("nt_cur"))
+    val withPsi = bins.crossJoin(broadcast(totals))
+      .withColumn("p_ref_raw",
+        col("n_ref").cast("double") / col("nt_ref").cast("double"))
+      .withColumn("p_cur_raw",
+        col("n_cur").cast("double") / col("nt_cur").cast("double"))
+      .withColumn("ln_u",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          floor(log((col("n_ref") * col("nt_cur")).cast("double") /
+            (col("n_cur") * col("nt_ref")).cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("psi_u",
+        when(col("ln_u").isNotNull,
+          floor((col("p_ref_raw") - col("p_cur_raw")) *
+            col("ln_u").cast("double") + lit(0.5)).cast("long")))
+    val psiTotal = withPsi.agg(
+      coalesce(sum("psi_u"), lit(0L)).as("psi_total_u"))
+    withPsi.crossJoin(broadcast(psiTotal))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        Parity.roundHalfUp(col("p_ref_raw"), 6).as("p_ref"),
+        Parity.roundHalfUp(col("p_cur_raw"), 6).as("p_cur"),
+        (col("psi_u").cast("double") / 1000000.0).as("psi"),
+        (col("psi_total_u").cast("double") / 1000000.0).as("psi_total"))
+  }
 }

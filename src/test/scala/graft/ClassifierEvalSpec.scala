@@ -59,6 +59,46 @@ class ClassifierEvalSpec extends AnyFunSuite {
     assert(b0.getAs[Double]("cal_gap") == 0.35)
   }
 
+  test("filter agreement: hand-computed 2x2, Cohen's kappa") {
+    import spark.implicits._
+    // a=2 (TT), b=1 (TF), c=1 (FT), d=2 (FF): po = 2/3, pe = 1/2,
+    // kappa = (2/3 − 1/2)/(1/2) = 1/3
+    val flags = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false))
+      .toDF("rule_keep", "model_keep")
+    val r = ClassifierEval.filterAgreement(flags, "rule_keep", "model_keep")
+      .collect().head
+    assert(r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("both_keep") == 2 && r.getAs[Long]("a_only") == 1 &&
+      r.getAs[Long]("b_only") == 1 && r.getAs[Long]("both_drop") == 2)
+    assert(r.getAs[Double]("agreement") == 0.666667)
+    assert(r.getAs[Double]("kappa") == 0.333333)
+  }
+
+  test("score PSI: hand-computed two-bin drift, integer-sum total, one-sided bins go NULL") {
+    import spark.implicits._
+    val ref = Seq(0.05, 0.05, 0.95, 0.95).toDF("score")
+    val cur = Seq(0.05, 0.95, 0.95, 0.95).toDF("score")
+    val rows = ClassifierEval.scorePsi(ref, cur, "score", nBins = 2)
+      .orderBy("bin").collect()
+    assert(rows.length == 2)
+    // bin 0: p=0.5 q=0.25, ln_u = ⌊ln 2·1e6 + .5⌋ = 693147,
+    // psi_u = ⌊0.25·693147 + .5⌋ = 173287
+    assert(rows(0).getAs[Double]("psi") == 0.173287)
+    // bin 1: p=0.5 q=0.75, ln_u = ⌊ln(2/3)·1e6 + .5⌋ = −405465,
+    // psi_u = ⌊(−0.25)·(−405465) + .5⌋ = 101366
+    assert(rows(1).getAs[Double]("psi") == 0.101366)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("psi_total") == 0.274653))
+
+    // disjoint supports: psi NULL per bin, total 0 (surfaced, not fudged)
+    val d = ClassifierEval.scorePsi(
+      Seq(0.1).toDF("score"), Seq(0.9).toDF("score"), "score", nBins = 2)
+      .orderBy("bin").collect()
+    assert(d.forall(_.isNullAt(d.head.fieldIndex("psi"))))
+    assert(d.forall(_.getAs[Double]("psi_total") == 0.0))
+  }
+
   test("score 1.0 folds into the top bin; all-negative truth leaves rec/f1 defined-or-null") {
     import spark.implicits._
     val scored = Seq((1.00, 0), (0.99, 0)).toDF("score", "truth")

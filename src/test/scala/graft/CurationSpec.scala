@@ -569,6 +569,44 @@ class CurationSpec extends AnyFunSuite {
     assert(wb / (wb + ws) == 0.8) // sanity on the hand math
   }
 
+  test("epoch-cap waterfilling: hand-computed cascade, budget conservation, cap ordering") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // n = (100, 400, 10000), τ=2 → w = (10, 20, 100)·1e6; budget =
+    // 2·10500 = 21000; caps at E_max=3 → (300, 1200, 30000).
+    // Saturation order: small sources first; the water level rises
+    // as each caps (λ: 1.615e-4 → 1.725e-4 → 1.95e-4), capping both
+    // small sources while the big one stays uncapped at 1.95 epochs.
+    val d = Seq(("s100", 100L), ("s400", 400L), ("s10k", 10000L))
+      .toDF("source", "n")
+    val got = Sampling
+      .epochCapMixture(d, "source", col("n"), tau = 2.0,
+        budgetMultiple = 2.0, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("s100") == ((100L, true, 300L, 3.0, 0.014286)))
+    assert(got("s400") == ((400L, true, 1200L, 3.0, 0.057143)))
+    assert(got("s10k") == ((10000L, false, 19500L, 1.95, 0.928571)))
+    // allocations exhaust the budget exactly when someone is uncapped
+    assert(got.values.map(_._3).sum == 21000L)
+
+    // budget below every cap: nothing capped, pure temperature mix
+    val loose = Sampling
+      .epochCapMixture(d, "source", col("n"), tau = 2.0,
+        budgetMultiple = 0.5, maxEpochs = 10.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(loose.values.forall(_ == false))
+
+    // budget beyond ALL caps: everything capped at E_max epochs
+    val flood = Sampling
+      .epochCapMixture(d, "source", col("n"), tau = 2.0,
+        budgetMultiple = 20.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getDouble(4)))).toMap
+    assert(flood.values.forall { case (capped, e) => capped && e == 2.0 })
+  }
+
   test("token chunking: stride windows, overlap, tail clamp, provenance") {
     import spark.implicits._
     import graft.operators.Chunking
