@@ -140,14 +140,49 @@ object ClassifierEval {
     * psi (the standard merge-or-floor caveat, surfaced rather than
     * fudged) and are excluded from the total.
     */
+  /** Score → bin index: the shared left-closed centile/decile rule
+    * (6-dp scores recover their exact 1e-6 integer; the top bin is
+    * closed at 1.0). Used by the sweep, the PSI table, and the
+    * streaming drift monitor, so every consumer bins identically.
+    */
+  def scoreBin(score: org.apache.spark.sql.Column,
+      nBins: Int): org.apache.spark.sql.Column = {
+    require(nBins > 0 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6 for exact bin edges: $nBins")
+    least(floor(round(score * lit(1000000.0)).cast("long") /
+      lit(1000000L / nBins)), lit(nBins - 1).cast("long")).cast("long")
+  }
+
+  /** The PSI summand in the repo's fixed-point convention, driver-side
+    * (for BOUNDED per-bin counts — ≤ nBins rows): ln quantized to
+    * 1e-6, the summand quantized to an integer, identical operation
+    * order to [[scorePsi]]'s in-plan arithmetic — so a monitor
+    * computing this on collected bin counts lands on the SAME psi_u
+    * the batch gate computes in-plan (DriftMonitorSpec pins it).
+    * Bins missing on either side contribute nothing (the scorePsi
+    * NULL convention).
+    */
+  def psiFixedPoint(ref: Seq[(Long, Long)], cur: Seq[(Long, Long)]): Long = {
+    val n = ref.map(_._2).sum
+    val m = cur.map(_._2).sum
+    val curMap = cur.toMap
+    ref.collect {
+      case (bin, nRef) if nRef > 0 && curMap.getOrElse(bin, 0L) > 0 =>
+        val nCur = curMap(bin)
+        val pRef = nRef.toDouble / n.toDouble
+        val pCur = nCur.toDouble / m.toDouble
+        val lnU = math.floor(math.log((nRef * m).toDouble /
+          (nCur * n).toDouble) * 1000000.0 + 0.5).toLong
+        math.floor((pRef - pCur) * lnU.toDouble + 0.5).toLong
+    }.sum
+  }
+
   def scorePsi(ref: DataFrame, cur: DataFrame, scoreCol: String,
       nBins: Int): DataFrame = {
     require(nBins > 0 && 1000000 % nBins == 0,
       s"nBins must divide 1e6 for exact bin edges: $nBins")
-    val width = 1000000L / nBins
     def binned(df: DataFrame, side: String) = df.select(
-      least(floor(round(col(scoreCol) * lit(1000000.0)).cast("long") /
-        lit(width)), lit(nBins - 1).cast("long")).cast("long").as("bin"),
+      scoreBin(col(scoreCol), nBins).as("bin"),
       lit(side).as("side"))
     val bins = binned(ref, "ref").union(binned(cur, "cur"))
       .groupBy("bin")
