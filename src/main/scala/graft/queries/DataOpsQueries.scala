@@ -318,6 +318,16 @@ object DataOpsQueries {
         nlist = 16, iters = 2, tau = 0.35)
         .orderBy("vec_id")),
 
+    // Embedding-space coverage: per trained-quantizer cell the corpus
+    // share, plus Shannon entropy / effective-cluster count / max-mean
+    // occupancy in every row — the semantic-diversity audit for
+    // corpora without trustworthy source tags. Entropy follows the
+    // fixed-point ln convention so the total is an exact integer sum.
+    "q_s_cluster_entropy" -> ((s, dir) =>
+      Similarity.clusterEntropy(embs(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 2)
+        .orderBy("list_id")),
+
     // Sign-LSH bucketed ANN with Hamming-1 multi-probe (scale path);
     // full DuckDB mirror oracle — zero rows-only checks left.
     "q_s_ann_lsh" -> ((s, dir) =>
@@ -1453,6 +1463,56 @@ object DataOpsQueries {
           SELECT fin.vec_id, fin.list_id, sz.list_size,
                  floor(fin.cr * 1000000.0 + 0.5) / 1000000.0 AS cos_c
           FROM fin JOIN sz USING (list_id) ORDER BY vec_id""",
+
+    // Same trained model (c0→c1→c2 unrolled), then the entropy
+    // mirror: 1e-6-quantized ln, integer per-cell summands, exact
+    // total, and the exp/occ-ratio chains on identical doubles.
+    "q_s_cluster_entropy" ->
+      s"""WITH $PreparedVecsCte,
+          dm AS (SELECT unnest(range(64)) AS d),
+          u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(e, x -> x / nrm) AS c
+            FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+          ${lloydRoundCte("c0", "a0", "cell1", "m1", "c1")},
+          ${lloydRoundCte("c1", "a1", "cell2", "m2", "c2")},
+          fin AS (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT n.vec_id, c2.cid,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.e, c2.c) DESC, c2.cid ASC) AS rn
+              FROM n CROSS JOIN c2) WHERE rn = 1),
+          cells AS (
+            SELECT list_id, CAST(count(*) AS BIGINT) AS n
+            FROM fin GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS n_lists,
+                   CAST(max(n) AS BIGINT) AS max_n
+            FROM cells),
+          wh AS (
+            SELECT list_id, n,
+                   CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS p_raw,
+                   CAST(floor(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS ln_u,
+                   nt, n_lists, max_n
+            FROM cells, tot),
+          wh2 AS (
+            SELECT *,
+                   CAST(floor(-p_raw * CAST(ln_u AS DOUBLE) + 0.5)
+                     AS BIGINT) AS h_u
+            FROM wh),
+          ht AS (SELECT CAST(sum(h_u) AS BIGINT) AS h_total_u FROM wh2)
+          SELECT list_id, n,
+                 floor(p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_share,
+                 h_u,
+                 CAST(h_total_u AS DOUBLE) / 1000000.0 AS entropy,
+                 floor(exp(CAST(h_total_u AS DOUBLE) / 1000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS eff_lists,
+                 floor(CAST(max_n AS DOUBLE) * CAST(n_lists AS DOUBLE)
+                   / CAST(nt AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS occ_ratio
+          FROM wh2, ht ORDER BY list_id""",
 
     // Same trained model as q_s_ivf_train (c0→c1→c2 unrolled), then
     // the within-cluster lower-id cosine prune. Unit vectors and the

@@ -523,6 +523,52 @@ object Similarity {
     * size constant (the paper runs ~100k clusters for LAION-scale),
     * so the per-cluster quadratic stays bounded.
     */
+  /** Embedding-space coverage audit — the semantic-diversity
+    * diagnostic a curation pipeline runs when SOURCE tags are missing
+    * or untrusted (the L45/L68 mixture ops balance by tag; this
+    * measures the corpus's actual geometry): assign every vector to
+    * the trained coarse quantizer's cells, then report the occupancy
+    * distribution's Shannon entropy and its exponential — the
+    * EFFECTIVE number of semantic clusters the corpus spans. A
+    * scraped dump that looks large but collapses to a few effective
+    * cells is over-concentrated; the occupancy max/mean ratio (the
+    * L58b retrain trigger's input) rides along per the same counts.
+    *
+    * One map-side assignment against broadcast centroid literals +
+    * ONE combining groupBy to ≤ nlist rows; entropy in the repo's
+    * fixed-point convention (ln quantized 1e-6, per-cell summands
+    * quantized to integers, total = exact order-free integer sum);
+    * empty cells contribute 0 (the 0·ln 0 limit) and are absent from
+    * the output, so `eff_lists` counts genuinely occupied structure.
+    */
+  def clusterEntropy(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val cells = ivfTrainAssignments(df, idCol, embCol, nlist, iters)
+      .groupBy("list_id").agg(count(lit(1)).as("n"))
+    val totals = cells.agg(sum("n").as("nt"),
+      count(lit(1)).as("n_lists"), max("n").as("max_n"))
+    val withH = cells.crossJoin(broadcast(totals))
+      .withColumn("p_raw",
+        col("n").cast("double") / col("nt").cast("double"))
+      .withColumn("ln_u",
+        floor(log(col("n").cast("double") / col("nt").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("h_u",
+        floor(-col("p_raw") * col("ln_u").cast("double") + lit(0.5))
+          .cast("long"))
+    val hTot = withH.agg(sum("h_u").as("h_total_u"))
+    withH.crossJoin(broadcast(hTot)).select(
+      col("list_id"), col("n"),
+      Parity.roundHalfUp(col("p_raw"), 6).as("p_share"),
+      col("h_u"),
+      (col("h_total_u").cast("double") / 1000000.0).as("entropy"),
+      Parity.roundHalfUp(
+        exp(col("h_total_u").cast("double") / 1000000.0), 6).as("eff_lists"),
+      Parity.roundHalfUp(col("max_n").cast("double") *
+        col("n_lists").cast("double") / col("nt").cast("double"), 6)
+        .as("occ_ratio"))
+  }
+
   def semDedup(df: DataFrame, idCol: String, embCol: String,
       nlist: Int, iters: Int, tau: Double): DataFrame = {
     val cents = kmeansCentroids(df, idCol, embCol, nlist, iters)

@@ -27,6 +27,33 @@ class DataOpsSpec extends AnyFunSuite {
     df.select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("cluster entropy: counts conserve, entropy bounded by ln(lists), fixed-point recompute matches") {
+    val rows = Similarity
+      .clusterEntropy(embs, "vec_id", "embedding", nlist = 16, iters = 2)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.map(_.getAs[Long]("n")).sum == embs.count())
+    val nLists = rows.length
+    val entropy = rows.head.getAs[Double]("entropy")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("entropy") == entropy) // summary repeats
+    }
+    assert(entropy >= 0.0 && entropy <= math.log(nLists.toDouble) + 1e-6)
+    val eff = rows.head.getAs[Double]("eff_lists")
+    assert(eff >= 1.0 && eff <= nLists + 1e-6)
+    assert(rows.head.getAs[Double]("occ_ratio") >= 1.0)
+    // independent fixed-point recompute from the collected counts
+    val counts = rows.map(_.getAs[Long]("n"))
+    val nt = counts.sum
+    val hU = counts.map { n =>
+      val p = n.toDouble / nt.toDouble
+      val lnU = math.floor(math.log(p) * 1e6 + 0.5).toLong
+      math.floor(-p * lnU.toDouble + 0.5).toLong
+    }.sum
+    assert(entropy == hU.toDouble / 1e6)
+    assert(eff == math.floor(math.exp(hU.toDouble / 1e6) * 1e6 + 0.5) / 1e6)
+  }
+
   test("LSH S-curve audit: curve endpoints, sequential-chain values, high-sim capture, bounded output") {
     import spark.implicits._
     // 8 planted pairs (40 words, an end token swapped → one shingle
