@@ -223,22 +223,33 @@ object Dedup {
     * runs map-side partial aggregation, so the shuffle carries one
     * 16-long row per document — the shape that survives corpus scale.
     *
-    * The multipliers a_k = (k+1)·⌊2³²/φ⌋ mod P are SPREAD over
-    * [1, P): the original small odd multipliers (1, 3, …, 31) made
+    * The hash family is a TWO-TERM linear combination
+    * (a_k·x₁ + b_k·x₂ + c_k) mod P of two independent base values
+    * carved from the SAME md5 digest (hex chars 1–15 and 17–31 — the
+    * digest was already paid for; the second value is free). Both
+    * defects the q_d_lsh_curve audit exposed are fixed by it: the
+    * original small odd multipliers (1, 3, …, 31) over ONE base made
     * each map piecewise-monotone with ≤31 wraps, so the 16 minima
-    * collapsed onto the same few argmin shingles and band-collision
-    * probability detached badly from the analytic (1−(1−s^r)^b)
-    * curve — the q_d_lsh_curve audit measured 0.88 empirical capture
-    * at j≈0.9 where the curve says 0.999998; with spread multipliers
-    * the audit tracks the curve. Products stay < 2⁶² (x < 2³¹,
-    * a_k < 2³¹), so the chain is overflow-free on both engines and
-    * the oracle mirrors it literally.
+    * collapsed onto the same argmin shingles (measured 0.88 capture
+    * at j≈0.9 where the curve says 0.999998); spreading the
+    * multipliers over [1, P) recovered the curve except for a ~1 %
+    * residual at the top buckets — the correlation floor of any
+    * one-base affine family — and the second base value removes that
+    * floor (the pair (x₁, x₂) makes the k maps pairwise
+    * near-independent). Each product reduces mod P before the sum,
+    * so every intermediate stays < 2⁶² and the oracle mirrors the
+    * chain literally.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("x", baseHash(col("s")))
+      .withColumn("h", md5(col("s")))
+      .withColumn("x1",
+        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(P)))
+      .withColumn("x2",
+        pmod(conv(substring(col("h"), 17, 15), 16, 10).cast("long"), lit(P)))
     val aggs = (0 until numHashes).map(k =>
-      min((col("x") * lit((k + 1) * 2654435761L % P) +
+      min((col("x1") * lit((k + 1) * 2654435761L % P) % lit(P) +
+        col("x2") * lit((2 * k + 1) * 1779033703L % P) % lit(P) +
         lit(k * 12345L + 7)) % lit(P))
         .as(s"sig_$k"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

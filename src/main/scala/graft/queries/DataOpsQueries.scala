@@ -895,8 +895,10 @@ object DataOpsQueries {
                   list_transform(range(16), k ->
                     list_min(list_transform(sh, s ->
                       ((('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
-                        * ((k + 1) * 2654435761 % 2147483647)
-                        + k * 12345 + 7) % 2147483647))) AS sig
+                        * ((k + 1) * 2654435761 % 2147483647) % 2147483647
+                       + (('0x' || substr(md5(s), 17, 15))::BIGINT % 2147483647)
+                        * ((2 * k + 1) * 1779033703 % 2147483647) % 2147483647
+                       + k * 12345 + 7) % 2147483647))) AS sig
            FROM sh),
          bands AS (
            SELECT doc_id, b.b AS band_id,
