@@ -215,6 +215,41 @@ object DataOpsQueries {
           col("nBpeKnown").as("n_bpe"), col("nOov").as("n_oov"))
         .orderBy("doc_id")),
 
+    // Tokenizer FERTILITY audit per detected language (L59 × L10):
+    // the multilingual-tokenizer health check — BPE subtokens per
+    // known word and the OOV rate, rolled up by the langid kernel's
+    // verdict. A language whose fertility spikes (or whose words the
+    // merges never cover) is one the tokenizer serves poorly, the
+    // signal that drives vocab rebalancing before a training run.
+    // Map-side counting + one doc-keyed join + one combining shuffle
+    // to ≤|langs| rows; ratios are single divisions of exact longs.
+    "q_t_bpe_fertility" -> ((s, dir) => {
+      val counts = graft.text.BpeTokenizer
+        .tokenCounts(s, docs(s, dir), "doc_id", "text").toDF()
+        .select(col("docId").as("doc_id"),
+          col("nWords").cast("long").as("w"),
+          col("nBpeKnown").cast("long").as("b"),
+          col("nOov").cast("long").as("o"))
+      val lid = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).getField("lang").as("lang"))
+      counts.join(lid, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("b").as("n_bpe"), sum("o").as("n_oov"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe"), col("n_oov"),
+          when(col("n_words") - col("n_oov") > 0,
+            graft.functions.Parity.roundHalfUp(
+              col("n_bpe").cast("double") /
+                (col("n_words") - col("n_oov")).cast("double"), 6))
+            .as("fertility"),
+          when(col("n_words") > 0,
+            graft.functions.Parity.roundHalfUp(
+              col("n_oov").cast("double") /
+                col("n_words").cast("double"), 6)).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // F14's MMR selection over the TRAINED document vectors, grouped
     // by language: the same greedy algebra as q_f14_mmr_keyphrases
     // (shared operator AND shared oracle CTE chain), with the learned
@@ -1051,6 +1086,45 @@ object DataOpsQueries {
                  CAST(coalesce(j.n_oov, 0) AS INTEGER) AS n_oov
           FROM documents d LEFT JOIN j USING (doc_id)
           ORDER BY d.doc_id""",
+
+    // Per-language rollup of the artifact join, languages from the
+    // mirrored langid CTE; ratios as single divisions of exact sums.
+    "q_t_bpe_fertility" -> {
+      val (scores, best, cases) = langIdSqlParts("toks")
+      s"""WITH bv(term, n_sub) AS (VALUES ${graft.text.BpeTokenizer.sqlValues()}),
+          t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          sc AS (SELECT doc_id, len(toks) AS n, $scores FROM t),
+          b AS (SELECT *, $best AS best FROM sc),
+          lid AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang FROM b),
+          tkb AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+          j AS (
+            SELECT tkb.doc_id, CAST(count(*) AS BIGINT) AS w,
+                   CAST(coalesce(sum(bv.n_sub), 0) AS BIGINT) AS bt,
+                   CAST(count(*) - count(bv.term) AS BIGINT) AS o
+            FROM tkb LEFT JOIN bv ON tkb.tk = bv.term GROUP BY 1),
+          d AS (
+            SELECT lid.lang, coalesce(j.w, 0) AS w,
+                   coalesce(j.bt, 0) AS bt, coalesce(j.o, 0) AS o
+            FROM lid LEFT JOIN j USING (doc_id)),
+          g AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(bt) AS BIGINT) AS n_bpe,
+                   CAST(sum(o) AS BIGINT) AS n_oov
+            FROM d GROUP BY lang)
+          SELECT lang, n_docs, n_words, n_bpe, n_oov,
+                 CASE WHEN n_words - n_oov > 0 THEN
+                   floor(CAST(n_bpe AS DOUBLE) / CAST(n_words - n_oov AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 END AS fertility,
+                 CASE WHEN n_words > 0 THEN
+                   floor(CAST(n_oov AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 END AS oov_rate
+          FROM g ORDER BY lang"""
+    },
 
     // SAME greedy MMR CTE chain as q_f14_mmr_keyphrases, nv = the
     // trained doc vectors grouped by language

@@ -676,6 +676,90 @@ class MultimodalSpec extends AnyFunSuite {
     assert(er == 155)
   }
 
+  /** Spec-local 4:2:2 encoder (Y 2×1, chroma 1×1 — one 16×8 MCU of
+    * two Y blocks + Cb + Cr): exercises the ANISOTROPIC chroma
+    * mapping (x halves, y doesn't) and the in-MCU Y DC chain at h=2.
+    */
+  private def mkJpeg422(yq0: Int, cbq: Int, crq: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => bos.write(v & 0xff))
+    def marker(m: Int, body: Array[Int]): Unit = {
+      b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => bos.write(v & 0xff))
+    }
+    b(0xff, 0xd8)
+    marker(0xdb, Array(0x00) ++ Array.fill(64)(8))
+    marker(0xc0, Array(8, 0, 8, 0, 16, 3,
+      1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0)) // Y 2x1, chroma 1x1
+    // DC0: cat 4 → "0", cat 6 → "10"; AC0: EOB → "0"
+    marker(0xc4, Array(0x00, 1, 1) ++ Array.fill(14)(0) ++ Array(4, 6))
+    marker(0xc4, Array(0x10, 1) ++ Array.fill(15)(0) ++ Array(0x00))
+    marker(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    var acc = 0L; var nb = 0
+    val ent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        ent += byte
+        if (byte == 0xff) ent += 0x00
+        nb -= 8
+      }
+    }
+    def cat4(v: Int): Int = if (v < 0) v + 15 else v
+    put(2, 2); put(yq0, 6); put(0, 1) // Y block 0: absolute, cat 6
+    put(0, 1); put(8, 4); put(0, 1) // Y block 1: diff +8, cat 4
+    put(0, 1); put(cat4(cbq), 4); put(0, 1) // Cb
+    put(0, 1); put(cat4(crq), 4); put(0, 1) // Cr
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    ent.foreach(bos.write)
+    b(0xff, 0xd9)
+    bos.toByteArray
+  }
+
+  test("4:2:2 color JPEG: anisotropic chroma replication, in-MCU Y chain at h=2") {
+    // Y left block 162, right 170 (diff +8); Cb 139, Cr 117
+    val (w, h, px) = MediaCodec.pixelsJpeg(11L, mkJpeg422(34, 11, -11))
+    assert((w, h) == (16, 8))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val yv = if (x < 8) 162 else 170
+      val (er, eg, eb) = bt601(yv, 139, 117)
+      val p = (y * 16 + x) * 3
+      assert((px(p) & 0xff) == er && (px(p + 1) & 0xff) == eg &&
+        (px(p + 2) & 0xff) == eb, s"px($x,$y)")
+    }
+  }
+
+  test("no-DRI grayscale JPEG: the DC predictor chains across MCUs without restarts") {
+    // 16×8 grayscale, two 8×8 blocks, NO DRI segment: block 0 carries
+    // absolute DC 40 (cat 6 "10"+6bits under the 4:2:2 tables), block
+    // 1 the diff +8 (cat 4 "0"+4bits) — a decoder that resets the
+    // predictor per MCU (the DRI=1 fixtures' behavior) would read 136
+    // instead of 176
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => bos.write(v & 0xff))
+    def marker(m: Int, body: Array[Int]): Unit = {
+      b(0xff, m, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => bos.write(v & 0xff))
+    }
+    b(0xff, 0xd8)
+    marker(0xdb, Array(0x00) ++ Array.fill(64)(8))
+    marker(0xc0, Array(8, 0, 8, 0, 16, 1, 1, 0x11, 0))
+    marker(0xc4, Array(0x00, 1, 1) ++ Array.fill(14)(0) ++ Array(4, 6))
+    marker(0xc4, Array(0x10, 1) ++ Array.fill(15)(0) ++ Array(0x00))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // block 0: "10"+101000+EOB"0" (9 bits); block 1: "0"+1000+EOB"0"
+    // (6 bits) → 15 bits: 10101000 | 0 0 1000 0 + pad 1 = A8 21
+    b(0xa8, 0x21)
+    b(0xff, 0xd9)
+    val (w, h, px) = MediaCodec.pixelsJpeg(13L, bos.toByteArray)
+    assert((w, h) == (16, 8))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) 168 else 176 // 128+40, then 128+48
+      assert((px((y * 16 + x) * 3) & 0xff) == want, s"px($x,$y)")
+    }
+  }
+
   test("hostile color JPEGs fail named: scan coverage, sampling grid, missing chroma tables") {
     def expectNamed(bytes: Array[Byte], frag: String): Unit = {
       val e = intercept[IllegalArgumentException] {
