@@ -502,6 +502,17 @@ object DataOpsQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // TextTiling semantic segmentation (L73): topic-shift boundaries
+    // from block-Jaccard cohesion valleys — the seam detector that
+    // lets long-document chunking cut at semantic boundaries. Whole
+    // chain integer (exact Jaccard rationals at 1e-6, depth-vs-mean
+    // as a cross-multiplication), map-side per-doc kernel, zero
+    // shuffles.
+    "q_t_text_tiling" -> ((s, dir) =>
+      graft.text.TextTiling.segments(s, docs(s, dir), "doc_id", "text",
+        blockTokens = 10)
+        .orderBy("doc_id")),
+
     // Gopher repetition metrics: the most frequent word 2-/3-gram and
     // the fraction of characters it covers (cnt·len(gram)/len(text)) —
     // the "fraction of chars in most common n-gram" gate. One
@@ -1790,6 +1801,51 @@ object DataOpsQueries {
             FROM documents)
           SELECT doc_id, ${qualitySql("toks")} AS quality
           FROM t ORDER BY doc_id""",
+
+    // blocks → per-gap Jaccard at 1e-6 → valley depths → the strict
+    // depth·n > Σdepth rule, all integer — mirrored index-for-index
+    "q_t_text_tiling" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_transform(range(CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                    i -> list_distinct(list_slice(toks,
+                      CAST(i * 10 + 1 AS INT),
+                      CAST(least(len(toks), i * 10 + 10) AS INT)))) AS blocks
+           FROM t),
+         s AS (
+           SELECT doc_id, len(blocks) AS nb,
+                  list_transform(range(1, len(blocks)), g ->
+                    CAST(floor(CAST(len(list_intersect(blocks[g], blocks[g + 1])) AS DOUBLE)
+                      / len(list_distinct(blocks[g] || blocks[g + 1]))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS sims
+           FROM b),
+         d AS (
+           SELECT doc_id, nb, len(sims) AS ng,
+                  list_transform(range(1, len(sims) + 1), j ->
+                      greatest(0, CASE WHEN j > 1 THEN sims[CAST(j - 1 AS INT)] - sims[CAST(j AS INT)] ELSE 0 END)
+                    + greatest(0, CASE WHEN j < len(sims) THEN sims[CAST(j + 1 AS INT)] - sims[CAST(j AS INT)] ELSE 0 END)) AS depths
+           FROM s),
+         f AS (
+           SELECT doc_id, nb, ng, depths,
+                  coalesce(list_sum(depths), 0) AS sd
+           FROM d),
+         g AS (
+           SELECT doc_id, nb, ng,
+                  list_filter(range(1, ng + 1), j ->
+                    depths[CAST(j AS INT)] > 0
+                    AND depths[CAST(j AS INT)] * ng > sd) AS bounds
+           FROM f)
+         SELECT doc_id, CAST(nb AS INT) AS n_blocks, CAST(ng AS INT) AS n_gaps,
+                -- array_to_string of an EMPTY list is NULL in DuckDB
+                coalesce(array_to_string(list_transform(bounds,
+                  x -> CAST(x AS VARCHAR)), ','), '') AS boundaries,
+                CAST(len(bounds) + 1 AS INT) AS n_segments
+         FROM g ORDER BY doc_id""",
 
     // Non-distinct n-gram counts rebuilt by slice-expansion; top-1 by
     // (count DESC, gram ASC); short docs fall back to ('', 0, 0.0).

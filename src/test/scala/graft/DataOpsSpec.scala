@@ -27,6 +27,26 @@ class DataOpsSpec extends AnyFunSuite {
     df.select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("TextTiling: planted topic shift yields exactly the seam gap") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => s"alpha${i % 5}")
+    val b = (0 until 20).map(i => s"beta${i % 5}")
+    val one = (0 until 15).map(i => s"solo${i % 4}")
+    val corpus = Seq(
+      (1L, (a ++ b).mkString(" ")), // blocks A,A,B,B → seam at gap 2
+      (2L, one.mkString(" ")), // 2 blocks, 1 gap, no neighbors → none
+      (3L, "tiny doc")) // 1 block → no gaps, one segment
+      .toDF("doc_id", "text")
+    val got = graft.text.TextTiling
+      .segments(spark, corpus, "doc_id", "text", blockTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))).toMap
+    // sims 1.0, 0.0, 1.0 → depths 0, 2e6, 0 → only gap 2 beats the mean
+    assert(got(1L) == ((4, 3, "2", 2)))
+    assert(got(2L) == ((2, 1, "", 1)))
+    assert(got(3L) == ((1, 0, "", 1)))
+  }
+
   test("cluster entropy: counts conserve, entropy bounded by ln(lists), fixed-point recompute matches") {
     val rows = Similarity
       .clusterEntropy(embs, "vec_id", "embedding", nlist = 16, iters = 2)
