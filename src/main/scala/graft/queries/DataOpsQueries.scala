@@ -513,6 +513,14 @@ object DataOpsQueries {
         blockTokens = 10)
         .orderBy("doc_id")),
 
+    // Seam-aware chunking (L31 × L73): the stride windows restart at
+    // every TextTiling boundary, so no chunk welds two topics. Same
+    // map-side per-doc kernel, rows ∝ chunks, zero shuffles.
+    "q_c_chunking_semantic" -> ((s, dir) =>
+      graft.text.TextTiling.segmentedChunks(s, docs(s, dir), "doc_id",
+        "text", blockTokens = 10, width = 16, stride = 12)
+        .orderBy("doc_id", "seg_idx", "chunk_idx")),
+
     // Gopher repetition metrics: the most frequent word 2-/3-gram and
     // the fraction of characters it covers (cnt·len(gram)/len(text)) —
     // the "fraction of chars in most common n-gram" gate. One
@@ -1846,6 +1854,68 @@ object DataOpsQueries {
                   x -> CAST(x AS VARCHAR)), ','), '') AS boundaries,
                 CAST(len(bounds) + 1 AS INT) AS n_segments
          FROM g ORDER BY doc_id""",
+
+    // the same tiling chain up to `bounds`, then segment offset lists
+    // and the stride windows re-derived per segment
+    "q_c_chunking_semantic" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_transform(range(CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                    i -> list_distinct(list_slice(toks,
+                      CAST(i * 10 + 1 AS INT),
+                      CAST(least(len(toks), i * 10 + 10) AS INT)))) AS blocks
+           FROM t),
+         s AS (
+           SELECT doc_id, len(blocks) AS nb,
+                  list_transform(range(1, len(blocks)), g ->
+                    CAST(floor(CAST(len(list_intersect(blocks[g], blocks[g + 1])) AS DOUBLE)
+                      / len(list_distinct(blocks[g] || blocks[g + 1]))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS sims
+           FROM b),
+         d AS (
+           SELECT doc_id, nb, len(sims) AS ng,
+                  list_transform(range(1, len(sims) + 1), j ->
+                      greatest(0, CASE WHEN j > 1 THEN sims[CAST(j - 1 AS INT)] - sims[CAST(j AS INT)] ELSE 0 END)
+                    + greatest(0, CASE WHEN j < len(sims) THEN sims[CAST(j + 1 AS INT)] - sims[CAST(j AS INT)] ELSE 0 END)) AS depths
+           FROM s),
+         f AS (
+           SELECT doc_id, nb, ng, depths,
+                  coalesce(list_sum(depths), 0) AS sd
+           FROM d),
+         g AS (
+           SELECT doc_id,
+                  list_filter(range(1, ng + 1), j ->
+                    depths[CAST(j AS INT)] > 0
+                    AND depths[CAST(j AS INT)] * ng > sd) AS bounds
+           FROM f),
+         seg AS (
+           SELECT t.doc_id, t.toks,
+                  list_concat(list_concat([CAST(0 AS BIGINT)],
+                    list_transform(g.bounds, x -> CAST(x * 10 AS BIGINT))),
+                    [CAST(len(t.toks) AS BIGINT)]) AS offs
+           FROM g JOIN t USING (doc_id)),
+         ex AS (
+           SELECT doc_id, toks,
+                  offs[CAST(si + 1 AS INT)] AS st,
+                  offs[CAST(si + 2 AS INT)] AS en,
+                  CAST(si AS INT) AS seg_idx
+           FROM (SELECT *, unnest(range(len(offs) - 1)) AS si FROM seg)),
+         ck AS (
+           SELECT doc_id, seg_idx, toks, st, en,
+                  unnest(range((en - st - 1) // 12 + 1)) AS k
+           FROM ex WHERE en > st)
+         SELECT doc_id, seg_idx, CAST(k AS INT) AS chunk_idx,
+                CAST(st + k * 12 AS INT) AS tok_start,
+                CAST(least(en, st + k * 12 + 16) - (st + k * 12) AS INT) AS n_toks,
+                array_to_string(list_slice(toks,
+                  CAST(st + k * 12 + 1 AS INT),
+                  CAST(least(en, st + k * 12 + 16) AS INT)), ' ') AS chunk
+         FROM ck ORDER BY doc_id, seg_idx, chunk_idx""",
 
     // Non-distinct n-gram counts rebuilt by slice-expansion; top-1 by
     // (count DESC, gram ASC); short docs fall back to ('', 0, 0.0).

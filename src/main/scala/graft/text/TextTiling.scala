@@ -54,6 +54,46 @@ object TextTiling {
     (nb, ng, bounds)
   }
 
+  final case class SegChunk(docId: Long, segIdx: Int, chunkIdx: Int,
+      tokStart: Int, nToks: Int, chunk: String)
+
+  /** Seam-aware chunking (L31 × L73): stride windows like
+    * [[graft.operators.Chunking.chunkByTokens]], but cut WITHIN the
+    * TextTiling segments — no training example welds two topics.
+    * Window offsets restart at each segment (width/stride in tokens,
+    * tail clamped at the segment end); provenance = (segment index,
+    * chunk index within segment, global token start). Same map-side
+    * per-doc kernel shape as [[segments]]: zero shuffles, output rows
+    * ∝ chunks.
+    */
+  def segmentedChunks(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int = 10, width: Int = 16,
+      stride: Int = 12): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width: $width/$stride")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, toks) =>
+        val (_, _, bounds) = tileOf(toks, blockTokens)
+        val offs = (0 +: bounds.map(_ * blockTokens) :+ toks.length).toVector
+        offs.sliding(2).zipWithIndex.flatMap { case (Seq(st, en), si) =>
+          val m = en - st
+          if (m <= 0) Nil
+          else (0 to (m - 1) / stride).map { k =>
+            val o = st + k * stride
+            val e2 = math.min(en, o + width)
+            SegChunk(id, si, k, o, e2 - o,
+              toks.slice(o, e2).mkString(" "))
+          }
+        }
+      })
+      .toDF()
+      .select(col("docId").as("doc_id"), col("segIdx").as("seg_idx"),
+        col("chunkIdx").as("chunk_idx"), col("tokStart").as("tok_start"),
+        col("nToks").as("n_toks"), col("chunk"))
+  }
+
   /** One row per doc: block/gap counts, boundary gap indices
     * (1-based, comma-joined, "" when none), resulting segment count.
     */

@@ -47,6 +47,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((1, 0, "", 1)))
   }
 
+  test("seam-aware chunking: windows restart at the boundary, tail clamps, no chunk crosses the seam") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => s"alpha${i % 5}")
+    val b = (0 until 20).map(i => s"beta${i % 5}")
+    val corpus = Seq((1L, (a ++ b).mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.text.TextTiling
+      .segmentedChunks(spark, corpus, "doc_id", "text",
+        blockTokens = 10, width = 16, stride = 12)
+      .orderBy("seg_idx", "chunk_idx").collect()
+    // boundary at gap 2 → segments [0,20) and [20,40); each yields
+    // windows [st, st+16) and the clamped tail [st+12, st+20)
+    assert(rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4))).toSeq ==
+      Seq((0, 0, 0, 16), (0, 1, 12, 8), (1, 0, 20, 16), (1, 1, 32, 8)))
+    // no chunk mixes alpha and beta tokens
+    rows.foreach { r =>
+      val words = r.getString(5).split(" ").toSet
+      assert(words.forall(_.startsWith("alpha")) ||
+        words.forall(_.startsWith("beta")), s"seam crossed: $r")
+    }
+  }
+
   test("cluster entropy: counts conserve, entropy bounded by ln(lists), fixed-point recompute matches") {
     val rows = Similarity
       .clusterEntropy(embs, "vec_id", "embedding", nlist = 16, iters = 2)
