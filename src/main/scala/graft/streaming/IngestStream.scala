@@ -79,6 +79,39 @@ object IngestStream {
   final case class PublishConfig(dest: String, budget: Long,
       bucketWidth: Long = 32L)
 
+  /** State-store maintenance cadence riding the loop (round-11 verdict
+    * item 1) — without it the primitives exist but nothing calls them:
+    * the fps/snap [[AppendTable]]s grow one directory per micro-batch
+    * forever (the classic small-files problem), and the label store's
+    * per-commit rewrite term is ∝ corpus/nBuckets under a FIXED bucket
+    * count.
+    *
+    *  - `compactEvery = c > 0`: after every c-th committed batch
+    *    (batchId ≡ c−1 mod c) the two append tables [[AppendTable
+    *    .compact]] — so their read fan-in is bounded by c + 1
+    *    directories (IngestStreamSpec asserts the bound through the
+    *    loop). The compact is a deliberate amortized full rewrite:
+    *    corpus-sized bytes every c batches, i.e. ∝ corpus/c per batch
+    *    — choose c ≈ corpus/batch to keep the amortized term ∝ batch.
+    *  - `maxRowsPerBucket = m > 0`: on the same cadence, if the label
+    *    store holds more than m·currentBuckets rows, [[BucketedTable
+    *    .rebucket]] doubles the bucket count — keeping each touched
+    *    bucket's MERGE rewrite ≤ ~m rows as the corpus grows (the
+    *    lakehouse bucket-sizing rule, executable instead of a constant;
+    *    growth math in SCALE_REHEARSAL). The trigger probe is one
+    *    count() of the store — corpus-sized READ, amortized over the
+    *    cadence exactly like compact, never on the per-batch path.
+    *
+    * Both operations are idempotent and crash-safe (StateCrashSpec
+    * sweeps every kill point), so maintenance running inside a
+    * replayed batch converges to the same state.
+    */
+  final case class MaintainConfig(compactEvery: Int = 0,
+      maxRowsPerBucket: Long = 0L) {
+    def due(batchId: Long): Boolean =
+      compactEvery > 0 && (batchId + 1) % compactEvery == 0
+  }
+
   /** Start the loop over a streaming (doc_id, text) frame; state under
     * `statePath/{labels,fps,snap}` (+ `publish_manifest` when
     * `publish` is set).
@@ -86,19 +119,24 @@ object IngestStream {
   def start(docs: DataFrame, statePath: String, checkpoint: String,
       maxDist: Int = 3,
       trigger: Trigger = Trigger.AvailableNow(),
-      publish: Option[PublishConfig] = None): StreamingQuery =
+      publish: Option[PublishConfig] = None,
+      maintain: MaintainConfig = MaintainConfig()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, statePath, maxDist, publish)
+        processBatch(batch, batchId, statePath, maxDist, publish, maintain)
       }
       .start()
 
-  /** Label buckets of the store — the lakehouse bucketing knob; at
-    * 100 TB this scales with the corpus so the per-commit rewrite
-    * stays ∝ batch in expectation.
+  /** BOOTSTRAP label-bucket count of a fresh store — the lakehouse
+    * bucketing knob. It no longer has to be sized for the final
+    * corpus: [[MaintainConfig.maxRowsPerBucket]] doubles the live
+    * count via [[BucketedTable.rebucket]] whenever a bucket outgrows
+    * its target, so the per-commit rewrite stays ∝ batch as the
+    * corpus grows (the live count rides in the store's pointer, not
+    * here).
     */
   val LabelBuckets = 16
 
@@ -123,7 +161,13 @@ object IngestStream {
     processBatch(batch, batchId, statePath, maxDist, None)
 
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
-      maxDist: Int, publish: Option[PublishConfig]): Unit = {
+      maxDist: Int, publish: Option[PublishConfig]): Unit =
+    processBatch(batch, batchId, statePath, maxDist, publish,
+      MaintainConfig())
+
+  def processBatch(batch: DataFrame, batchId: Long, statePath: String,
+      maxDist: Int, publish: Option[PublishConfig],
+      maintain: MaintainConfig): Unit = {
     val spark = batch.sparkSession
     val labelsT = labelsTable(spark, statePath)
     val fpsT = fpsTable(spark, statePath)
@@ -131,8 +175,13 @@ object IngestStream {
     val manifestT = publish.map(_ => publishManifest(spark, statePath))
     if (labelsT.lastBatchId >= batchId && fpsT.lastBatchId >= batchId &&
         snapT.lastBatchId >= batchId &&
-        manifestT.forall(_.lastBatchId >= batchId))
-      return // full replay → no-op
+        manifestT.forall(_.lastBatchId >= batchId)) {
+      // full replay → data no-op; still honor a due maintenance tick
+      // (idempotent), so a crash between the commits and the original
+      // run's maintenance doesn't skip the cadence entirely
+      if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+      return
+    }
 
     // within-batch dedup by id, then the L49 gate: only ids absent
     // from the stored snapshot are new work. The survivor among
@@ -212,6 +261,26 @@ object IngestStream {
             min("min_id").as("min_id"), max("max_id").as("max_id"))
         mT.commit(merged, batchId)
       }
+    }
+
+    if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+  }
+
+  /** The cadence tick: fold the append tables' batch directories and,
+    * when the label store has outgrown its buckets, double them. Runs
+    * AFTER all of the batch's commits (maintenance never gates data
+    * durability) and is safe to re-run on replay — compact and
+    * rebucket are both idempotent and crash-safe.
+    */
+  private def runMaintenance(labelsT: BucketedTable, fpsT: AppendTable,
+      snapT: AppendTable, maintain: MaintainConfig): Unit = {
+    fpsT.compact()
+    snapT.compact()
+    if (maintain.maxRowsPerBucket > 0) {
+      val rows = labelsT.read().map(_.count()).getOrElse(0L)
+      val nb = labelsT.currentBuckets
+      if (rows > maintain.maxRowsPerBucket * nb)
+        labelsT.rebucket(nb * 2)
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ∝-batch state tables for the streaming ingest loop (round-10
@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * asserted by IngestStreamSpec), which is exactly the property a
   * Delta/Iceberg `MERGE`/append gives at cluster scale. Swapping them
   * for a real table format changes no caller code.
+  *
+  * Every durable mutation is preceded by a [[Failpoints.step]] so
+  * StateCrashSpec can kill the process at EVERY file-op boundary and
+  * assert the contract both layouts promise: after any kill, `read()`
+  * observes the full pre- or full post-state, and replaying the
+  * operation converges to the post-state.
   */
 
 /** Append-only table: each commit lands ONE new directory `b_<batchId>`
@@ -39,7 +45,9 @@ import org.apache.spark.sql.functions._
   * unions the consolidated dir with only the batches appended since.
   * Compaction never changes the per-commit write bound; it trades one
   * deliberate full rewrite for O(1) read fan-in, on whatever cadence
-  * the operator chooses.
+  * the operator chooses — [[IngestStream.MaintainConfig.compactEvery]]
+  * wires that cadence into the production loop, and [[readFanIn]]
+  * exposes the unioned-directory count the cadence bounds.
   */
 final class AppendTable(spark: SparkSession, path: String) {
 
@@ -58,13 +66,16 @@ final class AppendTable(spark: SparkSession, path: String) {
       (last, ct)
     }
 
-  private def writePointer(last: Long, compactedThrough: Long): Unit = {
+  private def writePointer(last: Long, compactedThrough: Long,
+      op: String): Unit = {
     val body =
       if (compactedThrough < 0) last.toString
       else s"$last\ncompact=$compactedThrough"
     val tmp = Paths.get(path, s"_LATEST.tmp.$last")
     Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.pointer.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.pointer.move")
     Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -93,6 +104,14 @@ final class AppendTable(spark: SparkSession, path: String) {
     compacted ++ batches
   }
 
+  /** Directories a `read()` would union right now — the small-files
+    * read-amplification a compaction cadence must bound. With
+    * `compact()` every c batches this never exceeds c + 1
+    * (consolidated dir + the batches appended since), which
+    * IngestStreamSpec asserts against the wired loop.
+    */
+  def readFanIn: Int = committedDirs().size
+
   def read(): Option[DataFrame] = {
     val dirs = committedDirs()
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
@@ -102,8 +121,9 @@ final class AppendTable(spark: SparkSession, path: String) {
   def append(df: DataFrame, batchId: Long): Unit = {
     val (last, ct) = pointer()
     if (last >= batchId) return
+    Failpoints.step("append.data")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
-    writePointer(batchId, ct)
+    writePointer(batchId, ct, "append")
   }
 
   /** Fold every committed directory into ONE consolidated dir.
@@ -119,9 +139,10 @@ final class AppendTable(spark: SparkSession, path: String) {
     if (last < 0 || ct == last) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
+    Failpoints.step("compact.data")
     spark.read.parquet(dirs: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/k_$last")
-    writePointer(last, last)
+    writePointer(last, last, "compact")
     // cleanup AFTER the pointer is durable; best-effort — leftovers
     // are invisible and re-collected by the next compact
     val d = new java.io.File(path)
@@ -130,10 +151,28 @@ final class AppendTable(spark: SparkSession, path: String) {
       val stale =
         (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
           (n.startsWith("k_") && n != s"k_$last")
-      if (f.isDirectory && stale)
+      if (f.isDirectory && stale) {
+        Failpoints.step(s"compact.clean.$n")
         org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
     }
   }
+}
+
+object BucketedTable {
+  /** Upper bound on the distinct batch keys a single `readKeys`/
+    * `merge` may broadcast. A batch's key set is driver-broadcast for
+    * the pruned semi-/anti-join — correct for batch-sized key sets,
+    * but a pathological batch (a misconfigured source replaying a
+    * whole corpus as "one batch") would OOM the broadcast far less
+    * legibly than this named error. 4M longs ≈ 32 MB broadcast —
+    * comfortably under Spark's 8 GB broadcast-table hard cap and the
+    * default 10 MB auto-threshold times the explicit-broadcast
+    * headroom a driver-side key set gets. A caller with genuinely
+    * bigger batches should split them upstream (the trigger interval
+    * knob), not raise the bound.
+    */
+  val MaxBroadcastKeys: Long = 4000000L
 }
 
 /** Id-bucketed MERGE table: rows live in `nBuckets` hash buckets of
@@ -142,15 +181,23 @@ final class AppendTable(spark: SparkSession, path: String) {
   * bucket forward BY REFERENCE in a versioned manifest — so the bytes
   * written per commit are ∝ (changed rows + the prior contents of
   * their buckets), never ∝ corpus. With bucket count scaled to the
-  * corpus (the standard lakehouse bucketing knob) the prior-contents
-  * term is itself ∝ batch in expectation.
+  * corpus (the standard lakehouse bucketing knob — [[rebucket]] is
+  * that knob's growth path) the prior-contents term is itself ∝ batch
+  * in expectation.
   *
   * Layout:
   * {{{
   *   path/c_<v>/__bucket=<k>/   rewritten buckets of commit v
   *   path/manifest_v<v>         lines "<bucket>,<relative dir>"
-  *   path/_LATEST               "<v>,<batchId>"   (atomic move)
+  *   path/_LATEST               "<v>,<batchId>,<nBuckets>"  (atomic move)
   * }}}
+  *
+  * The LIVE bucket count rides in the pointer (third field; absent in
+  * pre-rebucket pointers, where the constructor count applies) so a
+  * [[rebucket]] changes hashing and data layout in ONE atomic pointer
+  * move — a reader or merger can never pair the new bucket count with
+  * the old layout or vice versa. The constructor's `nBuckets` is the
+  * bootstrap count for a fresh table only.
   *
   * Determinism/crash contract: the next version number and the set of
   * rewritten buckets are pure functions of (prior pointer, batch), so
@@ -161,25 +208,61 @@ final class AppendTable(spark: SparkSession, path: String) {
   * label store only ever adds or relabels).
   */
 final class BucketedTable(spark: SparkSession, path: String,
-    keyCol: String, nBuckets: Int) {
+    keyCol: String, nBuckets: Int,
+    maxBroadcastKeys: Long = BucketedTable.MaxBroadcastKeys) {
   require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
 
   private val ptrPath = Paths.get(path, "_LATEST")
 
-  /** (manifest version, last committed streaming batch id). */
-  def latest: Option[(Long, Long)] =
+  /** (manifest version, last committed streaming batch id, live bucket
+    * count). Two-field pointers predate rebucket; their bucket count
+    * is the constructor's.
+    */
+  private def pointer(): Option[(Long, Long, Int)] =
     if (!Files.exists(ptrPath)) None
     else {
-      val Array(v, b) =
-        new String(Files.readAllBytes(ptrPath), StandardCharsets.UTF_8)
-          .trim.split(",")
-      Some((v.toLong, b.toLong))
+      val f = new String(Files.readAllBytes(ptrPath),
+        StandardCharsets.UTF_8).trim.split(",")
+      Some((f(0).toLong, f(1).toLong,
+        if (f.length >= 3) f(2).toInt else nBuckets))
     }
 
-  def lastBatchId: Long = latest.map(_._2).getOrElse(-1L)
+  /** (manifest version, last committed streaming batch id). */
+  def latest: Option[(Long, Long)] = pointer().map(p => (p._1, p._2))
 
-  private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(xxhash64(c), lit(nBuckets.toLong))
+  def lastBatchId: Long = pointer().map(_._2).getOrElse(-1L)
+
+  /** The bucket count current hashing uses — the constructor's until a
+    * [[rebucket]] commits a different one.
+    */
+  def currentBuckets: Int = pointer().map(_._3).getOrElse(nBuckets)
+
+  private def bucketOf(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong))
+
+  private def writePointer(v: Long, batchId: Long, nb: Int,
+      op: String): Unit = {
+    val tmp = Paths.get(path, s"_LATEST.tmp.$v")
+    Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.pointer.tmp")
+    Files.write(tmp, s"$v,$batchId,$nb".getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.pointer.move")
+    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeManifest(v: Long, m: Map[Long, String],
+      op: String): Unit = {
+    val tmp = Paths.get(path, s"manifest_v$v.tmp")
+    Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.manifest.tmp")
+    Files.write(tmp, m.toSeq.sortBy(_._1)
+      .map { case (k, rel) => s"$k,$rel" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.manifest.move")
+    Files.move(tmp, Paths.get(path, s"manifest_v$v"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** bucket → relative data dir, from manifest version `v`. */
   private def manifest(v: Long): Map[Long, String] =
@@ -190,10 +273,38 @@ final class BucketedTable(spark: SparkSession, path: String,
         line.substring(0, i).toLong -> line.substring(i + 1)
       }.toMap
 
+  /** `__bucket=<k>` partition dirs partitionBy actually wrote under
+    * version `v` — the ground truth the manifest must record (a
+    * touched bucket whose resolved contents came out empty gets no
+    * directory, and an entry pointing at a nonexistent path would
+    * brick every later read).
+    */
+  private def writtenBuckets(v: Long): Set[Long] =
+    Option(new java.io.File(s"$path/c_$v").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(_.getName.stripPrefix("__bucket=").toLong)
+      .toSet
+
   def read(): Option[DataFrame] = latest.flatMap { case (v, _) =>
     val dirs = manifest(v).values.toSeq.distinct.map(rel => s"$path/$rel")
     if (dirs.isEmpty) None // every bucket emptied by resolves
     else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Fail NAMED (instead of OOMing the driver broadcast) when a batch
+    * key set exceeds the documented bound. The probe costs one pass
+    * over at most bound+1 batch rows — ∝ batch, like the join it
+    * guards.
+    */
+  private def guardKeys(keySet: DataFrame, op: String): Unit = {
+    val n = keySet.limit((maxBroadcastKeys + 1).min(Int.MaxValue).toInt)
+      .count()
+    require(n <= maxBroadcastKeys,
+      s"BucketedTable.$op: batch key set exceeds the broadcast bound " +
+        s"($n > $maxBroadcastKeys distinct keys) — split the batch " +
+        "upstream (smaller trigger) instead of broadcasting a " +
+        "corpus-sized key set")
   }
 
   /** The stored rows whose key is in `keys` (one column, `keyCol`),
@@ -201,19 +312,21 @@ final class BucketedTable(spark: SparkSession, path: String,
     * point-lookup side of a MERGE (a lakehouse's dynamic partition
     * pruning). `keys` must be bounded (a batch's key set): it is
     * collected to prune the bucket list and broadcast for the
-    * semi-join.
+    * semi-join; [[guardKeys]] fails named past the documented bound.
     */
   def readKeys(keys: DataFrame): Option[DataFrame] = latest.flatMap {
     case (v, _) =>
+      val nb = currentBuckets
+      val keySet = keys.select(col(keyCol)).distinct()
+      guardKeys(keySet, "readKeys")
       val m = manifest(v)
-      val touched = keys.select(bucketOf(col(keyCol)).as("__bucket"))
+      val touched = keySet.select(bucketOf(col(keyCol), nb).as("__bucket"))
         .distinct().collect().map(_.getLong(0)).toSet
       val dirs = touched.toSeq.sorted.flatMap(m.get).distinct
         .map(rel => s"$path/$rel")
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs: _*)
-        .join(broadcast(keys.select(col(keyCol)).distinct()),
-          Seq(keyCol), "left_semi"))
+        .join(broadcast(keySet), Seq(keyCol), "left_semi"))
   }
 
   /** Upsert `changed` (full new contents of every changed row) as
@@ -223,10 +336,11 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def merge(changed: DataFrame, batchId: Long): Unit =
     mergeResolve(changed, batchId) { (prior, chg) =>
+      val keySet = chg.select(col(keyCol)).distinct()
+      guardKeys(keySet, "merge")
       prior match {
         case Some(p) => p
-          .join(broadcast(chg.select(col(keyCol)).distinct()),
-            Seq(keyCol), "left_anti")
+          .join(broadcast(keySet), Seq(keyCol), "left_anti")
           .unionByName(chg)
         case None => chg
       }
@@ -245,13 +359,14 @@ final class BucketedTable(spark: SparkSession, path: String,
   def mergeResolve(updates: DataFrame, batchId: Long)(
       resolve: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     if (lastBatchId >= batchId) return
-    val prior = latest
+    val prior = pointer()
+    val nb = prior.map(_._3).getOrElse(nBuckets)
     val v = prior.map(_._1 + 1).getOrElse(0L)
     val priorManifest = prior.map(p => manifest(p._1)).getOrElse(Map.empty)
 
     // touched bucket ids: bounded at nBuckets rows — a model-sized
     // driver artifact, same class as the manifest itself
-    val touched = updates.select(bucketOf(col(keyCol)).as("__bucket"))
+    val touched = updates.select(bucketOf(col(keyCol), nb).as("__bucket"))
       .distinct().collect().map(_.getLong(0)).toSet
     val priorTouchedDirs = touched.toSeq.sorted.flatMap(priorManifest.get)
       .distinct.map(rel => s"$path/$rel")
@@ -259,37 +374,71 @@ final class BucketedTable(spark: SparkSession, path: String,
       if (priorTouchedDirs.isEmpty) None
       else Some(spark.read.parquet(priorTouchedDirs: _*))
     val newData = resolve(priorRows, updates)
-      .withColumn("__bucket", bucketOf(col(keyCol)))
+      .withColumn("__bucket", bucketOf(col(keyCol), nb))
       .filter(col("__bucket").isin(touched.toSeq: _*))
-    if (touched.nonEmpty)
+    if (touched.nonEmpty) {
+      Failpoints.step("merge.data")
       newData.repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/c_$v")
+    }
 
     // the manifest records the buckets partitionBy ACTUALLY wrote: a
-    // touched bucket whose resolved contents came out empty (a
-    // filtering/compacting resolve) gets no directory, and an entry
-    // pointing at a nonexistent path would brick every later read —
-    // such a bucket is now EMPTY, so its prior entry is dropped
+    // touched-but-empty bucket's prior entry is dropped (it is now
+    // EMPTY), never pointed at a directory that does not exist
     val written: Set[Long] =
-      if (touched.isEmpty) Set.empty
-      else Option(new java.io.File(s"$path/c_$v").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-        .map(_.getName.stripPrefix("__bucket=").toLong)
-        .toSet
+      if (touched.isEmpty) Set.empty else writtenBuckets(v)
     val newManifest = (priorManifest -- (touched -- written)) ++
       written.map(k => k -> s"c_$v/__bucket=$k").toMap
-    val mTmp = Paths.get(path, s"manifest_v$v.tmp")
-    Files.createDirectories(Paths.get(path))
-    Files.write(mTmp, newManifest.toSeq.sortBy(_._1)
-      .map { case (k, rel) => s"$k,$rel" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(mTmp, Paths.get(path, s"manifest_v$v"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
-    Files.write(tmp, s"$v,$batchId".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeManifest(v, newManifest, "merge")
+    writePointer(v, batchId, nb, "merge")
+  }
+
+  /** Rewrite the WHOLE table into `newN` hash buckets — the lakehouse
+    * bucket-count growth path that keeps the per-commit MERGE term
+    * ∝ batch as the corpus grows (What's-missing #1b, round 11). One
+    * deliberate full rewrite, on a maintenance cadence the operator
+    * chooses ([[IngestStream.MaintainConfig]] wires a rows-per-bucket
+    * trigger); never on the per-batch path.
+    *
+    * Crash contract, same shape as [[AppendTable.compact]]: the
+    * re-hashed data and its manifest land as orphans under the next
+    * version; hashing, layout, and bucket count then flip together in
+    * ONE atomic pointer move (the count rides in the pointer); old
+    * version directories are deleted only afterwards, best-effort. A
+    * kill anywhere leaves `read()`/`merge` on a consistent
+    * (count, layout) pair, and re-invoking converges. Doubles as a
+    * full compaction: all live rows land in one version directory.
+    */
+  def rebucket(newN: Int): Unit = {
+    require(newN > 0, s"newN must be positive: $newN")
+    pointer().foreach { case (v, batchId, _) =>
+      val v2 = v + 1
+      read() match {
+        case Some(rows) =>
+          Failpoints.step("rebucket.data")
+          rows.withColumn("__bucket", bucketOf(col(keyCol), newN))
+            .repartition(col("__bucket"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket").parquet(s"$path/c_$v2")
+          writeManifest(v2,
+            writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap,
+            "rebucket")
+        case None =>
+          writeManifest(v2, Map.empty, "rebucket")
+      }
+      writePointer(v2, batchId, newN, "rebucket")
+      // cleanup AFTER the pointer is durable; best-effort — the new
+      // manifest references only c_<v2>, so every older version dir
+      // is invisible, and leftovers are re-collected next rebucket
+      val d = new java.io.File(path)
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (f.isDirectory && n.startsWith("c_") && n != s"c_$v2") {
+          Failpoints.step(s"rebucket.clean.$n")
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        }
+      }
+    }
   }
 }

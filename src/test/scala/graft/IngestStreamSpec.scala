@@ -271,6 +271,50 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("wired maintenance: compaction cadence bounds read fan-in, bucket growth keeps labels identical") {
+    import graft.streaming.IngestStream.MaintainConfig
+    val root = Files.createTempDirectory("ingest_maint").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val state = s"$root/state"
+    // cadence 2; rows-per-bucket target small enough that the 500-doc
+    // corpus must outgrow the 16-bucket bootstrap at least once
+    val maintain = MaintainConfig(compactEvery = 2, maxRowsPerBucket = 8L)
+    val fpsT = IngestStream.fpsTable(spark, state)
+    val labelsT = IngestStream.labelsTable(spark, state)
+
+    for (b <- 0L until 4L) {
+      IngestStream.processBatch(d.filter(col("doc_id") % 4 === b), b,
+        state, maxDist = 3, publish = None, maintain = maintain)
+      // the wired cadence bound: an append table never unions more
+      // than compactEvery + 1 directories
+      assert(fpsT.readFanIn <= maintain.compactEvery + 1,
+        s"after batch $b: fan-in ${fpsT.readFanIn}")
+    }
+    assert(fpsT.readFanIn == 1, "final cadence tick should have folded")
+    assert(IngestStream.snapTable(spark, state).readFanIn == 1)
+
+    // the store outgrew its bootstrap bucket count...
+    assert(labelsT.currentBuckets > IngestStream.LabelBuckets,
+      s"rebucket never fired: ${labelsT.currentBuckets} buckets for " +
+        s"${labelsT.read().get.count()} rows")
+    // ...and the grown store still reads as the from-scratch labeling
+    val want = labelMap(
+      Clusters.simhashClusters(d, "doc_id", "text", maxDist = 3))
+    assert(labelMap(labelsT.read().get) == want)
+
+    // a fifth batch merges correctly under the grown hashing
+    val s = spark
+    import s.implicits._
+    val extra = Seq((910001L, "a genuinely fresh maintenance doc"),
+      (910002L, "a second fresh maintenance doc")).toDF("doc_id", "text")
+    IngestStream.processBatch(extra, 4L, state, 3, None, maintain)
+    val after = labelMap(labelsT.read().get)
+    assert(after.keySet == want.keySet ++ Set(910001L, 910002L))
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("conflicting texts for one doc_id in a batch resolve deterministically (smallest digest wins)") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,78 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable.rebucket: identical rows under the new count, hashing flips atomically, merges keep working") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_rebucket").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    def upsert(batch: Long, kvs: (Long, Long)*): Unit = {
+      kvs.foreach { case (k, v) => ref(k) = v }
+      t.merge(kvs.toDF("k", "v"), batch)
+    }
+    def got() = t.read().get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    upsert(0L, (0L until 40L).map(k => k -> k * 10): _*)
+    upsert(1L, 3L -> 999L, 41L -> 410L)
+    assert(t.currentBuckets == 4)
+
+    // the growth path: double the buckets — read() is row-identical
+    t.rebucket(8)
+    assert(t.currentBuckets == 8)
+    assert(got() == ref.toMap, "rebucket changed the row set")
+    assert(t.lastBatchId == 1L, "rebucket must not move the batch gate")
+
+    // rebucket doubles as full compaction: exactly one version dir
+    val vDirs = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
+      .map(_.getName).toSeq
+    assert(vDirs.size == 1, s"old version dirs not collected: $vDirs")
+
+    // a NEW handle with the OLD constructor count reads the live
+    // count from the pointer — hashing never pairs with a stale layout
+    val t2 = new BucketedTable(spark, s"$root/t", "k", 4)
+    assert(t2.currentBuckets == 8)
+
+    // merges and point-lookups keep working under the new hashing
+    upsert(2L, 5L -> 555L, 42L -> 420L)
+    assert(got() == ref.toMap)
+    val some = Seq(3L, 5L, 42L)
+    assert(t.readKeys(some.toDF("k")).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      some.map(k => k -> ref(k)).toMap)
+
+    // and a post-rebucket merge can land in buckets ≥ the old count
+    val buckets = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(_.getName.stripPrefix("__bucket=").toLong).toSet
+    assert(buckets.exists(_ >= 4),
+      s"new hashing never used a bucket ≥ old count: $buckets")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("BucketedTable: an oversized batch key set fails NAMED instead of OOMing the broadcast") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_guard").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4,
+      maxBroadcastKeys = 5L)
+    val small = (0L until 5L).map(k => (k, k)).toDF("k", "v")
+    t.merge(small, 0L) // at the bound: fine
+    val big = (0L until 6L).map(k => (k, k)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] { t.merge(big, 1L) }
+    assert(e.getMessage.contains("broadcast bound"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      t.readKeys((0L until 6L).toDF("k"))
+    }
+    assert(e2.getMessage.contains("broadcast bound"), e2.getMessage)
+    // the failed merge committed nothing
+    assert(t.lastBatchId == 0L)
+    assert(t.read().get.count() == 5L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable: appends accumulate, replays are no-ops, orphan dirs stay invisible") {
     val s = spark
     import s.implicits._
