@@ -209,9 +209,13 @@ object Dedup {
   /** Large prime for the affine minhash family (2^31 - 1). */
   private val P: Long = 2147483647L
 
-  /** Per-shingle base hash: md5 → 60-bit int → mod P. */
-  private def baseHash(s: Column): Column =
-    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+  /** Base-hash term carved from an md5 hex digest: 15 hex chars from
+    * `from` (1-based) → 60-bit int → mod P. The two independent base
+    * values of the minhash family are `from = 1` and `from = 17` of
+    * ONE digest — the digest is paid for once per (doc, shingle).
+    */
+  private def baseHash(hexDigest: Column, from: Int): Column =
+    pmod(conv(substring(hexDigest, from, 15), 16, 10).cast("long"), lit(P))
 
   /** MinHash signatures via explode + 16 `min` aggregates.
     *
@@ -243,10 +247,8 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", md5(col("s")))
-      .withColumn("x1",
-        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(P)))
-      .withColumn("x2",
-        pmod(conv(substring(col("h"), 17, 15), 16, 10).cast("long"), lit(P)))
+      .withColumn("x1", baseHash(col("h"), 1))
+      .withColumn("x2", baseHash(col("h"), 17))
     val aggs = (0 until numHashes).map(k =>
       min((col("x1") * lit((k + 1) * 2654435761L % P) % lit(P) +
         col("x2") * lit((2 * k + 1) * 1779033703L % P) % lit(P) +

@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * Media ride as opaque `binary` columns with typed metadata structs.
   * The decode slot carries REAL pure-JVM parsers for five public
   * formats — 24-bit BMP, PCM-16 WAV, 8-bit truecolor PNG (genuine
-  * Inflater + all five scanline filters), baseline grayscale JPEG
-  * (hand-rolled canonical Huffman, dequant, zigzag, IDCT, restart
-  * markers), and YUV4MPEG2 video — each gated against an analytic
-  * oracle over genuine file bytes. Only formats needing an external
-  * codec library (color JPEG chroma paths, MP3) remain behind
-  * [[MediaCodec.decodeStub]], the explicitly-marked deterministic
-  * stand-in; a real deployment swaps that stub for a JNI/FFI codec
-  * inside the same `mapPartitions` batch loop — the plumbing does
-  * not change.
+  * Inflater + all five scanline filters), baseline JPEG in BOTH
+  * grayscale and full 4:4:4/4:2:0/4:2:2 YCbCr color (hand-rolled
+  * canonical Huffman, dequant, zigzag, IDCT, restart markers,
+  * BT.601 fixed-point conversion), and YUV4MPEG2 video — each gated
+  * against an analytic oracle over genuine file bytes. Only formats
+  * still needing an external codec library (progressive JPEG, MP3)
+  * remain behind [[MediaCodec.decodeStub]], the explicitly-marked
+  * deterministic stand-in; a real deployment swaps that stub for a
+  * JNI/FFI codec inside the same `mapPartitions` batch loop — the
+  * plumbing does not change.
   */
 object Multimodal {
 
@@ -490,7 +491,7 @@ object Multimodal {
       * leaned on java.util.zip's Inflater, JPEG's Huffman/DCT stack
       * has no JVM built-in, so every stage here is implemented from
       * the public ITU T.81 spec). The decoder is GENERAL over the
-      * baseline grayscale subset: marker walk (APPn/COM skipped by
+      * baseline subset, grayscale AND color: marker walk (APPn/COM skipped by
       * declared length), DQT (8-bit, any table id), DHT (canonical
       * Huffman built from arbitrary BITS/HUFFVAL — nothing is
       * hardwired to the fixture's tables), SOF0, DRI restart
@@ -600,7 +601,8 @@ object Multimodal {
       if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
     /** One frame component parsed from SOF0/SOS. */
-    private final class JpegComp(val h: Int, val v: Int, val tq: Int) {
+    private final class JpegComp(val id: Int, val h: Int, val v: Int,
+        val tq: Int) {
       var td = -1; var ta = -1
       var dcPred = 0
       var plane: Array[Byte] = null
@@ -694,7 +696,8 @@ object Multimodal {
             comps = Array.tabulate(nf) { i =>
               val o = body + 6 + 3 * i
               val hv = bytes(o + 1) & 0xff
-              new JpegComp(hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
+              new JpegComp(bytes(o) & 0xff, hv >> 4, hv & 0x0f,
+                bytes(o + 2) & 0xff)
             }
             comps.foreach { c =>
               require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
@@ -704,17 +707,33 @@ object Multimodal {
           case 0xc2 =>
             throw new IllegalArgumentException(
               s"progressive JPEG (SOF2) unsupported: media $mediaId")
-          case 0xdd => // DRI
+          case 0xdd => // DRI: fixed 2-byte body
+            require(len >= 4,
+              s"JPEG DRI segment truncated (len $len): media $mediaId")
             restartInterval =
               ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
           case 0xda => // SOS: one interleaved scan in frame order
             require(w > 0, s"JPEG SOS before SOF0: media $mediaId")
+            require(len >= 3,
+              s"JPEG SOS segment truncated (len $len): media $mediaId")
             val ns = bytes(body) & 0xff
             require(ns == comps.length,
               s"JPEG scan must cover all ${comps.length} frame " +
                 s"components ($ns): media $mediaId")
+            require(len >= 2 + 1 + 2 * ns + 3,
+              s"JPEG SOS segment truncated for $ns components " +
+                s"(len $len): media $mediaId")
             var i = 0
             while (i < ns) {
+              // T.81 B.2.3: scan components must appear in frame
+              // order — a swapped Cs would silently pair the wrong
+              // tables/planes, so it fails named like every other
+              // out-of-subset stream
+              val cs = bytes(body + 1 + 2 * i) & 0xff
+              require(cs == comps(i).id,
+                s"JPEG scan component $i selects id $cs, frame has " +
+                  s"${comps(i).id} (out-of-frame-order scans " +
+                  s"unsupported): media $mediaId")
               val t = bytes(body + 2 + 2 * i) & 0xff
               comps(i).td = t >> 4
               comps(i).ta = t & 0x0f
@@ -1218,8 +1237,10 @@ object Multimodal {
     /** Baseline COLOR JPEG, 4:2:0 — w = 16·(1 + id%2), h = 32, so
       * M = 2·(1 + id%2) interleaved MCUs of four Y blocks + Cb + Cr.
       * Same closed-form discipline as [[jpegBytes]]: DRI = 1
-      * byte-aligns every MCU (normal MCU = 44 bits → 6 bytes, the
-      * last = 50 bits → 7), so n_bytes = 266 + 8M exactly. Unlike the
+      * byte-aligns every MCU (normal MCU = 41 bits — 8 absolute-Y +
+      * 3×7 differential-Y + 2×6 chroma — padded to 6 bytes; the
+      * last, with its real AC coefficient, lands in 7), so
+      * n_bytes = 266 + 8M exactly. Unlike the
       * grayscale fixture (DRI=1, one block per MCU, every DC
       * absolute), the four Y blocks of one MCU share a DC predictor —
       * so this fixture genuinely exercises DIFFERENTIAL DC decode:

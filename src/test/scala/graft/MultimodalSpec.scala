@@ -572,6 +572,28 @@ class MultimodalSpec extends AnyFunSuite {
       good.take(at) ++ good.drop(at + 2 + len)
     }
     expectNamed(noDht, "undefined")
+    // DRI whose declared length can't hold its 2-byte body: must fail
+    // named BEFORE indexing past the segment
+    val shortDri = good.clone
+    val driAt = (0 until shortDri.length - 1).find(i =>
+      (shortDri(i) & 0xff) == 0xff && (shortDri(i + 1) & 0xff) == 0xdd).get
+    shortDri(driAt + 2) = 0; shortDri(driAt + 3) = 2
+    expectNamed(shortDri, "DRI segment truncated")
+    // SOS whose declared length can't hold its component entries
+    val shortSos = good.clone
+    val sosAt2 = (0 until shortSos.length - 1).find(i =>
+      (shortSos(i) & 0xff) == 0xff && (shortSos(i + 1) & 0xff) == 0xda).get
+    shortSos(sosAt2 + 2) = 0; shortSos(sosAt2 + 3) = 7 // real len is 8
+    expectNamed(shortSos, "SOS segment truncated")
+    // scan components out of frame order (T.81 B.2.3 non-conforming):
+    // swapping Cs2/Cs3 of the color fixture must fail named, not
+    // silently decode with swapped tables/planes
+    val swapped = Fixtures.jpegColorBytes(0L).clone
+    val csAt = (0 until swapped.length - 1).find(i =>
+      (swapped(i) & 0xff) == 0xff && (swapped(i + 1) & 0xff) == 0xda).get
+    val t2 = swapped(csAt + 7); swapped(csAt + 7) = swapped(csAt + 9)
+    swapped(csAt + 9) = t2
+    expectNamed(swapped, "out-of-frame-order")
   }
 
   /** The decoder's fixed-point YCbCr→RGB, recomputed independently
