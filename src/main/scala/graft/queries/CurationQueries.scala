@@ -820,6 +820,69 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Drift GATE end to end (round-11 verdict item 5 — the monitor →
+    // ACTION edge L69 was missing): the REAL ingest loop
+    // (IngestStream.processBatch with a DriftMonitor.GateConfig) runs
+    // two batches against a quality-score reference histogram — a
+    // QUIET batch (the reference's own planting rule over fresh ids)
+    // and a DRIFTED one (every doc carries the boilerplate tail) —
+    // and the output is the monitor log plus the routing read back
+    // FROM the state tables and shard files on disk: the quiet batch
+    // publishes exactly as the no-gate path would, the drifted batch
+    // lands whole in quarantine and touches nothing downstream. The
+    // oracle re-derives trained scores, bins, the psi/unseen
+    // fixed-point chains, both alarm decisions, and the routed id
+    // sums in SQL. Thresholds sit between the two batches' psi with
+    // margin (CurationSpec asserts the headroom).
+    "q_t_drift_quarantine" -> ((s, dir) => {
+      import graft.streaming.{DriftMonitor, IngestStream}
+      import graft.text.QualityClassifier.Degradation
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      val quiet = d.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+        Degradation.plant(col("doc_id"), col("text")).as("text"))
+      val drifted = d.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+        concat(col("text"), lit(Degradation.TailB)).as("text"))
+      val gate = DriftMonitor.GateConfig(
+        DriftMonitor.referenceBins(ref, "doc_id", "text", nBins = 10),
+        nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = s"${graft.Sessions.scratchRoot}/drift_gate/" +
+        src.getParentFile.getName
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+      val pub = Some(IngestStream.PublishConfig(s"$state/shards",
+        budget = 2048L))
+      IngestStream.processBatch(quiet, 0L, state, 3, pub,
+        IngestStream.MaintainConfig(), Some(gate))
+      IngestStream.processBatch(drifted, 1L, state, 3, pub,
+        IngestStream.MaintainConfig(), Some(gate))
+      val monitor = DriftMonitor.monitorTable(s, state).read().get
+      val quarantined = IngestStream.quarantineTable(s, state).read().get
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_quarantined"),
+          sum("doc_id").as("sum_quarantined_ids"))
+      val published = s.read.parquet(s"$state/shards")
+        .select(expr("pub_id div 1000000000000").minus(lit(1L))
+          .as("batch_id"),
+          (col("pub_id") % 1000000000000L).as("doc_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_published"),
+          sum("doc_id").as("sum_published_ids"))
+      monitor
+        .join(quarantined, Seq("batch_id"), "left")
+        .join(published, Seq("batch_id"), "left")
+        .select(col("batch_id"), col("n_docs"), col("n_unseen"),
+          col("psi_u"), col("unseen_u"), col("alert"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+          coalesce(col("sum_quarantined_ids"), lit(0L))
+            .as("sum_quarantined_ids"),
+          coalesce(col("n_published"), lit(0L)).as("n_published"),
+          coalesce(col("sum_published_ids"), lit(0L))
+            .as("sum_published_ids"))
+        .orderBy("batch_id")
+    }),
+
     // TF-IDF top-3 salient terms per document (smooth idf).
     "q_t_tfidf_topk" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
@@ -1873,6 +1936,102 @@ object CurationQueries {
                  CAST(psi_u AS DOUBLE) / 1000000.0 AS psi,
                  CAST(psi_total_u AS DOUBLE) / 1000000.0 AS psi_total
           FROM w2, pt ORDER BY bin"""
+    },
+
+    // The drift gate's whole lifecycle re-derived: three trained-score
+    // CTE chains (reference / quiet / drifted), per-batch full-outer
+    // bin joins against the reference histogram, the exact psi and
+    // unseen-mass fixed-point chains, the alarm rule, and the routed
+    // id sums (quarantine on alarm, publish otherwise).
+    "q_t_drift_quarantine" -> {
+      val tailB = graft.text.QualityClassifier.Degradation.TailB
+      s"""WITH qw(b, q) AS (VALUES $QualityValues),
+          ${trainedScoreCtes(
+            graft.text.QualityClassifier.Degradation.SqlPlant,
+            "doc_id % 2 = 0", "r")},
+          ${trainedScoreCtes(
+            graft.text.QualityClassifier.Degradation.SqlPlant,
+            "doc_id % 4 = 1", "q")},
+          ${trainedScoreCtes(s"text || '$tailB'", "doc_id % 4 = 3", "dr")},
+          refbins AS (
+            SELECT least(m // 100000, 9) AS bin, count(*) AS n_ref
+            FROM rsc GROUP BY 1),
+          cur AS (
+            SELECT CAST(0 AS BIGINT) AS batch_id,
+                   least(m // 100000, 9) AS bin, count(*) AS n_cur
+            FROM qsc GROUP BY 2
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), least(m // 100000, 9), count(*)
+            FROM drsc GROUP BY 2),
+          batches(batch_id) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+          allbins AS (
+            SELECT batch_id, bin FROM batches, refbins
+            UNION
+            SELECT batch_id, bin FROM cur),
+          bins AS (
+            SELECT ab.batch_id, ab.bin,
+                   CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+            FROM allbins ab
+            LEFT JOIN refbins r ON r.bin = ab.bin
+            LEFT JOIN cur c ON c.batch_id = ab.batch_id AND c.bin = ab.bin),
+          tot AS (
+            SELECT batch_id, CAST(sum(n_cur) AS BIGINT) AS nt_cur
+            FROM bins GROUP BY 1),
+          rtot AS (
+            SELECT CAST(sum(n_ref) AS BIGINT) AS nt_ref FROM refbins),
+          w AS (
+            SELECT bins.batch_id, bin, n_ref, n_cur,
+                   CAST(n_ref AS DOUBLE) / CAST(nt_ref AS DOUBLE) AS p_ref_raw,
+                   CAST(n_cur AS DOUBLE) / CAST(nt_cur AS DOUBLE) AS p_cur_raw,
+                   CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                     CAST(floor(ln(CAST(n_ref * nt_cur AS DOUBLE)
+                       / CAST(n_cur * nt_ref AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)
+                   END AS ln_u
+            FROM bins JOIN tot USING (batch_id), rtot),
+          w2 AS (
+            SELECT *,
+                   CASE WHEN ln_u IS NOT NULL THEN
+                     CAST(floor((p_ref_raw - p_cur_raw)
+                       * CAST(ln_u AS DOUBLE) + 0.5) AS BIGINT)
+                   END AS psi_u
+            FROM w),
+          psit AS (
+            SELECT batch_id,
+                   CAST(coalesce(sum(psi_u), 0) AS BIGINT) AS psi_u,
+                   CAST(sum(CASE WHEN n_ref = 0 THEN n_cur ELSE 0 END)
+                     AS BIGINT) AS n_unseen
+            FROM w2 GROUP BY 1),
+          stats AS (
+            SELECT p.batch_id, t.nt_cur AS n_docs, p.n_unseen, p.psi_u,
+                   CAST(floor(CAST(p.n_unseen AS DOUBLE)
+                     / CAST(t.nt_cur AS DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) AS unseen_u
+            FROM psit p JOIN tot t USING (batch_id)),
+          st2 AS (
+            SELECT *, (psi_u >= 200000 OR unseen_u >= 100000) AS alert
+            FROM stats),
+          ids AS (
+            SELECT CAST(0 AS BIGINT) AS batch_id, doc_id
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), doc_id
+            FROM documents WHERE doc_id % 4 = 3),
+          idagg AS (
+            SELECT batch_id, CAST(count(*) AS BIGINT) AS n_ids,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM ids GROUP BY 1)
+          SELECT s.batch_id, s.n_docs, s.n_unseen, s.psi_u, s.unseen_u,
+                 s.alert,
+                 CASE WHEN s.alert THEN i.n_ids ELSE 0 END AS n_quarantined,
+                 CASE WHEN s.alert THEN i.sum_ids ELSE 0 END
+                   AS sum_quarantined_ids,
+                 CASE WHEN s.alert THEN 0 ELSE i.n_ids END AS n_published,
+                 CASE WHEN s.alert THEN 0 ELSE i.sum_ids END
+                   AS sum_published_ids
+          FROM st2 s JOIN idagg i USING (batch_id)
+          ORDER BY s.batch_id"""
     },
 
     // Waterfilling mirrored: same 1e-6 weight quantization, integer

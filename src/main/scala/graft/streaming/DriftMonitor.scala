@@ -46,6 +46,45 @@ object DriftMonitor {
   def monitorTable(spark: SparkSession, statePath: String): AppendTable =
     new AppendTable(spark, s"$statePath/monitor")
 
+  /** Drift-GATE config for the ingest loop (round-11 verdict item 5 —
+    * the monitor→ACTION edge): [[IngestStream.processBatch]] scores
+    * every incoming batch against this reference histogram and, when
+    * either alarm line trips, routes the batch's admitted-new docs to
+    * the quarantine table INSTEAD of the label/snapshot/publish path —
+    * a drifted source contaminates nothing downstream, and after
+    * requalification the quarantined docs can replay through the loop
+    * as an ordinary batch (they never entered the snapshot, so the L49
+    * diff still sees them as new).
+    */
+  final case class GateConfig(ref: Seq[(Long, Long)], nBins: Int = 10,
+      alertAtPsiU: Long = 200000L, alertAtUnseenU: Long = 100000L)
+
+  /** One batch's drift stats vs the reference histogram:
+    * (docs scored, docs in zero-reference bins, psi in 1e-6 units,
+    * unseen mass in 1e-6 units). The per-batch work is the map-side
+    * score kernel plus ONE combining groupBy to ≤ nBins rows; the
+    * bounded collect is the Lloyd-cells convention. Deterministic, so
+    * a crash replay recomputes the identical routing decision.
+    */
+  def batchStats(batch: DataFrame, ref: Seq[(Long, Long)],
+      nBins: Int): (Long, Long, Long, Long) = {
+    val counts = QualityClassifier
+      .classifyTrained(batch.select("doc_id", "text"), "doc_id", "text")
+      .select(ClassifierEval.scoreBin(col("score"), nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val nDocs = counts.map(_._2).sum
+    val psiU = ClassifierEval.psiFixedPoint(ref, counts)
+    val refBins = ref.collect { case (b, n) if n > 0 => b }.toSet
+    val nUnseen = counts.collect {
+      case (b, n) if !refBins.contains(b) => n }.sum
+    val unseenU =
+      if (nDocs == 0) 0L
+      else math.floor(nUnseen.toDouble / nDocs.toDouble * 1000000.0 + 0.5)
+        .toLong
+    (nDocs, nUnseen, psiU, unseenU)
+  }
+
   /** Start the monitor over a streaming (doc_id, text) frame.
     *
     * Two alarm lines, because the skip-empty PSI convention has a
@@ -79,21 +118,7 @@ object DriftMonitor {
     val spark = batch.sparkSession
     val mT = monitorTable(spark, statePath)
     if (mT.lastBatchId >= batchId) return // replay → no-op
-    // map-side score + one combining groupBy to ≤ nBins rows
-    val counts = QualityClassifier
-      .classifyTrained(batch.select("doc_id", "text"), "doc_id", "text")
-      .select(ClassifierEval.scoreBin(col("score"), nBins).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
-    val nDocs = counts.map(_._2).sum
-    val psiU = ClassifierEval.psiFixedPoint(ref, counts)
-    val refBins = ref.collect { case (b, n) if n > 0 => b }.toSet
-    val nUnseen = counts.collect {
-      case (b, n) if !refBins.contains(b) => n }.sum
-    val unseenU =
-      if (nDocs == 0) 0L
-      else math.floor(nUnseen.toDouble / nDocs.toDouble * 1000000.0 + 0.5)
-        .toLong
+    val (nDocs, nUnseen, psiU, unseenU) = batchStats(batch, ref, nBins)
     import spark.implicits._
     mT.append(
       Seq((batchId, nDocs, nUnseen, psiU, unseenU,

@@ -114,19 +114,21 @@ object IngestStream {
 
   /** Start the loop over a streaming (doc_id, text) frame; state under
     * `statePath/{labels,fps,snap}` (+ `publish_manifest` when
-    * `publish` is set).
+    * `publish` is set, `monitor`/`quarantine` when `drift` is set).
     */
   def start(docs: DataFrame, statePath: String, checkpoint: String,
       maxDist: Int = 3,
       trigger: Trigger = Trigger.AvailableNow(),
       publish: Option[PublishConfig] = None,
-      maintain: MaintainConfig = MaintainConfig()): StreamingQuery =
+      maintain: MaintainConfig = MaintainConfig(),
+      drift: Option[DriftMonitor.GateConfig] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, statePath, maxDist, publish, maintain)
+        processBatch(batch, batchId, statePath, maxDist, publish,
+          maintain, drift)
       }
       .start()
 
@@ -156,6 +158,16 @@ object IngestStream {
       statePath: String): SnapshotTable =
     new SnapshotTable(spark, s"$statePath/publish_manifest")
 
+  /** Where an alarmed batch's admitted-new docs land instead of the
+    * label/snapshot/publish path: (doc_id, text, batch_id) rows in a
+    * batch-id-idempotent append table. Quarantined docs never enter
+    * the snapshot, so a post-requalification redelivery flows through
+    * the loop as ordinary new docs.
+    */
+  def quarantineTable(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): AppendTable =
+    new AppendTable(spark, s"$statePath/quarantine")
+
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int): Unit =
     processBatch(batch, batchId, statePath, maxDist, None)
@@ -167,7 +179,14 @@ object IngestStream {
 
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int, publish: Option[PublishConfig],
-      maintain: MaintainConfig): Unit = {
+      maintain: MaintainConfig): Unit =
+    processBatch(batch, batchId, statePath, maxDist, publish, maintain,
+      None)
+
+  def processBatch(batch: DataFrame, batchId: Long, statePath: String,
+      maxDist: Int, publish: Option[PublishConfig],
+      maintain: MaintainConfig,
+      drift: Option[DriftMonitor.GateConfig]): Unit = {
     val spark = batch.sparkSession
     val labelsT = labelsTable(spark, statePath)
     val fpsT = fpsTable(spark, statePath)
@@ -201,6 +220,39 @@ object IngestStream {
         .join(snap.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => distinctBatch
     }).localCheckpoint()
+
+    // drift GATE (monitor → ACTION, round-11 verdict item 5): score
+    // the batch AS DELIVERED against the reference histogram; on
+    // alarm the admitted-new docs land in quarantine and the batch
+    // touches nothing downstream — no labels, no snapshot, no shards.
+    // The decision is a deterministic function of (batch, reference),
+    // so a crash replay recomputes the identical route; both writes
+    // carry their own batch-id gate. Since quarantined ids never
+    // enter the snapshot, redelivering them after requalification
+    // flows through the loop as ordinary new docs.
+    val alarmed = drift.exists { g =>
+      val (nDocs, nUnseen, psiU, unseenU) = DriftMonitor.batchStats(
+        batch.select("doc_id", "text"), g.ref, g.nBins)
+      val alarm = psiU >= g.alertAtPsiU || unseenU >= g.alertAtUnseenU
+      val mT = DriftMonitor.monitorTable(spark, statePath)
+      if (mT.lastBatchId < batchId) {
+        import spark.implicits._
+        mT.append(Seq((batchId, nDocs, nUnseen, psiU, unseenU, alarm))
+          .toDF("batch_id", "n_docs", "n_unseen", "psi_u", "unseen_u",
+            "alert"), batchId)
+      }
+      if (alarm) {
+        val qT = quarantineTable(spark, statePath)
+        if (qT.lastBatchId < batchId)
+          qT.append(added.select(col("doc_id"), col("text"),
+            lit(batchId).as("batch_id")), batchId)
+      }
+      alarm
+    }
+    if (alarmed) {
+      if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+      return
+    }
 
     val priorLabels = labelsT.read()
     val priorFps = fpsT.read()

@@ -315,6 +315,82 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("drift gate routes an alarmed batch to quarantine; redelivery after requalification publishes") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.IngestStream.{MaintainConfig, PublishConfig}
+    import graft.text.QualityClassifier.Degradation
+    val root = Files.createTempDirectory("ingest_drift").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+      Degradation.plant(col("doc_id"), col("text")).as("text"))
+    val quiet = d.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+      Degradation.plant(col("doc_id"), col("text")).as("text"))
+      .localCheckpoint()
+    val drifted = d.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+      concat(col("text"), lit(Degradation.TailB)).as("text"))
+      .localCheckpoint()
+    val gate = DriftMonitor.GateConfig(
+      DriftMonitor.referenceBins(ref, "doc_id", "text", nBins = 10),
+      nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
+    val state = s"$root/state"
+    val dest = s"$root/shards"
+    val cfg = Some(PublishConfig(dest, budget = 2048L))
+
+    // the REAL streaming loop with the gate wired
+    val feed = s"$root/feed"
+    quiet.coalesce(1).write.parquet(s"$feed/b0.parquet")
+    drifted.coalesce(1).write.parquet(s"$feed/b1.parquet")
+    val q = IngestStream.start(spark.readStream.schema(quiet.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/*.parquet"),
+      state, s"$root/chk", maxDist = 3, publish = cfg,
+      maintain = MaintainConfig(), drift = Some(gate))
+    try q.processAllAvailable() finally q.stop()
+
+    val quietIds = quiet.select("doc_id").collect().map(_.getLong(0)).toSet
+    val driftIds = drifted.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // margin guard: the planted split must clear the threshold with
+    // ≥2x headroom on both sides, so a testdata regen that erodes it
+    // fails HERE by name, not as an opaque oracle mismatch
+    val mon = DriftMonitor.monitorTable(spark, state).read().get
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(5)))
+      .toMap
+    assert(!mon(0L)._2 && mon(0L)._1 < 100000L,
+      s"quiet batch psi_u ${mon(0L)._1} too close to the 200000 line")
+    assert(mon(1L)._2 && mon(1L)._1 > 400000L,
+      s"drifted batch psi_u ${mon(1L)._1} too close to the 200000 line")
+
+    // routing: drifted ids whole in quarantine and NOWHERE downstream;
+    // quiet ids published and absent from quarantine
+    val quarIds = IngestStream.quarantineTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quarIds == driftIds)
+    val snapIds = IngestStream.snapTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val labelIds = IngestStream.labelsTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pubIds = spark.read.parquet(dest)
+      .select((col("pub_id") % 1000000000000L).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(snapIds == quietIds && labelIds == quietIds && pubIds == quietIds)
+
+    // monitor → action → RECOVERY: redeliver the quarantined docs
+    // (post-requalification, so no gate) — they were never in the
+    // snapshot, so the loop treats them as ordinary new docs
+    IngestStream.processBatch(
+      IngestStream.quarantineTable(spark, state).read().get
+        .select("doc_id", "text"),
+      2L, state, 3, cfg, MaintainConfig(), None)
+    val pubIds2 = spark.read.parquet(dest)
+      .select((col("pub_id") % 1000000000000L).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(pubIds2 == quietIds ++ driftIds,
+      "redelivered quarantined docs did not publish")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("conflicting texts for one doc_id in a batch resolve deterministically (smallest digest wins)") {
     val s = spark
     import s.implicits._
