@@ -213,7 +213,8 @@ $fs
         s""""batch_p50_s":${grab("batch_p50_s")},""" +
         s""""batch_p95_s":${grab("batch_p95_s")},""" +
         s""""latency_p50_s":${grab("latency_p50_s")},""" +
-        s""""latency_p95_s":${grab("latency_p95_s")}}"""
+        s""""latency_p95_s":${grab("latency_p95_s")},""" +
+        s""""floor_events_per_min":${grab("floor_events_per_min")}}"""
     }.getOrElse("")
 
     def compactLine(decimals: Int): String = {

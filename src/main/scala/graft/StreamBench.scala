@@ -262,7 +262,22 @@ object StreamBench {
         100.0 * math.min(first.eventsPerMin, warm.eventsPerMin) /
           math.max(first.eventsPerMin, warm.eventsPerMin).max(1e-9)
       }
+    // STANDING isolated floor (round-11 verdict item 2): the best
+    // same-JVM sweep is the machine-state-independent capability
+    // number — the r11 sessions measured it ad hoc (293k/min) to
+    // adjudicate a 3.4x cold/warm spread; recording it per round makes
+    // that adjudication a one-field read. Keys are floor_-prefixed so
+    // the compact-line grabber can address them unambiguously.
+    val (floorStats, floorLoad) = runs.maxBy(_._1.eventsPerMin)
+    val floorJson =
+      f""""isolated_floor": {"floor_events_per_min": ${floorStats.eventsPerMin}%.0f, """ +
+        f""""floor_latency_p50_s": ${floorStats.latencyP50}%.3f, """ +
+        f""""floor_batch_p50_s": ${floorStats.batchP50}%.3f, """ +
+        f""""sweep_index": ${runs.indexWhere(_._1 eq floorStats) + 1}, """ +
+        f""""load_1m_before": $floorLoad%.2f, """ +
+        s""""rule": "best-of-${runs.size} same-JVM sweeps = the capability floor; warm-last stays the number-of-record; agreement <70pct classifies the record as machine-state-dispersed and the floor adjudicates (BENCH_VARIANCE.md)"}"""
     println(s"STREAM_BENCH_JSON ${statsJson(warm, runs.last._2).dropRight(1)}, " +
+      s"$floorJson, " +
       s""""protocol": {"sweeps_in_jvm": ${runs.size}, "reported": "last (warm)", """ +
       f""""events_per_min_agreement_pct": $agreePct%.1f, """ +
       s""""ordering": "forked first from pristine Bench parent, before any batch query", """ +
