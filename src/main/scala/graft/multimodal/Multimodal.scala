@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * Inflater + all five scanline filters), baseline JPEG in BOTH
   * grayscale and full 4:4:4/4:2:0/4:2:2 YCbCr color (hand-rolled
   * canonical Huffman, dequant, zigzag, IDCT, restart markers,
-  * BT.601 fixed-point conversion), and YUV4MPEG2 video — each gated
-  * against an analytic oracle over genuine file bytes. Only formats
-  * still needing an external codec library (progressive JPEG, MP3)
-  * remain behind [[MediaCodec.decodeStub]], the explicitly-marked
-  * deterministic stand-in; a real deployment swaps that stub for a
-  * JNI/FFI codec inside the same `mapPartitions` batch loop — the
-  * plumbing does not change.
+  * BT.601 fixed-point conversion), fixed-predictor FLAC (hand-rolled
+  * rice/rice2 residual decoding, CRC-8/CRC-16 verification — the
+  * compressed-AUDIO slot, round 12), and YUV4MPEG2 video — each
+  * gated against an analytic oracle over genuine file bytes. With
+  * FLAC landed, every modality (still image, compressed image,
+  * audio, compressed audio, video) has at least one REAL decoder;
+  * the remaining named formats (progressive JPEG, MP3, H.264) are
+  * the documented JNI/FFI boundary behind [[MediaCodec.decodeStub]],
+  * the explicitly-marked deterministic stand-in — a real deployment
+  * swaps that stub for a native codec inside the same
+  * `mapPartitions` batch loop; the plumbing does not change.
   */
 object Multimodal {
 
@@ -919,6 +923,339 @@ object Multimodal {
       (w, h, px)
     }
 
+    // ---- FLAC (round 12 — retires the MP3 audio stand-in) ----
+
+    /** MSB-first bit reader over the frame byte stream; every read
+      * bounds-checks so hostile truncation fails NAMED.
+      */
+    private final class FlacBits(bytes: Array[Byte], var pos: Int,
+        mediaId: Long) {
+      private var bitPos = 0
+      def bit(): Int = {
+        require(pos < bytes.length,
+          s"FLAC truncated at byte $pos: media $mediaId")
+        val b = (bytes(pos) >> (7 - bitPos)) & 1
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        b
+      }
+      def bits(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      def signedBits(n: Int): Long = {
+        val v = bits(n)
+        if (n > 0 && (v & (1L << (n - 1))) != 0) v - (1L << n) else v
+      }
+      def unary(): Int = {
+        var q = 0
+        while (bit() == 0) {
+          q += 1
+          require(q <= (1 << 20),
+            s"FLAC runaway unary code: media $mediaId")
+        }
+        q
+      }
+      def align(): Unit = if (bitPos != 0) { bitPos = 0; pos += 1 }
+    }
+
+    /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the FLAC frame
+      * header checksum.
+      */
+    def flacCrc8(b: Array[Byte], from: Int,
+        until: Int): Int = {
+      var crc = 0; var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff)
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — the FLAC
+      * whole-frame checksum.
+      */
+    def flacCrc16(b: Array[Byte], from: Int,
+        until: Int): Int = {
+      var crc = 0; var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** The FLAC inter-frame sample-rate code table (0 = defer to
+      * STREAMINFO; 12–14 read end-of-header bytes; 15 invalid).
+      */
+    private val FlacRates = Array(0, 88200, 176400, 192000, 8000, 16000,
+      22050, 24000, 32000, 44100, 48000, 96000)
+
+    /** REAL FLAC decode (round 12 — the audio-codec slot's MP3
+      * byte-stats stand-in is retired: this is a genuine
+      * compressed-audio decoder, implemented from the public xiph.org
+      * FLAC format spec, pure JVM). GENERAL over the subset a
+      * fixed-predictor encoder emits — 16-bit mono, fixed blocking,
+      * CONSTANT / VERBATIM / FIXED(0–4) subframes, rice/rice2
+      * residuals at ANY partition order including the escaped
+      * raw-bits partitions — and fails NAMED outside it (LPC
+      * subframes, wasted bits, stereo/decorrelated channels, variable
+      * blocking, reserved codes), the documented subset contract
+      * every decoder in this slot carries. Integrity is VERIFIED,
+      * not skipped: CRC-8 over every frame header, CRC-16 over every
+      * whole frame, frame numbers must run 0,1,2,…, the frame's
+      * sample-rate code must agree with STREAMINFO, and the decoded
+      * sample count must equal STREAMINFO's declared total.
+      */
+    def decodeFlac(mediaId: Long, bytes: Array[Byte]): DecodedMedia = {
+      require(bytes.length >= 42 &&
+        new String(bytes, 0, 4, "US-ASCII") == "fLaC",
+        s"not a FLAC stream: media $mediaId")
+      var off = 4
+      var rate = 0; var channels = 0; var bps = 0; var total = 0L
+      var sawInfo = false
+      var last = false
+      while (!last) {
+        require(off + 4 <= bytes.length,
+          s"FLAC metadata truncated: media $mediaId")
+        val h = bytes(off) & 0xff
+        last = (h & 0x80) != 0
+        val btype = h & 0x7f
+        val len = ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        require(off + 4 + len <= bytes.length,
+          s"FLAC metadata block overruns the stream: media $mediaId")
+        if (btype == 0) {
+          require(len == 34,
+            s"FLAC STREAMINFO length $len != 34: media $mediaId")
+          val o = off + 4
+          rate = ((bytes(o + 10) & 0xff) << 12) |
+            ((bytes(o + 11) & 0xff) << 4) | ((bytes(o + 12) & 0xff) >> 4)
+          channels = ((bytes(o + 12) >> 1) & 0x07) + 1
+          bps = (((bytes(o + 12) & 0x01) << 4) |
+            ((bytes(o + 13) & 0xff) >> 4)) + 1
+          total = ((bytes(o + 13) & 0x0fL) << 32) |
+            ((bytes(o + 14) & 0xffL) << 24) |
+            ((bytes(o + 15) & 0xffL) << 16) |
+            ((bytes(o + 16) & 0xffL) << 8) | (bytes(o + 17) & 0xffL)
+          sawInfo = true
+        }
+        off += 4 + len
+      }
+      require(sawInfo && rate > 0,
+        s"FLAC missing STREAMINFO: media $mediaId")
+      require(channels == 1,
+        s"only mono FLAC supported ($channels channels): media $mediaId")
+      require(bps == 16, s"only 16-bit FLAC supported ($bps): media $mediaId")
+
+      var nSamples = 0L
+      var absSum = 0L
+      var frameIdx = 0L
+      while (off < bytes.length) {
+        val frameStart = off
+        require(off + 6 <= bytes.length,
+          s"FLAC frame header truncated at $off: media $mediaId")
+        require((bytes(off) & 0xff) == 0xff &&
+          (bytes(off + 1) & 0xfc) == 0xf8,
+          s"bad FLAC frame sync at offset $off: media $mediaId")
+        require((bytes(off + 1) & 0x02) == 0,
+          s"FLAC reserved header bit set: media $mediaId")
+        require((bytes(off + 1) & 0x01) == 0,
+          s"variable-blocksize FLAC streams unsupported: media $mediaId")
+        val bsCode = (bytes(off + 2) >> 4) & 0x0f
+        val srCode = bytes(off + 2) & 0x0f
+        val chCode = (bytes(off + 3) >> 4) & 0x0f
+        val ssCode = (bytes(off + 3) >> 1) & 0x07
+        require((bytes(off + 3) & 1) == 0,
+          s"FLAC reserved header bit set: media $mediaId")
+        require(chCode == 0,
+          s"only mono FLAC frames supported (channel code $chCode): " +
+            s"media $mediaId")
+        require(ssCode == 4,
+          s"only 16-bit FLAC frames supported (size code $ssCode): " +
+            s"media $mediaId")
+        // UTF-8-coded frame number (fixed blocking → frame index)
+        var p = off + 4
+        val first = bytes(p) & 0xff
+        var fnum = 0L
+        if ((first & 0x80) == 0) { fnum = first; p += 1 }
+        else {
+          var nCont = 0; var mask = 0x40
+          while (nCont <= 6 && (first & mask) != 0) { nCont += 1; mask >>= 1 }
+          require(nCont >= 1 && nCont <= 6,
+            s"bad FLAC frame-number coding: media $mediaId")
+          fnum = first & (mask - 1)
+          var k = 0
+          while (k < nCont) {
+            p += 1
+            require(p < bytes.length && (bytes(p) & 0xc0) == 0x80,
+              s"bad FLAC frame-number continuation: media $mediaId")
+            fnum = (fnum << 6) | (bytes(p) & 0x3f)
+            k += 1
+          }
+          p += 1
+        }
+        require(fnum == frameIdx,
+          s"FLAC frame number $fnum, expected $frameIdx: media $mediaId")
+        val blockSize = bsCode match {
+          case 0 => throw new IllegalArgumentException(
+            s"reserved FLAC blocksize code: media $mediaId")
+          case 1 => 192
+          case c if c <= 5 => 576 << (c - 2)
+          case 6 =>
+            require(p < bytes.length,
+              s"FLAC blocksize byte truncated: media $mediaId")
+            val v = (bytes(p) & 0xff) + 1; p += 1; v
+          case 7 =>
+            require(p + 1 < bytes.length,
+              s"FLAC blocksize bytes truncated: media $mediaId")
+            val v = (((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)) + 1
+            p += 2; v
+          case c => 256 << (c - 8)
+        }
+        val frameRate = srCode match {
+          case 0 => rate
+          case c if c <= 11 => FlacRates(c)
+          case 12 =>
+            require(p < bytes.length,
+              s"FLAC sample-rate byte truncated: media $mediaId")
+            val v = (bytes(p) & 0xff) * 1000; p += 1; v
+          case c if c <= 14 =>
+            require(p + 1 < bytes.length,
+              s"FLAC sample-rate bytes truncated: media $mediaId")
+            val raw = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+            p += 2
+            if (c == 13) raw else raw * 10
+          case _ => throw new IllegalArgumentException(
+            s"invalid FLAC sample-rate code: media $mediaId")
+        }
+        require(frameRate == rate,
+          s"FLAC frame rate $frameRate != STREAMINFO $rate: media $mediaId")
+        require(p < bytes.length,
+          s"FLAC frame header CRC truncated: media $mediaId")
+        require(flacCrc8(bytes, frameStart, p) == (bytes(p) & 0xff),
+          s"FLAC frame header CRC-8 mismatch: media $mediaId")
+        p += 1
+
+        // exactly one subframe (mono)
+        val br = new FlacBits(bytes, p, mediaId)
+        require(br.bit() == 0,
+          s"FLAC subframe padding bit set: media $mediaId")
+        val sfType = br.bits(6).toInt
+        require(br.bit() == 0,
+          s"FLAC wasted-bits subframes unsupported: media $mediaId")
+        val samples = new Array[Long](blockSize)
+        sfType match {
+          case 0 =>
+            val v = br.signedBits(16)
+            java.util.Arrays.fill(samples, v)
+          case 1 =>
+            var i = 0
+            while (i < blockSize) { samples(i) = br.signedBits(16); i += 1 }
+          case t if t >= 8 && t <= 12 =>
+            val order = t - 8
+            require(order <= blockSize,
+              s"FLAC predictor order $order > blocksize $blockSize: " +
+                s"media $mediaId")
+            var i = 0
+            while (i < order) { samples(i) = br.signedBits(16); i += 1 }
+            readFlacResidual(br, blockSize, order, samples, mediaId)
+            i = order
+            while (i < blockSize) {
+              val e = samples(i)
+              samples(i) = order match {
+                case 0 => e
+                case 1 => e + samples(i - 1)
+                case 2 => e + 2 * samples(i - 1) - samples(i - 2)
+                case 3 => e + 3 * samples(i - 1) - 3 * samples(i - 2) +
+                  samples(i - 3)
+                case _ => e + 4 * samples(i - 1) - 6 * samples(i - 2) +
+                  4 * samples(i - 3) - samples(i - 4)
+              }
+              i += 1
+            }
+          case t if t >= 32 => throw new IllegalArgumentException(
+            s"FLAC LPC subframes unsupported (type $t): media $mediaId")
+          case t => throw new IllegalArgumentException(
+            s"reserved FLAC subframe type $t: media $mediaId")
+        }
+        br.align()
+        require(br.pos + 2 <= bytes.length,
+          s"FLAC frame CRC truncated: media $mediaId")
+        val fcrc = ((bytes(br.pos) & 0xff) << 8) | (bytes(br.pos + 1) & 0xff)
+        require(flacCrc16(bytes, frameStart, br.pos) == fcrc,
+          s"FLAC frame CRC-16 mismatch: media $mediaId")
+        off = br.pos + 2
+        var i = 0
+        while (i < blockSize) { absSum += math.abs(samples(i)); i += 1 }
+        nSamples += blockSize
+        frameIdx += 1
+      }
+      require(nSamples > 0, s"FLAC stream has no frames: media $mediaId")
+      require(total == 0L || nSamples == total,
+        s"FLAC decoded $nSamples samples, STREAMINFO declares $total: " +
+          s"media $mediaId")
+      DecodedMedia(mediaId, "flac", bytes.length.toLong, None, None, None,
+        Some(nSamples), Some(nSamples * 1000L / rate),
+        Some(graft.functions.Parity.roundHalfUpScalar(
+          absSum.toDouble / nSamples, 6)))
+    }
+
+    /** Rice/rice2 residual section: 2-bit method, 4-bit partition
+      * order, per-partition parameter with the all-ones escape to
+      * raw `n`-bit verbatim residuals. Residuals land in
+      * `samples(order until blockSize)` pre-reconstruction.
+      */
+    private def readFlacResidual(br: FlacBits, blockSize: Int, order: Int,
+        samples: Array[Long], mediaId: Long): Unit = {
+      val method = br.bits(2).toInt
+      require(method <= 1,
+        s"reserved FLAC residual method $method: media $mediaId")
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val partOrder = br.bits(4).toInt
+      val nParts = 1 << partOrder
+      require(blockSize % nParts == 0,
+        s"FLAC partition order $partOrder does not divide blocksize " +
+          s"$blockSize: media $mediaId")
+      var idx = order
+      var part = 0
+      while (part < nParts) {
+        val n = (blockSize >> partOrder) - (if (part == 0) order else 0)
+        require(n >= 0,
+          s"FLAC first partition shorter than predictor order: " +
+            s"media $mediaId")
+        val param = br.bits(pBits).toInt
+        if (param == escape) {
+          val raw = br.bits(5).toInt
+          var k = 0
+          while (k < n) { samples(idx) = br.signedBits(raw); idx += 1; k += 1 }
+        } else {
+          var k = 0
+          while (k < n) {
+            val q = br.unary().toLong
+            val u = (q << param) | br.bits(param)
+            samples(idx) = (u >> 1) ^ -(u & 1L) // un-zigzag
+            idx += 1; k += 1
+          }
+        }
+        part += 1
+      }
+    }
+
     /** STUB — deterministic fake decode. Real implementation would
       * decode `bytes` with an image/audio codec; the container has
       * none, so features derive from the bytes deterministically
@@ -964,6 +1301,7 @@ object Multimodal {
         case (id, "wav", bytes) => MediaCodec.decodeWav(id, bytes)
         case (id, "png", bytes) => MediaCodec.decodePng(id, bytes)
         case (id, "jpg", bytes) => MediaCodec.decodeJpeg(id, bytes)
+        case (id, "flac", bytes) => MediaCodec.decodeFlac(id, bytes)
         case (id, f, _) =>
           throw new IllegalArgumentException(s"unknown format $f: media $id")
       })
@@ -1028,6 +1366,124 @@ object Multimodal {
       out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
       out(o + 2) = ((v >> 16) & 0xff).toByte
       out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+
+    /** MSB-first bit writer for the FLAC fixture encoder. */
+    private final class FlacWriter {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var nb = 0
+      def bit(b: Int): Unit = {
+        cur = (cur << 1) | (b & 1); nb += 1
+        if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+      }
+      def bitsOf(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+      }
+      def byte(v: Int): Unit = bitsOf(v & 0xffL, 8)
+      def align(): Unit = while (nb != 0) bit(0)
+      def size: Int = buf.size
+      def bytes: Array[Byte] = {
+        require(nb == 0, "unaligned FLAC writer read")
+        buf.toByteArray
+      }
+    }
+
+    /** FLAC fixture — a REAL fixed-predictor FLAC stream built
+      * bit-for-bit from the public spec, same closed-form discipline
+      * as [[jpegBytes]]: 8 kHz 16-bit mono, four fixed-blocking
+      * frames exercising every supported subframe family —
+      *
+      *   - frame 0 (bs 64): CONSTANT c = id%256 − 128
+      *   - frame 1 (bs 64): FIXED(1) ramp x(i) = base + step·i,
+      *     base = 3id%200, step = 1 + id%5 — every rice residual is
+      *     `step` at parameter 2, so the quotient (and the file size)
+      *     is a closed form of id
+      *   - frame 2 (bs 64): VERBATIM x(i) = (id + 17i)%512 − 256
+      *     (signed samples — exercises the two's-complement path)
+      *   - frame 3 (bs 32): FIXED(2) x(i) = x0 + v·i + i(i−1)/2,
+      *     x0 = id%50, v = 1 + id%3 — constant second difference 1,
+      *     so differential order-2 reconstruction is genuinely
+      *     exercised
+      *
+      * with real CRC-8 header and CRC-16 frame checksums and a
+      * STREAMINFO declaring all 224 samples (the decoder
+      * cross-checks). Byte size closed form: 256 + 8·⌊(1+id%5)/2⌋
+      * (only frame 1's rice quotient depends on id), pinned by a
+      * require so fixture/framing drift fails HERE, not as an opaque
+      * hash mismatch.
+      */
+    def flacBytes(id: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      val si = new Array[Byte](38)
+      si(0) = 0x80.toByte; si(3) = 34 // last block, STREAMINFO, len 34
+      si(5) = 32 // min blocksize
+      si(7) = 64 // max blocksize
+      // min/max frame size 0 = unknown (bytes 8..13)
+      val rate = 8000
+      si(14) = (rate >> 12).toByte
+      si(15) = ((rate >> 4) & 0xff).toByte
+      si(16) = ((rate & 0xf) << 4).toByte // + ch-1 (0) + bps-1 top bit (0)
+      si(17) = 0xf0.toByte // bps-1 = 15 low nibble; total>>32 = 0
+      si(21) = 224.toByte // total samples
+      // MD5 of unencoded audio: 16 zero bytes = unknown (allowed)
+      out.write(si)
+
+      val step = (1 + id % 5).toInt
+      def frame(fnum: Int, bs: Int)(body: FlacWriter => Unit): Unit = {
+        val w = new FlacWriter
+        w.byte(0xff); w.byte(0xf8) // sync, fixed blocking
+        w.byte(0x64) // blocksize code 0110 (8-bit at end), rate 0100 (8 kHz)
+        w.byte(0x08) // mono, 16-bit, reserved 0
+        w.byte(fnum) // UTF-8 frame number (< 128)
+        w.byte(bs - 1)
+        w.byte(MediaCodec.flacCrc8(w.bytes, 0, 6))
+        body(w)
+        w.align()
+        val crc = MediaCodec.flacCrc16(w.bytes, 0, w.size)
+        w.byte(crc >> 8); w.byte(crc & 0xff)
+        out.write(w.bytes)
+      }
+      def rice(w: FlacWriter, e: Long, p: Int): Unit = {
+        val u = (e << 1) ^ (e >> 63) // zigzag
+        var q = (u >>> p).toInt
+        while (q > 0) { w.bit(0); q -= 1 }
+        w.bit(1)
+        w.bitsOf(u & ((1L << p) - 1), p)
+      }
+      frame(0, 64) { w =>
+        w.byte(0x00) // CONSTANT
+        w.bitsOf((id % 256 - 128) & 0xffff, 16)
+      }
+      frame(1, 64) { w =>
+        w.byte((8 + 1) << 1) // FIXED order 1
+        w.bitsOf((3 * id % 200) & 0xffff, 16) // warm-up x0 = base
+        w.bitsOf(0, 2); w.bitsOf(0, 4); w.bitsOf(2, 4) // rice, po 0, p 2
+        var i = 1
+        while (i < 64) { rice(w, step, 2); i += 1 }
+      }
+      frame(2, 64) { w =>
+        w.byte(0x02) // VERBATIM
+        var i = 0
+        while (i < 64) {
+          w.bitsOf(((id + 17 * i) % 512 - 256) & 0xffff, 16); i += 1
+        }
+      }
+      frame(3, 32) { w =>
+        w.byte((8 + 2) << 1) // FIXED order 2
+        val x0 = id % 50; val v = 1 + id % 3
+        w.bitsOf(x0 & 0xffff, 16)
+        w.bitsOf((x0 + v) & 0xffff, 16)
+        w.bitsOf(0, 2); w.bitsOf(0, 4); w.bitsOf(2, 4)
+        var i = 2
+        while (i < 32) { rice(w, 1, 2); i += 1 }
+      }
+      val bytes = out.toByteArray
+      val want = 256 + 8 * ((1 + id % 5) / 2).toInt
+      require(bytes.length == want,
+        s"FLAC fixture size ${bytes.length} != $want: id $id")
+      bytes
     }
 
     /** 24-bit bottom-up BMP, w = 4 + id%5, h = 3 + id%4; pixel (x, y)

@@ -243,6 +243,28 @@ object CoverageQueries {
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")
     }),
 
+    // Multimodal, REAL FLAC decode (round 12 — retires the MP3 audio
+    // stand-in; the audio-codec slot now holds a genuine
+    // compressed-audio decoder, hand-rolled from the public xiph.org
+    // spec). Genuine fixed-predictor FLAC streams are synthesized per
+    // doc — rice-coded residuals, CRC-8 frame-header and CRC-16
+    // whole-frame checksums, UTF-8 frame numbers, four frames
+    // covering CONSTANT / FIXED(1) / VERBATIM / FIXED(2) subframes —
+    // then decoded by the pure-JVM decoder in the same mapPartitions
+    // slot as every other format. The oracle predicts file size
+    // (closed form: only frame 1's rice quotient varies), sample
+    // count, duration, and mean |amplitude| analytically from the
+    // id: a wrong rice parameter walk, zigzag fold, predictor
+    // reconstruction, or two's-complement read hash-fails.
+    "q_m_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, "flac", Multimodal.Fixtures.flacBytes(id))))
+        .toDF("media_id", "format", "bytes")
+      Multimodal.decodeMedia(media).toDF().orderBy("media_id")
+    }),
+
     // Multimodal: frame-sampling plumbing (video rows, 5s cadence).
     "q_m_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -935,6 +957,32 @@ object CoverageQueries {
                 CAST(NULL AS BIGINT) AS duration_ms,
                 CAST(NULL AS DOUBLE) AS mean_abs
          FROM tot ORDER BY media_id""",
+
+    // analytic mirror of the FLAC fixture: the four frames' |sample|
+    // sums in closed form — 64·|c| (CONSTANT), the ramp's
+    // 64·base + 2016·step (all values positive by construction), the
+    // verbatim frame unrolled over range(64) (signed), and the
+    // quadratic 32·x0 + 496·v + 4960 — plus the closed-form byte
+    // size: only frame 1's rice quotient ⌊(1+id%5)/2⌋ varies
+    "q_m_flac_decode" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  64 * abs(doc_id % 256 - 128) AS s0,
+                  64 * (3 * doc_id % 200) + 2016 * (1 + doc_id % 5) AS s1,
+                  list_sum(list_transform(range(64), i ->
+                    abs((doc_id + 17 * i) % 512 - 256))) AS s2,
+                  32 * (doc_id % 50) + 496 * (1 + doc_id % 3) + 4960 AS s3
+           FROM documents)
+         SELECT media_id, 'flac' AS format,
+                CAST(256 + 8 * ((1 + media_id % 5) // 2) AS BIGINT) AS n_bytes,
+                CAST(NULL AS BIGINT) AS width,
+                CAST(NULL AS BIGINT) AS height,
+                CAST(NULL AS DOUBLE) AS mean_luma,
+                CAST(224 AS BIGINT) AS n_samples,
+                CAST(28 AS BIGINT) AS duration_ms,
+                floor(CAST(s0 + s1 + s2 + s3 AS DOUBLE) / 224
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_abs
+         FROM f ORDER BY media_id""",
 
     "q_m_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars * 10, 5000)) AS frame_ms,

@@ -379,6 +379,147 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // FLAC: the hand-rolled fixed-predictor audio stack (rice residuals,
+  // CRC-8/CRC-16, UTF-8 frame numbers)
+  // ------------------------------------------------------------------
+
+  /** All 224 fixture samples, recomputed independently (plain
+    * arithmetic, no shared code with encoder or decoder).
+    */
+  private def flacSamples(id: Long): Seq[Long] = {
+    val c = id % 256 - 128
+    val base = 3 * id % 200
+    val step = 1 + id % 5
+    val x0 = id % 50
+    val v = 1 + id % 3
+    Seq.fill(64)(c) ++
+      (0 until 64).map(i => base + step * i) ++
+      (0 until 64).map(i => (id + 17 * i) % 512 - 256) ++
+      (0 until 32).map(i => x0 + v * i + i.toLong * (i - 1) / 2)
+  }
+
+  test("FLAC fixture round-trip matches the closed-form sample features") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 17L, 100L, 255L, 12345L)) {
+      val bytes = Fixtures.flacBytes(id)
+      assert(bytes.length == 256 + 8 * ((1 + id % 5) / 2).toInt)
+      val d = MediaCodec.decodeFlac(id, bytes)
+      val want = flacSamples(id)
+      assert(d.n_samples.contains(224L))
+      assert(d.duration_ms.contains(28L)) // 224 / 8 kHz
+      val absSum = want.map(math.abs).sum
+      assert(d.mean_abs.contains(
+        graft.functions.Parity.roundHalfUpScalar(absSum.toDouble / 224, 6)),
+        s"id $id: mean_abs ${d.mean_abs} vs $absSum/224")
+      assert(d.n_bytes == bytes.length && d.format == "flac")
+    }
+  }
+
+  test("FLAC decodes a rice escape partition and partition order > 0") {
+    // hand-assembled single-frame stream beyond what the fixture
+    // emits: blocksize 32, FIXED(1), partition order 1 (two
+    // partitions of 16), first partition rice p=1, second partition
+    // ESCAPED to raw 6-bit residuals — exercises the general
+    // residual walker
+    val w = new java.io.ByteArrayOutputStream()
+    w.write("fLaC".getBytes("US-ASCII"))
+    val si = new Array[Byte](38)
+    si(0) = 0x80.toByte; si(3) = 34
+    si(5) = 32; si(7) = 32
+    si(14) = (8000 >> 12).toByte; si(15) = ((8000 >> 4) & 0xff).toByte
+    si(16) = ((8000 & 0xf) << 4).toByte; si(17) = 0xf0.toByte
+    si(21) = 32
+    w.write(si)
+    // samples: x(i) = 100 + 2i → order-1 residuals all 2
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def putBits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1L).toInt)
+    val head = Array(0xff, 0xf8, 0x64, 0x08, 0x00, 31)
+    head.foreach(b => putBits(b, 8))
+    putBits(MediaCodec.flacCrc8(head.map(_.toByte), 0, 6), 8)
+    putBits(0, 1); putBits(9, 6); putBits(0, 1) // FIXED(1)
+    putBits(100, 16)                            // warm-up
+    putBits(0, 2); putBits(1, 4)                // rice, partition order 1
+    putBits(1, 4)                               // p=1 for partition 0
+    (0 until 15).foreach { _ => // zigzag(2)=4, q=2, r=0: 001 then 1 bit
+      putBits(0, 2); putBits(1, 1); putBits(0, 1)
+    }
+    putBits(15, 4)                              // escape in partition 1
+    putBits(6, 5)                               // raw 6-bit residuals
+    (0 until 16).foreach(_ => putBits(2 & 0x3f, 6)) // two's-complement 2
+    while (bits.size % 8 != 0) bits += 0
+    val frame = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    val crc = MediaCodec.flacCrc16(frame, 0, frame.length)
+    w.write(frame); w.write(crc >> 8); w.write(crc & 0xff)
+    val d = MediaCodec.decodeFlac(7L, w.toByteArray)
+    // mean |x| over 100, 102, …, 162 = 131
+    assert(d.n_samples.contains(32L) && d.mean_abs.contains(131.0), d)
+  }
+
+  test("hostile FLACs fail named: magic, LPC, wasted bits, stereo, CRCs, truncation, sample-count") {
+    val good = Fixtures.flacBytes(9L)
+    def expectNamed(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        MediaCodec.decodeFlac(99L, bytes)
+      }
+      assert(e.getMessage.contains(frag) && e.getMessage.contains("99"),
+        s"got: ${e.getMessage}")
+    }
+    expectNamed("OggS but long enough to pass the length gate".getBytes,
+      "not a FLAC stream")
+    // first frame's subframe header → LPC type 32 (byte value 0x40)
+    val lpc = good.clone
+    lpc(42 + 7) = 0x40.toByte
+    expectNamed(lpc, "LPC subframes unsupported")
+    // wasted-bits flag on the first subframe
+    val wb = good.clone
+    wb(42 + 7) = 0x01.toByte
+    expectNamed(wb, "wasted-bits")
+    // channel code → left/side stereo (0b1000)
+    val st = good.clone
+    st(42 + 3) = 0x88.toByte
+    expectNamed(st, "only mono FLAC frames")
+    // corrupt a header byte AFTER parsing-relevant fields: frame
+    // number of frame 0 → 5 breaks the expected sequence... instead
+    // corrupt the stored CRC-8 itself
+    val h8 = good.clone
+    h8(42 + 6) = (h8(42 + 6) ^ 0x5a).toByte
+    expectNamed(h8, "CRC-8 mismatch")
+    // flip a bit inside frame 0's subframe payload → CRC-16 trips
+    val c16 = good.clone
+    c16(42 + 9) = (c16(42 + 9) ^ 0x01).toByte
+    expectNamed(c16, "CRC-16 mismatch")
+    // truncation mid-frame
+    expectNamed(good.take(good.length - 5), "truncated")
+    // drop the last frame entirely → STREAMINFO total mismatch.
+    // frame 3 is 27 bytes
+    expectNamed(good.take(good.length - 27), "STREAMINFO declares")
+    // variable-blocksize bit
+    val vb = good.clone
+    vb(42 + 1) = 0xf9.toByte
+    expectNamed(vb, "variable-blocksize")
+  }
+
+  test("FLAC decodes through the shared decodeMedia dispatch on the documents corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "flac", Fixtures.flacBytes(id))))
+      .toDF("media_id", "format", "bytes")
+    val out = graft.multimodal.Multimodal.decodeMedia(media).collect()
+    assert(out.length == 500)
+    assert(out.forall(d => d.n_samples.contains(224L) &&
+      d.duration_ms.contains(28L)))
+    val one = out.find(_.media_id == out.head.media_id).get
+    val wantAbs = flacSamples(one.media_id).map(math.abs).sum
+    assert(one.mean_abs.contains(
+      graft.functions.Parity.roundHalfUpScalar(wantAbs.toDouble / 224, 6)))
+  }
+
+  // ------------------------------------------------------------------
   // JPEG: the hand-rolled baseline stack (Huffman + dequant + zigzag +
   // IDCT + restart markers)
   // ------------------------------------------------------------------
