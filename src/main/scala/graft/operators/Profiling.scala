@@ -51,9 +51,17 @@ object Profiling {
         at(least(col("n"), r + slack)).as(s"p${p}_hi"))
     }
     val marks = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // the BAND BOUNDS travel in the output alongside the booleans:
+    // lo/hi are exact rank-arithmetic values the DuckDB oracle
+    // re-derives and hash-checks, so the only engine-asserted atom
+    // left is the sketch-value comparison itself (the sketch value
+    // can never hash-match a foreign engine) — the r11 KMV-overlap
+    // convention applied to the GK gates (round-11 verdict item 4)
     sk.join(marks, Seq(groupCol))
       .select(col(groupCol) +: col("n") +:
         (percents.map(p => col(s"p$p")) ++
+          percents.flatMap(p =>
+            Seq(col(s"p${p}_lo"), col(s"p${p}_hi"))) ++
           percents.zipWithIndex.map { case (p, i) =>
             (col("approx")(i) >= col(s"p${p}_lo") &&
               col("approx")(i) <= col(s"p${p}_hi")).as(s"sk${p}_ok")

@@ -77,7 +77,13 @@ object CoreQueries {
         exact = false, rsd = 0.05)
         .select(col("grp"), col("uniq").as("__approx"))
       exact.join(approx, Seq("grp"))
+        // the band itself travels as a VALUE column the oracle
+        // re-derives and hash-checks (round-11 verdict item 4); only
+        // |approx − exact| ≤ band stays engine-asserted
         .select(col("grp"), col("tx_count"), col("uniq_orders"),
+          Parity.roundHalfUp(
+            greatest(lit(4 * 0.05) * col("uniq_orders").cast("double"),
+              lit(8.0)), 6).as("band"),
           (abs(col("__approx") - col("uniq_orders")).cast("double") <=
             greatest(lit(4 * 0.05) * col("uniq_orders").cast("double"),
               lit(8.0))).as("within_rsd"))
@@ -315,12 +321,15 @@ object CoreQueries {
            AND l_shipdate <  TIMESTAMP '1996-01-01'
          GROUP BY l_partkey ORDER BY l_partkey""",
 
-    // the oracle checks the exact values and asserts the sketch's
-    // tolerance boolean — see the query comment for the band
+    // the oracle checks the exact values AND re-derives the tolerance
+    // band itself (hash-checked); only the sketch-value comparison
+    // stays an engine-asserted boolean — see the query comment
     "q_a6_active_window_approx" ->
       """SELECT l_partkey % 16 AS grp,
                 count(*) AS tx_count,
                 count(DISTINCT l_orderkey) AS uniq_orders,
+                floor(greatest(0.2 * CAST(count(DISTINCT l_orderkey) AS DOUBLE),
+                  8.0) * 1000000.0 + 0.5) / 1000000.0 AS band,
                 TRUE AS within_rsd
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1994-01-01'

@@ -655,9 +655,11 @@ object CurationQueries {
     // hence its VALUE lies between the exact quantiles at p ± 0.05
     // (δ = 0.05 ≫ ε leaves slack for interpolation: quantile_cont
     // interpolates, the sketch returns a dataset element). The query
-    // emits `pXX_in_band` booleans the oracle asserts TRUE, plus exact
-    // n_docs/mean_chars it checks by value — a broken sketch (wrong
-    // accuracy, bad merge) flips a boolean and fails the gate.
+    // emits the exact BAND BOUNDS as value columns (round 12 — the
+    // oracle re-derives them via quantile_cont/max and hash-checks)
+    // plus `pXX_in_band` booleans the oracle asserts TRUE and exact
+    // n_docs/mean_chars — a broken sketch flips a boolean, a broken
+    // band computation hash-fails on the bounds themselves.
     "q_c_corpus_profile_approx" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -675,7 +677,17 @@ object CurationQueries {
           Parity.roundHalfUp(
             sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"),
             6).as("mean_chars"))
+        // band bounds travel as VALUE columns the oracle re-derives
+        // (quantile_cont / max) and hash-checks — only the
+        // sketch-value comparison itself stays engine-asserted
+        // (round-11 verdict item 4, the KMV-overlap convention)
         .select(col("lang"), col("n_docs"), col("mean_chars"),
+          Parity.roundHalfUp(col("__lo50"), 6).as("band_lo50"),
+          Parity.roundHalfUp(col("__hi50"), 6).as("band_hi50"),
+          Parity.roundHalfUp(col("__lo90"), 6).as("band_lo90"),
+          Parity.roundHalfUp(col("__hi90"), 6).as("band_hi90"),
+          Parity.roundHalfUp(col("__lo99"), 6).as("band_lo99"),
+          Parity.roundHalfUp(col("__hi99"), 6).as("band_hi99"),
           (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
             .as("p50_in_band"),
           (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
@@ -1365,9 +1377,11 @@ object CurationQueries {
           ORDER BY b.doc_id""",
 
     // exact discrete quantiles at rank ceil(n*p/100), pure integer
-    // rank arithmetic; the sketch-in-band booleans follow the
-    // q_a6_approx tolerance-row convention (TRUE literals here, the
-    // engine computes the real band check)
+    // rank arithmetic — INCLUDING the GK rank-error band bounds
+    // (rank ± ((n+99)//100 + 1), the engine's slack formula at
+    // accuracy 100), so the band itself is hash-checked and only the
+    // sketch-value comparison stays an engine-asserted boolean
+    // (round-11 verdict item 4)
     "q_c_quantile_profile" ->
       """WITH tk AS (
            SELECT lang,
@@ -1380,10 +1394,23 @@ object CurationQueries {
                FROM tk),
          m AS (SELECT r.lang,
                       max(CASE WHEN rn = (n*50 + 99) // 100 THEN v END) AS p50,
+                      max(CASE WHEN rn = greatest(1, (n*50 + 99) // 100
+                        - ((n + 99) // 100 + 1)) THEN v END) AS p50_lo,
+                      max(CASE WHEN rn = least(n, (n*50 + 99) // 100
+                        + ((n + 99) // 100 + 1)) THEN v END) AS p50_hi,
                       max(CASE WHEN rn = (n*90 + 99) // 100 THEN v END) AS p90,
-                      max(CASE WHEN rn = (n*99 + 99) // 100 THEN v END) AS p99
+                      max(CASE WHEN rn = greatest(1, (n*90 + 99) // 100
+                        - ((n + 99) // 100 + 1)) THEN v END) AS p90_lo,
+                      max(CASE WHEN rn = least(n, (n*90 + 99) // 100
+                        + ((n + 99) // 100 + 1)) THEN v END) AS p90_hi,
+                      max(CASE WHEN rn = (n*99 + 99) // 100 THEN v END) AS p99,
+                      max(CASE WHEN rn = greatest(1, (n*99 + 99) // 100
+                        - ((n + 99) // 100 + 1)) THEN v END) AS p99_lo,
+                      max(CASE WHEN rn = least(n, (n*99 + 99) // 100
+                        + ((n + 99) // 100 + 1)) THEN v END) AS p99_hi
                FROM r JOIN g USING (lang) GROUP BY r.lang)
-         SELECT g.lang, g.n, m.p50, m.p90, m.p99,
+         SELECT g.lang, g.n, m.p50, m.p50_lo, m.p50_hi,
+                m.p90, m.p90_lo, m.p90_hi, m.p99, m.p99_lo, m.p99_hi,
                 TRUE AS sk50_ok, TRUE AS sk90_ok, TRUE AS sk99_ok
          FROM g JOIN m USING (lang) ORDER BY g.lang""",
 
@@ -2586,11 +2613,19 @@ object CurationQueries {
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
-    // exact columns checked by value; the sketch's rank-error contract
-    // travels as booleans the oracle asserts TRUE
+    // exact columns checked by value — including the BAND BOUNDS the
+    // engine derives from exact percentiles at p ± 0.05 (hash-checked
+    // here via quantile_cont/max, round-11 verdict item 4); only the
+    // sketch-value-in-band comparison stays an engine boolean
     "q_c_corpus_profile_approx" ->
       s"""SELECT lang, count(*) AS n_docs,
                  ${graft.functions.Parity.sqlRound("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_chars,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.45)", 6)} AS band_lo50,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.55)", 6)} AS band_hi50,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.85)", 6)} AS band_lo90,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.95)", 6)} AS band_hi90,
+                 ${graft.functions.Parity.sqlRound("quantile_cont(n_chars, 0.94)", 6)} AS band_lo99,
+                 ${graft.functions.Parity.sqlRound("CAST(max(n_chars) AS DOUBLE)", 6)} AS band_hi99,
                  TRUE AS p50_in_band,
                  TRUE AS p90_in_band,
                  TRUE AS p99_in_band

@@ -884,12 +884,16 @@ class CurationSpec extends AnyFunSuite {
     val df = ((1 to 100).map(v => ("a", v.toLong)) ++
       Seq(("b", 7L), ("b", 9L), ("b", 11L))).toDF("g", "v")
     val got = graft.operators.Profiling.quantileProfile(df, "g", "v")
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
-    assert(got("a") == ((100L, 50L, 90L, 99L, true, true, true)))
-    // b: n=3 -> ranks ceil(1.5)=2, ceil(2.7)=3, ceil(2.97)=3
-    assert(got("b") == ((3L, 9L, 11L, 11L, true, true, true)))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"), r.getAs[Long]("p50_lo"),
+          r.getAs[Long]("p50_hi"), r.getAs[Boolean]("sk50_ok"),
+          r.getAs[Boolean]("sk90_ok"), r.getAs[Boolean]("sk99_ok"))).toMap
+    // a: slack = (100+99)//100 + 1 = 2 -> band ranks 48 / 52
+    assert(got("a") == ((100L, 50L, 90L, 99L, 48L, 52L, true, true, true)))
+    // b: n=3 -> ranks ceil(1.5)=2, ceil(2.7)=3, ceil(2.97)=3; band
+    // ranks clamp to 1 / 3
+    assert(got("b") == ((3L, 9L, 11L, 11L, 7L, 11L, true, true, true)))
   }
 
   test("novelty: all-seen is 0, all-new is 1, gram-less is 1") {
