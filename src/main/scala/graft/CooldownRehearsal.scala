@@ -59,7 +59,7 @@ object CooldownRehearsal {
     // in the batch AFTER the watermark passes them, so the +15d wave
     // advances the watermark past waves 0–1's TTL and the +16d wave's
     // batch is where the store actually removes them
-    wave("w0", rep, t0Us).coalesce(4)
+    wave("w0", rep, t0Us).coalesce(1)
       .write.parquet(s"$root/feed/f0.parquet")
     wave("w1", 1, t0Us + hourUs).coalesce(1)
       .write.parquet(s"$root/feed/f1.parquet")
@@ -68,6 +68,9 @@ object CooldownRehearsal {
     wave("w3", 1, t0Us + 16 * dayUs).coalesce(1)
       .write.parquet(s"$root/feed/f3.parquet")
 
+    // two retained versions only, so memoryUsedBytes tracks the live
+    // map instead of the default 100-version retention cache
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val feed = spark.readStream
       .schema("eventKey STRING, verdict STRING, confidence DOUBLE, tsUs LONG")
       .option("maxFilesPerTrigger", 1)
@@ -85,14 +88,26 @@ object CooldownRehearsal {
       .filter(_.numInputRows > 0)
       .map { p =>
         val so = p.stateOperators.head
-        (p.batchId, p.numInputRows, so.numRowsTotal, so.numRowsUpdated,
-          so.numRowsRemoved, so.memoryUsedBytes)
+        (p.batchId, p.numInputRows, so.numRowsUpdated, so.numRowsRemoved,
+          so.memoryUsedBytes)
       }
-    println("batch | input rows | state rows | updated | removed | state bytes | bytes/key")
-    rows.foreach { case (b, in, tot, upd, rem, mem) =>
-      val bpk = if (tot > 0) mem.toDouble / tot else 0.0
-      println(f"$b | $in | $tot | $upd | $rem | $mem | $bpk%.0f")
+    // live keys derived from the update/remove ledger (every key in
+    // this feed is wave-unique, so updated == new keys per batch);
+    // numRowsTotal is not populated for flatMapGroupsWithState here
+    var live = 0L
+    println("batch | input rows | updated | removed | live keys | store mem bytes")
+    rows.foreach { case (b, in, upd, rem, mem) =>
+      live += upd - rem
+      println(f"$b | $in | $upd | $rem | $live | $mem")
     }
+    // durable bytes/key from the checkpoint's state dir — the number
+    // that scales the store, independent of in-memory version caching
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+    val stateBytes = du(new java.io.File(s"$root/chk/state"))
+    println(f"checkpoint state dir: $stateBytes bytes; final live keys: $live; " +
+      f"bytes/key (durable, latest+retained deltas): ${stateBytes.toDouble / live}%.1f")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
