@@ -53,6 +53,16 @@ object Multimodal {
       n_samples: Option[Long], duration_ms: Option[Long],
       mean_abs: Option[Double])
 
+  /** One fixed-size window of decoded audio samples (the audio
+    * featurization leg — what a speech/audio curation pipeline feeds
+    * its filters): exact integer energy (Σx²) and zero-crossing
+    * count, peak |x|, plus the rounded per-sample mean square. All
+    * integers are exact, so the oracle compares hash-for-hash.
+    */
+  final case class AudioWindow(
+      media_id: Long, format: String, window_idx: Long, n: Long,
+      sum_sq: Long, mean_sq: Double, zero_crossings: Long, peak: Long)
+
   /** One sampled video frame (the frame-sample leg of the multimodal
     * verb list): mean Y over the frame's luma plane, stamped with the
     * container-declared timebase.
@@ -166,16 +176,28 @@ object Multimodal {
       * [[decodeBmp]].
       */
     def decodeWav(mediaId: Long, bytes: Array[Byte]): DecodedMedia = {
+      val (rate, xs) = samplesWav(mediaId, bytes)
+      var absSum = 0L
+      var i = 0
+      while (i < xs.length) { absSum += math.abs(xs(i)); i += 1 }
+      DecodedMedia(mediaId, "wav", bytes.length.toLong, None, None, None,
+        Some(xs.length.toLong), Some(xs.length.toLong * 1000L / rate),
+        Some(graft.functions.Parity.roundHalfUpScalar(
+          absSum.toDouble / xs.length, 6)))
+    }
+
+    /** The raw PCM samples behind [[decodeWav]] — (rate, samples),
+      * for window-level featurization ([[Multimodal.audioFeatures]]).
+      */
+    def samplesWav(mediaId: Long, bytes: Array[Byte]): (Int, Array[Long]) = {
       require(bytes.length >= 12 &&
         new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
         new String(bytes, 8, 4, "US-ASCII") == "WAVE",
         s"not a WAV: media $mediaId")
       var off = 12
       var rate = 0
-      var nSamples = 0L
-      var absSum = 0L
+      var xs: Array[Long] = null
       var haveFmt = false
-      var haveData = false
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val size = le32(bytes, off + 4)
@@ -194,21 +216,19 @@ object Multimodal {
           haveFmt = true
         } else if (id == "data") {
           require(haveFmt, s"data chunk before fmt: media $mediaId")
-          nSamples = size / 2
+          val n = size / 2
+          xs = new Array[Long](n)
           var i = 0
-          while (i < nSamples) {
-            val s = le16(bytes, off + 8 + i * 2).toShort
-            absSum += math.abs(s.toLong)
+          while (i < n) {
+            xs(i) = le16(bytes, off + 8 + i * 2).toShort.toLong
             i += 1
           }
-          haveData = true
         }
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
-      require(haveData && rate > 0, s"no PCM data: media $mediaId")
-      DecodedMedia(mediaId, "wav", bytes.length.toLong, None, None, None,
-        Some(nSamples), Some(nSamples * 1000L / rate),
-        Some(graft.functions.Parity.roundHalfUpScalar(absSum.toDouble / nSamples, 6)))
+      require(xs != null && xs.nonEmpty && rate > 0,
+        s"no PCM data: media $mediaId")
+      (rate, xs)
     }
 
     private def be32(b: Array[Byte], o: Int): Int =
@@ -1021,6 +1041,20 @@ object Multimodal {
       * sample count must equal STREAMINFO's declared total.
       */
     def decodeFlac(mediaId: Long, bytes: Array[Byte]): DecodedMedia = {
+      val (rate, xs) = samplesFlac(mediaId, bytes)
+      var absSum = 0L
+      var i = 0
+      while (i < xs.length) { absSum += math.abs(xs(i)); i += 1 }
+      DecodedMedia(mediaId, "flac", bytes.length.toLong, None, None, None,
+        Some(xs.length.toLong), Some(xs.length.toLong * 1000L / rate),
+        Some(graft.functions.Parity.roundHalfUpScalar(
+          absSum.toDouble / xs.length, 6)))
+    }
+
+    /** The raw decoded samples behind [[decodeFlac]] — (rate, samples),
+      * for window-level featurization ([[Multimodal.audioFeatures]]).
+      */
+    def samplesFlac(mediaId: Long, bytes: Array[Byte]): (Int, Array[Long]) = {
       require(bytes.length >= 42 &&
         new String(bytes, 0, 4, "US-ASCII") == "fLaC",
         s"not a FLAC stream: media $mediaId")
@@ -1061,8 +1095,7 @@ object Multimodal {
         s"only mono FLAC supported ($channels channels): media $mediaId")
       require(bps == 16, s"only 16-bit FLAC supported ($bps): media $mediaId")
 
-      var nSamples = 0L
-      var absSum = 0L
+      val out = scala.collection.mutable.ArrayBuilder.make[Long]
       var frameIdx = 0L
       while (off < bytes.length) {
         val frameStart = off
@@ -1199,19 +1232,15 @@ object Multimodal {
         require(flacCrc16(bytes, frameStart, br.pos) == fcrc,
           s"FLAC frame CRC-16 mismatch: media $mediaId")
         off = br.pos + 2
-        var i = 0
-        while (i < blockSize) { absSum += math.abs(samples(i)); i += 1 }
-        nSamples += blockSize
+        out ++= samples
         frameIdx += 1
       }
-      require(nSamples > 0, s"FLAC stream has no frames: media $mediaId")
-      require(total == 0L || nSamples == total,
-        s"FLAC decoded $nSamples samples, STREAMINFO declares $total: " +
+      val xs = out.result()
+      require(xs.nonEmpty, s"FLAC stream has no frames: media $mediaId")
+      require(total == 0L || xs.length.toLong == total,
+        s"FLAC decoded ${xs.length} samples, STREAMINFO declares $total: " +
           s"media $mediaId")
-      DecodedMedia(mediaId, "flac", bytes.length.toLong, None, None, None,
-        Some(nSamples), Some(nSamples * 1000L / rate),
-        Some(graft.functions.Parity.roundHalfUpScalar(
-          absSum.toDouble / nSamples, 6)))
+      (rate, xs)
     }
 
     /** Rice/rice2 residual section: 2-bit method, 4-bit partition
@@ -1254,6 +1283,27 @@ object Multimodal {
         }
         part += 1
       }
+    }
+
+    /** Magic-byte format sniffing over the decoder family's formats:
+      * BMP ("BM"), WAV ("RIFF"+"WAVE"), PNG (PNG), baseline/any
+      * JPEG (FF D8), FLAC ("fLaC"), YUV4MPEG2 ("YUV4MPEG2") —
+      * "unknown" otherwise (callers fail named). Pure prefix reads;
+      * never throws on short input.
+      */
+    def detectFormat(bytes: Array[Byte]): String = {
+      def ascii(o: Int, s: String): Boolean =
+        bytes.length >= o + s.length &&
+          (0 until s.length).forall(i => bytes(o + i) == s.charAt(i).toByte)
+      if (ascii(0, "BM")) "bmp"
+      else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        ascii(1, "PNG")) "png"
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) "jpg"
+      else if (ascii(0, "fLaC")) "flac"
+      else if (ascii(0, "YUV4MPEG2")) "y4m"
+      else "unknown"
     }
 
     /** STUB — deterministic fake decode. Real implementation would
@@ -1304,6 +1354,71 @@ object Multimodal {
         case (id, "flac", bytes) => MediaCodec.decodeFlac(id, bytes)
         case (id, f, _) =>
           throw new IllegalArgumentException(s"unknown format $f: media $id")
+      })
+  }
+
+  /** [[decodeMedia]] without a format column: each row's format is
+    * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
+    * real-world ingest case where the binary column arrives untyped
+    * (a crawled blob store) and the declared extension is untrusted.
+    * Same map-side shape; an unrecognizable blob fails named.
+    */
+  def decodeMediaAuto(media: DataFrame): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaCodec.detectFormat(bytes) match {
+          case "bmp" => MediaCodec.decodeBmp(id, bytes)
+          case "wav" => MediaCodec.decodeWav(id, bytes)
+          case "png" => MediaCodec.decodePng(id, bytes)
+          case "jpg" => MediaCodec.decodeJpeg(id, bytes)
+          case "flac" => MediaCodec.decodeFlac(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"undetectable media format ($f): media $id")
+        }
+      })
+  }
+
+  /** Window-level audio featurization over DECODED samples (WAV or
+    * FLAC — format-dispatched like [[decodeMedia]]): non-overlapping
+    * `window`-sample windows, each reduced to exact integer energy
+    * Σx², zero-crossing count (sign changes between in-window
+    * neighbors; 0 counts non-negative), and peak |x| — the features
+    * an audio curation pipeline thresholds on (silence/clipping/
+    * activity detection). Map-side, rows ∝ windows, the raw samples
+    * never leave the partition; the last window may be short (`n`
+    * carries the true extent).
+    */
+  def audioFeatures(media: DataFrame, window: Int): Dataset[AudioWindow] = {
+    require(window > 0, s"window must be positive: $window")
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, fmt, bytes) =>
+        val (_, xs) = fmt match {
+          case "wav" => MediaCodec.samplesWav(id, bytes)
+          case "flac" => MediaCodec.samplesFlac(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"not an audio format ($f): media $id")
+        }
+        (0 until (xs.length + window - 1) / window).iterator.map { w =>
+          val from = w * window
+          val until = math.min(xs.length, from + window)
+          var ss = 0L; var zc = 0L; var peak = 0L
+          var i = from
+          while (i < until) {
+            val v = xs(i)
+            ss += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > from && ((v < 0) != (xs(i - 1) < 0))) zc += 1
+            i += 1
+          }
+          val n = until - from
+          AudioWindow(id, fmt, w.toLong, n.toLong, ss,
+            graft.functions.Parity.roundHalfUpScalar(ss.toDouble / n, 6),
+            zc, peak)
+        }
       })
   }
 

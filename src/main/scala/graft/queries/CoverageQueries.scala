@@ -265,6 +265,51 @@ object CoverageQueries {
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")
     }),
 
+    // Multimodal FORMAT SNIFFING (round 12): the real-world ingest
+    // case — the binary column arrives with NO trusted format label,
+    // so each row's format is detected from magic bytes and dispatched
+    // to its decoder. Five formats interleaved by id; the gate output
+    // is the detected format + the decoded byte count, both
+    // closed-form from the id.
+    "q_m_sniff_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = (id % 5) match {
+            case 0 => Multimodal.Fixtures.bmpBytes(id)
+            case 1 => Multimodal.Fixtures.wavBytes(id)
+            case 2 => Multimodal.Fixtures.pngBytes(id)
+            case 3 => Multimodal.Fixtures.jpegBytes(id)
+            case _ => Multimodal.Fixtures.flacBytes(id)
+          }
+          (id, bytes)
+        })
+        .toDF("media_id", "bytes")
+      Multimodal.decodeMediaAuto(media).toDF()
+        .select("media_id", "format", "n_bytes")
+        .orderBy("media_id")
+    }),
+
+    // Multimodal AUDIO FEATURIZATION (round 12): window-level features
+    // over DECODED samples — exact integer energy Σx², zero-crossing
+    // count, peak |x| per non-overlapping 32-sample window — the
+    // silence/clipping/activity filters an audio curation pipeline
+    // thresholds on, computed over a WAV/FLAC mix so both sample
+    // paths (raw PCM chunk walk, rice-decoded fixed-predictor
+    // reconstruction) feed the same featurizer. Oracle unrolls the
+    // fixtures' closed-form samples per window in SQL.
+    "q_m_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) (id, "wav", Multimodal.Fixtures.wavBytes(id))
+          else (id, "flac", Multimodal.Fixtures.flacBytes(id))
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.audioFeatures(media, window = 32).toDF()
+        .orderBy("media_id", "window_idx")
+    }),
+
     // Multimodal: frame-sampling plumbing (video rows, 5s cadence).
     "q_m_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -983,6 +1028,67 @@ object CoverageQueries {
                 floor(CAST(s0 + s1 + s2 + s3 AS DOUBLE) / 224
                   * 1000000.0 + 0.5) / 1000000.0 AS mean_abs
          FROM f ORDER BY media_id""",
+
+    // detected format + byte count per id class, all closed forms
+    // from the fixture encoders
+    "q_m_sniff_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                  WHEN 2 THEN 'png' WHEN 3 THEN 'jpg'
+                  ELSE 'flac' END AS format,
+                CAST(CASE doc_id % 5
+                  WHEN 0 THEN 54 + (3 + doc_id % 4)
+                    * (((4 + doc_id % 5) * 3 + 3) // 4 * 4)
+                  WHEN 1 THEN 44 + 2 * (64 + doc_id % 129)
+                  WHEN 2 THEN 68 + (4 + doc_id % 3)
+                    * (1 + 3 * (5 + doc_id % 4))
+                  WHEN 3 THEN 148 + 6 * (2 + doc_id % 3)
+                  ELSE 256 + 8 * ((1 + doc_id % 5) // 2)
+                END AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
+
+    // per-window mirror: build each fixture's full sample list in SQL
+    // (WAV's modular ramp / FLAC's four closed-form frames), slice
+    // into 32-sample windows, and fold energy, neighbor sign changes,
+    // and peak as exact integers
+    "q_m_audio_features" ->
+      """WITH s AS (
+           SELECT doc_id, 'wav' AS format,
+                  list_transform(range(64 + doc_id % 129), i ->
+                    (doc_id * 31 + i * 17) % 65536 - 32768) AS xs
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'flac',
+                  list_concat(list_concat(list_concat(
+                    list_transform(range(64), i -> doc_id % 256 - 128),
+                    list_transform(range(64), i ->
+                      3 * doc_id % 200 + (1 + doc_id % 5) * i)),
+                    list_transform(range(64), i ->
+                      (doc_id + 17 * i) % 512 - 256)),
+                    list_transform(range(32), i ->
+                      doc_id % 50 + (1 + doc_id % 3) * i + i * (i - 1) // 2))
+           FROM documents WHERE doc_id % 2 = 1),
+         wi AS (
+           SELECT doc_id AS media_id, format,
+                  unnest(range((len(xs) + 31) // 32)) AS window_idx, xs
+           FROM s),
+         win AS (
+           SELECT media_id, format, window_idx,
+                  list_slice(xs, window_idx * 32 + 1,
+                    least(len(xs), window_idx * 32 + 32)) AS w
+           FROM wi)
+         SELECT media_id, format, window_idx,
+                CAST(len(w) AS BIGINT) AS n,
+                CAST(list_sum(list_transform(w, v -> v * v)) AS BIGINT)
+                  AS sum_sq,
+                floor(CAST(list_sum(list_transform(w, v -> v * v)) AS DOUBLE)
+                  / len(w) * 1000000.0 + 0.5) / 1000000.0 AS mean_sq,
+                CAST(coalesce(list_sum(list_transform(range(1, len(w)), i ->
+                  CASE WHEN (w[i + 1] < 0) <> (w[i] < 0) THEN 1 ELSE 0 END)),
+                  0) AS BIGINT) AS zero_crossings,
+                CAST(list_max(list_transform(w, v -> abs(v))) AS BIGINT)
+                  AS peak
+         FROM win ORDER BY media_id, window_idx""",
 
     "q_m_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars * 10, 5000)) AS frame_ms,

@@ -519,6 +519,50 @@ class MultimodalSpec extends AnyFunSuite {
       graft.functions.Parity.roundHalfUpScalar(wantAbs.toDouble / 224, 6)))
   }
 
+  test("format sniffing: every fixture detects as itself; junk is unknown") {
+    assert(MediaCodec.detectFormat(Fixtures.bmpBytes(3L)) == "bmp")
+    assert(MediaCodec.detectFormat(Fixtures.wavBytes(3L)) == "wav")
+    assert(MediaCodec.detectFormat(Fixtures.pngBytes(3L)) == "png")
+    assert(MediaCodec.detectFormat(Fixtures.jpegBytes(3L)) == "jpg")
+    assert(MediaCodec.detectFormat(Fixtures.jpegColorBytes(3L)) == "jpg")
+    assert(MediaCodec.detectFormat(Fixtures.flacBytes(3L)) == "flac")
+    assert(MediaCodec.detectFormat(Fixtures.y4mBytes(3L)) == "y4m")
+    assert(MediaCodec.detectFormat(Array[Byte]()) == "unknown")
+    assert(MediaCodec.detectFormat("R".getBytes) == "unknown")
+    assert(MediaCodec.detectFormat("RIFFxxxxAVI ".getBytes) == "unknown")
+  }
+
+  test("audio features: hand-computed windows over a 3-sample WAV and a short last window") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hand WAV: samples +1000, -2000, +32767 (from the golden test)
+    val wav = Array[Int](
+      'R', 'I', 'F', 'F', 42, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0,
+      0x40, 0x1f, 0, 0, 0x80, 0x3e, 0, 0, 2, 0, 16, 0,
+      'd', 'a', 't', 'a', 6, 0, 0, 0,
+      0xe8, 0x03, 0x30, 0xf8, 0xff, 0x7f).map(_.toByte)
+    val out = graft.multimodal.Multimodal.audioFeatures(
+      Seq((5L, "wav", wav)).toDF("media_id", "format", "bytes"),
+      window = 2).collect().sortBy(_.window_idx)
+    assert(out.length == 2)
+    // window 0: (+1000, -2000): energy 1e6 + 4e6, one sign change
+    assert(out(0).n == 2 && out(0).sum_sq == 5000000L &&
+      out(0).zero_crossings == 1 && out(0).peak == 2000L)
+    // window 1: short (+32767): no in-window neighbor, zc 0
+    assert(out(1).n == 1 && out(1).sum_sq == 32767L * 32767L &&
+      out(1).zero_crossings == 0 && out(1).peak == 32767L)
+    assert(out(0).mean_sq == 2500000.0)
+    // a non-audio format fails named
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.multimodal.Multimodal.audioFeatures(
+        Seq((6L, "png", Fixtures.pngBytes(6L))).toDF(
+          "media_id", "format", "bytes"), 32).collect()
+    }
+    assert(e.getMessage.contains("not an audio format") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an audio format")))
+  }
+
   // ------------------------------------------------------------------
   // JPEG: the hand-rolled baseline stack (Huffman + dequant + zigzag +
   // IDCT + restart markers)
