@@ -1380,6 +1380,50 @@ object Multimodal {
       })
   }
 
+  /** Audio RESAMPLE by integer decimation — the audio analogue of the
+    * image box-filter resize verb: decode (WAV/FLAC dispatched), keep
+    * the MEAN of each `factor`-sample block (the box filter again, on
+    * one axis; floor-division of exact integer sums, so both engines
+    * agree bit-for-bit), and summarize the DECIMATED signal with the
+    * decode family's (n_samples, duration_ms, mean_abs) shape at the
+    * reduced rate. Map-side; the full-rate signal never leaves the
+    * partition — the downsample-before-featurize pass an audio
+    * pipeline runs ahead of an expensive model.
+    */
+  def resampleAudio(media: DataFrame, factor: Int): Dataset[DecodedMedia] = {
+    require(factor > 0, s"factor must be positive: $factor")
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        val (rate, xs) = fmt match {
+          case "wav" => MediaCodec.samplesWav(id, bytes)
+          case "flac" => MediaCodec.samplesFlac(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"not an audio format ($f): media $id")
+        }
+        val n = (xs.length + factor - 1) / factor
+        var absSum = 0L
+        var w = 0
+        while (w < n) {
+          val from = w * factor
+          val until = math.min(xs.length, from + factor)
+          var sum = 0L
+          var i = from
+          while (i < until) { sum += xs(i); i += 1 }
+          // floor division toward negative infinity (Math.floorDiv),
+          // so the block mean is engine-neutral for negative sums too
+          absSum += math.abs(Math.floorDiv(sum, (until - from).toLong))
+          w += 1
+        }
+        val outRate = math.max(1, rate / factor)
+        DecodedMedia(id, fmt, bytes.length.toLong, None, None, None,
+          Some(n.toLong), Some(n.toLong * 1000L / outRate),
+          Some(graft.functions.Parity.roundHalfUpScalar(
+            absSum.toDouble / n, 6)))
+      })
+  }
+
   /** Window-level audio featurization over DECODED samples (WAV or
     * FLAC — format-dispatched like [[decodeMedia]]): non-overlapping
     * `window`-sample windows, each reduced to exact integer energy

@@ -310,6 +310,25 @@ object CoverageQueries {
         .orderBy("media_id", "window_idx")
     }),
 
+    // Multimodal AUDIO RESAMPLE (round 12): integer block-mean
+    // decimation by 8 over decoded WAV/FLAC — the audio analogue of
+    // the image box-filter resize — then the decode family's summary
+    // at the reduced rate. Block means are floor divisions of exact
+    // integer sums (Math.floorDiv mirrored in SQL via the
+    // make-divisible identity), so the oracle is hash-exact even on
+    // negative blocks.
+    "q_m_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) (id, "wav", Multimodal.Fixtures.wavBytes(id))
+          else (id, "flac", Multimodal.Fixtures.flacBytes(id))
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.resampleAudio(media, factor = 8).toDF()
+        .orderBy("media_id")
+    }),
+
     // Multimodal: frame-sampling plumbing (video rows, 5s cadence).
     "q_m_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -1089,6 +1108,57 @@ object CoverageQueries {
                 CAST(list_max(list_transform(w, v -> abs(v))) AS BIGINT)
                   AS peak
          FROM win ORDER BY media_id, window_idx""",
+
+    // decimation mirror: same sample lists, 8-sample block sums, and
+    // floorDiv via the make-divisible identity ((s - ((s%c + c)%c))
+    // // c == Math.floorDiv(s, c) since the numerator divides exactly)
+    "q_m_audio_resample" ->
+      """WITH s AS (
+           SELECT doc_id, 'wav' AS format,
+                  CAST(44 + 2 * (64 + doc_id % 129) AS BIGINT) AS n_bytes,
+                  list_transform(range(64 + doc_id % 129), i ->
+                    (doc_id * 31 + i * 17) % 65536 - 32768) AS xs
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'flac',
+                  CAST(256 + 8 * ((1 + doc_id % 5) // 2) AS BIGINT),
+                  list_concat(list_concat(list_concat(
+                    list_transform(range(64), i -> doc_id % 256 - 128),
+                    list_transform(range(64), i ->
+                      3 * doc_id % 200 + (1 + doc_id % 5) * i)),
+                    list_transform(range(64), i ->
+                      (doc_id + 17 * i) % 512 - 256)),
+                    list_transform(range(32), i ->
+                      doc_id % 50 + (1 + doc_id % 3) * i + i * (i - 1) // 2))
+           FROM documents WHERE doc_id % 2 = 1),
+         b AS (
+           SELECT doc_id AS media_id, format, n_bytes, len(xs) AS n_in,
+                  unnest(range((len(xs) + 7) // 8)) AS w, xs
+           FROM s),
+         m AS (
+           SELECT media_id, format, n_bytes, w,
+                  CAST(list_sum(list_slice(xs, w * 8 + 1,
+                    least(n_in, w * 8 + 8))) AS BIGINT) AS bsum,
+                  CAST(least(n_in, w * 8 + 8) - w * 8 AS BIGINT) AS cnt
+           FROM b),
+         d AS (
+           SELECT media_id, format, n_bytes,
+                  abs((bsum - ((bsum % cnt + cnt) % cnt)) // cnt) AS m_abs
+           FROM m),
+         agg AS (
+           SELECT media_id, format, n_bytes,
+                  CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(m_abs) AS BIGINT) AS abs_sum
+           FROM d GROUP BY 1, 2, 3)
+         SELECT media_id, format, n_bytes,
+                CAST(NULL AS BIGINT) AS width,
+                CAST(NULL AS BIGINT) AS height,
+                CAST(NULL AS DOUBLE) AS mean_luma,
+                n_samples,
+                n_samples * 1000 // 1000 AS duration_ms,
+                floor(CAST(abs_sum AS DOUBLE) / n_samples
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_abs
+         FROM agg ORDER BY media_id""",
 
     "q_m_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars * 10, 5000)) AS frame_ms,

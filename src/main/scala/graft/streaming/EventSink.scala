@@ -43,10 +43,13 @@ final class SnapshotTable(spark: SparkSession, path: String) {
   def commit(df: DataFrame, batchId: Long): Unit = {
     if (lastBatchId >= batchId) return // replayed batch → no-op
     val v = latest.map(_._1 + 1).getOrElse(0L)
+    Failpoints.step("snapshot.data")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v_$v")
     val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
     Files.createDirectories(Paths.get(path))
+    Failpoints.step("snapshot.pointer.tmp")
     Files.write(tmp, s"$v,$batchId".getBytes(StandardCharsets.UTF_8))
+    Failpoints.step("snapshot.pointer.move")
     Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -76,6 +79,22 @@ object EventSink {
     */
   def eventsTable(spark: SparkSession, path: String): BucketedTable =
     new BucketedTable(spark, path, "eventKey", 16)
+
+  /** Bucket-growth maintenance for the events store — the sink-side
+    * analogue of [[IngestStream.MaintainConfig]]: every `every`
+    * committed batches, if the table holds more than
+    * maxRowsPerBucket·currentBuckets rows, [[BucketedTable.rebucket]]
+    * doubles the bucket count, keeping the per-commit MERGE rewrite
+    * ∝ batch as the event corpus grows (16 is only the bootstrap
+    * count; the live count rides in the table's pointer). The trigger
+    * probe is one count(), amortized over the cadence, never on the
+    * per-batch path.
+    */
+  final case class EventsMaintain(every: Int = 0,
+      maxRowsPerBucket: Long = 0L) {
+    def due(batchId: Long): Boolean =
+      every > 0 && maxRowsPerBucket > 0 && (batchId + 1) % every == 0
+  }
 
   /** MERGE semantics for the events table (A10 versioned upsert):
     * keep the row with the HIGHEST version per key — a replayed or
@@ -135,13 +154,28 @@ object EventSink {
     */
   def processBatch(batch: Dataset[EventRow], batchId: Long,
       eventsPath: String, outboxPath: String,
-      deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long): Unit = {
+      deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long): Unit =
+    processBatch(batch, batchId, eventsPath, outboxPath, deliver,
+      dlqMinAgeUs, EventsMaintain())
+
+  def processBatch(batch: Dataset[EventRow], batchId: Long,
+      eventsPath: String, outboxPath: String,
+      deliver: OutboxEntry => Boolean, dlqMinAgeUs: Long,
+      maintain: EventsMaintain): Unit = {
     val spark = batch.sparkSession
     val eventsT = eventsTable(spark, eventsPath)
     val outboxTable = new SnapshotTable(spark, outboxPath)
+    def runMaintenance(): Unit = if (maintain.due(batchId)) {
+      val rows = eventsT.read().map(_.count()).getOrElse(0L)
+      val nb = eventsT.currentBuckets
+      if (rows > maintain.maxRowsPerBucket * nb) eventsT.rebucket(nb * 2)
+    }
     val replayEvents = eventsT.lastBatchId >= batchId
     val replayOutbox = outboxTable.lastBatchId >= batchId
-    if ((replayEvents && replayOutbox) || batch.isEmpty) return
+    if ((replayEvents && replayOutbox) || batch.isEmpty) {
+      runMaintenance() // idempotent; honors the cadence on replay too
+      return
+    }
 
     // one update row per key: the stream emits one EventRow per key
     // per trigger, but a replayed+reprocessed batch could carry
@@ -172,6 +206,7 @@ object EventSink {
       outboxTable.commit(
         stepOutbox(spark, all, nowUs, deliver, dlqMinAgeUs), batchId)
     }
+    runMaintenance()
   }
 
   def start(posts: Dataset[RawPost], eventsPath: String, outboxPath: String,
@@ -180,14 +215,15 @@ object EventSink {
       dlqMinAgeUs: Long = 3600L * 1000000L,
       // measurement hook (StreamBench per-event latency): invoked with
       // (batchId, wall-clock µs) AFTER both table commits are durable
-      onBatchCommit: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+      onBatchCommit: (Long, Long) => Unit = (_, _) => (),
+      maintain: EventsMaintain = EventsMaintain()): StreamingQuery =
     PostPipeline.eventStream(posts).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[EventRow], batchId: Long) =>
         processBatch(batch, batchId, eventsPath, outboxPath, deliver,
-          dlqMinAgeUs)
+          dlqMinAgeUs, maintain)
         onBatchCommit(batchId, System.currentTimeMillis() * 1000L)
       }
       .start()

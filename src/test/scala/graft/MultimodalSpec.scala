@@ -563,6 +563,27 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("not an audio format")))
   }
 
+  test("audio resample: floor-division block means, negative block handled") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // samples −3, −4, 5, 6, 7; factor 2 → block means
+    // floorDiv(−7,2) = −4 (NOT the truncated −3), floorDiv(11,2) = 5,
+    // last short block 7 → abs mean = (4+5+7)/3
+    val wav = Array[Int](
+      'R', 'I', 'F', 'F', 46, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0,
+      0x40, 0x1f, 0, 0, 0x80, 0x3e, 0, 0, 2, 0, 16, 0,
+      'd', 'a', 't', 'a', 10, 0, 0, 0,
+      0xfd, 0xff, 0xfc, 0xff, 0x05, 0x00, 0x06, 0x00, 0x07, 0x00)
+      .map(_.toByte)
+    val out = graft.multimodal.Multimodal.resampleAudio(
+      Seq((4L, "wav", wav)).toDF("media_id", "format", "bytes"),
+      factor = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.n_samples.contains(3L))
+    assert(out.head.mean_abs.contains(5.333333), out.head)
+  }
+
   // ------------------------------------------------------------------
   // JPEG: the hand-rolled baseline stack (Huffman + dequant + zigzag +
   // IDCT + restart markers)

@@ -165,6 +165,20 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 5, s"rebucket: expected ≥5 kill points, saw $points")
   }
 
+  test("SnapshotTable.commit survives a kill at every file-op boundary") {
+    import graft.streaming.SnapshotTable
+    val points = sweep("snapshot") { root =>
+      new SnapshotTable(spark, s"$root/t").commit(toDF(Seq(1L, 2L)), 0L)
+    } { root =>
+      new SnapshotTable(spark, s"$root/t").commit(toDF(Seq(3L, 4L)), 1L)
+    } { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      (t.read().map(_.collect().map(_.getLong(0)).sorted.toSeq)
+        .getOrElse(Seq.empty), t.lastBatchId)
+    }
+    assert(points >= 3, s"snapshot: expected ≥3 kill points, saw $points")
+  }
+
   test("BucketedTable: a merge replayed over a crashed REBUCKET orphan overwrites it safely") {
     // crash rebucket before its pointer move: c_<v+1> is an orphan in
     // the OLD hashing's next version slot; a normal merge then claims

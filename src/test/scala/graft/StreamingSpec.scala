@@ -351,6 +351,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.latest.get == before)
   }
 
+  test("events-table bucket growth: maintenance doubles the buckets, contents identical") {
+    import graft.streaming.EventSink.EventsMaintain
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sink_maint_").toString
+    val t0 = 1700000000L * 1000000L
+    def evRow(key: String, ts: Long) =
+      EventRow(key, "social", ts, ts, 1,
+        Seq(graft.aggregates.Evidence("x", ts, Map("tweet_id" -> key), "", 1.0)),
+        0.0, 1)
+    val maintain = EventsMaintain(every = 1, maxRowsPerBucket = 1L)
+    for (b <- 0 until 3) {
+      val batch = (0 until 40).map(i => evRow(s"k$b-$i", t0 + b * 1000L + i))
+      EventSink.processBatch(batch.toDS(), b.toLong, s"$root/events",
+        s"$root/outbox", _ => true, 0L, maintain)
+    }
+    val t = EventSink.eventsTable(s, s"$root/events")
+    // 40/80/120 rows against a 1-row/bucket target: the 16-bucket
+    // bootstrap must have doubled at least twice
+    assert(t.currentBuckets >= 64, s"buckets ${t.currentBuckets}")
+    val keys = t.read().get.select("eventKey").collect()
+      .map(_.getString(0)).toSet
+    assert(keys == (for (b <- 0 until 3; i <- 0 until 40)
+      yield s"k$b-$i").toSet)
+    // merges keep working under the grown hashing
+    EventSink.processBatch(Seq(evRow("fresh", t0 + 999999L)).toDS(), 3L,
+      s"$root/events", s"$root/outbox", _ => true, 0L, maintain)
+    assert(t.read().get.count() == 121L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("sink recovers a crash between the events and outbox commits") {
     val s = spark
     import s.implicits._
