@@ -123,6 +123,36 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** [[packByTokens]] plus the SEGMENT MAP a packed-sequence trainer
+    * needs for document-boundary attention masking: within each
+    * (stratum, pack), documents concatenate in fill order, and each
+    * row carries its segment index and start offset inside the pack —
+    * `seg_start = tokens-before − tokens-before(pack's first doc)` —
+    * so cross-document attention masks (and position-id resets) fall
+    * out without re-deriving the fill downstream. The straddler
+    * keeps the greedy contract: it starts inside the budget and may
+    * run past it; the NEXT pack's offsets restart at 0.
+    *
+    * Scale shape: the same per-stratum window [[packByTokens]] runs
+    * (never global), plus per-(stratum, pack) windows for the base
+    * offset and segment rank — all partitioned on keys strictly finer
+    * than the stratum, so no new serialization point appears at
+    * 100 TB; one shuffle family keyed by stratum covers everything.
+    */
+  def packSegments(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val fillOrder = Seq(sampleKey32(col(idCol)).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(strataCol)).orderBy(fillOrder: _*)
+    val wp = Window.partitionBy(col(strataCol), col("pack_id"))
+      .orderBy(fillOrder: _*)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("__before", col("__cum") - col(tokensCol))
+      .withColumn("pack_id", expr(s"__before div $budget"))
+      .withColumn("seg_idx", row_number().over(wp) - 1)
+      .withColumn("seg_start", col("__before") - first(col("__before")).over(wp))
+      .drop("__cum", "__before")
+  }
+
   /** L56 — GLOBAL token-budgeted shard assignment via a distributed
     * prefix sum (the shard/output-file writer of a training-data
     * pipeline: docs in id order, cut a new shard every `budget`

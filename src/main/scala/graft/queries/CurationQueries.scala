@@ -431,6 +431,19 @@ object CurationQueries {
         "doc_id", "lang", "n_tokens", budget = 2048L)
         .select("doc_id", "lang", "n_tokens", "pack_id").orderBy("doc_id")),
 
+    // Packing WITH the segment map (round 12): each doc's segment
+    // index and start offset inside its pack — what the trainer needs
+    // for document-boundary attention masks and position-id resets
+    // without re-deriving the fill.
+    "q_c_pack_segments" -> ((s, dir) =>
+      Sampling.packSegments(
+        docs(s, dir).withColumn("n_tokens",
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")),
+        "doc_id", "lang", "n_tokens", budget = 2048L)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "seg_idx",
+          "seg_start")
+        .orderBy("doc_id")),
+
     // PII detect + redact (emails / phones / IPv4 / hex addresses) —
     // one codegen'd map-side projection, zero shuffles. The corpus is
     // synthetic word-soup with no PII, so the fixture PLANTS
@@ -1754,6 +1767,32 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
                 CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+
+    // the same fill chain, then per-(stratum, pack) rank and base
+    // offset re-derived with window functions in the identical order
+    "q_c_pack_segments" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                             doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS before_t
+           FROM t),
+         p AS (
+           SELECT doc_id, lang, n_tokens, before_t,
+                  CAST(before_t // 2048 AS BIGINT) AS pack_id
+           FROM c)
+         SELECT doc_id, lang, n_tokens, pack_id,
+                CAST(row_number() OVER (PARTITION BY lang, pack_id
+                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                           doc_id ASC) - 1 AS INTEGER) AS seg_idx,
+                CAST(before_t - min(before_t) OVER (PARTITION BY lang, pack_id)
+                  AS BIGINT) AS seg_start
+         FROM p ORDER BY doc_id""",
 
     // The oracle rebuilds the planted-PII string byte-for-byte, then
     // runs the IDENTICAL regex chain (the patterns live in the shared

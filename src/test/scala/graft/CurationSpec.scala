@@ -878,6 +878,42 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pack segments: offsets concatenate exactly, packs respect the greedy contract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 200L).map(id => (id, s"g${id % 3}",
+      1L + rnd.nextInt(900))).toDF("doc_id", "g", "n_tok")
+    val out = graft.operators.Sampling
+      .packSegments(df, "doc_id", "g", "n_tok", budget = 1024L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("pack_id"),
+        r.getAs[Int]("seg_idx"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("n_tok")))
+    assert(out.length == 200)
+    out.groupBy(t => (t._1, t._2)).foreach { case ((g, p), rows) =>
+      val sorted = rows.sortBy(_._3)
+      // contiguous segment indices from 0; offsets concatenate exactly
+      assert(sorted.map(_._3).toSeq == sorted.indices.toSeq, s"($g,$p)")
+      sorted.foldLeft(0L) { case (want, (_, _, _, start, len)) =>
+        assert(start == want, s"($g,$p): seg_start $start != $want")
+        want + len
+      }
+      // greedy contract: every segment STARTS inside the budget
+      // (only the final straddler may END past it)
+      assert(sorted.forall(_._4 < 1024L),
+        s"($g,$p): a segment starts past the budget")
+    }
+    // pack ids agree with packByTokens row-for-row
+    val base = graft.operators.Sampling
+      .packByTokens(df, "doc_id", "g", "n_tok", budget = 1024L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id"))
+      .toMap
+    val seg = graft.operators.Sampling
+      .packSegments(df, "doc_id", "g", "n_tok", budget = 1024L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id"))
+      .toMap
+    assert(seg == base)
+  }
+
   test("quantile profile: exact discrete ranks and sketch in band") {
     import spark.implicits._
     // group a: 1..100 -> p50=50, p90=90, p99=99; group b: tiny
