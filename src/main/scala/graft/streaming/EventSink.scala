@@ -165,11 +165,8 @@ object EventSink {
     val spark = batch.sparkSession
     val eventsT = eventsTable(spark, eventsPath)
     val outboxTable = new SnapshotTable(spark, outboxPath)
-    def runMaintenance(): Unit = if (maintain.due(batchId)) {
-      val rows = eventsT.read().map(_.count()).getOrElse(0L)
-      val nb = eventsT.currentBuckets
-      if (rows > maintain.maxRowsPerBucket * nb) eventsT.rebucket(nb * 2)
-    }
+    def runMaintenance(): Unit = if (maintain.due(batchId))
+      eventsT.growIfOversized(maintain.maxRowsPerBucket)
     val replayEvents = eventsT.lastBatchId >= batchId
     val replayOutbox = outboxTable.lastBatchId >= batchId
     if ((replayEvents && replayOutbox) || batch.isEmpty) {

@@ -108,6 +108,11 @@ object IngestStream {
     */
   final case class MaintainConfig(compactEvery: Int = 0,
       maxRowsPerBucket: Long = 0L) {
+    // the rebucket probe rides the compaction tick — a rows target
+    // without a cadence would silently never fire, the exact failure
+    // the knob exists to prevent, so it is rejected loudly
+    require(maxRowsPerBucket == 0L || compactEvery > 0,
+      "maxRowsPerBucket needs a cadence: set compactEvery > 0")
     def due(batchId: Long): Boolean =
       compactEvery > 0 && (batchId + 1) % compactEvery == 0
   }
@@ -198,7 +203,7 @@ object IngestStream {
       // full replay → data no-op; still honor a due maintenance tick
       // (idempotent), so a crash between the commits and the original
       // run's maintenance doesn't skip the cadence entirely
-      if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+      if (maintain.due(batchId)) runMaintenance(spark, statePath, maintain)
       return
     }
 
@@ -250,7 +255,7 @@ object IngestStream {
       alarm
     }
     if (alarmed) {
-      if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+      if (maintain.due(batchId)) runMaintenance(spark, statePath, maintain)
       return
     }
 
@@ -315,24 +320,27 @@ object IngestStream {
       }
     }
 
-    if (maintain.due(batchId)) runMaintenance(labelsT, fpsT, snapT, maintain)
+    if (maintain.due(batchId)) runMaintenance(spark, statePath, maintain)
   }
 
-  /** The cadence tick: fold the append tables' batch directories and,
-    * when the label store has outgrown its buckets, double them. Runs
-    * AFTER all of the batch's commits (maintenance never gates data
+  /** The cadence tick: fold EVERY AppendTable the loop appends to —
+    * fps, snap, and (when a drift gate ever wrote them) the monitor
+    * and quarantine logs, whose fan-in would otherwise grow one
+    * directory per batch exactly like the tables the cadence was
+    * built for (compact on a never-written table is a no-op) — and,
+    * when the label store has outgrown its buckets, double them via
+    * the shared [[BucketedTable.growIfOversized]] rule. Runs AFTER
+    * all of the batch's commits (maintenance never gates data
     * durability) and is safe to re-run on replay — compact and
     * rebucket are both idempotent and crash-safe.
     */
-  private def runMaintenance(labelsT: BucketedTable, fpsT: AppendTable,
-      snapT: AppendTable, maintain: MaintainConfig): Unit = {
-    fpsT.compact()
-    snapT.compact()
-    if (maintain.maxRowsPerBucket > 0) {
-      val rows = labelsT.read().map(_.count()).getOrElse(0L)
-      val nb = labelsT.currentBuckets
-      if (rows > maintain.maxRowsPerBucket * nb)
-        labelsT.rebucket(nb * 2)
-    }
+  private def runMaintenance(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, maintain: MaintainConfig): Unit = {
+    fpsTable(spark, statePath).compact()
+    snapTable(spark, statePath).compact()
+    DriftMonitor.monitorTable(spark, statePath).compact()
+    quarantineTable(spark, statePath).compact()
+    if (maintain.maxRowsPerBucket > 0)
+      labelsTable(spark, statePath).growIfOversized(maintain.maxRowsPerBucket)
   }
 }

@@ -314,10 +314,17 @@ final class BucketedTable(spark: SparkSession, path: String,
     * collected to prune the bucket list and broadcast for the
     * semi-join; [[guardKeys]] fails named past the documented bound.
     */
-  def readKeys(keys: DataFrame): Option[DataFrame] = latest.flatMap {
-    case (v, _) =>
-      val nb = currentBuckets
-      val keySet = keys.select(col(keyCol)).distinct()
+  def readKeys(keys: DataFrame): Option[DataFrame] = pointer().flatMap {
+    // ONE pointer read for (manifest version, bucket count) — reading
+    // them separately could pair a new count with an old layout if a
+    // concurrent rebucket lands between the reads (the atomicity the
+    // pointer exists to give; mergeResolve reads once for the same
+    // reason)
+    case (v, _, nb) =>
+      // checkpoint the batch key set once: the guard count, the
+      // touched-bucket collect, and the broadcast semi-join all reuse
+      // the materialization instead of re-running the caller's plan
+      val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
       guardKeys(keySet, "readKeys")
       val m = manifest(v)
       val touched = keySet.select(bucketOf(col(keyCol), nb).as("__bucket"))
@@ -336,7 +343,9 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def merge(changed: DataFrame, batchId: Long): Unit =
     mergeResolve(changed, batchId) { (prior, chg) =>
-      val keySet = chg.select(col(keyCol)).distinct()
+      // checkpointed once: guard count + broadcast anti-join share
+      // the materialization (no second pass over the caller's plan)
+      val keySet = chg.select(col(keyCol)).distinct().localCheckpoint()
       guardKeys(keySet, "merge")
       prior match {
         case Some(p) => p
@@ -392,6 +401,22 @@ final class BucketedTable(spark: SparkSession, path: String,
       written.map(k => k -> s"c_$v/__bucket=$k").toMap
     writeManifest(v, newManifest, "merge")
     writePointer(v, batchId, nb, "merge")
+  }
+
+  /** The growth RULE both maintenance loops share (IngestStream's
+    * label store, EventSink's events store): one full count —
+    * corpus-sized, so callers amortize it over a cadence — and a
+    * doubling [[rebucket]] when the average bucket exceeds the
+    * target. Holding the rule here keeps the two loops from
+    * diverging. Returns whether a rebucket ran.
+    */
+  def growIfOversized(maxRowsPerBucket: Long): Boolean = {
+    require(maxRowsPerBucket > 0,
+      s"maxRowsPerBucket must be positive: $maxRowsPerBucket")
+    val rows = read().map(_.count()).getOrElse(0L)
+    val nb = currentBuckets
+    if (rows > maxRowsPerBucket * nb) { rebucket(nb * 2); true }
+    else false
   }
 
   /** Rewrite the WHOLE table into `newN` hash buckets — the lakehouse

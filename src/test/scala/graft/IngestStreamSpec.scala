@@ -344,8 +344,14 @@ class IngestStreamSpec extends AnyFunSuite {
     val q = IngestStream.start(spark.readStream.schema(quiet.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$feed/*.parquet"),
       state, s"$root/chk", maxDist = 3, publish = cfg,
-      maintain = MaintainConfig(), drift = Some(gate))
+      maintain = MaintainConfig(compactEvery = 1), drift = Some(gate))
     try q.processAllAvailable() finally q.stop()
+
+    // the cadence folds the gate's OWN logs too — monitor and
+    // quarantine would otherwise grow one directory per batch, the
+    // small-files problem the cadence exists to bound
+    assert(DriftMonitor.monitorTable(spark, state).readFanIn == 1)
+    assert(IngestStream.quarantineTable(spark, state).readFanIn == 1)
 
     val quietIds = quiet.select("doc_id").collect().map(_.getLong(0)).toSet
     val driftIds = drifted.select("doc_id").collect().map(_.getLong(0)).toSet
