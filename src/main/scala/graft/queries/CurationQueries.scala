@@ -463,6 +463,35 @@ object CurationQueries {
         id => id % 20 === 7, n = 8)
         .orderBy("doc_id")),
 
+    // INCREMENTAL decontamination (round 12 — the corpus-statistics
+    // family's L52 moment for the contamination audit): half the eval
+    // set plays the STORED snapshot (gram index + history flags built
+    // once), then BOTH sides grow — the other eval half arrives as a
+    // benchmark refresh, the doc_id%10==0 training slice as the
+    // ingest batch — and nothing historical is recomputed: the index
+    // merge keeps only truly-new grams, history counts update by one
+    // pass against that batch-sized broadcast (counts ADD because the
+    // gram sets are disjoint), the training batch probes the merged
+    // index once. Output must be IDENTICAL to from-scratch
+    // decontamination over the union — the oracle IS the from-scratch
+    // derivation (q_c_decontam's chain over the full corpus).
+    "q_c_decontam_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isEval = col("doc_id") % 20 === 7
+      val evalOld = d.filter(isEval && col("doc_id") % 40 === 7)
+      val evalNew = d.filter(isEval && col("doc_id") % 40 =!= 7)
+      val trainOld = d.filter(!isEval && col("doc_id") % 10 =!= 0)
+      val trainNew = d.filter(!isEval && col("doc_id") % 10 === 0)
+      // stored state (built once per eval snapshot in production)
+      val storedGrams = Decontam.gramIndex(evalOld, "doc_id", "text", 8)
+        .localCheckpoint()
+      val storedCounts = Decontam.probeCounts(trainOld, storedGrams,
+        "doc_id", "text", 8).localCheckpoint()
+      Decontam.flagOverlapIncremental(storedGrams, storedCounts,
+        trainOld, evalNew, trainNew, "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
+
     // FUZZY decontamination: per-(train, eval) 3-gram Jaccard ≥ 0.5 —
     // catches the near-duplicate leakage the any-8-gram rule above
     // misses once a benchmark doc is lightly paraphrased. Exact (no
@@ -1827,6 +1856,32 @@ object CurationQueries {
     // empties); 8-gram shingles via list_slice over a row-expanded
     // range; DISTINCT mirrors the kernel's per-doc dedup.
     "q_c_decontam" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         ng AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ng
+           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+                 FROM tk WHERE len(toks) >= 8)),
+         ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 20 = 7),
+         hits AS (
+           SELECT ng.doc_id, count(*) AS n_overlap
+           FROM ng JOIN ev USING (ng)
+           WHERE ng.doc_id % 20 <> 7 GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                coalesce(h.n_overlap, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+
+    // the incremental gate's contract: identical to FROM-SCRATCH
+    // decontamination over the union corpus — so the oracle is
+    // exactly q_c_decontam's derivation (the split into stored/new
+    // halves must be invisible in the result)
+    "q_c_decontam_incremental" ->
       """WITH tk AS (
            SELECT doc_id,
                   list_filter(string_split_regex(lower(text), '\s+'),

@@ -56,6 +56,70 @@ object Decontam {
         (coalesce(col("n_overlap"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** The stored half of the incremental audit: the eval side's
+    * distinct gram INDEX (one "ng" column) — built once per eval-set
+    * snapshot, merged ∝ batch as eval sets grow.
+    */
+  def gramIndex(evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngrams(evalDocs, idCol, textCol, n).select("ng").distinct()
+
+  /** Probe `train` against a stored gram index: (id, n_overlap) for
+    * EVERY train doc (zero when clean) — [[flagOverlap]]'s hit side
+    * over an index that arrives as data instead of being rebuilt.
+    */
+  def probeCounts(train: DataFrame, grams: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val hits = ngrams(train, idCol, textCol, n)
+      .join(broadcast(grams), Seq("ng"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  /** INCREMENTAL decontamination — the maintenance moment both sides
+    * of the audit hit in production: NEW EVAL DOCS extend the stored
+    * gram index (a benchmark refresh) and NEW TRAINING DOCS arrive,
+    * and neither history side is recomputed:
+    *
+    *   - the index merge keeps only the TRULY new grams
+    *     (batch grams − stored grams, one anti-join on the small eval
+    *     side), so the stored index is never re-derived;
+    *   - the HISTORY training docs' counts update by probing against
+    *     ONLY those new grams — correct because a doc's overlap count
+    *     is `|docGrams ∩ evalGrams|` and the old/new gram sets are
+    *     DISJOINT by construction, so counts ADD (the semilattice
+    *     argument the overlap-sketch merge uses, here exact) — one
+    *     corpus pass against a batch-sized broadcast instead of a
+    *     re-probe of the full index;
+    *   - the arriving training batch probes the merged index once
+    *     (∝ batch scan).
+    *
+    * Output = (id, n_overlap, contaminated) for history ∪ batch
+    * training docs, IDENTICAL to from-scratch [[flagOverlap]] over
+    * the union corpus — the gate's oracle is exactly the from-scratch
+    * derivation.
+    */
+  def flagOverlapIncremental(
+      storedGrams: DataFrame, storedCounts: DataFrame,
+      oldTrain: DataFrame, newEval: DataFrame, newTrain: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val newGrams = gramIndex(newEval, idCol, textCol, n)
+      .join(storedGrams, Seq("ng"), "left_anti")
+    val mergedIdx = storedGrams.unionByName(newGrams)
+    val deltaOld = ngrams(oldTrain, idCol, textCol, n)
+      .join(broadcast(newGrams), Seq("ng"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__delta"))
+    val oldOut = storedCounts
+      .join(deltaOld, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("n_overlap") + coalesce(col("__delta"), lit(0L)))
+          .as("n_overlap"))
+    oldOut.unionByName(probeCounts(newTrain, mergedIdx, idCol, textCol, n))
+      .withColumn("contaminated", col("n_overlap") > 0L)
+  }
+
   /** FUZZY decontamination — per-(train, eval) n-gram JACCARD instead
     * of any-overlap: a training doc is contaminated when its shingle
     * set is ≥ `theta`-similar to SOME eval doc (the near-duplicate

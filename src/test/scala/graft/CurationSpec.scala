@@ -878,6 +878,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("incremental decontam: delta path fires, identity with from-scratch, history grams untouched") {
+    import graft.text.Decontam
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val isEval = col("doc_id") % 20 === 7
+    val evalOld = d.filter(isEval && col("doc_id") % 40 === 7)
+    val evalNew = d.filter(isEval && col("doc_id") % 40 =!= 7)
+    val trainOld = d.filter(!isEval && col("doc_id") % 10 =!= 0)
+    val trainNew = d.filter(!isEval && col("doc_id") % 10 === 0)
+    val n = 3 // dense grams so cross-doc sharing is guaranteed
+    val storedGrams = Decontam.gramIndex(evalOld, "doc_id", "text", n)
+      .localCheckpoint()
+    val stored = Decontam.probeCounts(trainOld, storedGrams,
+      "doc_id", "text", n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Decontam.flagOverlapIncremental(storedGrams,
+      Decontam.probeCounts(trainOld, storedGrams, "doc_id", "text", n),
+      trainOld, evalNew, trainNew, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identity with from-scratch over the union
+    val want = Decontam.flagOverlap(d, "doc_id", "text",
+      id => id % 20 === 7, n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // non-vacuous: some HISTORY doc's count strictly grew from the
+    // new eval half (the disjoint-gram additive path), and the new
+    // half genuinely contributed grams the stored index lacked
+    assert(stored.exists { case (id, c) => got(id) > c },
+      "delta path never fired — fixture degenerate")
+    val newGrams = Decontam.gramIndex(evalNew, "doc_id", "text", n)
+      .join(storedGrams, Seq("ng"), "left_anti").count()
+    assert(newGrams > 0)
+  }
+
   test("pack segments: offsets concatenate exactly, packs respect the greedy contract") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
