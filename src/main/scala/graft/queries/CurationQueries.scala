@@ -1311,6 +1311,34 @@ object CurationQueries {
        tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)"""
 
+  /** ONE derivation string bound to BOTH decontamination gates: the
+    * incremental gate's whole contract is "identical to from-scratch
+    * over the union", so sharing the val makes the identity
+    * structural — an oracle fix can never reach one gate and miss
+    * the other.
+    */
+  private val DecontamFromScratchOracle: String =
+    """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         ng AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ng
+           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+                 FROM tk WHERE len(toks) >= 8)),
+         ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 20 = 7),
+         hits AS (
+           SELECT ng.doc_id, count(*) AS n_overlap
+           FROM ng JOIN ev USING (ng)
+           WHERE ng.doc_id % 20 <> 7 GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                coalesce(h.n_overlap, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
 
     // Transitive closure by recursive CTE, mirroring the operator's
@@ -1855,53 +1883,13 @@ object CurationQueries {
     // Same tokenization as TermFreqCte (lower, \s+ split, drop
     // empties); 8-gram shingles via list_slice over a row-expanded
     // range; DISTINCT mirrors the kernel's per-doc dedup.
-    "q_c_decontam" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '\s+'),
-                    x -> x <> '') AS toks
-           FROM documents),
-         ng AS (
-           SELECT DISTINCT doc_id,
-                  array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ng
-           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
-                 FROM tk WHERE len(toks) >= 8)),
-         ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 20 = 7),
-         hits AS (
-           SELECT ng.doc_id, count(*) AS n_overlap
-           FROM ng JOIN ev USING (ng)
-           WHERE ng.doc_id % 20 <> 7 GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-                coalesce(h.n_overlap, 0) > 0 AS contaminated
-         FROM documents d LEFT JOIN hits h USING (doc_id)
-         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+    "q_c_decontam" -> DecontamFromScratchOracle,
 
     // the incremental gate's contract: identical to FROM-SCRATCH
     // decontamination over the union corpus — so the oracle is
     // exactly q_c_decontam's derivation (the split into stored/new
     // halves must be invisible in the result)
-    "q_c_decontam_incremental" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '\s+'),
-                    x -> x <> '') AS toks
-           FROM documents),
-         ng AS (
-           SELECT DISTINCT doc_id,
-                  array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ng
-           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
-                 FROM tk WHERE len(toks) >= 8)),
-         ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 20 = 7),
-         hits AS (
-           SELECT ng.doc_id, count(*) AS n_overlap
-           FROM ng JOIN ev USING (ng)
-           WHERE ng.doc_id % 20 <> 7 GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-                coalesce(h.n_overlap, 0) > 0 AS contaminated
-         FROM documents d LEFT JOIN hits h USING (doc_id)
-         WHERE d.doc_id % 20 <> 7 ORDER BY doc_id""",
+    "q_c_decontam_incremental" -> DecontamFromScratchOracle,
 
     // per-(train, eval) 3-gram Jaccard, best match per train doc
     // (ties → smallest eval id), contaminated = some match ≥ 0.5

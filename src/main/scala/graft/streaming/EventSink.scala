@@ -92,6 +92,10 @@ object EventSink {
     */
   final case class EventsMaintain(every: Int = 0,
       maxRowsPerBucket: Long = 0L) {
+    // same loud rejection as IngestStream.MaintainConfig: a rows
+    // target without a cadence would silently never fire
+    require(maxRowsPerBucket == 0L || every > 0,
+      "maxRowsPerBucket needs a cadence: set every > 0")
     def due(batchId: Long): Boolean =
       every > 0 && maxRowsPerBucket > 0 && (batchId + 1) % every == 0
   }

@@ -292,17 +292,29 @@ final class BucketedTable(spark: SparkSession, path: String,
     else Some(spark.read.parquet(dirs: _*))
   }
 
+  /** The batch key set, materialized ONCE and BOUNDED: distinct keys
+    * truncated at bound+1 rows before the checkpoint, so even a
+    * pathological corpus-as-one-batch input caches at most bound+1
+    * keys (never the whole corpus) — and when the guard passes, the
+    * limit provably did not truncate, so the checkpointed frame IS
+    * the full distinct key set and every later use (guard count,
+    * bucket collect, broadcast join) reuses the one materialization.
+    */
+  private def boundedKeySet(keys: DataFrame): DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .limit((maxBroadcastKeys + 1).min(Int.MaxValue).toInt)
+      .localCheckpoint()
+
   /** Fail NAMED (instead of OOMing the driver broadcast) when a batch
-    * key set exceeds the documented bound. The probe costs one pass
-    * over at most bound+1 batch rows — ∝ batch, like the join it
-    * guards.
+    * key set exceeds the documented bound; `keySet` must be a
+    * [[boundedKeySet]], so the count is over the checkpointed ≤
+    * bound+1 rows — free, not a second pass over the caller's plan.
     */
   private def guardKeys(keySet: DataFrame, op: String): Unit = {
-    val n = keySet.limit((maxBroadcastKeys + 1).min(Int.MaxValue).toInt)
-      .count()
+    val n = keySet.count()
     require(n <= maxBroadcastKeys,
       s"BucketedTable.$op: batch key set exceeds the broadcast bound " +
-        s"($n > $maxBroadcastKeys distinct keys) — split the batch " +
+        s"(> $maxBroadcastKeys distinct keys) — split the batch " +
         "upstream (smaller trigger) instead of broadcasting a " +
         "corpus-sized key set")
   }
@@ -321,10 +333,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     // pointer exists to give; mergeResolve reads once for the same
     // reason)
     case (v, _, nb) =>
-      // checkpoint the batch key set once: the guard count, the
-      // touched-bucket collect, and the broadcast semi-join all reuse
-      // the materialization instead of re-running the caller's plan
-      val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
+      val keySet = boundedKeySet(keys)
       guardKeys(keySet, "readKeys")
       val m = manifest(v)
       val touched = keySet.select(bucketOf(col(keyCol), nb).as("__bucket"))
@@ -343,9 +352,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def merge(changed: DataFrame, batchId: Long): Unit =
     mergeResolve(changed, batchId) { (prior, chg) =>
-      // checkpointed once: guard count + broadcast anti-join share
-      // the materialization (no second pass over the caller's plan)
-      val keySet = chg.select(col(keyCol)).distinct().localCheckpoint()
+      val keySet = boundedKeySet(chg)
       guardKeys(keySet, "merge")
       prior match {
         case Some(p) => p

@@ -105,8 +105,11 @@ object Decontam {
       storedGrams: DataFrame, storedCounts: DataFrame,
       oldTrain: DataFrame, newEval: DataFrame, newTrain: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
+    // materialized once: the anti-join against a large stored index
+    // is the expensive step, and both the history delta broadcast and
+    // the merged index reuse it (bounded by the eval batch's grams)
     val newGrams = gramIndex(newEval, idCol, textCol, n)
-      .join(storedGrams, Seq("ng"), "left_anti")
+      .join(storedGrams, Seq("ng"), "left_anti").localCheckpoint()
     val mergedIdx = storedGrams.unionByName(newGrams)
     val deltaOld = ngrams(oldTrain, idCol, textCol, n)
       .join(broadcast(newGrams), Seq("ng"))
