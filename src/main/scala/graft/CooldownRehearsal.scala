@@ -106,8 +106,13 @@ object CooldownRehearsal {
       if (f.isFile) f.length()
       else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
     val stateBytes = du(new java.io.File(s"$root/chk/state"))
+    // SCALE_REHEARSAL records this figure — guard the division: live
+    // can be 0 (full eviction) or off if a progress entry was missed,
+    // which would land Infinity/NaN in the rehearsal number
+    val perKey =
+      if (live > 0) f"${stateBytes.toDouble / live}%.1f" else "n/a (live<=0)"
     println(f"checkpoint state dir: $stateBytes bytes; final live keys: $live; " +
-      f"bytes/key (durable, latest+retained deltas): ${stateBytes.toDouble / live}%.1f")
+      s"bytes/key (durable, latest+retained deltas): $perKey")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }

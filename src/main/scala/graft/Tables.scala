@@ -78,6 +78,27 @@ object Sessions {
   val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft" else "/tmp/graft")
 
+  /** Per-PROCESS scratch directory for gates that MUTATE state
+    * mid-run (delete → replay batches): keying such a path by the
+    * dataset name alone would interleave two drivers' state tables if
+    * they ever shared a box, so the path carries a process-unique
+    * token. Deleted at the START of each in-process reuse (rerun
+    * hygiene) and again at JVM exit (best-effort; the scratch root is
+    * tmpfs, so leaks die with the box anyway). NOT for corpus-identity
+    * caches (those WANT cross-run reuse — the `ingest_history` staging
+    * convention).
+    */
+  def perRunScratch(family: String, name: String): String = {
+    val dir = s"$scratchRoot/$family/${name}_$processToken"
+    val f = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(f)
+    dir
+  }
+
+  private lazy val processToken: String =
+    java.util.UUID.randomUUID.toString.take(8)
+
   /** Shuffle/spill directory (spark.local.dir) — deliberately NOT the
     * tmpfs scratch: spill exists to relieve memory pressure, and its
     * size tracks the DATA (a larger-SF shuffle can spill far past any

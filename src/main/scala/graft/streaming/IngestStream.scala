@@ -173,6 +173,17 @@ object IngestStream {
       statePath: String): AppendTable =
     new AppendTable(spark, s"$statePath/quarantine")
 
+  /** The drift GATE's monitor log — deliberately a DISTINCT subdir
+    * from the standalone [[DriftMonitor.monitorTable]] (`monitor`):
+    * both are gated by their OWN stream's batch ids, so sharing one
+    * pointer would silently drop whichever side's batchId is not
+    * ahead of it when a standalone monitor and a gated loop ever run
+    * against the same statePath.
+    */
+  def gateMonitorTable(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): AppendTable =
+    new AppendTable(spark, s"$statePath/monitor_gate")
+
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int): Unit =
     processBatch(batch, batchId, statePath, maxDist, None)
@@ -239,7 +250,7 @@ object IngestStream {
       val (nDocs, nUnseen, psiU, unseenU) = DriftMonitor.batchStats(
         batch.select("doc_id", "text"), g.ref, g.nBins)
       val alarm = psiU >= g.alertAtPsiU || unseenU >= g.alertAtUnseenU
-      val mT = DriftMonitor.monitorTable(spark, statePath)
+      val mT = gateMonitorTable(spark, statePath)
       if (mT.lastBatchId < batchId) {
         import spark.implicits._
         mT.append(Seq((batchId, nDocs, nUnseen, psiU, unseenU, alarm))
@@ -338,6 +349,9 @@ object IngestStream {
       statePath: String, maintain: MaintainConfig): Unit = {
     fpsTable(spark, statePath).compact()
     snapTable(spark, statePath).compact()
+    // the gate's own log, plus the standalone monitor's for operators
+    // who point one at the same statePath (no-op when never written)
+    gateMonitorTable(spark, statePath).compact()
     DriftMonitor.monitorTable(spark, statePath).compact()
     quarantineTable(spark, statePath).compact()
     if (maintain.maxRowsPerBucket > 0)

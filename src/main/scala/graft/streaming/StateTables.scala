@@ -413,17 +413,25 @@ final class BucketedTable(spark: SparkSession, path: String,
   /** The growth RULE both maintenance loops share (IngestStream's
     * label store, EventSink's events store): one full count —
     * corpus-sized, so callers amortize it over a cadence — and a
-    * doubling [[rebucket]] when the average bucket exceeds the
-    * target. Holding the rule here keeps the two loops from
-    * diverging. Returns whether a rebucket ran.
+    * power-of-two [[rebucket]] when the average bucket exceeds the
+    * target. The factor is computed, not a fixed ×2: a table that
+    * grew several multiples between ticks reaches its target in ONE
+    * rewrite (the smallest 2^k·nb with rows ≤ max·2^k·nb) instead of
+    * paying a full-table rewrite per doubling on consecutive ticks.
+    * Holding the rule here keeps the two loops from diverging.
+    * Returns whether a rebucket ran.
     */
   def growIfOversized(maxRowsPerBucket: Long): Boolean = {
     require(maxRowsPerBucket > 0,
       s"maxRowsPerBucket must be positive: $maxRowsPerBucket")
     val rows = read().map(_.count()).getOrElse(0L)
     val nb = currentBuckets
-    if (rows > maxRowsPerBucket * nb) { rebucket(nb * 2); true }
-    else false
+    if (rows > maxRowsPerBucket * nb) {
+      var target = nb.toLong * 2L
+      while (rows > maxRowsPerBucket * target && target < Int.MaxValue / 2)
+        target *= 2L
+      rebucket(target.toInt); true
+    } else false
   }
 
   /** Rewrite the WHOLE table into `newN` hash buckets — the lakehouse

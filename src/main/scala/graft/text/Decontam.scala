@@ -114,10 +114,17 @@ object Decontam {
     val deltaOld = ngrams(oldTrain, idCol, textCol, n)
       .join(broadcast(newGrams), Seq("ng"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("__delta"))
-    val oldOut = storedCounts
+    // the history doc set is derived from oldTrain, NOT storedCounts:
+    // the two inputs are redundant (storedCounts must cover oldTrain's
+    // ids), and driving the output from storedCounts would silently
+    // DROP any doc missing a stored row — deriving from oldTrain makes
+    // such a gap surface as a zero base count instead of a lost doc
+    val oldOut = oldTrain.select(col(idCol))
+      .join(storedCounts, Seq(idCol), "left")
       .join(deltaOld, Seq(idCol), "left")
       .select(col(idCol),
-        (col("n_overlap") + coalesce(col("__delta"), lit(0L)))
+        (coalesce(col("n_overlap"), lit(0L)) +
+          coalesce(col("__delta"), lit(0L)))
           .as("n_overlap"))
     oldOut.unionByName(probeCounts(newTrain, mergedIdx, idCol, textCol, n))
       .withColumn("contaminated", col("n_overlap") > 0L)

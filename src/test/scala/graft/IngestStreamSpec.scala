@@ -350,7 +350,7 @@ class IngestStreamSpec extends AnyFunSuite {
     // the cadence folds the gate's OWN logs too — monitor and
     // quarantine would otherwise grow one directory per batch, the
     // small-files problem the cadence exists to bound
-    assert(DriftMonitor.monitorTable(spark, state).readFanIn == 1)
+    assert(IngestStream.gateMonitorTable(spark, state).readFanIn == 1)
     assert(IngestStream.quarantineTable(spark, state).readFanIn == 1)
 
     val quietIds = quiet.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -359,7 +359,7 @@ class IngestStreamSpec extends AnyFunSuite {
     // margin guard: the planted split must clear the threshold with
     // ≥2x headroom on both sides, so a testdata regen that erodes it
     // fails HERE by name, not as an opaque oracle mismatch
-    val mon = DriftMonitor.monitorTable(spark, state).read().get
+    val mon = IngestStream.gateMonitorTable(spark, state).read().get
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(5)))
       .toMap
     assert(!mon(0L)._2 && mon(0L)._1 < 100000L,
