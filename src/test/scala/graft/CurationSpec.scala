@@ -948,6 +948,56 @@ class CurationSpec extends AnyFunSuite {
     assert(seg == base)
   }
 
+  test("fixed-capacity packing: BFD beats next-fit on a planted mixed-length corpus") {
+    import spark.implicits._
+    // deliberately adversarial for next-fit: alternating large (700)
+    // and small (200) docs in hash order force next-fit to close many
+    // half-empty bins, while BFD pairs 700+200+... near-perfectly
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 300L).map(id => (id, s"g${id % 2}",
+      if (rnd.nextBoolean()) 700L else 100L + rnd.nextInt(300)))
+      .toDF("doc_id", "g", "n_tok")
+    val budget = 1024L
+    def summarize(assigned: org.apache.spark.sql.DataFrame) = {
+      val rows = assigned.collect().map(r => (r.getAs[String]("g"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("pack_id")))
+      // validity: every doc assigned once, no pack over budget
+      assert(rows.length == 300)
+      rows.groupBy(t => (t._1, t._4)).foreach { case ((g, p), members) =>
+        assert(members.map(_._3).sum <= budget, s"pack ($g,$p) over budget")
+      }
+      // pack ids are contiguous from 0 per stratum (opening order)
+      rows.groupBy(_._1).foreach { case (g, members) =>
+        val ids = members.map(_._4).distinct.sorted
+        assert(ids.toSeq == (0L until ids.length).toSeq, s"stratum $g")
+      }
+      rows.groupBy(t => (t._1, t._4)).size
+    }
+    val nfPacks = summarize(
+      Sampling.packNextFit(df, "doc_id", "g", "n_tok", budget))
+    val bfdPacks = summarize(
+      Sampling.packBestFit(df, "doc_id", "g", "n_tok", budget))
+    // same total tokens, fewer bins == strictly less padding
+    assert(bfdPacks < nfPacks,
+      s"BFD used $bfdPacks packs, next-fit $nfPacks — expected strictly fewer")
+    // determinism: a repartitioned input replays the identical fill
+    val a = Sampling.packBestFit(df.repartition(13), "doc_id", "g",
+      "n_tok", budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    val b = Sampling.packBestFit(df.repartition(3), "doc_id", "g",
+      "n_tok", budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(a == b)
+    // oversize doc fails NAMED, not silently mis-packed
+    val bad = Seq((1L, "g0", 2000L)).toDF("doc_id", "g", "n_tok")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.packBestFit(bad, "doc_id", "g", "n_tok", budget).collect()
+    }
+    assert(e.getMessage.contains("packFold") ||
+      Option(e.getCause).exists(_.getMessage.contains("packFold")))
+  }
+
   test("quantile profile: exact discrete ranks and sketch in band") {
     import spark.implicits._
     // group a: 1..100 -> p50=50, p90=90, p99=99; group b: tiny
