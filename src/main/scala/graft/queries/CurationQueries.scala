@@ -100,6 +100,48 @@ object CurationQueries {
         .select("doc_id", "cluster_id", "quality", "keep", "split")
         .orderBy("doc_id")),
 
+    // The MAINTENANCE moment oracle-gated (round-12 verdict item 1 —
+    // the one state-mutation path the driver never saw): the REAL
+    // ingest loop runs two batches with MaintainConfig(compactEvery=1,
+    // maxRowsPerBucket=16), so the append tables COMPACT after every
+    // batch and the label store REBUCKETS mid-lifecycle — batch 0's
+    // row count forces a power-of-two growth (16→32 at sf0.01,
+    // 16→512 at sf0.1) BEFORE batch 1's merge, which therefore runs
+    // against the re-hashed layout. The output is the label store
+    // read back from disk AFTER the maintained run plus the PROOF
+    // columns: bucket count after batch 0 and at the end (the oracle
+    // re-derives both from the batch-count arithmetic — smallest
+    // 16·2^j with rows ≤ 16·16·2^j — so n_buckets_mid > 16
+    // hash-proves the rebucket fired in-run, between the batches) and
+    // the append tables' read fan-in (= 1: the compaction cadence's
+    // c+1 bound at c=1). Identity with the from-scratch union CC
+    // oracle proves the rebucket + post-rebucket merge lost/moved
+    // nothing.
+    "q_c_ingest_maintain" -> ((s, dir) => {
+      import graft.streaming.IngestStream
+      val d = docs(s, dir)
+      val b0 = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val b1 = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("ingest_maintain",
+        src.getParentFile.getName)
+      val maintain = IngestStream.MaintainConfig(compactEvery = 1,
+        maxRowsPerBucket = 16L)
+      IngestStream.processBatch(b0, 0L, state, 3, None, maintain)
+      val nbMid = IngestStream.labelsTable(s, state).currentBuckets
+      IngestStream.processBatch(b1, 1L, state, 3, None, maintain)
+      val labelsT = IngestStream.labelsTable(s, state)
+      labelsT.read().get
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          lit(nbMid.toLong).as("n_buckets_mid"),
+          lit(labelsT.currentBuckets.toLong).as("n_buckets"),
+          lit(IngestStream.fpsTable(s, state).readFanIn.toLong)
+            .as("fps_fan_in"),
+          lit(IngestStream.snapTable(s, state).readFanIn.toLong)
+            .as("snap_fan_in"))
+        .orderBy("doc_id")
+    }),
+
     // The lifecycle's LAST mile (L52 × L65): the ingest chain's kept
     // survivors are PUBLISHED as durable shards — history snapshot
     // written once, the batch's winners appended through the stored
@@ -443,6 +485,42 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "pack_id", "seg_idx",
           "seg_start")
         .orderBy("doc_id")),
+
+    // Padding-waste audit (round-12 verdict item 6, completing L19):
+    // the SAME corpus packed two ways into FIXED 128-token bins — the
+    // greedy next-fit baseline in hash order vs best-fit-decreasing —
+    // per-pack fill ratio and the stratum pad-token fraction side by
+    // side. No straddler in this family: a pack's pad is exactly
+    // budget − fill, the quantity the audit measures. Both fills are
+    // deterministic step replays (fill order + tie rules pinned), so
+    // the oracle re-runs BOTH packers step for step in recursive SQL
+    // and the hash compare proves every assignment, not just totals.
+    "q_c_pack_bfd" -> ((s, dir) => {
+      val budget = 128L
+      val base = docs(s, dir).withColumn("n_tokens",
+        graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long"))
+      val both = Sampling
+        .packNextFit(base, "doc_id", "lang", "n_tokens", budget)
+        .withColumn("method", lit("seq"))
+        .unionByName(Sampling
+          .packBestFit(base, "doc_id", "lang", "n_tokens", budget)
+          .withColumn("method", lit("bfd")))
+      val packs = both.groupBy(col("lang"), col("method"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill_tokens"))
+        .withColumn("pad_tokens", lit(budget) - col("fill_tokens"))
+        .withColumn("fill_ratio", Parity.roundHalfUp(
+          col("fill_tokens").cast("double") / lit(budget.toDouble), 6))
+      val strata = packs.groupBy(col("lang"), col("method"))
+        .agg(sum("pad_tokens").as("__pad"), count(lit(1)).as("__np"))
+        .select(col("lang"), col("method"),
+          Parity.roundHalfUp(col("__pad").cast("double") /
+            (col("__np") * lit(budget)).cast("double"), 6)
+            .as("stratum_pad_frac"))
+      packs.join(broadcast(strata), Seq("lang", "method"))
+        .select("lang", "method", "pack_id", "n_docs", "fill_tokens",
+          "pad_tokens", "fill_ratio", "stratum_pad_frac")
+        .orderBy("lang", "method", "pack_id")
+    }),
 
     // PII detect + redact (emails / phones / IPv4 / hex addresses) —
     // one codegen'd map-side projection, zero shuffles. The corpus is
@@ -902,16 +980,18 @@ object CurationQueries {
         DriftMonitor.referenceBins(ref, "doc_id", "text", nBins = 10),
         nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
       val src = new java.io.File(graft.Tables.path(dir, "documents"))
-      val state = s"${graft.Sessions.scratchRoot}/drift_gate/" +
-        src.getParentFile.getName
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+      // process-token-keyed: this gate MUTATES its state dir (delete →
+      // two processBatch calls), so a dataset-name-only key would let
+      // two drivers on one box interleave state tables
+      val state = graft.Sessions.perRunScratch("drift_gate",
+        src.getParentFile.getName)
       val pub = Some(IngestStream.PublishConfig(s"$state/shards",
         budget = 2048L))
       IngestStream.processBatch(quiet, 0L, state, 3, pub,
         IngestStream.MaintainConfig(), Some(gate))
       IngestStream.processBatch(drifted, 1L, state, 3, pub,
         IngestStream.MaintainConfig(), Some(gate))
-      val monitor = DriftMonitor.monitorTable(s, state).read().get
+      val monitor = IngestStream.gateMonitorTable(s, state).read().get
       val quarantined = IngestStream.quarantineTable(s, state).read().get
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_quarantined"),
@@ -1384,6 +1464,31 @@ object CurationQueries {
           FROM rk ORDER BY doc_id"""
     },
 
+    // from-scratch union CC + the maintenance-proof arithmetic: the
+    // bucket counts are the growth rule replayed on the oracle's own
+    // row counts (smallest 16·2^j with n ≤ 16·16·2^j — path-
+    // independent across ticks because levels are monotone in n), the
+    // fan-ins are the compaction cadence's c+1 bound at c=1
+    "q_c_ingest_maintain" ->
+      s"""WITH RECURSIVE $CcLabCte,
+          sz AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM lab GROUP BY 1),
+          c0 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 0),
+          cf AS (SELECT count(*) AS n FROM documents),
+          nbm AS (SELECT 16 * min(1 << j) AS v
+                  FROM generate_series(0, 30) t(j), c0
+                  WHERE c0.n <= 256 * (1 << j)),
+          nbf AS (SELECT 16 * min(1 << j) AS v
+                  FROM generate_series(0, 30) t(j), cf
+                  WHERE cf.n <= 256 * (1 << j))
+          SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+                 CAST(nbm.v AS BIGINT) AS n_buckets_mid,
+                 CAST(nbf.v AS BIGINT) AS n_buckets,
+                 CAST(1 AS BIGINT) AS fps_fan_in,
+                 CAST(1 AS BIGINT) AS snap_fan_in
+          FROM lab JOIN sz USING (cluster_id), nbm, nbf
+          ORDER BY lab.doc_id""",
+
     // the whole lifecycle re-derived from scratch: recursive-CC
     // labels → keep-best winners → publish ids (admission epoch in
     // the high digits) → ONE global cumsum in pub_id order → shard
@@ -1850,6 +1955,82 @@ object CurationQueries {
                 CAST(before_t - min(before_t) OVER (PARTITION BY lang, pack_id)
                   AS BIGINT) AS seg_start
          FROM p ORDER BY doc_id""",
+
+    // BOTH packers replayed step for step in recursive SQL: next-fit
+    // carries (pack, used) per stratum; BFD carries the whole bin
+    // list and re-derives the fullest-fitting-bin choice (max used
+    // that fits, tie min bin id) per step — so the hash compare
+    // proves every single placement, then the per-pack and
+    // per-stratum pad arithmetic on top
+    "q_c_pack_bfd" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS k
+           FROM documents),
+         langs AS (SELECT DISTINCT lang FROM t),
+         oseq AS (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY k ASC, doc_id ASC) AS rn FROM t),
+         obfd AS (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY n_tokens DESC, k ASC, doc_id ASC) AS rn FROM t),
+         seqf(lang, i, doc_id, pack_id, used) AS (
+           SELECT lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(-1 AS BIGINT), CAST(128 AS BIGINT) FROM langs
+           UNION ALL
+           SELECT f.lang, f.i + 1, o.doc_id,
+                  CASE WHEN f.used + o.n_tokens <= 128 THEN f.pack_id
+                       ELSE f.pack_id + 1 END,
+                  CASE WHEN f.used + o.n_tokens <= 128
+                       THEN f.used + o.n_tokens ELSE o.n_tokens END
+           FROM seqf f JOIN oseq o ON o.lang = f.lang AND o.rn = f.i + 1),
+         bfdf(lang, i, doc_id, pack_id, bins) AS (
+           SELECT lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(NULL AS BIGINT),
+                  CAST([] AS STRUCT(b BIGINT, used BIGINT)[]) FROM langs
+           UNION ALL
+           SELECT lang, i, doc_id,
+                  coalesce(fit, nb) AS pack_id,
+                  CASE WHEN fit IS NULL
+                       THEN list_append(bins, {'b': nb, 'used': tt})
+                       ELSE list_transform(bins, x -> CASE WHEN x.b = fit
+                         THEN {'b': x.b, 'used': x.used + tt} ELSE x END)
+                  END
+           FROM (
+             SELECT f.lang, f.i + 1 AS i, o.doc_id, o.n_tokens AS tt,
+                    f.bins, CAST(len(f.bins) AS BIGINT) AS nb,
+                    list_min(list_transform(
+                      list_filter(f.bins, x -> x.used + o.n_tokens <= 128
+                        AND x.used = list_max(list_transform(
+                          list_filter(f.bins,
+                            y -> y.used + o.n_tokens <= 128),
+                          y -> y.used))),
+                      x -> x.b)) AS fit
+             FROM bfdf f JOIN obfd o ON o.lang = f.lang AND o.rn = f.i + 1)),
+         asg AS (
+           SELECT lang, doc_id, 'seq' AS method, pack_id
+           FROM seqf WHERE i > 0
+           UNION ALL
+           SELECT lang, doc_id, 'bfd' AS method, pack_id
+           FROM bfdf WHERE i > 0),
+         packs AS (
+           SELECT a.lang, a.method, a.pack_id,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(t.n_tokens) AS BIGINT) AS fill_tokens
+           FROM asg a JOIN t ON t.doc_id = a.doc_id AND t.lang = a.lang
+           GROUP BY 1, 2, 3),
+         str AS (
+           SELECT lang, method,
+                  floor(CAST(sum(128 - fill_tokens) AS DOUBLE)
+                    / CAST(count(*) * 128 AS DOUBLE) * 1000000.0 + 0.5)
+                    / 1000000.0 AS stratum_pad_frac
+           FROM packs GROUP BY 1, 2)
+         SELECT p.lang, p.method, p.pack_id, p.n_docs, p.fill_tokens,
+                CAST(128 - p.fill_tokens AS BIGINT) AS pad_tokens,
+                floor(CAST(p.fill_tokens AS DOUBLE) / 128.0 * 1000000.0
+                  + 0.5) / 1000000.0 AS fill_ratio,
+                s.stratum_pad_frac
+         FROM packs p JOIN str s USING (lang, method)
+         ORDER BY p.lang, p.method, p.pack_id""",
 
     // The oracle rebuilds the planted-PII string byte-for-byte, then
     // runs the IDENTICAL regex chain (the patterns live in the shared
