@@ -184,6 +184,71 @@ object IngestStream {
       statePath: String): AppendTable =
     new AppendTable(spark, s"$statePath/monitor_gate")
 
+  /** The drain's retirement pointer: ONE row (`drained_through` —
+    * the highest quarantine batch id a completed drain has re-entered
+    * through the loop). A [[SnapshotTable]] because that is exactly
+    * the bounded-sidecar shape: full rewrite per commit over one row,
+    * batch-id-idempotent, crash-safe at every kill boundary.
+    */
+  def drainMarker(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): SnapshotTable =
+    new SnapshotTable(spark, s"$statePath/quarantine_drained")
+
+  /** REQUALIFICATION drain (round-12 verdict item 2 — the
+    * action→recovery edge): after the operator refreshes the
+    * reference histogram (or adjudicates the quarantined data as the
+    * new normal), the PENDING quarantine rows — batch ids above the
+    * drained-through pointer — re-enter [[processBatch]] as one
+    * ordinary batch of new docs, and the drain commits the pointer so
+    * they retire batch-id-idempotently without ever mutating the
+    * append-only quarantine log itself.
+    *
+    * Contract and crash shape:
+    *   - the pending set is a pure function of (quarantine log,
+    *     marker), so a crash replay re-derives the identical batch;
+    *   - data first, pointer last: processBatch's own per-table
+    *     batch-id gates make the re-entry idempotent, and the marker
+    *     commit is the drain's gate — a kill between the two replays
+    *     the (no-op) re-entry and then commits;
+    *   - quarantined ids never entered the snapshot, so the L49 diff
+    *     admits them as ordinary new docs — labels/snapshot/shards
+    *     afterwards are IDENTICAL to a run where the batch had never
+    *     been quarantined (IngestStreamSpec pins the identity;
+    *     `q_c_quarantine_drain` oracle-gates the lifecycle);
+    *   - if the refreshed gate STILL alarms, the drain batch
+    *     re-quarantines under `drainBatchId` — those rows sit above
+    *     the new drained-through pointer, so they stay pending for
+    *     the next requalification: the loop is closed, not bypassed.
+    *
+    * `drainBatchId` must exceed every committed batch id (the
+    * foreachBatch monotonicity contract the state tables require).
+    */
+  def drainQuarantine(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, drainBatchId: Long, maxDist: Int = 3,
+      publish: Option[PublishConfig] = None,
+      maintain: MaintainConfig = MaintainConfig(),
+      drift: Option[DriftMonitor.GateConfig] = None): Unit = {
+    val qT = quarantineTable(spark, statePath)
+    val dT = drainMarker(spark, statePath)
+    if (dT.lastBatchId >= drainBatchId) return // replayed drain → no-op
+    val drainedThrough = dT.read()
+      .map(_.agg(max(col("drained_through"))).head.getLong(0))
+      .getOrElse(-1L)
+    val pendingMax = qT.lastBatchId
+    require(drainBatchId > pendingMax,
+      s"drainQuarantine: drainBatchId $drainBatchId must exceed the " +
+        s"quarantine log's last batch id $pendingMax")
+    val pending = qT.read()
+      .map(_.filter(col("batch_id") > drainedThrough))
+      .filter(!_.isEmpty)
+    pending.foreach { p =>
+      processBatch(p.select(col("doc_id"), col("text")), drainBatchId,
+        statePath, maxDist, publish, maintain, drift)
+    }
+    import spark.implicits._
+    dT.commit(Seq(pendingMax).toDF("drained_through"), drainBatchId)
+  }
+
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int): Unit =
     processBatch(batch, batchId, statePath, maxDist, None)

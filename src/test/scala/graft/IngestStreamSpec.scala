@@ -397,6 +397,103 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("drainQuarantine: pending re-enters the loop, retires idempotently, equals never-quarantined") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.IngestStream.{MaintainConfig, PublishConfig}
+    import graft.text.QualityClassifier.Degradation
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+      Degradation.plant(col("doc_id"), col("text")).as("text"))
+      .localCheckpoint()
+    val quiet = d.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+      Degradation.plant(col("doc_id"), col("text")).as("text"))
+      .localCheckpoint()
+    val drifted = d.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+      concat(col("text"), lit(Degradation.TailB)).as("text"))
+      .localCheckpoint()
+    val gate = DriftMonitor.GateConfig(
+      DriftMonitor.referenceBins(ref, "doc_id", "text", nBins = 10),
+      nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
+    val root = Files.createTempDirectory("drain").toString
+    def pub(p: String) = Some(PublishConfig(s"$p/shards", budget = 2048L))
+
+    // A: the gate quarantines batch 1; the reference then refreshes
+    // from the quarantined slice itself and the drain re-enters it
+    val stateA = s"$root/a"
+    IngestStream.processBatch(quiet, 0L, stateA, 3, pub(stateA),
+      MaintainConfig(), Some(gate))
+    IngestStream.processBatch(drifted, 1L, stateA, 3, pub(stateA),
+      MaintainConfig(), Some(gate))
+    val gate2 = DriftMonitor.GateConfig(
+      DriftMonitor.referenceBins(
+        IngestStream.quarantineTable(spark, stateA).read().get
+          .select("doc_id", "text"), "doc_id", "text", nBins = 10),
+      nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
+    IngestStream.drainQuarantine(spark, stateA, drainBatchId = 2L,
+      maxDist = 3, publish = pub(stateA), drift = Some(gate2))
+
+    // B: never quarantined — the same docs as ordinary batches under
+    // the SAME data-commit ids A used (0, then the drain's 2)
+    val stateB = s"$root/b"
+    IngestStream.processBatch(quiet, 0L, stateB, 3, pub(stateB))
+    IngestStream.processBatch(drifted, 2L, stateB, 3, pub(stateB))
+
+    def labels(p: String) = IngestStream.labelsTable(spark, p).read().get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def snap(p: String) = IngestStream.snapTable(spark, p).read().get
+      .select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def shards(p: String) = spark.read.parquet(s"$p/shards")
+      .select(col("pub_id"), col("n_tok"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(labels(stateA) == labels(stateB), "labels differ from never-quarantined")
+    assert(snap(stateA) == snap(stateB), "snapshot differs from never-quarantined")
+    assert(shards(stateA) == shards(stateB), "shards differ from never-quarantined")
+
+    // retirement: the marker records the drained-through id and the
+    // pending set is empty
+    val qT = IngestStream.quarantineTable(spark, stateA)
+    val drained = IngestStream.drainMarker(spark, stateA).read().get
+      .agg(max("drained_through")).head.getLong(0)
+    assert(drained == 1L)
+    assert(qT.read().get.filter(col("batch_id") > drained).isEmpty)
+
+    // replayed drain is a no-op end to end
+    val verBefore = IngestStream.labelsTable(spark, stateA).latest
+    val monBefore = IngestStream.gateMonitorTable(spark, stateA)
+      .read().get.count()
+    IngestStream.drainQuarantine(spark, stateA, drainBatchId = 2L,
+      maxDist = 3, publish = pub(stateA), drift = Some(gate2))
+    assert(IngestStream.labelsTable(spark, stateA).latest == verBefore)
+    assert(IngestStream.gateMonitorTable(spark, stateA).read().get.count()
+      == monBefore)
+
+    // crash between the drain's data re-entry and its marker commit:
+    // C replays A up to the quarantine, runs ONLY the re-entry half
+    // (the kill point), then the replayed drain converges — data
+    // no-ops, marker commits, final state equals A's
+    val stateC = s"$root/c"
+    IngestStream.processBatch(quiet, 0L, stateC, 3, pub(stateC),
+      MaintainConfig(), Some(gate))
+    IngestStream.processBatch(drifted, 1L, stateC, 3, pub(stateC),
+      MaintainConfig(), Some(gate))
+    IngestStream.processBatch(
+      IngestStream.quarantineTable(spark, stateC).read().get
+        .select("doc_id", "text"),
+      2L, stateC, 3, pub(stateC), MaintainConfig(), Some(gate2))
+    assert(IngestStream.drainMarker(spark, stateC).read().isEmpty)
+    IngestStream.drainQuarantine(spark, stateC, drainBatchId = 2L,
+      maxDist = 3, publish = pub(stateC), drift = Some(gate2))
+    assert(labels(stateC) == labels(stateA))
+    assert(shards(stateC) == shards(stateA))
+    assert(IngestStream.drainMarker(spark, stateC).read().get
+      .agg(max("drained_through")).head.getLong(0) == 1L)
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("conflicting texts for one doc_id in a batch resolve deterministically (smallest digest wins)") {
     val s = spark
     import s.implicits._
