@@ -47,7 +47,7 @@ object Bench {
     * all 32 threads, so its runtime moves with host load exactly the
     * way the sweep's compute-bound queries do. ~0.5 s idle.
     */
-  private def calibrationSeconds(spark: SparkSession): Double = {
+  private[graft] def calibrationSeconds(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1L << 27, 1L, 32)
       .selectExpr("sum(((id * 2654435761) % 1000003) * ((id + 7) % 97)) AS s")

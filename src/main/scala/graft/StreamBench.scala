@@ -206,6 +206,13 @@ object StreamBench {
       latencyFallbackBatches = fallbackBatches)
   }
 
+  /** Committed load-validity threshold for the isolated floor: on
+    * this 32-cpu container an idle box reads load_1m < 1 and the
+    * round-12 driver sweep that distorted the floor read 24 — 4.0
+    * separates the regimes with margin on both sides.
+    */
+  val MaxFloorLoad1m = 4.0
+
   private def loadAvg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
@@ -249,6 +256,11 @@ object StreamBench {
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the floor's OWN machine-state evidence (round-12 verdict item 4):
+    // the same fixed probe the batch sweep carries, run in THIS JVM
+    // before the sweeps (one untimed warm-up, then the measurement)
+    Bench.calibrationSeconds(spark)
+    val calibS = Bench.calibrationSeconds(spark)
     val feed = buildFeed(spark, sfDir, handles, rowsPerPage, replicas)
     val runs = (1 to sweeps).map { _ =>
       val load = loadAvg1m()
@@ -269,13 +281,30 @@ object StreamBench {
     // that adjudication a one-field read. Keys are floor_-prefixed so
     // the compact-line grabber can address them unambiguously.
     val (floorStats, floorLoad) = runs.maxBy(_._1.eventsPerMin)
+    // VALIDITY GUARD (round-12 verdict item 4): a floor measured on a
+    // loaded box inherits the distortion it exists to adjudicate — so
+    // the field carries its own machine-state evidence and
+    // self-classifies. Thresholds are committed in BENCH_VARIANCE.md:
+    // calibration ratio > 1.3 (the batch sweep's rule) or
+    // load_1m_before > 4.0 on this 32-cpu box marks the floor
+    // machine-state-dispersed, NOT a capability number.
+    val calibRatio = calibS / Bench.CalibrationIdleRefS
+    val floorDispersed = floorLoad > MaxFloorLoad1m || calibRatio > 1.3
+    val floorValidity =
+      if (!floorDispersed) "capability"
+      else f"machine-state-dispersed (calib_ratio $calibRatio%.2f > 1.3 " +
+        f"or load_1m $floorLoad%.2f > $MaxFloorLoad1m%.1f) - not a floor"
     val floorJson =
       f""""isolated_floor": {"floor_events_per_min": ${floorStats.eventsPerMin}%.0f, """ +
         f""""floor_latency_p50_s": ${floorStats.latencyP50}%.3f, """ +
         f""""floor_batch_p50_s": ${floorStats.batchP50}%.3f, """ +
         f""""sweep_index": ${runs.indexWhere(_._1 eq floorStats) + 1}, """ +
         f""""load_1m_before": $floorLoad%.2f, """ +
-        s""""rule": "best-of-${runs.size} same-JVM sweeps = the capability floor; warm-last stays the number-of-record; agreement <70pct classifies the record as machine-state-dispersed and the floor adjudicates (BENCH_VARIANCE.md)"}"""
+        f""""calibration_s": $calibS%.3f, """ +
+        f""""calibration_ratio": $calibRatio%.2f, """ +
+        s""""is_capability_floor": ${!floorDispersed}, """ +
+        s""""validity": "$floorValidity", """ +
+        s""""rule": "best-of-${runs.size} same-JVM sweeps = the capability floor ONLY when its own calibration ratio <= 1.3 and load_1m_before <= $MaxFloorLoad1m; otherwise machine-state-dispersed and adjudication falls to a quiet-box TimeOne/StreamBench rerun; warm-last stays the number-of-record; agreement <70pct classifies the record as machine-state-dispersed (BENCH_VARIANCE.md)"}"""
     println(s"STREAM_BENCH_JSON ${statsJson(warm, runs.last._2).dropRight(1)}, " +
       s"$floorJson, " +
       s""""protocol": {"sweeps_in_jvm": ${runs.size}, "reported": "last (warm)", """ +

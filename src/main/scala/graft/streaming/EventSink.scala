@@ -25,33 +25,69 @@ final class SnapshotTable(spark: SparkSession, path: String) {
   private val ptrPath = Paths.get(path, "_LATEST")
 
   /** (snapshot version, last committed streaming batch id). */
-  def latest: Option[(Long, Long)] =
+  def latest: Option[(Long, Long)] = pointer().map(p => (p._1, p._2))
+
+  /** Adds the live schema version (third field; 0 in pre-evolution
+    * pointers — see [[TableSchema]]).
+    */
+  private def pointer(): Option[(Long, Long, Long)] =
     if (!Files.exists(ptrPath)) None
     else {
-      val Array(v, b) =
-        new String(Files.readAllBytes(ptrPath), StandardCharsets.UTF_8)
-          .trim.split(",")
-      Some((v.toLong, b.toLong))
+      val f = new String(Files.readAllBytes(ptrPath),
+        StandardCharsets.UTF_8).trim.split(",")
+      Some((f(0).toLong, f(1).toLong,
+        if (f.length >= 3) f(2).toLong else 0L))
     }
 
-  def read(): Option[DataFrame] =
-    latest.map { case (v, _) => spark.read.parquet(s"$path/v_$v") }
+  def read(): Option[DataFrame] = pointer().map { case (v, _, m) =>
+    val base = spark.read.parquet(s"$path/v_$v")
+    TableSchema.applyTo(base, TableSchema.read(path, m))
+  }
 
   def lastBatchId: Long = latest.map(_._2).getOrElse(-1L)
+
+  /** Live schema version — 0 until an [[addColumn]] commits one. */
+  def schemaVersion: Long = pointer().map(_._3).getOrElse(0L)
+
+  /** ADDITIVE migration, the [[BucketedTable.addColumn]] contract on
+    * the snapshot layout: the current snapshot FILE is not rewritten —
+    * it reads through the declared default until the next `commit`
+    * lands a fresh snapshot carrying the column. Side file first
+    * (orphan), one atomic pointer move, idempotent per column name.
+    */
+  def addColumn(name: String, dataType: String, defaultSql: String): Unit = {
+    val (v, batchId, m) = pointer().getOrElse(throw new
+      IllegalStateException(s"SnapshotTable.addColumn($name): migrate " +
+        s"after the first commit — $path has none"))
+    val cols = TableSchema.read(path, m)
+    if (cols.exists(_.name == name)) return // idempotent
+    TableSchema.write(path, m + 1,
+      cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
+      "migrate")
+    writePointer(v, batchId, m + 1, "migrate")
+  }
+
+  private def writePointer(v: Long, batchId: Long, schemaV: Long,
+      op: String): Unit = {
+    val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
+    Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.pointer.tmp")
+    Files.write(tmp,
+      s"$v,$batchId,$schemaV".getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.pointer.move")
+    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Write a full new snapshot unless `batchId` already committed. */
   def commit(df: DataFrame, batchId: Long): Unit = {
     if (lastBatchId >= batchId) return // replayed batch → no-op
-    val v = latest.map(_._1 + 1).getOrElse(0L)
+    val p = pointer()
+    val v = p.map(_._1 + 1).getOrElse(0L)
+    val m = p.map(_._3).getOrElse(0L)
     Failpoints.step("snapshot.data")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v_$v")
-    val tmp = Paths.get(path, s"_LATEST.tmp.$batchId")
-    Files.createDirectories(Paths.get(path))
-    Failpoints.step("snapshot.pointer.tmp")
-    Files.write(tmp, s"$v,$batchId".getBytes(StandardCharsets.UTF_8))
-    Failpoints.step("snapshot.pointer.move")
-    Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writePointer(v, batchId, m, "snapshot")
   }
 }
 

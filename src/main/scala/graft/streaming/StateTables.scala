@@ -159,6 +159,73 @@ final class AppendTable(spark: SparkSession, path: String) {
   }
 }
 
+/** ADDITIVE schema evolution for the durable state tables (round-12
+  * verdict item 3; reference counterpart: 15 additive Alembic
+  * revisions + live-table column reflection,
+  * api/alembic/versions/ and api/events.py:1104-1131): a table gains
+  * a column by declaring (name, type, non-null default) in a
+  * versioned side file — NO history rewrite. Old files READ THROUGH
+  * the new schema: a file missing the column surfaces the default
+  * (parquet footer merge supplies the nulls, the declared default
+  * fills them — exactly `server_default` on a NOT NULL column), and
+  * post-migration writes carry the column explicitly. The live
+  * schema version rides in the table pointer, so the migration flips
+  * atomically with the same move that guards every other mutation.
+  */
+private[streaming] object TableSchema {
+
+  /** One declared additive column: Spark SQL type name plus the
+    * default as a SQL literal (evaluated via `expr`, so it is
+    * engine-deterministic). Added columns are non-null-with-default
+    * BY CONTRACT: a null read (pre-migration file, or a writer that
+    * omitted the value) coalesces to the default.
+    */
+  final case class AddedColumn(name: String, dataType: String,
+      default: String)
+
+  private def render(cols: Seq[AddedColumn]): String =
+    cols.map(c => s"${c.name}|${c.dataType}|${c.default}").mkString("\n")
+
+  private def parse(body: String): Seq[AddedColumn] =
+    body.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(n, t, d) = l.split("\\|", 3)
+      AddedColumn(n, t, d)
+    }.toSeq
+
+  /** Columns declared as of schema version `m` (0 = never migrated). */
+  def read(path: String, m: Long): Seq[AddedColumn] =
+    if (m <= 0) Nil
+    else parse(new String(
+      Files.readAllBytes(Paths.get(path, s"columns_v$m")),
+      StandardCharsets.UTF_8))
+
+  /** Land schema version `m` as an orphan side file (tmp + atomic
+    * move); the caller's pointer flip is what makes it live — the
+    * same two-step crash shape as every other table mutation.
+    */
+  def write(path: String, m: Long, cols: Seq[AddedColumn],
+      op: String): Unit = {
+    val tmp = Paths.get(path, s"columns_v$m.tmp")
+    Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.schema.tmp")
+    Files.write(tmp, render(cols).getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.schema.move")
+    Files.move(tmp, Paths.get(path, s"columns_v$m"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read-through: surface every declared column with its default
+    * filling pre-migration rows (and any null a writer left).
+    */
+  def applyTo(df: DataFrame, cols: Seq[AddedColumn]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val dv = expr(c.default).cast(c.dataType)
+      if (d.columns.contains(c.name))
+        d.withColumn(c.name, coalesce(col(c.name).cast(c.dataType), dv))
+      else d.withColumn(c.name, dv)
+    }
+}
+
 object BucketedTable {
   /** Upper bound on the distinct batch keys a single `readKeys`/
     * `merge` may broadcast. A batch's key set is driver-broadcast for
@@ -215,16 +282,18 @@ final class BucketedTable(spark: SparkSession, path: String,
   private val ptrPath = Paths.get(path, "_LATEST")
 
   /** (manifest version, last committed streaming batch id, live bucket
-    * count). Two-field pointers predate rebucket; their bucket count
-    * is the constructor's.
+    * count, live schema version). Two-field pointers predate rebucket
+    * (bucket count = the constructor's); three-field pointers predate
+    * schema evolution (schema version 0 = no added columns).
     */
-  private def pointer(): Option[(Long, Long, Int)] =
+  private def pointer(): Option[(Long, Long, Int, Long)] =
     if (!Files.exists(ptrPath)) None
     else {
       val f = new String(Files.readAllBytes(ptrPath),
         StandardCharsets.UTF_8).trim.split(",")
       Some((f(0).toLong, f(1).toLong,
-        if (f.length >= 3) f(2).toInt else nBuckets))
+        if (f.length >= 3) f(2).toInt else nBuckets,
+        if (f.length >= 4) f(3).toLong else 0L))
     }
 
   /** (manifest version, last committed streaming batch id). */
@@ -237,15 +306,54 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def currentBuckets: Int = pointer().map(_._3).getOrElse(nBuckets)
 
+  /** Live schema version — 0 until an [[addColumn]] commits one. */
+  def schemaVersion: Long = pointer().map(_._4).getOrElse(0L)
+
   private def bucketOf(c: Column, n: Int): Column =
     pmod(xxhash64(c), lit(n.toLong))
 
-  private def writePointer(v: Long, batchId: Long, nb: Int,
+  /** Read data dirs THROUGH the live schema: parquet footer merge
+    * surfaces columns only some files carry, the declared defaults
+    * fill the gaps (and any nulls). The no-migration path stays the
+    * plain read — no mergeSchema cost until a migration exists.
+    */
+  private def readDirs(dirs: Seq[String], m: Long): DataFrame = {
+    val cols = TableSchema.read(path, m)
+    if (cols.isEmpty) spark.read.parquet(dirs: _*)
+    else TableSchema.applyTo(
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*), cols)
+  }
+
+  /** ADDITIVE migration: declare `name` with a non-null SQL-literal
+    * default — NO bucket rewrite; history reads through the new
+    * schema, the next MERGE writes the column. Crash shape: the
+    * schema side file lands as an orphan (tmp + move), then hashing,
+    * layout, and schema version flip in ONE atomic pointer move; a
+    * kill anywhere leaves readers on a consistent schema and
+    * re-invoking converges (StateCrashSpec sweeps the boundaries).
+    * Idempotent per column name. Requires a committed table (a fresh
+    * table has no pointer to flip — create it with the column in the
+    * first commit instead).
+    */
+  def addColumn(name: String, dataType: String, defaultSql: String): Unit = {
+    val (v, batchId, nb, m) = pointer().getOrElse(throw new
+      IllegalStateException(s"BucketedTable.addColumn($name): migrate " +
+        s"after the first commit — $path has none"))
+    val cols = TableSchema.read(path, m)
+    if (cols.exists(_.name == name)) return // idempotent
+    TableSchema.write(path, m + 1,
+      cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
+      "migrate")
+    writePointer(v, batchId, nb, m + 1, "migrate")
+  }
+
+  private def writePointer(v: Long, batchId: Long, nb: Int, schemaV: Long,
       op: String): Unit = {
     val tmp = Paths.get(path, s"_LATEST.tmp.$v")
     Files.createDirectories(Paths.get(path))
     Failpoints.step(s"$op.pointer.tmp")
-    Files.write(tmp, s"$v,$batchId,$nb".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"$v,$batchId,$nb,$schemaV".getBytes(StandardCharsets.UTF_8))
     Failpoints.step(s"$op.pointer.move")
     Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -286,10 +394,10 @@ final class BucketedTable(spark: SparkSession, path: String,
       .map(_.getName.stripPrefix("__bucket=").toLong)
       .toSet
 
-  def read(): Option[DataFrame] = latest.flatMap { case (v, _) =>
+  def read(): Option[DataFrame] = pointer().flatMap { case (v, _, _, m) =>
     val dirs = manifest(v).values.toSeq.distinct.map(rel => s"$path/$rel")
     if (dirs.isEmpty) None // every bucket emptied by resolves
-    else Some(spark.read.parquet(dirs: _*))
+    else Some(readDirs(dirs, m))
   }
 
   /** The batch key set, materialized ONCE and BOUNDED: distinct keys
@@ -332,7 +440,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     // concurrent rebucket lands between the reads (the atomicity the
     // pointer exists to give; mergeResolve reads once for the same
     // reason)
-    case (v, _, nb) =>
+    case (v, _, nb, sm) =>
       val keySet = boundedKeySet(keys)
       guardKeys(keySet, "readKeys")
       val m = manifest(v)
@@ -341,7 +449,7 @@ final class BucketedTable(spark: SparkSession, path: String,
       val dirs = touched.toSeq.sorted.flatMap(m.get).distinct
         .map(rel => s"$path/$rel")
       if (dirs.isEmpty) None
-      else Some(spark.read.parquet(dirs: _*)
+      else Some(readDirs(dirs, sm)
         .join(broadcast(keySet), Seq(keyCol), "left_semi"))
   }
 
@@ -377,6 +485,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     if (lastBatchId >= batchId) return
     val prior = pointer()
     val nb = prior.map(_._3).getOrElse(nBuckets)
+    val sm = prior.map(_._4).getOrElse(0L)
     val v = prior.map(_._1 + 1).getOrElse(0L)
     val priorManifest = prior.map(p => manifest(p._1)).getOrElse(Map.empty)
 
@@ -388,7 +497,7 @@ final class BucketedTable(spark: SparkSession, path: String,
       .distinct.map(rel => s"$path/$rel")
     val priorRows =
       if (priorTouchedDirs.isEmpty) None
-      else Some(spark.read.parquet(priorTouchedDirs: _*))
+      else Some(readDirs(priorTouchedDirs, sm))
     val newData = resolve(priorRows, updates)
       .withColumn("__bucket", bucketOf(col(keyCol), nb))
       .filter(col("__bucket").isin(touched.toSeq: _*))
@@ -407,7 +516,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     val newManifest = (priorManifest -- (touched -- written)) ++
       written.map(k => k -> s"c_$v/__bucket=$k").toMap
     writeManifest(v, newManifest, "merge")
-    writePointer(v, batchId, nb, "merge")
+    writePointer(v, batchId, nb, sm, "merge")
   }
 
   /** The growth RULE both maintenance loops share (IngestStream's
@@ -452,7 +561,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def rebucket(newN: Int): Unit = {
     require(newN > 0, s"newN must be positive: $newN")
-    pointer().foreach { case (v, batchId, _) =>
+    pointer().foreach { case (v, batchId, _, sm) =>
       val v2 = v + 1
       read() match {
         case Some(rows) =>
@@ -467,7 +576,7 @@ final class BucketedTable(spark: SparkSession, path: String,
         case None =>
           writeManifest(v2, Map.empty, "rebucket")
       }
-      writePointer(v2, batchId, newN, "rebucket")
+      writePointer(v2, batchId, newN, sm, "rebucket")
       // cleanup AFTER the pointer is durable; best-effort — the new
       // manifest references only c_<v2>, so every older version dir
       // is invisible, and leftovers are re-collected next rebucket

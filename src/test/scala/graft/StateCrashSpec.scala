@@ -179,6 +179,66 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 3, s"snapshot: expected ≥3 kill points, saw $points")
   }
 
+  test("BucketedTable.addColumn survives a kill at every file-op boundary") {
+    val points = sweep("migrate_bt") { root =>
+      bt(root).merge(kvDF(Seq(1L -> 10L, 2L -> 20L)), 0L)
+    } { root =>
+      bt(root).addColumn("label", "string", "'u'")
+    } { root =>
+      val t = bt(root)
+      // the read is TOTAL at every boundary: pre-flip it is the
+      // 2-column table, post-flip the default surfaces — never a torn
+      // schema (the orphan side file is invisible until the pointer)
+      val rows = t.read().get.collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.schema.fieldNames.contains("label")) r.getString(2)
+          else "<pre>")
+      }.toSet
+      (rows, t.schemaVersion, t.lastBatchId, t.currentBuckets)
+    }
+    // schema (tmp, move) + pointer (tmp, move)
+    assert(points >= 4, s"migrate: expected ≥4 kill points, saw $points")
+  }
+
+  test("SnapshotTable.addColumn survives a kill at every file-op boundary") {
+    import graft.streaming.SnapshotTable
+    val points = sweep("migrate_st") { root =>
+      new SnapshotTable(spark, s"$root/t").commit(kvDF(Seq(1L -> 10L)), 0L)
+    } { root =>
+      new SnapshotTable(spark, s"$root/t").addColumn("rank", "bigint", "-1")
+    } { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      val rows = t.read().get.collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.schema.fieldNames.contains("rank")) r.getLong(2)
+          else Long.MinValue)
+      }.toSet
+      (rows, t.schemaVersion, t.lastBatchId)
+    }
+    assert(points >= 4, s"migrate: expected ≥4 kill points, saw $points")
+  }
+
+  test("merge replayed over a crashed MIGRATION converges with the old schema, the healed migration then lands") {
+    // crash addColumn after the schema side file but before the
+    // pointer: the file is an orphan, merges keep the old schema; the
+    // re-invoked migration overwrites the orphan and flips
+    val root = Files.createTempDirectory("crash_migrate_merge").toString
+    val t = bt(root)
+    t.merge(kvDF(Seq(1L -> 10L)), 0L)
+    Failpoints.arm(3) // schema.tmp, schema.move, then pointer.tmp → kill
+    try intercept[Failpoints.Crash] { t.addColumn("label", "string", "'u'") }
+    finally Failpoints.disarm()
+    assert(t.schemaVersion == 0L, "crashed migration must not be visible")
+    t.merge(kvDF(Seq(2L -> 20L)), 1L)
+    assert(btMap(root) == Map(1L -> 10L, 2L -> 20L))
+    t.addColumn("label", "string", "'u'")
+    assert(t.schemaVersion == 1L)
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set(1L -> "u", 2L -> "u"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("BucketedTable: a merge replayed over a crashed REBUCKET orphan overwrites it safely") {
     // crash rebucket before its pointer move: c_<v+1> is an orphan in
     // the OLD hashing's next version slot; a normal merge then claims

@@ -140,6 +140,93 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable.addColumn: history reads through the default, the next MERGE writes the column, no bucket rewrite") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_migrate").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), 0L)
+    val filesBefore = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$root/t"), Array("parquet"), true)
+      .size()
+
+    // migrate mid-lifecycle: additive column with a non-null default
+    t.addColumn("label", "string", "'unlabeled'")
+    assert(t.schemaVersion == 1L)
+    // NO history rewrite — the parquet file set is untouched
+    val filesAfter = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$root/t"), Array("parquet"), true)
+      .size()
+    assert(filesAfter == filesBefore, "migration rewrote history buckets")
+    // old rows read through the default
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((1L, 10L, "unlabeled"), (2L, 20L, "unlabeled"),
+        (3L, 30L, "unlabeled")))
+    // idempotent per column name
+    t.addColumn("label", "string", "'unlabeled'")
+    assert(t.schemaVersion == 1L)
+
+    // the next MERGE writes the column; untouched buckets' rows still
+    // read the default — a mixed-schema read, exactly the Alembic
+    // additive contract
+    t.merge(Seq((2L, 21L, "good"), (9L, 90L, "bad"))
+      .toDF("k", "v", "label"), 1L)
+    val got = t.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = Set((1L, 10L, "unlabeled"), (2L, 21L, "good"),
+      (3L, 30L, "unlabeled"), (9L, 90L, "bad"))
+    assert(got == want)
+    // identical to a from-scratch table whose writers always carried
+    // the column (the reads-identical done criterion)
+    val fresh = new BucketedTable(spark, s"$root/fresh", "k", 4)
+    fresh.merge(Seq((1L, 10L, "unlabeled"), (2L, 20L, "unlabeled"),
+      (3L, 30L, "unlabeled")).toDF("k", "v", "label"), 0L)
+    fresh.merge(Seq((2L, 21L, "good"), (9L, 90L, "bad"))
+      .toDF("k", "v", "label"), 1L)
+    assert(fresh.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == got)
+
+    // keyed point-lookup reads through the schema too
+    assert(t.readKeys(Seq(1L, 9L).toDF("k")).get.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((1L, "unlabeled"), (9L, "bad")))
+    // rebucket materializes the defaults and keeps every value
+    t.rebucket(8)
+    assert(t.currentBuckets == 8 && t.schemaVersion == 1L)
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == want)
+    // a second migration stacks on the first
+    t.addColumn("score", "bigint", "0")
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
+      want.map(w => (w._1, w._3, 0L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("SnapshotTable.addColumn: the live snapshot reads through the default until the next commit") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("st_migrate").toString
+    val t = new graft.streaming.SnapshotTable(spark, s"$root/t")
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), 0L)
+    t.addColumn("rank", "bigint", "-1")
+    assert(t.schemaVersion == 1L)
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", -1L), (2L, "b", -1L)))
+    // replayed commit stays a no-op after the migration
+    t.commit(Seq((9L, "z", 9L)).toDF("id", "x", "rank"), 0L)
+    assert(t.read().get.count() == 2)
+    // the next commit carries the column; the schema version survives
+    t.commit(Seq((1L, "a", 5L), (3L, "c", 7L)).toDF("id", "x", "rank"), 1L)
+    assert(t.schemaVersion == 1L)
+    assert(t.read().get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", 5L), (3L, "c", 7L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable: appends accumulate, replays are no-ops, orphan dirs stay invisible") {
     val s = spark
     import s.implicits._
