@@ -50,21 +50,17 @@ object TrainQuality {
 
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
-  def main(args: Array[String]): Unit = {
-    val spark = Sessions.builderDefaults(
-      SparkSession.builder().master("local[32]"), "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Featurize (text, y) rows through the runtime's OWN bucket kernel
+    * ([[DsirBucketOps.buckets]] — the serving kernel's tokenize+hash
+    * rule, so trainer and serving cannot drift). Input frame must
+    * carry string `text` and int `y`.
+    */
+  def featurize(spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.Dataset[(Array[Int], Array[Long], Int)] = {
     import spark.implicits._
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBuckets = graft.text.QualityClassifier.TrainedModel.NBuckets
-    val dim = nBuckets + 1
-
-    // planted degradation + labels from the shared fixture; features
-    // from the runtime's own bucket kernel
-    import graft.text.QualityClassifier.Degradation
-    val labeled = Tables.load(spark, dir, "documents")
-      .select(Degradation.plant(col("doc_id"), col("text")).as("text"),
-        Degradation.label(col("doc_id")).as("y"))
+    rows.select(col("text"), col("y"))
       .as[(String, Int)]
       .map { case (text, y) =>
         val arr = DsirBucketOps.buckets(UTF8String.fromString(text), nBuckets)
@@ -78,22 +74,51 @@ object TrainQuality {
         (bs, cs, y)
       }
       .toDF("bs", "cs", "y").as[(Array[Int], Array[Long], Int)]
-      .cache()
-    val n = labeled.count()
-    val nPos = labeled.filter(col("y") === 1).count()
-    println(s"[train] docs: $n ($nPos keep / ${n - nPos} drop)")
-    require(nPos > 0 && nPos < n, "weak labels are degenerate")
+  }
 
-    var w = Array.fill(dim)(0.0)
-    // Mean pooling makes each active bucket's feature value ~1/n_feat
-    // (n_feat ≈ 100 here), so the per-weight gradient is that much
-    // smaller than the bias gradient — one shared rate either
-    // stagnates the weights or explodes the bias (the all-majority
-    // collapse this trainer's first cuts hit). Scale the weight rate
-    // by the feature-count order instead.
-    val lrW = 300.0
-    val lrB = 1.0
-    val iters = 600
+  /** Sign-agreement of the (raw double) weight vector with the labels. */
+  def agreement(spark: SparkSession,
+      labeled: org.apache.spark.sql.Dataset[(Array[Int], Array[Long], Int)],
+      w: Array[Double]): Double = {
+    val dim = w.length
+    val bw = spark.sparkContext.broadcast(w)
+    val n = labeled.count()
+    val agree = labeled.map { case (bs, cs, y) =>
+      var nf = 0.0
+      var i = 0
+      while (i < cs.length) { nf += cs(i); i += 1 }
+      var z = bw.value(dim - 1)
+      i = 0
+      while (i < bs.length) { z += bw.value(bs(i)) * cs(i) / nf; i += 1 }
+      if ((z >= 0) == (y == 1)) 1 else 0
+    }(org.apache.spark.sql.Encoders.scalaInt).reduce(_ + _)
+    agree.toDouble / n
+  }
+
+  /** Quantize trained raw weights to the artifact/serving form:
+    * (1e-6 fixed-point bias, dense 1e-6 fixed-point bucket weights).
+    */
+  def quantize(w: Array[Double]): (Long, Array[Long]) =
+    (math.round(w(w.length - 1) * 1e6),
+      w.dropRight(1).map(x => math.round(x * 1e6)))
+
+  /** The training loop — TrainRefiner's protocol verbatim: per
+    * iteration ONE corpus pass, batch gradient as a bounded
+    * (NBuckets+1)-cell 1e-9 fixed-point partial aggregate
+    * (bit-reproducible under any partitioning). Mean pooling makes
+    * each active bucket's feature value ~1/n_feat, so the weight rate
+    * scales by the feature-count order (lrW 300 vs lrB 1) — one
+    * shared rate either stagnates the weights or explodes the bias.
+    * Returns the RAW double weight vector (dim = NBuckets+1, bias
+    * last); [[quantize]] converts to the artifact/serving form.
+    */
+  def fit(spark: SparkSession,
+      labeled: org.apache.spark.sql.Dataset[(Array[Int], Array[Long], Int)],
+      iters: Int, verbose: Boolean = false,
+      lrW: Double = 300.0, lrB: Double = 1.0): Array[Double] = {
+    val dim = graft.text.QualityClassifier.TrainedModel.NBuckets + 1
+    val n = labeled.count()
+    val w = Array.fill(dim)(0.0)
     val Q = 1e9
     for (it <- 0 until iters) {
       val bw = spark.sparkContext.broadcast(w)
@@ -120,34 +145,36 @@ object TrainQuality {
       var i = 0
       while (i < dim - 1) { w(i) -= lrW * (grad(i) / Q) / n; i += 1 }
       w(dim - 1) -= lrB * (grad(dim - 1) / Q) / n
-      if ((it + 1) % 100 == 0) {
-        val bwI = spark.sparkContext.broadcast(w)
-        val agreeI = labeled.map { case (bs, cs, y) =>
-          var nf = 0.0
-          var i = 0
-          while (i < cs.length) { nf += cs(i); i += 1 }
-          var z = bwI.value(dim - 1)
-          i = 0
-          while (i < bs.length) { z += bwI.value(bs(i)) * cs(i) / nf; i += 1 }
-          if ((z >= 0) == (y == 1)) 1 else 0
-        }.reduce(_ + _)
-        println(f"[train] iter ${it + 1}: agreement ${agreeI.toDouble / n}%.4f")
-      }
+      if (verbose && (it + 1) % 100 == 0)
+        println(f"[train] iter ${it + 1}: agreement ${agreement(spark, labeled, w)}%.4f")
     }
+    w
+  }
 
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builderDefaults(
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBuckets = graft.text.QualityClassifier.TrainedModel.NBuckets
+
+    // planted degradation + labels from the shared fixture; features
+    // from the runtime's own bucket kernel
+    import graft.text.QualityClassifier.Degradation
+    val labeled = featurize(spark, Tables.load(spark, dir, "documents")
+      .select(Degradation.plant(col("doc_id"), col("text")).as("text"),
+        Degradation.label(col("doc_id")).as("y"))).cache()
+    val n = labeled.count()
+    val nPos = labeled.filter(col("y") === 1).count()
+    println(s"[train] docs: $n ($nPos keep / ${n - nPos} drop)")
+    require(nPos > 0 && nPos < n, "weak labels are degenerate")
+
+    val w = fit(spark, labeled, iters = 600, verbose = true)
     // agreement with the weak labels (the printed metric of record)
-    val bwF = spark.sparkContext.broadcast(w)
-    val agree = labeled.map { case (bs, cs, y) =>
-      var nf = 0.0
-      var i = 0
-      while (i < cs.length) { nf += cs(i); i += 1 }
-      var z = bwF.value(dim - 1)
-      i = 0
-      while (i < bs.length) { z += bwF.value(bs(i)) * cs(i) / nf; i += 1 }
-      if ((z >= 0) == (y == 1)) 1 else 0
-    }.reduce(_ + _)
-    println(f"[train] agreement with rules labels: ${agree.toDouble / n}%.4f ($agree/$n)")
+    val agree = agreement(spark, labeled, w)
+    println(f"[train] agreement with rules labels: $agree%.4f")
 
+    val dim = w.length
     val out = new StringBuilder
     out ++= "# quality LR v1: bucket\\t1e-6 fixed-point weight (md5%1024 features); __bias__ row\n"
     out ++= s"__bias__\t${math.round(w(dim - 1) * 1e6)}\n"

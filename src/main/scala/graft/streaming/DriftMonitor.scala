@@ -37,11 +37,23 @@ object DriftMonitor {
     * (bin, count) rows.
     */
   def referenceBins(ref: DataFrame, idCol: String, textCol: String,
-      nBins: Int): Seq[(Long, Long)] =
-    QualityClassifier.classifyTrained(ref, idCol, textCol)
+      nBins: Int, model: Option[(Long, Array[Long])] = None): Seq[(Long, Long)] =
+    score(ref.select(idCol, textCol), idCol, textCol, model)
       .select(ClassifierEval.scoreBin(col("score"), nBins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+
+  /** The gate's scorer: the committed artifact by default, or an
+    * explicitly RELOADED (bias, weights) candidate — the
+    * requalification path (retrain offline, score against the
+    * candidate without promoting the artifact).
+    */
+  private def score(df: DataFrame, idCol: String, textCol: String,
+      model: Option[(Long, Array[Long])]): DataFrame = model match {
+    case Some((bias, w)) =>
+      QualityClassifier.classifyWith(df, idCol, textCol, bias, w)
+    case None => QualityClassifier.classifyTrained(df, idCol, textCol)
+  }
 
   def monitorTable(spark: SparkSession, statePath: String): AppendTable =
     new AppendTable(spark, s"$statePath/monitor")
@@ -57,7 +69,8 @@ object DriftMonitor {
     * diff still sees them as new).
     */
   final case class GateConfig(ref: Seq[(Long, Long)], nBins: Int = 10,
-      alertAtPsiU: Long = 200000L, alertAtUnseenU: Long = 100000L)
+      alertAtPsiU: Long = 200000L, alertAtUnseenU: Long = 100000L,
+      model: Option[(Long, Array[Long])] = None)
 
   /** One batch's drift stats vs the reference histogram:
     * (docs scored, docs in zero-reference bins, psi in 1e-6 units,
@@ -67,9 +80,10 @@ object DriftMonitor {
     * a crash replay recomputes the identical routing decision.
     */
   def batchStats(batch: DataFrame, ref: Seq[(Long, Long)],
-      nBins: Int): (Long, Long, Long, Long) = {
-    val counts = QualityClassifier
-      .classifyTrained(batch.select("doc_id", "text"), "doc_id", "text")
+      nBins: Int, model: Option[(Long, Array[Long])] = None):
+      (Long, Long, Long, Long) = {
+    val counts =
+      score(batch.select("doc_id", "text"), "doc_id", "text", model)
       .select(ClassifierEval.scoreBin(col("score"), nBins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted

@@ -313,7 +313,7 @@ object IngestStream {
     // flows through the loop as ordinary new docs.
     val alarmed = drift.exists { g =>
       val (nDocs, nUnseen, psiU, unseenU) = DriftMonitor.batchStats(
-        batch.select("doc_id", "text"), g.ref, g.nBins)
+        batch.select("doc_id", "text"), g.ref, g.nBins, g.model)
       val alarm = psiU >= g.alertAtPsiU || unseenU >= g.alertAtUnseenU
       val mT = gateMonitorTable(spark, statePath)
       if (mT.lastBatchId < batchId) {

@@ -143,6 +143,21 @@ object QualityClassifier {
     */
   def classifyTrained(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (bias, w) = TrainedModel.loadArtifact()
+    classifyWith(df, idCol, textCol, bias, w)
+  }
+
+  /** [[classifyTrained]] under an EXPLICIT (bias, weights) model — the
+    * RELOAD face of requalification (round-12 verdict stretch item):
+    * a scorer retrained offline (TrainQuality.fit over the reference ∪
+    * quarantined slices, RetrainRehearsal) serves through the same
+    * single-pass kernel without touching the committed artifact, so
+    * the drift gate can score against candidate weights
+    * (DriftMonitor.GateConfig.model) while artifact PROMOTION stays a
+    * human-gated commit — the self-licensing-drift guard documented in
+    * COVERAGE.
+    */
+  def classifyWith(df: DataFrame, idCol: String, textCol: String,
+      bias: Long, w: Array[Long]): DataFrame = {
     val z = (lit(bias.toDouble) +
       col("w_sum").cast("double") / col("n_features").cast("double")) /
       lit(1000000.0)
