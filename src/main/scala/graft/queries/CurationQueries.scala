@@ -102,31 +102,38 @@ object CurationQueries {
 
     // The MAINTENANCE moment oracle-gated (round-12 verdict item 1 —
     // the one state-mutation path the driver never saw): the REAL
-    // ingest loop runs two batches with MaintainConfig(compactEvery=1,
-    // maxRowsPerBucket=16), so the append tables COMPACT after every
-    // batch and the label store REBUCKETS mid-lifecycle — batch 0's
-    // row count forces a power-of-two growth (16→32 at sf0.01,
-    // 16→512 at sf0.1) BEFORE batch 1's merge, which therefore runs
-    // against the re-hashed layout. The output is the label store
-    // read back from disk AFTER the maintained run plus the PROOF
-    // columns: bucket count after batch 0 and at the end (the oracle
-    // re-derives both from the batch-count arithmetic — smallest
-    // 16·2^j with rows ≤ 16·16·2^j — so n_buckets_mid > 16
-    // hash-proves the rebucket fired in-run, between the batches) and
-    // the append tables' read fan-in (= 1: the compaction cadence's
-    // c+1 bound at c=1). Identity with the from-scratch union CC
-    // oracle proves the rebucket + post-rebucket merge lost/moved
-    // nothing.
+    // ingest loop runs two batches with MaintainConfig(compactEvery=1)
+    // over the doc_id%4==0 quarter of the corpus (the maintenance
+    // machinery is volume-independent; the quarter keeps this
+    // every-run-rebuilt lifecycle out of the sweep's top cost tier), so the append tables
+    // COMPACT after every batch and the label store REBUCKETS
+    // mid-lifecycle — batch 0's row count forces the power-of-two
+    // growth 16→32 BEFORE batch 1's merge, which therefore runs
+    // against the re-hashed layout. The rows-per-bucket knob is the
+    // corpus-sized rule an operator would set — max(4, n/25), which
+    // fires the doubling with ≥20 % margin at every SF while keeping
+    // the rebucket rewrite at 32 directories (a fixed small knob
+    // either never fires at sf0.01 or rebuckets to 512 dirs at sf0.1,
+    // paying directory-count, not data, in a correctness gate). The
+    // output is the label store read back from disk AFTER the
+    // maintained run plus the PROOF columns: bucket count after batch
+    // 0 and at the end (the oracle re-derives both from the count
+    // arithmetic — smallest 16·2^j with rows ≤ m·16·2^j — so
+    // n_buckets_mid > 16 hash-proves the rebucket fired in-run,
+    // between the batches) and the append tables' read fan-in (= 1:
+    // the compaction cadence's c+1 bound at c=1). Identity with the
+    // from-scratch subset CC oracle proves the rebucket +
+    // post-rebucket merge lost/moved nothing.
     "q_c_ingest_maintain" -> ((s, dir) => {
       import graft.streaming.IngestStream
-      val d = docs(s, dir)
+      val d = docs(s, dir).filter(col("doc_id") % 4 === 0)
       val b0 = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
       val b1 = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
       val src = new java.io.File(graft.Tables.path(dir, "documents"))
       val state = graft.Sessions.perRunScratch("ingest_maintain",
         src.getParentFile.getName)
       val maintain = IngestStream.MaintainConfig(compactEvery = 1,
-        maxRowsPerBucket = 16L)
+        maxRowsPerBucket = math.max(4L, d.count() / 25L))
       IngestStream.processBatch(b0, 0L, state, 3, None, maintain)
       val nbMid = IngestStream.labelsTable(s, state).currentBuckets
       IngestStream.processBatch(b1, 1L, state, 3, None, maintain)
@@ -1019,24 +1026,24 @@ object CurationQueries {
 
     // Quarantine REQUALIFICATION end to end (round-12 verdict item 2
     // — the action→recovery edge q_t_drift_quarantine left implied):
-    // same two-batch lifecycle (quiet publishes, drifted quarantines
-    // whole), then the reference REFRESHES from the quarantined slice
-    // itself (referenceBins over the quarantine read-back — the
-    // operator adjudicating the new regime as normal) and
-    // drainQuarantine re-enters the batch through the REAL loop as
-    // batch 2: its monitor row is exactly zero drift (the batch binned
-    // against its own histogram — the oracle re-derives the zeros
-    // structurally), it publishes under the drain epoch, and the
-    // pending-after count proves the batch-id-idempotent retirement.
-    // The oracle re-derives scores, bins, both original alarm chains,
-    // the routing sums for all three batches, and pending = 0.
+    // a drifted batch quarantines whole, then the reference REFRESHES
+    // from the quarantined slice itself (referenceBins over the
+    // quarantine read-back AS STORED — the operator adjudicating the
+    // new regime as normal) and drainQuarantine re-enters the batch
+    // through the REAL loop as batch 1: its monitor row is exactly
+    // zero drift (the batch binned against its own histogram — the
+    // oracle re-derives the zeros structurally), it publishes under
+    // the drain epoch, and the pending-after count proves the
+    // batch-id-idempotent retirement. The quiet-batch-publishes edge
+    // is q_t_drift_quarantine's; this gate carries only the recovery
+    // half, so its cost stays in the two-processBatch lifecycle
+    // class. The oracle re-derives scores, bins, the alarm chain,
+    // both batches' routing sums, and pending = 0.
     "q_t_quarantine_requalify" -> ((s, dir) => {
       import graft.streaming.{DriftMonitor, IngestStream}
       import graft.text.QualityClassifier.Degradation
       val d = docs(s, dir)
       val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
-        Degradation.plant(col("doc_id"), col("text")).as("text"))
-      val quiet = d.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
         Degradation.plant(col("doc_id"), col("text")).as("text"))
       val drifted = d.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
         concat(col("text"), lit(Degradation.TailB)).as("text"))
@@ -1048,9 +1055,7 @@ object CurationQueries {
         src.getParentFile.getName)
       val pub = Some(IngestStream.PublishConfig(s"$state/shards",
         budget = 2048L))
-      IngestStream.processBatch(quiet, 0L, state, 3, pub,
-        IngestStream.MaintainConfig(), Some(gate))
-      IngestStream.processBatch(drifted, 1L, state, 3, pub,
+      IngestStream.processBatch(drifted, 0L, state, 3, pub,
         IngestStream.MaintainConfig(), Some(gate))
       // requalify: the refreshed histogram comes from the quarantined
       // slice AS STORED (read back from disk, not the in-memory frame)
@@ -1060,7 +1065,7 @@ object CurationQueries {
           qT.read().get.select("doc_id", "text"), "doc_id", "text",
           nBins = 10),
         nBins = 10, alertAtPsiU = 200000L, alertAtUnseenU = 100000L)
-      IngestStream.drainQuarantine(s, state, drainBatchId = 2L,
+      IngestStream.drainQuarantine(s, state, drainBatchId = 1L,
         maxDist = 3, publish = pub, drift = Some(gate2))
       val drainedThrough = IngestStream.drainMarker(s, state).read().get
         .agg(max("drained_through")).head.getLong(0)
@@ -1378,6 +1383,40 @@ object CurationQueries {
   /** CTE chain ending in `lab(doc_id, cluster_id)` — shared by the
     * cluster oracle and the leakage-free split oracle.
     */
+  /** [[CcLabCte]] over a FILTERED document subset: CC must run on the
+    * subset's own pair graph (a component connected only through an
+    * excluded doc must not merge, and min-id labels must come from
+    * subset members), so the filter lands INSIDE the fp derivation —
+    * a post-hoc join on the full-corpus labeling would be wrong.
+    */
+  private def ccLabCteWhere(whereSql: String): String =
+    s"""fp AS (
+         SELECT doc_id,
+                list_sum(list_transform(range(0, 32), b -> CASE
+                  WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         FROM (
+           SELECT doc_id,
+                  list_transform(
+                    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')),
+                    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+           FROM documents WHERE $whereSql)),
+        rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
+        pr AS (
+          SELECT a.rep AS ida, b.rep AS idb
+          FROM rp a JOIN rp b ON a.rep < b.rep
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        e AS (SELECT ida AS a, idb AS b FROM pr
+              UNION ALL SELECT idb, ida FROM pr),
+        r AS (
+          SELECT rep AS id, rep AS reach FROM rp
+          UNION
+          SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+        replab AS (SELECT id AS rep, min(reach) AS cluster_id FROM r GROUP BY id),
+        lab AS (
+          SELECT fp.doc_id, replab.cluster_id
+          FROM fp JOIN rp USING (simhash) JOIN replab USING (rep))"""
+
   private val CcLabCte: String =
     s"""${DataOpsQueries.SimhashCte},
         rp AS (SELECT simhash, min(doc_id) AS rep FROM fp GROUP BY simhash),
@@ -1540,23 +1579,26 @@ object CurationQueries {
           FROM rk ORDER BY doc_id"""
     },
 
-    // from-scratch union CC + the maintenance-proof arithmetic: the
+    // from-scratch subset CC + the maintenance-proof arithmetic: the
     // bucket counts are the growth rule replayed on the oracle's own
-    // row counts (smallest 16·2^j with n ≤ 16·16·2^j — path-
-    // independent across ticks because levels are monotone in n), the
-    // fan-ins are the compaction cadence's c+1 bound at c=1
+    // row counts (m = greatest(4, n/25), level = smallest 16·2^j with
+    // rows ≤ m·16·2^j — path-independent across ticks because levels
+    // are monotone in n), the fan-ins are the compaction cadence's
+    // c+1 bound at c=1
     "q_c_ingest_maintain" ->
-      s"""WITH RECURSIVE $CcLabCte,
+      s"""WITH RECURSIVE ${ccLabCteWhere("doc_id % 4 = 0")},
           sz AS (SELECT cluster_id, count(*) AS cluster_size
                  FROM lab GROUP BY 1),
-          c0 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 0),
-          cf AS (SELECT count(*) AS n FROM documents),
+          c0 AS (SELECT count(*) AS n FROM documents
+                 WHERE doc_id % 4 = 0 AND doc_id % 10 <> 0),
+          cf AS (SELECT count(*) AS n FROM documents WHERE doc_id % 4 = 0),
+          mm AS (SELECT greatest(4, n // 25) AS m FROM cf),
           nbm AS (SELECT 16 * min(1 << j) AS v
-                  FROM generate_series(0, 30) t(j), c0
-                  WHERE c0.n <= 256 * (1 << j)),
+                  FROM generate_series(0, 30) t(j), c0, mm
+                  WHERE c0.n <= m * 16 * (1 << j)),
           nbf AS (SELECT 16 * min(1 << j) AS v
-                  FROM generate_series(0, 30) t(j), cf
-                  WHERE cf.n <= 256 * (1 << j))
+                  FROM generate_series(0, 30) t(j), cf, mm
+                  WHERE cf.n <= m * 16 * (1 << j))
           SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
                  CAST(nbm.v AS BIGINT) AS n_buckets_mid,
                  CAST(nbf.v AS BIGINT) AS n_buckets,
@@ -2412,9 +2454,6 @@ object CurationQueries {
           ${trainedScoreCtes(
             graft.text.QualityClassifier.Degradation.SqlPlant,
             "doc_id % 2 = 0", "r")},
-          ${trainedScoreCtes(
-            graft.text.QualityClassifier.Degradation.SqlPlant,
-            "doc_id % 4 = 1", "q")},
           ${trainedScoreCtes(s"text || '$tailB'", "doc_id % 4 = 3", "dr")},
           refbins AS (
             SELECT least(m // 100000, 9) AS bin, count(*) AS n_ref
@@ -2422,11 +2461,8 @@ object CurationQueries {
           cur AS (
             SELECT CAST(0 AS BIGINT) AS batch_id,
                    least(m // 100000, 9) AS bin, count(*) AS n_cur
-            FROM qsc GROUP BY 2
-            UNION ALL
-            SELECT CAST(1 AS BIGINT), least(m // 100000, 9), count(*)
             FROM drsc GROUP BY 2),
-          batches(batch_id) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+          batches(batch_id) AS (VALUES (CAST(0 AS BIGINT))),
           allbins AS (
             SELECT batch_id, bin FROM batches, refbins
             UNION
@@ -2476,18 +2512,15 @@ object CurationQueries {
             SELECT *, (psi_u >= 200000 OR unseen_u >= 100000) AS alert
             FROM stats
             UNION ALL
-            SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+            SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                    false
             FROM documents WHERE doc_id % 4 = 3),
           ids AS (
             SELECT CAST(0 AS BIGINT) AS batch_id, doc_id
-            FROM documents WHERE doc_id % 4 = 1
-            UNION ALL
-            SELECT CAST(1 AS BIGINT), doc_id
             FROM documents WHERE doc_id % 4 = 3
             UNION ALL
-            SELECT CAST(2 AS BIGINT), doc_id
+            SELECT CAST(1 AS BIGINT), doc_id
             FROM documents WHERE doc_id % 4 = 3),
           idagg AS (
             SELECT batch_id, CAST(count(*) AS BIGINT) AS n_ids,
