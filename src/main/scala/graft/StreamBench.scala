@@ -284,27 +284,36 @@ object StreamBench {
     // VALIDITY GUARD (round-12 verdict item 4): a floor measured on a
     // loaded box inherits the distortion it exists to adjudicate — so
     // the field carries its own machine-state evidence and
-    // self-classifies. Thresholds are committed in BENCH_VARIANCE.md:
-    // calibration ratio > 1.3 (the batch sweep's rule) or
-    // load_1m_before > 4.0 on this 32-cpu box marks the floor
-    // machine-state-dispersed, NOT a capability number.
+    // self-classifies. The evidence is the state ENTERING the bench:
+    // the calibration ratio (probe run before any sweep) and the load
+    // before the FIRST sweep — later sweeps' load_1m_before reads the
+    // bench's OWN 32-thread saturation from the preceding sweep
+    // (~30 on this box), which says nothing about external
+    // contention, so it stays recorded but never classifies.
+    // Thresholds are committed in BENCH_VARIANCE.md: calibration
+    // ratio > 1.3 (the batch sweep's rule) or entry load_1m > 4.0 on
+    // this 32-cpu box marks the floor machine-state-dispersed, NOT a
+    // capability number (the r12 driver sweep that motivated the
+    // guard ENTERED at load 24).
     val calibRatio = calibS / Bench.CalibrationIdleRefS
-    val floorDispersed = floorLoad > MaxFloorLoad1m || calibRatio > 1.3
+    val entryLoad = runs.head._2
+    val floorDispersed = entryLoad > MaxFloorLoad1m || calibRatio > 1.3
     val floorValidity =
       if (!floorDispersed) "capability"
       else f"machine-state-dispersed (calib_ratio $calibRatio%.2f > 1.3 " +
-        f"or load_1m $floorLoad%.2f > $MaxFloorLoad1m%.1f) - not a floor"
+        f"or entry load_1m $entryLoad%.2f > $MaxFloorLoad1m%.1f) - not a floor"
     val floorJson =
       f""""isolated_floor": {"floor_events_per_min": ${floorStats.eventsPerMin}%.0f, """ +
         f""""floor_latency_p50_s": ${floorStats.latencyP50}%.3f, """ +
         f""""floor_batch_p50_s": ${floorStats.batchP50}%.3f, """ +
         f""""sweep_index": ${runs.indexWhere(_._1 eq floorStats) + 1}, """ +
         f""""load_1m_before": $floorLoad%.2f, """ +
+        f""""entry_load_1m": $entryLoad%.2f, """ +
         f""""calibration_s": $calibS%.3f, """ +
         f""""calibration_ratio": $calibRatio%.2f, """ +
         s""""is_capability_floor": ${!floorDispersed}, """ +
         s""""validity": "$floorValidity", """ +
-        s""""rule": "best-of-${runs.size} same-JVM sweeps = the capability floor ONLY when its own calibration ratio <= 1.3 and load_1m_before <= $MaxFloorLoad1m; otherwise machine-state-dispersed and adjudication falls to a quiet-box TimeOne/StreamBench rerun; warm-last stays the number-of-record; agreement <70pct classifies the record as machine-state-dispersed (BENCH_VARIANCE.md)"}"""
+        s""""rule": "best-of-${runs.size} same-JVM sweeps = the capability floor ONLY when the pre-sweep calibration ratio <= 1.3 and the load entering the FIRST sweep <= $MaxFloorLoad1m (later sweeps' load_1m_before reads the bench's own saturation and never classifies); otherwise machine-state-dispersed and adjudication falls to a quiet-box TimeOne/StreamBench rerun; warm-last stays the number-of-record; agreement <70pct classifies the record as machine-state-dispersed (BENCH_VARIANCE.md)"}"""
     println(s"STREAM_BENCH_JSON ${statsJson(warm, runs.last._2).dropRight(1)}, " +
       s"$floorJson, " +
       s""""protocol": {"sweeps_in_jvm": ${runs.size}, "reported": "last (warm)", """ +
