@@ -253,10 +253,15 @@ object StreamBench {
     val pagesPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES_PER_BATCH", "1").toInt
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_STREAM_SWEEPS", "2").toInt.max(1)
+    // the floor's OWN machine-state evidence (round-12 verdict item 4),
+    // captured at ENTRY — before the calibration warm-up and the feed
+    // build, both of which saturate the box themselves and would
+    // otherwise read as "load" (the same self-measurement trap the
+    // per-sweep load_1m_before fell into)
+    val entryLoad = loadAvg1m()
     val spark = Sessions.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // the floor's OWN machine-state evidence (round-12 verdict item 4):
     // the same fixed probe the batch sweep carries, run in THIS JVM
     // before the sweeps (one untimed warm-up, then the measurement)
     Bench.calibrationSeconds(spark)
@@ -284,19 +289,18 @@ object StreamBench {
     // VALIDITY GUARD (round-12 verdict item 4): a floor measured on a
     // loaded box inherits the distortion it exists to adjudicate — so
     // the field carries its own machine-state evidence and
-    // self-classifies. The evidence is the state ENTERING the bench:
-    // the calibration ratio (probe run before any sweep) and the load
-    // before the FIRST sweep — later sweeps' load_1m_before reads the
-    // bench's OWN 32-thread saturation from the preceding sweep
-    // (~30 on this box), which says nothing about external
-    // contention, so it stays recorded but never classifies.
+    // self-classifies. The evidence is the state ENTERING the bench
+    // (the JVM-start load, captured before calibration/feed-build
+    // saturate the box) plus the calibration ratio; the per-sweep
+    // load_1m_before values stay recorded but never classify — a
+    // later same-JVM sweep reads ~30 from the bench's OWN 32-thread
+    // saturation, which says nothing about external contention.
     // Thresholds are committed in BENCH_VARIANCE.md: calibration
     // ratio > 1.3 (the batch sweep's rule) or entry load_1m > 4.0 on
     // this 32-cpu box marks the floor machine-state-dispersed, NOT a
     // capability number (the r12 driver sweep that motivated the
     // guard ENTERED at load 24).
     val calibRatio = calibS / Bench.CalibrationIdleRefS
-    val entryLoad = runs.head._2
     val floorDispersed = entryLoad > MaxFloorLoad1m || calibRatio > 1.3
     val floorValidity =
       if (!floorDispersed) "capability"

@@ -149,6 +149,36 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Additive schema evolution DRIVER-VISIBLE (L75 — the Alembic
+    // server_default contract as a lakehouse migration, oracle-gated
+    // on top of the StateCrashSpec/StateTablesSpec contract): a
+    // BucketedTable of per-doc facts commits batch 0 (doc_id,
+    // n_chars), migrates `lang_tag` in with default 'und' (NO bucket
+    // rewrite — the side file + one pointer flip), then batch 1's
+    // MERGE writes real values for the odd ids. The read back from
+    // disk is the MIXED-SCHEMA view: batch-0 rows surface the default
+    // through parquet footer merge, batch-1 rows their written
+    // values — which the oracle re-derives as a plain CASE over
+    // documents, plus the schema-version proof column.
+    "q_c_schema_evolution" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val d = docs(s, dir)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("schema_evolution",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/doc_facts", "doc_id", 8)
+      t.merge(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars")), 0L)
+      t.addColumn("lang_tag", "string", "'und'")
+      t.merge(d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"),
+          col("lang").as("lang_tag")), 1L)
+      t.read().get
+        .select(col("doc_id"), col("n_chars"), col("lang_tag"),
+          lit(t.schemaVersion).as("schema_version"))
+        .orderBy("doc_id")
+    }),
+
     // The lifecycle's LAST mile (L52 × L65): the ingest chain's kept
     // survivors are PUBLISHED as durable shards — history snapshot
     // written once, the batch's winners appended through the stored
@@ -1578,6 +1608,16 @@ object CurationQueries {
                       ELSE 'test' END AS split
           FROM rk ORDER BY doc_id"""
     },
+
+    // the mixed-schema read as a plain CASE: even ids committed
+    // before the migration read the declared default, odd ids the
+    // values their MERGE wrote; schema_version 1 = exactly one
+    // migration flipped in
+    "q_c_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+                CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang_tag,
+                CAST(1 AS BIGINT) AS schema_version
+         FROM documents ORDER BY doc_id""",
 
     // from-scratch subset CC + the maintenance-proof arithmetic: the
     // bucket counts are the growth rule replayed on the oracle's own
