@@ -121,9 +121,11 @@ object CurationQueries {
     // arithmetic — smallest 16·2^j with rows ≤ m·16·2^j — so
     // n_buckets_mid > 16 hash-proves the rebucket fired in-run,
     // between the batches) and the append tables' read fan-in (= 1:
-    // the compaction cadence's c+1 bound at c=1). Identity with the
-    // from-scratch subset CC oracle proves the rebucket +
-    // post-rebucket merge lost/moved nothing.
+    // the compaction cadence's c+1 bound at c=1). The vacuum rides
+    // the same cadence (keepVersions = 1), so labels_versions = 1
+    // proves the wired GC collected every superseded version in-run.
+    // Identity with the from-scratch subset CC oracle proves the
+    // rebucket + post-rebucket merge + vacuum lost/moved nothing.
     "q_c_ingest_maintain" -> ((s, dir) => {
       import graft.streaming.IngestStream
       val d = docs(s, dir).filter(col("doc_id") % 4 === 0)
@@ -133,7 +135,8 @@ object CurationQueries {
       val state = graft.Sessions.perRunScratch("ingest_maintain",
         src.getParentFile.getName)
       val maintain = IngestStream.MaintainConfig(compactEvery = 1,
-        maxRowsPerBucket = math.max(4L, d.count() / 25L))
+        maxRowsPerBucket = math.max(4L, d.count() / 25L),
+        vacuumKeepVersions = 1)
       IngestStream.processBatch(b0, 0L, state, 3, None, maintain)
       val nbMid = IngestStream.labelsTable(s, state).currentBuckets
       IngestStream.processBatch(b1, 1L, state, 3, None, maintain)
@@ -145,7 +148,10 @@ object CurationQueries {
           lit(IngestStream.fpsTable(s, state).readFanIn.toLong)
             .as("fps_fan_in"),
           lit(IngestStream.snapTable(s, state).readFanIn.toLong)
-            .as("snap_fan_in"))
+            .as("snap_fan_in"),
+          // the wired GC's proof: the vacuum cadence leaves exactly
+          // the live manifest retained (oracle pins the constant 1)
+          lit(labelsT.versions.length.toLong).as("labels_versions"))
         .orderBy("doc_id")
     }),
 
@@ -176,6 +182,52 @@ object CurationQueries {
       t.read().get
         .select(col("doc_id"), col("n_chars"), col("lang_tag"),
           lit(t.schemaVersion).as("schema_version"))
+        .orderBy("doc_id")
+    }),
+
+    // Time travel + change feed + retention DRIVER-VISIBLE (L76 —
+    // the lakehouse read side of the versioned manifest L75's
+    // migration opened): a BucketedTable commits batch 0 (the even
+    // ids), then batch 1 upserts doc_id%3==0 at val+100 and DELETES
+    // doc_id%9==0 through mergeResolve. changesBetween(0,1)
+    // classifies every key insert/update/delete with old/new values,
+    // reading ONLY buckets whose manifest entry changed (identical
+    // entries reference the same immutable dir — pruned without a
+    // read); readAt(0) re-serves the pre-batch state; vacuum(1) then
+    // collects version 0 (the diff is checkpointed first — a feed
+    // consumer must stay inside the retention horizon, exactly a
+    // lakehouse CDF), after which v0 drops out of `versions`. The
+    // oracle re-derives the classification, both values, and both
+    // version row counts as residue arithmetic over documents.
+    "q_c_time_travel" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val d = docs(s, dir)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("time_travel",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/doc_facts", "doc_id", 8)
+      t.merge(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars").as("val")), 0L)
+      val updates = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 100).as("val"),
+          (col("doc_id") % 9 === 0).as("del"))
+      t.mergeResolve(updates, 1L) { (prior, chg) =>
+        val ups = chg.filter(!col("del")).drop("del")
+        val touchedKeys = chg.select("doc_id")
+        prior match {
+          case Some(p) => p.join(broadcast(touchedKeys), Seq("doc_id"),
+            "left_anti").unionByName(ups)
+          case None => ups
+        }
+      }
+      val v0Rows = t.readAt(0L).map(_.count()).getOrElse(0L)
+      val diff = t.changesBetween(0L, 1L).localCheckpoint()
+      t.vacuum(keepVersions = 1)
+      val v1Rows = t.read().map(_.count()).getOrElse(0L)
+      diff.select(col("doc_id"), col("change_type"),
+        col("old_val"), col("val").as("new_val"),
+        lit(v0Rows).as("v0_rows"), lit(v1Rows).as("v1_rows"),
+        lit(t.versions == Seq(1L)).as("horizon_ok"))
         .orderBy("doc_id")
     }),
 
@@ -1619,6 +1671,32 @@ object CurationQueries {
                 CAST(1 AS BIGINT) AS schema_version
          FROM documents ORDER BY doc_id""",
 
+    // the change feed as residue arithmetic: batch 1 touches
+    // doc_id%3==0 — a %9==0 key deletes (visible only if present in
+    // v0, i.e. even → %18==0), an even upsert updates, an odd upsert
+    // inserts; old values exist exactly for keys v0 held (even), new
+    // values exactly for non-deletes; the version row counts replay
+    // the same set algebra
+    "q_c_time_travel" ->
+      """WITH chg AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 18 = 0 THEN 'delete'
+                       WHEN doc_id % 2 = 0 THEN 'update'
+                       ELSE 'insert' END AS change_type,
+                  CASE WHEN doc_id % 2 = 0 THEN n_chars END AS old_val,
+                  CASE WHEN doc_id % 9 <> 0 THEN n_chars + 100 END AS new_val
+           FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id % 2 = 0 OR doc_id % 9 <> 0))
+         SELECT doc_id, change_type, old_val, new_val,
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 2 = 0) AS v0_rows,
+                (SELECT count(*) FROM documents
+                 WHERE (doc_id % 2 = 0 AND doc_id % 18 <> 0)
+                    OR (doc_id % 2 = 1 AND doc_id % 3 = 0
+                        AND doc_id % 9 <> 0)) AS v1_rows,
+                true AS horizon_ok
+         FROM chg ORDER BY doc_id""",
+
     // from-scratch subset CC + the maintenance-proof arithmetic: the
     // bucket counts are the growth rule replayed on the oracle's own
     // row counts (m = greatest(4, n/25), level = smallest 16·2^j with
@@ -1643,7 +1721,8 @@ object CurationQueries {
                  CAST(nbm.v AS BIGINT) AS n_buckets_mid,
                  CAST(nbf.v AS BIGINT) AS n_buckets,
                  CAST(1 AS BIGINT) AS fps_fan_in,
-                 CAST(1 AS BIGINT) AS snap_fan_in
+                 CAST(1 AS BIGINT) AS snap_fan_in,
+                 CAST(1 AS BIGINT) AS labels_versions
           FROM lab JOIN sz USING (cluster_id), nbm, nbf
           ORDER BY lab.doc_id""",
 

@@ -124,16 +124,23 @@ object EventSink {
     * ∝ batch as the event corpus grows (16 is only the bootstrap
     * count; the live count rides in the table's pointer). The trigger
     * probe is one count(), amortized over the cadence, never on the
-    * per-batch path.
+    * per-batch path. `vacuumKeepVersions > 0` additionally
+    * [[BucketedTable.vacuum]]s the store to its last k versions on
+    * the same cadence — the GC of superseded bucket directories, with
+    * k the sink's time-travel/change-feed retention horizon.
     */
   final case class EventsMaintain(every: Int = 0,
-      maxRowsPerBucket: Long = 0L) {
-    // same loud rejection as IngestStream.MaintainConfig: a rows
-    // target without a cadence would silently never fire
+      maxRowsPerBucket: Long = 0L,
+      vacuumKeepVersions: Int = 0) {
+    // same loud rejection as IngestStream.MaintainConfig: a target
+    // without a cadence would silently never fire
     require(maxRowsPerBucket == 0L || every > 0,
       "maxRowsPerBucket needs a cadence: set every > 0")
+    require(vacuumKeepVersions == 0 || every > 0,
+      "vacuumKeepVersions needs a cadence: set every > 0")
     def due(batchId: Long): Boolean =
-      every > 0 && maxRowsPerBucket > 0 && (batchId + 1) % every == 0
+      every > 0 && (maxRowsPerBucket > 0 || vacuumKeepVersions > 0) &&
+        (batchId + 1) % every == 0
   }
 
   /** MERGE semantics for the events table (A10 versioned upsert):
@@ -205,8 +212,13 @@ object EventSink {
     val spark = batch.sparkSession
     val eventsT = eventsTable(spark, eventsPath)
     val outboxTable = new SnapshotTable(spark, outboxPath)
-    def runMaintenance(): Unit = if (maintain.due(batchId))
-      eventsT.growIfOversized(maintain.maxRowsPerBucket)
+    def runMaintenance(): Unit = if (maintain.due(batchId)) {
+      if (maintain.maxRowsPerBucket > 0)
+        eventsT.growIfOversized(maintain.maxRowsPerBucket)
+      // GC last — a rebucket already collected everything this tick
+      if (maintain.vacuumKeepVersions > 0)
+        eventsT.vacuum(maintain.vacuumKeepVersions)
+    }
     val replayEvents = eventsT.lastBatchId >= batchId
     val replayOutbox = outboxTable.lastBatchId >= batchId
     if ((replayEvents && replayOutbox) || batch.isEmpty) {

@@ -101,18 +101,30 @@ object IngestStream {
     *    growth math in SCALE_REHEARSAL). The trigger probe is one
     *    count() of the store — corpus-sized READ, amortized over the
     *    cadence exactly like compact, never on the per-batch path.
+    *  - `vacuumKeepVersions = k > 0`: on the same cadence, the label
+    *    store [[BucketedTable.vacuum]]s to its last k versions — the
+    *    GC half of the by-reference manifest (each MERGE supersedes
+    *    the buckets it rewrites; without collection those directories
+    *    accumulate unboundedly). k is the time-travel/change-feed
+    *    retention horizon: `readAt`/`changesBetween` keep working
+    *    k·(cadence) batches back, older versions fail NAMED. Deletes
+    *    only directories no retained manifest references, so the live
+    *    read and the horizon are total at every kill boundary.
     *
-    * Both operations are idempotent and crash-safe (StateCrashSpec
-    * sweeps every kill point), so maintenance running inside a
-    * replayed batch converges to the same state.
+    * All three operations are idempotent and crash-safe
+    * (StateCrashSpec sweeps every kill point), so maintenance running
+    * inside a replayed batch converges to the same state.
     */
   final case class MaintainConfig(compactEvery: Int = 0,
-      maxRowsPerBucket: Long = 0L) {
-    // the rebucket probe rides the compaction tick — a rows target
+      maxRowsPerBucket: Long = 0L,
+      vacuumKeepVersions: Int = 0) {
+    // the rebucket/vacuum probes ride the compaction tick — a target
     // without a cadence would silently never fire, the exact failure
     // the knob exists to prevent, so it is rejected loudly
     require(maxRowsPerBucket == 0L || compactEvery > 0,
       "maxRowsPerBucket needs a cadence: set compactEvery > 0")
+    require(vacuumKeepVersions == 0 || compactEvery > 0,
+      "vacuumKeepVersions needs a cadence: set compactEvery > 0")
     def due(batchId: Long): Boolean =
       compactEvery > 0 && (batchId + 1) % compactEvery == 0
   }
@@ -421,5 +433,9 @@ object IngestStream {
     quarantineTable(spark, statePath).compact()
     if (maintain.maxRowsPerBucket > 0)
       labelsTable(spark, statePath).growIfOversized(maintain.maxRowsPerBucket)
+    // GC last: a rebucket this tick already collected everything, so
+    // the vacuum only pays when merges superseded buckets in place
+    if (maintain.vacuumKeepVersions > 0)
+      labelsTable(spark, statePath).vacuum(maintain.vacuumKeepVersions)
   }
 }

@@ -126,6 +126,31 @@ final class AppendTable(spark: SparkSession, path: String) {
     writePointer(batchId, ct, "append")
   }
 
+  /** The append log IS a change feed: rows appended after
+    * `sinceBatchId` (exclusive), read from only the per-batch
+    * directories — no full-table scan, cost ∝ the batches since. The
+    * feed's horizon is the compaction cadence: once [[compact]] has
+    * folded batches newer than `sinceBatchId` into the consolidated
+    * dir their rows are no longer attributable, so the call fails
+    * NAMED instead of silently returning a partial feed — exactly a
+    * lakehouse CDF retention window (the reader must keep up with
+    * the compaction cadence, or compact less often).
+    */
+  def changesSince(sinceBatchId: Long): Option[DataFrame] = {
+    val (last, ct) = pointer()
+    require(sinceBatchId >= ct,
+      s"AppendTable.changesSince($sinceBatchId): compaction has folded " +
+        s"batches through $ct — the change feed horizon has passed; " +
+        "read() the consolidated state instead")
+    val d = new java.io.File(path)
+    val dirs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b_"))
+      .map(f => (f.getName.stripPrefix("b_").toLong, f.getAbsolutePath))
+      .filter { case (id, _) => id > sinceBatchId && id <= last }
+      .sortBy(_._1).map(_._2).toSeq
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** Fold every committed directory into ONE consolidated dir.
     * Crash-safe: the consolidated data lands under `k_<last>` first
     * (an orphan until the pointer names it), the pointer move is
@@ -400,6 +425,195 @@ final class BucketedTable(spark: SparkSession, path: String,
     else Some(readDirs(dirs, m))
   }
 
+  /** Manifest versions still FULLY readable on disk — the time-travel
+    * horizon. A commit never deletes superseded bucket directories
+    * (the manifest carries untouched buckets forward by reference),
+    * so absent maintenance every version since the last [[rebucket]]
+    * is retained; [[vacuum]] trims the horizon deliberately. A
+    * version is listed only when its manifest file AND every
+    * directory it references exist (a partially-collected version is
+    * excluded, never half-served).
+    */
+  def versions: Seq[Long] = pointer() match {
+    case None => Seq.empty
+    case Some((v, _, _, _)) =>
+      (0L to v).filter { u =>
+        Files.exists(Paths.get(path, s"manifest_v$u")) &&
+          manifest(u).values.toSeq.distinct
+            .forall(rel => new java.io.File(s"$path/$rel").isDirectory)
+      }
+  }
+
+  /** Totality check for a historical read: the manifest and every
+    * directory it references must still exist, else fail NAMED (the
+    * version was vacuumed, or predates a rebucket's rewrite) rather
+    * than serve a torn subset.
+    */
+  private def retainedManifest(version: Long, op: String): Map[Long, String] = {
+    val live = pointer().map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"BucketedTable.$op($version): $path has no committed version"))
+    require(version >= 0 && version <= live,
+      s"BucketedTable.$op($version): version out of range [0, $live]")
+    if (!Files.exists(Paths.get(path, s"manifest_v$version")))
+      throw new IllegalStateException(
+        s"BucketedTable.$op($version): manifest_v$version is gone — the " +
+          "version was vacuumed (or predates a rebucket); raise the " +
+          "vacuum keepVersions horizon to read further back")
+    val m = manifest(version)
+    val missing = m.values.toSeq.distinct
+      .filterNot(rel => new java.io.File(s"$path/$rel").isDirectory)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"BucketedTable.$op($version): version is no longer fully " +
+          s"retained — missing ${missing.sorted.mkString(", ")}")
+    m
+  }
+
+  /** Time travel: the table AS OF manifest `version`, read through
+    * the LIVE schema (an added column surfaces its default over
+    * history — the Alembic view of pre-migration rows, consistent
+    * with what [[read]] serves for pre-migration files). Fails NAMED
+    * when the version is out of range or no longer retained. `None`
+    * when that version's manifest was empty.
+    */
+  def readAt(version: Long): Option[DataFrame] = {
+    val m = retainedManifest(version, "readAt")
+    val sm = pointer().map(_._4).getOrElse(0L)
+    val dirs = m.values.toSeq.distinct.map(rel => s"$path/$rel")
+    if (dirs.isEmpty) None else Some(readDirs(dirs, sm))
+  }
+
+  /** The directories a [[changesBetween]] must read: only bucket
+    * entries whose referenced directory DIFFERS between the two
+    * manifests. An identical entry references the same immutable
+    * directory — provably identical rows, never read. Exposed for
+    * the spec that pins the pruning.
+    */
+  private[graft] def changedRelDirs(vFrom: Long,
+      vTo: Long): (Seq[String], Seq[String]) = {
+    val m1 = retainedManifest(vFrom, "changesBetween")
+    val m2 = retainedManifest(vTo, "changesBetween")
+    val fromRels = m1.collect {
+      case (b, rel) if !m2.get(b).contains(rel) => rel
+    }.toSeq.distinct.sorted
+    val toRels = m2.collect {
+      case (b, rel) if !m1.get(b).contains(rel) => rel
+    }.toSeq.distinct.sorted
+    (fromRels, toRels)
+  }
+
+  /** Change data feed between two retained versions: one row per key
+    * whose contents differ, classified
+    * `change_type ∈ {insert, update, delete}`, carrying the NEW data
+    * columns under their own names (null on delete) and the OLD
+    * under `old_<name>` (null on insert). Keys landing in buckets
+    * whose manifest entry is identical in both versions are pruned
+    * without a read (same immutable directory ⇒ same rows), so the
+    * cost is ∝ the buckets the intervening commits touched, never
+    * ∝ corpus — the partition-pruned CDC a lakehouse change feed
+    * computes from its file-level diff. Unchanged rows inside a
+    * rewritten bucket are compared and dropped. Correct across an
+    * intervening rebucket (every entry differs, so both sides are
+    * read in full) and across a migration (both sides read through
+    * the live schema, so a backfilled default never reports as a
+    * change).
+    */
+  def changesBetween(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo,
+      s"BucketedTable.changesBetween($vFrom, $vTo): vFrom must be ≤ vTo")
+    val (fromRels, toRels) = changedRelDirs(vFrom, vTo)
+    val sm = pointer().map(_._4).getOrElse(0L)
+    def side(rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(readDirs(rels.map(rel => s"$path/$rel"), sm))
+    val fromDf = side(fromRels)
+    val toDf = side(toRels)
+    val template = toDf.orElse(fromDf)
+      // no entry differs: an empty feed with the live schema
+      .orElse(read()).orElse(readAt(vTo)).orElse(readAt(vFrom))
+      .getOrElse(throw new IllegalStateException(
+        s"BucketedTable.changesBetween($vFrom, $vTo): both versions " +
+          "are empty — no feed schema to serve"))
+    val dataCols = template.columns.filterNot(_ == keyCol).toSeq
+    val f = fromDf.getOrElse(template.limit(0))
+    val t = toDf.getOrElse(template.limit(0))
+    // a key-only table has no data struct to compare: every change is
+    // an insert or a delete, so any constant stands in for the row
+    def rowOf(cols: Seq[String]): Column =
+      if (cols.isEmpty) lit(0) else struct(cols.map(col): _*)
+    val jf = f.select(col(keyCol).as("__kf"), rowOf(dataCols).as("__old"))
+    val jt = t.select(col(keyCol).as("__kt"), rowOf(dataCols).as("__new"))
+    jf.join(jt, col("__kf") === col("__kt"), "full_outer")
+      .withColumn("change_type",
+        when(col("__kf").isNull, lit("insert"))
+          .when(col("__kt").isNull, lit("delete"))
+          .when(!(col("__old") <=> col("__new")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(Seq(coalesce(col("__kf"), col("__kt")).as(keyCol)) ++
+        dataCols.map(c => col("__new").getField(c).as(c)) ++
+        dataCols.map(c => col("__old").getField(c).as(s"old_$c")) :+
+        col("change_type"): _*)
+  }
+
+  /** Garbage-collect versions older than the last `keepVersions`
+    * manifests — the lakehouse VACUUM, and the missing maintenance
+    * half of the by-reference manifest: without it, superseded bucket
+    * directories accumulate unboundedly as commits rewrite buckets.
+    * Deletes (oldest first) every manifest below the horizon, then
+    * every bucket directory referenced by NO retained manifest, then
+    * version directories left with no buckets.
+    *
+    * Crash contract: retained versions reference only directories the
+    * vacuum never touches, so `read()`/`readAt` over the horizon are
+    * total at EVERY kill boundary; a version the kill left
+    * half-collected fails [[readAt]]'s named totality check (and
+    * drops out of [[versions]]) instead of serving a torn subset;
+    * re-invoking converges. No pointer is written — vacuum changes
+    * what is RETAINED, never what is LIVE.
+    */
+  def vacuum(keepVersions: Int): Unit = {
+    require(keepVersions >= 1,
+      s"keepVersions must be ≥ 1: $keepVersions")
+    pointer().foreach { case (v, _, _, _) =>
+      val retainFrom = math.max(0L, v - keepVersions + 1)
+      val referenced: Set[String] = (retainFrom to v)
+        .filter(u => Files.exists(Paths.get(path, s"manifest_v$u")))
+        .flatMap(u => manifest(u).values).toSet
+      val d = new java.io.File(path)
+      def entries() = Option(d.listFiles()).getOrElse(Array.empty)
+      entries()
+        .filter(f => f.isFile && f.getName.startsWith("manifest_v") &&
+          !f.getName.contains(".tmp"))
+        .map(f => (f.getName.stripPrefix("manifest_v").toLong, f))
+        .filter(_._1 < retainFrom).sortBy(_._1)
+        .foreach { case (u, f) =>
+          Failpoints.step(s"vacuum.manifest.$u")
+          f.delete()
+        }
+      entries()
+        .filter(f => f.isDirectory && f.getName.startsWith("c_"))
+        .sortBy(_.getName).foreach { cd =>
+          val buckets = Option(cd.listFiles()).getOrElse(Array.empty)
+            .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
+            .sortBy(_.getName)
+          buckets.foreach { b =>
+            val rel = s"${cd.getName}/${b.getName}"
+            if (!referenced.contains(rel)) {
+              Failpoints.step(s"vacuum.dir.$rel")
+              org.apache.commons.io.FileUtils.deleteQuietly(b)
+            }
+          }
+          val remaining = Option(cd.listFiles()).getOrElse(Array.empty)
+            .exists(b => b.isDirectory && b.getName.startsWith("__bucket="))
+          if (!remaining) {
+            Failpoints.step(s"vacuum.empty.${cd.getName}")
+            org.apache.commons.io.FileUtils.deleteQuietly(cd)
+          }
+        }
+    }
+  }
+
   /** The batch key set, materialized ONCE and BOUNDED: distinct keys
     * truncated at bound+1 rows before the checkpoint, so even a
     * pathological corpus-as-one-batch input caches at most bound+1
@@ -456,17 +670,21 @@ final class BucketedTable(spark: SparkSession, path: String,
   /** Upsert `changed` (full new contents of every changed row) as
     * batch `batchId`, rewriting only the buckets they hash into:
     * prior rows of the touched buckets minus replaced keys (broadcast
-    * anti-join), plus the changed rows.
+    * anti-join), plus the changed rows. A batch that OMITS a migrated
+    * column (a writer that predates the [[addColumn]]) writes the
+    * declared default — the server_default contract on the write
+    * side, matching what reads already coalesce.
     */
   def merge(changed: DataFrame, batchId: Long): Unit =
     mergeResolve(changed, batchId) { (prior, chg) =>
-      val keySet = boundedKeySet(chg)
+      val chg2 = TableSchema.applyTo(chg, TableSchema.read(path, schemaVersion))
+      val keySet = boundedKeySet(chg2)
       guardKeys(keySet, "merge")
       prior match {
         case Some(p) => p
           .join(broadcast(keySet), Seq(keyCol), "left_anti")
-          .unionByName(chg)
-        case None => chg
+          .unionByName(chg2)
+        case None => chg2
       }
     }
 

@@ -278,8 +278,10 @@ class IngestStreamSpec extends AnyFunSuite {
       .select("doc_id", "text").localCheckpoint()
     val state = s"$root/state"
     // cadence 2; rows-per-bucket target small enough that the 500-doc
-    // corpus must outgrow the 16-bucket bootstrap at least once
-    val maintain = MaintainConfig(compactEvery = 2, maxRowsPerBucket = 8L)
+    // corpus must outgrow the 16-bucket bootstrap at least once; GC to
+    // a one-version horizon on the same cadence
+    val maintain = MaintainConfig(compactEvery = 2, maxRowsPerBucket = 8L,
+      vacuumKeepVersions = 1)
     val fpsT = IngestStream.fpsTable(spark, state)
     val labelsT = IngestStream.labelsTable(spark, state)
 
@@ -302,6 +304,25 @@ class IngestStreamSpec extends AnyFunSuite {
     val want = labelMap(
       Clusters.simhashClusters(d, "doc_id", "text", maxDist = 3))
     assert(labelMap(labelsT.read().get) == want)
+
+    // the wired vacuum collected every superseded version: only the
+    // live manifest is retained, and the disk holds EXACTLY what it
+    // references — the loop no longer leaks superseded bucket dirs
+    assert(labelsT.versions == Seq(labelsT.latest.get._1),
+      s"vacuum cadence left versions ${labelsT.versions}")
+    val liveV = labelsT.latest.get._1
+    val referenced = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$state/labels/manifest_v$liveV")))
+      .linesIterator.filter(_.nonEmpty)
+      .map(l => l.substring(l.indexOf(',') + 1)).toSet
+    val onDisk = Option(new java.io.File(s"$state/labels").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
+      .flatMap(cd => cd.listFiles()
+        .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
+        .map(b => s"${cd.getName}/${b.getName}")).toSet
+    assert(onDisk == referenced,
+      s"loop leaked garbage:\n disk=$onDisk\n ref=$referenced")
 
     // a fifth batch merges correctly under the grown hashing
     val s = spark

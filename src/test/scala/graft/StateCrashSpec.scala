@@ -165,6 +165,26 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 5, s"rebucket: expected ≥5 kill points, saw $points")
   }
 
+  test("BucketedTable.vacuum survives a kill at every file-op boundary") {
+    val points = sweep("vacuum") { root =>
+      bt(root).merge(kvDF((0L until 20L).map(k => k -> k)), 0L)
+      bt(root).merge(kvDF(Seq(1L -> 111L)), 1L)
+      bt(root).merge(kvDF(Seq(2L -> 222L)), 2L)
+    } { root =>
+      bt(root).vacuum(keepVersions = 1)
+    } { root =>
+      // the live read and the retained horizon are the invariants at
+      // every boundary; versions BELOW the horizon may be mid-collect
+      // (they fail readAt's named totality check rather than serve a
+      // torn subset), so they are deliberately not state
+      val t = bt(root)
+      (btMap(root), t.lastBatchId, t.versions.contains(2L),
+        t.readAt(2L).map(_.count()).getOrElse(0L))
+    }
+    // ≥2 manifest deletes + ≥2 superseded bucket-dir deletes
+    assert(points >= 4, s"vacuum: expected ≥4 kill points, saw $points")
+  }
+
   test("SnapshotTable.commit survives a kill at every file-op boundary") {
     import graft.streaming.SnapshotTable
     val points = sweep("snapshot") { root =>

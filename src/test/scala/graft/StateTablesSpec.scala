@@ -227,6 +227,146 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable: readAt serves every retained version; changesBetween classifies insert/update/delete and prunes unchanged buckets") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_travel").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 8)
+    val v0 = (0L until 20L).map(k => k -> k * 10).toMap
+    t.merge(v0.toSeq.toDF("k", "v"), 0L)
+    // batch 1: update 3→999, insert 25→250, delete 4, and REWRITE 5
+    // with its unchanged value (it lands in a rewritten bucket but
+    // must NOT appear in the feed)
+    val updates = Seq((3L, 999L, false), (25L, 250L, false),
+      (4L, 0L, true), (5L, 50L, false)).toDF("k", "v", "del")
+    t.mergeResolve(updates, 1L) { (prior, chg) =>
+      val ups = chg.filter(!col("del")).drop("del")
+      prior match {
+        case Some(p) => p.join(broadcast(chg.select("k")), Seq("k"),
+          "left_anti").unionByName(ups)
+        case None => ups
+      }
+    }
+    val v1 = v0 - 4L + (3L -> 999L) + (25L -> 250L)
+
+    assert(t.versions == Seq(0L, 1L))
+    def rowsAt(v: Long) = t.readAt(v).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowsAt(0L) == v0, "readAt(0) diverged from the v0 state")
+    assert(rowsAt(1L) == v1, "readAt(1) diverged from the live state")
+    assert(rowsAt(1L) == t.read().get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // the feed: exactly the three changed keys, classified, with old
+    // and new values; the value-identical rewrite of 5 is dropped
+    val feed = t.changesBetween(0L, 1L).collect().map { r =>
+      (r.getLong(0), r.getString(3),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))
+    }.toSet
+    assert(t.changesBetween(0L, 1L).columns.toSeq ==
+      Seq("k", "v", "old_v", "change_type"))
+    assert(feed == Set(
+      (3L, "update", Some(30L), Some(999L)),
+      (25L, "insert", None, Some(250L)),
+      (4L, "delete", Some(40L), None)), s"feed misclassified: $feed")
+
+    // pruning: only the buckets the batch touched are read — ≤4 keys
+    // touch ≤4 of the 8 populated buckets on either side
+    val (fromRels, toRels) = t.changedRelDirs(0L, 1L)
+    assert(fromRels.nonEmpty && toRels.nonEmpty)
+    assert(fromRels.size <= 4, s"from-side read unchanged buckets: $fromRels")
+    assert(toRels.size <= 4, s"to-side read unchanged buckets: $toRels")
+
+    // self-diff is empty on both axes
+    assert(t.changedRelDirs(1L, 1L) == (Seq.empty, Seq.empty))
+    assert(t.changesBetween(1L, 1L).count() == 0L)
+    assert(t.changesBetween(0L, 0L).count() == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("BucketedTable.vacuum trims the horizon: retained versions stay total, collected ones fail NAMED, garbage dirs are gone") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_vacuum").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge((0L until 16L).map(k => (k, k * 10)).toDF("k", "v"), 0L)
+    t.merge(Seq((1L, 111L)).toDF("k", "v"), 1L)
+    t.merge(Seq((2L, 222L)).toDF("k", "v"), 2L)
+    assert(t.versions == Seq(0L, 1L, 2L))
+
+    // time travel reads through the LIVE schema: a later migration's
+    // default surfaces over every historical version
+    t.addColumn("label", "string", "'u'")
+    assert(t.readAt(0L).get.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      (0L until 16L).map(k => k -> "u").toSet)
+
+    t.vacuum(keepVersions = 2)
+    assert(t.versions == Seq(1L, 2L))
+    assert(t.readAt(1L).get.count() == 16L)
+    assert(t.readAt(2L).get.count() == 16L)
+    val e = intercept[IllegalStateException] { t.readAt(0L) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+
+    t.vacuum(keepVersions = 1)
+    assert(t.versions == Seq(2L))
+    intercept[IllegalStateException] { t.readAt(1L) }
+    // the live read is untouched by any of it
+    val live = t.read().get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == ((0L until 16L).map(k => k -> k * 10).toMap +
+      (1L -> 111L) + (2L -> 222L)))
+
+    // the disk holds EXACTLY what the retained manifest references —
+    // superseded bucket dirs are collected, not accumulated
+    val referenced = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t/manifest_v2")))
+      .linesIterator.filter(_.nonEmpty)
+      .map(l => l.substring(l.indexOf(',') + 1)).toSet
+    val onDisk = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
+      .flatMap(cd => cd.listFiles()
+        .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
+        .map(b => s"${cd.getName}/${b.getName}")).toSet
+    assert(onDisk == referenced,
+      s"vacuum left garbage or over-deleted:\n disk=$onDisk\n ref=$referenced")
+
+    // idempotent; merges keep working afterwards — including a writer
+    // that OMITS the migrated column (it writes the declared default)
+    t.vacuum(keepVersions = 1)
+    t.merge(Seq((99L, 555L)).toDF("k", "v"), 3L)
+    assert(t.read().get.count() == 17L)
+    assert(t.read().get.filter(col("k") === 99L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq == Seq((555L, "u")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("AppendTable.changesSince is the append change feed, bounded by the compaction horizon") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_feed").toString
+    val t = new AppendTable(spark, s"$root/t")
+    t.append(Seq(1L, 2L).toDF("x"), 0L)
+    t.append(Seq(3L).toDF("x"), 1L)
+    t.append(Seq(4L).toDF("x"), 2L)
+    def feed(since: Long) = t.changesSince(since)
+      .map(_.collect().map(_.getLong(0)).sorted.toSeq).getOrElse(Seq.empty)
+    assert(feed(-1L) == Seq(1L, 2L, 3L, 4L))
+    assert(feed(0L) == Seq(3L, 4L))
+    assert(feed(2L) == Seq.empty)
+
+    // compaction folds the per-batch dirs: a reader inside the horizon
+    // keeps working, one behind it fails NAMED instead of a partial feed
+    t.compact()
+    assert(feed(2L) == Seq.empty)
+    val e = intercept[IllegalArgumentException] { t.changesSince(1L) }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    t.append(Seq(5L).toDF("x"), 3L)
+    assert(feed(2L) == Seq(5L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable: appends accumulate, replays are no-ops, orphan dirs stay invisible") {
     val s = spark
     import s.implicits._

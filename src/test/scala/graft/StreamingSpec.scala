@@ -361,7 +361,8 @@ class StreamingSpec extends AnyFunSuite {
       EventRow(key, "social", ts, ts, 1,
         Seq(graft.aggregates.Evidence("x", ts, Map("tweet_id" -> key), "", 1.0)),
         0.0, 1)
-    val maintain = EventsMaintain(every = 1, maxRowsPerBucket = 1L)
+    val maintain = EventsMaintain(every = 1, maxRowsPerBucket = 1L,
+      vacuumKeepVersions = 1)
     for (b <- 0 until 3) {
       val batch = (0 until 40).map(i => evRow(s"k$b-$i", t0 + b * 1000L + i))
       EventSink.processBatch(batch.toDS(), b.toLong, s"$root/events",
@@ -379,6 +380,10 @@ class StreamingSpec extends AnyFunSuite {
     EventSink.processBatch(Seq(evRow("fresh", t0 + 999999L)).toDS(), 3L,
       s"$root/events", s"$root/outbox", _ => true, 0L, maintain)
     assert(t.read().get.count() == 121L)
+    // the wired vacuum keeps the store at a one-version horizon — the
+    // sink no longer accumulates superseded bucket dirs
+    assert(t.versions == Seq(t.latest.get._1),
+      s"sink vacuum left versions ${t.versions}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
