@@ -267,6 +267,35 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // Zone-map data skipping DRIVER-VISIBLE (L77): an AppendTable
+    // event log commits four batches covering disjoint quartile
+    // ranges of doc_id, each batch carrying a min/max zone side file;
+    // a range read strictly inside the second quartile opens ONE of
+    // the four committed directories (dirs_opened — the proof column
+    // the oracle pins at 1 against dirs_total = 4) before any parquet
+    // footer is touched. The residual filter always applies, so the
+    // row set itself is plain range arithmetic the oracle re-derives.
+    "q_c_zone_skip" -> ((s, dir) => {
+      import graft.streaming.AppendTable
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val mx = d.agg(max("doc_id")).head().getLong(0)
+      val c = mx / 4 + 1
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("zone_skip",
+        src.getParentFile.getName)
+      val t = new AppendTable(s, s"$state/log", statsCol = Some("doc_id"))
+      for (i <- 0L until 4L)
+        t.append(d.filter(col("doc_id") >= i * c &&
+          col("doc_id") < (i + 1) * c), i)
+      val lo = c + c / 4
+      val hi = c + c / 2
+      t.readRange(lo, hi).get
+        .select(col("doc_id"), col("n_chars"),
+          lit(t.rangeDirs(lo, hi).size.toLong).as("dirs_opened"),
+          lit(t.readFanIn.toLong).as("dirs_total"))
+        .orderBy("doc_id")
+    }),
+
     // L53 cross-corpus near-dedup: flag batch docs (doc_id%10==0, the
     // L40/L52 ingest convention) near-duplicating ANY reference doc;
     // nearest ref doc reported (min hamming, min id). Both sides
@@ -1696,6 +1725,20 @@ object CurationQueries {
                         AND doc_id % 9 <> 0)) AS v1_rows,
                 true AS horizon_ok
          FROM chg ORDER BY doc_id""",
+
+    // the range read as plain arithmetic (quartile width c = mx//4+1,
+    // range [c + c//4, c + c//2] strictly inside the second
+    // quartile); dirs_opened = 1 is the data-skipping proof — only
+    // the overlapping batch's directory is opened of the 4 committed
+    "q_c_zone_skip" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+              p AS (SELECT mx // 4 + 1 AS c FROM m)
+         SELECT d.doc_id, d.n_chars,
+                CAST(1 AS BIGINT) AS dirs_opened,
+                CAST(4 AS BIGINT) AS dirs_total
+         FROM documents d, p
+         WHERE d.doc_id >= p.c + p.c // 4 AND d.doc_id <= p.c + p.c // 2
+         ORDER BY d.doc_id""",
 
     // from-scratch subset CC + the maintenance-proof arithmetic: the
     // bucket counts are the growth rule replayed on the oracle's own

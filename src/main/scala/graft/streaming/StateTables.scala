@@ -49,7 +49,19 @@ import org.apache.spark.sql.functions._
   * wires that cadence into the production loop, and [[readFanIn]]
   * exposes the unioned-directory count the cadence bounds.
   */
-final class AppendTable(spark: SparkSession, path: String) {
+/** @param statsCol when set, every committed directory carries a
+  *   min/max zone map of this LongType column (one ∝-batch aggregate
+  *   at append time, folded on compaction), and [[AppendTable
+  *   .readRange]] prunes directories whose zone is disjoint from the
+  *   asked range BEFORE any file is opened — the lakehouse
+  *   data-skipping move that turns a time-range scan of a 100 TB
+  *   event log into a read of only the overlapping batches. Purely
+  *   an optimization: the residual filter is always applied, and a
+  *   directory with no zone (committed before stats were enabled)
+  *   is conservatively scanned.
+  */
+final class AppendTable(spark: SparkSession, path: String,
+    statsCol: Option[String] = None) {
 
   private val ptrPath = Paths.get(path, "_LATEST")
 
@@ -117,12 +129,79 @@ final class AppendTable(spark: SparkSession, path: String) {
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
+  /** Write dir's zone map as a side file (tmp + atomic move — an
+    * orphan until the pointer names the dir, the same two-step shape
+    * as every other mutation). The aggregate reads the just-written
+    * directory back, so the zone is exact for the bytes on disk and
+    * never re-executes an expensive upstream plan.
+    */
+  private def writeZone(dir: String, c: String, op: String): Unit = {
+    val row = spark.read.parquet(s"$path/$dir")
+      .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+    val body =
+      if (row.isNullAt(0)) "empty" else s"${row.getLong(0)},${row.getLong(1)}"
+    val tmp = Paths.get(path, s"$dir.zone.tmp")
+    Failpoints.step(s"$op.zone.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.zone.move")
+    Files.move(tmp, Paths.get(path, s"$dir.zone"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Outer None: no zone file — scan conservatively. Inner None: the
+    * directory committed empty — nothing to read.
+    */
+  private def zone(dir: String): Option[Option[(Long, Long)]] = {
+    val p = Paths.get(path, s"$dir.zone")
+    if (!Files.exists(p)) None
+    else {
+      val body = new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8).trim
+      if (body == "empty") Some(None)
+      else {
+        val Array(lo, hi) = body.split(",", 2)
+        Some(Some((lo.toLong, hi.toLong)))
+      }
+    }
+  }
+
+  /** The committed directories a [[readRange]] must open: zones
+    * disjoint from [lo, hi] are pruned before any parquet footer is
+    * touched; a directory without a zone (committed before stats
+    * were enabled) is conservatively kept.
+    */
+  def rangeDirs(lo: Long, hi: Long): Seq[String] =
+    committedDirs().filter { d =>
+      zone(new java.io.File(d).getName) match {
+        case None => true // no zone recorded: scan conservatively
+        case Some(None) => false // committed empty: nothing inside
+        case Some(Some((zl, zh))) => zh >= lo && zl <= hi
+      }
+    }
+
+  /** Rows with `statsCol` in [lo, hi] (both inclusive), opening ONLY
+    * the directories whose zone overlaps — data skipping for the
+    * range scans an event log serves (a time-window read touches the
+    * batches of that window, not the corpus). The residual filter is
+    * always applied, so correctness never depends on the zones.
+    */
+  def readRange(lo: Long, hi: Long): Option[DataFrame] = {
+    val c = statsCol.getOrElse(throw new IllegalStateException(
+      s"AppendTable.readRange: $path was opened without a statsCol — " +
+        "construct the table with the zone-map column to range-read"))
+    val dirs = rangeDirs(lo, hi)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .filter(col(c) >= lo && col(c) <= hi))
+  }
+
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
   def append(df: DataFrame, batchId: Long): Unit = {
     val (last, ct) = pointer()
     if (last >= batchId) return
     Failpoints.step("append.data")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
+    statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
     writePointer(batchId, ct, "append")
   }
 
@@ -167,16 +246,21 @@ final class AppendTable(spark: SparkSession, path: String) {
     Failpoints.step("compact.data")
     spark.read.parquet(dirs: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/k_$last")
+    statsCol.foreach(c => writeZone(s"k_$last", c, "compact"))
     writePointer(last, last, "compact")
     // cleanup AFTER the pointer is durable; best-effort — leftovers
-    // are invisible and re-collected by the next compact
+    // are invisible and re-collected by the next compact. Zone side
+    // files ride with their directory: stale dir ⇒ stale zone.
+    def staleName(n: String): Boolean =
+      (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
+        (n.startsWith("k_") && n != s"k_$last")
     val d = new java.io.File(path)
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       val stale =
-        (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
-          (n.startsWith("k_") && n != s"k_$last")
-      if (f.isDirectory && stale) {
+        if (f.isDirectory) staleName(n)
+        else n.endsWith(".zone") && staleName(n.stripSuffix(".zone"))
+      if (stale) {
         Failpoints.step(s"compact.clean.$n")
         org.apache.commons.io.FileUtils.deleteQuietly(f)
       }

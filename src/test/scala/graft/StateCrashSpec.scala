@@ -165,6 +165,42 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 5, s"rebucket: expected ≥5 kill points, saw $points")
   }
 
+  private def zat(root: String) =
+    new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+
+  test("AppendTable.append with zone maps survives a kill at every file-op boundary") {
+    val points = sweep("append_zone") { root =>
+      zat(root).append(toDF(Seq(1L, 2L)), 0L)
+    } { root =>
+      zat(root).append(toDF(Seq(10L, 11L)), 1L)
+    } { root =>
+      val t = zat(root)
+      (atRows(root), t.lastBatchId, t.rangeDirs(10L, 11L).size)
+    }
+    // data + zone (tmp, move) + pointer (tmp, move)
+    assert(points >= 5, s"append_zone: expected ≥5 kill points, saw $points")
+  }
+
+  test("AppendTable.compact with zone maps survives a kill at every file-op boundary") {
+    val points = sweep("compact_zone") { root =>
+      zat(root).append(toDF(Seq(1L, 2L)), 0L)
+      zat(root).append(toDF(Seq(10L, 11L)), 1L)
+      zat(root).append(toDF(Seq(20L)), 2L)
+    } { root =>
+      zat(root).compact()
+    } { root =>
+      val t = zat(root)
+      assert(t.readFanIn <= 3)
+      // a range read inside batch 1 stays correct at every boundary —
+      // pre-compact it opens b_1, post-compact the consolidated dir
+      val ranged = t.readRange(10L, 11L)
+        .map(_.collect().map(_.getLong(0)).sorted.toSeq).getOrElse(Seq.empty)
+      (atRows(root), t.lastBatchId, ranged)
+    }
+    // data + zone (tmp, move) + pointer (tmp, move) + dir/zone cleans
+    assert(points >= 8, s"compact_zone: expected ≥8 kill points, saw $points")
+  }
+
   test("BucketedTable.vacuum survives a kill at every file-op boundary") {
     val points = sweep("vacuum") { root =>
       bt(root).merge(kvDF((0L until 20L).map(k => k -> k)), 0L)

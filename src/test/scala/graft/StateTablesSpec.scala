@@ -342,6 +342,58 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("AppendTable zone maps: readRange opens only overlapping dirs, compaction folds the zone, zoneless dirs scan conservatively") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_zone").toString
+    val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+    t.append((0L until 10L).toDF("x"), 0L)
+    t.append((100L until 110L).toDF("x"), 1L)
+    t.append((200L until 210L).toDF("x"), 2L)
+    t.append(Seq.empty[Long].toDF("x"), 3L) // empty batch: zone "empty"
+
+    def rows(lo: Long, hi: Long) = t.readRange(lo, hi)
+      .map(_.collect().map(_.getLong(0)).sorted.toSeq).getOrElse(Seq.empty)
+    // pruning: a range inside batch 1 opens exactly that directory
+    assert(t.rangeDirs(100L, 105L).size == 1)
+    assert(rows(100L, 105L) == (100L to 105L))
+    // a range in a gap opens nothing at all
+    assert(t.rangeDirs(50L, 99L).isEmpty && rows(50L, 99L) == Seq.empty)
+    // inclusive on both ends, spanning two batches
+    assert(t.rangeDirs(9L, 100L).size == 2)
+    assert(rows(9L, 100L) == Seq(9L, 100L))
+    // the empty batch's dir counts toward fan-in but is never opened
+    assert(t.readFanIn == 4)
+    assert(t.rangeDirs(0L, 1000L).size == 3)
+
+    // compaction folds the zone: the consolidated dir is pruned when
+    // the whole table is out of range, scanned when any batch was in
+    t.compact()
+    assert(t.readFanIn == 1)
+    assert(t.rangeDirs(500L, 600L).isEmpty)
+    assert(rows(100L, 105L) == (100L to 105L))
+    // a post-compaction append regains fine-grained pruning
+    t.append((300L until 310L).toDF("x"), 4L)
+    assert(t.rangeDirs(300L, 309L).size == 1)
+    assert(rows(300L, 305L) == (300L to 305L))
+
+    // a table opened WITHOUT statsCol fails readRange NAMED...
+    val bare = new AppendTable(spark, s"$root/t")
+    val e = intercept[IllegalStateException] { bare.readRange(0L, 1L) }
+    assert(e.getMessage.contains("statsCol"), e.getMessage)
+    // ...and dirs committed without zones are conservatively scanned
+    // once stats are enabled
+    val t2 = new AppendTable(spark, s"$root/u")
+    t2.append((0L until 5L).toDF("x"), 0L)
+    val t2z = new AppendTable(spark, s"$root/u", statsCol = Some("x"))
+    t2z.append((100L until 105L).toDF("x"), 1L)
+    assert(t2z.rangeDirs(100L, 101L).size == 2,
+      "zoneless dir must be scanned conservatively")
+    assert(t2z.readRange(100L, 101L).get.collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable.changesSince is the append change feed, bounded by the compaction horizon") {
     val s = spark
     import s.implicits._
