@@ -267,6 +267,38 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // RESTORE DRIVER-VISIBLE (L78 — the operational undo that
+    // completes L76's detect→diff→act loop): batch 0 commits the even
+    // ids, batch 1 POISONS every %5==0 id at val = −1 (upserting the
+    // evens among them, inserting the odds), restore(0) re-commits
+    // the pre-poison state as version 2 — history untouched, the bad
+    // version still on disk as evidence. The output is the change
+    // feed OF THE RESTORE (v1→v2): every poisoned even id reverts as
+    // an update back to its true value, every poisoned odd insert
+    // reverts as a delete, and the restored row count plus the
+    // three-version history are proof columns — all plain residue
+    // arithmetic for the oracle.
+    "q_c_restore" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val d = docs(s, dir)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("restore",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/doc_facts", "doc_id", 8)
+      t.merge(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars").as("val")), 0L)
+      t.merge(d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(-1L).as("val")), 1L)
+      t.restore(0L)
+      val restored = t.read().map(_.count()).getOrElse(0L)
+      t.changesBetween(1L, 2L)
+        .select(col("doc_id"), col("change_type"),
+          col("old_val"), col("val").as("new_val"),
+          lit(restored).as("restored_rows"),
+          lit(t.versions.length.toLong).as("n_versions"))
+        .orderBy("doc_id")
+    }),
+
     // Zone-map data skipping DRIVER-VISIBLE (L77): an AppendTable
     // event log commits four batches covering disjoint quartile
     // ranges of doc_id, each batch carrying a min/max zone side file;
@@ -1724,6 +1756,25 @@ object CurationQueries {
                     OR (doc_id % 2 = 1 AND doc_id % 3 = 0
                         AND doc_id % 9 <> 0)) AS v1_rows,
                 true AS horizon_ok
+         FROM chg ORDER BY doc_id""",
+
+    // the restore's change feed as residue arithmetic: the poisoned
+    // set is %5==0 at -1; a poisoned EVEN id was an upsert over v0,
+    // so the restore reverts it as an update back to n_chars; a
+    // poisoned ODD id was an insert, so the restore deletes it;
+    // restored_rows = the evens, n_versions = {v0, poison, restore}
+    "q_c_restore" ->
+      """WITH chg AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN 'update'
+                       ELSE 'delete' END AS change_type,
+                  CAST(-1 AS BIGINT) AS old_val,
+                  CASE WHEN doc_id % 10 = 0 THEN n_chars END AS new_val
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT doc_id, change_type, old_val, new_val,
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 2 = 0) AS restored_rows,
+                CAST(3 AS BIGINT) AS n_versions
          FROM chg ORDER BY doc_id""",
 
     // the range read as plain arithmetic (quartile width c = mx//4+1,

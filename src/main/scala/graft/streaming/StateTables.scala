@@ -640,6 +640,43 @@ final class BucketedTable(spark: SparkSession, path: String,
         col("change_type"): _*)
   }
 
+  /** RESTORE: re-commit the table AS OF `version` as a NEW version —
+    * the operational undo for a poisoned batch. History is never
+    * rewritten (the Delta-style RESTORE shape): the restored state
+    * lands as the next version through the same orphan-then-pointer
+    * crash contract as [[rebucket]], so [[changesBetween]] shows the
+    * reverts as ordinary feed rows and the bad version remains
+    * readable (and vacuumable) evidence. Reads the old state through
+    * the LIVE schema and re-hashes under the LIVE bucket count, so a
+    * restore across a later migration materializes the defaults and
+    * one across a rebucket lands in the current layout. One
+    * deliberate full rewrite; the batch gate does not move (an admin
+    * op, not a batch commit). Fails NAMED when the version is no
+    * longer retained. Restoring the live version is a no-op;
+    * re-invoking after success appends another (identical) restore
+    * version — harmless, collected by the next vacuum.
+    */
+  def restore(version: Long): Unit = {
+    retainedManifest(version, "restore")
+    pointer().foreach { case (v, batchId, nb, sm) =>
+      if (version == v) return
+      val v2 = v + 1
+      readAt(version) match {
+        case Some(rows) =>
+          Failpoints.step("restore.data")
+          rows.withColumn("__bucket", bucketOf(col(keyCol), nb))
+            .repartition(col("__bucket"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket").parquet(s"$path/c_$v2")
+          writeManifest(v2,
+            writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap,
+            "restore")
+        case None => writeManifest(v2, Map.empty, "restore")
+      }
+      writePointer(v2, batchId, nb, sm, "restore")
+    }
+  }
+
   /** Garbage-collect versions older than the last `keepVersions`
     * manifests — the lakehouse VACUUM, and the missing maintenance
     * half of the by-reference manifest: without it, superseded bucket

@@ -201,6 +201,20 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 8, s"compact_zone: expected ≥8 kill points, saw $points")
   }
 
+  test("BucketedTable.restore survives a kill at every file-op boundary") {
+    val points = sweep("restore") { root =>
+      bt(root).merge(kvDF((0L until 12L).map(k => k -> k * 10)), 0L)
+      bt(root).merge(kvDF(Seq(2L -> -1L, 99L -> -1L)), 1L)
+    } { root =>
+      bt(root).restore(0L)
+    } { root =>
+      val t = bt(root)
+      (btMap(root), t.lastBatchId, t.latest.get._1)
+    }
+    // data + manifest (tmp, move) + pointer (tmp, move)
+    assert(points >= 5, s"restore: expected ≥5 kill points, saw $points")
+  }
+
   test("BucketedTable.vacuum survives a kill at every file-op boundary") {
     val points = sweep("vacuum") { root =>
       bt(root).merge(kvDF((0L until 20L).map(k => k -> k)), 0L)

@@ -342,6 +342,52 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable.restore re-commits a prior version as new history: reverts ride the feed, the bad version stays readable") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_restore").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    val v0 = (0L until 12L).map(k => k -> k * 10).toMap
+    t.merge(v0.toSeq.toDF("k", "v"), 0L)
+    // the poisoned batch: clobber 3 keys, insert a junk key
+    t.merge(Seq((2L, -1L), (5L, -1L), (7L, -1L), (99L, -1L))
+      .toDF("k", "v"), 1L)
+
+    t.restore(0L)
+    def live() = t.read().get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live() == v0, "restore diverged from the v0 state")
+    // history is append-only: the poison is still readable evidence
+    assert(t.versions == Seq(0L, 1L, 2L))
+    assert(t.readAt(1L).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      v0 + (2L -> -1L) + (5L -> -1L) + (7L -> -1L) + (99L -> -1L))
+    // the feed of the restore is exactly the reverts
+    val feed = t.changesBetween(1L, 2L).collect().map { r =>
+      (r.getLong(0), r.getString(3),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))
+    }.toSet
+    assert(feed == Set(
+      (2L, "update", Some(-1L), Some(20L)),
+      (5L, "update", Some(-1L), Some(50L)),
+      (7L, "update", Some(-1L), Some(70L)),
+      (99L, "delete", Some(-1L), None)), s"revert feed wrong: $feed")
+
+    // the batch gate did not move: the NEXT streaming batch lands
+    t.merge(Seq((100L, 1000L)).toDF("k", "v"), 2L)
+    assert(live() == v0 + (100L -> 1000L))
+    // restoring the live version is a no-op
+    val vBefore = t.latest.get._1
+    t.restore(vBefore)
+    assert(t.latest.get._1 == vBefore)
+    // a restore target that was vacuumed fails NAMED
+    t.vacuum(keepVersions = 1)
+    val e = intercept[IllegalStateException] { t.restore(0L) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable zone maps: readRange opens only overlapping dirs, compaction folds the zone, zoneless dirs scan conservatively") {
     val s = spark
     import s.implicits._
