@@ -89,6 +89,71 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v_$v")
     writePointer(v, batchId, m, "snapshot")
   }
+
+  /** Snapshot versions still on disk — every commit IS a full
+    * snapshot, so each retained version is independently readable;
+    * [[vacuum]] trims the horizon (without it a per-batch committer
+    * like the outbox leaks one snapshot directory per batch forever).
+    */
+  def versions: Seq[Long] = pointer() match {
+    case None => Seq.empty
+    case Some((v, _, _)) =>
+      (0L to v).filter(u => new java.io.File(s"$path/v_$u").isDirectory)
+  }
+
+  /** Time travel, the [[BucketedTable.readAt]] contract on the
+    * snapshot layout: the snapshot AS OF `version`, read through the
+    * LIVE schema; fails NAMED when out of range or vacuumed.
+    */
+  def readAt(version: Long): Option[DataFrame] = {
+    val (v, _, m) = pointer().getOrElse(throw new IllegalStateException(
+      s"SnapshotTable.readAt($version): $path has no committed version"))
+    require(version >= 0 && version <= v,
+      s"SnapshotTable.readAt($version): version out of range [0, $v]")
+    if (!new java.io.File(s"$path/v_$version").isDirectory)
+      throw new IllegalStateException(
+        s"SnapshotTable.readAt($version): v_$version is gone — the " +
+          "version was vacuumed; raise the keepVersions horizon to " +
+          "read further back")
+    Some(TableSchema.applyTo(spark.read.parquet(s"$path/v_$version"),
+      TableSchema.read(path, m)))
+  }
+
+  /** RESTORE, the [[BucketedTable.restore]] contract on the snapshot
+    * layout: copy the retained snapshot forward as a NEW version (the
+    * bad version stays readable evidence; the batch gate does not
+    * move). The raw files are copied — [[read]] applies the live
+    * schema's defaults at read time exactly as it does for any
+    * pre-migration snapshot.
+    */
+  def restore(version: Long): Unit = pointer().foreach {
+    case (v, batchId, m) =>
+      if (version == v) return
+      readAt(version) // the named totality check
+      Failpoints.step("restore.data")
+      spark.read.parquet(s"$path/v_$version")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v_${v + 1}")
+      writePointer(v + 1, batchId, m, "restore")
+  }
+
+  /** Delete every snapshot older than the last `keepVersions` — no
+    * pointer write, retained reads total at every kill boundary, a
+    * vacuumed version fails [[readAt]] NAMED. The GC the per-batch
+    * outbox committer needs to not leak one directory per batch.
+    */
+  def vacuum(keepVersions: Int): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be ≥ 1: $keepVersions")
+    pointer().foreach { case (v, _, _) =>
+      val retainFrom = math.max(0L, v - keepVersions + 1)
+      (0L until retainFrom).foreach { u =>
+        val f = new java.io.File(s"$path/v_$u")
+        if (f.isDirectory) {
+          Failpoints.step(s"vacuum.dir.v_$u")
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        }
+      }
+    }
+  }
 }
 
 /** S7/S8/A10 — the real sink wiring: the streaming event upsert lands
@@ -215,9 +280,13 @@ object EventSink {
     def runMaintenance(): Unit = if (maintain.due(batchId)) {
       if (maintain.maxRowsPerBucket > 0)
         eventsT.growIfOversized(maintain.maxRowsPerBucket)
-      // GC last — a rebucket already collected everything this tick
-      if (maintain.vacuumKeepVersions > 0)
+      // GC last — a rebucket already collected everything this tick.
+      // The outbox snapshots on the same horizon: it commits EVERY
+      // batch, so unvacuumed it leaks one directory per batch.
+      if (maintain.vacuumKeepVersions > 0) {
         eventsT.vacuum(maintain.vacuumKeepVersions)
+        outboxTable.vacuum(maintain.vacuumKeepVersions)
+      }
     }
     val replayEvents = eventsT.lastBatchId >= batchId
     val replayOutbox = outboxTable.lastBatchId >= batchId

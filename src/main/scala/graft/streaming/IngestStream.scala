@@ -434,8 +434,14 @@ object IngestStream {
     if (maintain.maxRowsPerBucket > 0)
       labelsTable(spark, statePath).growIfOversized(maintain.maxRowsPerBucket)
     // GC last: a rebucket this tick already collected everything, so
-    // the vacuum only pays when merges superseded buckets in place
-    if (maintain.vacuumKeepVersions > 0)
+    // the vacuum only pays when merges superseded buckets in place.
+    // The loop's snapshot tables (publish manifest, drained marker)
+    // commit per publish batch, so they ride the same horizon (no-op
+    // when never written).
+    if (maintain.vacuumKeepVersions > 0) {
       labelsTable(spark, statePath).vacuum(maintain.vacuumKeepVersions)
+      publishManifest(spark, statePath).vacuum(maintain.vacuumKeepVersions)
+      drainMarker(spark, statePath).vacuum(maintain.vacuumKeepVersions)
+    }
   }
 }

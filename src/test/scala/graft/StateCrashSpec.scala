@@ -249,6 +249,43 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 3, s"snapshot: expected ≥3 kill points, saw $points")
   }
 
+  test("SnapshotTable.restore survives a kill at every file-op boundary") {
+    import graft.streaming.SnapshotTable
+    val points = sweep("restore_st") { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      t.commit(toDF(Seq(1L, 2L)), 0L)
+      t.commit(toDF(Seq(9L)), 1L)
+    } { root =>
+      new SnapshotTable(spark, s"$root/t").restore(0L)
+    } { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      (t.read().get.collect().map(_.getLong(0)).sorted.toSeq,
+        t.lastBatchId, t.latest.get._1)
+    }
+    // data copy + pointer (tmp, move)
+    assert(points >= 3, s"restore_st: expected ≥3 kill points, saw $points")
+  }
+
+  test("SnapshotTable.vacuum survives a kill at every file-op boundary") {
+    import graft.streaming.SnapshotTable
+    val points = sweep("vacuum_st") { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      t.commit(toDF(Seq(1L)), 0L)
+      t.commit(toDF(Seq(2L)), 1L)
+      t.commit(toDF(Seq(3L)), 2L)
+    } { root =>
+      new SnapshotTable(spark, s"$root/t").vacuum(keepVersions = 1)
+    } { root =>
+      // live read + horizon are the invariants; below-horizon
+      // versions may be mid-collect (readAt fails NAMED, never torn)
+      val t = new SnapshotTable(spark, s"$root/t")
+      (t.read().get.collect().map(_.getLong(0)).toSeq, t.lastBatchId,
+        t.versions.contains(2L))
+    }
+    // two below-horizon snapshot dirs
+    assert(points >= 2, s"vacuum_st: expected ≥2 kill points, saw $points")
+  }
+
   test("BucketedTable.addColumn survives a kill at every file-op boundary") {
     val points = sweep("migrate_bt") { root =>
       bt(root).merge(kvDF(Seq(1L -> 10L, 2L -> 20L)), 0L)

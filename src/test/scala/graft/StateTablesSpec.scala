@@ -465,6 +465,38 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("SnapshotTable: versions/readAt/restore/vacuum — per-batch snapshots stop leaking and history is an undo log") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("st_travel").toString
+    val t = new graft.streaming.SnapshotTable(spark, s"$root/t")
+    def rows() = t.read().get.collect().map(_.getLong(0)).sorted.toSeq
+    t.commit(Seq(1L, 2L).toDF("x"), 0L)
+    t.commit(Seq(1L, 2L, 3L).toDF("x"), 1L)
+    t.commit(Seq(9L).toDF("x"), 2L) // the poison: clobbered everything
+    assert(t.versions == Seq(0L, 1L, 2L))
+    assert(t.readAt(1L).get.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+
+    // undo: the good snapshot copies forward as a NEW version; the
+    // poison stays readable evidence; the batch gate does not move
+    t.restore(1L)
+    assert(rows() == Seq(1L, 2L, 3L))
+    assert(t.versions == Seq(0L, 1L, 2L, 3L))
+    assert(t.readAt(2L).get.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(t.lastBatchId == 2L)
+    t.commit(Seq(7L).toDF("x"), 3L) // the next batch still lands
+    assert(rows() == Seq(7L))
+
+    // GC: only the horizon stays; a vacuumed version fails NAMED
+    t.vacuum(keepVersions = 2)
+    assert(t.versions == Seq(3L, 4L))
+    val e = intercept[IllegalStateException] { t.readAt(0L) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(rows() == Seq(7L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable: appends accumulate, replays are no-ops, orphan dirs stay invisible") {
     val s = spark
     import s.implicits._

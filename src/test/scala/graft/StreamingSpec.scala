@@ -384,6 +384,11 @@ class StreamingSpec extends AnyFunSuite {
     // sink no longer accumulates superseded bucket dirs
     assert(t.versions == Seq(t.latest.get._1),
       s"sink vacuum left versions ${t.versions}")
+    // ...and the outbox, which snapshots EVERY batch, rides the same
+    // horizon instead of leaking one directory per batch
+    val ob = new SnapshotTable(s, s"$root/outbox")
+    assert(ob.versions == Seq(ob.latest.get._1),
+      s"outbox snapshots leaked: ${ob.versions}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
