@@ -250,9 +250,18 @@ object IngestStream {
     require(drainBatchId > pendingMax,
       s"drainQuarantine: drainBatchId $drainBatchId must exceed the " +
         s"quarantine log's last batch id $pendingMax")
-    val pending = qT.read()
-      .map(_.filter(col("batch_id") > drainedThrough))
-      .filter(!_.isEmpty)
+    // the pending set IS a change feed: when the marker is inside the
+    // compaction horizon, changesSince opens only the per-batch dirs
+    // above it (∝ what is pending, not ∝ the whole quarantine
+    // history); a marker behind the horizon falls back to the
+    // consolidated read — same rows, no pruning. The residual filter
+    // keeps correctness independent of which path served the rows.
+    val pending =
+      (if (drainedThrough >= qT.compactedThrough)
+        qT.changesSince(drainedThrough)
+      else qT.read())
+        .map(_.filter(col("batch_id") > drainedThrough))
+        .filter(!_.isEmpty)
     pending.foreach { p =>
       processBatch(p.select(col("doc_id"), col("text")), drainBatchId,
         statePath, maxDist, publish, maintain, drift)

@@ -94,6 +94,13 @@ final class AppendTable(spark: SparkSession, path: String,
 
   def lastBatchId: Long = pointer()._1
 
+  /** Highest batch id folded into the consolidated dir (−1 if never
+    * compacted) — the [[changesSince]] feed horizon, exposed so a
+    * reader can choose feed vs full-read without exception control
+    * flow.
+    */
+  def compactedThrough: Long = pointer()._2
+
   /** Committed data dirs: the consolidated dir (if any) + batch dirs
     * appended after it, up to the pointer. Stale pre-compaction batch
     * dirs (a crash between the pointer move and their deletion) are
