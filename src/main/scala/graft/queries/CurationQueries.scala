@@ -267,6 +267,41 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // Point-in-time training assembly (L79 — time travel applied to
+    // the ML-correctness problem it exists for): a label table
+    // commits quality labels for every doc (batch 0), then a later
+    // relabel pass bumps every %7==0 doc (batch 1). Assembling a
+    // training set against the LIVE table silently trains on labels
+    // that did not exist when the snapshot was cut — the
+    // train/serve-skew leak; joining against readAt(0) reproduces
+    // EXACTLY the as-of labels. The gate emits both joins side by
+    // side with the skew flag, so the oracle (plain CASE arithmetic)
+    // hash-pins that the as-of join is label-identical to the
+    // original commit and that the skew is precisely the %7 relabel
+    // set.
+    "q_c_pit_training" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val d = docs(s, dir)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("pit_training",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/labels", "doc_id", 8)
+      t.merge(d.select(col("doc_id"),
+        (col("n_chars") % 100).as("label")), 0L)
+      t.merge(d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          (col("n_chars") % 100 + 1000).as("label")), 1L)
+      val asof = t.readAt(0L).get
+        .withColumnRenamed("label", "label_asof")
+      val live = t.read().get.withColumnRenamed("label", "label_live")
+      d.select(col("doc_id"), col("n_chars"))
+        .join(asof, Seq("doc_id"))
+        .join(live, Seq("doc_id"))
+        .select(col("doc_id"), col("label_asof"), col("label_live"),
+          (col("label_asof") =!= col("label_live")).as("skew"))
+        .orderBy("doc_id")
+    }),
+
     // RESTORE DRIVER-VISIBLE (L78 — the operational undo that
     // completes L76's detect→diff→act loop): batch 0 commits the even
     // ids, batch 1 POISONS every %5==0 id at val = −1 (upserting the
@@ -1757,6 +1792,17 @@ object CurationQueries {
                         AND doc_id % 9 <> 0)) AS v1_rows,
                 true AS horizon_ok
          FROM chg ORDER BY doc_id""",
+
+    // the as-of labels are the original commit's arithmetic for
+    // every doc; the live labels carry the %7 relabel; skew is
+    // exactly that set
+    "q_c_pit_training" ->
+      """SELECT doc_id,
+                n_chars % 100 AS label_asof,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars % 100 + 1000
+                     ELSE n_chars % 100 END AS label_live,
+                doc_id % 7 = 0 AS skew
+         FROM documents ORDER BY doc_id""",
 
     // the restore's change feed as residue arithmetic: the poisoned
     // set is %5==0 at -1; a poisoned EVEN id was an upsert over v0,
