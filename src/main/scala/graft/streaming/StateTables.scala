@@ -567,6 +567,12 @@ final class BucketedTable(spark: SparkSession, path: String,
     * with what [[read]] serves for pre-migration files). Fails NAMED
     * when the version is out of range or no longer retained. `None`
     * when that version's manifest was empty.
+    *
+    * The totality check runs at CALL time; the returned frame is lazy,
+    * so a concurrent [[vacuum]]/[[rebucket]] that collects the version
+    * before the action executes surfaces as a file-read error (the
+    * standard lakehouse caveat) — size `keepVersions` above the
+    * longest reader, exactly as a table format's retention interval.
     */
   def readAt(version: Long): Option[DataFrame] = {
     val m = retainedManifest(version, "readAt")

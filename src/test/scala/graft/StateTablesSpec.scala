@@ -342,6 +342,64 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable: randomized history — readAt and changesBetween agree with a reference-map replay at every version pair") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_feed_prop").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    val rnd = new scala.util.Random(97)
+    // replayed reference states per version
+    val states = scala.collection.mutable.ArrayBuffer(
+      Map.empty[Long, Long])
+    var ref = Map.empty[Long, Long]
+    for (batch <- 0L until 7L) {
+      val ups = Seq.fill(1 + rnd.nextInt(12))(
+        (rnd.nextInt(30).toLong, rnd.nextLong() % 1000L)).distinctBy(_._1)
+      val dels = ref.keys.toSeq.sorted
+        .filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).take(3)
+        .filterNot(ups.map(_._1).contains)
+      val chg = (ups.map { case (k, v) => (k, v, false) } ++
+        dels.map(k => (k, 0L, true))).toDF("k", "v", "del")
+      t.mergeResolve(chg, batch) { (prior, c) =>
+        val up = c.filter(!col("del")).drop("del")
+        prior match {
+          case Some(p) => p.join(broadcast(c.select("k")), Seq("k"),
+            "left_anti").unionByName(up)
+          case None => up
+        }
+      }
+      ref = ref -- dels ++ ups.toMap
+      states += ref
+    }
+    // every version re-reads as its reference state...
+    for (v <- 0L until 7L) {
+      val got = t.readAt(v).map(_.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
+      assert(got == states((v + 1).toInt), s"readAt($v) diverged")
+    }
+    // ...and every version PAIR's feed equals the reference diff
+    for (i <- 0L until 7L; j <- i until 7L) {
+      val a = states((i + 1).toInt)
+      val b = states((j + 1).toInt)
+      val want = (a.keySet ++ b.keySet).flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (None, Some(nv)) => Some((k, "insert", None, Some(nv)))
+          case (Some(ov), None) => Some((k, "delete", Some(ov), None))
+          case (Some(ov), Some(nv)) if ov != nv =>
+            Some((k, "update", Some(ov), Some(nv)))
+          case _ => None
+        }
+      }
+      val got = t.changesBetween(i, j).collect().map { r =>
+        (r.getLong(0), r.getString(3),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))
+      }.toSet
+      assert(got == want, s"feed($i, $j) diverged:\n got=$got\n want=$want")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("BucketedTable.restore re-commits a prior version as new history: reverts ride the feed, the bad version stays readable") {
     val s = spark
     import s.implicits._
