@@ -136,6 +136,21 @@ final class SnapshotTable(spark: SparkSession, path: String) {
       writePointer(v + 1, batchId, m, "restore")
   }
 
+  /** Change feed between two retained snapshots, keyed by `keyCol`
+    * (a parameter — the snapshot layout is schema-agnostic): the
+    * shared [[StateDiff]] classification over both snapshots read
+    * WHOLE. The layout rewrites every commit, so there is nothing to
+    * prune — cost is both snapshots; use the bucketed store when
+    * feed cost must be ∝ delta.
+    */
+  def changesBetween(vFrom: Long, vTo: Long, keyCol: String): DataFrame = {
+    require(vFrom <= vTo,
+      s"SnapshotTable.changesBetween($vFrom, $vTo): vFrom must be ≤ vTo")
+    val f = readAt(vFrom)
+    val t = readAt(vTo)
+    StateDiff.classify(f, t, keyCol, t.orElse(f).get)
+  }
+
   /** Delete every snapshot older than the last `keepVersions` — no
     * pointer write, retained reads total at every kill boundary, a
     * vacuumed version fails [[readAt]] NAMED. The GC the per-batch

@@ -342,6 +342,42 @@ private[streaming] object TableSchema {
     }
 }
 
+/** The change-feed classification both state layouts share: one row
+  * per key whose contents differ between a from-side and a to-side,
+  * `change_type ∈ {insert, update, delete}`, the NEW data columns
+  * under their own names (null on delete) and the OLD under
+  * `old_<name>` (null on insert); value-identical rows are compared
+  * and dropped. The caller owns WHAT the two sides read (the
+  * bucketed table prunes to changed buckets; the snapshot table
+  * reads both snapshots whole — its layout rewrites every commit, so
+  * there is nothing to prune).
+  */
+private[streaming] object StateDiff {
+
+  def classify(fromDf: Option[DataFrame], toDf: Option[DataFrame],
+      keyCol: String, template: DataFrame): DataFrame = {
+    val dataCols = template.columns.filterNot(_ == keyCol).toSeq
+    val f = fromDf.getOrElse(template.limit(0))
+    val t = toDf.getOrElse(template.limit(0))
+    // a key-only table has no data struct to compare: every change is
+    // an insert or a delete, so any constant stands in for the row
+    def rowOf(cols: Seq[String]): Column =
+      if (cols.isEmpty) lit(0) else struct(cols.map(col): _*)
+    val jf = f.select(col(keyCol).as("__kf"), rowOf(dataCols).as("__old"))
+    val jt = t.select(col(keyCol).as("__kt"), rowOf(dataCols).as("__new"))
+    jf.join(jt, col("__kf") === col("__kt"), "full_outer")
+      .withColumn("change_type",
+        when(col("__kf").isNull, lit("insert"))
+          .when(col("__kt").isNull, lit("delete"))
+          .when(!(col("__old") <=> col("__new")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(Seq(coalesce(col("__kf"), col("__kt")).as(keyCol)) ++
+        dataCols.map(c => col("__new").getField(c).as(c)) ++
+        dataCols.map(c => col("__old").getField(c).as(s"old_$c")) :+
+        col("change_type"): _*)
+  }
+}
+
 object BucketedTable {
   /** Upper bound on the distinct batch keys a single `readKeys`/
     * `merge` may broadcast. A batch's key set is driver-broadcast for
@@ -632,25 +668,7 @@ final class BucketedTable(spark: SparkSession, path: String,
       .getOrElse(throw new IllegalStateException(
         s"BucketedTable.changesBetween($vFrom, $vTo): both versions " +
           "are empty — no feed schema to serve"))
-    val dataCols = template.columns.filterNot(_ == keyCol).toSeq
-    val f = fromDf.getOrElse(template.limit(0))
-    val t = toDf.getOrElse(template.limit(0))
-    // a key-only table has no data struct to compare: every change is
-    // an insert or a delete, so any constant stands in for the row
-    def rowOf(cols: Seq[String]): Column =
-      if (cols.isEmpty) lit(0) else struct(cols.map(col): _*)
-    val jf = f.select(col(keyCol).as("__kf"), rowOf(dataCols).as("__old"))
-    val jt = t.select(col(keyCol).as("__kt"), rowOf(dataCols).as("__new"))
-    jf.join(jt, col("__kf") === col("__kt"), "full_outer")
-      .withColumn("change_type",
-        when(col("__kf").isNull, lit("insert"))
-          .when(col("__kt").isNull, lit("delete"))
-          .when(!(col("__old") <=> col("__new")), lit("update")))
-      .filter(col("change_type").isNotNull)
-      .select(Seq(coalesce(col("__kf"), col("__kt")).as(keyCol)) ++
-        dataCols.map(c => col("__new").getField(c).as(c)) ++
-        dataCols.map(c => col("__old").getField(c).as(s"old_$c")) :+
-        col("change_type"): _*)
+    StateDiff.classify(fromDf, toDf, keyCol, template)
   }
 
   /** RESTORE: re-commit the table AS OF `version` as a NEW version —

@@ -546,6 +546,13 @@ class StateTablesSpec extends AnyFunSuite {
     t.commit(Seq(7L).toDF("x"), 3L) // the next batch still lands
     assert(rows() == Seq(7L))
 
+    // the snapshot feed: the poison (v1 → v2) classifies as the
+    // clobber it was — key-only schema, so inserts and deletes
+    val feed = t.changesBetween(1L, 2L, "x").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((9L, "insert"), (1L, "delete"), (2L, "delete"),
+      (3L, "delete")), s"snapshot feed wrong: $feed")
+
     // GC: only the horizon stays; a vacuumed version fails NAMED
     t.vacuum(keepVersions = 2)
     assert(t.versions == Seq(3L, 4L))
