@@ -98,25 +98,36 @@ final class SnapshotTable(spark: SparkSession, path: String) {
   def versions: Seq[Long] = pointer() match {
     case None => Seq.empty
     case Some((v, _, _)) =>
-      (0L to v).filter(u => new java.io.File(s"$path/v_$u").isDirectory)
+      // list once, O(live snapshots) — a per-batch committer's id
+      // space grows forever, so never probe per historical id
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+        .map(_.getName.stripPrefix("v_").toLong)
+        .filter(_ <= v).sorted.toSeq
   }
 
   /** Time travel, the [[BucketedTable.readAt]] contract on the
     * snapshot layout: the snapshot AS OF `version`, read through the
     * LIVE schema; fails NAMED when out of range or vacuumed.
     */
-  def readAt(version: Long): Option[DataFrame] = {
-    val (v, _, m) = pointer().getOrElse(throw new IllegalStateException(
-      s"SnapshotTable.readAt($version): $path has no committed version"))
+  /** The named totality check behind [[readAt]] and [[restore]]. */
+  private def retainedDir(version: Long, op: String): String = {
+    val v = pointer().map(_._1).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable.$op($version): $path has no committed version"))
     require(version >= 0 && version <= v,
-      s"SnapshotTable.readAt($version): version out of range [0, $v]")
+      s"SnapshotTable.$op($version): version out of range [0, $v]")
     if (!new java.io.File(s"$path/v_$version").isDirectory)
       throw new IllegalStateException(
-        s"SnapshotTable.readAt($version): v_$version is gone — the " +
+        s"SnapshotTable.$op($version): v_$version is gone — the " +
           "version was vacuumed; raise the keepVersions horizon to " +
           "read further back")
-    Some(TableSchema.applyTo(spark.read.parquet(s"$path/v_$version"),
-      TableSchema.read(path, m)))
+    s"$path/v_$version"
+  }
+
+  def readAt(version: Long): Option[DataFrame] = {
+    val dir = retainedDir(version, "readAt")
+    Some(TableSchema.applyTo(spark.read.parquet(dir),
+      TableSchema.read(path, pointer().map(_._3).getOrElse(0L))))
   }
 
   /** RESTORE, the [[BucketedTable.restore]] contract on the snapshot
@@ -129,9 +140,9 @@ final class SnapshotTable(spark: SparkSession, path: String) {
   def restore(version: Long): Unit = pointer().foreach {
     case (v, batchId, m) =>
       if (version == v) return
-      readAt(version) // the named totality check
+      val dir = retainedDir(version, "restore")
       Failpoints.step("restore.data")
-      spark.read.parquet(s"$path/v_$version")
+      spark.read.parquet(dir)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/v_${v + 1}")
       writePointer(v + 1, batchId, m, "restore")
   }
@@ -160,13 +171,16 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     require(keepVersions >= 1, s"keepVersions must be ≥ 1: $keepVersions")
     pointer().foreach { case (v, _, _) =>
       val retainFrom = math.max(0L, v - keepVersions + 1)
-      (0L until retainFrom).foreach { u =>
-        val f = new java.io.File(s"$path/v_$u")
-        if (f.isDirectory) {
+      // list once: the delete set is O(what exists), not O(lifetime
+      // batch count) — this runs on the sink's maintenance tick
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+        .map(f => (f.getName.stripPrefix("v_").toLong, f))
+        .filter(_._1 < retainFrom).sortBy(_._1)
+        .foreach { case (u, f) =>
           Failpoints.step(s"vacuum.dir.v_$u")
           org.apache.commons.io.FileUtils.deleteQuietly(f)
         }
-      }
     }
   }
 }

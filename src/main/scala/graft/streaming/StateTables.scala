@@ -106,21 +106,26 @@ final class AppendTable(spark: SparkSession, path: String,
     * dirs (a crash between the pointer move and their deletion) are
     * EXCLUDED by the `> ct` filter — their rows live in `k_<ct>`.
     */
-  private def committedDirs(): Seq[String] = {
-    val (last, ct) = pointer()
-    val d = new java.io.File(path)
-    val batches = Option(d.listFiles()).getOrElse(Array.empty)
+  /** Batch directories with id in (above, last] — the shared listing
+    * behind both the committed read (above = compacted-through) and
+    * the change feed (above = the reader's position).
+    */
+  private def batchDirsAbove(above: Long, last: Long): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b_"))
       .map(f => (f.getName.stripPrefix("b_").toLong, f.getAbsolutePath))
-      .filter { case (id, _) => id > ct && id <= last }
+      .filter { case (id, _) => id > above && id <= last }
       .sortBy(_._1)
       .map(_._2)
       .toSeq
+
+  private def committedDirs(): Seq[String] = {
+    val (last, ct) = pointer()
     val compacted =
       if (ct >= 0 && new java.io.File(s"$path/k_$ct").isDirectory)
         Seq(s"$path/k_$ct")
       else Seq.empty
-    compacted ++ batches
+    compacted ++ batchDirsAbove(ct, last)
   }
 
   /** Directories a `read()` would union right now — the small-files
@@ -228,12 +233,7 @@ final class AppendTable(spark: SparkSession, path: String,
       s"AppendTable.changesSince($sinceBatchId): compaction has folded " +
         s"batches through $ct — the change feed horizon has passed; " +
         "read() the consolidated state instead")
-    val d = new java.io.File(path)
-    val dirs = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b_"))
-      .map(f => (f.getName.stripPrefix("b_").toLong, f.getAbsolutePath))
-      .filter { case (id, _) => id > sinceBatchId && id <= last }
-      .sortBy(_._1).map(_._2).toSeq
+    val dirs = batchDirsAbove(sinceBatchId, last)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
@@ -357,6 +357,15 @@ private[streaming] object StateDiff {
   def classify(fromDf: Option[DataFrame], toDf: Option[DataFrame],
       keyCol: String, template: DataFrame): DataFrame = {
     val dataCols = template.columns.filterNot(_ == keyCol).toSeq
+    // the feed's own columns are reserved: a data column named
+    // change_type, or a pair like v/old_v, would emit duplicate
+    // names — fail NAMED instead of serving an ambiguous frame
+    val reserved = dataCols.filter(c =>
+      c == "change_type" || dataCols.contains(s"old_$c"))
+    require(reserved.isEmpty,
+      s"change feed: column(s) ${reserved.mkString(", ")} collide with " +
+        "the feed's reserved output names (change_type, old_<col>) — " +
+        "rename them before diffing")
     val f = fromDf.getOrElse(template.limit(0))
     val t = toDf.getOrElse(template.limit(0))
     // a key-only table has no data struct to compare: every change is
@@ -564,11 +573,16 @@ final class BucketedTable(spark: SparkSession, path: String,
   def versions: Seq[Long] = pointer() match {
     case None => Seq.empty
     case Some((v, _, _, _)) =>
-      (0L to v).filter { u =>
-        Files.exists(Paths.get(path, s"manifest_v$u")) &&
+      // list once, O(live manifests) — never a probe per historical
+      // id (a per-batch committer's id space grows forever)
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("manifest_v") &&
+          !f.getName.contains(".tmp"))
+        .map(_.getName.stripPrefix("manifest_v").toLong)
+        .filter(u => u <= v &&
           manifest(u).values.toSeq.distinct
-            .forall(rel => new java.io.File(s"$path/$rel").isDirectory)
-      }
+            .forall(rel => new java.io.File(s"$path/$rel").isDirectory))
+        .sorted.toSeq
   }
 
   /** Totality check for a historical read: the manifest and every
@@ -688,11 +702,12 @@ final class BucketedTable(spark: SparkSession, path: String,
     * version — harmless, collected by the next vacuum.
     */
   def restore(version: Long): Unit = {
-    retainedManifest(version, "restore")
+    // readAt IS the named totality check — one metadata scan, not two
+    val asOf = readAt(version)
     pointer().foreach { case (v, batchId, nb, sm) =>
       if (version == v) return
       val v2 = v + 1
-      readAt(version) match {
+      asOf match {
         case Some(rows) =>
           Failpoints.step("restore.data")
           rows.withColumn("__bucket", bucketOf(col(keyCol), nb))
@@ -829,14 +844,15 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def merge(changed: DataFrame, batchId: Long): Unit =
     mergeResolve(changed, batchId) { (prior, chg) =>
-      val chg2 = TableSchema.applyTo(chg, TableSchema.read(path, schemaVersion))
-      val keySet = boundedKeySet(chg2)
+      // chg already carries the live schema: mergeResolve applied the
+      // declared columns under the SAME pointer read its commit uses
+      val keySet = boundedKeySet(chg)
       guardKeys(keySet, "merge")
       prior match {
         case Some(p) => p
           .join(broadcast(keySet), Seq(keyCol), "left_anti")
-          .unionByName(chg2)
-        case None => chg2
+          .unionByName(chg)
+        case None => chg
       }
     }
 
@@ -858,17 +874,23 @@ final class BucketedTable(spark: SparkSession, path: String,
     val sm = prior.map(_._4).getOrElse(0L)
     val v = prior.map(_._1 + 1).getOrElse(0L)
     val priorManifest = prior.map(p => manifest(p._1)).getOrElse(Map.empty)
+    // apply the live schema to the batch under the SAME pointer read
+    // the commit writes back (a second read could straddle a
+    // concurrent addColumn — the atomicity the one-read rule exists
+    // for): an omitting writer's rows get the declared defaults, the
+    // server_default contract on the write side
+    val updates0 = TableSchema.applyTo(updates, TableSchema.read(path, sm))
 
     // touched bucket ids: bounded at nBuckets rows — a model-sized
     // driver artifact, same class as the manifest itself
-    val touched = updates.select(bucketOf(col(keyCol), nb).as("__bucket"))
+    val touched = updates0.select(bucketOf(col(keyCol), nb).as("__bucket"))
       .distinct().collect().map(_.getLong(0)).toSet
     val priorTouchedDirs = touched.toSeq.sorted.flatMap(priorManifest.get)
       .distinct.map(rel => s"$path/$rel")
     val priorRows =
       if (priorTouchedDirs.isEmpty) None
       else Some(readDirs(priorTouchedDirs, sm))
-    val newData = resolve(priorRows, updates)
+    val newData = resolve(priorRows, updates0)
       .withColumn("__bucket", bucketOf(col(keyCol), nb))
       .filter(col("__bucket").isin(touched.toSeq: _*))
     if (touched.nonEmpty) {

@@ -310,17 +310,8 @@ class IngestStreamSpec extends AnyFunSuite {
     // references — the loop no longer leaks superseded bucket dirs
     assert(labelsT.versions == Seq(labelsT.latest.get._1),
       s"vacuum cadence left versions ${labelsT.versions}")
-    val liveV = labelsT.latest.get._1
-    val referenced = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$state/labels/manifest_v$liveV")))
-      .linesIterator.filter(_.nonEmpty)
-      .map(l => l.substring(l.indexOf(',') + 1)).toSet
-    val onDisk = Option(new java.io.File(s"$state/labels").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
-      .flatMap(cd => cd.listFiles()
-        .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
-        .map(b => s"${cd.getName}/${b.getName}")).toSet
+    val (referenced, onDisk) = StateTestUtil.manifestRefsAndDisk(
+      s"$state/labels", labelsT.latest.get._1)
     assert(onDisk == referenced,
       s"loop leaked garbage:\n disk=$onDisk\n ref=$referenced")
 

@@ -320,15 +320,8 @@ class StateTablesSpec extends AnyFunSuite {
 
     // the disk holds EXACTLY what the retained manifest references —
     // superseded bucket dirs are collected, not accumulated
-    val referenced = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/t/manifest_v2")))
-      .linesIterator.filter(_.nonEmpty)
-      .map(l => l.substring(l.indexOf(',') + 1)).toSet
-    val onDisk = new java.io.File(s"$root/t").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("c_"))
-      .flatMap(cd => cd.listFiles()
-        .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
-        .map(b => s"${cd.getName}/${b.getName}")).toSet
+    val (referenced, onDisk) =
+      StateTestUtil.manifestRefsAndDisk(s"$root/t", 2L)
     assert(onDisk == referenced,
       s"vacuum left garbage or over-deleted:\n disk=$onDisk\n ref=$referenced")
 
