@@ -267,6 +267,40 @@ object CurationQueries {
         .orderBy("shard_id")
     }),
 
+    // Dataset tags DRIVER-VISIBLE (L80 — the pin that makes L79's
+    // reproducible training set survive GC): batch 0 commits the
+    // evens, batch 1 upserts the %3 slice, the training run tags
+    // version 0, and vacuum(keepVersions = 1) runs — the tagged
+    // version is retained REGARDLESS of the horizon and re-serves
+    // the exact original labels; untagging and re-vacuuming then
+    // collects it. Both flags ride as oracle-pinned proof columns
+    // next to the tagged read's rows (checkpointed before the
+    // release, as a feed consumer must).
+    "q_c_dataset_tag" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val d = docs(s, dir)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("dataset_tag",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/labels", "doc_id", 8)
+      t.merge(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars").as("label")), 0L)
+      t.merge(d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 100).as("label")), 1L)
+      t.tag("train-v0", 0L)
+      t.vacuum(keepVersions = 1)
+      val pinned = t.readAt(t.tags("train-v0")).get.localCheckpoint()
+      val tagRetained = t.versions.contains(0L)
+      t.untag("train-v0")
+      t.vacuum(keepVersions = 1)
+      val untagCollected = !t.versions.contains(0L)
+      pinned
+        .select(col("doc_id"), col("label"),
+          lit(tagRetained).as("tag_retained"),
+          lit(untagCollected).as("untag_collected"))
+        .orderBy("doc_id")
+    }),
+
     // Point-in-time training assembly (L79 — time travel applied to
     // the ML-correctness problem it exists for): a label table
     // commits quality labels for every doc (batch 0), then a later
@@ -1792,6 +1826,14 @@ object CurationQueries {
                         AND doc_id % 9 <> 0)) AS v1_rows,
                 true AS horizon_ok
          FROM chg ORDER BY doc_id""",
+
+    // the tagged read is the original commit verbatim; both
+    // retention flags are structural truths of the tag contract
+    "q_c_dataset_tag" ->
+      """SELECT doc_id, n_chars AS label,
+                true AS tag_retained,
+                true AS untag_collected
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     // the as-of labels are the original commit's arithmetic for
     // every doc; the live labels carry the %7 relabel; skew is

@@ -162,21 +162,59 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     StateDiff.classify(f, t, keyCol, t.orElse(f).get)
   }
 
-  /** Delete every snapshot older than the last `keepVersions` — no
-    * pointer write, retained reads total at every kill boundary, a
-    * vacuumed version fails [[readAt]] NAMED. The GC the per-batch
-    * outbox committer needs to not leak one directory per batch.
+  /** Named tag pinning a snapshot against [[vacuum]] — the
+    * [[BucketedTable.tag]] contract on the snapshot layout.
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be [A-Za-z0-9_-]+: '$name'")
+    retainedDir(version, "tag")
+    val tmp = Paths.get(path, s"tag_$name.tmp")
+    Failpoints.step("tag.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Failpoints.step("tag.move")
+    Files.move(tmp, Paths.get(path, s"tag_$name"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every tag → pinned snapshot version. */
+  def tags: Map[String, Long] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("tag_") &&
+        !f.getName.endsWith(".tmp"))
+      .map(f => f.getName.stripPrefix("tag_") ->
+        new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toLong)
+      .toMap
+
+  /** Release a tag; the next [[vacuum]] may collect the snapshot. */
+  def untag(name: String): Unit = {
+    val f = Paths.get(path, s"tag_$name")
+    if (Files.exists(f)) {
+      Failpoints.step(s"untag.$name")
+      Files.delete(f)
+    }
+  }
+
+  /** Delete every snapshot older than the last `keepVersions` (tagged
+    * snapshots retained regardless) — no pointer write, retained
+    * reads total at every kill boundary, a vacuumed version fails
+    * [[readAt]] NAMED. The GC the per-batch outbox committer needs
+    * to not leak one directory per batch.
     */
   def vacuum(keepVersions: Int): Unit = {
     require(keepVersions >= 1, s"keepVersions must be ≥ 1: $keepVersions")
     pointer().foreach { case (v, _, _) =>
       val retainFrom = math.max(0L, v - keepVersions + 1)
+      val tagged = tags.values.toSet
       // list once: the delete set is O(what exists), not O(lifetime
       // batch count) — this runs on the sink's maintenance tick
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("v_"))
         .map(f => (f.getName.stripPrefix("v_").toLong, f))
-        .filter(_._1 < retainFrom).sortBy(_._1)
+        .filter { case (u, _) => u < retainFrom && !tagged.contains(u) }
+        .sortBy(_._1)
         .foreach { case (u, f) =>
           Failpoints.step(s"vacuum.dir.v_$u")
           org.apache.commons.io.FileUtils.deleteQuietly(f)

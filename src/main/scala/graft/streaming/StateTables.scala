@@ -723,6 +723,47 @@ final class BucketedTable(spark: SparkSession, path: String,
     }
   }
 
+  /** Named tag pinning `version` against [[vacuum]] — the
+    * reproducible-training-set reference ("the 2024-08 snapshot"): a
+    * tagged version's manifest and directories are retained
+    * regardless of the horizon, so a training run that recorded a tag
+    * re-reads its exact inputs months later while ordinary history
+    * is collected on cadence. Side file `tag_<name>` holding the
+    * version id, tmp + atomic move; re-tagging a name moves it;
+    * only a currently-retained version can be pinned (named check).
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be [A-Za-z0-9_-]+: '$name'")
+    retainedManifest(version, "tag")
+    val tmp = Paths.get(path, s"tag_$name.tmp")
+    Failpoints.step("tag.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Failpoints.step("tag.move")
+    Files.move(tmp, Paths.get(path, s"tag_$name"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every tag → pinned version. */
+  def tags: Map[String, Long] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("tag_") &&
+        !f.getName.endsWith(".tmp"))
+      .map(f => f.getName.stripPrefix("tag_") ->
+        new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toLong)
+      .toMap
+
+  /** Release a tag; the next [[vacuum]] may collect the version. */
+  def untag(name: String): Unit = {
+    val f = Paths.get(path, s"tag_$name")
+    if (Files.exists(f)) {
+      Failpoints.step(s"untag.$name")
+      Files.delete(f)
+    }
+  }
+
   /** Garbage-collect versions older than the last `keepVersions`
     * manifests — the lakehouse VACUUM, and the missing maintenance
     * half of the by-reference manifest: without it, superseded bucket
@@ -744,16 +785,21 @@ final class BucketedTable(spark: SparkSession, path: String,
       s"keepVersions must be ≥ 1: $keepVersions")
     pointer().foreach { case (v, _, _, _) =>
       val retainFrom = math.max(0L, v - keepVersions + 1)
-      val referenced: Set[String] = (retainFrom to v)
+      // tagged versions are retained REGARDLESS of the horizon — the
+      // whole point of a tag
+      val tagged = tags.values.toSet
+      val retainedIds = ((retainFrom to v).toSet ++ tagged)
         .filter(u => Files.exists(Paths.get(path, s"manifest_v$u")))
-        .flatMap(u => manifest(u).values).toSet
+      val referenced: Set[String] =
+        retainedIds.flatMap(u => manifest(u).values)
       val d = new java.io.File(path)
       def entries() = Option(d.listFiles()).getOrElse(Array.empty)
       entries()
         .filter(f => f.isFile && f.getName.startsWith("manifest_v") &&
           !f.getName.contains(".tmp"))
         .map(f => (f.getName.stripPrefix("manifest_v").toLong, f))
-        .filter(_._1 < retainFrom).sortBy(_._1)
+        .filter { case (u, _) => u < retainFrom && !tagged.contains(u) }
+        .sortBy(_._1)
         .foreach { case (u, f) =>
           Failpoints.step(s"vacuum.manifest.$u")
           f.delete()

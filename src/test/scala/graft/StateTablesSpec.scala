@@ -439,6 +439,48 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("dataset tags pin versions against vacuum on both layouts; untag releases them") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_tags").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge((0L until 8L).map(k => (k, k * 10)).toDF("k", "v"), 0L)
+    t.merge(Seq((1L, 111L)).toDF("k", "v"), 1L)
+    t.merge(Seq((2L, 222L)).toDF("k", "v"), 2L)
+
+    t.tag("train-v0", 0L)
+    assert(t.tags == Map("train-v0" -> 0L))
+    t.vacuum(keepVersions = 1)
+    // the tagged version survives BELOW the horizon; v1 is collected
+    assert(t.versions == Seq(0L, 2L), s"versions ${t.versions}")
+    assert(t.readAt(0L).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0L until 8L).map(k => k -> k * 10).toMap)
+    intercept[IllegalStateException] { t.readAt(1L) }
+    // a tag can only pin a retained version
+    intercept[IllegalStateException] { t.tag("gone", 1L) }
+    // untag releases: the next vacuum collects it
+    t.untag("train-v0")
+    assert(t.tags.isEmpty)
+    t.vacuum(keepVersions = 1)
+    assert(t.versions == Seq(2L))
+
+    // snapshot layout: same contract
+    val st = new graft.streaming.SnapshotTable(spark, s"$root/s")
+    st.commit(Seq(1L, 2L).toDF("x"), 0L)
+    st.commit(Seq(3L).toDF("x"), 1L)
+    st.commit(Seq(4L).toDF("x"), 2L)
+    st.tag("frozen", 0L)
+    st.vacuum(keepVersions = 1)
+    assert(st.versions == Seq(0L, 2L))
+    assert(st.readAt(0L).get.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    st.untag("frozen")
+    st.vacuum(keepVersions = 1)
+    assert(st.versions == Seq(2L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable zone maps: readRange opens only overlapping dirs, compaction folds the zone, zoneless dirs scan conservatively") {
     val s = spark
     import s.implicits._
