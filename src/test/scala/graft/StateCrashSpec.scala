@@ -235,6 +235,40 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 4, s"vacuum: expected ≥4 kill points, saw $points")
   }
 
+  test("BucketedTable.tag and a tag-respecting vacuum survive kills at every file-op boundary") {
+    // tag: side file lands tmp + move — visible atomically or not at all
+    val tagPoints = sweep("tag") { root =>
+      bt(root).merge(kvDF(Seq(1L -> 10L)), 0L)
+      bt(root).merge(kvDF(Seq(2L -> 20L)), 1L)
+    } { root =>
+      bt(root).tag("pin", 0L)
+    } { root =>
+      val t = bt(root)
+      (btMap(root), t.tags)
+    }
+    assert(tagPoints >= 2, s"tag: expected ≥2 kill points, saw $tagPoints")
+
+    // vacuum with a tag present: the pinned version is retained at
+    // EVERY boundary — a kill can never leave it half-collected
+    val points = sweep("vacuum_tagged") { root =>
+      val t = bt(root)
+      t.merge(kvDF((0L until 12L).map(k => k -> k)), 0L)
+      // batch 2 rewrites batch 1's bucket, so v1 leaves a garbage dir
+      // (otherwise every v1 dir rides forward by reference and the
+      // vacuum's only mutation is the manifest delete)
+      t.merge(kvDF(Seq(1L -> 111L)), 1L)
+      t.merge(kvDF(Seq(1L -> 222L)), 2L)
+      t.tag("pin", 0L)
+    } { root =>
+      bt(root).vacuum(keepVersions = 1)
+    } { root =>
+      val t = bt(root)
+      (btMap(root), t.versions.contains(0L), t.versions.contains(2L),
+        t.readAt(0L).get.count(), t.tags)
+    }
+    assert(points >= 2, s"vacuum_tagged: expected ≥2 kill points, saw $points")
+  }
+
   test("SnapshotTable.commit survives a kill at every file-op boundary") {
     import graft.streaming.SnapshotTable
     val points = sweep("snapshot") { root =>
