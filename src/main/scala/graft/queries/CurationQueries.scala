@@ -155,6 +155,57 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Targeted FORGET end to end (L81 — right-to-be-forgotten across
+    // the whole ingest footprint): the REAL loop publishes two batches
+    // of the doc_id%4==1 quarter, then IngestStream.forget removes the
+    // %3==0 slice from the snapshot, the fp index, the label store,
+    // and the published shard files. The output is the SURVIVING label
+    // store read back from disk — which must be the from-scratch CC of
+    // the survivor corpus (a forgotten BRIDGE doc splits its cluster;
+    // the relabel recomputes only affected clusters, and the oracle's
+    // recursive CC over survivors proves the identity) — plus proof
+    // columns: snap/fps counts (survivors only), live shard docs and
+    // token mass recomputed FROM the redacted files, the publish
+    // manifest's totals (deliberately UNCHANGED — it is the assignment
+    // ledger; shrinking it would re-open sealed shards), and the
+    // forget ledger's audit rows.
+    "q_c_forget" -> ((s, dir) => {
+      import graft.streaming.IngestStream
+      val d = docs(s, dir).filter(col("doc_id") % 4 === 1)
+      val b0 = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val b1 = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("forget",
+        src.getParentFile.getName)
+      val dest = s"$state/shards"
+      val pub = Some(IngestStream.PublishConfig(dest, budget = 2048L))
+      IngestStream.processBatch(b0, 0L, state, 3, pub)
+      IngestStream.processBatch(b1, 1L, state, 3, pub)
+      IngestStream.forget(s, state,
+        d.filter(col("doc_id") % 3 === 0).select("doc_id"),
+        forgetBatchId = 2L, maxDist = 3, publishDest = Some(dest))
+      val labels = IngestStream.labelsTable(s, state).read().get
+      val snapRows = IngestStream.snapTable(s, state).read()
+        .map(_.count()).getOrElse(0L)
+      val fpsRows = IngestStream.fpsTable(s, state).read()
+        .map(_.count()).getOrElse(0L)
+      val live = s.read.parquet(dest)
+        .agg(count(lit(1)).as("d"), sum("n_tok").as("t")).head
+      val man = IngestStream.publishManifest(s, state).read().get
+        .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head
+      val ledgerRows = IngestStream.forgetLedger(s, state).read()
+        .map(_.count()).getOrElse(0L)
+      labels
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          lit(snapRows).as("snap_rows"), lit(fpsRows).as("fps_rows"),
+          lit(live.getLong(0)).as("shard_docs"),
+          lit(live.getLong(1)).as("shard_tokens"),
+          lit(man.getLong(0)).as("manifest_docs"),
+          lit(man.getLong(1)).as("manifest_tokens"),
+          lit(ledgerRows).as("ledger_rows"))
+        .orderBy("doc_id")
+    }),
+
     // Additive schema evolution DRIVER-VISIBLE (L75 — the Alembic
     // server_default contract as a lakehouse migration, oracle-gated
     // on top of the StateCrashSpec/StateTablesSpec contract): a
@@ -1906,6 +1957,35 @@ object CurationQueries {
                  CAST(1 AS BIGINT) AS snap_fan_in,
                  CAST(1 AS BIGINT) AS labels_versions
           FROM lab JOIN sz USING (cluster_id), nbm, nbf
+          ORDER BY lab.doc_id""",
+
+    // the forget's end-state from scratch: recursive CC over the
+    // SURVIVOR subset (the %3==0 slice never ingested — a forgotten
+    // bridge's cluster must split exactly as if its docs never
+    // existed), survivor counts for the snapshot/fp/shard read-backs,
+    // the UNION totals for the untouched assignment manifest, and the
+    // forgotten count for the audit ledger
+    "q_c_forget" ->
+      s"""WITH RECURSIVE ${ccLabCteWhere(
+             "doc_id % 4 = 1 AND doc_id % 3 <> 0")},
+          sz AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM lab GROUP BY 1),
+          tok AS (SELECT doc_id,
+                         CAST(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tok
+                  FROM documents WHERE doc_id % 4 = 1),
+          surv AS (SELECT count(*) AS d, CAST(sum(n_tok) AS BIGINT) AS t
+                   FROM tok WHERE doc_id % 3 <> 0),
+          al AS (SELECT count(*) AS d, CAST(sum(n_tok) AS BIGINT) AS t
+                 FROM tok),
+          gone AS (SELECT count(*) AS n FROM tok WHERE doc_id % 3 = 0)
+          SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+                 surv.d AS snap_rows, surv.d AS fps_rows,
+                 surv.d AS shard_docs, surv.t AS shard_tokens,
+                 al.d AS manifest_docs, al.t AS manifest_tokens,
+                 gone.n AS ledger_rows
+          FROM lab JOIN sz USING (cluster_id), surv, al, gone
           ORDER BY lab.doc_id""",
 
     // the whole lifecycle re-derived from scratch: recursive-CC

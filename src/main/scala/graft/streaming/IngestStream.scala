@@ -270,6 +270,158 @@ object IngestStream {
     dT.commit(Seq(pendingMax).toDF("drained_through"), drainBatchId)
   }
 
+  /** The forget LEDGER: (doc_id, batch_id) rows appended LAST by a
+    * completed [[forget]] — its idempotency gate (every other forget
+    * mutation is convergent by content, so "ledger not yet at this
+    * batch id" means "replay everything"), and the audit evidence a
+    * data-subject request needs (ids only — the content is exactly
+    * what the operation removed).
+    */
+  def forgetLedger(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): AppendTable =
+    new AppendTable(spark, s"$statePath/forgets")
+
+  /** Targeted FORGET (right-to-be-forgotten / takedown redaction):
+    * remove a bounded id set from EVERY place the ingest loop put it —
+    * content snapshot, fp index, pending quarantine, the label store,
+    * and (when `publishDest` is set) the published shard files — with
+    * the surviving labels still exactly the from-scratch clustering of
+    * the surviving corpus.
+    *
+    * The label side is the interesting half: deleting a doc can SPLIT
+    * its cluster (the doc was the bridge), so dropping rows is not
+    * enough. Components are closed under edges — removing nodes never
+    * connects anything new — so the post-forget components are, per
+    * AFFECTED cluster, the components of the induced survivor
+    * subgraph, and every untouched cluster keeps its labels verbatim.
+    * The relabel therefore recomputes CC only over the affected
+    * clusters' survivors (edges re-derived from the STORED fp index,
+    * cost ∝ affected members), and with cluster_id = min member the
+    * result is identical to a from-scratch run over the survivors
+    * (IngestStreamSpec pins the identity; `q_c_forget` oracle-gates it
+    * against the recursive-CC SQL).
+    *
+    * Cost shape at 100 TB: one narrow column scan of the label store
+    * to find affected-cluster members (the Delta-DELETE find-touched-
+    * files scan), one consolidating rewrite per append log
+    * ([[AppendTable.deleteKeys]] — amortized like compact, on the
+    * forget cadence an operator batches requests into), a bucketed
+    * MERGE touching only the affected keys' buckets, and a shard
+    * rewrite touching only partitions that held a forgotten row.
+    *
+    * Crash/idempotency contract: every mutation is convergent (the
+    * anti-join filters and the batch-gated label merge recompute the
+    * same state), and the [[forgetLedger]] append lands LAST as the
+    * gate — a kill anywhere replays the whole forget to the same
+    * end-state; a replayed COMPLETED forget is a no-op. Like
+    * [[BucketedTable.restore]], a forget is a single-writer admin op:
+    * complete it (or its replay) before further ingest.
+    *
+    * The publish MANIFEST is deliberately untouched: it is the
+    * ASSIGNMENT ledger — shrinking its running token total would
+    * re-open sealed shards for future `shardAppend` arithmetic (an
+    * overwrite hazard for [[graft.operators.Sampling
+    * .appendShardFiles]]'s single-straddler contract) — so freed shard
+    * capacity is simply gone, the Delta-DELETE small-file concession.
+    * Live per-shard facts are recomputable from the files.
+    *
+    * Forget ≠ ban: the ids leave the snapshot, so a later legitimate
+    * re-delivery re-ingests as ordinary new docs (a data subject may
+    * resubmit). `forgetBatchId` must exceed every committed batch id.
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      ids: DataFrame, forgetBatchId: Long, maxDist: Int = 3,
+      publishDest: Option[String] = None): Unit = {
+    val ledger = forgetLedger(spark, statePath)
+    if (ledger.lastBatchId >= forgetBatchId) return // completed → no-op
+    val idSet = ids.select("doc_id").distinct().localCheckpoint()
+
+    // label store: relabel the affected clusters' survivors
+    val labelsT = labelsTable(spark, statePath)
+    if (labelsT.lastBatchId < forgetBatchId) {
+      labelsT.readKeys(idSet).foreach { hit =>
+        val affected = hit.select("cluster_id").distinct().localCheckpoint()
+        // ONE narrow scan of the label store for the affected members
+        // (the Delta-DELETE find-touched-files pass)
+        val members = labelsT.read().get
+          .join(broadcast(affected), Seq("cluster_id"))
+          .select("doc_id").localCheckpoint()
+        val survivors = members
+          .join(broadcast(idSet), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // survivor edges from the STORED fp index — the induced
+        // subgraph of the affected clusters (components are closed
+        // under edges, so no other doc can be involved)
+        val survFps = fpsTable(spark, statePath).read()
+          .map(_.join(broadcast(survivors), Seq("doc_id"), "left_semi"))
+          .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+            col("id").as("simhash")))
+        val edges = Dedup.simhashPairsOf(survFps, maxDist)
+          .select(col("ida").as("a"), col("idb").as("b"))
+        val cc = graft.dedup.Clusters.connectedComponents(
+          survivors.select(col("doc_id").as("id")), edges)
+        val sizes = cc.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        val relabeled = cc.join(sizes, "cluster_id")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size")).localCheckpoint()
+        val allKeys = members.unionByName(idSet).distinct().localCheckpoint()
+        // allowMissingColumns: a migrated label store's added columns
+        // are absent from the relabel — they land null and read back
+        // through the declared defaults (the omitting-writer contract)
+        labelsT.mergeResolve(allKeys, forgetBatchId) { (prior, _) =>
+          prior.map(_.join(broadcast(allKeys), Seq("doc_id"), "left_anti")
+            .unionByName(relabeled, allowMissingColumns = true))
+            .getOrElse(relabeled)
+        }
+      }
+    }
+
+    // append logs: consolidating anti-join rewrites (convergent)
+    fpsTable(spark, statePath).deleteKeys(idSet, "doc_id")
+    snapTable(spark, statePath).deleteKeys(idSet, "doc_id")
+    quarantineTable(spark, statePath).deleteKeys(idSet, "doc_id")
+
+    // published shards: rewrite ONLY partitions holding a forgotten
+    // pub id (pub_id = epoch·10¹² + doc_id, so the doc id is the
+    // residue); a partition emptied by the redaction writes no rows
+    // under dynamic overwrite, so its directory is removed explicitly
+    publishDest.filter(d => new java.io.File(d).exists()).foreach { dest =>
+      val all = spark.read.parquet(dest)
+        .withColumn("shard_id", col("shard_id").cast("long"))
+      val hitShards = all
+        .withColumn("doc_id", col("pub_id") % 1000000000000L)
+        .join(broadcast(idSet), Seq("doc_id"), "left_semi")
+        .select("shard_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: ≤ #shards
+      if (hitShards.nonEmpty) {
+        val surviving = all
+          .filter(col("shard_id").isin(hitShards: _*)) // partition-pruned
+          .withColumn("doc_id", col("pub_id") % 1000000000000L)
+          .join(broadcast(idSet), Seq("doc_id"), "left_anti")
+          .drop("doc_id")
+          .localCheckpoint() // materialize BEFORE the overwrite races the read
+        val keptShards = surviving.select("shard_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        Failpoints.step("forget.shards.data")
+        surviving.repartition(col("shard_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard_id").parquet(dest)
+        hitShards.filterNot(keptShards).foreach { sid =>
+          Failpoints.step(s"forget.shards.empty.$sid")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$dest/shard_id=$sid"))
+        }
+      }
+    }
+
+    // ledger LAST — the forget's commit gate (ids only: the audit
+    // evidence, not the content)
+    ledger.append(idSet.withColumn("batch_id", lit(forgetBatchId)),
+      forgetBatchId)
+  }
+
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int): Unit =
     processBatch(batch, batchId, statePath, maxDist, None)
@@ -440,6 +592,7 @@ object IngestStream {
     gateMonitorTable(spark, statePath).compact()
     DriftMonitor.monitorTable(spark, statePath).compact()
     quarantineTable(spark, statePath).compact()
+    forgetLedger(spark, statePath).compact()
     if (maintain.maxRowsPerBucket > 0)
       labelsTable(spark, statePath).growIfOversized(maintain.maxRowsPerBucket)
     // GC last: a rebucket this tick already collected everything, so

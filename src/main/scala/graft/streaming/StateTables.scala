@@ -65,9 +65,16 @@ final class AppendTable(spark: SparkSession, path: String,
 
   private val ptrPath = Paths.get(path, "_LATEST")
 
-  /** (last committed batch id, compacted-through id or −1). */
-  private def pointer(): (Long, Long) =
-    if (!Files.exists(ptrPath)) (-1L, -1L)
+  /** (last committed batch id, compacted-through id or −1, delete
+    * epoch). The epoch names the consolidated directory a
+    * [[deleteKeys]] produced — each delete bumps it, so a re-delete
+    * at the same batch id never overwrites a LIVE consolidated dir in
+    * place (the new dir is an orphan until the pointer names it,
+    * exactly the compact crash shape). Two-line pointers predate
+    * deletes (epoch 0 — consolidated dir `k_<ct>`, back-compat).
+    */
+  private def pointer(): (Long, Long, Long) =
+    if (!Files.exists(ptrPath)) (-1L, -1L, 0L)
     else {
       val lines = new String(Files.readAllBytes(ptrPath),
         StandardCharsets.UTF_8).trim.linesIterator.toSeq
@@ -75,14 +82,25 @@ final class AppendTable(spark: SparkSession, path: String,
       val ct = lines.collectFirst {
         case l if l.startsWith("compact=") => l.stripPrefix("compact=").toLong
       }.getOrElse(-1L)
-      (last, ct)
+      val e = lines.collectFirst {
+        case l if l.startsWith("epoch=") => l.stripPrefix("epoch=").toLong
+      }.getOrElse(0L)
+      (last, ct, e)
     }
 
+  /** Consolidated-dir name for (compacted-through, epoch): the
+    * pre-delete name `k_<ct>` at epoch 0 keeps every existing table
+    * on disk readable.
+    */
+  private def kName(ct: Long, epoch: Long): String =
+    if (epoch == 0L) s"k_$ct" else s"k_${ct}_e$epoch"
+
   private def writePointer(last: Long, compactedThrough: Long,
-      op: String): Unit = {
+      epoch: Long, op: String): Unit = {
     val body =
       if (compactedThrough < 0) last.toString
-      else s"$last\ncompact=$compactedThrough"
+      else if (epoch == 0L) s"$last\ncompact=$compactedThrough"
+      else s"$last\ncompact=$compactedThrough\nepoch=$epoch"
     val tmp = Paths.get(path, s"_LATEST.tmp.$last")
     Files.createDirectories(Paths.get(path))
     Failpoints.step(s"$op.pointer.tmp")
@@ -120,10 +138,10 @@ final class AppendTable(spark: SparkSession, path: String,
       .toSeq
 
   private def committedDirs(): Seq[String] = {
-    val (last, ct) = pointer()
+    val (last, ct, e) = pointer()
     val compacted =
-      if (ct >= 0 && new java.io.File(s"$path/k_$ct").isDirectory)
-        Seq(s"$path/k_$ct")
+      if (ct >= 0 && new java.io.File(s"$path/${kName(ct, e)}").isDirectory)
+        Seq(s"$path/${kName(ct, e)}")
       else Seq.empty
     compacted ++ batchDirsAbove(ct, last)
   }
@@ -209,12 +227,12 @@ final class AppendTable(spark: SparkSession, path: String,
 
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
   def append(df: DataFrame, batchId: Long): Unit = {
-    val (last, ct) = pointer()
+    val (last, ct, e) = pointer()
     if (last >= batchId) return
     Failpoints.step("append.data")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
     statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
-    writePointer(batchId, ct, "append")
+    writePointer(batchId, ct, e, "append")
   }
 
   /** The append log IS a change feed: rows appended after
@@ -228,7 +246,7 @@ final class AppendTable(spark: SparkSession, path: String,
     * the compaction cadence, or compact less often).
     */
   def changesSince(sinceBatchId: Long): Option[DataFrame] = {
-    val (last, ct) = pointer()
+    val (last, ct, _) = pointer()
     require(sinceBatchId >= ct,
       s"AppendTable.changesSince($sinceBatchId): compaction has folded " +
         s"batches through $ct — the change feed horizon has passed; " +
@@ -246,21 +264,27 @@ final class AppendTable(spark: SparkSession, path: String,
     * never referenced). Idempotent when already compacted to `last`.
     */
   def compact(): Unit = {
-    val (last, ct) = pointer()
+    val (last, ct, e) = pointer()
     if (last < 0 || ct == last) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
     Failpoints.step("compact.data")
     spark.read.parquet(dirs: _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/k_$last")
-    statsCol.foreach(c => writeZone(s"k_$last", c, "compact"))
-    writePointer(last, last, "compact")
-    // cleanup AFTER the pointer is durable; best-effort — leftovers
-    // are invisible and re-collected by the next compact. Zone side
-    // files ride with their directory: stale dir ⇒ stale zone.
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/${kName(last, e)}")
+    statsCol.foreach(c => writeZone(kName(last, e), c, "compact"))
+    writePointer(last, last, e, "compact")
+    cleanupStale(last, kName(last, e), "compact")
+  }
+
+  /** Best-effort collection of directories the pointer no longer
+    * references, AFTER it is durable — leftovers are invisible and
+    * re-collected by the next compact/delete. Zone side files ride
+    * with their directory: stale dir ⇒ stale zone.
+    */
+  private def cleanupStale(last: Long, liveK: String, op: String): Unit = {
     def staleName(n: String): Boolean =
       (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
-        (n.startsWith("k_") && n != s"k_$last")
+        (n.startsWith("k_") && n != liveK)
     val d = new java.io.File(path)
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
@@ -268,10 +292,45 @@ final class AppendTable(spark: SparkSession, path: String,
         if (f.isDirectory) staleName(n)
         else n.endsWith(".zone") && staleName(n.stripSuffix(".zone"))
       if (stale) {
-        Failpoints.step(s"compact.clean.$n")
+        Failpoints.step(s"$op.clean.$n")
         org.apache.commons.io.FileUtils.deleteQuietly(f)
       }
     }
+  }
+
+  /** DELETE rows whose `keyCol` is in `keys` — the redaction primitive
+    * a right-to-be-forgotten pass needs on an append-only log
+    * ([[IngestStream.forget]] drives it across the loop's tables).
+    * Shape: one consolidating rewrite (read every committed dir,
+    * anti-join the broadcast key set, land the survivors) into a NEW
+    * epoch-named consolidated dir — the [[compact]] crash contract
+    * verbatim: the survivor data is an orphan until the pointer names
+    * it, the pointer move is atomic, old dirs are collected
+    * best-effort afterwards, and a kill anywhere leaves `read()` on
+    * the full pre- or post-state with the replay converging. The
+    * epoch bump (never an in-place overwrite of the live consolidated
+    * dir) is what makes back-to-back deletes at the same batch id
+    * safe. A delete IS a consolidation, so it advances the
+    * [[changesSince]] horizon exactly like the compact it subsumes;
+    * the batch pointer does not move (an admin op, not a commit —
+    * replayed batch ids stay no-ops). `keys` must be bounded (a
+    * forget list, not a corpus): it is driver-broadcast like a MERGE
+    * batch's key set. No-op on a never-written or empty table.
+    */
+  def deleteKeys(keys: DataFrame, keyCol: String): Unit = {
+    val (last, _, e) = pointer()
+    if (last < 0) return
+    val dirs = committedDirs()
+    if (dirs.isEmpty) return
+    val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val survivors = spark.read.parquet(dirs: _*)
+      .join(broadcast(keySet), Seq(keyCol), "left_anti")
+    val k2 = kName(last, e + 1)
+    Failpoints.step("delete.data")
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$path/$k2")
+    statsCol.foreach(c => writeZone(k2, c, "delete"))
+    writePointer(last, last, e + 1, "delete")
+    cleanupStale(last, k2, "delete")
   }
 }
 

@@ -531,4 +531,129 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootA))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootB))
   }
+
+  test("forget: surviving labels equal from-scratch over survivors; snapshot/index/shards redacted; manifest is the untouched assignment ledger; replay no-op; re-ingest re-admits") {
+    import graft.streaming.IngestStream.PublishConfig
+    val root = Files.createTempDirectory("ingest_forget").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+      .localCheckpoint()
+    val state = s"$root/state"
+    val dest = s"$root/shards"
+    val pub = Some(PublishConfig(dest, budget = 2048L))
+    IngestStream.processBatch(d.filter(col("doc_id") % 3 === 0), 0L,
+      state, 3, pub)
+    IngestStream.processBatch(d.filter(col("doc_id") % 3 =!= 0), 1L,
+      state, 3, pub)
+    def manifest() = IngestStream.publishManifest(spark, state).read().get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val manBefore = manifest()
+
+    val gone = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    val survIds = d.select("doc_id").collect().map(_.getLong(0))
+      .toSet -- goneIds
+    assert(goneIds.nonEmpty && survIds.nonEmpty, "degenerate fixture")
+    IngestStream.forget(spark, state, gone, 2L, 3, Some(dest))
+
+    // labels are the from-scratch clustering of the survivor corpus
+    val surv = d.filter(col("doc_id") % 5 =!= 0)
+    val want = labelMap(
+      Clusters.simhashClusters(surv, "doc_id", "text", maxDist = 3))
+    assert(labelMap(
+      IngestStream.labelsTable(spark, state).read().get) == want)
+    // snapshot + fp index hold exactly the survivors
+    def idsOf(t: graft.streaming.AppendTable) =
+      t.read().get.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsOf(IngestStream.snapTable(spark, state)) == survIds)
+    assert(idsOf(IngestStream.fpsTable(spark, state)) == survIds)
+    // shard files hold no forgotten pub id; the manifest (assignment
+    // ledger) is byte-for-byte what it was
+    def pubDocIds() = spark.read.parquet(dest)
+      .select((col("pub_id") % 1000000000000L).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(pubDocIds() == survIds)
+    assert(manifest() == manBefore,
+      "forget must not rewrite the assignment manifest")
+    // the ledger records exactly the forgotten ids under the forget id
+    val ledger = IngestStream.forgetLedger(spark, state).read().get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(ledger == goneIds.map(_ -> 2L))
+
+    // a replayed COMPLETED forget is a no-op (the ledger gate)
+    val vLabels = IngestStream.labelsTable(spark, state).latest.get
+    val ctSnap = IngestStream.snapTable(spark, state).compactedThrough
+    IngestStream.forget(spark, state, gone, 2L, 3, Some(dest))
+    assert(IngestStream.labelsTable(spark, state).latest.get == vLabels)
+    assert(IngestStream.snapTable(spark, state).compactedThrough == ctSnap)
+
+    // forget ≠ ban: a later legitimate re-delivery re-ingests as
+    // ordinary new docs and the labeling converges to the full corpus
+    IngestStream.processBatch(
+      d.filter(col("doc_id") % 5 === 0).select("doc_id", "text"), 3L,
+      state, 3, pub)
+    val wantAll = labelMap(
+      Clusters.simhashClusters(d, "doc_id", "text", maxDist = 3))
+    assert(labelMap(
+      IngestStream.labelsTable(spark, state).read().get) == wantAll)
+    assert(pubDocIds() == survIds ++ goneIds)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("forget splits a cluster whose connectivity ran through the forgotten bridge doc") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ingest_bridge").toString
+    val (p, q, r) = IngestStreamSpec.bridgeTokens()
+    // A={p}, C={q}: hamming 6 apart — NOT near-dups; B={p,q,r}: the
+    // majority fingerprint sits exactly 3 from each — the bridge
+    val batch = Seq(1L -> p, 2L -> q, 3L -> s"$p $q $r")
+      .toDF("doc_id", "text")
+    val state = s"$root/state"
+    IngestStream.processBatch(batch, 0L, state, maxDist = 3)
+    val before = labelMap(
+      IngestStream.labelsTable(spark, state).read().get)
+    assert(before == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L)),
+      s"bridge fixture must form one 3-cluster, got $before")
+    IngestStream.forget(spark, state, Seq(3L).toDF("doc_id"), 1L)
+    val after = labelMap(
+      IngestStream.labelsTable(spark, state).read().get)
+    assert(after == Map(1L -> (1L, 1L), 2L -> (2L, 1L)),
+      s"forgetting the bridge must split the cluster, got $after")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
+
+object IngestStreamSpec {
+  /** Deterministic search for a BRIDGE fixture in the engine's own
+    * fingerprint space: single-token docs fingerprint to the token's
+    * 32-bit md5 value, a 3-distinct-token doc to the bitwise majority
+    * — so tokens (p, q) at hamming exactly 6 plus an r whose tie-break
+    * puts the majority exactly 3 from each give a connectivity chain
+    * A–B–C with no A–C edge, the topology only a bridge doc holds
+    * together.
+    */
+  private[graft] def bridgeTokens(): (String, String, String) = {
+    def h32(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16)
+    val toks = (0 until 3000).map(i => s"w$i")
+    val hs = toks.map(h32)
+    for (i <- toks.indices; j <- (i + 1) until toks.size) {
+      if (java.lang.Long.bitCount(hs(i) ^ hs(j)) == 6) {
+        for (k <- toks.indices if k != i && k != j) {
+          // majority of {hi, hj, hk}: agreeing bits of hi,hj win; the
+          // 6 disagreeing bits go to hk's side
+          val agree = ~(hs(i) ^ hs(j)) & 0xffffffffL
+          val maj = (agree & hs(i)) | (~agree & 0xffffffffL & hs(k))
+          if (java.lang.Long.bitCount(maj ^ hs(i)) == 3 &&
+              java.lang.Long.bitCount(maj ^ hs(j)) == 3)
+            return (toks(i), toks(j), toks(k))
+        }
+      }
+    }
+    sys.error("no bridge triple in the first 3000 tokens — widen the search")
+  }
 }

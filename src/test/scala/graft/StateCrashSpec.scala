@@ -201,6 +201,27 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 8, s"compact_zone: expected ≥8 kill points, saw $points")
   }
 
+  test("AppendTable.deleteKeys survives a kill at every file-op boundary") {
+    val points = sweep("delete") { root =>
+      zat(root).append(toDF(Seq(1L, 2L)), 0L)
+      zat(root).append(toDF(Seq(10L, 11L)), 1L)
+      zat(root).compact() // a live epoch-0 consolidated dir to redact
+      zat(root).append(toDF(Seq(20L)), 2L)
+    } { root =>
+      zat(root).deleteKeys(toDF(Seq(2L, 20L)), "x")
+    } { root =>
+      val t = zat(root)
+      assert(t.readFanIn <= 2)
+      // the redacted key must be pre-fully-present or post-fully-gone
+      // under the zone-pruned read too, at every boundary
+      val ranged = t.readRange(2L, 2L)
+        .map(_.collect().map(_.getLong(0)).sorted.toSeq).getOrElse(Seq.empty)
+      (atRows(root), t.lastBatchId, ranged)
+    }
+    // survivor data + zone (tmp, move) + pointer (tmp, move) + cleans
+    assert(points >= 6, s"delete: expected ≥6 kill points, saw $points")
+  }
+
   test("BucketedTable.restore survives a kill at every file-op boundary") {
     val points = sweep("restore") { root =>
       bt(root).merge(kvDF((0L until 12L).map(k => k -> k * 10)), 0L)
@@ -378,6 +399,91 @@ class StateCrashSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2))).toSet ==
       Set(1L -> "u", 2L -> "u"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("IngestStream.forget survives a kill at every file-op boundary: per-table pre-or-post, ledger strictly last, replay converges") {
+    import graft.streaming.IngestStream
+    val s = spark
+    import s.implicits._
+    val (p, q, r) = IngestStreamSpec.bridgeTokens()
+    // bridge corpus + a decoy; token budget 2 makes the bridge doc its
+    // own shard, so forgetting it exercises the empty-dir delete too
+    def ingest(root: String): Unit = IngestStream.processBatch(
+      Seq(1L -> p, 2L -> q, 3L -> s"$p $q $r",
+        4L -> "unrelated decoy text").toDF("doc_id", "text"),
+      0L, s"$root/state", 3,
+      Some(IngestStream.PublishConfig(s"$root/shards", budget = 2L)))
+    def doForget(root: String): Unit = IngestStream.forget(spark,
+      s"$root/state", Seq(3L).toDF("doc_id"), 1L, 3,
+      Some(s"$root/shards"))
+    // per-table observations: forget's contract is pre-or-post PER
+    // TABLE (each mutation is individually convergent), with the
+    // ledger append strictly LAST as the replay gate — a cross-table
+    // mixture mid-crash is legal, a committed ledger over a
+    // non-post table is not
+    case class St(labels: Map[Long, (Long, Long)], snap: Set[Long],
+        fps: Set[Long], shards: Set[Long], ledger: Set[Long])
+    def state(root: String): St = {
+      def ids(t: graft.streaming.AppendTable) =
+        t.read().map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+          .getOrElse(Set.empty[Long])
+      St(
+        IngestStream.labelsTable(spark, s"$root/state").read()
+          .map(_.collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2))).toMap).getOrElse(Map.empty),
+        ids(IngestStream.snapTable(spark, s"$root/state")),
+        ids(IngestStream.fpsTable(spark, s"$root/state")),
+        spark.read.parquet(s"$root/shards")
+          .selectExpr("pub_id % 1000000000000 AS doc_id")
+          .collect().map(_.getLong(0)).toSet,
+        ids(IngestStream.forgetLedger(spark, s"$root/state")))
+    }
+    // learn pre/post from a clean run
+    val cleanRoot = Files.createTempDirectory("crash_forget_clean").toString
+    ingest(cleanRoot)
+    val pre = state(cleanRoot)
+    doForget(cleanRoot)
+    val post = state(cleanRoot)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cleanRoot))
+    assert(pre.shards.contains(3L) && !post.shards.contains(3L) &&
+      post.labels == Map(1L -> (1L, 1L), 2L -> (2L, 1L), 4L -> (4L, 1L)),
+      s"fixture degenerate: pre=$pre post=$post")
+
+    var k = 1
+    var done = false
+    while (!done) {
+      assert(k <= 64, "forget: runaway sweep — >64 kill points?")
+      val root = Files.createTempDirectory(s"crash_forget_$k").toString
+      ingest(root)
+      var crashed = false
+      Failpoints.arm(k)
+      try doForget(root)
+      catch { case _: Failpoints.Crash => crashed = true }
+      finally Failpoints.disarm()
+      val mid = state(root)
+      if (crashed) {
+        for ((name, got, a, b) <- Seq(
+            ("labels", mid.labels, pre.labels, post.labels),
+            ("snap", mid.snap, pre.snap, post.snap),
+            ("fps", mid.fps, pre.fps, post.fps),
+            ("shards", mid.shards, pre.shards, post.shards),
+            ("ledger", mid.ledger, pre.ledger, post.ledger)))
+          assert(got == a || got == b,
+            s"forget killed at step $k: torn $name state: $got")
+        assert(mid.ledger == pre.ledger || mid == post,
+          s"forget killed at step $k: ledger committed before a table " +
+            s"reached post-state: $mid")
+        doForget(root)
+        assert(state(root) == post,
+          s"forget killed at step $k: replay did not converge")
+        k += 1
+      } else {
+        assert(mid == post, "armed-past-the-end run diverged")
+        done = true
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    assert(k - 1 >= 12, s"forget: expected ≥12 kill points, saw ${k - 1}")
   }
 
   test("BucketedTable: a merge replayed over a crashed REBUCKET orphan overwrites it safely") {

@@ -655,4 +655,51 @@ class StateTablesSpec extends AnyFunSuite {
     assert(rows() == Seq(1L, 2L, 3L, 4L, 5L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("AppendTable.deleteKeys redacts across batch and consolidated dirs; epochs never overwrite a live dir; the log keeps working") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_delete").toString
+    val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+    def rows() = t.read().map(_.collect().map(_.getLong(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    // delete on a never-written table is a no-op
+    t.deleteKeys(Seq(1L).toDF("x"), "x")
+    assert(rows() == Seq.empty && t.lastBatchId == -1L)
+
+    t.append(Seq(1L, 2L, 3L).toDF("x"), 0L)
+    t.append(Seq(4L, 5L).toDF("x"), 1L)
+    t.compact() // epoch 0 consolidated dir k_1
+    t.append(Seq(6L, 7L).toDF("x"), 2L)
+    // delete spans the consolidated dir AND a later batch dir
+    t.deleteKeys(Seq(2L, 6L, 99L).toDF("x"), "x")
+    assert(rows() == Seq(1L, 3L, 4L, 5L, 7L))
+    // a delete IS a consolidation: fan-in 1, batch gate unmoved
+    assert(t.readFanIn == 1 && t.lastBatchId == 2L)
+    assert(t.compactedThrough == 2L)
+    // the epoch names the dir — never k_<ct> in place over a live dir
+    val dirs = new java.io.File(s"$root/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("k_2_e1"), s"unexpected layout: $dirs")
+    // zones ride the rewrite: the redacted range prunes to nothing
+    assert(t.rangeDirs(90L, 100L).isEmpty)
+    assert(t.readRange(1L, 3L).get.collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+    // back-to-back delete at the same batch id lands in a NEW epoch
+    t.deleteKeys(Seq(4L).toDF("x"), "x")
+    assert(rows() == Seq(1L, 3L, 5L, 7L))
+    val dirs2 = new java.io.File(s"$root/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs2 == Seq("k_2_e2"), s"unexpected layout: $dirs2")
+    // appends stack on top; a later compact folds them into the epoch
+    t.append(Seq(8L).toDF("x"), 3L)
+    assert(rows() == Seq(1L, 3L, 5L, 7L, 8L))
+    t.compact()
+    assert(rows() == Seq(1L, 3L, 5L, 7L, 8L) && t.readFanIn == 1)
+    // the horizon advanced with the delete: a feed reader behind it
+    // fails NAMED, one at it reads the appends since
+    intercept[IllegalArgumentException](t.changesSince(1L))
+    assert(t.changesSince(3L).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
