@@ -56,7 +56,8 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     * (orphan), one atomic pointer move, idempotent per column name.
     */
   def addColumn(name: String, dataType: String, defaultSql: String): Unit = {
-    val (v, batchId, m) = pointer().getOrElse(throw new
+    val entry = pointer()
+    val (v, batchId, m) = entry.getOrElse(throw new
       IllegalStateException(s"SnapshotTable.addColumn($name): migrate " +
         s"after the first commit — $path has none"))
     val cols = TableSchema.read(path, m)
@@ -64,7 +65,36 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     TableSchema.write(path, m + 1,
       cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
       "migrate")
+    guardUnmoved(entry, "migrate")(_._3 >= m + 1) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/columns_v${m + 1}"))
+    }
     writePointer(v, batchId, m + 1, "migrate")
+  }
+
+  /** Lost-update detection, the [[BucketedTable]] contract on the
+    * snapshot layout ([[ConcurrentWriteException]]): fail NAMED when
+    * the pointer moved since op entry — `torn` when the competing
+    * writer claimed the same version/file name this op was writing,
+    * clean abort (orphans removed, retry) otherwise.
+    */
+  private def guardUnmoved(expected: Option[(Long, Long, Long)],
+      op: String)(torn: ((Long, Long, Long)) => Boolean)(
+      cleanup: => Unit): Unit = {
+    val now = pointer()
+    if (now == expected) return
+    if (now.exists(torn))
+      throw new ConcurrentWriteException(
+        s"SnapshotTable.$op: another writer claimed the version this " +
+          s"operation was writing at $path (pointer $expected → $now) — " +
+          "its contents are undefined; the tables are single-writer by " +
+          "contract, restore from a retained version")
+    cleanup
+    throw new ConcurrentWriteException(
+      s"SnapshotTable.$op: the pointer at $path moved $expected → $now " +
+        "while the operation was in flight — another writer is active; " +
+        "this operation aborted cleanly (its orphans removed), retry " +
+        "it; the tables are single-writer by contract")
   }
 
   private def writePointer(v: Long, batchId: Long, schemaV: Long,
@@ -86,7 +116,14 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     val v = p.map(_._1 + 1).getOrElse(0L)
     val m = p.map(_._3).getOrElse(0L)
     Failpoints.step("snapshot.data")
+    // pre-write check avoids clobbering a competing claim of v_<v>;
+    // the post-write check closes the window the write itself opens
+    guardUnmoved(p, "commit")(_._1 >= v)(())
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v_$v")
+    guardUnmoved(p, "commit")(_._1 >= v) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/v_$v"))
+    }
     writePointer(v, batchId, m, "snapshot")
   }
 
@@ -137,14 +174,21 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     * schema's defaults at read time exactly as it does for any
     * pre-migration snapshot.
     */
-  def restore(version: Long): Unit = pointer().foreach {
-    case (v, batchId, m) =>
+  def restore(version: Long): Unit = {
+    val entry = pointer()
+    entry.foreach { case (v, batchId, m) =>
       if (version == v) return
       val dir = retainedDir(version, "restore")
       Failpoints.step("restore.data")
+      guardUnmoved(entry, "restore")(_._1 >= v + 1)(())
       spark.read.parquet(dir)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/v_${v + 1}")
+      guardUnmoved(entry, "restore")(_._1 >= v + 1) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$path/v_${v + 1}"))
+      }
       writePointer(v + 1, batchId, m, "restore")
+    }
   }
 
   /** Change feed between two retained snapshots, keyed by `keyCol`

@@ -48,8 +48,27 @@ object Failpoints {
     */
   def observed: Int = count.get()
 
+  private val hooks = new ThreadLocal[Map[String, () => Unit]] {
+    override def initialValue(): Map[String, () => Unit] = Map.empty
+  }
+
+  /** Test-only interleaving hook: run `f` ONCE when the named step is
+    * next reached (removed before invocation, so a competing table
+    * operation inside `f` does not recurse). This is how the
+    * concurrent-writer specs inject "another writer committed while
+    * this operation was in flight" at an exact boundary.
+    */
+  def installHook(label: String)(f: => Unit): Unit =
+    hooks.set(hooks.get + (label -> (() => f)))
+
+  def clearHooks(): Unit = hooks.set(Map.empty)
+
   /** Called by the tables before each durable mutation. */
   private[streaming] def step(label: String): Unit = {
+    hooks.get.get(label).foreach { f =>
+      hooks.set(hooks.get - label)
+      f()
+    }
     val k = armedAt.get()
     if (k > 0) {
       val c = count.get() + 1

@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   * operation converges to the post-state.
   */
 
+/** A detected concurrent-writer lost update (the state tables are
+  * SINGLE-WRITER by contract — Structured Streaming serializes batch
+  * commits, and admin ops like restore/migrate/forget are documented
+  * single-writer): every pointer-moving operation re-reads the
+  * pointer at its mutation boundaries and fails with this NAMED error
+  * instead of silently clobbering another writer's commit. Detection,
+  * not a concurrency protocol — a conflicting writer that lands
+  * inside the residual window (or that raced the same version/dir
+  * NAME, the `torn` message) can still damage state; the guard
+  * converts the overwhelmingly likely operational mistakes (an admin
+  * op racing the stream, two drivers pointed at one statePath) into
+  * a loud stop with a retry/restore instruction.
+  */
+final class ConcurrentWriteException(msg: String)
+    extends IllegalStateException(msg)
+
 /** Append-only table: each commit lands ONE new directory `b_<batchId>`
   * holding only that batch's rows; a read unions every committed
   * directory. Crash between the data write and the pointer move leaves
@@ -225,13 +241,50 @@ final class AppendTable(spark: SparkSession, path: String,
       .filter(col(c) >= lo && col(c) <= hi))
   }
 
+  /** Lost-update detection ([[ConcurrentWriteException]]): fail NAMED
+    * when the pointer moved since `expected` was read at op entry.
+    * When another writer claimed the very directory this op was
+    * writing (`tornIf`), its contents are undefined — nothing is
+    * cleaned and the message says restore; otherwise the op's orphan
+    * is referenced by nobody, so it is removed and the op aborts
+    * cleanly retryable.
+    */
+  private def guardUnmoved(expected: (Long, Long, Long), newDir: String,
+      tornIf: ((Long, Long, Long)) => Boolean, op: String): Unit = {
+    val now = pointer()
+    if (now == expected) return
+    if (tornIf(now))
+      throw new ConcurrentWriteException(
+        s"AppendTable.$op: another writer claimed '$newDir' at $path " +
+          s"while this operation was writing it (pointer $expected → " +
+          s"$now) — its contents are undefined; the tables are " +
+          "single-writer by contract, restore from a retained state")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$path/$newDir"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$path/$newDir.zone"))
+    throw new ConcurrentWriteException(
+      s"AppendTable.$op: the pointer at $path moved $expected → $now " +
+        "while the operation was in flight — another writer is active; " +
+        "this operation aborted cleanly (its orphan removed), retry it; " +
+        "the tables are single-writer by contract")
+  }
+
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
   def append(df: DataFrame, batchId: Long): Unit = {
-    val (last, ct, e) = pointer()
+    val entry = pointer()
+    val (last, ct, e) = entry
     if (last >= batchId) return
     Failpoints.step("append.data")
+    // torn iff a competing writer committed THIS batch id (shared dir
+    // name); a different id leaves our b_ dir unreferenced → clean.
+    // Checked before AND after the write: the pre-check avoids
+    // clobbering a competing claim at all, the post-check closes the
+    // window the write itself opens.
+    guardUnmoved(entry, s"b_$batchId", _._1 == batchId, "append")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
     statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
+    guardUnmoved(entry, s"b_$batchId", _._1 == batchId, "append")
     writePointer(batchId, ct, e, "append")
   }
 
@@ -264,14 +317,20 @@ final class AppendTable(spark: SparkSession, path: String,
     * never referenced). Idempotent when already compacted to `last`.
     */
   def compact(): Unit = {
-    val (last, ct, e) = pointer()
+    val entry = pointer()
+    val (last, ct, e) = entry
     if (last < 0 || ct == last) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
     Failpoints.step("compact.data")
+    // torn iff a competing consolidation claimed the same dir name
+    guardUnmoved(entry, kName(last, e),
+      n => kName(n._2, n._3) == kName(last, e), "compact")
     spark.read.parquet(dirs: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/${kName(last, e)}")
     statsCol.foreach(c => writeZone(kName(last, e), c, "compact"))
+    guardUnmoved(entry, kName(last, e),
+      n => kName(n._2, n._3) == kName(last, e), "compact")
     writePointer(last, last, e, "compact")
     cleanupStale(last, kName(last, e), "compact")
   }
@@ -318,7 +377,8 @@ final class AppendTable(spark: SparkSession, path: String,
     * batch's key set. No-op on a never-written or empty table.
     */
   def deleteKeys(keys: DataFrame, keyCol: String): Unit = {
-    val (last, _, e) = pointer()
+    val entry = pointer()
+    val (last, _, e) = entry
     if (last < 0) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
@@ -327,8 +387,10 @@ final class AppendTable(spark: SparkSession, path: String,
       .join(broadcast(keySet), Seq(keyCol), "left_anti")
     val k2 = kName(last, e + 1)
     Failpoints.step("delete.data")
+    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete")
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$path/$k2")
     statsCol.foreach(c => writeZone(k2, c, "delete"))
+    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete")
     writePointer(last, last, e + 1, "delete")
     cleanupStale(last, k2, "delete")
   }
@@ -556,7 +618,8 @@ final class BucketedTable(spark: SparkSession, path: String,
     * first commit instead).
     */
   def addColumn(name: String, dataType: String, defaultSql: String): Unit = {
-    val (v, batchId, nb, m) = pointer().getOrElse(throw new
+    val entry = pointer()
+    val (v, batchId, nb, m) = entry.getOrElse(throw new
       IllegalStateException(s"BucketedTable.addColumn($name): migrate " +
         s"after the first commit — $path has none"))
     val cols = TableSchema.read(path, m)
@@ -564,7 +627,48 @@ final class BucketedTable(spark: SparkSession, path: String,
     TableSchema.write(path, m + 1,
       cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
       "migrate")
+    // torn iff a competing migration claimed schema version m+1 (the
+    // side-file name this op just wrote); a data commit in between is
+    // a clean abort (columns_v<m+1> is referenced by no pointer)
+    guardUnmoved(entry, "migrate")(_._4 >= m + 1) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/columns_v${m + 1}"))
+    }
     writePointer(v, batchId, nb, m + 1, "migrate")
+  }
+
+  /** Lost-update detection ([[ConcurrentWriteException]]): fail NAMED
+    * when the pointer moved since `expected` was read at op entry.
+    * `torn` decides whether the competing writer claimed the same
+    * version/file NAME this op was writing (contents now undefined —
+    * nothing touched, the message says restore); otherwise `cleanup`
+    * removes this op's unreferenced orphans and the error says retry.
+    */
+  private def guardUnmoved(expected: Option[(Long, Long, Int, Long)],
+      op: String)(torn: ((Long, Long, Int, Long)) => Boolean)(
+      cleanup: => Unit): Unit = {
+    val now = pointer()
+    if (now == expected) return
+    if (now.exists(torn))
+      throw new ConcurrentWriteException(
+        s"BucketedTable.$op: another writer claimed the version this " +
+          s"operation was writing at $path (pointer $expected → $now) — " +
+          "its contents are undefined; the tables are single-writer by " +
+          "contract, restore from a retained version")
+    cleanup
+    throw new ConcurrentWriteException(
+      s"BucketedTable.$op: the pointer at $path moved $expected → $now " +
+        "while the operation was in flight — another writer is active; " +
+        "this operation aborted cleanly (its orphans removed), retry " +
+        "it; the tables are single-writer by contract")
+  }
+
+  /** The clean-abort cleanup shared by the version-writing ops. */
+  private def dropOrphanVersion(v: Long): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$path/c_$v"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$path/manifest_v$v"))
   }
 
   private def writePointer(v: Long, batchId: Long, nb: Int, schemaV: Long,
@@ -763,12 +867,14 @@ final class BucketedTable(spark: SparkSession, path: String,
   def restore(version: Long): Unit = {
     // readAt IS the named totality check — one metadata scan, not two
     val asOf = readAt(version)
-    pointer().foreach { case (v, batchId, nb, sm) =>
+    val entry = pointer()
+    entry.foreach { case (v, batchId, nb, sm) =>
       if (version == v) return
       val v2 = v + 1
       asOf match {
         case Some(rows) =>
           Failpoints.step("restore.data")
+          guardUnmoved(entry, "restore")(_._1 >= v2)(dropOrphanVersion(v2))
           rows.withColumn("__bucket", bucketOf(col(keyCol), nb))
             .repartition(col("__bucket"))
             .write.mode(SaveMode.Overwrite)
@@ -778,6 +884,7 @@ final class BucketedTable(spark: SparkSession, path: String,
             "restore")
         case None => writeManifest(v2, Map.empty, "restore")
       }
+      guardUnmoved(entry, "restore")(_._1 >= v2)(dropOrphanVersion(v2))
       writePointer(v2, batchId, nb, sm, "restore")
     }
   }
@@ -1000,6 +1107,8 @@ final class BucketedTable(spark: SparkSession, path: String,
       .filter(col("__bucket").isin(touched.toSeq: _*))
     if (touched.nonEmpty) {
       Failpoints.step("merge.data")
+      // cheap pre-write check: don't clobber a competing claim of c_<v>
+      guardUnmoved(prior, "merge")(_._1 >= v)(dropOrphanVersion(v))
       newData.repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/c_$v")
@@ -1013,6 +1122,7 @@ final class BucketedTable(spark: SparkSession, path: String,
     val newManifest = (priorManifest -- (touched -- written)) ++
       written.map(k => k -> s"c_$v/__bucket=$k").toMap
     writeManifest(v, newManifest, "merge")
+    guardUnmoved(prior, "merge")(_._1 >= v)(dropOrphanVersion(v))
     writePointer(v, batchId, nb, sm, "merge")
   }
 
@@ -1058,11 +1168,13 @@ final class BucketedTable(spark: SparkSession, path: String,
     */
   def rebucket(newN: Int): Unit = {
     require(newN > 0, s"newN must be positive: $newN")
-    pointer().foreach { case (v, batchId, _, sm) =>
+    val entry = pointer()
+    entry.foreach { case (v, batchId, _, sm) =>
       val v2 = v + 1
       read() match {
         case Some(rows) =>
           Failpoints.step("rebucket.data")
+          guardUnmoved(entry, "rebucket")(_._1 >= v2)(dropOrphanVersion(v2))
           rows.withColumn("__bucket", bucketOf(col(keyCol), newN))
             .repartition(col("__bucket"))
             .write.mode(SaveMode.Overwrite)
@@ -1073,6 +1185,7 @@ final class BucketedTable(spark: SparkSession, path: String,
         case None =>
           writeManifest(v2, Map.empty, "rebucket")
       }
+      guardUnmoved(entry, "rebucket")(_._1 >= v2)(dropOrphanVersion(v2))
       writePointer(v2, batchId, newN, sm, "rebucket")
       // cleanup AFTER the pointer is durable; best-effort — the new
       // manifest references only c_<v2>, so every older version dir
