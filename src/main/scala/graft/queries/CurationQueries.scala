@@ -206,6 +206,49 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // VECTORED forget end to end (L83 — deletion vectors on the
+    // append logs, the Delta-DV shape): same lifecycle as q_c_forget
+    // on a disjoint slice, but the forget takes the ∝-forgotten fast
+    // path — tombstone generation + one pointer move, NO log rewrite
+    // — and the gate then runs the maintenance compaction, which IS
+    // the physical-erasure moment: post-fold the tombstone generation
+    // is 0, so the read is RAW — a fold that failed to apply the
+    // vector would serve the unredacted rows and hash-fail the
+    // *_folded counts. Labels prove the relabel is unchanged by the
+    // log-delete mode (CC over survivors, recursive oracle).
+    "q_c_forget_vectored" -> ((s, dir) => {
+      import graft.streaming.IngestStream
+      val d = docs(s, dir).filter(col("doc_id") % 8 === 5)
+      val b0 = d.filter(col("doc_id") % 3 =!= 1).select("doc_id", "text")
+      val b1 = d.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("forget_vectored",
+        src.getParentFile.getName)
+      IngestStream.processBatch(b0, 0L, state, 3)
+      IngestStream.processBatch(b1, 1L, state, 3)
+      IngestStream.forget(s, state,
+        d.filter(col("doc_id") % 5 === 0).select("doc_id"),
+        forgetBatchId = 2L, maxDist = 3, publishDest = None,
+        vectored = true)
+      val labels = IngestStream.labelsTable(s, state).read().get
+      val snapV = IngestStream.snapTable(s, state).read().get.count()
+      val fpsV = IngestStream.fpsTable(s, state).read().get.count()
+      // the maintenance tick: physical erasure of the vectored rows
+      IngestStream.snapTable(s, state).compact()
+      IngestStream.fpsTable(s, state).compact()
+      val snapC = IngestStream.snapTable(s, state).read().get.count()
+      val fpsC = IngestStream.fpsTable(s, state).read().get.count()
+      val ledgerRows = IngestStream.forgetLedger(s, state).read()
+        .map(_.count()).getOrElse(0L)
+      labels
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          lit(snapV).as("snap_rows"), lit(fpsV).as("fps_rows"),
+          lit(snapC).as("snap_rows_folded"),
+          lit(fpsC).as("fps_rows_folded"),
+          lit(ledgerRows).as("ledger_rows"))
+        .orderBy("doc_id")
+    }),
+
     // Additive schema evolution DRIVER-VISIBLE (L75 — the Alembic
     // server_default contract as a lakehouse migration, oracle-gated
     // on top of the StateCrashSpec/StateTablesSpec contract): a
@@ -1986,6 +2029,26 @@ object CurationQueries {
                  al.d AS manifest_docs, al.t AS manifest_tokens,
                  gone.n AS ledger_rows
           FROM lab JOIN sz USING (cluster_id), surv, al, gone
+          ORDER BY lab.doc_id""",
+
+    // the vectored forget's end-state: survivor CC + survivor counts
+    // twice — the tombstoned view and the post-fold RAW view must
+    // agree (a fold that dropped the vector would serve the full
+    // counts and hash-fail) — plus the audit ledger
+    "q_c_forget_vectored" ->
+      s"""WITH RECURSIVE ${ccLabCteWhere(
+             "doc_id % 8 = 5 AND doc_id % 5 <> 0")},
+          sz AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM lab GROUP BY 1),
+          surv AS (SELECT count(*) AS d FROM documents
+                   WHERE doc_id % 8 = 5 AND doc_id % 5 <> 0),
+          gone AS (SELECT count(*) AS n FROM documents
+                   WHERE doc_id % 8 = 5 AND doc_id % 5 = 0)
+          SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+                 surv.d AS snap_rows, surv.d AS fps_rows,
+                 surv.d AS snap_rows_folded, surv.d AS fps_rows_folded,
+                 gone.n AS ledger_rows
+          FROM lab JOIN sz USING (cluster_id), surv, gone
           ORDER BY lab.doc_id""",
 
     // the whole lifecycle re-derived from scratch: recursive-CC

@@ -329,9 +329,20 @@ object IngestStream {
     * re-delivery re-ingests as ordinary new docs (a data subject may
     * resubmit). `forgetBatchId` must exceed every committed batch id.
     */
+  /** @param vectored when true, the append logs take DELETION
+    *   VECTORS ([[AppendTable.deleteKeysVectored]] — ∝ forgotten, no
+    *   log rewrite) instead of the immediate consolidating rewrite;
+    *   every read serves the redacted view at once, and the PHYSICAL
+    *   bytes leave the disk at the next maintenance compaction — the
+    *   compliance knob: leave false when erasure must be immediate,
+    *   set true to make a scattered forget O(forgotten) and let the
+    *   cadence pay the rewrite. The label store and shard files are
+    *   redacted physically either way.
+    */
   def forget(spark: org.apache.spark.sql.SparkSession, statePath: String,
       ids: DataFrame, forgetBatchId: Long, maxDist: Int = 3,
-      publishDest: Option[String] = None): Unit = {
+      publishDest: Option[String] = None,
+      vectored: Boolean = false): Unit = {
     val ledger = forgetLedger(spark, statePath)
     if (ledger.lastBatchId >= forgetBatchId) return // completed → no-op
     val idSet = ids.select("doc_id").distinct().localCheckpoint()
@@ -377,10 +388,14 @@ object IngestStream {
       }
     }
 
-    // append logs: consolidating anti-join rewrites (convergent)
-    fpsTable(spark, statePath).deleteKeys(idSet, "doc_id")
-    snapTable(spark, statePath).deleteKeys(idSet, "doc_id")
-    quarantineTable(spark, statePath).deleteKeys(idSet, "doc_id")
+    // append logs: consolidating anti-join rewrites, or ∝-forgotten
+    // deletion vectors folded at the next compaction (both convergent)
+    val logDelete: (AppendTable, DataFrame) => Unit =
+      if (vectored) (t, k) => t.deleteKeysVectored(k, "doc_id")
+      else (t, k) => t.deleteKeys(k, "doc_id")
+    logDelete(fpsTable(spark, statePath), idSet)
+    logDelete(snapTable(spark, statePath), idSet)
+    logDelete(quarantineTable(spark, statePath), idSet)
 
     // published shards: rewrite ONLY partitions holding a forgotten
     // pub id (pub_id = epoch·10¹² + doc_id, so the doc id is the
@@ -421,6 +436,24 @@ object IngestStream {
     ledger.append(idSet.withColumn("batch_id", lit(forgetBatchId)),
       forgetBatchId)
   }
+
+  /** The forget-then-BAN composition (forget alone is deliberately
+    * not a ban — a data subject may resubmit): drop every batch row
+    * whose id is in the forgets ledger, as a stateless admission
+    * filter AHEAD of the loop (the QualityClassifier.admit shape —
+    * rejected rows never touch any state table). Plain anti-join:
+    * Catalyst broadcasts the ledger while it is small and falls back
+    * to a shuffled anti-join if a long-lived deployment's ledger
+    * outgrows the broadcast threshold — never a forced driver
+    * materialization.
+    */
+  def withoutForgotten(batch: DataFrame, statePath: String): DataFrame =
+    forgetLedger(batch.sparkSession, statePath).read() match {
+      case Some(l) =>
+        batch.join(l.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti")
+      case None => batch
+    }
 
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
       maxDist: Int): Unit =

@@ -82,26 +82,27 @@ final class AppendTable(spark: SparkSession, path: String,
   private val ptrPath = Paths.get(path, "_LATEST")
 
   /** (last committed batch id, compacted-through id or −1, delete
-    * epoch). The epoch names the consolidated directory a
-    * [[deleteKeys]] produced — each delete bumps it, so a re-delete
-    * at the same batch id never overwrites a LIVE consolidated dir in
-    * place (the new dir is an orphan until the pointer names it,
-    * exactly the compact crash shape). Two-line pointers predate
-    * deletes (epoch 0 — consolidated dir `k_<ct>`, back-compat).
+    * epoch, tombstone generation). The epoch names the consolidated
+    * directory a [[deleteKeys]] produced — each delete bumps it, so a
+    * re-delete at the same batch id never overwrites a LIVE
+    * consolidated dir in place (the new dir is an orphan until the
+    * pointer names it, exactly the compact crash shape). The
+    * tombstone generation names the live DELETION-VECTOR dir `t_<g>`
+    * a [[deleteKeysVectored]] produced (0 = none): every read
+    * anti-joins it, and the next consolidation (compact or full
+    * delete) folds it into the data and resets it to 0 — the physical
+    * erasure moment. Two-line pointers predate both (back-compat).
     */
-  private def pointer(): (Long, Long, Long) =
-    if (!Files.exists(ptrPath)) (-1L, -1L, 0L)
+  private def pointer(): (Long, Long, Long, Long) =
+    if (!Files.exists(ptrPath)) (-1L, -1L, 0L, 0L)
     else {
       val lines = new String(Files.readAllBytes(ptrPath),
         StandardCharsets.UTF_8).trim.linesIterator.toSeq
       val last = lines.head.toLong
-      val ct = lines.collectFirst {
-        case l if l.startsWith("compact=") => l.stripPrefix("compact=").toLong
-      }.getOrElse(-1L)
-      val e = lines.collectFirst {
-        case l if l.startsWith("epoch=") => l.stripPrefix("epoch=").toLong
-      }.getOrElse(0L)
-      (last, ct, e)
+      def field(k: String, dflt: Long) = lines.collectFirst {
+        case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").toLong
+      }.getOrElse(dflt)
+      (last, field("compact", -1L), field("epoch", 0L), field("tomb", 0L))
     }
 
   /** Consolidated-dir name for (compacted-through, epoch): the
@@ -112,11 +113,12 @@ final class AppendTable(spark: SparkSession, path: String,
     if (epoch == 0L) s"k_$ct" else s"k_${ct}_e$epoch"
 
   private def writePointer(last: Long, compactedThrough: Long,
-      epoch: Long, op: String): Unit = {
-    val body =
-      if (compactedThrough < 0) last.toString
-      else if (epoch == 0L) s"$last\ncompact=$compactedThrough"
-      else s"$last\ncompact=$compactedThrough\nepoch=$epoch"
+      epoch: Long, tomb: Long, op: String): Unit = {
+    val fields = Seq(
+      (compactedThrough >= 0, s"compact=$compactedThrough"),
+      (epoch != 0L, s"epoch=$epoch"),
+      (tomb != 0L, s"tomb=$tomb")).collect { case (true, l) => l }
+    val body = (last.toString +: fields).mkString("\n")
     val tmp = Paths.get(path, s"_LATEST.tmp.$last")
     Files.createDirectories(Paths.get(path))
     Failpoints.step(s"$op.pointer.tmp")
@@ -125,6 +127,23 @@ final class AppendTable(spark: SparkSession, path: String,
     Files.move(tmp, ptrPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The live deletion-vector frame (one column, the key) — None when
+    * generation `g` is 0.
+    */
+  private def tombstones(g: Long): Option[DataFrame] =
+    if (g <= 0) None else Some(spark.read.parquet(s"$path/t_$g"))
+
+  /** Apply the live deletion vector to a frame read from the data
+    * dirs: anti-join on the tombstone column. The no-tombstone path
+    * is the plain read — zero plan cost until a vectored delete
+    * exists.
+    */
+  private def applyTombstones(df: DataFrame, g: Long): DataFrame =
+    tombstones(g) match {
+      case Some(t) => df.join(t, Seq(t.columns.head), "left_anti")
+      case None => df
+    }
 
   def lastBatchId: Long = pointer()._1
 
@@ -154,7 +173,7 @@ final class AppendTable(spark: SparkSession, path: String,
       .toSeq
 
   private def committedDirs(): Seq[String] = {
-    val (last, ct, e) = pointer()
+    val (last, ct, e, _) = pointer()
     val compacted =
       if (ct >= 0 && new java.io.File(s"$path/${kName(ct, e)}").isDirectory)
         Seq(s"$path/${kName(ct, e)}")
@@ -172,7 +191,8 @@ final class AppendTable(spark: SparkSession, path: String,
 
   def read(): Option[DataFrame] = {
     val dirs = committedDirs()
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(applyTombstones(spark.read.parquet(dirs: _*), pointer()._4))
   }
 
   /** Write dir's zone map as a side file (tmp + atomic move — an
@@ -237,8 +257,8 @@ final class AppendTable(spark: SparkSession, path: String,
         "construct the table with the zone-map column to range-read"))
     val dirs = rangeDirs(lo, hi)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*)
-      .filter(col(c) >= lo && col(c) <= hi))
+    else Some(applyTombstones(spark.read.parquet(dirs: _*)
+      .filter(col(c) >= lo && col(c) <= hi), pointer()._4))
   }
 
   /** Lost-update detection ([[ConcurrentWriteException]]): fail NAMED
@@ -249,8 +269,9 @@ final class AppendTable(spark: SparkSession, path: String,
     * is referenced by nobody, so it is removed and the op aborts
     * cleanly retryable.
     */
-  private def guardUnmoved(expected: (Long, Long, Long), newDir: String,
-      tornIf: ((Long, Long, Long)) => Boolean, op: String): Unit = {
+  private def guardUnmoved(expected: (Long, Long, Long, Long),
+      newDir: String,
+      tornIf: ((Long, Long, Long, Long)) => Boolean, op: String): Unit = {
     val now = pointer()
     if (now == expected) return
     if (tornIf(now))
@@ -273,7 +294,7 @@ final class AppendTable(spark: SparkSession, path: String,
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
   def append(df: DataFrame, batchId: Long): Unit = {
     val entry = pointer()
-    val (last, ct, e) = entry
+    val (last, ct, e, tomb) = entry
     if (last >= batchId) return
     Failpoints.step("append.data")
     // torn iff a competing writer committed THIS batch id (shared dir
@@ -285,7 +306,7 @@ final class AppendTable(spark: SparkSession, path: String,
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
     statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
     guardUnmoved(entry, s"b_$batchId", _._1 == batchId, "append")
-    writePointer(batchId, ct, e, "append")
+    writePointer(batchId, ct, e, tomb, "append")
   }
 
   /** The append log IS a change feed: rows appended after
@@ -299,13 +320,16 @@ final class AppendTable(spark: SparkSession, path: String,
     * the compaction cadence, or compact less often).
     */
   def changesSince(sinceBatchId: Long): Option[DataFrame] = {
-    val (last, ct, _) = pointer()
+    val (last, ct, _, tomb) = pointer()
     require(sinceBatchId >= ct,
       s"AppendTable.changesSince($sinceBatchId): compaction has folded " +
         s"batches through $ct — the change feed horizon has passed; " +
         "read() the consolidated state instead")
     val dirs = batchDirsAbove(sinceBatchId, last)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    // the feed serves the LIVE view: a row tombstoned after its
+    // append must not re-enter through a feed consumer (the drain)
+    else Some(applyTombstones(spark.read.parquet(dirs: _*), tomb))
   }
 
   /** Fold every committed directory into ONE consolidated dir.
@@ -318,21 +342,28 @@ final class AppendTable(spark: SparkSession, path: String,
     */
   def compact(): Unit = {
     val entry = pointer()
-    val (last, ct, e) = entry
-    if (last < 0 || ct == last) return
+    val (last, ct, e, tomb) = entry
+    if (last < 0 || (ct == last && tomb == 0L)) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
+    // folding a live deletion vector rewrites the consolidated dir in
+    // place when ct == last — bump the epoch so the fold lands as an
+    // orphan first, the same never-overwrite-a-live-dir rule as delete
+    val e2 = if (ct == last && tomb != 0L) e + 1 else e
     Failpoints.step("compact.data")
     // torn iff a competing consolidation claimed the same dir name
-    guardUnmoved(entry, kName(last, e),
-      n => kName(n._2, n._3) == kName(last, e), "compact")
-    spark.read.parquet(dirs: _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/${kName(last, e)}")
-    statsCol.foreach(c => writeZone(kName(last, e), c, "compact"))
-    guardUnmoved(entry, kName(last, e),
-      n => kName(n._2, n._3) == kName(last, e), "compact")
-    writePointer(last, last, e, "compact")
-    cleanupStale(last, kName(last, e), "compact")
+    guardUnmoved(entry, kName(last, e2),
+      n => kName(n._2, n._3) == kName(last, e2), "compact")
+    // the tombstone-applied view: compaction IS the physical-erasure
+    // moment for vectored deletes — the folded dir holds survivors
+    // only, and the pointer resets the tombstone generation
+    applyTombstones(spark.read.parquet(dirs: _*), tomb)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/${kName(last, e2)}")
+    statsCol.foreach(c => writeZone(kName(last, e2), c, "compact"))
+    guardUnmoved(entry, kName(last, e2),
+      n => kName(n._2, n._3) == kName(last, e2), "compact")
+    writePointer(last, last, e2, 0L, "compact")
+    cleanupStale(last, kName(last, e2), "compact")
   }
 
   /** Best-effort collection of directories the pointer no longer
@@ -340,10 +371,12 @@ final class AppendTable(spark: SparkSession, path: String,
     * re-collected by the next compact/delete. Zone side files ride
     * with their directory: stale dir ⇒ stale zone.
     */
-  private def cleanupStale(last: Long, liveK: String, op: String): Unit = {
+  private def cleanupStale(last: Long, liveK: String, op: String,
+      liveT: String = ""): Unit = {
     def staleName(n: String): Boolean =
       (n.startsWith("b_") && n.stripPrefix("b_").toLong <= last) ||
-        (n.startsWith("k_") && n != liveK)
+        (n.startsWith("k_") && n != liveK) ||
+        (n.startsWith("t_") && n != liveT)
     val d = new java.io.File(path)
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
@@ -378,12 +411,14 @@ final class AppendTable(spark: SparkSession, path: String,
     */
   def deleteKeys(keys: DataFrame, keyCol: String): Unit = {
     val entry = pointer()
-    val (last, _, e) = entry
+    val (last, _, e, tomb) = entry
     if (last < 0) return
     val dirs = committedDirs()
     if (dirs.isEmpty) return
     val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
-    val survivors = spark.read.parquet(dirs: _*)
+    // consolidate the LIVE view minus the keys: a pending deletion
+    // vector folds physically in the same rewrite
+    val survivors = applyTombstones(spark.read.parquet(dirs: _*), tomb)
       .join(broadcast(keySet), Seq(keyCol), "left_anti")
     val k2 = kName(last, e + 1)
     Failpoints.step("delete.data")
@@ -391,8 +426,53 @@ final class AppendTable(spark: SparkSession, path: String,
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$path/$k2")
     statsCol.foreach(c => writeZone(k2, c, "delete"))
     guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete")
-    writePointer(last, last, e + 1, "delete")
+    writePointer(last, last, e + 1, 0L, "delete")
     cleanupStale(last, k2, "delete")
+  }
+
+  /** VECTORED delete — the deletion-vector shape ([[deleteKeys]]'s
+    * ∝-forgotten fast path, the Delta-DV idea): the keys land in a
+    * new tombstone generation `t_<g+1>` (prior generation unioned in,
+    * deduped) and ONE pointer move makes every read — full, range,
+    * feed — serve the redacted view; no data directory is rewritten.
+    * Cost ∝ the accumulated tombstone set, never ∝ corpus. PHYSICAL
+    * erasure is deferred to the next consolidation ([[compact]] or a
+    * full [[deleteKeys]]) which folds the vector into the data and
+    * resets the generation — on the maintenance cadence, so the
+    * bytes-on-disk lifetime of a vectored delete is bounded by it
+    * (the compliance knob: use the full delete when erasure must be
+    * immediate). Crash shape: the new generation dir is an orphan
+    * until the pointer names it; replays converge; the tombstone
+    * column name must match the live generation's (named check).
+    */
+  def deleteKeysVectored(keys: DataFrame, keyCol: String): Unit = {
+    val entry = pointer()
+    val (last, ct, e, tomb) = entry
+    if (last < 0) return
+    val keySet = keys.select(col(keyCol)).distinct()
+    val merged = tombstones(tomb) match {
+      case Some(t) =>
+        require(t.columns.head == keyCol,
+          s"AppendTable.deleteKeysVectored: live tombstones key on " +
+            s"'${t.columns.head}', not '$keyCol' — one key column per table")
+        t.unionByName(keySet).distinct()
+      case None => keySet
+    }
+    val t2 = s"t_${tomb + 1}"
+    Failpoints.step("vdelete.data")
+    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete")
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$t2")
+    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete")
+    writePointer(last, ct, e, tomb + 1, "vdelete")
+    // only stale tombstone generations are collected — the data dirs
+    // are all still live (nothing was consolidated)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("t_") &&
+        f.getName != t2)
+      .foreach { f =>
+        Failpoints.step(s"vdelete.clean.${f.getName}")
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
   }
 }
 

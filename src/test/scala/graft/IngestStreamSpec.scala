@@ -601,6 +601,34 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("withoutForgotten is the ban composition: forgotten ids are dropped ahead of the loop, everything else admits") {
+    import graft.streaming.IngestStream.PublishConfig
+    val root = Files.createTempDirectory("ingest_ban").toString
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") % 4 === 3)
+      .localCheckpoint()
+    val state = s"$root/state"
+    IngestStream.processBatch(d, 0L, state, 3)
+    val gone = d.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(goneIds.nonEmpty, "degenerate fixture")
+    IngestStream.forget(spark, state, gone, 1L)
+    // redeliver the WHOLE corpus through the ban filter: forgotten
+    // ids never re-enter, the rest (already snapshotted) no-op —
+    // final state is exactly the survivor clustering
+    IngestStream.processBatch(
+      IngestStream.withoutForgotten(d, state), 2L, state, 3)
+    val surv = d.filter(col("doc_id") % 7 =!= 0)
+    val want = labelMap(
+      Clusters.simhashClusters(surv, "doc_id", "text", maxDist = 3))
+    assert(labelMap(
+      IngestStream.labelsTable(spark, state).read().get) == want)
+    val snapIds = IngestStream.snapTable(spark, state).read().get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((snapIds intersect goneIds).isEmpty && snapIds.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("forget splits a cluster whose connectivity ran through the forgotten bridge doc") {
     val s = spark
     import s.implicits._

@@ -222,6 +222,34 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 6, s"delete: expected ≥6 kill points, saw $points")
   }
 
+  test("AppendTable.deleteKeysVectored survives a kill at every file-op boundary") {
+    val points = sweep("vdelete") { root =>
+      at(root).append(toDF(Seq(1L, 2L)), 0L)
+      at(root).append(toDF(Seq(3L, 4L)), 1L)
+      at(root).deleteKeysVectored(toDF(Seq(2L)), "x") // a prior generation to union
+    } { root =>
+      at(root).deleteKeysVectored(toDF(Seq(4L)), "x")
+    } { root => (atRows(root), at(root).lastBatchId) }
+    // tombstone data + pointer (tmp, move) + stale-generation clean
+    assert(points >= 4, s"vdelete: expected ≥4 kill points, saw $points")
+  }
+
+  test("AppendTable.compact folding a live deletion vector survives a kill at every file-op boundary") {
+    val points = sweep("compact_fold") { root =>
+      at(root).append(toDF(Seq(1L, 2L)), 0L)
+      at(root).append(toDF(Seq(3L, 4L)), 1L)
+      at(root).deleteKeysVectored(toDF(Seq(2L, 3L)), "x")
+    } { root =>
+      at(root).compact()
+    } { root =>
+      val t = at(root)
+      assert(t.readFanIn <= 2)
+      (atRows(root), t.lastBatchId)
+    }
+    // fold data + pointer (tmp, move) + dir/tombstone cleans
+    assert(points >= 5, s"compact_fold: expected ≥5 kill points, saw $points")
+  }
+
   test("BucketedTable.restore survives a kill at every file-op boundary") {
     val points = sweep("restore") { root =>
       bt(root).merge(kvDF((0L until 12L).map(k => k -> k * 10)), 0L)

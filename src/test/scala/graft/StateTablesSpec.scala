@@ -702,4 +702,61 @@ class StateTablesSpec extends AnyFunSuite {
     assert(t.changesSince(3L).isEmpty)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("AppendTable.deleteKeysVectored: every read serves the redacted view at once; compaction is the physical-erasure moment") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_vdelete").toString
+    val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+    def rows() = t.read().map(_.collect().map(_.getLong(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    def dirs(prefix: String) = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName).sorted.toSeq
+    // vectored delete on a never-written table is a no-op
+    t.deleteKeysVectored(Seq(1L).toDF("x"), "x")
+    assert(rows() == Seq.empty)
+
+    t.append(Seq(1L, 2L, 3L).toDF("x"), 0L)
+    t.append(Seq(4L, 5L).toDF("x"), 1L)
+    t.deleteKeysVectored(Seq(2L, 4L, 99L).toDF("x"), "x")
+    // the LIVE view is redacted everywhere — full, range, feed —
+    // while NO data directory was rewritten
+    assert(rows() == Seq(1L, 3L, 5L))
+    assert(dirs("b_") == Seq("b_0", "b_1"), "no data dir may be rewritten")
+    assert(dirs("t_") == Seq("t_1"))
+    assert(t.readRange(2L, 4L).get.collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L))
+    assert(t.changesSince(0L).get.collect().map(_.getLong(0)).toSeq ==
+      Seq(5L), "the feed must not re-serve a tombstoned row")
+    // generations stack (prior vector unioned in, deduped)
+    t.deleteKeysVectored(Seq(5L).toDF("x"), "x")
+    assert(rows() == Seq(1L, 3L) && dirs("t_") == Seq("t_2"))
+    // the key column is pinned per table
+    intercept[IllegalArgumentException](
+      t.deleteKeysVectored(Seq(1L).toDF("y"), "y"))
+    // appends keep working against a live vector
+    t.append(Seq(6L).toDF("x"), 2L)
+    assert(rows() == Seq(1L, 3L, 6L))
+    // compaction FOLDS the vector: survivors only on disk, generation
+    // cleared, tombstone dirs collected
+    t.compact()
+    assert(rows() == Seq(1L, 3L, 6L))
+    assert(dirs("t_").isEmpty, "fold must clear the tombstone dirs")
+    assert(dirs("b_").isEmpty && dirs("k_").size == 1)
+    // physical: the raw consolidated dir holds exactly the survivors
+    assert(spark.read.parquet(s"$root/t/${dirs("k_").head}")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 6L))
+    // a fold with ct == last (nothing to consolidate but a live
+    // vector) lands in a NEW epoch dir, never in place
+    t.deleteKeysVectored(Seq(3L).toDF("x"), "x")
+    val before = dirs("k_").head
+    t.compact()
+    assert(rows() == Seq(1L, 6L))
+    val after = dirs("k_").head
+    assert(after != before, "the fold must not rewrite a live dir in place")
+    assert(spark.read.parquet(s"$root/t/$after")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 6L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
