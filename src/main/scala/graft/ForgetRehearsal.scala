@@ -175,8 +175,59 @@ object ForgetRehearsal {
     val ledger = IngestStream.forgetLedger(spark, state).read().get.count()
     require(ledger == nGone1 + nGone2, "ledger rows diverged")
 
+    // ---- forget 3: VECTORED (L83) — the log side takes deletion
+    // vectors; same end-state identity, and the maintenance compact
+    // is the physical-erasure moment
+    val gone3 = surv2.filter(col("doc_id") % 97 === 3).localCheckpoint()
+    val nGone3 = gone3.count()
+    def logDirs(t: String) =
+      Option(new java.io.File(s"$state/$t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.startsWith("t_"))
+        .map(_.getName).toSet
+    val fpsDirsBefore = logDirs("fps")
+    val t3 = System.nanoTime()
+    IngestStream.forget(spark, state, gone3.select("doc_id"), 3L,
+      maxDist = 3, publishDest = Some(dest), vectored = true)
+    val dt3 = (System.nanoTime() - t3) / 1e9
+    val surv3 = surv2.filter(col("doc_id") % 97 =!= 3).localCheckpoint()
+    requireIdentical("vectored", labelsT.read().get, expected(surv3))
+    require(IngestStream.snapTable(spark, state).read().get.count() ==
+      surv3.count(), "vectored: snapshot view diverged")
+    require(logDirs("fps") == fpsDirsBefore,
+      "vectored: no fp-index data dir may be rewritten")
+    val tF = System.nanoTime()
+    IngestStream.fpsTable(spark, state).compact()
+    IngestStream.snapTable(spark, state).compact()
+    val dtFold = (System.nanoTime() - tF) / 1e9
+    require(IngestStream.fpsTable(spark, state).read().get.count() ==
+      surv3.count(), "fold: fp index diverged")
+    println(f"[forget] vectored: $nGone3 ids in $dt3%.1f s whole-op " +
+      f"(log dirs untouched); physical fold at compact $dtFold%.1f s")
+
+    // log-side A/B on identical copies of the snap log: the
+    // ∝-forgotten tombstone write vs the ∝-corpus consolidating rewrite
+    val probeIds = surv3.limit(500).select(col("doc_id")).localCheckpoint()
+    for (mode <- Seq("full", "vec")) {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$state/snap"),
+        new java.io.File(s"$root/snap_$mode"))
+    }
+    val pFull = new graft.streaming.AppendTable(spark, s"$root/snap_full")
+    val pVec = new graft.streaming.AppendTable(spark, s"$root/snap_vec")
+    val ta = System.nanoTime()
+    pFull.deleteKeys(probeIds, "doc_id")
+    val dtFull = (System.nanoTime() - ta) / 1e9
+    val tb = System.nanoTime()
+    pVec.deleteKeysVectored(probeIds, "doc_id")
+    val dtVec = (System.nanoTime() - tb) / 1e9
+    require(pFull.read().get.count() == pVec.read().get.count(),
+      "A/B: the two delete modes must serve the same view")
+    println(f"[forget] log-side A/B (500 ids over ${surv3.count()} rows): " +
+      f"full rewrite $dtFull%.2f s vs vectored $dtVec%.2f s")
+
     println(f"[forget] done: total ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      s"over $n docs (${nGone1 + nGone2} forgotten)")
+      s"over $n docs (${nGone1 + nGone2 + nGone3} forgotten)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
