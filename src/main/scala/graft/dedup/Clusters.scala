@@ -244,6 +244,93 @@ object Clusters {
     *                or any grouping with the same columns
     * @param qualityCol double column on `labeled` to maximize
     */
+  /** DRIVER-LOCAL simhash components for a BOUNDED fingerprint set —
+    * the small-work fast path [[graft.streaming.IngestStream.forget]]
+    * takes for its affected-cluster relabel: a forget's touched
+    * subgraph is typically thousands of rows, where the distributed
+    * frontier CC pays several Spark rounds of fixed scheduling cost
+    * per iteration for microseconds of actual work. Same semantics as
+    * [[simhashClustersOf]] (byte-banded candidates over DISTINCT
+    * fingerprints, hamming ≤ maxDist, cluster_id = min member id,
+    * cluster_size = member count — ClustersSpec pins the equality on
+    * a real corpus); union-find instead of label propagation. The
+    * CALLER owns the bound (collect only what a driver holds — the
+    * readKeys broadcast-bound convention); this is a pure function of
+    * the array.
+    *
+    * @param fps (doc_id, simhash) pairs
+    * @return (doc_id, cluster_id, cluster_size) triples
+    */
+  def simhashComponentsLocal(fps: Array[(Long, Long)],
+      maxDist: Int = 3): Seq[(Long, Long, Long)] = {
+    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+    if (fps.isEmpty) return Seq.empty
+    // collapse identical fingerprints (dup cliques): one rep per
+    // distinct fp carrying the clique's min member id + member count
+    val byFp = fps.groupBy(_._2)
+    val reps = byFp.iterator
+      .map { case (fp, ms) => (fp, ms.iterator.map(_._1).min, ms.length.toLong) }
+      .toArray
+    val n = reps.length
+    val idxOf = reps.iterator.zipWithIndex
+      .map { case ((fp, _, _), i) => fp -> i }.toMap
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // byte-banded candidate buckets (pigeonhole: d ≤ 3 leaves ≥ 1 of
+    // the 4 bytes exact); a duplicate candidate pair across bands is
+    // harmless — union is idempotent
+    val buckets = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < 4) {
+        val key = b.toLong << 8 | ((reps(i)._1 >>> (b * 8)) & 255L)
+        buckets.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[Int]) += i
+        b += 1
+      }
+      i += 1
+    }
+    buckets.valuesIterator.foreach { bucket =>
+      var a = 0
+      while (a < bucket.length) {
+        var b = a + 1
+        while (b < bucket.length) {
+          val x = bucket(a); val y = bucket(b)
+          if (java.lang.Long.bitCount(reps(x)._1 ^ reps(y)._1) <= maxDist)
+            union(x, y)
+          b += 1
+        }
+        a += 1
+      }
+    }
+    // component label = min member id; size = total member count
+    val compMin = scala.collection.mutable.HashMap.empty[Int, Long]
+    val compSize = scala.collection.mutable.HashMap.empty[Int, Long]
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), reps(i)._2)
+      compSize(r) = compSize.getOrElse(r, 0L) + reps(i)._3
+      i += 1
+    }
+    fps.iterator.map { case (id, fp) =>
+      val r = find(idxOf(fp))
+      (id, compMin(r), compSize(r))
+    }.toSeq
+  }
+
   def keepBestPerCluster(labeled: DataFrame, idCol: String,
       clusterCol: String, qualityCol: String): DataFrame = {
     val winners = labeled

@@ -159,6 +159,15 @@ object IngestStream {
     */
   val LabelBuckets = 16
 
+  /** Above this many affected-cluster survivors, [[forget]]'s relabel
+    * stays distributed; at or below it, the survivor fps collect and
+    * the components compute driver-side ([[graft.dedup.Clusters
+    * .simhashComponentsLocal]]) — 1M (id, fp) pairs ≈ 16 MB, the same
+    * bounded-driver-artifact class as the MERGE key broadcast. Both
+    * paths produce identical labels (ClustersSpec).
+    */
+  val LocalRelabelMax = 1000000L
+
   /** The three state tables under `statePath` (the shape both the
     * loop and its readers share).
     */
@@ -360,22 +369,44 @@ object IngestStream {
         val survivors = members
           .join(broadcast(idSet), Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        // survivor edges from the STORED fp index — the induced
+        // survivor edges come from the STORED fp index — the induced
         // subgraph of the affected clusters (components are closed
         // under edges, so no other doc can be involved)
         val survFps = fpsTable(spark, statePath).read()
           .map(_.join(broadcast(survivors), Seq("doc_id"), "left_semi"))
           .getOrElse(spark.range(0).select(col("id").as("doc_id"),
             col("id").as("simhash")))
-        val edges = Dedup.simhashPairsOf(survFps, maxDist)
-          .select(col("ida").as("a"), col("idb").as("b"))
-        val cc = graft.dedup.Clusters.connectedComponents(
-          survivors.select(col("doc_id").as("id")), edges)
-        val sizes = cc.groupBy("cluster_id")
-          .agg(count(lit(1)).as("cluster_size"))
-        val relabeled = cc.join(sizes, "cluster_id")
-          .select(col("id").as("doc_id"), col("cluster_id"),
-            col("cluster_size")).localCheckpoint()
+        val nSurv = survivors.count()
+        val relabeled = (if (nSurv <= LocalRelabelMax) {
+          // small-subgraph fast path: a forget's affected set is
+          // typically thousands of rows, where the distributed
+          // frontier CC pays several Spark rounds of scheduling for
+          // microseconds of work — collect the (bounded) survivor
+          // fps and relabel driver-side (union-find; ClustersSpec
+          // pins label equality with the distributed scheme). A
+          // survivor missing from the fp index (can't happen inside
+          // the loop's invariants, but parity with the distributed
+          // path, whose node set is the label store) labels as its
+          // own singleton.
+          val withFp = survivors.join(survFps, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("simhash")).collect()
+          val (have, missing) = withFp.partition(!_.isNullAt(1))
+          val local = graft.dedup.Clusters.simhashComponentsLocal(
+            have.map(r => (r.getLong(0), r.getLong(1))), maxDist) ++
+            missing.map(r => (r.getLong(0), r.getLong(0), 1L))
+          import spark.implicits._
+          local.toDF("doc_id", "cluster_id", "cluster_size")
+        } else {
+          val edges = Dedup.simhashPairsOf(survFps, maxDist)
+            .select(col("ida").as("a"), col("idb").as("b"))
+          val cc = graft.dedup.Clusters.connectedComponents(
+            survivors.select(col("doc_id").as("id")), edges)
+          val sizes = cc.groupBy("cluster_id")
+            .agg(count(lit(1)).as("cluster_size"))
+          cc.join(sizes, "cluster_id")
+            .select(col("id").as("doc_id"), col("cluster_id"),
+              col("cluster_size"))
+        }).localCheckpoint()
         val allKeys = members.unionByName(idSet).distinct().localCheckpoint()
         // allowMissingColumns: a migrated label store's added columns
         // are absent from the relabel — they land null and read back

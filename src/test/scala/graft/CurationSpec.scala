@@ -26,6 +26,22 @@ class CurationSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("driver-local simhash components equal the distributed labeling on a real corpus") {
+    val d = Tables.load(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text")
+    val fp = graft.dedup.Dedup.withSimhash(d, "doc_id", "text")
+      .localCheckpoint()
+    val want = Clusters.simhashClustersOf(fp, maxDist = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = Clusters.simhashComponentsLocal(
+      fp.collect().map(r => (r.getLong(0), r.getLong(1))), maxDist = 3)
+      .map { case (id, cid, sz) => id -> (cid, sz) }.toMap
+    assert(got == want,
+      "the forget fast path's union-find must label exactly like the " +
+        "distributed CC (ids, cluster ids, AND sizes)")
+  }
+
   test("connected components on a random graph + a long path match union-find") {
     import spark.implicits._
     // random sparse graph (fixed seed) UNION a 16-node path — the path
