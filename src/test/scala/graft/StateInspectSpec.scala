@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{AppendTable, BucketedTable, SnapshotTable,
+  StateInspect}
+
+/** The fsck/describe contract: a healthy table of every layout
+  * reports zero issues with truthful facts (auto-detected layout),
+  * and each injected breakage class surfaces as a NAMED issue —
+  * while crash leftovers (orphans, stale side files) stay facts,
+  * never false alarms.
+  */
+class StateInspectSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toDF(xs: Seq[Long]) = {
+    val s = spark; import s.implicits._
+    xs.toDF("x")
+  }
+  private def kvDF(xs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    xs.toDF("k", "v")
+  }
+  private def rm(p: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+
+  test("append log: healthy facts, crash leftovers stay facts, real breakage is a named issue") {
+    val root = Files.createTempDirectory("fsck_append").toString
+    val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+    t.append(toDF(Seq(1L, 2L)), 0L)
+    t.append(toDF(Seq(3L)), 1L)
+    t.compact()
+    t.append(toDF(Seq(4L)), 2L)
+    t.deleteKeysVectored(toDF(Seq(2L)), "x")
+    val r = StateInspect.inspect(spark, s"$root/t")
+    assert(r.layout == "append" && r.healthy, r.render)
+    assert(r.facts("last_batch_id") == "2" &&
+      r.facts("compacted_through") == "1" &&
+      r.facts("tombstone_generation") == "1" &&
+      r.facts("tombstone_rows") == "1" &&
+      r.facts("read_fan_in") == "2", r.render)
+    // a crash orphan (future batch dir) is a FACT, not an issue
+    toDF(Seq(9L)).write.parquet(s"$root/t/b_9")
+    val r2 = StateInspect.inspect(spark, s"$root/t")
+    assert(r2.healthy && r2.facts("orphan_batch_dirs") == "1", r2.render)
+    // losing the live tombstone generation breaks every read: named
+    rm(s"$root/t/t_1")
+    val r3 = StateInspect.inspect(spark, s"$root/t")
+    assert(r3.issues.exists(_.contains("tombstone generation t_1")),
+      r3.render)
+    // losing the live consolidated dir breaks the compacted history
+    rm(s"$root/t/k_1")
+    val r4 = StateInspect.inspect(spark, s"$root/t")
+    assert(r4.issues.exists(_.contains("consolidated dir k_1")), r4.render)
+    rm(root)
+  }
+
+  test("bucketed store: healthy through migrate/tag/vacuum; missing bucket dir, schema file, and vacuumed-tag breakages are named") {
+    val root = Files.createTempDirectory("fsck_bucketed").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge(kvDF((0L until 12L).map(k => (k, k))), 0L)
+    t.addColumn("tag_col", "string", "'x'")
+    t.merge(kvDF(Seq(3L -> 30L)), 1L)
+    t.tag("train-v0", 0L)
+    t.vacuum(keepVersions = 1)
+    val r = StateInspect.inspect(spark, s"$root/t")
+    assert(r.layout == "bucketed" && r.healthy, r.render)
+    assert(r.facts("live_version") == "1" &&
+      r.facts("schema_version") == "1" &&
+      r.facts("retained_versions").contains("0") &&
+      r.facts("tags") == "[train-v0->0]", r.render)
+    // a tag pinning a no-longer-retained version is named: fake one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/tag_ghost"),
+      "99".getBytes("UTF-8"))
+    val r2 = StateInspect.inspect(spark, s"$root/t")
+    assert(r2.issues.exists(i => i.contains("'ghost'") &&
+      i.contains("not fully retained")), r2.render)
+    rm(s"$root/t/tag_ghost")
+    // a missing schema side file is named
+    val schemaBak = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t/columns_v1"))
+    rm(s"$root/t/columns_v1")
+    val r3 = StateInspect.inspect(spark, s"$root/t")
+    assert(r3.issues.exists(_.contains("columns_v1")), r3.render)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/columns_v1"), schemaBak)
+    // a missing referenced bucket dir is named with the dir list
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t/manifest_v1")), "UTF-8")
+    val victim = manifest.linesIterator.next().split(",", 2)(1)
+    rm(s"$root/t/$victim")
+    val r4 = StateInspect.inspect(spark, s"$root/t")
+    assert(r4.issues.exists(_.contains(victim)), r4.render)
+    rm(root)
+  }
+
+  test("snapshot table: healthy facts; losing the live snapshot is named") {
+    val root = Files.createTempDirectory("fsck_snapshot").toString
+    val t = new SnapshotTable(spark, s"$root/t")
+    t.commit(toDF(Seq(1L)), 0L)
+    t.commit(toDF(Seq(2L)), 1L)
+    t.tag("pin", 0L)
+    val r = StateInspect.inspect(spark, s"$root/t")
+    assert(r.layout == "snapshot" && r.healthy, r.render)
+    assert(r.facts("live_version") == "1" &&
+      r.facts("tags") == "[pin->0]", r.render)
+    rm(s"$root/t/v_1")
+    val r2 = StateInspect.inspect(spark, s"$root/t")
+    assert(r2.issues.exists(_.contains("v_1 missing")), r2.render)
+    rm(root)
+  }
+
+  test("a never-committed path reports unknown, not a crash") {
+    val root = Files.createTempDirectory("fsck_none").toString
+    val r = StateInspect.inspect(spark, s"$root/nope")
+    assert(r.layout == "unknown" && !r.healthy)
+    rm(root)
+  }
+}
