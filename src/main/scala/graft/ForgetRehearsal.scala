@@ -101,13 +101,18 @@ object ForgetRehearsal {
     // rebucketed layout, not the bootstrap 16): target ~n/64 rows per
     // bucket so the growth rule lands on 64 buckets at any rep
     labelsT.growIfOversized(math.max(1L, n / 64))
-    // published shards: ~3000 docs per partition directory
+    // published shards: ~3000 docs per partition directory, plus the
+    // assignment-ledger manifest the forget's zone pruning reads
     val perShard = 3000L
-    all.select((lit(1000000000000L) + col("doc_id")).as("pub_id"),
-        lit(1L).as("n_tok"),
-        (col("doc_id") / perShard).cast("long").as("shard_id"))
-      .repartition(col("shard_id"))
+    val assigned = all.select(
+      (lit(1000000000000L) + col("doc_id")).as("pub_id"),
+      lit(1L).as("n_tok"),
+      (col("doc_id") / perShard).cast("long").as("shard_id"))
+    assigned.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
+    IngestStream.publishManifest(spark, state).commit(
+      graft.operators.Sampling.shardManifest(assigned, "pub_id", "n_tok"),
+      0L)
     val nShards = (n + perShard - 1) / perShard
     println(f"[forget] state built in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"(${labelsT.currentBuckets} label buckets, $nShards shards)")
@@ -151,6 +156,17 @@ object ForgetRehearsal {
     val gone2 = surv1.filter(col("doc_id") >= lo &&
       col("doc_id") < lo + perShard)
     val nGone2 = gone2.count()
+    // the manifest's (min_id, max_id) zones isolate the candidate
+    // partitions BEFORE any pub_id column is scanned: exactly one
+    // shard for this id-local request
+    val manRanges = IngestStream.publishManifest(spark, state).read().get
+      .select(col("shard_id").cast("long"), col("min_id").cast("long"),
+        col("max_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cand2 = IngestStream.candidateShards(manRanges,
+      gone2.select("doc_id").collect().map(_.getLong(0)).sorted)
+    require(cand2 == Seq(7L),
+      s"manifest zone pruning must isolate shard 7, got $cand2")
     val before2 = shardMtimes()
     val t2 = System.nanoTime()
     IngestStream.forget(spark, state, gone2.select("doc_id"), 2L,

@@ -279,6 +279,32 @@ object IngestStream {
     dT.commit(Seq(pendingMax).toDF("drained_through"), drainBatchId)
   }
 
+  /** Shards whose manifest (min_id, max_id) pub-id range can contain
+    * any of the sorted forgotten doc ids under SOME publish epoch the
+    * range spans (pub_id = epoch·10¹² + doc_id) — one binary search
+    * per spanned epoch, O(shards · epochs · log ids), all on the
+    * bounded manifest sidecar. Conservative: a shard is kept whenever
+    * an epoch/residue combination could land inside its range; the
+    * exact per-row semi-join still decides. Package-private pure
+    * function so the spec and the rehearsal pin the pruning directly.
+    */
+  private[graft] def candidateShards(ranges: Array[(Long, Long, Long)],
+      sortedIds: Array[Long]): Seq[Long] =
+    ranges.filter { case (_, lo, hi) =>
+      val eLo = lo / 1000000000000L
+      val eHi = hi / 1000000000000L
+      (eLo to eHi).exists { e =>
+        val base = e * 1000000000000L
+        val from = math.max(0L, lo - base)
+        val to = hi - base
+        to >= 0 && {
+          var i = java.util.Arrays.binarySearch(sortedIds, from)
+          if (i < 0) i = -i - 1
+          i < sortedIds.length && sortedIds(i) <= to
+        }
+      }
+    }.map(_._1).toSeq.sorted
+
   /** The forget LEDGER: (doc_id, batch_id) rows appended LAST by a
     * completed [[forget]] — its idempotency gate (every other forget
     * mutation is convergent by content, so "ledger not yet at this
@@ -431,10 +457,29 @@ object IngestStream {
     // published shards: rewrite ONLY partitions holding a forgotten
     // pub id (pub_id = epoch·10¹² + doc_id, so the doc id is the
     // residue); a partition emptied by the redaction writes no rows
-    // under dynamic overwrite, so its directory is removed explicitly
+    // under dynamic overwrite, so its directory is removed explicitly.
+    // The stored publish manifest's (min_id, max_id) per shard is a
+    // ZONE MAP over pub ids — candidate shards are pruned from it
+    // BEFORE any pub_id column is scanned (the ledger's ranges stay
+    // valid supersets because forget never rewrites the manifest), so
+    // an id-local takedown touches a handful of partitions' footers
+    // instead of the whole table's pub_id column. Conservative and
+    // optional: the exact semi-join always runs on the candidates,
+    // and a dest without a stored manifest falls back to the full scan.
     publishDest.filter(d => new java.io.File(d).exists()).foreach { dest =>
-      val all = spark.read.parquet(dest)
+      val all0 = spark.read.parquet(dest)
         .withColumn("shard_id", col("shard_id").cast("long"))
+      val all = publishManifest(spark, statePath).read() match {
+        case Some(m) =>
+          val ranges = m.select(col("shard_id").cast("long"),
+            col("min_id").cast("long"), col("max_id").cast("long"))
+            .collect() // the bounded manifest sidecar
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val sortedIds = idSet.collect().map(_.getLong(0)).sorted
+          val candidates = candidateShards(ranges, sortedIds)
+          all0.filter(col("shard_id").isin(candidates: _*))
+        case None => all0
+      }
       val hitShards = all
         .withColumn("doc_id", col("pub_id") % 1000000000000L)
         .join(broadcast(idSet), Seq("doc_id"), "left_semi")

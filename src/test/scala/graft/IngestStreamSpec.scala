@@ -629,6 +629,27 @@ class IngestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("candidateShards: manifest zone pruning is epoch-aware and conservative") {
+    // shard 0: epoch-1 pubs of docs 0..999; shard 1: docs 1000..1999;
+    // shard 2 STRADDLES the epoch-1→2 boundary (its residue window
+    // under epoch 1 is huge — conservatism, not a bug)
+    val E = 1000000000000L
+    val ranges = Array((0L, E, E + 999L), (1L, E + 1000L, E + 1999L),
+      (2L, E + 2000L, 2 * E + 50L))
+    def cand(ids: Long*) =
+      IngestStream.candidateShards(ranges, ids.toArray.sorted)
+    // doc 5 fits shard 0 under epoch 1 AND the straddler under
+    // epoch 2 (pub 2E+5 ≤ 2E+50) — both kept, the exact semi-join
+    // decides; doc 1500 fits only shard 1 (the straddler's epoch-2
+    // window ends at residue 50, its epoch-1 window starts at 2000)
+    assert(cand(5L) == Seq(0L, 2L))
+    assert(cand(1500L) == Seq(1L))
+    assert(cand(60L) == Seq(0L))
+    assert(cand(2500L) == Seq(2L))
+    assert(cand(5L, 1500L, 30L) == Seq(0L, 1L, 2L))
+    assert(IngestStream.candidateShards(ranges, Array.empty[Long]).isEmpty)
+  }
+
   test("forget splits a cluster whose connectivity ran through the forgotten bridge doc") {
     val s = spark
     import s.implicits._
