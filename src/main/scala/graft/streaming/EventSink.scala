@@ -62,6 +62,7 @@ final class SnapshotTable(spark: SparkSession, path: String) {
         s"after the first commit — $path has none"))
     val cols = TableSchema.read(path, m)
     if (cols.exists(_.name == name)) return // idempotent
+    TableSchema.validate(spark, name, dataType, defaultSql)
     TableSchema.write(path, m + 1,
       cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
       "migrate")
@@ -210,36 +211,15 @@ final class SnapshotTable(spark: SparkSession, path: String) {
     * [[BucketedTable.tag]] contract on the snapshot layout.
     */
   def tag(name: String, version: Long): Unit = {
-    require(name.nonEmpty &&
-      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"tag name must be [A-Za-z0-9_-]+: '$name'")
     retainedDir(version, "tag")
-    val tmp = Paths.get(path, s"tag_$name.tmp")
-    Failpoints.step("tag.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Failpoints.step("tag.move")
-    Files.move(tmp, Paths.get(path, s"tag_$name"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    TagFiles.write(path, name, version)
   }
 
   /** Every tag → pinned snapshot version. */
-  def tags: Map[String, Long] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("tag_") &&
-        !f.getName.endsWith(".tmp"))
-      .map(f => f.getName.stripPrefix("tag_") ->
-        new String(Files.readAllBytes(f.toPath),
-          StandardCharsets.UTF_8).trim.toLong)
-      .toMap
+  def tags: Map[String, Long] = TagFiles.all(path)
 
   /** Release a tag; the next [[vacuum]] may collect the snapshot. */
-  def untag(name: String): Unit = {
-    val f = Paths.get(path, s"tag_$name")
-    if (Files.exists(f)) {
-      Failpoints.step(s"untag.$name")
-      Files.delete(f)
-    }
-  }
+  def untag(name: String): Unit = TagFiles.remove(path, name)
 
   /** Delete every snapshot older than the last `keepVersions` (tagged
     * snapshots retained regardless) — no pointer write, retained

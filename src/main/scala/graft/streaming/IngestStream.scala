@@ -162,11 +162,15 @@ object IngestStream {
   /** Above this many affected-cluster survivors, [[forget]]'s relabel
     * stays distributed; at or below it, the survivor fps collect and
     * the components compute driver-side ([[graft.dedup.Clusters
-    * .simhashComponentsLocal]]) — 1M (id, fp) pairs ≈ 16 MB, the same
-    * bounded-driver-artifact class as the MERGE key broadcast. Both
-    * paths produce identical labels (ClustersSpec).
+    * .simhashComponentsLocal]]). The bound is sized for the local
+    * path's CPU, not its memory: the per-band bucket scan costs
+    * ~n²/64 single-threaded hamming comparisons (4 bands × 256 values
+    * × (n/256)²), so 100k survivors ≈ 1.6e8 comparisons ≈ a few
+    * hundred ms — while 1M would be minutes of driver stall, slower
+    * than the distributed CC it replaces. Both paths produce
+    * identical labels (CurationSpec pins the equality).
     */
-  val LocalRelabelMax = 1000000L
+  val LocalRelabelMax = 100000L
 
   /** The three state tables under `statePath` (the shape both the
     * loop and its readers share).
@@ -466,7 +470,13 @@ object IngestStream {
     // instead of the whole table's pub_id column. Conservative and
     // optional: the exact semi-join always runs on the candidates,
     // and a dest without a stored manifest falls back to the full scan.
-    publishDest.filter(d => new java.io.File(d).exists()).foreach { dest =>
+    // guard on an actual shard partition existing, not the bare dest
+    // dir: a prior forget that emptied every shard leaves only
+    // _SUCCESS behind, and a replay must no-op, not fail the read
+    publishDest.filter(d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .exists(f => f.isDirectory && f.getName.startsWith("shard_id=")))
+      .foreach { dest =>
       val all0 = spark.read.parquet(dest)
         .withColumn("shard_id", col("shard_id").cast("long"))
       val all = publishManifest(spark, statePath).read() match {

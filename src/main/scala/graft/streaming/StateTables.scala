@@ -172,14 +172,22 @@ final class AppendTable(spark: SparkSession, path: String,
       .map(_._2)
       .toSeq
 
-  private def committedDirs(): Seq[String] = {
-    val (last, ct, e, _) = pointer()
+  /** Committed data dirs AS OF one pointer read — every reader takes
+    * the (dirs, tombstone generation) pair from the SAME read, so a
+    * concurrent maintenance fold can never pair a pre-fold dir list
+    * with a post-fold (cleared) vector and silently serve
+    * redaction-pending rows.
+    */
+  private def committedDirsFor(p: (Long, Long, Long, Long)): Seq[String] = {
+    val (last, ct, e, _) = p
     val compacted =
       if (ct >= 0 && new java.io.File(s"$path/${kName(ct, e)}").isDirectory)
         Seq(s"$path/${kName(ct, e)}")
       else Seq.empty
     compacted ++ batchDirsAbove(ct, last)
   }
+
+  private def committedDirs(): Seq[String] = committedDirsFor(pointer())
 
   /** Directories a `read()` would union right now — the small-files
     * read-amplification a compaction cadence must bound. With
@@ -190,9 +198,10 @@ final class AppendTable(spark: SparkSession, path: String,
   def readFanIn: Int = committedDirs().size
 
   def read(): Option[DataFrame] = {
-    val dirs = committedDirs()
+    val p = pointer() // ONE read: dirs and vector from the same state
+    val dirs = committedDirsFor(p)
     if (dirs.isEmpty) None
-    else Some(applyTombstones(spark.read.parquet(dirs: _*), pointer()._4))
+    else Some(applyTombstones(spark.read.parquet(dirs: _*), p._4))
   }
 
   /** Write dir's zone map as a side file (tmp + atomic move — an
@@ -237,7 +246,11 @@ final class AppendTable(spark: SparkSession, path: String,
     * were enabled) is conservatively kept.
     */
   def rangeDirs(lo: Long, hi: Long): Seq[String] =
-    committedDirs().filter { d =>
+    rangeDirsFor(pointer(), lo, hi)
+
+  private def rangeDirsFor(p: (Long, Long, Long, Long), lo: Long,
+      hi: Long): Seq[String] =
+    committedDirsFor(p).filter { d =>
       zone(new java.io.File(d).getName) match {
         case None => true // no zone recorded: scan conservatively
         case Some(None) => false // committed empty: nothing inside
@@ -255,10 +268,11 @@ final class AppendTable(spark: SparkSession, path: String,
     val c = statsCol.getOrElse(throw new IllegalStateException(
       s"AppendTable.readRange: $path was opened without a statsCol — " +
         "construct the table with the zone-map column to range-read"))
-    val dirs = rangeDirs(lo, hi)
+    val p = pointer() // ONE read: dirs and vector from the same state
+    val dirs = rangeDirsFor(p, lo, hi)
     if (dirs.isEmpty) None
     else Some(applyTombstones(spark.read.parquet(dirs: _*)
-      .filter(col(c) >= lo && col(c) <= hi), pointer()._4))
+      .filter(col(c) >= lo && col(c) <= hi), p._4))
   }
 
   /** Lost-update detection ([[ConcurrentWriteException]]): fail NAMED
@@ -297,15 +311,18 @@ final class AppendTable(spark: SparkSession, path: String,
     val (last, ct, e, tomb) = entry
     if (last >= batchId) return
     Failpoints.step("append.data")
-    // torn iff a competing writer committed THIS batch id (shared dir
-    // name); a different id leaves our b_ dir unreferenced → clean.
-    // Checked before AND after the write: the pre-check avoids
-    // clobbering a competing claim at all, the post-check closes the
-    // window the write itself opens.
-    guardUnmoved(entry, s"b_$batchId", _._1 == batchId, "append")
+    // torn iff the competing writer's pointer reached (or passed) THIS
+    // batch id: at that point b_<batchId> is pointer-VISIBLE — either
+    // the other writer wrote it too (shared name) or our orphan now
+    // pollutes their committed range — so it must never be deleted,
+    // only reported. Clean abort (our dir invisible, safe to remove)
+    // only when their pointer is still BELOW our id. Checked before
+    // AND after the write: the pre-check avoids clobbering a competing
+    // claim at all, the post-check closes the window the write opens.
+    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append")
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
     statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
-    guardUnmoved(entry, s"b_$batchId", _._1 == batchId, "append")
+    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append")
     writePointer(batchId, ct, e, tomb, "append")
   }
 
@@ -531,6 +548,36 @@ private[streaming] object TableSchema {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Validate a declared column BEFORE it is committed: the default
+    * must actually evaluate and cast to the declared type — a typo
+    * committed to the side file would brick every subsequent read,
+    * and the per-name idempotency check would then block
+    * re-declaring a fix — and no field may contain the side file's
+    * own delimiters (pipe / newline).
+    */
+  def validate(spark: SparkSession, name: String, dataType: String,
+      default: String): Unit = {
+    // the side file is line-oriented name|type|default: newlines are
+    // out everywhere; pipes only in the first two fields (the default
+    // is the LAST field of a limit-3 split, so its pipes are safe)
+    Seq("name" -> name, "dataType" -> dataType,
+        "default" -> default).foreach { case (k, v) =>
+      require(v.nonEmpty && !v.contains("\n"),
+        s"addColumn($name): $k must be nonempty without newlines: '$v'")
+    }
+    Seq("name" -> name, "dataType" -> dataType).foreach { case (k, v) =>
+      require(!v.contains("|"),
+        s"addColumn($name): $k may not contain '|': '$v'")
+    }
+    try spark.range(1).select(expr(default).cast(dataType)).collect()
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"addColumn($name): default '$default' does not evaluate/cast " +
+          s"to $dataType — rejected at migrate time (committing it " +
+          s"would make every read fail): ${e.getMessage}")
+    }
+  }
+
   /** Read-through: surface every declared column with its default
     * filling pre-migration rows (and any null a writer left).
     */
@@ -541,6 +588,43 @@ private[streaming] object TableSchema {
         d.withColumn(c.name, coalesce(col(c.name).cast(c.dataType), dv))
       else d.withColumn(c.name, dv)
     }
+}
+
+/** The tag side-file protocol both versioned layouts share
+  * (`tag_<name>` holding a version id; tmp + atomic move; re-tagging
+  * moves the pin, removal releases it). The only-a-retained-version
+  * check stays with the CALLER — each layout owns its totality rule.
+  */
+private[streaming] object TagFiles {
+
+  def write(path: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be [A-Za-z0-9_-]+: '$name'")
+    val tmp = Paths.get(path, s"tag_$name.tmp")
+    Failpoints.step("tag.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Failpoints.step("tag.move")
+    Files.move(tmp, Paths.get(path, s"tag_$name"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def all(path: String): Map[String, Long] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("tag_") &&
+        !f.getName.endsWith(".tmp"))
+      .map(f => f.getName.stripPrefix("tag_") ->
+        new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toLong)
+      .toMap
+
+  def remove(path: String, name: String): Unit = {
+    val f = Paths.get(path, s"tag_$name")
+    if (Files.exists(f)) {
+      Failpoints.step(s"untag.$name")
+      Files.delete(f)
+    }
+  }
 }
 
 /** The change-feed classification both state layouts share: one row
@@ -558,9 +642,12 @@ private[streaming] object StateDiff {
   def classify(fromDf: Option[DataFrame], toDf: Option[DataFrame],
       keyCol: String, template: DataFrame): DataFrame = {
     val dataCols = template.columns.filterNot(_ == keyCol).toSeq
-    // the feed's own columns are reserved: a data column named
+    // the feed's own columns are reserved: a key or data column named
     // change_type, or a pair like v/old_v, would emit duplicate
     // names — fail NAMED instead of serving an ambiguous frame
+    require(keyCol != "change_type",
+      "change feed: the key column may not be named change_type — " +
+        "rename it before diffing")
     val reserved = dataCols.filter(c =>
       c == "change_type" || dataCols.contains(s"old_$c"))
     require(reserved.isEmpty,
@@ -704,6 +791,7 @@ final class BucketedTable(spark: SparkSession, path: String,
         s"after the first commit — $path has none"))
     val cols = TableSchema.read(path, m)
     if (cols.exists(_.name == name)) return // idempotent
+    TableSchema.validate(spark, name, dataType, defaultSql)
     TableSchema.write(path, m + 1,
       cols :+ TableSchema.AddedColumn(name, dataType, defaultSql),
       "migrate")
@@ -979,36 +1067,15 @@ final class BucketedTable(spark: SparkSession, path: String,
     * only a currently-retained version can be pinned (named check).
     */
   def tag(name: String, version: Long): Unit = {
-    require(name.nonEmpty &&
-      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"tag name must be [A-Za-z0-9_-]+: '$name'")
     retainedManifest(version, "tag")
-    val tmp = Paths.get(path, s"tag_$name.tmp")
-    Failpoints.step("tag.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Failpoints.step("tag.move")
-    Files.move(tmp, Paths.get(path, s"tag_$name"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    TagFiles.write(path, name, version)
   }
 
   /** Every tag → pinned version. */
-  def tags: Map[String, Long] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("tag_") &&
-        !f.getName.endsWith(".tmp"))
-      .map(f => f.getName.stripPrefix("tag_") ->
-        new String(Files.readAllBytes(f.toPath),
-          StandardCharsets.UTF_8).trim.toLong)
-      .toMap
+  def tags: Map[String, Long] = TagFiles.all(path)
 
   /** Release a tag; the next [[vacuum]] may collect the version. */
-  def untag(name: String): Unit = {
-    val f = Paths.get(path, s"tag_$name")
-    if (Files.exists(f)) {
-      Failpoints.step(s"untag.$name")
-      Files.delete(f)
-    }
-  }
+  def untag(name: String): Unit = TagFiles.remove(path, name)
 
   /** Garbage-collect versions older than the last `keepVersions`
     * manifests — the lakehouse VACUUM, and the missing maintenance

@@ -34,36 +34,48 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     xs.toDF("k", "v")
   }
 
-  test("AppendTable.append: a competing append under another batch id aborts cleanly; retry lands; same-id claim reports torn") {
+  test("AppendTable.append: a competing LOWER-id commit aborts cleanly; a commit AT or PAST our id reports torn (our dir is pointer-visible)") {
     val root = Files.createTempDirectory("ccw_append").toString
     val t = new AppendTable(spark, s"$root/t")
     t.append(toDF(Seq(1L)), 0L)
-    // competing writer commits batch 5 while our batch-2 append is in
-    // flight → clean abort, our orphan never becomes visible
+    // competing writer commits batch 2 while our batch-6 append is in
+    // flight: their pointer (2) stays BELOW our id, so our b_6 orphan
+    // is invisible → clean abort, orphan removed, retry lands
     Failpoints.installHook("append.data") {
-      new AppendTable(spark, s"$root/t").append(toDF(Seq(50L)), 5L)
+      new AppendTable(spark, s"$root/t").append(toDF(Seq(20L)), 2L)
     }
     val e1 = intercept[ConcurrentWriteException] {
-      try t.append(toDF(Seq(2L)), 2L) finally Failpoints.clearHooks()
+      try t.append(toDF(Seq(6L)), 6L) finally Failpoints.clearHooks()
     }
     assert(e1.getMessage.contains("retry"))
     assert(t.read().get.collect().map(_.getLong(0)).sorted.toSeq ==
-      Seq(1L, 50L), "the competing commit must be intact")
-    assert(!new java.io.File(s"$root/t/b_2").exists(),
+      Seq(1L, 20L), "the competing commit must be intact")
+    assert(!new java.io.File(s"$root/t/b_6").exists(),
       "the aborted append's orphan must be removed")
-    // the retry (under the next free id) lands
-    t.append(toDF(Seq(2L)), 6L)
+    t.append(toDF(Seq(6L)), 6L)
     assert(t.read().get.collect().map(_.getLong(0)).sorted.toSeq ==
-      Seq(1L, 2L, 50L))
+      Seq(1L, 6L, 20L))
 
-    // competing writer claims the SAME batch id → torn, named
+    // competing writer commits PAST our id: our b_7 is now inside
+    // their committed range (pointer-visible) — it must NOT be
+    // deleted, only reported torn (deleting it could destroy a batch
+    // the other writer legitimately wrote under the same id)
     Failpoints.installHook("append.data") {
-      new AppendTable(spark, s"$root/t").append(toDF(Seq(70L)), 7L)
+      new AppendTable(spark, s"$root/t").append(toDF(Seq(90L)), 9L)
     }
     val e2 = intercept[ConcurrentWriteException] {
       try t.append(toDF(Seq(7L)), 7L) finally Failpoints.clearHooks()
     }
     assert(e2.getMessage.contains("claimed"))
+
+    // competing writer claims the SAME batch id → torn, named
+    Failpoints.installHook("append.data") {
+      new AppendTable(spark, s"$root/t").append(toDF(Seq(100L)), 10L)
+    }
+    val e3 = intercept[ConcurrentWriteException] {
+      try t.append(toDF(Seq(10L)), 10L) finally Failpoints.clearHooks()
+    }
+    assert(e3.getMessage.contains("claimed"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 

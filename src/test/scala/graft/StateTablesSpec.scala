@@ -703,6 +703,27 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("addColumn rejects an invalid default or type at MIGRATE time; the fixed declaration then lands") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_migrate_validate").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge(Seq((1L, 10L)).toDF("k", "v"), 0L)
+    // a typo'd default or type would brick every read if committed —
+    // rejected before the side file lands, so the fix is declarable
+    intercept[IllegalArgumentException](t.addColumn("r", "bigint", "abc("))
+    intercept[IllegalArgumentException](t.addColumn("r", "not_a_type", "1"))
+    intercept[IllegalArgumentException](t.addColumn("r\nx", "bigint", "1"))
+    assert(t.schemaVersion == 0L, "a rejected migration must not commit")
+    t.addColumn("r", "bigint", "42")
+    assert(t.read().get.select("r").head.getLong(0) == 42L)
+    // a default CONTAINING a pipe is legal (last field of the side
+    // file's limit-3 split) and round-trips
+    t.addColumn("sep", "string", "'a|b'")
+    assert(t.read().get.select("sep").head.getString(0) == "a|b")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("AppendTable.deleteKeysVectored: every read serves the redacted view at once; compaction is the physical-erasure moment") {
     val s = spark
     import s.implicits._
