@@ -384,6 +384,26 @@ object IngestStream {
       vectored: Boolean = false): Unit = {
     val ledger = forgetLedger(spark, statePath)
     if (ledger.lastBatchId >= forgetBatchId) return // completed → no-op
+    // enforce the documented monotonicity contract BEFORE any mutation
+    // (drainQuarantine's analogue): a non-monotone id would skip the
+    // batch-gated label relabel while still deleting logs/shards and
+    // committing the ledger — a partial forget recorded as complete.
+    // The log tables are strict: forget never moves their batch
+    // pointers, so any id at/above forgetBatchId is a foreign commit.
+    // The label store allows EQUALITY only — its relabel commits AT
+    // forgetBatchId, so a replay of a forget killed between the merge
+    // and the ledger append legitimately finds it there (an ingest at
+    // the same id would have moved the snapshot too, which the strict
+    // checks catch).
+    val strictMax = Seq(snapTable(spark, statePath).lastBatchId,
+      fpsTable(spark, statePath).lastBatchId,
+      quarantineTable(spark, statePath).lastBatchId).max
+    require(forgetBatchId > strictMax &&
+        forgetBatchId >= labelsTable(spark, statePath).lastBatchId,
+      s"forget: forgetBatchId $forgetBatchId must exceed every committed " +
+        s"batch id (logs at $strictMax, labels at " +
+        s"${labelsTable(spark, statePath).lastBatchId}) — a lower id " +
+        "would silently skip the label-store relabel")
     val idSet = ids.select("doc_id").distinct().localCheckpoint()
 
     // label store: relabel the affected clusters' survivors

@@ -128,21 +128,58 @@ final class AppendTable(spark: SparkSession, path: String,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The live deletion-vector frame (one column, the key) — None when
-    * generation `g` is 0.
+  /** The live deletion-vector frame — (key, `tomb_upto`) where
+    * `tomb_upto` is the last batch id COMMITTED when that key's
+    * delete was issued: the vector is SCOPED, like Delta's per-file
+    * DVs, so a doc legitimately re-delivered after the delete (the
+    * documented forget-≠-ban resubmission path) lands in a batch with
+    * id > its tombstone's bound and is served, fed, and preserved by
+    * the fold like any other row. A legacy single-column vector (a
+    * table written before scoping) reads through with an unbounded
+    * scope — the conservative-toward-redaction interpretation it was
+    * written under. None when generation `g` is 0.
     */
   private def tombstones(g: Long): Option[DataFrame] =
-    if (g <= 0) None else Some(spark.read.parquet(s"$path/t_$g"))
+    if (g <= 0) None
+    else {
+      val t = spark.read.parquet(s"$path/t_$g")
+      Some(if (t.columns.contains("tomb_upto")) t
+      else t.withColumn("tomb_upto", lit(Long.MaxValue)))
+    }
 
-  /** Apply the live deletion vector to a frame read from the data
-    * dirs: anti-join on the tombstone column. The no-tombstone path
-    * is the plain read — zero plan cost until a vectored delete
-    * exists.
+  /** Last batch id whose rows a directory can hold: `b_<id>` holds
+    * exactly batch id, a consolidated `k_<ct>`/`k_<ct>_e<e>` holds
+    * batches ≤ ct. This is what a tombstone's `tomb_upto` scopes
+    * against — a live vector always postdates the last consolidation
+    * (consolidations reset the generation), so every live key covers
+    * the consolidated dir.
     */
-  private def applyTombstones(df: DataFrame, g: Long): DataFrame =
+  private def dirUptoId(dir: String): Long = {
+    val n = new java.io.File(dir).getName
+    if (n.startsWith("b_")) n.stripPrefix("b_").toLong
+    else n.stripPrefix("k_").split("_e", 2)(0).toLong
+  }
+
+  /** The LIVE view of a set of committed data dirs: each dir is
+    * anti-joined against only the tombstones whose scope covers it
+    * (key equality + `tomb_upto` ≥ the dir's batch bound — one
+    * broadcast hash join over the tagged union). The no-tombstone
+    * path is the plain multi-dir scan — zero plan cost until a
+    * vectored delete exists; with one live, the per-dir tagging costs
+    * a union whose width is the compaction-bounded read fan-in.
+    */
+  private def scopedRead(dirs: Seq[String], g: Long): DataFrame =
     tombstones(g) match {
-      case Some(t) => df.join(t, Seq(t.columns.head), "left_anti")
-      case None => df
+      case None => spark.read.parquet(dirs: _*)
+      case Some(t) =>
+        val keyCol = t.columns.head
+        val tagged = dirs.map { d =>
+          spark.read.parquet(d).withColumn("__dir_upto", lit(dirUptoId(d)))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        tagged.join(broadcast(t),
+          tagged(keyCol) === t(keyCol) &&
+            t("tomb_upto") >= tagged("__dir_upto"), "left_anti")
+          .drop("__dir_upto")
     }
 
   def lastBatchId: Long = pointer()._1
@@ -201,7 +238,7 @@ final class AppendTable(spark: SparkSession, path: String,
     val p = pointer() // ONE read: dirs and vector from the same state
     val dirs = committedDirsFor(p)
     if (dirs.isEmpty) None
-    else Some(applyTombstones(spark.read.parquet(dirs: _*), p._4))
+    else Some(scopedRead(dirs, p._4))
   }
 
   /** Write dir's zone map as a side file (tmp + atomic move — an
@@ -271,8 +308,7 @@ final class AppendTable(spark: SparkSession, path: String,
     val p = pointer() // ONE read: dirs and vector from the same state
     val dirs = rangeDirsFor(p, lo, hi)
     if (dirs.isEmpty) None
-    else Some(applyTombstones(spark.read.parquet(dirs: _*)
-      .filter(col(c) >= lo && col(c) <= hi), p._4))
+    else Some(scopedRead(dirs, p._4).filter(col(c) >= lo && col(c) <= hi))
   }
 
   /** Lost-update detection ([[ConcurrentWriteException]]): fail NAMED
@@ -280,12 +316,18 @@ final class AppendTable(spark: SparkSession, path: String,
     * When another writer claimed the very directory this op was
     * writing (`tornIf`), its contents are undefined — nothing is
     * cleaned and the message says restore; otherwise the op's orphan
-    * is referenced by nobody, so it is removed and the op aborts
-    * cleanly retryable.
+    * is referenced by nobody, so it is removed (`cleanup = true`,
+    * the POST-write check) and the op aborts cleanly retryable. The
+    * PRE-write check passes `cleanup = false`: this op has written
+    * nothing yet, so `$path/$newDir` can only be another in-flight
+    * writer's data — deleting it there would be the exact clobber
+    * the guard exists to prevent (SnapshotTable.commit's pre-check
+    * makes the same distinction).
     */
   private def guardUnmoved(expected: (Long, Long, Long, Long),
       newDir: String,
-      tornIf: ((Long, Long, Long, Long)) => Boolean, op: String): Unit = {
+      tornIf: ((Long, Long, Long, Long)) => Boolean, op: String,
+      cleanup: Boolean): Unit = {
     val now = pointer()
     if (now == expected) return
     if (tornIf(now))
@@ -294,15 +336,18 @@ final class AppendTable(spark: SparkSession, path: String,
           s"while this operation was writing it (pointer $expected → " +
           s"$now) — its contents are undefined; the tables are " +
           "single-writer by contract, restore from a retained state")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$path/$newDir"))
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$path/$newDir.zone"))
+    if (cleanup) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/$newDir"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/$newDir.zone"))
+    }
     throw new ConcurrentWriteException(
       s"AppendTable.$op: the pointer at $path moved $expected → $now " +
         "while the operation was in flight — another writer is active; " +
-        "this operation aborted cleanly (its orphan removed), retry it; " +
-        "the tables are single-writer by contract")
+        (if (cleanup) "this operation aborted cleanly (its orphan removed)"
+        else "this operation aborted cleanly before writing anything") +
+        ", retry it; the tables are single-writer by contract")
   }
 
   /** Append `df` as batch `batchId`; replayed ids are a no-op. */
@@ -319,10 +364,12 @@ final class AppendTable(spark: SparkSession, path: String,
     // only when their pointer is still BELOW our id. Checked before
     // AND after the write: the pre-check avoids clobbering a competing
     // claim at all, the post-check closes the window the write opens.
-    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append")
+    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append",
+      cleanup = false)
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b_$batchId")
     statsCol.foreach(c => writeZone(s"b_$batchId", c, "append"))
-    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append")
+    guardUnmoved(entry, s"b_$batchId", _._1 >= batchId, "append",
+      cleanup = true)
     writePointer(batchId, ct, e, tomb, "append")
   }
 
@@ -345,8 +392,9 @@ final class AppendTable(spark: SparkSession, path: String,
     val dirs = batchDirsAbove(sinceBatchId, last)
     if (dirs.isEmpty) None
     // the feed serves the LIVE view: a row tombstoned after its
-    // append must not re-enter through a feed consumer (the drain)
-    else Some(applyTombstones(spark.read.parquet(dirs: _*), tomb))
+    // append must not re-enter through a feed consumer (the drain) —
+    // scoped, so a re-delivery appended after the vector DOES feed
+    else Some(scopedRead(dirs, tomb))
   }
 
   /** Fold every committed directory into ONE consolidated dir.
@@ -370,15 +418,19 @@ final class AppendTable(spark: SparkSession, path: String,
     Failpoints.step("compact.data")
     // torn iff a competing consolidation claimed the same dir name
     guardUnmoved(entry, kName(last, e2),
-      n => kName(n._2, n._3) == kName(last, e2), "compact")
+      n => kName(n._2, n._3) == kName(last, e2), "compact",
+      cleanup = false)
     // the tombstone-applied view: compaction IS the physical-erasure
     // moment for vectored deletes — the folded dir holds survivors
-    // only, and the pointer resets the tombstone generation
-    applyTombstones(spark.read.parquet(dirs: _*), tomb)
+    // only (per-key scope respected: a re-delivered row appended
+    // after its tombstone survives the fold), and the pointer resets
+    // the tombstone generation
+    scopedRead(dirs, tomb)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/${kName(last, e2)}")
     statsCol.foreach(c => writeZone(kName(last, e2), c, "compact"))
     guardUnmoved(entry, kName(last, e2),
-      n => kName(n._2, n._3) == kName(last, e2), "compact")
+      n => kName(n._2, n._3) == kName(last, e2), "compact",
+      cleanup = true)
     writePointer(last, last, e2, 0L, "compact")
     cleanupStale(last, kName(last, e2), "compact")
   }
@@ -434,15 +486,17 @@ final class AppendTable(spark: SparkSession, path: String,
     if (dirs.isEmpty) return
     val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
     // consolidate the LIVE view minus the keys: a pending deletion
-    // vector folds physically in the same rewrite
-    val survivors = applyTombstones(spark.read.parquet(dirs: _*), tomb)
+    // vector folds physically in the same rewrite (scope respected)
+    val survivors = scopedRead(dirs, tomb)
       .join(broadcast(keySet), Seq(keyCol), "left_anti")
     val k2 = kName(last, e + 1)
     Failpoints.step("delete.data")
-    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete")
+    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete",
+      cleanup = false)
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$path/$k2")
     statsCol.foreach(c => writeZone(k2, c, "delete"))
-    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete")
+    guardUnmoved(entry, k2, n => kName(n._2, n._3) == k2, "delete",
+      cleanup = true)
     writePointer(last, last, e + 1, 0L, "delete")
     cleanupStale(last, k2, "delete")
   }
@@ -461,25 +515,39 @@ final class AppendTable(spark: SparkSession, path: String,
     * immediate). Crash shape: the new generation dir is an orphan
     * until the pointer names it; replays converge; the tombstone
     * column name must match the live generation's (named check).
+    *
+    * Each key is SCOPED to the batches committed when its delete was
+    * issued (`tomb_upto` = the pointer's last batch id): a later
+    * re-delivery of the same doc appends ABOVE the bound and is fully
+    * live — served by every read, fed by [[changesSince]], preserved
+    * by the consolidating fold — so forget stays forget, not ban.
+    * Re-deleting a key widens its scope to the new bound (max-merge).
     */
   def deleteKeysVectored(keys: DataFrame, keyCol: String): Unit = {
     val entry = pointer()
     val (last, ct, e, tomb) = entry
     if (last < 0) return
+    require(keyCol != "tomb_upto",
+      "AppendTable.deleteKeysVectored: the key column may not be named " +
+        "tomb_upto — it is the vector's reserved scope column")
     val keySet = keys.select(col(keyCol)).distinct()
+      .withColumn("tomb_upto", lit(last))
     val merged = tombstones(tomb) match {
       case Some(t) =>
         require(t.columns.head == keyCol,
           s"AppendTable.deleteKeysVectored: live tombstones key on " +
             s"'${t.columns.head}', not '$keyCol' — one key column per table")
-        t.unionByName(keySet).distinct()
+        t.unionByName(keySet)
+          .groupBy(col(keyCol)).agg(max(col("tomb_upto")).as("tomb_upto"))
       case None => keySet
     }
     val t2 = s"t_${tomb + 1}"
     Failpoints.step("vdelete.data")
-    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete")
+    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete",
+      cleanup = false)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$t2")
-    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete")
+    guardUnmoved(entry, t2, n => s"t_${n._4}" == t2, "vdelete",
+      cleanup = true)
     writePointer(last, ct, e, tomb + 1, "vdelete")
     // only stale tombstone generations are collected — the data dirs
     // are all still live (nothing was consolidated)
@@ -648,6 +716,13 @@ private[streaming] object StateDiff {
     require(keyCol != "change_type",
       "change feed: the key column may not be named change_type — " +
         "rename it before diffing")
+    // a key named old_<dataCol> (e.g. key old_v beside data column v)
+    // collides with that column's old-value output just like a data
+    // column would
+    require(!dataCols.exists(c => keyCol == s"old_$c"),
+      s"change feed: the key column '$keyCol' collides with the feed's " +
+        s"old_<col> output for data column '${keyCol.stripPrefix("old_")}' " +
+        "— rename it before diffing")
     val reserved = dataCols.filter(c =>
       c == "change_type" || dataCols.contains(s"old_$c"))
     require(reserved.isEmpty,

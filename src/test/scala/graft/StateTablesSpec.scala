@@ -780,4 +780,62 @@ class StateTablesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 6L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("deleteKeysVectored is SCOPED: a doc re-delivered after the delete is live everywhere and survives the fold") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("at_vdelete_scope").toString
+    val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+    def rows() = t.read().map(_.collect().map(_.getLong(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    def kDirs() = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k_"))
+      .map(_.getName).toSeq
+    t.append(Seq(1L, 2L).toDF("x"), 0L)
+    t.deleteKeysVectored(Seq(2L).toDF("x"), "x")
+    assert(rows() == Seq(1L))
+    // forget ≠ ban: the data subject resubmits — the same key appends
+    // in a LATER batch, above the tombstone's scope bound
+    t.append(Seq(2L, 3L).toDF("x"), 1L)
+    assert(rows() == Seq(1L, 2L, 3L),
+      "a re-delivery after the vector must be served by read()")
+    assert(t.readRange(2L, 2L).get.collect().map(_.getLong(0)).toSeq ==
+      Seq(2L), "…and by the range read")
+    assert(t.changesSince(0L).get.collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L),
+      "…and by the change feed (the drain must see the resubmission)")
+    // the fold erases exactly the PRE-vector copy: the re-delivered
+    // row is physically on disk afterwards, the batch-0 copy is not
+    t.compact()
+    assert(rows() == Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$root/t/${kDirs().head}")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "the fold must physically keep the re-delivered copy only")
+    // re-deleting the key widens its scope to the new bound (max-merge)
+    t.deleteKeysVectored(Seq(2L).toDF("x"), "x")
+    assert(rows() == Seq(1L, 3L))
+    // …and a THIRD delivery above the widened bound is again live
+    t.append(Seq(2L).toDF("x"), 2L)
+    assert(rows() == Seq(1L, 2L, 3L))
+    // the scope column name is reserved on the key
+    intercept[IllegalArgumentException] {
+      val t2 = new AppendTable(spark, s"$root/t2")
+      t2.append(Seq(1L).toDF("tomb_upto"), 0L)
+      t2.deleteKeysVectored(Seq(1L).toDF("tomb_upto"), "tomb_upto")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("change feed rejects a key column named old_<dataCol> — the collision a data column would cause") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_oldkey").toString
+    val t = new BucketedTable(spark, s"$root/t", "old_v", 4)
+    t.merge(Seq((1L, 10L)).toDF("old_v", "v"), 0L)
+    t.merge(Seq((1L, 11L)).toDF("old_v", "v"), 1L)
+    // key old_v beside data column v would duplicate the feed's old_v
+    // output — fail NAMED, same as a data column named change_type
+    intercept[IllegalArgumentException](t.changesBetween(0L, 1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
