@@ -470,6 +470,60 @@ object PyG6Format {
   }
 }
 
+/** C/Python fixed-point float formatting — `%.Nf` (and Python's
+  * grouped `{:,.0f}`) with printf semantics: the digits come from
+  * rounding the EXACT binary value half-even, where Java's
+  * `String.format("%.2f", …)` rounds half-UP (1.5625 → "1.57" vs
+  * C/Python "1.56"). The card channel render (reference
+  * templates/cards/primary_card.tg.j2:24-29 `"%.6f" | format`,
+  * `"{:,.0f}".format`, market_risk_card.tg.j2:28-31 `"%.1f%%"`)
+  * needs the C digits because the DuckDB oracle prints through C
+  * printf. `grouping` inserts thousands separators into the integer
+  * part — Python's `{:,.Nf}`.
+  */
+case class PyFixedFormat(child: Expression, decimals: Int,
+    grouping: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pyfixed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PyFixedFormat.format(input.asInstanceOf[Double], decimals, grouping)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PyFixedFormat$$.MODULE$$.format($c, $decimals, $grouping)")
+
+  override protected def withNewChildInternal(newChild: Expression): PyFixedFormat =
+    copy(child = newChild)
+}
+
+object PyFixedFormat {
+
+  def format(x: Double, decimals: Int, grouping: Boolean): UTF8String =
+    UTF8String.fromString(fmt(x, decimals, grouping))
+
+  def fmt(x: Double, decimals: Int, grouping: Boolean): String = {
+    if (x.isNaN) return "nan"
+    if (x.isInfinite) return if (x > 0) "inf" else "-inf"
+    val neg = x < 0 ||
+      (x == 0.0 && java.lang.Double.doubleToRawLongBits(x) != 0L)
+    val bd = new java.math.BigDecimal(math.abs(x))
+      .setScale(decimals, java.math.RoundingMode.HALF_EVEN)
+    val plain = bd.toPlainString
+    val body =
+      if (!grouping) plain
+      else {
+        val dot = plain.indexOf('.')
+        val intPart = if (dot < 0) plain else plain.substring(0, dot)
+        val rest = if (dot < 0) "" else plain.substring(dot)
+        intPart.reverse.grouped(3).mkString(",").reverse + rest
+      }
+    if (neg) "-" + body else body
+  }
+}
+
 /** Column-level entry points for the custom expressions.
   *
   * Spark 4 removed `Column(expr)` / `col.expr` from the public Column
@@ -490,4 +544,7 @@ object GraftFunctions {
   def canonicalUrl(c: Column): Column = column(CanonicalUrl(expression(c)))
 
   def py6g(c: Column): Column = column(PyG6Format(expression(c)))
+
+  def pyFixed(c: Column, decimals: Int, grouping: Boolean = false): Column =
+    column(PyFixedFormat(expression(c), decimals, grouping))
 }

@@ -165,6 +165,33 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // J6 channel render: the final per-type Telegram Markdown string a
+    // push consumer sees (reference api/cards/render_pipeline.py:74-132
+    // + the four templates/cards .tg.j2 files), as pure concat/when
+    // chains over a context derived from events with integer rules —
+    // CardRender.deriveContext is the same derivation
+    // tools/render_goldens.py renders through the REAL Jinja templates
+    // (CardRenderSpec pins byte equality), and the oracle re-assembles
+    // the string in DuckDB, so the hash compare pins header routing,
+    // the SOL-green guardrail, %.6f/%.2f/%.1f C-semantics formatting,
+    // {:,.0f} grouping, list caps, and every Jinja whitespace quirk.
+    // Map-side only: zero joins, zero shuffles before the gate's sort.
+    "q_j6_card_render" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
+          .as("event_key"),
+        col("event_id").as("E"), col("user_id").as("U"),
+        get_json_object(col("props"), "$.k").cast("long").as("K"),
+        col("event_type"),
+        date_format(timestamp_micros(expr("ts_ns div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("data_as_of"))
+      graft.operators.CardRender.renderTg(
+        graft.operators.CardRender.applyGuardrail(
+          graft.operators.CardRender.deriveContext(e)))
+        .select("event_key", "card_type", "render_tg")
+        .orderBy("event_key")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -568,6 +595,161 @@ object CoverageQueries {
                 * 1000000.0 + 0.5) / 1000000.0 AS mean_luma
        FROM r ORDER BY media_id"""
 
+  /** DuckDB oracle for `q_j6_card_render`: mirrors CardRender
+    * .deriveContext + renderTg. Written with `@NL` standing for a
+    * newline inside the template string constants, replaced by a REAL
+    * newline character below (valid inside DuckDB string literals) so
+    * the Scala source stays single-line readable.
+    */
+  private val renderOracleSql: String =
+    """WITH e AS (
+         SELECT 'EV:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS event_key,
+                event_id AS E, user_id AS U,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS K,
+                event_type,
+                strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%SZ') AS data_as_of
+         FROM events),
+       c AS (
+         SELECT *,
+                ['primary','secondary','topic','market_risk'][CAST(E % 4 AS INT) + 1] AS card_type,
+                ['red','yellow','gray','green'][CAST(U % 4 AS INT) + 1] AS risk_level0,
+                CASE WHEN U % 11 <> 0 THEN upper(event_type) END AS symbol,
+                CASE WHEN E % 3 <> 1 THEN ['eth','bsc','sol'][CAST(E % 3 AS INT) + 1] END AS chain,
+                CASE WHEN E % 5 <> 2 OR E % 4 = 1 THEN '0x' || lpad(CAST(E AS VARCHAR), 40, '0') END AS ca,
+                CASE WHEN E % 4 <> 3 OR E % 5 <> 4 THEN 'RN-' || CAST(E AS VARCHAR) END AS risk_note,
+                CASE WHEN E % 7 <> 3 THEN (CASE WHEN E % 13 = 0 THEN 0.0 ELSE CAST(E % 99991 AS DOUBLE) / 100.0 END) END AS price,
+                CASE WHEN U % 5 <> 2 THEN CAST(U * 137 % 900000 AS DOUBLE) + 0.25 END AS liq,
+                CASE WHEN E % 6 <> 1 THEN CAST(U * 137 % 900000 AS DOUBLE) * 4.0 + 0.25 END AS fdv,
+                CASE WHEN E % 2 = 0 THEN (CASE WHEN E % 34 = 0 THEN 0.0 ELSE 64.0 + CAST(E % 17 AS DOUBLE) END) END AS h24_o,
+                CASE WHEN E % 2 = 0 THEN 53.0 + CAST(E % 23 AS DOUBLE) END AS h24_c,
+                CASE WHEN U % 7 = 0 THEN 'LEGAL-' || CAST(U AS VARCHAR) END AS legal,
+                CASE WHEN U % 2 = 0 THEN 'goplus:batch' END AS sec_src
+         FROM e),
+       c2 AS (
+         SELECT *,
+                (card_type IN ('primary','secondary') OR U % 3 <> 1) AS has_token,
+                (card_type IN ('primary','secondary') OR U % 3 <> 1)
+                  AND chain = 'sol' AND risk_level0 = 'green' AS guardrail
+         FROM c),
+       c3 AS (
+         SELECT *,
+                CASE WHEN guardrail THEN 'yellow' ELSE risk_level0 END AS risk_level,
+                (E % 9 = 0 OR guardrail) AS degrade
+         FROM c2),
+       r AS (
+         SELECT *,
+                CASE risk_level WHEN 'red' THEN '🔴 **高风险警报**'
+                                WHEN 'yellow' THEN '🟡 **中风险提示**'
+                                WHEN 'gray' THEN '⚫ **服务降级**'
+                                ELSE '🟢 **低风险信号**' END AS hdr,
+                '@NL**候选代币:** ' || coalesce(symbol, 'UNKNOWN')
+                  || ' (' || upper(coalesce(chain, 'eth')) || ')'
+                  || coalesce('@NL**合约地址:** `' || substr(ca, 1, 6) || '...' || substr(ca, 39, 4) || '`', '') AS token_def,
+                '@NL**候选代币:** ' || coalesce(symbol, '')
+                  || ' (' || upper(coalesce(chain, '')) || ')'
+                  || coalesce('@NL**合约地址:** `' || substr(ca, 1, 6) || '...' || substr(ca, 39, 4) || '`', '') AS token_sec,
+                CASE WHEN risk_level IN ('red','yellow','gray')
+                     THEN '@NL⚠️ **风险提示:** ' || coalesce(risk_note, '') ELSE '' END AS risk_warn,
+                '@NL@NL📊 **市场数据**@NL• 价格: $'
+                  || coalesce(CASE WHEN price IS NOT NULL AND price <> 0 THEN printf('%.6f', price) END, '待获取')
+                  || '@NL• 流动性: $'
+                  || coalesce(CASE WHEN liq IS NOT NULL AND liq <> 0 THEN format('{:,}', CAST(round(liq) AS BIGINT)) END, '待获取')
+                  || '@NL• FDV: $'
+                  || coalesce(CASE WHEN fdv IS NOT NULL AND fdv <> 0 THEN format('{:,}', CAST(round(fdv) AS BIGINT)) END, '待获取')
+                  || coalesce(CASE WHEN h24_c IS NOT NULL AND h24_c <> 0
+                       THEN '@NL• 24h 变化: ' || printf('%.2f',
+                              CASE WHEN h24_o IS NOT NULL AND h24_o <> 0
+                                   THEN (h24_c - h24_o) / h24_o * 100 ELSE 0.0 END) || '%'
+                       END, '') AS market,
+                CASE WHEN E % 9 = 0 OR guardrail
+                     THEN '@NL⚠️ **服务降级提示:** 部分数据服务暂时不可用，显示结果基于缓存或降级策略' ELSE '' END AS degr,
+                '@NL@NL🔍 **验证路径:** /ev/' || CAST(E AS VARCHAR)
+                  || '@NL📅 **数据时间:** ' || data_as_of
+                  || '_' || coalesce(legal, '本信息仅为风险线索与技术判断，不构成投资建议。') || '_' AS tail,
+                '<!-- Debug: rules_fired = '
+                  || CASE WHEN E % 3 = 0 THEN '["R' || CAST(E % 5 AS VARCHAR) || '"]' ELSE '[]' END
+                  || ' -->@NL<!-- Debug: risk_source = ' || coalesce(sec_src, '') || ' -->' AS debug
+         FROM c3),
+       r2 AS (
+         SELECT *,
+                CASE WHEN card_type = 'primary' AND E % 10 = 0 THEN
+                  '@NL@NL———@NL🔎 **歧义候选（待确认）**@NL'
+                  || array_to_string(list_transform([1, 2], i ->
+                       '• ' || CAST(i AS VARCHAR) || '. '
+                       || (CASE WHEN i = 1 THEN 'ETH' ELSE 'BSC' END)
+                       || ' `' || substr('0x' || lpad(CAST(E + i AS VARCHAR), 40, '0'), 1, 6)
+                       || '...' || substr('0x' || lpad(CAST(E + i AS VARCHAR), 40, '0'), 39, 4)
+                       || '`  @NL  LP: $'
+                       || coalesce(CASE WHEN (E + i) % 3 <> 0
+                            THEN format('{:,}', CAST(round(CAST(U * 59 % 70000 AS DOUBLE) + i + 0.25) AS BIGINT)) END, '?')
+                       || ' | 分数: ' || printf('%.2f', CAST(E % 100 + i AS DOUBLE) / 16.0)
+                       || ' | Δt: '
+                       || (CASE WHEN (U + i) % 3 <> 0 THEN CAST((E + i) % 90 AS VARCHAR) ELSE '?' END)
+                       || 'm  @NL  '
+                       || (CASE ['strong','medium','weak'][CAST((E + i) % 3 AS INT) + 1]
+                             WHEN 'strong' THEN '🟩' WHEN 'medium' THEN '🟨' ELSE '⬜️' END)
+                       || ' https://dex.example/p/' || CAST(E + i AS VARCHAR)), '@NL')
+                  || '@NL_说明：候选池待确认，暂不下“可买”结论_'
+                ELSE '' END AS cands,
+                '🔵 **话题信号**'
+                  || CASE WHEN has_token THEN token_def ELSE '' END
+                  || '📌 **话题信息**'
+                  || CASE WHEN K % 3 = 0 THEN '@NL• 话题ID: T' || CAST(K AS VARCHAR) ELSE '' END
+                  || CASE WHEN E % 8 > 0 THEN '@NL• 相关实体: '
+                       || array_to_string(list_transform(range(least(E % 8, 5)),
+                            j -> 'E' || CAST((K + j) % 50 AS VARCHAR)), ', ') ELSE '' END
+                  || CASE WHEN U % 7 > 0 THEN '@NL• 关键词: '
+                       || array_to_string(list_transform(range(least(U % 7, 5)),
+                            j -> 'kw' || CAST((E + j) % 40 AS VARCHAR)), ', ') ELSE '' END
+                  || '@NL• 提及次数: '
+                  || CASE WHEN E % 5 <> 1 THEN CAST(E % 500 AS VARCHAR) ELSE 'N/A' END
+                  || '@NL• 置信度: '
+                  || CASE WHEN U % 4 <> 1
+                       THEN printf('%.1f', CAST(U % 101 AS DOUBLE) / 100.0 * 100) || '%'
+                       ELSE '待计算' END
+                  || CASE WHEN (E + U) % 4 > 0 THEN '@NL• 来源: '
+                       || array_to_string(list_transform(range((E + U) % 4),
+                            j -> 'src' || CAST(j AS VARCHAR)), ', ') ELSE '' END
+                  || CASE WHEN E % 7 > 0 THEN '@NL• 证据:'
+                       || array_to_string(list_transform(range(least(E % 7, 5)),
+                            j -> '@NL  - [证据' || CAST(j + 1 AS VARCHAR)
+                                 || '](https://x.example/s/' || CAST(E + j AS VARCHAR) || ')'), '') ELSE '' END
+                  || degr || tail AS topic_tg,
+                coalesce(CASE WHEN E % 16 <> 7 THEN risk_level0 END, risk_level, 'gray') AS risk_mr
+         FROM r),
+       r3 AS (
+         SELECT *,
+                hdr || '@NL' || token_def || risk_warn || market || degr || tail || debug || cands AS primary_tg,
+                hdr || '@NL' || token_sec || risk_warn || market || degr || tail || debug AS secondary_tg,
+                (CASE risk_mr WHEN 'red' THEN '🔴 **高风险警报**'
+                              WHEN 'yellow' THEN '🟡 **中风险提示**'
+                              WHEN 'gray' THEN '⚫ **服务降级**'
+                              ELSE '🟢 **低风险信号**' END)
+                  || CASE WHEN has_token THEN token_def ELSE '' END
+                  || CASE WHEN risk_note IS NOT NULL AND risk_note <> ''
+                       THEN '@NL⚠️ **风险提示:** ' || risk_note ELSE '' END
+                  || '@NL@NL🛡️ **安全评估**@NL• GoPlus风险: '
+                  || (CASE risk_mr WHEN 'red' THEN '🔴 高风险' WHEN 'yellow' THEN '🟡 中风险'
+                                   WHEN 'green' THEN '🟢 低风险' ELSE '⚫ 未知' END)
+                  || '@NL• 买入税: '
+                  || CASE WHEN U % 6 <> 1 THEN printf('%.1f', CAST(U % 300 AS DOUBLE) / 10.0) || '%' ELSE '-' END
+                  || '@NL• 卖出税: '
+                  || CASE WHEN U % 6 <> 2 THEN printf('%.1f', CAST(U % 250 AS DOUBLE) / 10.0) || '%' ELSE '-' END
+                  || '@NL• LP锁定: '
+                  || CASE WHEN E % 7 <> 6 AND (E % 40 - 5) > 0 THEN CAST(E % 40 - 5 AS VARCHAR) || ' 天' ELSE '未锁定' END
+                  || '@NL• 蜜罐检测: '
+                  || CASE WHEN E % 3 <> 2 THEN (CASE WHEN U % 2 = 0 THEN '是' ELSE '否' END) ELSE '未知' END
+                  || '@NL• 安全源: '
+                  || coalesce(sec_src, CASE WHEN U % 5 = 3 THEN 'cache' END, '-')
+                  || degr || tail AS market_risk_tg
+         FROM r2)
+       SELECT event_key, card_type,
+              CASE card_type WHEN 'primary' THEN primary_tg
+                             WHEN 'secondary' THEN secondary_tg
+                             WHEN 'topic' THEN topic_tg
+                             ELSE market_risk_tg END AS render_tg
+       FROM r3 ORDER BY event_key""".replace("@NL", "\n")
+
   def oracleSql: Map[String, String] = Map(
     "q_f4_symbol_norm" ->
       """WITH r AS (
@@ -856,6 +1038,14 @@ object CoverageQueries {
                   AND coalesce(CAST(tax_buy AS DOUBLE) BETWEEN 0 AND 1, TRUE)
                   AND coalesce(CAST(tax_sell AS DOUBLE) BETWEEN 0 AND 1, TRUE)) AS valid
          FROM c4 ORDER BY event_key""",
+
+    // Byte-identical reassembly of the four Telegram templates'
+    // output (newlines are REAL newlines inside the SQL literals —
+    // spliced in by the @NL replace below): printf %.6f/%.2f/%.1f
+    // carry the same C half-even digits as the PyFixedFormat kernel,
+    // format('{:,}') the same grouping as Python's {:,.0f} (fixture
+    // fractions are .25 so the round() tie rule never fires).
+    "q_j6_card_render" -> renderOracleSql,
 
     "q_m_media_features" ->
       """SELECT doc_id AS media_id,
