@@ -547,4 +547,12 @@ object GraftFunctions {
 
   def pyFixed(c: Column, decimals: Int, grouping: Boolean = false): Column =
     column(PyFixedFormat(expression(c), decimals, grouping))
+
+  /** Violation list of `c` (a JSON document string) against a JSON
+    * Schema (Draft-7 subset, see [[JsonSchemaValidate]]); empty array
+    * = conforming.
+    */
+  def jsonSchemaValidate(c: Column, schema: String): Column =
+    column(JsonSchemaValidate(expression(c),
+      expression(org.apache.spark.sql.functions.lit(schema))))
 }

@@ -192,6 +192,65 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // P6+ card schema conformance (reference api/cards/build.py:578-583
+    // validates every card doc against schemas/cards.schema.json before
+    // render): the Draft-7-subset validator (expressions/JsonSchema
+    // .scala) runs over card JSON documents with PLANTED violations —
+    // eight fixture classes (valid / missing-required / bad-enum /
+    // out-of-range+short-string / array-cap+item-length / bad-pattern /
+    // additionalProperties+const / nested-required) — and surfaces the
+    // verdict as schema_ok + a deterministic `path: keyword` violation
+    // string the oracle re-derives per class. Map-side, codegen'd.
+    "q_p6_schema_validate" -> ((s, dir) => {
+      import graft.expressions.{GraftFunctions, JsonSchema}
+      val e = Tables.load(s, dir, "events").select(
+        concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
+          .as("event_key"),
+        col("event_id").as("E"),
+        (col("event_id") % 8).as("cls"))
+      val cls = col("cls")
+      val doc = to_json(struct(
+        when(cls === 2, "market_risk")
+          .otherwise(element_at(
+            array(lit("primary"), lit("secondary"), lit("topic")),
+            (col("E") % 3 + 1).cast("int"))).as("card_type"),
+        when(cls === 5, lower(col("event_key"))).otherwise(col("event_key"))
+          .as("event_key"),
+        struct(
+          struct(
+            lit("green").as("risk"),
+            when(cls === 3, 1.5).otherwise(0.25).as("tax_buy"),
+            lit("GoPlus@v1.0").as("risk_source"),
+            when(cls === 6, true).as("extra_flag")).as("goplus"),
+          struct(
+            (col("E") % 1000).cast("double").divide(10.0).as("price_usd"),
+            (col("E") % 500).cast("double").as("liquidity_usd")).as("dex"),
+          struct(
+            lit("watch").as("level"),
+            lit(55.5).as("score"),
+            when(cls === 4, array(lit("a"), lit("b"), lit("c"),
+              repeat(lit("x"), 121))).otherwise(array(lit("a"), lit("b")))
+              .as("reasons")).as("rules")).as("data"),
+        when(cls === 3, "abc")
+          .otherwise(concat(lit("summary-"), col("E").cast("string")))
+          .as("summary"),
+        concat(lit("note-"), col("E").cast("string")).as("risk_note"),
+        array(struct(
+          lit("x_post").as("type"),
+          when(cls =!= 7, "d1").as("desc"))).as("evidence"),
+        struct(
+          when(cls === 6, "cards@18.0").otherwise("cards@19.0").as("version"),
+          lit("2024-01-15T10:30:00Z").as("data_as_of"),
+          when(cls =!= 1, "template").as("summary_backend")).as("meta")))
+      e.select(col("event_key"),
+          GraftFunctions.jsonSchemaValidate(doc, JsonSchema.cardsSchema)
+            .as("violations"))
+        .select(col("event_key"),
+          (size(col("violations")) === 0).as("schema_ok"),
+          array_join(col("violations"), "; ").as("violations_str"))
+        .orderBy("event_key")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1046,6 +1105,24 @@ object CoverageQueries {
     // format('{:,}') the same grouping as Python's {:,.0f} (fixture
     // fractions are .25 so the round() tie rule never fires).
     "q_j6_card_render" -> renderOracleSql,
+
+    // the oracle RE-DERIVES the validator's verdict analytically from
+    // the planted fixture class — it never runs a validator, so the
+    // hash compare pins the walk order, paths, and keyword names
+    "q_p6_schema_validate" ->
+      """SELECT 'EV:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS event_key,
+                event_id % 8 = 0 AS schema_ok,
+                CASE event_id % 8
+                  WHEN 0 THEN ''
+                  WHEN 1 THEN '$.meta.summary_backend: required'
+                  WHEN 2 THEN '$.card_type: enum'
+                  WHEN 3 THEN '$.data.goplus.tax_buy: maximum; $.summary: minLength'
+                  WHEN 4 THEN '$.data.rules.reasons: maxItems; $.data.rules.reasons[3]: maxLength'
+                  WHEN 5 THEN '$.event_key: pattern'
+                  WHEN 6 THEN '$.data.goplus.extra_flag: additionalProperties; $.meta.version: const'
+                  ELSE '$.evidence[0].desc: required'
+                END AS violations_str
+         FROM events ORDER BY event_key""",
 
     "q_m_media_features" ->
       """SELECT doc_id AS media_id,
