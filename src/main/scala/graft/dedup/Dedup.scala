@@ -624,6 +624,61 @@ object Dedup {
     cross.union(within)
   }
 
+  /** [[simhashPairsOf]] for FULL 64-bit fingerprints (perceptual
+    * image hashes — [[graft.multimodal.Multimodal.imageHashes]]):
+    * four 16-bit bands give the same pigeonhole guarantee (d ≤ 3 ⇒
+    * at least one band untouched), the collapse-first rep/clique
+    * scheme is identical, and the output equals the brute-force
+    * pair list with hamming ≤ maxDist — which is exactly what the
+    * `q_m_image_dedup` oracle computes as an O(n²) cross join at
+    * oracle scale while this side stays banded at corpus scale.
+    * Input: (doc_id, fp) with fp a 64-bit word.
+    */
+  def hash64NearDupPairs(fingerprints: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "16-bit banding guarantees only d <= 3")
+    val members = fingerprints
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("fp")))
+      .localCheckpoint()
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("fp"))
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(65535L))
+          .as("band_val"))): _*)
+    val banded = reps.select(col("doc_id"), col("fp"),
+        explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("fp"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("ra"), col("fp").as("fpa"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("rb"), col("fp").as("fpb"))
+    // emit each candidate pair from its FIRST matching band only
+    val firstBandOnly = (0 until 4).map { j =>
+      when(col("band_id") > j,
+        shiftright(col("fpa"), j * 16).bitwiseAND(lit(65535L)) =!=
+          shiftright(col("fpb"), j * 16).bitwiseAND(lit(65535L)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val repPairs = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("ra") < col("rb") && firstBandOnly)
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("ra", "rb", "hamming")
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("ida"),
+        greatest(col("da"), col("db")).as("idb"), col("hamming"))
+    val within = members.select(col("fp"), col("doc_id").as("ida"))
+      .join(members.select(col("fp"), col("doc_id").as("idb")), "fp")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        lit(0).cast("integer").as("hamming"))
+    cross.union(within)
+  }
+
   /** L53 — cross-corpus near-dedup: flag every BATCH doc whose simhash
     * is within `maxDist` bits of ANY reference-corpus doc — "dedup the
     * new crawl against the existing training mix" (the near-dup

@@ -1357,6 +1357,107 @@ object Multimodal {
       })
   }
 
+  /** Perceptual image fingerprints from the REAL decoders' rasters —
+    * the multimodal face of the near-dedup mandate: a recompressed
+    * (BMP↔PNG) or resized copy of an image decodes to a raster whose
+    * 8×8 downscale is unchanged, so its aHash/dHash land within a
+    * small hamming distance and the banded probe
+    * ([[graft.dedup.Dedup.hash64NearDupPairs]]) surfaces the pair
+    * without any all-pairs comparison. Map-side: the raster never
+    * leaves the partition; only the two 64-bit words do.
+    */
+  final case class ImageHash(
+      mediaId: Long,
+      w: Long,
+      h: Long,
+      aHash: Long,
+      dHash: Long)
+
+  /** aHash (8×8 block means vs global mean) and dHash (9×8 grid,
+    * horizontal gradient) over a top-down RGB raster. All arithmetic
+    * is EXACT integer cross-multiplication on luma·1000 sums — block
+    * mean comparisons are `S_b·N > T·n_b`, never floating division —
+    * so a fixture whose block values are analytic reproduces the
+    * fingerprint bit-for-bit in SQL. Bit i of aHash = block
+    * (i%8, i/8); bit r·8+c of dHash = grid(r,c) < grid(r,c+1). Images
+    * up to ~1M pixels stay inside Long range (documented bound:
+    * 255000·(w·h)²·— the caller resizes monsters first).
+    */
+  private[graft] def perceptualHashes(w: Int, h: Int,
+      px: Array[Byte]): (Long, Long) = {
+    require(w.toLong * h <= 1000000L,
+      s"perceptualHashes: raster ${w}x$h too large — resize first")
+    def luma(x: Int, y: Int): Long = {
+      val p = (y * w + x) * 3
+      299L * (px(p) & 0xff) + 587L * (px(p + 1) & 0xff) +
+        114L * (px(p + 2) & 0xff)
+    }
+    def gridSums(cols: Int, rows: Int): (Array[Long], Array[Long]) = {
+      val s = new Array[Long](cols * rows)
+      val n = new Array[Long](cols * rows)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * rows / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * cols / w).toInt
+          s(gy * cols + gx) += luma(x, y)
+          n(gy * cols + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (s, n)
+    }
+    // aHash: block mean vs global mean, exact cross-multiplication
+    val (s8, n8) = gridSums(8, 8)
+    val total = s8.sum
+    val bigN = w.toLong * h
+    var aHash = 0L
+    var i = 0
+    while (i < 64) {
+      if (n8(i) > 0 && s8(i) * bigN > total * n8(i)) aHash |= 1L << i
+      i += 1
+    }
+    // dHash: horizontal gradient over a 9×8 grid
+    val (s9, n9) = gridSums(9, 8)
+    var dHash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c
+        // mean(l) < mean(l+1)  ⇔  s_l·n_{l+1} < s_{l+1}·n_l
+        if (n9(l) > 0 && n9(l + 1) > 0 &&
+            s9(l) * n9(l + 1) < s9(l + 1) * n9(l))
+          dHash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    (aHash, dHash)
+  }
+
+  /** Fingerprint a frame of (media_id, format ∈ {bmp, png}, bytes):
+    * decode through the real parsers, hash the raster. Same map-side
+    * mapPartitions slot as [[decodeMedia]].
+    */
+  def imageHashes(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        val (w, h, px) = fmt match {
+          case "bmp" => MediaCodec.pixelsBmp(id, bytes)
+          case "png" => MediaCodec.pixelsPng(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"imageHashes: unsupported format $f: media $id")
+        }
+        val (a, d) = perceptualHashes(w, h, px)
+        ImageHash(id, w.toLong, h.toLong, a, d)
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped
@@ -1649,9 +1750,19 @@ object Multimodal {
       * top-down: R = (id + x + 11y) % 256, G = (id + 5x + y) % 256,
       * B = (id + 3x + 7y) % 256.
       */
-    def bmpBytes(id: Long): Array[Byte] = {
-      val w = (4 + id % 5).toInt
-      val h = (3 + id % 4).toInt
+    def bmpBytes(id: Long): Array[Byte] =
+      bmpBytesOf((4 + id % 5).toInt, (3 + id % 4).toInt, (x, y) => (
+        ((id + x + 11 * y) % 256).toInt,
+        ((id + 5 * x + y) % 256).toInt,
+        ((id + 3 * x + 7 * y) % 256).toInt))
+
+    /** The BMP container behind [[bmpBytes]], parameterized on the
+      * raster — the image-dedup fixtures plant block-pattern rasters
+      * through the same encoder so the decoder path is shared.
+      * `px(x, y)` returns top-down (R, G, B).
+      */
+    def bmpBytesOf(w: Int, h: Int,
+        px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val rowSize = (w * 3 + 3) / 4 * 4
       val size = 54 + h * rowSize
       val out = new Array[Byte](size)
@@ -1666,9 +1777,10 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val o = row + x * 3
-          out(o) = ((id + 3 * x + 7 * y) % 256).toByte // B
-          out(o + 1) = ((id + 5 * x + y) % 256).toByte // G
-          out(o + 2) = ((id + x + 11 * y) % 256).toByte // R
+          val (r, g, b) = px(x, y)
+          out(o) = b.toByte // B
+          out(o + 1) = g.toByte // G
+          out(o + 2) = r.toByte // R
           x += 1
         }
         y += 1
@@ -1692,16 +1804,25 @@ object Multimodal {
       * 68 + h·(1+3w) bytes — while the decoder still runs the REAL
       * Inflater over it. Chunk CRCs are genuine CRC-32s.
       */
-    def pngBytes(id: Long): Array[Byte] = {
-      val w = (5 + id % 4).toInt
-      val h = (4 + id % 3).toInt
+    def pngBytes(id: Long): Array[Byte] =
+      pngBytesOf((5 + id % 4).toInt, (4 + id % 3).toInt, (x, y) => (
+        ((id + x + 11 * y) % 256).toInt,
+        ((id + 5 * x + y) % 256).toInt,
+        ((id + 3 * x + 7 * y) % 256).toInt))
+
+    /** The PNG container behind [[pngBytes]], parameterized on the
+      * raster (same per-row filter cycling and hand-rolled stored
+      * zlib block, so the size closed form 68 + h·(1+3w) holds for
+      * any raster). `px(x, y)` returns top-down (R, G, B).
+      */
+    def pngBytesOf(w: Int, h: Int,
+        pxf: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = 1 + w * 3
       // raw filtered scanlines
       val raw = new Array[Byte](h * stride)
-      def px(x: Int, y: Int, ch: Int): Int = ch match {
-        case 0 => ((id + x + 11 * y) % 256).toInt // R
-        case 1 => ((id + 5 * x + y) % 256).toInt // G
-        case 2 => ((id + 3 * x + 7 * y) % 256).toInt // B
+      def px(x: Int, y: Int, ch: Int): Int = {
+        val (r, g, b) = pxf(x, y)
+        ch match { case 0 => r; case 1 => g; case 2 => b }
       }
       def paeth(a: Int, b: Int, c: Int): Int = {
         val p = a + b - c
@@ -1761,6 +1882,29 @@ object Multimodal {
       o = chunk(o, "IDAT", z)
       chunk(o, "IEND", Array.empty[Byte])
       out
+    }
+
+    /** Deterministic mixed 64-bit block pattern for the image-dedup
+      * fixtures: two 32-bit multiplicative hashes packed so the top
+      * half stays below 2³¹ (hi·2³² + lo ≤ 2⁶³−1 — no overflow in
+      * either engine's BIGINT), bit 0 forced clear and bit 1 forced
+      * set so the pattern is never all-dark/all-bright (an aHash of
+      * a constant image is degenerate). The `q_m_image_dedup` oracle
+      * reproduces this arithmetic verbatim in SQL.
+      */
+    def patternWord(base: Long): Long = {
+      val hi = base * 2654435761L % 2147483648L
+      val lo = (base + 123456789L) * 2654435761L % 4294967296L
+      ((hi * 4294967296L + lo) & ~1L) | 2L
+    }
+
+    /** Block raster: an 8×8 grid of `scale`×`scale` pixel blocks,
+      * block i (row-major) = bit i of `word` ? 200 : 40, gray.
+      */
+    def blockPx(word: Long, scale: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val i = (y / scale) * 8 + (x / scale)
+      val v = if (((word >> i) & 1L) != 0L) 200 else 40
+      (v, v, v)
     }
 
     /** PCM 16-bit mono 8 kHz WAV, n = 64 + id%129 samples; sample i =

@@ -251,6 +251,42 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // Perceptual image near-dedup (the multimodal face of the dedup
+    // mandate): every doc becomes one of four planted variants of an
+    // 8×8 block image — v0 BMP 16×16, v1 the SAME pattern as a PNG at
+    // 24×24 (recompressed + resized duplicate), v2 one block flipped
+    // (hamming-1 near-dup), v3 an unrelated pattern — the REAL
+    // BMP/PNG decoders produce the rasters, aHash is computed from
+    // the pixels with exact integer arithmetic, and the banded
+    // 16-bit-hamming probe surfaces the pairs. Because 4×16-bit
+    // banding is pigeonhole-exact for d ≤ 3, the banded output EQUALS
+    // brute force — which is what the oracle computes from the
+    // analytically-known pattern words (it never sees an image).
+    "q_m_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
+            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
+            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
+              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val fps = Multimodal.imageHashes(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("aHash").as("fp"))
+      graft.dedup.Dedup.hash64NearDupPairs(fps, maxDist = 3)
+        .orderBy("ida", "idb")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1123,6 +1159,35 @@ object CoverageQueries {
                   ELSE '$.evidence[0].desc: required'
                 END AS violations_str
          FROM events ORDER BY event_key""",
+
+    // the pattern words are re-derived arithmetically (hi·2³²+lo ≤
+    // 2⁶³−1, no BIGINT overflow) and the pair list is BRUTE FORCE —
+    // exactness of the banded probe for d ≤ 3 is the claim under test
+    "q_m_image_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id,
+                  CASE v
+                    WHEN 2 THEN xor((raw & -2) | 2,
+                                    (1::BIGINT << CAST(base % 60 + 2 AS INT)))
+                    WHEN 3 THEN (raw3 & -2) | 2
+                    ELSE (raw & -2) | 2
+                  END AS fp
+           FROM f0)
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY ida, idb""",
 
     "q_m_media_features" ->
       """SELECT doc_id AS media_id,

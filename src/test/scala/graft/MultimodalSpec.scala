@@ -1028,4 +1028,75 @@ class MultimodalSpec extends AnyFunSuite {
     for (i <- 0 until 4)
       assert((out(i * 3) & 0xff) == want(i), s"block $i")
   }
+
+  test("perceptual hashes: recompression is hash-identical, resize is aHash-exact/dHash-near; a one-block flip moves exactly one aHash bit") {
+    import graft.multimodal.Multimodal
+    def hashesOf(fmt: String, bytes: Array[Byte]): (Long, Long) = {
+      val (w, h, px) = fmt match {
+        case "bmp" => MediaCodec.pixelsBmp(0L, bytes)
+        case "png" => MediaCodec.pixelsPng(0L, bytes)
+      }
+      Multimodal.perceptualHashes(w, h, px)
+    }
+    val word = Fixtures.patternWord(7L)
+    val bmp16 = hashesOf("bmp", Fixtures.bmpBytesOf(16, 16,
+      Fixtures.blockPx(word, 2)))
+    val png16 = hashesOf("png", Fixtures.pngBytesOf(16, 16,
+      Fixtures.blockPx(word, 2)))
+    val png24 = hashesOf("png", Fixtures.pngBytesOf(24, 24,
+      Fixtures.blockPx(word, 3)))
+    val png40 = hashesOf("png", Fixtures.pngBytesOf(40, 40,
+      Fixtures.blockPx(word, 5)))
+    // the aHash of a block image IS the pattern word (bit i = block i
+    // brighter than the mean) — the property the oracle leans on
+    assert(bmp16._1 == word, "aHash must equal the planted pattern")
+    // pure recompression (same raster, different container): both
+    // hashes identical
+    assert(png16 == bmp16, "PNG at 16x16 must hash identically (recompress)")
+    // resize: aHash is EXACT (8×8 grid aligns with the 8×8 blocks at
+    // any scale); dHash's 9-column grid cannot align with 8 blocks,
+    // so it drifts a few bits across resolutions — like real dHash
+    // across re-encodes, it is a NEAR match, never asserted equal
+    assert(png24._1 == word && png40._1 == word,
+      "aHash must survive 24x24 and 40x40 resizes exactly")
+    val unrelated = hashesOf("bmp", Fixtures.bmpBytesOf(16, 16,
+      Fixtures.blockPx(Fixtures.patternWord(9999L), 2)))
+    def hm(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hm(png24._2, bmp16._2) < hm(unrelated._2, bmp16._2),
+      "resized dHash must stay closer than an unrelated image's")
+    // one flipped block = exactly one aHash bit
+    val k = (7L % 60 + 2).toInt
+    val pert = hashesOf("bmp", Fixtures.bmpBytesOf(16, 16,
+      Fixtures.blockPx(word ^ (1L << k), 2)))
+    assert(pert._1 == (word ^ (1L << k)))
+    assert(java.lang.Long.bitCount(pert._1 ^ bmp16._1) == 1)
+    // unrelated pattern is far away
+    val other = hashesOf("bmp", Fixtures.bmpBytesOf(16, 16,
+      Fixtures.blockPx(Fixtures.patternWord(9999L), 2)))
+    assert(java.lang.Long.bitCount(other._1 ^ bmp16._1) > 3)
+  }
+
+  test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val fps = (0L until 40L).map { d =>
+      val base = d / 4
+      val word = Fixtures.patternWord(base)
+      val fp = (d % 4) match {
+        case 2 => word ^ (1L << (base % 60 + 2).toInt)
+        case 3 => Fixtures.patternWord(base + 1000003L)
+        case _ => word // v0 and v1 identical → clique path
+      }
+      (d, fp)
+    }
+    val df = fps.toDF("doc_id", "fp")
+    val got = graft.dedup.Dedup.hash64NearDupPairs(df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      hm = java.lang.Long.bitCount(fa ^ fb) if hm <= 3
+    } yield (a, b, hm)).toSet
+    assert(got == brute)
+    assert(brute.size == 30, s"expected 10 bases x 3 planted pairs: $brute")
+  }
 }
