@@ -491,6 +491,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // L77b — zone maps for the KEYED layout (round-14 verdict item 4;
+    // q_c_zone_skip covers the append log): a BucketedTable with a
+    // declared stats column writes a per-bucket min/max side file per
+    // version, and readRange opens ONLY the overlapping buckets. The
+    // fixture's stats column is bucket-correlated (the tenant-prefixed
+    // key-space shape that makes lakehouse file skipping pay):
+    // s_val = bucket·1000 + doc_id%997, where bucket = Spark's
+    // pmod(xxhash64(doc_id), 8) — which the ORACLE recomputes exactly
+    // via a HUGEINT mod-2⁶⁴ xxhash64 implementation, so bucket
+    // identity, the pruned fan-in (1 of 8), and every returned row
+    // are all hash-checked, not just counted. The second merge
+    // touches few buckets, so untouched buckets' zones carry forward
+    // by value.
+    "q_c_bucket_zone_skip" -> ((s, dir) => {
+      import graft.streaming.BucketedTable
+      val nb = 8
+      val d = docs(s, dir).select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(nb.toLong)) * 1000 +
+          col("doc_id") % 997).as("s_val"),
+        col("n_chars"))
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("bucket_zone",
+        src.getParentFile.getName)
+      val t = new BucketedTable(s, s"$state/t", "doc_id", nb,
+        statsCol = Some("s_val"))
+      t.merge(d, 0L)
+      // second commit rewrites FEW buckets: carry-forward exercised
+      t.merge(d.filter(col("doc_id") % 50 === 0), 1L)
+      val (opened, total) = t.rangeFanIn(3000L, 3999L)
+      t.readRange(3000L, 3999L).get
+        .select(col("doc_id"), col("s_val"), col("n_chars"),
+          lit(opened.toLong).as("buckets_opened"),
+          lit(total.toLong).as("buckets_total"))
+        .orderBy("doc_id")
+    }),
+
     // L53 cross-corpus near-dedup: flag batch docs (doc_id%10==0, the
     // L40/L52 ingest convention) near-duplicating ANY reference doc;
     // nearest ref doc reported (min hamming, min id). Both sides
@@ -1840,6 +1876,48 @@ object CurationQueries {
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 7 ORDER BY doc_id"""
 
+  /** `(a·b) mod 2⁶⁴` in DuckDB HUGEINT without 128-bit overflow —
+    * split `a` into 32-bit halves (the full 64×64 product can exceed
+    * INT128).
+    */
+  private def mm(a: String, b: String): String =
+    s"(((($a) // 4294967296) * $b) % 4294967296 * 4294967296" +
+      s" + (($a) % 4294967296) * $b) % 18446744073709551616::HUGEINT"
+
+  /** CTE chain computing Spark's `xxhash64(BIGINT)` (seed 42) for
+    * every document — mod-2⁶⁴ arithmetic over HUGEINT, rotations as
+    * shift pairs, xors through the signed domain — ending in CTE `xb`
+    * with (doc_id, n_chars, bkt = pmod(hash, nb)). Verified value-
+    * identical to Spark's XxHash64 on the long input path; this is
+    * what lets an oracle reason about BUCKET IDENTITY instead of only
+    * bucket counts.
+    */
+  private def xxh64BucketCte(nb: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    def sgn(h: String) = s"(CASE WHEN $h >= $HALF THEN $h - $M ELSE $h END)::BIGINT"
+    def uns(s: String) = s"(CASE WHEN $s < 0 THEN ($s)::HUGEINT + $M ELSE ($s)::HUGEINT END)"
+    s"""x0 AS (SELECT doc_id, n_chars,
+            (42::HUGEINT + 2870177450012600261 + 8) % $M AS h0,
+            doc_id::HUGEINT AS u FROM documents),
+       x1 AS (SELECT *, ${mm("u", "14029467366897019727::HUGEINT")} AS k0 FROM x0),
+       x2 AS (SELECT *, ((k0 * 2147483648) % $M + k0 // 8589934592) % $M AS k1 FROM x1),
+       x3 AS (SELECT *, ${mm("k1", "11400714785074694791::HUGEINT")} AS k2 FROM x2),
+       x4 AS (SELECT *, xor(${sgn("h0")}, ${sgn("k2")}) AS hxs FROM x3),
+       x5 AS (SELECT *, ${uns("hxs")} AS h1 FROM x4),
+       x6 AS (SELECT *, ((h1 * 134217728) % $M + h1 // 137438953472) % $M AS h2 FROM x5),
+       x7 AS (SELECT *, (${mm("h2", "11400714785074694791::HUGEINT")} + 9650029242287828579) % $M AS h3 FROM x6),
+       a0 AS (SELECT *, xor(${sgn("h3")}, (h3 // 8589934592)::BIGINT) AS a0s FROM x7),
+       a1 AS (SELECT *, ${uns("a0s")} AS av1 FROM a0),
+       a2 AS (SELECT *, ${mm("av1", "14029467366897019727::HUGEINT")} AS av2 FROM a1),
+       a3 AS (SELECT *, xor(${sgn("av2")}, (av2 // 536870912)::BIGINT) AS a3s FROM a2),
+       a4 AS (SELECT *, ${uns("a3s")} AS av3 FROM a3),
+       a5 AS (SELECT *, ${mm("av3", "1609587929392839161::HUGEINT")} AS av4 FROM a4),
+       a6 AS (SELECT *, xor(${sgn("av4")}, (av4 // 4294967296)::BIGINT) AS xxh FROM a5),
+       xb AS MATERIALIZED (SELECT doc_id, n_chars,
+            ((xxh % $nb) + $nb) % $nb AS bkt FROM a6)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     // Transitive closure by recursive CTE, mirroring the operator's
@@ -1972,6 +2050,28 @@ object CurationQueries {
          FROM documents d, p
          WHERE d.doc_id >= p.c + p.c // 4 AND d.doc_id <= p.c + p.c // 2
          ORDER BY d.doc_id""",
+
+    // the oracle recomputes Spark's xxhash64 bucket routing exactly
+    // (HUGEINT mod-2⁶⁴), derives the bucket-correlated stats column,
+    // and pins the pruned fan-in analytically: zone of bucket b ⊆
+    // [b·1000, b·1000+996], so [3000, 3999] overlaps exactly bucket 3
+    // (when populated) out of the manifest's total
+    "q_c_bucket_zone_skip" ->
+      s"""WITH ${xxh64BucketCte(8)},
+          -- MATERIALIZED: f is referenced twice (rows + the fan-in
+          -- aggregate); inlining would duplicate the whole 15-stage
+          -- hash chain into each reference and blow up the planner
+          f AS MATERIALIZED (SELECT doc_id, n_chars, bkt,
+                       bkt * 1000 + doc_id % 997 AS s_val FROM xb),
+          agg AS (SELECT count(DISTINCT bkt) AS total,
+                         count(DISTINCT CASE WHEN bkt = 3 THEN bkt END) AS opened
+                  FROM f)
+          SELECT f.doc_id, f.s_val, f.n_chars,
+                 CAST(agg.opened AS BIGINT) AS buckets_opened,
+                 CAST(agg.total AS BIGINT) AS buckets_total
+          FROM f, agg
+          WHERE f.s_val BETWEEN 3000 AND 3999
+          ORDER BY f.doc_id""",
 
     // from-scratch subset CC + the maintenance-proof arithmetic: the
     // bucket counts are the growth rule replayed on the oracle's own

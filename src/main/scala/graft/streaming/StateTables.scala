@@ -798,9 +798,26 @@ object BucketedTable {
   * (changed rows replace same-key rows; deletes are out of scope — the
   * label store only ever adds or relabels).
   */
+/** @param statsCol when set, every committed version carries a
+  *   per-bucket min/max zone map of this LongType column in a
+  *   `zones_v<v>` side file (≤ nBuckets lines — manifest-class
+  *   metadata): changed buckets' zones are recomputed with one
+  *   ∝-batch aggregate at merge time, untouched buckets carry
+  *   forward by value, and [[BucketedTable.readRange]] opens ONLY
+  *   the buckets whose zone overlaps the asked range — the Delta
+  *   OPTIMIZE-ZORDER data-skipping shape for the keyed layout (it
+  *   pays off when the stats column correlates with the key, e.g. a
+  *   tenant- or time-prefixed key space). Rewritten buckets are also
+  *   sorted WITHIN the bucket on this column, so parquet row-group
+  *   stats prune further inside each opened bucket. Purely an
+  *   optimization: the residual filter is always applied, a version
+  *   without a zones file (pre-upgrade) scans every bucket, and a
+  *   bucket absent from the file is conservatively opened.
+  */
 final class BucketedTable(spark: SparkSession, path: String,
     keyCol: String, nBuckets: Int,
-    maxBroadcastKeys: Long = BucketedTable.MaxBroadcastKeys) {
+    maxBroadcastKeys: Long = BucketedTable.MaxBroadcastKeys,
+    statsCol: Option[String] = None) {
   require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
 
   private val ptrPath = Paths.get(path, "_LATEST")
@@ -947,6 +964,105 @@ final class BucketedTable(spark: SparkSession, path: String,
         val i = line.indexOf(',')
         line.substring(0, i).toLong -> line.substring(i + 1)
       }.toMap
+
+  /** Per-bucket zones of version `v` (`zones_v<v>` lines
+    * `<bucket>,<min>,<max>`); empty when the version carries no
+    * zones file (pre-upgrade history — scan conservatively).
+    */
+  private def readZones(v: Long): Map[Long, (Long, Long)] = {
+    val p = Paths.get(path, s"zones_v$v")
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, lo, hi) = line.split(",", 3)
+        b.toLong -> (lo.toLong, hi.toLong)
+      }.toMap
+  }
+
+  /** Land version `v`'s zones as a side file (tmp + atomic move — an
+    * orphan until the pointer names v, the standard two-step shape).
+    */
+  private def writeZones(v: Long, zones: Map[Long, (Long, Long)],
+      op: String): Unit = {
+    val tmp = Paths.get(path, s"zones_v$v.tmp")
+    Files.createDirectories(Paths.get(path))
+    Failpoints.step(s"$op.zones.tmp")
+    Files.write(tmp, zones.toSeq.sortBy(_._1)
+      .map { case (b, (lo, hi)) => s"$b,$lo,$hi" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Failpoints.step(s"$op.zones.move")
+    Files.move(tmp, Paths.get(path, s"zones_v$v"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Zones of the buckets just written under `c_<v>`: ONE aggregate
+    * over the rewritten directories (partition discovery supplies
+    * `__bucket`), ∝ the written bytes, collected at ≤ nBuckets rows
+    * — the same bounded-artifact class as the manifest. Buckets
+    * whose stats column is all-null record no zone (conservative).
+    */
+  private def computeZones(v: Long, c: String): Map[Long, (Long, Long)] = {
+    if (!new java.io.File(s"$path/c_$v").isDirectory) Map.empty
+    else spark.read.parquet(s"$path/c_$v")
+      // partition discovery types __bucket as INT; the zone file keys
+      // on the manifest's long ids
+      .groupBy(col("__bucket").cast("long").as("__bucket"))
+      .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+      .filter(col("lo").isNotNull)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Carry zones across a commit: untouched buckets keep the prior
+    * version's zone, rewritten buckets take the recomputed one, and
+    * buckets that left the manifest drop out. No-op (no file) when
+    * the table has no statsCol.
+    */
+  private def commitZones(v: Long, priorV: Option[Long],
+      touched: Set[Long], newManifest: Map[Long, String],
+      op: String): Unit =
+    statsCol.foreach { c =>
+      val prior = priorV.map(readZones).getOrElse(Map.empty)
+      val zones = ((prior -- touched) ++ computeZones(v, c))
+        .filter { case (b, _) => newManifest.contains(b) }
+      writeZones(v, zones, op)
+    }
+
+  /** Buckets a [[readRange]] must open under the live version vs the
+    * manifest's total — the pruning evidence a gate pins. A bucket
+    * with no recorded zone counts as opened (conservative).
+    */
+  def rangeFanIn(lo: Long, hi: Long): (Int, Int) = pointer() match {
+    case None => (0, 0)
+    case Some((v, _, _, _)) =>
+      val m = manifest(v)
+      (rangeBucketDirs(m, readZones(v), lo, hi).size, m.size)
+  }
+
+  private def rangeBucketDirs(m: Map[Long, String],
+      zones: Map[Long, (Long, Long)], lo: Long, hi: Long): Seq[String] =
+    m.toSeq.sortBy(_._1).collect {
+      case (b, rel) if zones.get(b).forall {
+        case (zl, zh) => zh >= lo && zl <= hi } => rel
+    }.distinct
+
+  /** Rows with `statsCol` in [lo, hi] (both inclusive), opening ONLY
+    * the buckets whose zone overlaps — the range-scan face of the
+    * keyed layout ([[readKeys]] prunes by key hash; this prunes by
+    * the declared stats dimension). The residual filter is always
+    * applied, so correctness never depends on the zones.
+    */
+  def readRange(lo: Long, hi: Long): Option[DataFrame] = {
+    val c = statsCol.getOrElse(throw new IllegalStateException(
+      s"BucketedTable.readRange: $path was opened without a statsCol — " +
+        "construct the table with the zone-map column to range-read"))
+    pointer().flatMap { case (v, _, _, sm) =>
+      val dirs = rangeBucketDirs(manifest(v), readZones(v), lo, hi)
+        .map(rel => s"$path/$rel")
+      if (dirs.isEmpty) None
+      else Some(readDirs(dirs, sm).filter(col(c) >= lo && col(c) <= hi))
+    }
+  }
 
   /** `__bucket=<k>` partition dirs partitionBy actually wrote under
     * version `v` — the ground truth the manifest must record (a
@@ -1118,14 +1234,19 @@ final class BucketedTable(spark: SparkSession, path: String,
         case Some(rows) =>
           Failpoints.step("restore.data")
           guardUnmoved(entry, "restore")(_._1 >= v2)(dropOrphanVersion(v2))
-          rows.withColumn("__bucket", bucketOf(col(keyCol), nb))
+          val parted = rows.withColumn("__bucket", bucketOf(col(keyCol), nb))
             .repartition(col("__bucket"))
+          statsCol.map(c => parted.sortWithinPartitions(col(c)))
+            .getOrElse(parted)
             .write.mode(SaveMode.Overwrite)
             .partitionBy("__bucket").parquet(s"$path/c_$v2")
-          writeManifest(v2,
-            writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap,
-            "restore")
-        case None => writeManifest(v2, Map.empty, "restore")
+          val m2 = writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap
+          // a restore rewrites every bucket: all zones recomputed
+          commitZones(v2, None, m2.keySet, m2, "restore")
+          writeManifest(v2, m2, "restore")
+        case None =>
+          statsCol.foreach(_ => writeZones(v2, Map.empty, "restore"))
+          writeManifest(v2, Map.empty, "restore")
       }
       guardUnmoved(entry, "restore")(_._1 >= v2)(dropOrphanVersion(v2))
       writePointer(v2, batchId, nb, sm, "restore")
@@ -1190,6 +1311,18 @@ final class BucketedTable(spark: SparkSession, path: String,
         .sortBy(_._1)
         .foreach { case (u, f) =>
           Failpoints.step(s"vacuum.manifest.$u")
+          f.delete()
+        }
+      // zone side files ride with their manifest: no manifest → no
+      // version to range-read → the zones are residue
+      entries()
+        .filter(f => f.isFile && f.getName.startsWith("zones_v") &&
+          !f.getName.contains(".tmp"))
+        .filter(f => !Files.exists(Paths.get(path,
+          "manifest_v" + f.getName.stripPrefix("zones_v"))))
+        .sortBy(_.getName)
+        .foreach { f =>
+          Failpoints.step(s"vacuum.zones.${f.getName}")
           f.delete()
         }
       entries()
@@ -1331,7 +1464,11 @@ final class BucketedTable(spark: SparkSession, path: String,
       Failpoints.step("merge.data")
       // cheap pre-write check: don't clobber a competing claim of c_<v>
       guardUnmoved(prior, "merge")(_._1 >= v)(dropOrphanVersion(v))
-      newData.repartition(col("__bucket"))
+      // sort-within-bucket on the declared stats column: parquet
+      // row-group stats then prune inside each opened bucket
+      val parted = newData.repartition(col("__bucket"))
+      statsCol.map(c => parted.sortWithinPartitions(col(c)))
+        .getOrElse(parted)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/c_$v")
     }
@@ -1343,6 +1480,7 @@ final class BucketedTable(spark: SparkSession, path: String,
       if (touched.isEmpty) Set.empty else writtenBuckets(v)
     val newManifest = (priorManifest -- (touched -- written)) ++
       written.map(k => k -> s"c_$v/__bucket=$k").toMap
+    commitZones(v, prior.map(_._1), touched, newManifest, "merge")
     writeManifest(v, newManifest, "merge")
     guardUnmoved(prior, "merge")(_._1 >= v)(dropOrphanVersion(v))
     writePointer(v, batchId, nb, sm, "merge")
@@ -1397,14 +1535,18 @@ final class BucketedTable(spark: SparkSession, path: String,
         case Some(rows) =>
           Failpoints.step("rebucket.data")
           guardUnmoved(entry, "rebucket")(_._1 >= v2)(dropOrphanVersion(v2))
-          rows.withColumn("__bucket", bucketOf(col(keyCol), newN))
+          val parted = rows.withColumn("__bucket", bucketOf(col(keyCol), newN))
             .repartition(col("__bucket"))
+          statsCol.map(c => parted.sortWithinPartitions(col(c)))
+            .getOrElse(parted)
             .write.mode(SaveMode.Overwrite)
             .partitionBy("__bucket").parquet(s"$path/c_$v2")
-          writeManifest(v2,
-            writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap,
-            "rebucket")
+          val m2 = writtenBuckets(v2).map(k => k -> s"c_$v2/__bucket=$k").toMap
+          // a rebucket rewrites every bucket: all zones recomputed
+          commitZones(v2, None, m2.keySet, m2, "rebucket")
+          writeManifest(v2, m2, "rebucket")
         case None =>
+          statsCol.foreach(_ => writeZones(v2, Map.empty, "rebucket"))
           writeManifest(v2, Map.empty, "rebucket")
       }
       guardUnmoved(entry, "rebucket")(_._1 >= v2)(dropOrphanVersion(v2))

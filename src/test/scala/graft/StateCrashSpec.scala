@@ -264,6 +264,46 @@ class StateCrashSpec extends AnyFunSuite {
     assert(points >= 5, s"restore: expected ≥5 kill points, saw $points")
   }
 
+  private def btz(root: String) =
+    new BucketedTable(spark, s"$root/t", "k", 4, statsCol = Some("v"))
+  private def btzState(root: String) = {
+    val t = btz(root)
+    (t.read().map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[Long, Long]),
+      t.readRange(20L, 50L).map(_.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[Long, Long]),
+      t.rangeFanIn(20L, 50L))
+  }
+
+  test("BucketedTable.merge with zone maps survives a kill at every file-op boundary; range reads never tear") {
+    val points = sweep("merge_zones") { root =>
+      btz(root).merge(
+        kvDF(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 45L))), 0L)
+    } { root =>
+      btz(root).merge(kvDF(Seq((2L, 25L), (6L, 60L))), 1L)
+    }(btzState)
+    // data + zones tmp/move + manifest tmp/move + pointer tmp/move
+    assert(points >= 7, s"merge_zones: expected ≥7 kill points, saw $points")
+  }
+
+  test("BucketedTable.vacuum collects superseded zone side files crash-safely (zones only ever trail their manifest)") {
+    val points = sweep("vacuum_zones") { root =>
+      val t = btz(root)
+      t.merge(kvDF((0L until 12L).map(k => k -> (k * 10L))), 0L)
+      t.merge(kvDF(Seq(1L -> 111L)), 1L)
+      t.merge(kvDF(Seq(2L -> 222L)), 2L)
+    } { root =>
+      btz(root).vacuum(keepVersions = 1)
+    } { root =>
+      // the LIVE version's range read is the zone invariant at every
+      // boundary: vacuum deletes a zones file only after its manifest
+      // is gone, so a mid-collect version can never serve its zones
+      btzState(root)
+    }
+    assert(points >= 4, s"vacuum_zones: expected ≥4 kill points, saw $points")
+  }
+
   test("BucketedTable.vacuum survives a kill at every file-op boundary") {
     val points = sweep("vacuum") { root =>
       bt(root).merge(kvDF((0L until 20L).map(k => k -> k)), 0L)

@@ -826,6 +826,61 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("BucketedTable zone maps: range reads open only overlapping buckets; zones carry forward, recompute on rebucket/restore, and vacuum collects stale files") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_zones").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4,
+      statsCol = Some("s"))
+    // bucket-correlated stats (the tenant-prefixed key-space shape):
+    // s = bucket(k)·100 + k, so bucket b's zone ⊆ [b·100, b·100+63]
+    def withS(keys: Seq[Long]) = keys.toDF("k").select(col("k"),
+      (pmod(xxhash64(col("k")), lit(4L)) * 100 + col("k")).as("s"))
+    t.merge(withS(0L until 64L), 0L)
+    def zoneFiles() = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("zones_v") &&
+        !f.getName.contains(".tmp")).map(_.getName).sorted.toSeq
+    assert(zoneFiles() == Seq("zones_v0"))
+    val (opened, total) = t.rangeFanIn(100L, 199L)
+    assert(total == 4 && opened == 1,
+      s"range [100,199] must open ONLY bucket 1: ($opened, $total)")
+    def rangeRows(lo: Long, hi: Long) =
+      t.readRange(lo, hi).map(_.collect().map(_.getLong(0)).sorted.toSeq)
+        .getOrElse(Seq.empty)
+    def filterRows(lo: Long, hi: Long) = t.read().get
+      .filter(col("s") >= lo && col("s") <= hi)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rangeRows(100L, 199L) == filterRows(100L, 199L))
+    assert(rangeRows(100L, 199L).nonEmpty)
+    // an update inside one bucket: untouched buckets' zones carry
+    // forward by value, fan-in unchanged, rows correct
+    t.merge(withS(Seq(7L)), 1L)
+    assert(t.rangeFanIn(100L, 199L) == ((1, 4)))
+    assert(rangeRows(0L, 99L) == filterRows(0L, 99L))
+    // restore: the restored version gets fresh zones (restore rewrites
+    // every bucket; run it BEFORE rebucket — a rebucket collects the
+    // older versions)
+    t.restore(0L)
+    assert(rangeRows(100L, 199L) == filterRows(100L, 199L))
+    assert(t.rangeFanIn(100L, 199L) == ((1, 4)))
+    // rebucket: all zones recomputed under the new layout; the old
+    // correlation is gone, so only CORRECTNESS is asserted
+    t.rebucket(8)
+    assert(rangeRows(100L, 199L) == filterRows(100L, 199L))
+    assert(t.rangeFanIn(100L, 199L)._2 == t.rangeFanIn(Long.MinValue,
+      Long.MaxValue)._2, "total must be the live manifest size")
+    // vacuum: zone files ride with their manifests
+    t.vacuum(1)
+    val live = t.versions
+    assert(zoneFiles().forall(z =>
+      live.contains(z.stripPrefix("zones_v").toLong)),
+      s"stale zone files survived vacuum: ${zoneFiles()} vs $live")
+    // a table without a statsCol fails readRange NAMED
+    intercept[IllegalStateException](
+      new BucketedTable(spark, s"$root/t2", "k", 4).readRange(0L, 1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("change feed rejects a key column named old_<dataCol> — the collision a data column would cause") {
     val s = spark
     import s.implicits._
