@@ -215,6 +215,55 @@ object DataOpsQueries {
           col("nBpeKnown").as("n_bpe"), col("nOov").as("n_oov"))
         .orderBy("doc_id")),
 
+    // L59b: Unigram-LM (SentencePiece-style) token counts — the same
+    // committed-artifact slot as BPE, with Viterbi segmentation under
+    // integer-scaled learned log-probs instead of ranked merges. Same
+    // oracle convention: the artifact's train-vocab piece counts join
+    // as a VALUES list; UnigramSpec proves table == live Viterbi.
+    "q_t_unigram_tokens" -> ((s, dir) =>
+      graft.text.UnigramTokenizer
+        .tokenCounts(s, docs(s, dir), "doc_id", "text").toDF()
+        .select(col("docId").as("doc_id"), col("nWords").as("n_words"),
+          col("nUniKnown").as("n_uni"), col("nOov").as("n_oov"))
+        .orderBy("doc_id")),
+
+    // L72 × L59b: the two learned tokenizers COMPARED per detected
+    // language — fertility (subtokens per known word) side by side,
+    // the audit that picks a vocabulary per language before a
+    // training run. Both artifact joins are map-side; one combining
+    // shuffle to ≤|langs| rows.
+    "q_t_tokenizer_fertility" -> ((s, dir) => {
+      val bpe = graft.text.BpeTokenizer
+        .tokenCounts(s, docs(s, dir), "doc_id", "text").toDF()
+        .select(col("docId").as("doc_id"),
+          col("nWords").cast("long").as("w"),
+          col("nBpeKnown").cast("long").as("b"))
+      val uni = graft.text.UnigramTokenizer
+        .tokenCounts(s, docs(s, dir), "doc_id", "text").toDF()
+        .select(col("docId").as("doc_id"),
+          col("nUniKnown").cast("long").as("u"),
+          col("nOov").cast("long").as("o"))
+      val lid = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).getField("lang").as("lang"))
+      bpe.join(uni, "doc_id").join(lid, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("b").as("n_bpe"), sum("u").as("n_uni"), sum("o").as("n_oov"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe"), col("n_uni"), col("n_oov"),
+          when(col("n_words") - col("n_oov") > 0,
+            graft.functions.Parity.roundHalfUp(
+              col("n_bpe").cast("double") /
+                (col("n_words") - col("n_oov")).cast("double"), 6))
+            .as("fertility_bpe"),
+          when(col("n_words") - col("n_oov") > 0,
+            graft.functions.Parity.roundHalfUp(
+              col("n_uni").cast("double") /
+                (col("n_words") - col("n_oov")).cast("double"), 6))
+            .as("fertility_uni"))
+        .orderBy("lang")
+    }),
+
     // Tokenizer FERTILITY audit per detected language (L59 × L10):
     // the multilingual-tokenizer health check — BPE subtokens per
     // known word and the OOV rate, rolled up by the langid kernel's
@@ -1105,6 +1154,73 @@ object DataOpsQueries {
                  CAST(coalesce(j.n_oov, 0) AS INTEGER) AS n_oov
           FROM documents d LEFT JOIN j USING (doc_id)
           ORDER BY d.doc_id""",
+
+    // unigram counts against the artifact's vocab table — the engine
+    // runs the real Viterbi, the spec pins table == encoder
+    "q_t_unigram_tokens" ->
+      s"""WITH uv(term, n_sub) AS (VALUES ${graft.text.UnigramTokenizer.sqlValues()}),
+          tkb AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents),
+          j AS (
+            SELECT tkb.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_words,
+                   CAST(coalesce(sum(uv.n_sub), 0) AS BIGINT) AS n_uni,
+                   CAST(count(*) - count(uv.term) AS INTEGER) AS n_oov
+            FROM tkb LEFT JOIN uv ON tkb.t = uv.term
+            GROUP BY tkb.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(j.n_words, 0) AS INTEGER) AS n_words,
+                 CAST(coalesce(j.n_uni, 0) AS BIGINT) AS n_uni,
+                 CAST(coalesce(j.n_oov, 0) AS INTEGER) AS n_oov
+          FROM documents d LEFT JOIN j USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // both artifacts' vocab tables joined under the mirrored langid
+    // CTE — the side-by-side fertility rollup
+    "q_t_tokenizer_fertility" -> {
+      val (scores, best, cases) = langIdSqlParts("toks")
+      s"""WITH bv(term, n_sub) AS (VALUES ${graft.text.BpeTokenizer.sqlValues()}),
+          uv(term, n_sub) AS (VALUES ${graft.text.UnigramTokenizer.sqlValues()}),
+          t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+            FROM documents),
+          sc AS (SELECT doc_id, len(toks) AS n, $scores FROM t),
+          b AS (SELECT *, $best AS best FROM sc),
+          lid AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang FROM b),
+          tkb AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+          j AS (
+            SELECT tkb.doc_id, CAST(count(*) AS BIGINT) AS w,
+                   CAST(coalesce(sum(bv.n_sub), 0) AS BIGINT) AS bt,
+                   CAST(coalesce(sum(uv.n_sub), 0) AS BIGINT) AS ut,
+                   CAST(count(*) - count(uv.term) AS BIGINT) AS o
+            FROM tkb LEFT JOIN bv ON tkb.tk = bv.term
+                     LEFT JOIN uv ON tkb.tk = uv.term
+            GROUP BY 1),
+          d AS (
+            SELECT lid.lang, coalesce(j.w, 0) AS w, coalesce(j.bt, 0) AS bt,
+                   coalesce(j.ut, 0) AS ut, coalesce(j.o, 0) AS o
+            FROM lid LEFT JOIN j USING (doc_id)),
+          g AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(bt) AS BIGINT) AS n_bpe,
+                   CAST(sum(ut) AS BIGINT) AS n_uni,
+                   CAST(sum(o) AS BIGINT) AS n_oov
+            FROM d GROUP BY lang)
+          SELECT lang, n_docs, n_words, n_bpe, n_uni, n_oov,
+                 CASE WHEN n_words - n_oov > 0 THEN
+                   floor(CAST(n_bpe AS DOUBLE) / CAST(n_words - n_oov AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 END AS fertility_bpe,
+                 CASE WHEN n_words - n_oov > 0 THEN
+                   floor(CAST(n_uni AS DOUBLE) / CAST(n_words - n_oov AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 END AS fertility_uni
+          FROM g ORDER BY lang"""
+    },
 
     // Per-language rollup of the artifact join, languages from the
     // mirrored langid CTE; ratios as single divisions of exact sums.
