@@ -884,6 +884,71 @@ object Dedup {
         (coalesce(col("n_rep"), lit(0L)) > 0L).as("has_repeat"))
   }
 
+  /** L34 with the EXACT-substring verification stage (Lee et al.'s
+    * verify pass; round-14 verdict item 6): the rolling-hash pass is
+    * unchanged — windows carry only their truncated span hash — but a
+    * hash-hot candidate now re-derives its ACTUAL `window`-token span
+    * (a co-partitioned id join back to the token arrays, then a
+    * map-side slice — cost ∝ candidates, never ∝ windows) and only
+    * spans CONFIRMED identical across ≥ `minDocs` distinct docs count
+    * as repeats. This closes the pass's documented false-positive
+    * caveat: a truncated-hash collision between different spans can
+    * no longer flag a doc (DedupSubstringSpec plants such collisions
+    * by narrowing `hashHexChars`), while recall at adversarial
+    * alignments is untouched — verification only ever REMOVES
+    * candidates whose text differs.
+    *
+    * Output adds `n_cand_fps` (hash-hot) beside the verified
+    * `n_rep_fps`, so the collision kill rate is observable.
+    */
+  def repeatedSubstringVerified(df: DataFrame, idCol: String,
+      textCol: String, window: Int = 50, p: Int = 4, minDocs: Int = 2,
+      hashHexChars: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("toks"))
+      .withColumn("nh", when(size(col("toks")) >= window,
+        size(col("toks")) - window + 1).otherwise(0))
+      .localCheckpoint() // the token arrays feed the hash pass AND the re-walk
+    val sel = base.filter(col("nh") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), (col("nh") - 1).cast("int")),
+        i => conv(substring(
+          md5(array_join(slice(col("toks"), i + 1, lit(window)), " ")),
+          1, hashHexChars), 16, 10).cast("long")))
+        .as(Seq("w", "h")))
+      .filter(col("h") % p === 0L)
+    val hotH = sel.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val cand = sel.join(hotH, Seq("h"))
+    // the re-walk: candidates only — slice the true span map-side
+    val candSpan = cand.join(base.select(col(idCol), col("toks")), Seq(idCol))
+      .select(col(idCol), col("w"), col("h"),
+        array_join(slice(col("toks"), col("w") + 1, lit(window)), " ")
+          .as("span"))
+    val hotV = candSpan.groupBy("h", "span")
+      .agg(countDistinct(col(idCol)).as("ndv"))
+      .filter(col("ndv") >= minDocs)
+      .select("h", "span")
+    val rep = candSpan.join(hotV, Seq("h", "span"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_rep"), min(col("w")).cast("long").as("first_w"))
+    val candC = cand.groupBy(col(idCol)).agg(count(lit(1)).as("n_cand"))
+    val fps = sel.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+    base.select(col(idCol), col("nh").cast("long").as("n_windows"))
+      .join(fps, Seq(idCol), "left")
+      .join(candC, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_windows"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand_fps"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep_fps"),
+        coalesce(col("first_w"), lit(-1L)).as("first_rep_w"),
+        (coalesce(col("n_rep"), lit(0L)) > 0L).as("has_repeat"))
+  }
+
   /** Streaming-style first-seen-wins dedup for batch frames: keep the
     * earliest row per key (D1/D2 batch analog).
     */

@@ -1097,6 +1097,30 @@ object CurationQueries {
         "doc_id", "t")
         .orderBy("doc_id")),
 
+    // L34 VERIFIED (Lee et al.'s exact verify stage): hash-hot
+    // candidate windows re-derive their actual 50-token span and only
+    // text-confirmed repeats count. Fixture plants, at ADVERSARIAL
+    // alignments (appended after each doc's own variable-length text,
+    // so the copy sits at a different offset in every doc): a 55-token
+    // identical 'qq' run (every %5==1 doc — interior 'qq'×50 windows
+    // hash ≡ 0 mod 4, shared regardless of offset, and must ALL
+    // verify), and a NEAR-copy broken mid-span by a doc-unique token
+    // (every %5==3 doc — no shared 50-window exists, must stay
+    // unflagged). Zero misses = every planted %5==1 doc has
+    // has_repeat, which the oracle derives by running the same
+    // hash+verify arithmetic in SQL.
+    "q_d_substring_verified" -> ((s, dir) =>
+      graft.dedup.Dedup.repeatedSubstringVerified(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 1, lit(" qq" * 55))
+              .when(col("doc_id") % 5 === 3,
+                concat(lit(" qq" * 30), lit(" vx"),
+                  col("doc_id").cast("string"), lit(" qq" * 29)))
+              .otherwise(lit(""))).as("t")),
+        "doc_id", "t")
+        .orderBy("doc_id")),
+
     // Corpus profile: per-language doc-length quantiles (exact R-7
     // interpolation — Spark `percentile` == DuckDB `quantile_cont`),
     // token mean as an explicit sum/count. One map-side-combinable
@@ -3625,6 +3649,58 @@ object CurationQueries {
                  CAST(coalesce(first_w, -1) AS BIGINT) AS first_rep_w,
                  coalesce(n_rep, 0) > 0 AS has_repeat
           FROM b LEFT JOIN fps USING (doc_id) LEFT JOIN rep USING (doc_id)
+          ORDER BY b.doc_id""",
+
+    // the verify stage mirrored: candidates = hash-hot windows; only
+    // (h, span-text) pairs shared by ≥2 docs survive as repeats
+    "q_d_substring_verified" ->
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 5 = 1 THEN repeat(' qq', 55)
+                                WHEN doc_id % 5 = 3 THEN repeat(' qq', 30)
+                                  || ' vx' || CAST(doc_id AS VARCHAR)
+                                  || repeat(' qq', 29)
+                                ELSE '' END AS t
+            FROM documents),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> '') AS toks
+            FROM raw),
+          b AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 50
+                     THEN len(toks) - 50 + 1 ELSE 0 END AS nh
+            FROM tk),
+          sel AS MATERIALIZED (
+            SELECT doc_id, i AS w,
+                   ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 50), ' ')), 1, 8))::BIGINT AS h,
+                   array_to_string(list_slice(toks, i + 1, i + 50), ' ') AS span
+            FROM (SELECT doc_id, toks, unnest(range(nh)) AS i
+                  FROM b WHERE nh > 0)
+            WHERE ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 50), ' ')), 1, 8))::BIGINT % 4 = 0),
+          hoth AS (
+            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                           FROM sel GROUP BY h)
+            WHERE nd >= 2),
+          cand AS MATERIALIZED (SELECT sel.* FROM sel JOIN hoth USING (h)),
+          hotv AS (
+            SELECT h, span FROM (SELECT h, span, count(DISTINCT doc_id) AS ndv
+                                 FROM cand GROUP BY h, span)
+            WHERE ndv >= 2),
+          fps AS (SELECT doc_id, count(*) AS n_fps FROM sel GROUP BY doc_id),
+          cc AS (SELECT doc_id, count(*) AS n_cand FROM cand GROUP BY doc_id),
+          rep AS (
+            SELECT doc_id, count(*) AS n_rep, min(w) AS first_w
+            FROM cand JOIN hotv USING (h, span) GROUP BY doc_id)
+          SELECT b.doc_id,
+                 CAST(nh AS BIGINT) AS n_windows,
+                 CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+                 CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand_fps,
+                 CAST(coalesce(n_rep, 0) AS BIGINT) AS n_rep_fps,
+                 CAST(coalesce(first_w, -1) AS BIGINT) AS first_rep_w,
+                 coalesce(n_rep, 0) > 0 AS has_repeat
+          FROM b LEFT JOIN fps USING (doc_id) LEFT JOIN cc USING (doc_id)
+                 LEFT JOIN rep USING (doc_id)
           ORDER BY b.doc_id""",
 
     "q_c_corpus_profile" ->

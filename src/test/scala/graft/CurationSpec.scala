@@ -516,6 +516,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, false)), got(4L).toString)
   }
 
+  test("L34 verify stage: truncated-hash collisions are killed, true repeats at adversarial alignments all survive") {
+    import spark.implicits._
+    // window=3, p=1 (every window selected), hashHexChars=1 → 4-bit
+    // hashes, so cross-doc collisions between DIFFERENT spans are
+    // plentiful; expectations below were derived from the md5
+    // arithmetic directly: docs 1/2 share the true 'qq qq qq' span at
+    // different offsets; every other hash-hot candidate is a collision
+    val rows = Seq(
+      (1L, "one two three qq qq qq"),
+      (2L, "alpha qq qq qq tail words"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7"),
+      (5L, "s1 s2 s3 s4 s5 s6 s7")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringVerified(rows, "doc_id", "text",
+        window = 3, p = 1, minDocs = 2, hashHexChars = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(r.fieldIndex("has_repeat"))))
+      .toMap
+    // true copies: exactly the one shared span verifies, at both
+    // (adversarial) offsets
+    assert(got(1L) == ((2L, 1L, true)), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, true)), got(2L).toString)
+    // collision fodder: plenty of hash-hot candidates, ZERO verified
+    assert(got(3L) == ((4L, 0L, false)), got(3L).toString)
+    assert(got(4L) == ((3L, 0L, false)), got(4L).toString)
+    assert(got(5L) == ((2L, 0L, false)), got(5L).toString)
+    // the kill is the point: candidates strictly exceed repeats
+    assert(got.values.map(_._1).sum > got.values.map(_._2).sum)
+  }
+
   test("decontamination flags only docs sharing an 8-gram with the eval slice") {
     import spark.implicits._
     import graft.text.Decontam
