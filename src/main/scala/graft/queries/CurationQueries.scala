@@ -882,6 +882,38 @@ object CurationQueries {
           plantedPii(col("doc_id"), col("text"))): _*)
         .orderBy("doc_id")),
 
+    // L21 financial PII with CHECKSUM validation (round-14 verdict
+    // item 7): card shapes only count (and redact) when Luhn holds,
+    // IBANs only at mod-97 residue 1 — checksum-failing shapes stay
+    // visible as suspects. Planted classes: valid card / invalid card
+    // / valid IBAN / invalid IBAN / both-mixed, cycling three vectors
+    // each; the ENGINE computes the checksums (integer folds inside
+    // one codegen'd projection), the oracle derives the verdicts
+    // analytically from the planted class.
+    "q_t_pii_financial" -> ((s, dir) => {
+      val vc = array(lit("4111-1111-1111-1111"),
+        lit("4012-8888-8888-1881"), lit("5555-5555-5555-4444"))
+      val ic = array(lit("4111-1111-1111-1112"),
+        lit("4012-8888-8888-1882"), lit("5555-5555-5555-4445"))
+      val vi = array(lit("DE89370400440532013000"),
+        lit("GB29NWBK60161331926819"), lit("FR1420041010050500013M02606"))
+      val ii = array(lit("DE89370400440532013001"),
+        lit("GB29NWBK60161331926810"), lit("FR1420041010050500013M02607"))
+      val k = (col("doc_id") % 3 + 1).cast("int")
+      val cls = col("doc_id") % 7
+      val t = concat(col("text"),
+        when(cls === 1, concat(lit(" pay "), element_at(vc, k)))
+          .when(cls === 3, concat(lit(" pay "), element_at(ic, k)))
+          .when(cls === 2, concat(lit(" acct "), element_at(vi, k)))
+          .when(cls === 5, concat(lit(" acct "), element_at(ii, k)))
+          .when(cls === 0, concat(lit(" pay "), element_at(vc, k),
+            lit(" acct "), element_at(ii, k)))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(Pii.scrubFinancialDocs(col("doc_id"), t): _*)
+        .orderBy("doc_id")
+    }),
+
     // Eval-set decontamination: any shared word 8-gram with the
     // held-out eval slice (doc_id % 20 == 7) marks a training doc
     // contaminated. Eval n-grams broadcast; corpus scanned once.
@@ -2717,6 +2749,36 @@ object CurationQueries {
                 s.stratum_pad_frac
          FROM packs p JOIN str s USING (lang, method)
          ORDER BY p.lang, p.method, p.pack_id""",
+
+    // the oracle re-derives checksum verdicts analytically from the
+    // planted class (valid vectors redact, invalid ones stay as
+    // suspects) — the ENGINE is the only side running Luhn/mod-97
+    "q_t_pii_financial" ->
+      """WITH p AS (
+           SELECT doc_id, text, doc_id % 7 AS cls,
+                  ['4111-1111-1111-1111','4012-8888-8888-1881','5555-5555-5555-4444'][CAST(doc_id % 3 AS INT) + 1] AS vc,
+                  ['4111-1111-1111-1112','4012-8888-8888-1882','5555-5555-5555-4445'][CAST(doc_id % 3 AS INT) + 1] AS ic,
+                  ['DE89370400440532013000','GB29NWBK60161331926819','FR1420041010050500013M02606'][CAST(doc_id % 3 AS INT) + 1] AS vi,
+                  ['DE89370400440532013001','GB29NWBK60161331926810','FR1420041010050500013M02607'][CAST(doc_id % 3 AS INT) + 1] AS ii
+           FROM documents),
+         t AS (
+           SELECT doc_id, cls, vc, vi,
+                  CASE cls WHEN 1 THEN text || ' pay ' || vc
+                           WHEN 3 THEN text || ' pay ' || ic
+                           WHEN 2 THEN text || ' acct ' || vi
+                           WHEN 5 THEN text || ' acct ' || ii
+                           WHEN 0 THEN text || ' pay ' || vc || ' acct ' || ii
+                           ELSE text END AS t
+           FROM p)
+         SELECT doc_id,
+                CAST(CASE WHEN cls IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+                CAST(CASE WHEN cls = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_card_suspects,
+                CAST(CASE WHEN cls = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_ibans,
+                CAST(CASE WHEN cls IN (0, 5) THEN 1 ELSE 0 END AS BIGINT) AS n_iban_suspects,
+                CASE WHEN cls IN (0, 1) THEN replace(t, vc, '<CARD>')
+                     WHEN cls = 2 THEN replace(t, vi, '<IBAN>')
+                     ELSE t END AS clean
+         FROM t ORDER BY doc_id""",
 
     // The oracle rebuilds the planted-PII string byte-for-byte, then
     // runs the IDENTICAL regex chain (the patterns live in the shared

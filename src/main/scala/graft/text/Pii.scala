@@ -61,4 +61,79 @@ object Pii {
       (n(0) + n(1) + n(2) + n(3) > 0L).as("has_pii"),
       scrub(text).as("clean"))
   }
+
+  // -----------------------------------------------------------------
+  // Financial identifiers with CHECKSUM validation (L21 extension,
+  // round-14 verdict item 7): a 16-digit group is only a credit card
+  // if its Luhn checksum holds, an IBAN only if its ISO-7064 mod-97
+  // residue is 1 — so a random number that merely LOOKS like one is
+  // counted as a suspect, never redacted. Both checks are pure
+  // integer folds over the matched characters (higher-order Catalyst
+  // expressions — still zero UDFs, still one map-side projection),
+  // and both are exactly reproducible in SQL.
+  // -----------------------------------------------------------------
+
+  /** `dddd-dddd-dddd-dddd` card-shaped groups. */
+  val CardPat = "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b"
+
+  /** Country code + check digits + 10-30 alphanumerics. */
+  val IbanPat = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
+
+  /** Luhn checksum over a digits-only string: doubling every second
+    * digit from the RIGHT (with digit-sum), total ≡ 0 (mod 10).
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val doubled = d * 2
+        acc + when((n - i) % 2 === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+      })
+    (total % 10 === 0) && (n > 0)
+  }
+
+  /** ISO-7064 mod-97 IBAN check: move the first four characters to
+    * the end, expand letters to two digits (A=10 … Z=35), and fold
+    * the digit string left-to-right as `(acc·10 + d) mod 97` — the
+    * streaming form of the big-integer residue; valid iff 1.
+    */
+  def ibanValid(iban: Column): Column = {
+    val rearranged = concat(substring(iban, 5, 1000000),
+      substring(iban, 1, 4))
+    val expanded = array_join(transform(split(rearranged, ""), c =>
+      when(c >= "A" && c <= "Z", (ascii(c) - 55).cast("string"))
+        .otherwise(c)), "")
+    val rem = aggregate(split(expanded, ""), lit(0L),
+      (acc, c) => (acc * 10L + c.cast("long")) % 97L)
+    rem === 1L
+  }
+
+  /** doc frame → (id, n_cards, n_card_suspects, n_ibans,
+    * n_iban_suspects, clean): checksum-VALID matches are counted and
+    * redacted (`<CARD>`/`<IBAN>` via a literal-replace fold over the
+    * bounded per-doc match list); checksum-FAILING shapes are counted
+    * as suspects and left in place. One projection, shuffle-free.
+    */
+  def scrubFinancialDocs(idCol: Column, text: Column): Seq[Column] = {
+    val cards = regexp_extract_all(text, lit(CardPat), lit(0))
+    val cardsValid = filter(cards,
+      c => luhnValid(regexp_replace(c, "-", "")))
+    val ibans = regexp_extract_all(text, lit(IbanPat), lit(0))
+    val ibansValid = filter(ibans, c => ibanValid(c))
+    val c1 = aggregate(cardsValid, text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    val clean = aggregate(ibansValid, c1,
+      (acc, c) => replace(acc, c, lit("<IBAN>")))
+    Seq(
+      idCol,
+      size(cardsValid).cast("long").as("n_cards"),
+      (size(cards) - size(cardsValid)).cast("long").as("n_card_suspects"),
+      size(ibansValid).cast("long").as("n_ibans"),
+      (size(ibans) - size(ibansValid)).cast("long").as("n_iban_suspects"),
+      clean.as("clean"))
+  }
 }

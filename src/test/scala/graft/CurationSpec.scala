@@ -326,6 +326,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._1 == 2L && got(3L)._5)
   }
 
+  test("financial PII: Luhn and mod-97 folds match the published vectors; only checksum-valid shapes redact") {
+    import spark.implicits._
+    import graft.text.Pii
+    val rows = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"), // valid Luhn
+      (2L, "pay 4111-1111-1111-1112 now"), // one digit off → suspect
+      (3L, "acct DE89370400440532013000 ok"), // valid mod-97
+      (4L, "acct DE89370400440532013001 ok"), // one digit off → suspect
+      (5L, "both 5555-5555-5555-4444 and GB29NWBK60161331926819"),
+      (6L, "digits 1234 5678 but no shapes")).toDF("doc_id", "text")
+    val got = rows.select(Pii.scrubFinancialDocs(col("doc_id"),
+        col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, "pay <CARD> now")))
+    assert(got(2L) == ((0L, 1L, 0L, 0L, "pay 4111-1111-1111-1112 now")),
+      "a failed checksum must stay visible as a suspect")
+    assert(got(3L) == ((0L, 0L, 1L, 0L, "acct <IBAN> ok")))
+    assert(got(4L) == ((0L, 0L, 0L, 1L, "acct DE89370400440532013001 ok")))
+    assert(got(5L) == ((1L, 0L, 1L, 0L, "both <CARD> and <IBAN>")))
+    assert(got(6L) == ((0L, 0L, 0L, 0L, "digits 1234 5678 but no shapes")))
+  }
+
   test("url filter counts urls and blocks only blocklisted hosts") {
     import spark.implicits._
     import graft.text.UrlFilter
