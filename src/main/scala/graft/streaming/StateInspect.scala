@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   * sized by contract). Safe to run concurrently with readers; like
   * every admin op it assumes no WRITER is mid-commit (a torn view of
   * an in-flight commit can report transient orphans — rerun).
+  *
+  * [[repair]] is the one mutating entry point — the act edge: it
+  * sweeps exactly the read-invisible residue the facts count, and
+  * refuses on an unhealthy table.
   */
 object StateInspect {
 
@@ -64,6 +68,140 @@ object StateInspect {
         f.getName.startsWith("manifest_v")))
       inspectBucketed(spark, path)
     else inspectSnapshot(spark, path)
+  }
+
+  /** What [[repair]] removed, beside the post-repair [[Report]]. */
+  final case class RepairReport(report: Report, removed: Seq[String]) {
+    def render: String = {
+      val r =
+        if (removed.isEmpty) "  (nothing — no residue)"
+        else removed.map(n => s"  - $n").mkString("\n")
+      s"removed:\n$r\n${report.render}"
+    }
+  }
+
+  /** The act edge of the fsck: delete ONLY read-invisible residue —
+    * crash orphans (a future batch/version dir whose pointer move
+    * never landed), side files stale-by-rule (a zone beside a
+    * collected dir, a zones/schema file above the live version), and
+    * `.tmp` leftovers — never anything a pointer or a retained
+    * manifest references, and never a tag file (releasing a pin is a
+    * policy decision, [[BucketedTable.untag]]'s job, not a sweep's).
+    *
+    * REFUSES (named) on an unhealthy table: when structure is broken
+    * the reference sets cannot be trusted (a missing live manifest
+    * would make its buckets look unreferenced), and the fix is
+    * restore, not deletion. Every removal is a [[Failpoints]] kill
+    * point; a kill mid-sweep leaves every read exactly as it was
+    * (the residue was invisible by definition) and a re-run collects
+    * the rest — idempotent by construction. Same writer contract as
+    * [[inspect]]: run it when no writer is mid-commit, or a just-
+    * written orphan (the data of a commit whose pointer move is
+    * microseconds away) would be swept as residue.
+    */
+  def repair(spark: SparkSession, path: String): RepairReport = {
+    val before = inspect(spark, path)
+    if (!before.healthy)
+      throw new IllegalStateException(
+        s"StateInspect.repair($path): refusing to sweep an unhealthy " +
+          s"table — restore first; issues:\n" +
+          before.issues.map(i => s"  ! $i").mkString("\n"))
+    val removed = Seq.newBuilder[String]
+    val rootAbs = new java.io.File(path).getAbsolutePath
+    def rmEntry(f: java.io.File): Unit = {
+      val rel = f.getAbsolutePath.stripPrefix(rootAbs).stripPrefix("/")
+      Failpoints.step(s"repair.$rel")
+      org.apache.commons.io.FileUtils.deleteQuietly(f)
+      removed += rel
+    }
+    def tmpResidue(): Unit = ls(path)
+      .filter(f => f.isFile && f.getName.contains(".tmp"))
+      .sortBy(_.getName).foreach(rmEntry)
+    before.layout match {
+      case "append" =>
+        val lines = readText(Paths.get(path, "_LATEST")).linesIterator.toSeq
+        val last = lines.head.toLong
+        def field(k: String, d: Long) = lines.collectFirst {
+          case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").toLong
+        }.getOrElse(d)
+        val ct = field("compact", -1L)
+        val epoch = field("epoch", 0L)
+        val tomb = field("tomb", 0L)
+        val kLive = if (epoch == 0L) s"k_$ct" else s"k_${ct}_e$epoch"
+        def residueDir(n: String): Boolean =
+          (n.startsWith("b_") && {
+            val id = n.stripPrefix("b_").toLong; id <= ct || id > last
+          }) ||
+            (n.startsWith("k_") && n != kLive) ||
+            (n.startsWith("t_") && (tomb == 0L || n != s"t_$tomb"))
+        ls(path).sortBy(_.getName).foreach { f =>
+          val n = f.getName
+          if (f.isDirectory && residueDir(n)) rmEntry(f)
+          else if (f.isFile && n.endsWith(".zone") && {
+            val base = n.stripSuffix(".zone")
+            residueDir(base) || !new java.io.File(s"$path/$base").isDirectory
+          }) rmEntry(f)
+        }
+        tmpResidue()
+      case "bucketed" =>
+        val f = readText(Paths.get(path, "_LATEST")).split(",")
+        val v = f(0).toLong
+        val sm = if (f.length >= 4) f(3).toLong else 0L
+        def sideResidue(prefix: String, bound: Long): Unit = ls(path)
+          .filter(x => x.isFile && x.getName.startsWith(prefix) &&
+            !x.getName.contains(".tmp") &&
+            x.getName.stripPrefix(prefix).toLong > bound)
+          .sortBy(_.getName).foreach(rmEntry)
+        sideResidue("manifest_v", v)   // torn commit: pointer never moved
+        sideResidue("columns_v", sm)   // torn addColumn
+        // zones ride with their manifest (the vacuum rule), and a
+        // future version's zones are residue with its manifest
+        ls(path).filter(x => x.isFile && x.getName.startsWith("zones_v") &&
+            !x.getName.contains(".tmp") && {
+              val u = x.getName.stripPrefix("zones_v").toLong
+              u > v || !Files.exists(Paths.get(path, s"manifest_v$u"))
+            })
+          .sortBy(_.getName).foreach(rmEntry)
+        // bucket dirs referenced by NO surviving manifest ≤ v: crash
+        // orphans of a merge/rebucket whose pointer move never landed,
+        // or data of a vacuumed version whose dir delete was killed
+        val referenced = ls(path)
+          .filter(x => x.isFile && x.getName.startsWith("manifest_v") &&
+            !x.getName.contains(".tmp") &&
+            x.getName.stripPrefix("manifest_v").toLong <= v)
+          .flatMap { mf =>
+            readText(mf.toPath).linesIterator.filter(_.nonEmpty)
+              .map(l => l.substring(l.indexOf(',') + 1))
+          }.toSet
+        ls(path).filter(x => x.isDirectory && x.getName.startsWith("c_"))
+          .sortBy(_.getName).foreach { cd =>
+            ls(cd.getPath)
+              .filter(b => b.isDirectory && b.getName.startsWith("__bucket="))
+              .sortBy(_.getName)
+              .filter(b => !referenced.contains(s"${cd.getName}/${b.getName}"))
+              .foreach(b => rmEntry(b))
+            if (!ls(cd.getPath).exists(b =>
+                b.isDirectory && b.getName.startsWith("__bucket=")))
+              rmEntry(cd)
+          }
+        tmpResidue()
+      case "snapshot" =>
+        val f = readText(Paths.get(path, "_LATEST")).split(",")
+        val v = f(0).toLong
+        val sm = if (f.length >= 3) f(2).toLong else 0L
+        ls(path).filter(x => x.isDirectory && x.getName.startsWith("v_") &&
+            x.getName.stripPrefix("v_").toLong > v)
+          .sortBy(_.getName).foreach(rmEntry)
+        ls(path).filter(x => x.isFile && x.getName.startsWith("columns_v") &&
+            !x.getName.contains(".tmp") &&
+            x.getName.stripPrefix("columns_v").toLong > sm)
+          .sortBy(_.getName).foreach(rmEntry)
+        tmpResidue()
+      case other =>
+        throw new IllegalStateException(
+          s"StateInspect.repair($path): layout '$other' has no sweep")
+    }
+    RepairReport(inspect(spark, path), removed.result())
   }
 
   def inspectAppend(spark: SparkSession, path: String): Report = {

@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{AppendTable, BucketedTable, Failpoints}
+import graft.streaming.{AppendTable, BucketedTable, Failpoints,
+  SnapshotTable}
 
 /** Randomized-boundary crash matrix for the ∝-batch state tables
   * (round-11 verdict item 7): every durable mutation inside
@@ -552,6 +553,73 @@ class StateCrashSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
     assert(k - 1 >= 12, s"forget: expected ≥12 kill points, saw ${k - 1}")
+  }
+
+  test("StateInspect.repair survives a kill at every residue delete (append layout): reads total and fsck-healthy at every boundary") {
+    val points = sweep("repair_at") { root =>
+      val t = new AppendTable(spark, s"$root/t", statsCol = Some("x"))
+      t.append(toDF(Seq(1L, 2L)), 0L)
+      t.append(toDF(Seq(3L)), 1L)
+      t.compact()
+      // plant the residue classes: orphan future batch, stale
+      // consolidated + its zone, tmp leftover — all read-invisible
+      toDF(Seq(9L)).write.parquet(s"$root/t/b_9")
+      toDF(Seq(8L)).write.parquet(s"$root/t/k_0")
+      Files.write(java.nio.file.Paths.get(s"$root/t/k_0.zone"),
+        "8,8".getBytes("UTF-8"))
+      Files.write(java.nio.file.Paths.get(s"$root/t/_LATEST.tmp.5"),
+        "junk".getBytes("UTF-8"))
+    } { root =>
+      graft.streaming.StateInspect.repair(spark, s"$root/t")
+    } { root =>
+      // the two-sided invariant at every boundary: the live read is
+      // untouched (the residue was invisible by definition) and the
+      // fsck stays healthy mid-sweep (partial residue is facts, not
+      // breakage); the terminal effect is pinned in StateInspectSpec
+      (atRows(root), at(root).lastBatchId,
+        graft.streaming.StateInspect.inspect(spark, s"$root/t").healthy)
+    }
+    assert(points >= 4, s"repair_at: expected ≥4 kill points, saw $points")
+  }
+
+  test("StateInspect.repair survives a kill at every residue delete (bucketed layout): live + tagged reads total at every boundary") {
+    val points = sweep("repair_bt") { root =>
+      val t = bt(root)
+      t.merge(kvDF((0L until 12L).map(k => (k, k))), 0L)
+      t.tag("pin", 0L)
+      t.merge(kvDF(Seq(3L -> 30L)), 1L)
+      // torn future commit (manifest + version dir) + torn addColumn
+      Files.write(java.nio.file.Paths.get(s"$root/t/manifest_v9"),
+        "0,c_9/__bucket=0".getBytes("UTF-8"))
+      kvDF(Seq(7L -> 70L)).write.parquet(s"$root/t/c_9/__bucket=0")
+      Files.write(java.nio.file.Paths.get(s"$root/t/columns_v5"),
+        "ghost,string,'x'".getBytes("UTF-8"))
+    } { root =>
+      graft.streaming.StateInspect.repair(spark, s"$root/t")
+    } { root =>
+      val t = bt(root)
+      (btMap(root), t.readAt(0L).map(_.count()).getOrElse(-1L), t.tags,
+        graft.streaming.StateInspect.inspect(spark, s"$root/t").healthy)
+    }
+    assert(points >= 3, s"repair_bt: expected ≥3 kill points, saw $points")
+  }
+
+  test("StateInspect.repair survives a kill at every residue delete (snapshot layout)") {
+    val points = sweep("repair_st") { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      t.commit(toDF(Seq(1L)), 0L)
+      t.commit(toDF(Seq(2L)), 1L)
+      toDF(Seq(9L)).write.parquet(s"$root/t/v_9")
+      Files.write(java.nio.file.Paths.get(s"$root/t/columns_v5"),
+        "ghost,string,'x'".getBytes("UTF-8"))
+    } { root =>
+      graft.streaming.StateInspect.repair(spark, s"$root/t")
+    } { root =>
+      val t = new SnapshotTable(spark, s"$root/t")
+      (t.read().map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Nil),
+        graft.streaming.StateInspect.inspect(spark, s"$root/t").healthy)
+    }
+    assert(points >= 2, s"repair_st: expected ≥2 kill points, saw $points")
   }
 
   test("BucketedTable: a merge replayed over a crashed REBUCKET orphan overwrites it safely") {

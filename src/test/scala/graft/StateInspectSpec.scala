@@ -114,6 +114,106 @@ class StateInspectSpec extends AnyFunSuite {
     rm(root)
   }
 
+  test("repair sweeps exactly the read-invisible residue on all three layouts; reads byte-identical; idempotent") {
+    // append log: orphan future batch + stale consolidated + stale
+    // zone + tmp residue planted around a live (compacted+vectored)
+    // table — repair removes all four, the read is unchanged, the
+    // facts zero out, and a second run removes nothing
+    val rootA = Files.createTempDirectory("repair_append").toString
+    val ta = new AppendTable(spark, s"$rootA/t", statsCol = Some("x"))
+    ta.append(toDF(Seq(1L, 2L)), 0L)
+    ta.append(toDF(Seq(3L)), 1L)
+    ta.compact()
+    ta.append(toDF(Seq(4L)), 2L)
+    ta.deleteKeysVectored(toDF(Seq(2L)), "x")
+    val preA = ta.read().get.collect().map(_.getLong(0)).sorted.toSeq
+    toDF(Seq(9L)).write.parquet(s"$rootA/t/b_9")           // crash orphan
+    toDF(Seq(8L)).write.parquet(s"$rootA/t/k_0")           // stale consolidated
+    Files.write(java.nio.file.Paths.get(s"$rootA/t/k_0.zone"),
+      "8,8".getBytes("UTF-8"))                             // its zone
+    Files.write(java.nio.file.Paths.get(s"$rootA/t/_LATEST.tmp.7"),
+      "junk".getBytes("UTF-8"))                            // tmp residue
+    val ra = StateInspect.repair(spark, s"$rootA/t")
+    assert(ra.removed.toSet == Set("b_9", "k_0", "k_0.zone",
+      "_LATEST.tmp.7"), ra.render)
+    assert(ta.read().get.collect().map(_.getLong(0)).sorted.toSeq == preA)
+    assert(ra.report.facts("orphan_batch_dirs") == "0" &&
+      ra.report.facts("stale_consolidated_dirs") == "0" &&
+      ra.report.facts("tmp_files") == "0", ra.render)
+    assert(StateInspect.repair(spark, s"$rootA/t").removed.isEmpty)
+    rm(rootA)
+
+    // bucketed: torn-commit future manifest + its orphan version dir,
+    // torn addColumn schema file, vacuumed version's leftover bucket
+    // dir — swept; the live read and the TAGGED retained version
+    // survive verbatim
+    val rootB = Files.createTempDirectory("repair_bucketed").toString
+    val tb = new BucketedTable(spark, s"$rootB/t", "k", 4)
+    tb.merge(kvDF((0L until 12L).map(k => (k, k))), 0L)
+    tb.tag("pin", 0L)
+    tb.merge(kvDF(Seq(3L -> 30L)), 1L)
+    val preB = tb.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Files.write(java.nio.file.Paths.get(s"$rootB/t/manifest_v9"),
+      "0,c_9/__bucket=0".getBytes("UTF-8"))                // torn commit
+    kvDF(Seq(7L -> 70L)).write.parquet(s"$rootB/t/c_9/__bucket=0")
+    Files.write(java.nio.file.Paths.get(s"$rootB/t/columns_v5"),
+      "ghost,string,'x'".getBytes("UTF-8"))                // torn addColumn
+    kvDF(Seq(6L -> 60L)).write.parquet(s"$rootB/t/c_7/__bucket=2")
+    val rb = StateInspect.repair(spark, s"$rootB/t")
+    assert(rb.removed.toSet == Set("manifest_v9", "columns_v5",
+      "c_9/__bucket=0", "c_9", "c_7/__bucket=2", "c_7"), rb.render)
+    assert(tb.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == preB)
+    assert(tb.readAt(0L).get.count() == 12L &&
+      tb.tags == Map("pin" -> 0L), "tagged history must survive repair")
+    assert(rb.report.facts("unreferenced_bucket_dirs") == "0", rb.render)
+    assert(StateInspect.repair(spark, s"$rootB/t").removed.isEmpty)
+    rm(rootB)
+
+    // snapshot: orphan future snapshot + torn schema file swept;
+    // retained history survives
+    val rootS = Files.createTempDirectory("repair_snapshot").toString
+    val ts = new SnapshotTable(spark, s"$rootS/t")
+    ts.commit(toDF(Seq(1L)), 0L)
+    ts.commit(toDF(Seq(2L)), 1L)
+    toDF(Seq(9L)).write.parquet(s"$rootS/t/v_9")
+    Files.write(java.nio.file.Paths.get(s"$rootS/t/columns_v5"),
+      "ghost,string,'x'".getBytes("UTF-8"))
+    val rs = StateInspect.repair(spark, s"$rootS/t")
+    assert(rs.removed.toSet == Set("v_9", "columns_v5"), rs.render)
+    assert(ts.read().get.collect().map(_.getLong(0)).toSeq == Seq(2L) &&
+      rs.report.facts("orphan_future_snapshots") == "0", rs.render)
+    assert(StateInspect.repair(spark, s"$rootS/t").removed.isEmpty)
+    rm(rootS)
+  }
+
+  test("repair refuses an unhealthy table by name — restore first, never deletion") {
+    val root = Files.createTempDirectory("repair_refuse").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4)
+    t.merge(kvDF(Seq(1L -> 10L, 2L -> 20L)), 0L)
+    t.merge(kvDF(Seq(2L -> 22L)), 1L)
+    // a missing live manifest would make its bucket dirs look
+    // unreferenced — exactly the state repair must not touch
+    val manifestBody = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t/manifest_v1"))
+    rm(s"$root/t/manifest_v1")
+    val e = intercept[IllegalStateException] {
+      StateInspect.repair(spark, s"$root/t")
+    }
+    assert(e.getMessage.contains("refusing") &&
+      e.getMessage.contains("manifest_v1"))
+    assert(dirCount(s"$root/t", "c_") == 2, "nothing may be deleted")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/manifest_v1"), manifestBody)
+    assert(StateInspect.repair(spark, s"$root/t").removed.isEmpty)
+    rm(root)
+  }
+
+  private def dirCount(path: String, prefix: String): Int =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith(prefix))
+
   test("a never-committed path reports unknown, not a crash") {
     val root = Files.createTempDirectory("fsck_none").toString
     val r = StateInspect.inspect(spark, s"$root/nope")
