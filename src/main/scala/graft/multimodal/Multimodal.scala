@@ -1458,6 +1458,75 @@ object Multimodal {
       })
   }
 
+  /** Perceptual audio fingerprint from the REAL decoders' PCM — the
+    * audio face of the near-dedup mandate (sibling of
+    * [[imageHashes]]; the energy-profile delta-sign scheme of the
+    * published Haitsma–Kalker audio fingerprint, reduced to one
+    * 64-bit word so the image path's banded probe is reused
+    * verbatim). Shape: nSamples for the exact-match fast path beside
+    * the perceptual word, like ImageHash carries (w, h).
+    */
+  final case class AudioFingerprint(
+      mediaId: Long,
+      nSamples: Long,
+      fp: Long)
+
+  /** 64-bit energy-profile fingerprint: the signal is cut into 65
+    * equal blocks at RELATIVE positions (k = n/65 samples each, tail
+    * truncated — so a re-encode at a different duration or rate
+    * lands each block on the same audio), and bit i = (sum |x| of
+    * block i) > (block i+1). Blocks are equal-length, so the
+    * mean-amplitude comparison is an exact integer SUM comparison —
+    * no division anywhere — and the ranking is invariant under
+    * constant gain, lossless re-encode (WAV↔FLAC), and box-mean
+    * resampling of block-constant content: exactly the duplicate
+    * classes a crawl produces without touching the audible content.
+    */
+  private[graft] def audioFingerprint(mediaId: Long,
+      xs: Array[Long]): Long = {
+    val k = xs.length / 65
+    require(k >= 1,
+      s"audioFingerprint: ${xs.length} samples < 65: media $mediaId")
+    val e = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      var s = 0L
+      var i = b * k
+      val until = i + k
+      while (i < until) { s += math.abs(xs(i)); i += 1 }
+      e(b) = s
+      b += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) > e(i + 1)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Fingerprint a frame of (media_id, format ∈ {wav, flac}, bytes):
+    * decode through the real parsers, fingerprint the PCM. Map-side —
+    * the signal never leaves the partition; only the word does — and
+    * the output feeds [[graft.dedup.Dedup.hash64NearDupPairs]]
+    * unchanged (collapse-first banded hamming, never all-pairs).
+    */
+  def audioFingerprints(media: DataFrame): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        val (_, xs) = fmt match {
+          case "wav" => MediaCodec.samplesWav(id, bytes)
+          case "flac" => MediaCodec.samplesFlac(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"audioFingerprints: not an audio format ($f): media $id")
+        }
+        AudioFingerprint(id, xs.length.toLong, audioFingerprint(id, xs))
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped
@@ -1910,8 +1979,17 @@ object Multimodal {
     /** PCM 16-bit mono 8 kHz WAV, n = 64 + id%129 samples; sample i =
       * ((id·31 + i·17) mod 65536) − 32768.
       */
-    def wavBytes(id: Long): Array[Byte] = {
-      val n = (64 + id % 129).toInt
+    def wavBytes(id: Long): Array[Byte] =
+      wavBytesOf(8000, Array.tabulate((64 + id % 129).toInt)(i =>
+        ((id * 31 + i * 17) % 65536 - 32768).toInt))
+
+    /** The WAV container behind [[wavBytes]], parameterized on rate
+      * and samples — the audio-dedup fixtures plant amplitude
+      * ladders through the same encoder so the decoder path is
+      * shared (the [[bmpBytesOf]] pattern).
+      */
+    def wavBytesOf(rate: Int, samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
       val out = new Array[Byte](44 + n * 2)
       out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
       le32(out, 4, 36 + n * 2)
@@ -1919,17 +1997,82 @@ object Multimodal {
       out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
       le32(out, 16, 16)
       le16(out, 20, 1); le16(out, 22, 1) // PCM, mono
-      le32(out, 24, 8000); le32(out, 28, 16000) // rate, byte rate
+      le32(out, 24, rate); le32(out, 28, rate * 2) // rate, byte rate
       le16(out, 32, 2); le16(out, 34, 16) // block align, bits
       out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
       le32(out, 40, n * 2)
       var i = 0
       while (i < n) {
-        val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-        le16(out, 44 + i * 2, s & 0xffff)
+        le16(out, 44 + i * 2, samples(i) & 0xffff)
         i += 1
       }
       out
+    }
+
+    /** 65-entry amplitude ladder realizing `word` as the
+      * [[Multimodal.audioFingerprint]]: walking back from the last
+      * block, amp(i) = amp(i+1) + unit when bit i of `word` is set
+      * (a strict mean drop block i → i+1) else amp(i+1) (equal means
+      * — the comparison is strict, so the bit reads 0). Blocks of
+      * CONSTANT positive samples make the block mean the amplitude
+      * itself, so the fingerprint IS the word — analytically, at any
+      * gain (×g scales every mean equally) and any per-block length.
+      */
+    def ladderAmps(word: Long, unit: Int): Array[Int] = {
+      val a = new Array[Int](65)
+      a(64) = unit
+      var i = 63
+      while (i >= 0) {
+        a(i) = a(i + 1) + (if (((word >> i) & 1L) != 0L) unit else 0)
+        i -= 1
+      }
+      a
+    }
+
+    /** FLAC of one CONSTANT subframe per amplitude — the lossless
+      * re-encode of a [[ladderAmps]] WAV (same decoder-visible block
+      * means, different container/blocking/byte length). Real frames:
+      * per-frame CRC-8/CRC-16, UTF-8 frame numbers, 8-bit-at-end
+      * blocksize, STREAMINFO total enforced by the decoder.
+      */
+    def flacConstBytes(amps: Array[Int], blockSamples: Int): Array[Byte] = {
+      require(amps.length <= 128 && blockSamples >= 1 && blockSamples <= 255,
+        s"flacConstBytes: ${amps.length} frames × $blockSamples samples")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      val si = new Array[Byte](38)
+      si(0) = 0x80.toByte; si(3) = 34 // last block, STREAMINFO, len 34
+      si(5) = blockSamples.toByte // min blocksize
+      si(7) = blockSamples.toByte // max blocksize
+      val rate = 8000
+      si(14) = (rate >> 12).toByte
+      si(15) = ((rate >> 4) & 0xff).toByte
+      si(16) = ((rate & 0xf) << 4).toByte // + ch-1 (0) + bps-1 top bit (0)
+      val total = amps.length.toLong * blockSamples
+      si(17) = (0xf0 | ((total >> 32) & 0xf)).toByte // bps-1 = 15
+      si(18) = ((total >> 24) & 0xff).toByte
+      si(19) = ((total >> 16) & 0xff).toByte
+      si(20) = ((total >> 8) & 0xff).toByte
+      si(21) = (total & 0xff).toByte
+      out.write(si)
+      var f = 0
+      while (f < amps.length) {
+        val w = new FlacWriter
+        w.byte(0xff); w.byte(0xf8) // sync, fixed blocking
+        w.byte(0x64) // blocksize 0110 (8-bit at end), rate 0100 (8 kHz)
+        w.byte(0x08) // mono, 16-bit, reserved 0
+        w.byte(f) // UTF-8 frame number (< 128)
+        w.byte(blockSamples - 1)
+        w.byte(MediaCodec.flacCrc8(w.bytes, 0, 6))
+        w.byte(0x00) // CONSTANT subframe
+        w.bitsOf(amps(f).toLong & 0xffff, 16)
+        w.align()
+        val crc = MediaCodec.flacCrc16(w.bytes, 0, w.size)
+        w.byte(crc >> 8); w.byte(crc & 0xff)
+        out.write(w.bytes)
+        f += 1
+      }
+      out.toByteArray
     }
 
     /** Baseline grayscale JPEG, w = 8·(2 + id%3), h = 16 — n =

@@ -287,6 +287,46 @@ object CoverageQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Perceptual AUDIO near-dedup (the image gate's sibling): every
+    // doc becomes one of four planted audio variants of a 65-block
+    // amplitude ladder realizing the SAME pattern word — v0 WAV at
+    // gain 1 / 4 samples-per-block, v1 the same ladder as FLAC at
+    // gain 3 / 8 samples-per-block (re-encoded + re-gained + longer
+    // duplicate), v2 one comparison flipped (hamming-1), v3 an
+    // unrelated word — the REAL WAV/FLAC decoders produce the PCM,
+    // the energy-profile delta-sign fingerprint is exact integer sum
+    // comparison, and the same banded probe surfaces the pairs. The
+    // fingerprint of a ladder IS its word at any gain/length, so the
+    // oracle is the image gate's word algebra verbatim: brute-force
+    // hamming over analytically-derived words (it never hears audio),
+    // equal to the banded output by the d ≤ 3 pigeonhole.
+    "q_m_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "wav", Fixtures.wavBytesOf(8000,
+              Fixtures.ladderAmps(word, 1).flatMap(a => Array.fill(4)(a))))
+            case 1 => (d, "flac",
+              Fixtures.flacConstBytes(Fixtures.ladderAmps(word, 3), 8))
+            case 2 => (d, "wav", Fixtures.wavBytesOf(8000,
+              Fixtures.ladderAmps(word ^ (1L << (base % 60 + 2).toInt), 1)
+                .flatMap(a => Array.fill(4)(a))))
+            case _ => (d, "flac", Fixtures.flacConstBytes(
+              Fixtures.ladderAmps(Fixtures.patternWord(base + 1000003L), 2),
+              4))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val fps = Multimodal.audioFingerprints(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("fp"))
+      graft.dedup.Dedup.hash64NearDupPairs(fps, maxDist = 3)
+        .orderBy("ida", "idb")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1164,6 +1204,35 @@ object CoverageQueries {
     // 2⁶³−1, no BIGINT overflow) and the pair list is BRUTE FORCE —
     // exactness of the banded probe for d ≤ 3 is the claim under test
     "q_m_image_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id,
+                  CASE v
+                    WHEN 2 THEN xor((raw & -2) | 2,
+                                    (1::BIGINT << CAST(base % 60 + 2 AS INT)))
+                    WHEN 3 THEN (raw3 & -2) | 2
+                    ELSE (raw & -2) | 2
+                  END AS fp
+           FROM f0)
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY ida, idb""",
+
+    // the audio fingerprint of a planted amplitude ladder IS its
+    // pattern word (gain- and duration-invariant), so the oracle is
+    // the image gate's word algebra verbatim
+    "q_m_audio_dedup" ->
       """WITH w AS (
            SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
            FROM documents),

@@ -1076,6 +1076,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(other._1 ^ bmp16._1) > 3)
   }
 
+  test("audio fingerprint: a ladder's fingerprint IS its word; invariant under gain, WAV<->FLAC re-encode, and duration; a flipped comparison moves exactly one bit") {
+    import graft.multimodal.Multimodal
+    def fpOf(fmt: String, bytes: Array[Byte]): Long = {
+      val (_, xs) = fmt match {
+        case "wav" => MediaCodec.samplesWav(0L, bytes)
+        case "flac" => MediaCodec.samplesFlac(0L, bytes)
+      }
+      Multimodal.audioFingerprint(0L, xs)
+    }
+    val word = Fixtures.patternWord(7L)
+    val amps = Fixtures.ladderAmps(word, 1)
+    val wav4 = fpOf("wav",
+      Fixtures.wavBytesOf(8000, amps.flatMap(a => Array.fill(4)(a))))
+    // the fingerprint of a planted ladder IS the word — the property
+    // the oracle leans on
+    assert(wav4 == word, "fingerprint must equal the planted word")
+    // constant gain: ×3 scales every block mean equally
+    val wavGain = fpOf("wav", Fixtures.wavBytesOf(8000,
+      Fixtures.ladderAmps(word, 3).flatMap(a => Array.fill(4)(a))))
+    assert(wavGain == word, "fingerprint must survive constant gain")
+    // lossless re-encode at a different gain AND duration (FLAC,
+    // 8 samples per block): same relative energy profile
+    val flac8 = fpOf("flac",
+      Fixtures.flacConstBytes(Fixtures.ladderAmps(word, 3), 8))
+    assert(flac8 == word,
+      "fingerprint must survive WAV->FLAC re-encode + gain + duration")
+    // non-multiple-of-65 length: the tail truncation keeps blocks on
+    // the same audio (append 3 trailing samples, k stays 4)
+    val wavTail = fpOf("wav", Fixtures.wavBytesOf(8000,
+      amps.flatMap(a => Array.fill(4)(a)) ++ Array(1, 1, 1)))
+    assert(wavTail == word, "fingerprint must survive a partial tail")
+    // one flipped comparison = exactly one bit
+    val k = (7L % 60 + 2).toInt
+    val pert = fpOf("wav", Fixtures.wavBytesOf(8000,
+      Fixtures.ladderAmps(word ^ (1L << k), 1)
+        .flatMap(a => Array.fill(4)(a))))
+    assert(pert == (word ^ (1L << k)))
+    assert(java.lang.Long.bitCount(pert ^ wav4) == 1)
+    // unrelated word is far away
+    val other = fpOf("flac", Fixtures.flacConstBytes(
+      Fixtures.ladderAmps(Fixtures.patternWord(9999L), 2), 4))
+    assert(java.lang.Long.bitCount(other ^ wav4) > 3)
+    // too-short audio fails named, never a silent zero fingerprint
+    val e = intercept[IllegalArgumentException] {
+      fpOf("wav", Fixtures.wavBytesOf(8000, Array.fill(64)(5)))
+    }
+    assert(e.getMessage.contains("64 samples < 65"))
+  }
+
+  test("audioFingerprints is map-side over real decoders and feeds the banded probe") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = (0L until 24L).map { d =>
+      val base = d / 4
+      val word = Fixtures.patternWord(base)
+      (d % 4) match {
+        case 0 => (d, "wav", Fixtures.wavBytesOf(8000,
+          Fixtures.ladderAmps(word, 1).flatMap(a => Array.fill(4)(a))))
+        case 1 => (d, "flac",
+          Fixtures.flacConstBytes(Fixtures.ladderAmps(word, 3), 8))
+        case 2 => (d, "wav", Fixtures.wavBytesOf(8000,
+          Fixtures.ladderAmps(word ^ (1L << (base % 60 + 2).toInt), 1)
+            .flatMap(a => Array.fill(4)(a))))
+        case _ => (d, "flac", Fixtures.flacConstBytes(
+          Fixtures.ladderAmps(Fixtures.patternWord(base + 1000003L), 2), 4))
+      }
+    }.toDF("media_id", "format", "bytes")
+    val fps = graft.multimodal.Multimodal.audioFingerprints(media).toDF()
+      .select(col("mediaId").as("doc_id"), col("fp"))
+    val got = graft.dedup.Dedup.hash64NearDupPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // per base: (v0,v1) identical, (v0,v2) and (v1,v2) at hamming 1
+    val expect = (0L until 6L).flatMap { base =>
+      val d = base * 4
+      Seq((d, d + 1, 0), (d, d + 2, 1), (d + 1, d + 2, 1))
+    }.toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
