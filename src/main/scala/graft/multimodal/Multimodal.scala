@@ -395,6 +395,30 @@ object Multimodal {
     def decodeY4m(mediaId: Long, bytes: Array[Byte],
         everyN: Int): Seq[FrameSample] = {
       require(everyN > 0, s"non-positive frame-sample cadence $everyN")
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameSample]
+      walkY4m(mediaId, bytes) { (idx, off, w, h, fNum, fDen) =>
+        if (idx % everyN == 0) {
+          val ySize = w * h
+          var s = 0L
+          var i = 0
+          while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
+          out += FrameSample(mediaId, idx, idx * 1000L * fDen / fNum,
+            w.toLong, h.toLong,
+            graft.functions.Parity.roundHalfUpScalar(s.toDouble / ySize, 6))
+        }
+      }
+      out.toSeq
+    }
+
+    /** Shared Y4M container walk behind [[decodeY4m]] and the video
+      * fingerprint: parses the stream header, validates EVERY frame's
+      * marker and plane extents (a mis-sized chroma skip lands the
+      * walk on the wrong bytes for the NEXT frame), and hands each
+      * frame's luma-plane offset to `onFrame(idx, off, w, h, fNum,
+      * fDen)`. Returns the frame count.
+      */
+    private[multimodal] def walkY4m(mediaId: Long, bytes: Array[Byte])(
+        onFrame: (Long, Int, Int, Int, Int, Int) => Unit): Long = {
       val hdrEnd = bytes.indexOf(0x0a.toByte)
       require(hdrEnd > 0 && hdrEnd >= 9 &&
         new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2",
@@ -433,7 +457,6 @@ object Multimodal {
         s"Y4M frame too large (${w}x$h): media $mediaId")
       val ySize = w * h
       val frameSize = ySize + (w / 2) * (h / 2) * 2
-      val out = scala.collection.mutable.ArrayBuffer.empty[FrameSample]
       var off = hdrEnd + 1
       var idx = 0L
       while (off < bytes.length) {
@@ -450,19 +473,12 @@ object Multimodal {
         require(off + frameSize <= bytes.length,
           s"Y4M frame $idx truncated (${bytes.length - off}/$frameSize " +
             s"bytes): media $mediaId")
-        if (idx % everyN == 0) {
-          var s = 0L
-          var i = 0
-          while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
-          out += FrameSample(mediaId, idx, idx * 1000L * fDen / fNum,
-            w.toLong, h.toLong,
-            graft.functions.Parity.roundHalfUpScalar(s.toDouble / ySize, 6))
-        }
+        onFrame(idx, off, w, h, fNum, fDen)
         off += frameSize
         idx += 1
       }
       require(idx > 0, s"no Y4M frames: media $mediaId")
-      out.toSeq
+      idx
     }
 
     /** Integer box-filter downscale by `k` over top-down RGB triplets
@@ -1484,16 +1500,31 @@ object Multimodal {
     */
   private[graft] def audioFingerprint(mediaId: Long,
       xs: Array[Long]): Long = {
-    val k = xs.length / 65
-    require(k >= 1,
+    require(xs.length >= 65,
       s"audioFingerprint: ${xs.length} samples < 65: media $mediaId")
+    var i = 0
+    val abs = new Array[Long](xs.length)
+    while (i < xs.length) { abs(i) = math.abs(xs(i)); i += 1 }
+    deltaSign65(abs)
+  }
+
+  /** The shared 65-block delta-sign reduction behind the audio and
+    * video fingerprints: cut the non-negative per-unit values into
+    * 65 equal blocks at relative positions (k = n/65 units each,
+    * tail truncated), bit i = block-i sum > block-(i+1) sum. Equal
+    * block lengths make the mean comparison an exact integer SUM
+    * comparison; the ranking is invariant under any constant scale
+    * or shift of the profile.
+    */
+  private def deltaSign65(vals: Array[Long]): Long = {
+    val k = vals.length / 65
     val e = new Array[Long](65)
     var b = 0
     while (b < 65) {
       var s = 0L
       var i = b * k
       val until = i + k
-      while (i < until) { s += math.abs(xs(i)); i += 1 }
+      while (i < until) { s += vals(i); i += 1 }
       e(b) = s
       b += 1
     }
@@ -1504,6 +1535,56 @@ object Multimodal {
       i += 1
     }
     fp
+  }
+
+  /** Perceptual VIDEO fingerprint — the third face of the near-dedup
+    * modality matrix: the temporal luminance profile of the clip,
+    * reduced by the same 65-block delta-sign scheme. Per-frame luma
+    * SUMS come from the real Y4M walk (every frame's plane extents
+    * validated); within one clip every frame has the same pixel
+    * count, so the per-segment sum comparison is exact — and the
+    * resulting word is invariant under spatial resize (the mean-luma
+    * profile is resolution-free), re-timing (relative-position
+    * segments), constant brightness scale or shift, and chroma
+    * changes (luma only). Clips need ≥ 65 frames (≈ 3 s at 24 fps);
+    * shorter clips fall back to the exact byte fingerprint.
+    */
+  final case class VideoFingerprint(
+      mediaId: Long,
+      nFrames: Long,
+      fp: Long)
+
+  private[graft] def videoFingerprint(mediaId: Long,
+      bytes: Array[Byte]): (Long, Long) = {
+    val sums = scala.collection.mutable.ArrayBuilder.make[Long]
+    val n = MediaCodec.walkY4m(mediaId, bytes) {
+      (_, off, w, h, _, _) =>
+        val ySize = w * h
+        var s = 0L
+        var i = 0
+        while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
+        sums += s
+    }
+    require(n >= 65L,
+      s"videoFingerprint: $n frames < 65 — fingerprint the bytes: " +
+        s"media $mediaId")
+    (n, deltaSign65(sums.result()))
+  }
+
+  /** Fingerprint a frame of (media_id, bytes) Y4M clips: walk the
+    * real container, fingerprint the luma profile. Map-side — the
+    * planes never leave the partition; only the word does — feeding
+    * [[graft.dedup.Dedup.hash64NearDupPairs]] like the image and
+    * audio paths (the probe is modality-blind).
+    */
+  def videoFingerprints(media: DataFrame): Dataset[VideoFingerprint] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (n, fp) = videoFingerprint(id, bytes)
+        VideoFingerprint(id, n, fp)
+      })
   }
 
   /** Fingerprint a frame of (media_id, format ∈ {wav, flac}, bytes):
@@ -2269,6 +2350,39 @@ object Multimodal {
         while (i < cSize) { bos.write(((id + 2 + f + i) % 256).toInt); i += 1 }
         i = 0
         while (i < cSize) { bos.write(((id + 3 + f + i) % 256).toInt); i += 1 }
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    /** Y4M of CONSTANT-luma frames — the video-dedup fixture: frame
+      * f's luma plane is `frameLuma(f)` everywhere, chroma planes
+      * carry deterministic non-luma bytes (a mis-sized 4:2:0 skip
+      * reads them as luma and fails), odd frames exercise the
+      * parameterized FRAME marker like [[y4mBytes]]. A ladder of
+      * constant frames makes the temporal profile analytic: the
+      * fingerprint IS the word at any resolution, frame rate, or
+      * frames-per-block count.
+      */
+    def y4mBytesOf(w: Int, h: Int, num: Int,
+        frameLuma: Array[Int]): Array[Byte] = {
+      require(w % 2 == 0 && h % 2 == 0 && w > 0 && h > 0,
+        s"bad Y4M dims ${w}x$h")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F$num:1 Ip A1:1 C420\n"
+        .getBytes("US-ASCII"))
+      val ySize = w * h
+      val cSize = (w / 2) * (h / 2)
+      var f = 0
+      while (f < frameLuma.length) {
+        bos.write((if (f % 2 == 1) "FRAME Xgraft\n" else "FRAME\n")
+          .getBytes("US-ASCII"))
+        var i = 0
+        while (i < ySize) { bos.write(frameLuma(f) & 0xff); i += 1 }
+        i = 0
+        while (i < cSize) { bos.write((f + 2 + i) % 256); i += 1 }
+        i = 0
+        while (i < cSize) { bos.write((f + 3 + i) % 256); i += 1 }
         f += 1
       }
       bos.toByteArray

@@ -327,6 +327,44 @@ object CoverageQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Perceptual VIDEO near-dedup — the third face of the modality
+    // matrix: each doc becomes one of four planted Y4M clips whose
+    // TEMPORAL luminance profile is a 65-step constant-luma ladder
+    // realizing the pattern word — v0 4×4 @24fps, 2 frames per step;
+    // v1 the SAME ladder at 8×6 @30fps, gain ×2, 3 frames per step
+    // (resized + re-timed + re-graded + longer duplicate); v2 one
+    // comparison flipped; v3 unrelated — walked by the real Y4M
+    // parser (every frame's plane extents validated) and reduced by
+    // the same 65-block delta-sign scheme, feeding the same banded
+    // probe. Ladder profile ⇒ fingerprint IS the word, so the oracle
+    // is the shared word algebra once more (it never sees a frame).
+    "q_m_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, Fixtures.y4mBytesOf(4, 4, 24,
+              Fixtures.ladderAmps(word, 1).flatMap(a => Array.fill(2)(a))))
+            case 1 => (d, Fixtures.y4mBytesOf(8, 6, 30,
+              Fixtures.ladderAmps(word, 2).flatMap(a => Array.fill(3)(a))))
+            case 2 => (d, Fixtures.y4mBytesOf(4, 4, 24,
+              Fixtures.ladderAmps(word ^ (1L << (base % 60 + 2).toInt), 1)
+                .flatMap(a => Array.fill(2)(a))))
+            case _ => (d, Fixtures.y4mBytesOf(4, 2, 24,
+              Fixtures.ladderAmps(Fixtures.patternWord(base + 1000003L), 3)
+                .flatMap(a => Array.fill(2)(a))))
+          }
+        })
+        .toDF("media_id", "bytes")
+      val fps = Multimodal.videoFingerprints(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("fp"))
+      graft.dedup.Dedup.hash64NearDupPairs(fps, maxDist = 3)
+        .orderBy("ida", "idb")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1204,6 +1242,35 @@ object CoverageQueries {
     // 2⁶³−1, no BIGINT overflow) and the pair list is BRUTE FORCE —
     // exactness of the banded probe for d ≤ 3 is the claim under test
     "q_m_image_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id,
+                  CASE v
+                    WHEN 2 THEN xor((raw & -2) | 2,
+                                    (1::BIGINT << CAST(base % 60 + 2 AS INT)))
+                    WHEN 3 THEN (raw3 & -2) | 2
+                    ELSE (raw & -2) | 2
+                  END AS fp
+           FROM f0)
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY ida, idb""",
+
+    // the video fingerprint of a planted constant-luma ladder IS its
+    // pattern word (resolution-, rate-, and brightness-invariant),
+    // so the oracle is the shared word algebra a third time
+    "q_m_video_dedup" ->
       """WITH w AS (
            SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
            FROM documents),

@@ -1156,6 +1156,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("video fingerprint: a constant-luma ladder's fingerprint IS its word; invariant under resize, re-timing, and brightness gain; flips and shortness behave like audio") {
+    import graft.multimodal.Multimodal
+    val word = Fixtures.patternWord(11L)
+    def fpOf(w: Int, h: Int, num: Int, unit: Int, rep: Int,
+        wd: Long = word): Long =
+      Multimodal.videoFingerprint(0L, Fixtures.y4mBytesOf(w, h, num,
+        Fixtures.ladderAmps(wd, unit).flatMap(a => Array.fill(rep)(a))))._2
+    val base = fpOf(4, 4, 24, 1, 2)
+    assert(base == word, "fingerprint must equal the planted word")
+    // spatial resize: the mean-luma profile is resolution-free
+    assert(fpOf(8, 6, 24, 1, 2) == word, "must survive resize")
+    // re-timing + longer clip: relative-position segments
+    assert(fpOf(4, 4, 30, 1, 3) == word, "must survive re-timing")
+    // constant brightness gain
+    assert(fpOf(4, 4, 24, 2, 2) == word, "must survive brightness gain")
+    // a partial tail (n not a multiple of 65) truncates, k unchanged
+    val tail = Multimodal.videoFingerprint(0L, Fixtures.y4mBytesOf(4, 4, 24,
+      Fixtures.ladderAmps(word, 1).flatMap(a => Array.fill(2)(a)) ++
+        Array(1)))._2
+    assert(tail == word, "must survive a partial tail")
+    // one flipped comparison = exactly one bit
+    val k = (11L % 60 + 2).toInt
+    assert(fpOf(4, 4, 24, 1, 2, word ^ (1L << k)) == (word ^ (1L << k)))
+    // unrelated word is far away
+    assert(java.lang.Long.bitCount(
+      fpOf(4, 2, 24, 3, 2, Fixtures.patternWord(9999L)) ^ base) > 3)
+    // short clips fail named — fingerprint the bytes instead
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoFingerprint(0L,
+        Fixtures.y4mBytesOf(4, 4, 24, Array.fill(64)(7)))
+    }
+    assert(e.getMessage.contains("64 frames < 65"))
+  }
+
+  test("videoFingerprints feeds the banded probe end to end over real Y4M bytes") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = (0L until 16L).map { d =>
+      val base = d / 4
+      val word = Fixtures.patternWord(base)
+      (d % 4) match {
+        case 0 => (d, Fixtures.y4mBytesOf(4, 4, 24,
+          Fixtures.ladderAmps(word, 1).flatMap(a => Array.fill(2)(a))))
+        case 1 => (d, Fixtures.y4mBytesOf(8, 6, 30,
+          Fixtures.ladderAmps(word, 2).flatMap(a => Array.fill(3)(a))))
+        case 2 => (d, Fixtures.y4mBytesOf(4, 4, 24,
+          Fixtures.ladderAmps(word ^ (1L << (base % 60 + 2).toInt), 1)
+            .flatMap(a => Array.fill(2)(a))))
+        case _ => (d, Fixtures.y4mBytesOf(4, 2, 24,
+          Fixtures.ladderAmps(Fixtures.patternWord(base + 1000003L), 3)
+            .flatMap(a => Array.fill(2)(a))))
+      }
+    }.toDF("media_id", "bytes")
+    val fps = graft.multimodal.Multimodal.videoFingerprints(media).toDF()
+      .select(col("mediaId").as("doc_id"), col("fp"))
+    val got = graft.dedup.Dedup.hash64NearDupPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (0L until 4L).flatMap { base =>
+      val d = base * 4
+      Seq((d, d + 1, 0), (d, d + 2, 1), (d + 1, d + 2, 1))
+    }.toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
