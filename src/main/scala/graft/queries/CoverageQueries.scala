@@ -365,6 +365,53 @@ object CoverageQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Canonical media selection — the step AFTER near-dup pairing
+    // that a real asset store runs: pairs → connected components →
+    // keep each cluster's best member, where "best" for media is the
+    // highest-RESOLUTION copy (max pixels, ties → smaller id), the
+    // media face of L38's keep-best-per-cluster (which keys on text
+    // quality). Composes the existing machinery end to end over real
+    // image bytes: imageHashes (real decoders) → banded hamming →
+    // frontier CC → keep-best; per base the 24×24 PNG re-encode wins
+    // over the two 16×16 variants, the unrelated singleton keeps
+    // itself. Oracle: word-algebra fingerprints, brute-force pairs,
+    // recursive-CTE CC, window keep-best — it never sees an image.
+    "q_m_media_canonical" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
+            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
+            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
+              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val hashes = Multimodal.imageHashes(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("aHash").as("fp"),
+          (col("w") * col("h")).as("pixels"))
+        .localCheckpoint() // one decode pass feeds probe + labels
+      val pairs = graft.dedup.Dedup.hash64NearDupPairs(
+          hashes.select("doc_id", "fp"), maxDist = 3)
+        .select(col("ida").as("a"), col("idb").as("b"))
+      val labels = graft.dedup.Clusters.connectedComponents(
+        hashes.select(col("doc_id").as("id")), pairs)
+      val labeled = hashes
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+      graft.dedup.Clusters.keepBestPerCluster(labeled, "doc_id",
+          "cluster_id", "pixels")
+        .select(col("doc_id"), col("cluster_id"), col("pixels"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: stubbed decode over binary columns via mapPartitions.
     "q_m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1266,6 +1313,50 @@ object CoverageQueries {
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY ida, idb""",
+
+    // word-algebra fingerprints → brute-force pairs → recursive-CTE
+    // connected components → window keep-best (max pixels, min id)
+    "q_m_media_canonical" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id,
+                  CASE v
+                    WHEN 2 THEN xor((raw & -2) | 2,
+                                    (1::BIGINT << CAST(base % 60 + 2 AS INT)))
+                    WHEN 3 THEN (raw3 & -2) | 2
+                    ELSE (raw & -2) | 2
+                  END AS fp,
+                  CASE WHEN v = 1 THEN 576::BIGINT
+                       ELSE 256::BIGINT END AS pixels
+           FROM f0),
+         pr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM f a JOIN f b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         e AS (SELECT ida AS a, idb AS b FROM pr
+               UNION ALL SELECT idb, ida FROM pr),
+         r AS (
+           SELECT doc_id AS id, doc_id AS reach FROM f
+           UNION
+           SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+         lab AS (SELECT id AS doc_id, min(reach) AS cluster_id
+                 FROM r GROUP BY id),
+         j AS (
+           SELECT f.doc_id, lab.cluster_id, f.pixels,
+                  row_number() OVER (PARTITION BY lab.cluster_id
+                    ORDER BY f.pixels DESC, f.doc_id ASC) AS rn
+           FROM f JOIN lab USING (doc_id))
+         SELECT doc_id, cluster_id, pixels, (rn = 1) AS keep
+         FROM j ORDER BY doc_id""",
 
     // the video fingerprint of a planted constant-luma ladder IS its
     // pattern word (resolution-, rate-, and brightness-invariant),

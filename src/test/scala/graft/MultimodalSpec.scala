@@ -1221,6 +1221,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("canonical media selection: pairs -> CC -> keep the highest-resolution member; singletons keep themselves") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = (0L until 16L).map { d =>
+      val base = d / 4
+      val word = Fixtures.patternWord(base)
+      (d % 4) match {
+        case 0 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+          Fixtures.blockPx(word, 2)))
+        case 1 => (d, "png", Fixtures.pngBytesOf(24, 24,
+          Fixtures.blockPx(word, 3)))
+        case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+          Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
+        case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
+          Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+      }
+    }.toDF("media_id", "format", "bytes")
+    val hashes = graft.multimodal.Multimodal.imageHashes(media).toDF()
+      .select(col("mediaId").as("doc_id"), col("aHash").as("fp"),
+        (col("w") * col("h")).as("pixels"))
+    val pairs = graft.dedup.Dedup.hash64NearDupPairs(
+        hashes.select("doc_id", "fp"), 3)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val labels = graft.dedup.Clusters.connectedComponents(
+      hashes.select(col("doc_id").as("id")), pairs)
+    val got = graft.dedup.Clusters.keepBestPerCluster(
+        hashes.join(labels.withColumnRenamed("id", "doc_id"), "doc_id"),
+        "doc_id", "cluster_id", "pixels")
+      .select("doc_id", "cluster_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val expect = (0L until 4L).flatMap { base =>
+      val d = base * 4
+      // the 24×24 re-encode (v1) wins its {v0,v1,v2} cluster; the
+      // unrelated v3 is a singleton and keeps itself
+      Seq((d, d, false), (d + 1, d, true), (d + 2, d, false),
+        (d + 3, d + 3, true))
+    }.toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
