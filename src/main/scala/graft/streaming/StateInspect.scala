@@ -296,6 +296,24 @@ object StateInspect {
         issues += s"schema side file columns_v$u missing (live schema " +
           s"version $sm) — reads will fail; restore it"
     }
+    // live zone side file (per-bucket min/max, round-14 keyed zone
+    // maps): absent = conservative scans, fine; present-but-garbled
+    // crashes every range read, so it is a NAMED issue
+    val zonesLive = Paths.get(path, s"zones_v$v")
+    val zoneBuckets: String =
+      if (!Files.exists(zonesLive)) "absent"
+      else try {
+        readText(zonesLive).linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(b, lo, hi) = l.split(",", 3)
+          require(b.toLong >= 0 && lo.toLong <= hi.toLong)
+        }.size.toString
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          issues += s"zone side file zones_v$v unparseable — range reads " +
+            "will fail; delete it (the table range-scans conservatively " +
+            "without it) or restore it"
+          "unparseable"
+      }
     val manifestIds = ls(path).filter(x => x.isFile &&
         x.getName.startsWith("manifest_v") && !x.getName.contains(".tmp"))
       .map(_.getName.stripPrefix("manifest_v").toLong).sorted.toSeq
@@ -319,6 +337,7 @@ object StateInspect {
       "bucket_count" -> (if (nb > 0) nb.toString else "constructor"),
       "schema_version" -> sm.toString,
       "retained_versions" -> retained.mkString("[", ",", "]"),
+      "zone_buckets" -> zoneBuckets,
       "tags" -> tags.sortBy(_._1)
         .map { case (n, u) => s"$n->$u" }.mkString("[", ",", "]"),
       "unreferenced_bucket_dirs" ->

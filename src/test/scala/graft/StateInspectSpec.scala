@@ -114,6 +114,29 @@ class StateInspectSpec extends AnyFunSuite {
     rm(root)
   }
 
+  test("bucketed zone maps: live zones_v is a counted fact when healthy, a named issue when garbled (range reads would fail), absent = conservative") {
+    val root = Files.createTempDirectory("fsck_zones").toString
+    val t = new BucketedTable(spark, s"$root/t", "k", 4,
+      statsCol = Some("v"))
+    t.merge(kvDF((0L until 12L).map(k => (k, k * 10L))), 0L)
+    val r = StateInspect.inspect(spark, s"$root/t")
+    assert(r.healthy && r.facts("zone_buckets") == "4", r.render)
+    val body = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t/zones_v0"))
+    Files.write(java.nio.file.Paths.get(s"$root/t/zones_v0"),
+      "0,garbled".getBytes("UTF-8"))
+    val r2 = StateInspect.inspect(spark, s"$root/t")
+    assert(r2.facts("zone_buckets") == "unparseable" &&
+      r2.issues.exists(_.contains("zones_v0 unparseable")), r2.render)
+    Files.write(java.nio.file.Paths.get(s"$root/t/zones_v0"), body)
+    // a table with no declared stats column reports absent, no issue
+    val t2 = new BucketedTable(spark, s"$root/u", "k", 4)
+    t2.merge(kvDF(Seq(1L -> 10L)), 0L)
+    val r3 = StateInspect.inspect(spark, s"$root/u")
+    assert(r3.healthy && r3.facts("zone_buckets") == "absent", r3.render)
+    rm(root)
+  }
+
   test("repair sweeps exactly the read-invisible residue on all three layouts; reads byte-identical; idempotent") {
     // append log: orphan future batch + stale consolidated + stale
     // zone + tmp residue planted around a live (compacted+vectored)
