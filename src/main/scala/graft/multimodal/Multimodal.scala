@@ -1608,6 +1608,69 @@ object Multimodal {
       })
   }
 
+  /** Per-image quality verdicts — the multimodal face of the Gopher
+    * gate battery (L32 keys on text; an image crawl thresholds on
+    * exposure, contrast, size and shape instead): too-DARK (mean
+    * luma below a floor), too-FLAT (luma variance below a floor —
+    * solid fills, blank scans), CLIPPED pixel count (overexposure,
+    * luma ≥ 250), minimum-resolution and aspect-ratio bounds. All
+    * arithmetic is exact integers: per-pixel luma is the floored
+    * `(299R + 587G + 114B) / 1000` (gray pixels land on their own
+    * value), the mean gate is `lumaSum < darkMeanLt·n`, and the
+    * variance gate is the cross-multiplied
+    * `n·Σl² − (Σl)² < flatVarLt·n²` — no division anywhere, so a
+    * planted raster reproduces every verdict bit-for-bit in SQL.
+    * Rasters are bounded to ≤ 65536 px so every product stays inside
+    * Long range — resize monsters first ([[resizeMedia]]).
+    */
+  final case class ImageQuality(
+      mediaId: Long,
+      w: Long,
+      h: Long,
+      lumaSum: Long,
+      clipCount: Long,
+      dark: Boolean,
+      flat: Boolean,
+      resOk: Boolean,
+      aspectOk: Boolean)
+
+  def imageQuality(media: DataFrame, minDim: Int = 8, maxAspect: Int = 3,
+      darkMeanLt: Int = 60, flatVarLt: Int = 100): Dataset[ImageQuality] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        val (w, h, px) = fmt match {
+          case "bmp" => MediaCodec.pixelsBmp(id, bytes)
+          case "png" => MediaCodec.pixelsPng(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"imageQuality: unsupported format $f: media $id")
+        }
+        val n = w.toLong * h
+        require(n <= 65536L,
+          s"imageQuality: raster ${w}x$h too large — resize first: " +
+            s"media $id")
+        var lsum = 0L
+        var l2sum = 0L
+        var clip = 0L
+        var p = 0
+        val end = (n * 3).toInt
+        while (p < end) {
+          val l = (299L * (px(p) & 0xff) + 587L * (px(p + 1) & 0xff) +
+            114L * (px(p + 2) & 0xff)) / 1000L
+          lsum += l
+          l2sum += l * l
+          if (l >= 250L) clip += 1
+          p += 3
+        }
+        ImageQuality(id, w.toLong, h.toLong, lsum, clip,
+          dark = lsum < darkMeanLt.toLong * n,
+          flat = n * l2sum - lsum * lsum < flatVarLt.toLong * n * n,
+          resOk = math.min(w, h) >= minDim,
+          aspectOk = w <= maxAspect.toLong * h && h <= maxAspect.toLong * w)
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

@@ -365,6 +365,45 @@ object CoverageQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Image quality battery — the multimodal face of the Gopher gate
+    // family: dark / flat / clipped / resolution / aspect verdicts
+    // from the REAL decoders' rasters, all exact integer arithmetic
+    // (floored gray luma, cross-multiplied mean and variance gates).
+    // Variants: v0 normal 40/200 block pattern, v1 24×24 constant 20
+    // (dark AND flat — zero variance), v2 255/200 blocks (clipped
+    // count = 4·bit_count, word-dependent), v3 a 48×4 constant-100
+    // banner (aspect 12 > 3 AND min dim 4 < 8 — two gates trip). The
+    // oracle re-derives every sum and verdict from the word algebra.
+    "q_m_image_quality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, (_, _) => (20, 20, 20)))
+            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16, (x, y) => {
+              val i = (y / 2) * 8 + (x / 2)
+              val v = if (((word >> i) & 1L) != 0L) 255 else 200
+              (v, v, v)
+            }))
+            case _ => (d, "png",
+              Fixtures.pngBytesOf(48, 4, (_, _) => (100, 100, 100)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.imageQuality(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("w"), col("h"),
+          col("lumaSum").as("luma_sum"), col("clipCount").as("clip_count"),
+          col("dark"), col("flat"),
+          col("resOk").as("res_ok"), col("aspectOk").as("aspect_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical media selection — the step AFTER near-dup pairing
     // that a real asset store runs: pairs → connected components →
     // keep each cluster's best member, where "best" for media is the
@@ -1313,6 +1352,47 @@ object CoverageQueries {
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY ida, idb""",
+
+    // every sum and verdict re-derived from the word algebra with the
+    // SAME integer comparisons (gray luma = pixel value; k = set bits)
+    "q_m_image_quality" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v,
+                  bit_count((((((base * 2654435761) % 2147483648)
+                    * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296)
+                    & -2) | 2))::BIGINT AS k
+           FROM w),
+         m AS (
+           SELECT doc_id,
+                  CASE v WHEN 1 THEN 24 WHEN 3 THEN 48
+                         ELSE 16 END::BIGINT AS w,
+                  CASE v WHEN 1 THEN 24 WHEN 3 THEN 4
+                         ELSE 16 END::BIGINT AS h,
+                  CASE v
+                    WHEN 0 THEN 10240 + 640 * k
+                    WHEN 1 THEN 11520
+                    WHEN 2 THEN 51200 + 220 * k
+                    ELSE 19200
+                  END::BIGINT AS luma_sum,
+                  CASE v
+                    WHEN 0 THEN 409600 + 153600 * k
+                    WHEN 1 THEN 230400
+                    WHEN 2 THEN 10240000 + 100100 * k
+                    ELSE 1920000
+                  END::BIGINT AS l2,
+                  CASE v WHEN 2 THEN 4 * k ELSE 0 END::BIGINT AS clip_count
+           FROM f0)
+         SELECT doc_id, w, h, luma_sum, clip_count,
+                (luma_sum < 60 * w * h) AS dark,
+                (w * h * l2 - luma_sum * luma_sum
+                  < 100 * w * h * w * h) AS flat,
+                (least(w, h) >= 8) AS res_ok,
+                (w <= 3 * h AND h <= 3 * w) AS aspect_ok
+         FROM m ORDER BY doc_id""",
 
     // word-algebra fingerprints → brute-force pairs → recursive-CTE
     // connected components → window keep-best (max pixels, min id)

@@ -1263,6 +1263,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("image quality battery: dark/flat/clipped/resolution/aspect verdicts from decoded rasters, exact integers") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val word = Fixtures.patternWord(3L)
+    val k = java.lang.Long.bitCount(word)
+    val media = Seq(
+      (0L, "bmp", Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2))),
+      (1L, "png", Fixtures.pngBytesOf(24, 24, (_, _) => (20, 20, 20))),
+      (2L, "bmp", Fixtures.bmpBytesOf(16, 16, (x, y) => {
+        val i = (y / 2) * 8 + (x / 2)
+        val v = if (((word >> i) & 1L) != 0L) 255 else 200
+        (v, v, v)
+      })),
+      (3L, "png", Fixtures.pngBytesOf(48, 4, (_, _) => (100, 100, 100))))
+      .toDF("media_id", "format", "bytes")
+    val got = graft.multimodal.Multimodal.imageQuality(media).toDF()
+      .orderBy(col("mediaId"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+    // gray pixels: luma = the pixel value exactly ((299+587+114)/1000)
+    assert(got(0) == (0L, 10240L + 640L * k, 0L,
+      k < 8, false, true, true), s"v0: ${got(0)}")
+    // constant 20 → dark AND flat (zero variance), nothing clipped
+    assert(got(1) == (1L, 11520L, 0L, true, true, true, true),
+      s"v1: ${got(1)}")
+    // 255 blocks clip (luma ≥ 250); 200/255 mix is bright, not flat
+    assert(got(2) == (2L, 51200L + 220L * k, 4L * k,
+      false, false, true, true), s"v2: ${got(2)}")
+    // 48×4 banner: aspect 12 > 3 AND min dim 4 < 8; constant → flat
+    assert(got(3) == (3L, 19200L, 0L, false, true, false, false),
+      s"v3: ${got(3)}")
+    // oversized rasters fail named — resize first
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.multimodal.Multimodal.imageQuality(
+        Seq((9L, "bmp", Fixtures.bmpBytesOf(260, 260, (_, _) => (1, 1, 1))))
+          .toDF("media_id", "format", "bytes")).collect()
+    }
+    assert(e.getMessage.contains("resize first") ||
+      Option(e.getCause).exists(_.getMessage.contains("resize first")))
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
