@@ -1671,6 +1671,64 @@ object Multimodal {
       })
   }
 
+  /** Per-clip quality verdicts — [[imageQuality]]'s video sibling,
+    * closing the quality-gate family across the modalities (text
+    * L32, image L86, audio audioFeatures): too-DARK (mean-luma
+    * floor over the whole clip), STATIC (temporal variance of the
+    * per-frame means below a floor — a still image re-encoded as
+    * video, the classic crawl filler), minimum resolution and
+    * aspect bounds (as the image battery), and a minimum frame
+    * count. Per-frame FLOORED mean luma (s/ySize integer division;
+    * constant frames land on their own value) keeps every product
+    * exact and inside Long for any realistic clip (Σm ≤ 255·n,
+    * n·Σm² ≤ 65025·n² — safe to ~3.7M frames); the static gate is
+    * the cross-multiplied `n·Σm² − (Σm)² < staticVarLt·n²`.
+    * Map-side over the real Y4M walk; one summary row per clip.
+    */
+  final case class VideoQuality(
+      mediaId: Long,
+      w: Long,
+      h: Long,
+      nFrames: Long,
+      meanSum: Long,
+      mean2Sum: Long,
+      dark: Boolean,
+      isStatic: Boolean,
+      resOk: Boolean,
+      aspectOk: Boolean,
+      longEnough: Boolean)
+
+  def videoQuality(media: DataFrame, minDim: Int = 8, maxAspect: Int = 3,
+      darkMeanLt: Int = 60, staticVarLt: Int = 25,
+      minFrames: Int = 25): Dataset[VideoQuality] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        var msum = 0L
+        var m2sum = 0L
+        var ww = 0L
+        var hh = 0L
+        val n = MediaCodec.walkY4m(id, bytes) { (_, off, w, h, _, _) =>
+          val ySize = w * h
+          var s = 0L
+          var i = 0
+          while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
+          val m = s / ySize
+          msum += m
+          m2sum += m * m
+          ww = w.toLong; hh = h.toLong
+        }
+        VideoQuality(id, ww, hh, n, msum, m2sum,
+          dark = msum < darkMeanLt.toLong * n,
+          isStatic = n * m2sum - msum * msum < staticVarLt.toLong * n * n,
+          resOk = math.min(ww, hh) >= minDim,
+          aspectOk = ww <= maxAspect.toLong * hh &&
+            hh <= maxAspect.toLong * ww,
+          longEnough = n >= minFrames)
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

@@ -404,6 +404,43 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Video quality battery — the image battery's clip sibling,
+    // closing the quality family across modalities: dark (whole-clip
+    // mean-luma floor), STATIC (temporal variance of per-frame means
+    // below a floor — a still image re-encoded as video), resolution
+    // + aspect bounds, minimum frame count. Variants: v0 a shifted
+    // luma ladder (+60; varying, never dark), v1 constant-20 (dark
+    // AND static), v2 constant-128 (static only), v3 a 10-frame 48×4
+    // constant banner (short + aspect + resolution trip at once).
+    // Per-frame floored means keep the oracle exact: constant frames
+    // land on their own value, ladder frames on 63 + 3·bits.
+    "q_m_video_quality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Fixtures.ladderAmps(word, 3).map(_ + 60)
+                .flatMap(a => Array.fill(2)(a))))
+            case 1 => (d, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(80)(20)))
+            case 2 => (d, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(70)(128)))
+            case _ => (d, Fixtures.y4mBytesOf(48, 4, 24, Array.fill(10)(100)))
+          }
+        })
+        .toDF("media_id", "bytes")
+      Multimodal.videoQuality(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("w"), col("h"),
+          col("nFrames").as("n_frames"), col("meanSum").as("mean_sum"),
+          col("mean2Sum").as("mean2_sum"), col("dark"),
+          col("isStatic").as("is_static"), col("resOk").as("res_ok"),
+          col("aspectOk").as("aspect_ok"),
+          col("longEnough").as("long_enough"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical media selection — the step AFTER near-dup pairing
     // that a real asset store runs: pairs → connected components →
     // keep each cluster's best member, where "best" for media is the
@@ -1352,6 +1389,50 @@ object CoverageQueries {
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY ida, idb""",
+
+    // ladder means are 63 + 3·(bits of word at position ≥ i): every
+    // sum re-derived from the word, every verdict the same compare
+    "q_m_video_quality" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v,
+                  ((((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296)
+                    & -2) | 2 AS word
+           FROM w),
+         bs AS (
+           SELECT doc_id, v,
+                  list_transform(range(65), i -> CASE WHEN i >= 64
+                    THEN 0::BIGINT
+                    ELSE bit_count(word >> i)::BIGINT END) AS bl
+           FROM f0),
+         m AS (
+           SELECT doc_id,
+                  CASE v WHEN 3 THEN 48 ELSE 8 END::BIGINT AS w,
+                  CASE v WHEN 3 THEN 4 ELSE 8 END::BIGINT AS h,
+                  CASE v WHEN 1 THEN 80 WHEN 2 THEN 70 WHEN 3 THEN 10
+                         ELSE 130 END::BIGINT AS n_frames,
+                  CASE v
+                    WHEN 1 THEN 1600 WHEN 2 THEN 8960 WHEN 3 THEN 1000
+                    ELSE 2 * list_sum(list_transform(bl, b -> 63 + 3 * b))
+                  END::BIGINT AS mean_sum,
+                  CASE v
+                    WHEN 1 THEN 32000 WHEN 2 THEN 1146880
+                    WHEN 3 THEN 100000
+                    ELSE 2 * list_sum(list_transform(bl,
+                      b -> (63 + 3 * b) * (63 + 3 * b)))
+                  END::BIGINT AS mean2_sum
+           FROM bs)
+         SELECT doc_id, w, h, n_frames, mean_sum, mean2_sum,
+                (mean_sum < 60 * n_frames) AS dark,
+                (n_frames * mean2_sum - mean_sum * mean_sum
+                  < 25 * n_frames * n_frames) AS is_static,
+                (least(w, h) >= 8) AS res_ok,
+                (w <= 3 * h AND h <= 3 * w) AS aspect_ok,
+                (n_frames >= 25) AS long_enough
+         FROM m ORDER BY doc_id""",
 
     // every sum and verdict re-derived from the word algebra with the
     // SAME integer comparisons (gray luma = pixel value; k = set bits)

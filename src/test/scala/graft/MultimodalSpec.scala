@@ -1305,6 +1305,43 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("resize first")))
   }
 
+  test("video quality battery: dark/static/resolution/aspect/length verdicts from the real Y4M walk, exact integers") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val word = Fixtures.patternWord(5L)
+    val media = Seq(
+      (0L, Fixtures.y4mBytesOf(8, 8, 24,
+        Fixtures.ladderAmps(word, 3).map(_ + 60)
+          .flatMap(a => Array.fill(2)(a)))),
+      (1L, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(80)(20))),
+      (2L, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(70)(128))),
+      (3L, Fixtures.y4mBytesOf(48, 4, 24, Array.fill(10)(100))))
+      .toDF("media_id", "bytes")
+    val got = graft.multimodal.Multimodal.videoQuality(media).toDF()
+      .orderBy(col("mediaId"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10)))
+    // ladder frame mean = 63 + 3·(bits of word at positions ≥ i),
+    // exactly (constant frames land on their own value)
+    val msum = 2L * (0 to 64).map(i =>
+      63L + 3L * java.lang.Long.bitCount(if (i >= 64) 0L else word >>> i))
+      .sum
+    // (is_static for v0 is word-dependent — not asserted)
+    assert(got(0)._1 == 0L && got(0)._2 == 130L && got(0)._3 == msum &&
+      !got(0)._4 && got(0)._6 && got(0)._7 && got(0)._8, s"v0: ${got(0)}")
+    // constant 20: dark AND static, long enough
+    assert(got(1) == (1L, 80L, 1600L, true, true, true, true, true),
+      s"v1: ${got(1)}")
+    // constant 128: static, NOT dark
+    assert(got(2) == (2L, 70L, 8960L, false, true, true, true, true),
+      s"v2: ${got(2)}")
+    // 10-frame 48×4 banner: short + aspect + resolution trip at once
+    assert(got(3) == (3L, 10L, 1000L, false, true, false, false, false),
+      s"v3: ${got(3)}")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
