@@ -1729,6 +1729,60 @@ object Multimodal {
       })
   }
 
+  /** ONE decode pass feeding the whole image-curation pipeline — the
+    * media face of L26's fused text pass: each image is decoded ONCE
+    * and yields its quality verdict ([[imageQuality]]'s gates) AND
+    * its perceptual fingerprint ([[perceptualHashes]] aHash) plus the
+    * pixel count the canonical selection ranks by. Filtering on
+    * quality BEFORE dedup is load-bearing, not cosmetic: flat fills
+    * all hash to the SAME word (zero contrast → aHash 0), so an
+    * unfiltered corpus welds every blank scan into one mega-cluster
+    * and the banded probe degenerates toward all-pairs on that key —
+    * the quality gate removes the degenerate key class first, which
+    * is exactly the order a production pipeline runs.
+    */
+  final case class ImageCuration(
+      mediaId: Long,
+      pixels: Long,
+      fp: Long,
+      qualityOk: Boolean)
+
+  def imageCurationPass(media: DataFrame, minDim: Int = 8,
+      maxAspect: Int = 3, darkMeanLt: Int = 60,
+      flatVarLt: Int = 100): Dataset[ImageCuration] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        val (w, h, px) = fmt match {
+          case "bmp" => MediaCodec.pixelsBmp(id, bytes)
+          case "png" => MediaCodec.pixelsPng(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"imageCurationPass: unsupported format $f: media $id")
+        }
+        val n = w.toLong * h
+        require(n <= 65536L,
+          s"imageCurationPass: raster ${w}x$h too large — resize " +
+            s"first: media $id")
+        var lsum = 0L
+        var l2sum = 0L
+        var p = 0
+        val end = (n * 3).toInt
+        while (p < end) {
+          val l = (299L * (px(p) & 0xff) + 587L * (px(p + 1) & 0xff) +
+            114L * (px(p + 2) & 0xff)) / 1000L
+          lsum += l
+          l2sum += l * l
+          p += 3
+        }
+        val ok = lsum >= darkMeanLt.toLong * n &&
+          n * l2sum - lsum * lsum >= flatVarLt.toLong * n * n &&
+          math.min(w, h) >= minDim &&
+          w <= maxAspect.toLong * h && h <= maxAspect.toLong * w
+        ImageCuration(id, n, perceptualHashes(w, h, px)._1, ok)
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

@@ -441,6 +441,58 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Fused media curation pipeline — the media face of L26's fused
+    // text pass: ONE decode yields quality verdict + perceptual
+    // fingerprint + pixel rank, then quality-filter → banded pairs →
+    // CC → keep-best. The quality-first order is load-bearing: flat
+    // fills all hash to aHash 0 (zero contrast), so the planted
+    // constant-20 images would weld into one corpus-wide mega-cluster
+    // and push the banded probe toward all-pairs on that key — the
+    // gate drops them before the probe ever sees the degenerate key.
+    // Output: every doc with (quality_ok, cluster_id, kept); dropped
+    // docs carry cluster -1. Oracle: word-algebra quality verdicts
+    // (the same cross-multiplied integer gates), brute-force pairs
+    // over the passers, recursive-CTE CC, window keep-best.
+    "q_m_media_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
+            case 2 => (d, "png",
+              Fixtures.pngBytesOf(16, 16, (_, _) => (20, 20, 20)))
+            case _ => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val cur = Multimodal.imageCurationPass(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("pixels"), col("fp"),
+          col("qualityOk").as("quality_ok"))
+        .localCheckpoint() // one decode pass feeds gate + probe + rank
+      val passers = cur.filter(col("quality_ok"))
+      val pairs = graft.dedup.Dedup.hash64NearDupPairs(
+          passers.select("doc_id", "fp"), maxDist = 3)
+        .select(col("ida").as("a"), col("idb").as("b"))
+      val labels = graft.dedup.Clusters.connectedComponents(
+        passers.select(col("doc_id").as("id")), pairs)
+      val kept = graft.dedup.Clusters.keepBestPerCluster(
+          passers.join(labels.withColumnRenamed("id", "doc_id"), "doc_id"),
+          "doc_id", "cluster_id", "pixels")
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
+      cur.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_ok"),
+          coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
+          coalesce(col("keep"), lit(false)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical media selection — the step AFTER near-dup pairing
     // that a real asset store runs: pairs → connected components →
     // keep each cluster's best member, where "best" for media is the
@@ -1474,6 +1526,70 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // word-algebra quality verdicts (same cross-multiplied gates) →
+    // brute-force pairs over passers → recursive CC → keep-best →
+    // left join back so dropped docs carry cluster -1
+    "q_m_media_pipeline" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id, v,
+                  CASE v WHEN 3 THEN (raw3 & -2) | 2
+                         WHEN 2 THEN 0
+                         ELSE (raw & -2) | 2 END AS fp,
+                  CASE v WHEN 1 THEN 576 ELSE 256 END::BIGINT AS pixels,
+                  bit_count((raw & -2) | 2)::BIGINT AS k,
+                  bit_count((raw3 & -2) | 2)::BIGINT AS k3
+           FROM f0),
+         q AS (
+           SELECT doc_id, fp, pixels,
+                  CASE v
+                    WHEN 0 THEN NOT (10240 + 640 * k < 15360)
+                      AND NOT (256 * (409600 + 153600 * k)
+                        - (10240 + 640 * k) * (10240 + 640 * k) < 6553600)
+                    WHEN 1 THEN NOT (23040 + 1440 * k < 34560)
+                      AND NOT (576 * (921600 + 345600 * k)
+                        - (23040 + 1440 * k) * (23040 + 1440 * k)
+                        < 33177600)
+                    WHEN 3 THEN NOT (10240 + 640 * k3 < 15360)
+                      AND NOT (256 * (409600 + 153600 * k3)
+                        - (10240 + 640 * k3) * (10240 + 640 * k3)
+                        < 6553600)
+                    ELSE FALSE
+                  END AS quality_ok
+           FROM f),
+         p AS (SELECT doc_id, fp, pixels FROM q WHERE quality_ok),
+         pr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM p a JOIN p b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         e AS (SELECT ida AS a, idb AS b FROM pr
+               UNION ALL SELECT idb, ida FROM pr),
+         r AS (
+           SELECT doc_id AS id, doc_id AS reach FROM p
+           UNION
+           SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+         lab AS (SELECT id AS doc_id, min(reach) AS cluster_id
+                 FROM r GROUP BY id),
+         j AS (
+           SELECT p.doc_id, lab.cluster_id, p.pixels,
+                  row_number() OVER (PARTITION BY lab.cluster_id
+                    ORDER BY p.pixels DESC, p.doc_id ASC) AS rn
+           FROM p JOIN lab USING (doc_id))
+         SELECT q.doc_id, q.quality_ok,
+                coalesce(j.cluster_id, -1)::BIGINT AS cluster_id,
+                coalesce(j.rn = 1, FALSE) AS kept
+         FROM q LEFT JOIN j USING (doc_id)
+         ORDER BY doc_id""",
 
     // word-algebra fingerprints → brute-force pairs → recursive-CTE
     // connected components → window keep-best (max pixels, min id)

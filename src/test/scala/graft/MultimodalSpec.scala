@@ -1342,6 +1342,39 @@ class MultimodalSpec extends AnyFunSuite {
       s"v3: ${got(3)}")
   }
 
+  test("curation pass: quality-first ordering prevents the flat-image mega-cluster (all flats share aHash 0)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 distinct flat fills + 2 genuinely-identical patterned images
+    val media = ((0L until 6L).map(d => (d, "png",
+      Fixtures.pngBytesOf(16, 16, (_, _) =>
+        ((10 + d).toInt, (10 + d).toInt, (10 + d).toInt)))) ++ Seq(
+      (6L, "bmp", Fixtures.bmpBytesOf(16, 16,
+        Fixtures.blockPx(Fixtures.patternWord(1L), 2))),
+      (7L, "png", Fixtures.pngBytesOf(24, 24,
+        Fixtures.blockPx(Fixtures.patternWord(1L), 3)))))
+      .toDF("media_id", "format", "bytes")
+    val cur = graft.multimodal.Multimodal.imageCurationPass(media).toDF()
+    // every flat fill hashes to the same degenerate word...
+    val flats = cur.filter(!col("qualityOk"))
+      .select("mediaId", "fp").collect()
+    assert(flats.map(_.getLong(0)).sorted.toSeq == (0L until 6L) &&
+      flats.map(_.getLong(1)).distinct.toSeq == Seq(0L),
+      "flat fills must all be dropped and all share aHash 0")
+    // ...so skipping the gate welds 6 unrelated images into one
+    // cluster, while the gated pipeline pairs only the true dup
+    val ungatedPairs = graft.dedup.Dedup.hash64NearDupPairs(
+      cur.select(col("mediaId").as("doc_id"), col("fp")), 3).count()
+    assert(ungatedPairs == 15 + 1, // C(6,2) degenerate + the true pair
+      s"ungated: $ungatedPairs")
+    val gated = graft.dedup.Dedup.hash64NearDupPairs(
+      cur.filter(col("qualityOk"))
+        .select(col("mediaId").as("doc_id"), col("fp")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gated.toSeq == Seq((6L, 7L)), s"gated: ${gated.toSeq}")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
