@@ -1783,6 +1783,44 @@ object Multimodal {
       })
   }
 
+  /** Shot-boundary detection — [[graft.text.TextTiling]]'s video
+    * face: a hard cut shows as a jump in the temporal luminance
+    * profile, so boundaries are the frames whose FLOORED mean luma
+    * moves ≥ `minJump` from the previous frame's (exact integers, no
+    * smoothing — the gate's contract is the cheap first-pass cut
+    * list that budgets frame sampling and keyframe extraction, not a
+    * soft-transition detector). One row per boundary with both sides'
+    * means; map-side on the shared real Y4M walk, rows ∝ cuts.
+    */
+  final case class SceneChange(
+      mediaId: Long,
+      frameIdx: Long,
+      prevMean: Long,
+      nextMean: Long)
+
+  def sceneChanges(media: DataFrame, minJump: Int = 2)
+      : Dataset[SceneChange] = {
+    require(minJump >= 1, s"minJump must be positive: $minJump")
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val out = Seq.newBuilder[SceneChange]
+        var prev = -1L
+        MediaCodec.walkY4m(id, bytes) { (idx, off, w, h, _, _) =>
+          val ySize = w * h
+          var s = 0L
+          var i = 0
+          while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
+          val m = s / ySize
+          if (idx > 0L && math.abs(m - prev) >= minJump)
+            out += SceneChange(id, idx, prev, m)
+          prev = m
+        }
+        out.result()
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

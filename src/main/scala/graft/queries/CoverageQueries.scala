@@ -441,6 +441,41 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Shot-boundary detection — TextTiling's video face: a hard cut
+    // is a jump in the temporal luma profile; one row per boundary
+    // with both sides' floored means. Variants: v0 the luma ladder
+    // (a boundary at frame 2(i+1) for exactly the SET bits of the
+    // word — the ladder steps 3 luma per set bit, ≥ the jump floor),
+    // v1 a constant clip (zero rows), v2 a two-shot cut at frame 30,
+    // v3 a three-shot clip with cuts at 10 and 20. The oracle emits
+    // v0's boundary list straight from the word's set bits.
+    "q_m_scene_changes" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Fixtures.ladderAmps(word, 3).map(_ + 60)
+                .flatMap(a => Array.fill(2)(a))))
+            case 1 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(40)(128)))
+            case 2 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(30)(50) ++ Array.fill(30)(180)))
+            case _ => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(10)(100) ++ Array.fill(10)(30) ++
+                Array.fill(10)(220)))
+          }
+        })
+        .toDF("media_id", "bytes")
+      Multimodal.sceneChanges(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("prevMean").as("prev_mean"), col("nextMean").as("next_mean"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Fused media curation pipeline — the media face of L26's fused
     // text pass: ONE decode yields quality verdict + perceptual
     // fingerprint + pixel rank, then quality-filter → banded pairs →
@@ -1526,6 +1561,38 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // v0 boundaries ARE the word's set bits (ladder steps 3 per set
+    // bit); v2/v3 cut frames are fixture constants; v1 emits nothing
+    "q_m_scene_changes" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v,
+                  ((((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296)
+                    & -2) | 2 AS word
+           FROM w),
+         v0rows AS (
+           SELECT doc_id, (2 * (i + 1))::BIGINT AS frame_idx,
+                  (63 + 3 * bit_count(word >> i)::BIGINT) AS prev_mean,
+                  (63 + 3 * bit_count(word >> (i + 1))::BIGINT)
+                    AS next_mean
+           FROM f0, generate_series(0, 62) t(i)
+           WHERE v = 0 AND ((word >> i) & 1) = 1),
+         cutrows AS (
+           SELECT doc_id, 30::BIGINT AS frame_idx, 50::BIGINT AS prev_mean,
+                  180::BIGINT AS next_mean
+           FROM f0 WHERE v = 2
+           UNION ALL
+           SELECT doc_id, 10, 100, 30 FROM f0 WHERE v = 3
+           UNION ALL
+           SELECT doc_id, 20, 30, 220 FROM f0 WHERE v = 3)
+         SELECT doc_id, frame_idx, prev_mean, next_mean FROM v0rows
+         UNION ALL
+         SELECT doc_id, frame_idx, prev_mean, next_mean FROM cutrows
+         ORDER BY doc_id, frame_idx""",
 
     // word-algebra quality verdicts (same cross-multiplied gates) →
     // brute-force pairs over passers → recursive CC → keep-best →

@@ -1375,6 +1375,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gated.toSeq == Seq((6L, 7L)), s"gated: ${gated.toSeq}")
   }
 
+  test("scene changes: ladder boundaries are exactly the word's set bits; constant clips emit nothing; hard cuts land on their frame") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val word = Fixtures.patternWord(13L)
+    val media = Seq(
+      (0L, Fixtures.y4mBytesOf(8, 8, 24,
+        Fixtures.ladderAmps(word, 3).map(_ + 60)
+          .flatMap(a => Array.fill(2)(a)))),
+      (1L, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(40)(128))),
+      (2L, Fixtures.y4mBytesOf(8, 8, 24,
+        Array.fill(30)(50) ++ Array.fill(30)(180))))
+      .toDF("media_id", "bytes")
+    val got = graft.multimodal.Multimodal.sceneChanges(media)
+      .collect().map(c => (c.mediaId, c.frameIdx, c.prevMean, c.nextMean))
+      .sortBy(x => (x._1, x._2)).toSeq
+    def bc(i: Int) = java.lang.Long.bitCount(word >>> i)
+    val expect0 = (0 to 62).filter(i => ((word >> i) & 1L) == 1L).map(i =>
+      (0L, 2L * (i + 1), 63L + 3 * bc(i), 63L + 3 * bc(i + 1)))
+    assert(got == expect0 :+ (2L, 30L, 50L, 180L),
+      s"got ${got.size} rows, expected ${expect0.size + 1}")
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
