@@ -1821,6 +1821,64 @@ object Multimodal {
       })
   }
 
+  /** Silence-split audio segmentation — the VAD-shaped first pass an
+    * ASR/audio-curation pipeline runs before any model (and the audio
+    * face of the shot-boundary idea: segment where the signal
+    * changes class, here active↔silent): the decoded signal is cut
+    * into non-overlapping `windowSamples` windows (short last window
+    * kept, as [[audioFeatures]] does), a window is SILENT when its
+    * peak |amplitude| < `minPeak`, and each maximal run of ACTIVE
+    * windows becomes one segment row (segIdx, startWindow,
+    * endWindow inclusive, nWindows). Exact integers, map-side, rows
+    * ∝ segments; an all-silent clip emits nothing — the drop signal.
+    */
+  final case class AudioSegment(
+      mediaId: Long,
+      segIdx: Long,
+      startWindow: Long,
+      endWindow: Long,
+      nWindows: Long)
+
+  def audioSegments(media: DataFrame, windowSamples: Int = 8,
+      minPeak: Int = 10): Dataset[AudioSegment] = {
+    require(windowSamples >= 1 && minPeak >= 1,
+      s"bad audioSegments params: window $windowSamples, peak $minPeak")
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("format"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, fmt, bytes) =>
+        val (_, xs) = fmt match {
+          case "wav" => MediaCodec.samplesWav(id, bytes)
+          case "flac" => MediaCodec.samplesFlac(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"audioSegments: not an audio format ($f): media $id")
+        }
+        val nWin = (xs.length + windowSamples - 1) / windowSamples
+        val out = Seq.newBuilder[AudioSegment]
+        var seg = 0L
+        var start = -1L
+        var w = 0
+        while (w < nWin) {
+          var peak = 0L
+          var i = w * windowSamples
+          val until = math.min(xs.length, i + windowSamples)
+          while (i < until) {
+            val a = math.abs(xs(i)); if (a > peak) peak = a; i += 1
+          }
+          val active = peak >= minPeak
+          if (active && start < 0L) start = w.toLong
+          if (!active && start >= 0L) {
+            out += AudioSegment(id, seg, start, w - 1L, w - start)
+            seg += 1; start = -1L
+          }
+          w += 1
+        }
+        if (start >= 0L)
+          out += AudioSegment(id, seg, start, nWin - 1L, nWin - start)
+        out.result()
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

@@ -441,6 +441,44 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Silence-split audio segmentation (VAD first pass): maximal runs
+    // of ACTIVE windows (peak |x| ≥ floor) become segment rows.
+    // Variants: v0 word-driven — window i active iff bit i of the
+    // word is set, so the segments ARE the word's maximal set-bit
+    // runs (the oracle derives them with a gaps-and-islands window
+    // chain over bit positions); v1 all-silent (zero rows — the drop
+    // signal); v2 an all-active FLAC (one full-span segment through
+    // the other decoder); v3 a fixed speech/silence/speech shape.
+    "q_m_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "wav", Fixtures.wavBytesOf(8000,
+              Array.tabulate(64)(i =>
+                if (((word >> i) & 1L) != 0L) 100 else 2)
+                .flatMap(a => Array.fill(8)(a))))
+            case 1 => (d, "wav", Fixtures.wavBytesOf(8000,
+              Array.fill(512)(2)))
+            case 2 => (d, "flac",
+              Fixtures.flacConstBytes(Array.fill(64)(100), 8))
+            case _ => (d, "wav", Fixtures.wavBytesOf(8000,
+              (Array.fill(128)(100) ++ Array.fill(128)(2) ++
+                Array.fill(256)(100))))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      Multimodal.audioSegments(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("segIdx").as("seg_idx"),
+          col("startWindow").as("start_window"),
+          col("endWindow").as("end_window"),
+          col("nWindows").as("n_windows"))
+        .orderBy("doc_id", "seg_idx")
+    }),
+
     // Shot-boundary detection — TextTiling's video face: a hard cut
     // is a jump in the temporal luma profile; one row per boundary
     // with both sides' floored means. Variants: v0 the luma ladder
@@ -1561,6 +1599,52 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // v0 segments are the word's maximal set-bit runs, derived with a
+    // gaps-and-islands window chain over bit positions; v2/v3 fixed
+    "q_m_audio_segments" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v,
+                  ((((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296)
+                    & -2) | 2 AS word
+           FROM w),
+         a AS (
+           SELECT doc_id, i, ((word >> i) & 1) = 1 AS act
+           FROM f0, generate_series(0, 63) t(i) WHERE v = 0),
+         st AS (
+           SELECT doc_id, i, act,
+                  CASE WHEN act AND coalesce(lag(act) OVER
+                      (PARTITION BY doc_id ORDER BY i), false) = false
+                  THEN 1 ELSE 0 END AS isstart
+           FROM a),
+         g AS (
+           SELECT doc_id, i, act,
+                  sum(isstart) OVER (PARTITION BY doc_id ORDER BY i) AS seg
+           FROM st),
+         v0rows AS (
+           SELECT doc_id, (seg - 1)::BIGINT AS seg_idx,
+                  min(i)::BIGINT AS start_window,
+                  max(i)::BIGINT AS end_window,
+                  count(*)::BIGINT AS n_windows
+           FROM g WHERE act GROUP BY doc_id, seg),
+         fixed AS (
+           SELECT doc_id, 0::BIGINT AS seg_idx, 0::BIGINT AS start_window,
+                  63::BIGINT AS end_window, 64::BIGINT AS n_windows
+           FROM f0 WHERE v = 2
+           UNION ALL
+           SELECT doc_id, 0, 0, 15, 16 FROM f0 WHERE v = 3
+           UNION ALL
+           SELECT doc_id, 1, 32, 63, 32 FROM f0 WHERE v = 3)
+         SELECT doc_id, seg_idx, start_window, end_window, n_windows
+         FROM v0rows
+         UNION ALL
+         SELECT doc_id, seg_idx, start_window, end_window, n_windows
+         FROM fixed
+         ORDER BY doc_id, seg_idx""",
 
     // v0 boundaries ARE the word's set bits (ladder steps 3 per set
     // bit); v2/v3 cut frames are fixture constants; v1 emits nothing

@@ -1397,6 +1397,42 @@ class MultimodalSpec extends AnyFunSuite {
       s"got ${got.size} rows, expected ${expect0.size + 1}")
   }
 
+  test("audio segments: maximal active-window runs; word-driven runs match a reference run-length pass; all-silent emits nothing") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val word = Fixtures.patternWord(17L)
+    val media = Seq(
+      (0L, "wav", Fixtures.wavBytesOf(8000,
+        Array.tabulate(64)(i => if (((word >> i) & 1L) != 0L) 100 else 2)
+          .flatMap(a => Array.fill(8)(a)))),
+      (1L, "wav", Fixtures.wavBytesOf(8000, Array.fill(512)(2))),
+      (2L, "flac", Fixtures.flacConstBytes(Array.fill(64)(100), 8)),
+      (3L, "wav", Fixtures.wavBytesOf(8000,
+        Array.fill(128)(100) ++ Array.fill(128)(2) ++
+          Array.fill(256)(100))))
+      .toDF("media_id", "format", "bytes")
+    val got = graft.multimodal.Multimodal.audioSegments(media)
+      .collect().map(x => (x.mediaId, x.segIdx, x.startWindow,
+        x.endWindow, x.nWindows)).sortBy(x => (x._1, x._2)).toSeq
+    // reference run-length pass over the word's bits
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < 64) {
+      if (((word >> i) & 1L) != 0L) {
+        val s0 = i
+        while (i < 64 && ((word >> i) & 1L) != 0L) i += 1
+        runs += ((s0.toLong, (i - 1).toLong))
+      } else i += 1
+    }
+    val expect0 = runs.zipWithIndex.map { case ((a, b), j) =>
+      (0L, j.toLong, a, b, b - a + 1) }.toSeq
+    assert(got.filter(_._1 == 0L) == expect0)
+    assert(!got.exists(_._1 == 1L), "all-silent must emit nothing")
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 63L, 64L)))
+    assert(got.filter(_._1 == 3L) ==
+      Seq((3L, 0L, 0L, 15L, 16L), (3L, 1L, 32L, 63L, 32L)))
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
