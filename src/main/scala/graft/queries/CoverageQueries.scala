@@ -441,6 +441,51 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Best-caption-per-image (the LAION-shaped multimodal record
+    // curation step): when several (image, caption) records share a
+    // near-duplicate image, keep ONE — the richest caption (most
+    // whitespace tokens, ties → smaller id). The first gate that
+    // mixes the modalities for real: image clusters come from the
+    // perceptual-fingerprint machinery over planted bytes, the
+    // ranking signal comes from the REAL document text. Per base the
+    // three image variants cluster and the longest of their three
+    // captions survives; the unrelated singleton keeps its own.
+    "q_x_caption_select" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
+            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
+            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
+              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val fps = Multimodal.imageHashes(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("aHash").as("fp"))
+      val pairs = graft.dedup.Dedup.hash64NearDupPairs(fps, maxDist = 3)
+        .select(col("ida").as("a"), col("idb").as("b"))
+      val labels = graft.dedup.Clusters.connectedComponents(
+        fps.select(col("doc_id").as("id")), pairs)
+      val captions = docs(s, dir).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_ws"))
+      val labeled = captions
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+      graft.dedup.Clusters.keepBestPerCluster(labeled, "doc_id",
+          "cluster_id", "n_ws")
+        .select(col("doc_id"), col("cluster_id"),
+          col("n_ws").cast("long").as("n_ws"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Silence-split audio segmentation (VAD first pass): maximal runs
     // of ACTIVE windows (peak |x| ≥ floor) become segment rows.
     // Variants: v0 word-driven — window i active iff bit i of the
@@ -1599,6 +1644,50 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // image clusters from the word algebra + recursive CC; the
+    // ranking signal is the REAL text's whitespace token count
+    "q_x_caption_select" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''))::BIGINT AS n_ws
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v, n_ws,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3,
+                  (1::BIGINT << CAST(base % 60 + 2 AS INT)) AS flip
+           FROM w),
+         f AS (
+           SELECT doc_id, n_ws,
+                  CASE v
+                    WHEN 2 THEN xor((raw & -2) | 2, flip)
+                    WHEN 3 THEN (raw3 & -2) | 2
+                    ELSE (raw & -2) | 2
+                  END AS fp
+           FROM f0),
+         pr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM f a JOIN f b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         e AS (SELECT ida AS a, idb AS b FROM pr
+               UNION ALL SELECT idb, ida FROM pr),
+         r AS (
+           SELECT doc_id AS id, doc_id AS reach FROM f
+           UNION
+           SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+         lab AS (SELECT id AS doc_id, min(reach) AS cluster_id
+                 FROM r GROUP BY id),
+         j AS (
+           SELECT f.doc_id, lab.cluster_id, f.n_ws,
+                  row_number() OVER (PARTITION BY lab.cluster_id
+                    ORDER BY f.n_ws DESC, f.doc_id ASC) AS rn
+           FROM f JOIN lab USING (doc_id))
+         SELECT doc_id, cluster_id, n_ws, (rn = 1) AS keep
+         FROM j ORDER BY doc_id""",
 
     // v0 segments are the word's maximal set-bit runs, derived with a
     // gaps-and-islands window chain over bit positions; v2/v3 fixed
