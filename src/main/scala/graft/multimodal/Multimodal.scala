@@ -1879,6 +1879,58 @@ object Multimodal {
       })
   }
 
+  /** Shot segmentation + keyframe — what a video pipeline actually
+    * materializes from [[sceneChanges]]' cut list: each maximal run
+    * of frames between cuts becomes one SHOT row carrying its span
+    * and its KEYFRAME feature (the first frame's floored mean luma —
+    * the frame an embedding pass would encode per shot). Same jump
+    * rule as sceneChanges ([[graft.text.TextTiling]]'s video face);
+    * map-side on the shared real Y4M walk, rows ∝ shots, the per-clip
+    * mean buffer is bounded by the clip already held as `bytes`.
+    */
+  final case class VideoShot(
+      mediaId: Long,
+      shotIdx: Long,
+      startFrame: Long,
+      endFrame: Long,
+      nFrames: Long,
+      keyMean: Long)
+
+  def videoShots(media: DataFrame, minJump: Int = 2)
+      : Dataset[VideoShot] = {
+    require(minJump >= 1, s"minJump must be positive: $minJump")
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val means = scala.collection.mutable.ArrayBuffer.empty[Long]
+        MediaCodec.walkY4m(id, bytes) { (_, off, w, h, _, _) =>
+          val ySize = w * h
+          var s = 0L
+          var i = 0
+          while (i < ySize) { s += bytes(off + i) & 0xff; i += 1 }
+          means += s / ySize
+        }
+        val out = Seq.newBuilder[VideoShot]
+        var shot = 0L
+        var start = 0
+        var f = 1
+        def emit(end: Int): Unit = {
+          out += VideoShot(id, shot, start.toLong, end.toLong,
+            (end - start + 1).toLong, means(start))
+          shot += 1
+        }
+        while (f < means.length) {
+          if (math.abs(means(f) - means(f - 1)) >= minJump) {
+            emit(f - 1); start = f
+          }
+          f += 1
+        }
+        emit(means.length - 1)
+        out.result()
+      })
+  }
+
   /** [[decodeMedia]] without a format column: each row's format is
     * SNIFFED from its magic bytes ([[MediaCodec.detectFormat]]) — the
     * real-world ingest case where the binary column arrives untyped

@@ -441,6 +441,42 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Shot segmentation + keyframe — what a video pipeline actually
+    // materializes from the cut list: each run between cuts becomes
+    // one shot row with its span and its keyframe feature (first
+    // frame's floored mean — the frame an embedding pass encodes).
+    // Same fixtures as the boundary gate; the oracle builds shots by
+    // lead()-chaining the word's set-bit boundary frames and reads
+    // the keyframe mean from the ladder-step formula.
+    "q_m_video_shots" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val base = d / 4
+          val word = Fixtures.patternWord(base)
+          (d % 4) match {
+            case 0 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Fixtures.ladderAmps(word, 3).map(_ + 60)
+                .flatMap(a => Array.fill(2)(a))))
+            case 1 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(40)(128)))
+            case 2 => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(30)(50) ++ Array.fill(30)(180)))
+            case _ => (d, Fixtures.y4mBytesOf(8, 8, 24,
+              Array.fill(10)(100) ++ Array.fill(10)(30) ++
+                Array.fill(10)(220)))
+          }
+        })
+        .toDF("media_id", "bytes")
+      Multimodal.videoShots(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("shotIdx").as("shot_idx"),
+          col("startFrame").as("start_frame"),
+          col("endFrame").as("end_frame"),
+          col("nFrames").as("n_frames"), col("keyMean").as("key_mean"))
+        .orderBy("doc_id", "shot_idx")
+    }),
+
     // Best-caption-per-image (the LAION-shaped multimodal record
     // curation step): when several (image, caption) records share a
     // near-duplicate image, keep ONE — the richest caption (most
@@ -1644,6 +1680,64 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // shots = lead()-chained boundary frames (0 ∪ the word's set-bit
+    // frames); keyframe mean from the ladder-step formula, guarding
+    // the final step's out-of-range shift
+    "q_m_video_shots" ->
+      """WITH w AS (
+           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+           FROM documents),
+         f0 AS (
+           SELECT doc_id, v,
+                  ((((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296)
+                    & -2) | 2 AS word
+           FROM w),
+         b AS (
+           SELECT doc_id, word, 0::BIGINT AS f FROM f0 WHERE v = 0
+           UNION ALL
+           SELECT doc_id, word, (2 * (i + 1))::BIGINT
+           FROM f0, generate_series(0, 62) t(i)
+           WHERE v = 0 AND ((word >> i) & 1) = 1),
+         sh AS (
+           SELECT doc_id, f AS start_frame,
+                  coalesce(lead(f) OVER (PARTITION BY doc_id ORDER BY f),
+                    130) - 1 AS end_frame,
+                  (row_number() OVER (PARTITION BY doc_id ORDER BY f) - 1)
+                    ::BIGINT AS shot_idx,
+                  CASE WHEN f // 2 >= 64 THEN 63::BIGINT
+                       ELSE 63 + 3 * bit_count(word >> (f // 2))::BIGINT
+                  END AS key_mean
+           FROM b),
+         v0rows AS (
+           SELECT doc_id, shot_idx, start_frame, end_frame,
+                  (end_frame - start_frame + 1)::BIGINT AS n_frames,
+                  key_mean
+           FROM sh),
+         fixed AS (
+           SELECT doc_id, 0::BIGINT AS shot_idx, 0::BIGINT AS start_frame,
+                  39::BIGINT AS end_frame, 40::BIGINT AS n_frames,
+                  128::BIGINT AS key_mean
+           FROM f0 WHERE v = 1
+           UNION ALL
+           SELECT doc_id, 0, 0, 29, 30, 50 FROM f0 WHERE v = 2
+           UNION ALL
+           SELECT doc_id, 1, 30, 59, 30, 180 FROM f0 WHERE v = 2
+           UNION ALL
+           SELECT doc_id, 0, 0, 9, 10, 100 FROM f0 WHERE v = 3
+           UNION ALL
+           SELECT doc_id, 1, 10, 19, 10, 30 FROM f0 WHERE v = 3
+           UNION ALL
+           SELECT doc_id, 2, 20, 29, 10, 220 FROM f0 WHERE v = 3)
+         SELECT doc_id, shot_idx, start_frame, end_frame, n_frames,
+                key_mean
+         FROM v0rows
+         UNION ALL
+         SELECT doc_id, shot_idx, start_frame, end_frame, n_frames,
+                key_mean
+         FROM fixed
+         ORDER BY doc_id, shot_idx""",
 
     // image clusters from the word algebra + recursive CC; the
     // ranking signal is the REAL text's whitespace token count

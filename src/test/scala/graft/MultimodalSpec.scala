@@ -1433,6 +1433,40 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((3L, 0L, 0L, 15L, 16L), (3L, 1L, 32L, 63L, 32L)))
   }
 
+  test("video shots: spans tile the clip exactly between cuts; keyframe mean is the first frame's; single-shot when no cuts") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val word = Fixtures.patternWord(19L)
+    val media = Seq(
+      (0L, Fixtures.y4mBytesOf(8, 8, 24,
+        Fixtures.ladderAmps(word, 3).map(_ + 60)
+          .flatMap(a => Array.fill(2)(a)))),
+      (1L, Fixtures.y4mBytesOf(8, 8, 24, Array.fill(40)(128))),
+      (2L, Fixtures.y4mBytesOf(8, 8, 24,
+        Array.fill(30)(50) ++ Array.fill(30)(180))))
+      .toDF("media_id", "bytes")
+    val got = graft.multimodal.Multimodal.videoShots(media)
+      .collect().map(x => (x.mediaId, x.shotIdx, x.startFrame,
+        x.endFrame, x.nFrames, x.keyMean))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // v0: shots tile [0, 129] with boundaries at the set bits' frames
+    val v0 = got.filter(_._1 == 0L)
+    assert(v0.head._3 == 0L && v0.last._4 == 129L)
+    assert(v0.sliding(2).forall {
+      case Seq(a, b) => b._3 == a._4 + 1; case _ => true },
+      "shots must tile the clip with no gap or overlap")
+    assert(v0.size == 1 + java.lang.Long.bitCount(word),
+      "one shot per set bit plus the opening shot")
+    def bc(i: Int) = java.lang.Long.bitCount(word >>> i)
+    assert(v0.forall(sh => sh._6 == 63L + 3 * bc((sh._3 / 2).toInt)),
+      "keyframe mean must be the shot's first step's mean")
+    // v1: no cuts → one whole-clip shot with the constant mean
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0L, 0L, 39L, 40L, 128L)))
+    // v2: one cut at 30
+    assert(got.filter(_._1 == 2L) ==
+      Seq((2L, 0L, 0L, 29L, 30L, 50L), (2L, 1L, 30L, 59L, 30L, 180L)))
+  }
+
   test("hash64NearDupPairs equals brute force on a planted corpus (pigeonhole exactness for d <= 3)") {
     val s = TestSpark.spark
     import s.implicits._
