@@ -477,6 +477,44 @@ object CoverageQueries {
         .orderBy("doc_id", "shot_idx")
     }),
 
+    // Multimodal sequence packing — the training-batch assembly step
+    // for (image, text) records: each record costs text BPE tokens
+    // PLUS vision-transformer patch tokens (⌈w/14⌉·⌈h/14⌉, the
+    // ViT-patch grid), and best-fit-decreasing packs records into a
+    // shared context budget per language stratum. Patch counts come
+    // from the REAL decoder's dimensions (a mis-parsed header would
+    // shift every bin), token counts from the real text; the packer
+    // is the existing L51 BFD fold. Oracle: analytic dims → the same
+    // combined cost → the same recursive-CTE BFD replay.
+    "q_x_multimodal_pack" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val budget = 160L
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val w = (16 + (d % 3) * 12).toInt
+          val h = (16 + (d % 2) * 12).toInt
+          (d, "bmp", Fixtures.bmpBytesOf(w, h, (x, y) => {
+            val v = ((d + x + 11 * y) % 256).toInt; (v, v, v)
+          }))
+        })
+        .toDF("media_id", "format", "bytes")
+      val patches = Multimodal.decodeMedia(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          expr("((width + 13) div 14) * ((height + 13) div 14)")
+            .as("n_patches"))
+      val base = docs(s, dir).join(patches, "doc_id")
+        .withColumn("n_cost",
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+            + col("n_patches"))
+      graft.operators.Sampling
+        .packBestFit(base, "doc_id", "lang", "n_cost", budget)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_cost").as("fill_cost"))
+        .withColumn("pad_cost", lit(budget) - col("fill_cost"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // Best-caption-per-image (the LAION-shaped multimodal record
     // curation step): when several (image, caption) records share a
     // near-duplicate image, keep ONE — the richest caption (most
@@ -1680,6 +1718,53 @@ object CoverageQueries {
                 (least(w, h) >= 8) AS res_ok,
                 (w <= 3 * h AND h <= 3 * w) AS aspect_ok
          FROM m ORDER BY doc_id""",
+
+    // analytic ViT-patch grid from the fixture dims + real text BPE
+    // count → the same combined cost → the recursive-CTE BFD replay
+    // (the q_c_pack_bfd oracle shape at the multimodal cost)
+    "q_x_multimodal_pack" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+                    + ((16 + (doc_id % 3) * 12 + 13) // 14)
+                      * ((16 + (doc_id % 2) * 12 + 13) // 14) AS n_cost,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT AS k
+           FROM documents),
+         langs AS (SELECT DISTINCT lang FROM t),
+         obfd AS (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY n_cost DESC, k ASC, doc_id ASC) AS rn FROM t),
+         bfdf(lang, i, doc_id, pack_id, bins) AS (
+           SELECT lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(NULL AS BIGINT),
+                  CAST([] AS STRUCT(b BIGINT, used BIGINT)[]) FROM langs
+           UNION ALL
+           SELECT lang, i, doc_id,
+                  coalesce(fit, nb) AS pack_id,
+                  CASE WHEN fit IS NULL
+                       THEN list_append(bins, {'b': nb, 'used': tt})
+                       ELSE list_transform(bins, x -> CASE WHEN x.b = fit
+                         THEN {'b': x.b, 'used': x.used + tt} ELSE x END)
+                  END
+           FROM (
+             SELECT f.lang, f.i + 1 AS i, o.doc_id, o.n_cost AS tt,
+                    f.bins, CAST(len(f.bins) AS BIGINT) AS nb,
+                    list_min(list_transform(
+                      list_filter(f.bins, x -> x.used + o.n_cost <= 160
+                        AND x.used = list_max(list_transform(
+                          list_filter(f.bins,
+                            y -> y.used + o.n_cost <= 160),
+                          y -> y.used))),
+                      x -> x.b)) AS fit
+             FROM bfdf f JOIN obfd o ON o.lang = f.lang AND o.rn = f.i + 1)),
+         asg AS (SELECT lang, doc_id, pack_id FROM bfdf WHERE i > 0)
+         SELECT a.lang, a.pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(t.n_cost) AS BIGINT) AS fill_cost,
+                CAST(160 - sum(t.n_cost) AS BIGINT) AS pad_cost
+         FROM asg a JOIN t ON t.doc_id = a.doc_id AND t.lang = a.lang
+         GROUP BY 1, 2 ORDER BY a.lang, a.pack_id""",
 
     // shots = lead()-chained boundary frames (0 ∪ the word's set-bit
     // frames); keyframe mean from the ladder-step formula, guarding
