@@ -576,30 +576,47 @@ object Dedup {
     * (On a distinct-fingerprint input the collapse is a no-op: every
     * clique has size 1 and the within set is empty.)
     */
-  def simhashPairsOf(fingerprints: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+  def simhashPairsOf(fingerprints: DataFrame, maxDist: Int = 3): DataFrame =
+    bandedPairsOf(fingerprints, "simhash", bandBits = 8, maxDist)
+
+  /** The collapse-first banded-hamming core shared by
+    * [[simhashPairsOf]] (4×8-bit bands over 32-bit fingerprints) and
+    * [[hash64NearDupPairs]] (4×16-bit bands over 64-bit perceptual
+    * words): candidate generation on DISTINCT fingerprints, each
+    * candidate pair emitted from its FIRST matching band only, pair
+    * list reconstituted across identical-fp cliques. Four bands and
+    * d ≤ 3 give the pigeonhole guarantee in both widths, so the
+    * output equals brute force either way.
+    */
+  private def bandedPairsOf(fingerprints: DataFrame, fpCol: String,
+      bandBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"$bandBits-bit banding guarantees only d <= 3")
+    val mask = (1L << bandBits) - 1L
     // materialize: the banded self-join would otherwise recompute the
-    // simhash aggregation for BOTH sides (measured ~10x the join cost)
+    // fingerprint input for BOTH sides (measured ~10x the join cost)
     val members = fingerprints
-      .withColumn("rep", min("doc_id").over(Window.partitionBy("simhash")))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy(fpCol)))
       .localCheckpoint()
     val reps = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), col(fpCol))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)
-    val banded = reps.select(col("doc_id"), col("simhash"),
+        shiftright(col(fpCol), b * bandBits).bitwiseAND(lit(mask))
+          .as("band_val"))): _*)
+    val banded = reps.select(col("doc_id"), col(fpCol),
         explode(bandStructs).as("band"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col(fpCol),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
     val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("ra"), col("simhash").as("fpa"))
+      col("doc_id").as("ra"), col(fpCol).as("fpa"))
     val b = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("rb"), col("simhash").as("fpb"))
+      col("doc_id").as("rb"), col(fpCol).as("fpb"))
+    // emit each candidate pair from its FIRST matching band only
     val firstBandOnly = (0 until 4).map { j =>
       when(col("band_id") > j,
-        shiftright(col("fpa"), j * 8).bitwiseAND(lit(255L)) =!=
-          shiftright(col("fpb"), j * 8).bitwiseAND(lit(255L)))
+        shiftright(col("fpa"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("fpb"), j * bandBits).bitwiseAND(lit(mask)))
         .otherwise(lit(true))
     }.reduce(_ && _)
     val repPairs = a.join(b, Seq("band_id", "band_val"))
@@ -616,8 +633,8 @@ object Dedup {
       .select(least(col("da"), col("db")).as("ida"),
         greatest(col("da"), col("db")).as("idb"), col("hamming"))
     // within-clique pairs: identical fingerprints, hamming 0
-    val within = members.select(col("simhash"), col("doc_id").as("ida"))
-      .join(members.select(col("simhash"), col("doc_id").as("idb")), "simhash")
+    val within = members.select(col(fpCol), col("doc_id").as("ida"))
+      .join(members.select(col(fpCol), col("doc_id").as("idb")), fpCol)
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         lit(0).cast("integer").as("hamming"))
@@ -635,49 +652,8 @@ object Dedup {
     * Input: (doc_id, fp) with fp a 64-bit word.
     */
   def hash64NearDupPairs(fingerprints: DataFrame,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "16-bit banding guarantees only d <= 3")
-    val members = fingerprints
-      .withColumn("rep", min("doc_id").over(Window.partitionBy("fp")))
-      .localCheckpoint()
-    val reps = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("fp"))
-    val bandStructs = array((0 until 4).map(b =>
-      struct(lit(b).as("band_id"),
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(65535L))
-          .as("band_val"))): _*)
-    val banded = reps.select(col("doc_id"), col("fp"),
-        explode(bandStructs).as("band"))
-      .select(col("doc_id"), col("fp"),
-        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("ra"), col("fp").as("fpa"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("rb"), col("fp").as("fpb"))
-    // emit each candidate pair from its FIRST matching band only
-    val firstBandOnly = (0 until 4).map { j =>
-      when(col("band_id") > j,
-        shiftright(col("fpa"), j * 16).bitwiseAND(lit(65535L)) =!=
-          shiftright(col("fpb"), j * 16).bitwiseAND(lit(65535L)))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    val repPairs = a.join(b, Seq("band_id", "band_val"))
-      .filter(col("ra") < col("rb") && firstBandOnly)
-      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
-      .filter(col("hamming") <= maxDist)
-      .select("ra", "rb", "hamming")
-    val cross = repPairs
-      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
-      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
-      .select(least(col("da"), col("db")).as("ida"),
-        greatest(col("da"), col("db")).as("idb"), col("hamming"))
-    val within = members.select(col("fp"), col("doc_id").as("ida"))
-      .join(members.select(col("fp"), col("doc_id").as("idb")), "fp")
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        lit(0).cast("integer").as("hamming"))
-    cross.union(within)
-  }
+      maxDist: Int = 3): DataFrame =
+    bandedPairsOf(fingerprints, "fp", bandBits = 16, maxDist)
 
   /** L53 — cross-corpus near-dedup: flag every BATCH doc whose simhash
     * is within `maxDist` bits of ANY reference-corpus doc — "dedup the
@@ -849,18 +825,8 @@ object Dedup {
     */
   def repeatedSubstringFlags(df: DataFrame, idCol: String, textCol: String,
       window: Int = 50, p: Int = 4, minDocs: Int = 2): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val base = df.select(col(idCol), toks.as("toks"))
-      .withColumn("nh", when(size(col("toks")) >= window,
-        size(col("toks")) - window + 1).otherwise(0))
-    val sel = base.filter(col("nh") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), (col("nh") - 1).cast("int")),
-        i => conv(substring(
-          md5(array_join(slice(col("toks"), i + 1, lit(window)), " ")),
-          1, 8), 16, 10).cast("long")))
-        .as(Seq("w", "h")))
-      .filter(col("h") % p === 0L)
+    val (base, sel) = substringCandidates(df, idCol, textCol, window, p,
+      hashHexChars = 8, keepTokens = false)
     val hot = sel.groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -904,19 +870,9 @@ object Dedup {
   def repeatedSubstringVerified(df: DataFrame, idCol: String,
       textCol: String, window: Int = 50, p: Int = 4, minDocs: Int = 2,
       hashHexChars: Int = 8): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val base = df.select(col(idCol), toks.as("toks"))
-      .withColumn("nh", when(size(col("toks")) >= window,
-        size(col("toks")) - window + 1).otherwise(0))
-      .localCheckpoint() // the token arrays feed the hash pass AND the re-walk
-    val sel = base.filter(col("nh") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), (col("nh") - 1).cast("int")),
-        i => conv(substring(
-          md5(array_join(slice(col("toks"), i + 1, lit(window)), " ")),
-          1, hashHexChars), 16, 10).cast("long")))
-        .as(Seq("w", "h")))
-      .filter(col("h") % p === 0L)
+    // keepTokens: the token arrays feed the hash pass AND the re-walk
+    val (base, sel) = substringCandidates(df, idCol, textCol, window, p,
+      hashHexChars, keepTokens = true)
     val hotH = sel.groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -947,6 +903,33 @@ object Dedup {
         coalesce(col("n_rep"), lit(0L)).as("n_rep_fps"),
         coalesce(col("first_w"), lit(-1L)).as("first_rep_w"),
         (coalesce(col("n_rep"), lit(0L)) > 0L).as("has_repeat"))
+  }
+
+  /** Shared front half of the two repeated-substring passes:
+    * tokenize, count rolling `window`-token spans, and keep the
+    * content-defined selection `hash ≡ 0 (mod p)` — one source of
+    * truth for the md5-span arithmetic the DuckDB oracles mirror
+    * character-for-character. Returns (base with token arrays + nh,
+    * selected (id, w, h) span hashes); `keepTokens` checkpoints the
+    * token arrays when a verification re-walk will read them again.
+    */
+  private def substringCandidates(df: DataFrame, idCol: String,
+      textCol: String, window: Int, p: Int, hashHexChars: Int,
+      keepTokens: Boolean): (DataFrame, DataFrame) = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base0 = df.select(col(idCol), toks.as("toks"))
+      .withColumn("nh", when(size(col("toks")) >= window,
+        size(col("toks")) - window + 1).otherwise(0))
+    val base = if (keepTokens) base0.localCheckpoint() else base0
+    val sel = base.filter(col("nh") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), (col("nh") - 1).cast("int")),
+        i => conv(substring(
+          md5(array_join(slice(col("toks"), i + 1, lit(window)), " ")),
+          1, hashHexChars), 16, 10).cast("long")))
+        .as(Seq("w", "h")))
+      .filter(col("h") % p === 0L)
+    (base, sel)
   }
 
   /** Streaming-style first-seen-wins dedup for batch frames: keep the

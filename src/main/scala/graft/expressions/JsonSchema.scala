@@ -108,23 +108,41 @@ object JsonSchema {
   // scalastyle:off cyclomatic.complexity method.length
   private def walk(node: JsonNode, schema0: JsonNode, root: JsonNode,
       path: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    // local $ref resolution (one hop is all the card contract needs)
+    // local $ref resolution (one hop is all the card contract needs);
+    // an unresolvable pointer is a SCHEMA bug — fail NAMED at the
+    // first row instead of NPE-ing on the next keyword probe. JSON
+    // Pointer unescaping (~1 → '/', ~0 → '~', in that order) so a
+    // $defs key containing either character still resolves.
     val schema = if (schema0.has("$ref")) {
       val ref = schema0.get("$ref").asText
       ref.split("/").drop(1) // "#", segments…
-        .foldLeft(root)((n, seg) => n.get(seg))
+        .foldLeft(root) { (n, seg0) =>
+          val seg = seg0.replace("~1", "/").replace("~0", "~")
+          val next = if (n == null) null else n.get(seg)
+          if (next == null)
+            throw new IllegalArgumentException(
+              s"jsonSchemaValidate: unresolvable $$ref '$ref' " +
+                s"(segment '$seg') — fix the schema")
+          next
+        }
     } else schema0
 
     if (schema.has("type") && !typeOk(node, schema.get("type").asText)) {
       emit(out, path, "type")
       return // the remaining keywords are meaningless on a wrong type
     }
-    if (schema.has("const") && node != schema.get("const"))
+    // Draft-7 equality is VALUE equality for numbers (1 == 1.0);
+    // JsonNode.equals distinguishes IntNode from DoubleNode, so
+    // numeric pairs compare by decimalValue instead
+    def jsonEq(a: JsonNode, b: JsonNode): Boolean =
+      (a.isNumber && b.isNumber &&
+        a.decimalValue.compareTo(b.decimalValue) == 0) || a == b
+    if (schema.has("const") && !jsonEq(node, schema.get("const")))
       emit(out, path, "const")
     if (schema.has("enum")) {
       val it = schema.get("enum").elements()
       var ok = false
-      while (it.hasNext && !ok) ok = it.next() == node
+      while (it.hasNext && !ok) ok = jsonEq(it.next(), node)
       if (!ok) emit(out, path, "enum")
     }
     if (node.isTextual) {

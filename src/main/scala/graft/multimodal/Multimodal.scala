@@ -2413,6 +2413,28 @@ object Multimodal {
       out
     }
 
+    /** The shared 4-variant planted image corpus behind the image
+      * dedup / canonical-selection / caption-selection gates and
+      * their specs (ONE source of truth for the variant scheme and
+      * the flip-bit formula — the DuckDB word algebra mirrors it):
+      * per base = d/4, v0 is the pattern as BMP 16×16, v1 the SAME
+      * pattern as PNG 24×24 (recompressed + resized duplicate), v2
+      * one block flipped (hamming-1 near-dup), v3 an unrelated
+      * pattern. Returns (media_id, format, bytes).
+      */
+    def imageVariant(d: Long): (Long, String, Array[Byte]) = {
+      val base = d / 4
+      val word = patternWord(base)
+      (d % 4) match {
+        case 0 => (d, "bmp", bmpBytesOf(16, 16, blockPx(word, 2)))
+        case 1 => (d, "png", pngBytesOf(24, 24, blockPx(word, 3)))
+        case 2 => (d, "bmp", bmpBytesOf(16, 16,
+          blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
+        case _ => (d, "png", pngBytesOf(16, 16,
+          blockPx(patternWord(base + 1000003L), 2)))
+      }
+    }
+
     /** 65-entry amplitude ladder realizing `word` as the
       * [[Multimodal.audioFingerprint]]: walking back from the last
       * block, amp(i) = amp(i+1) + unit when bit i of `word` is set

@@ -266,20 +266,7 @@ object CoverageQueries {
       import s.implicits._
       import graft.multimodal.Multimodal.Fixtures
       val media = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val base = d / 4
-          val word = Fixtures.patternWord(base)
-          (d % 4) match {
-            case 0 => (d, "bmp",
-              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
-            case 1 => (d, "png",
-              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
-            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
-              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
-            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
-              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
-          }
-        })
+        .mapPartitions(_.map(Fixtures.imageVariant))
         .toDF("media_id", "format", "bytes")
       val fps = Multimodal.imageHashes(media).toDF()
         .select(col("mediaId").as("doc_id"), col("aHash").as("fp"))
@@ -528,20 +515,7 @@ object CoverageQueries {
       import s.implicits._
       import graft.multimodal.Multimodal.Fixtures
       val media = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val base = d / 4
-          val word = Fixtures.patternWord(base)
-          (d % 4) match {
-            case 0 => (d, "bmp",
-              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
-            case 1 => (d, "png",
-              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
-            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
-              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
-            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
-              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
-          }
-        })
+        .mapPartitions(_.map(Fixtures.imageVariant))
         .toDF("media_id", "format", "bytes")
       val fps = Multimodal.imageHashes(media).toDF()
         .select(col("mediaId").as("doc_id"), col("aHash").as("fp"))
@@ -700,20 +674,7 @@ object CoverageQueries {
       import s.implicits._
       import graft.multimodal.Multimodal.Fixtures
       val media = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val base = d / 4
-          val word = Fixtures.patternWord(base)
-          (d % 4) match {
-            case 0 => (d, "bmp",
-              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
-            case 1 => (d, "png",
-              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
-            case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
-              Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
-            case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
-              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
-          }
-        })
+        .mapPartitions(_.map(Fixtures.imageVariant))
         .toDF("media_id", "format", "bytes")
       val hashes = Multimodal.imageHashes(media).toDF()
         .select(col("mediaId").as("doc_id"), col("aHash").as("fp"),

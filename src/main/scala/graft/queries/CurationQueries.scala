@@ -2775,8 +2775,12 @@ object CurationQueries {
                 CAST(CASE WHEN cls = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_card_suspects,
                 CAST(CASE WHEN cls = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_ibans,
                 CAST(CASE WHEN cls IN (0, 5) THEN 1 ELSE 0 END AS BIGINT) AS n_iban_suspects,
-                CASE WHEN cls IN (0, 1) THEN replace(t, vc, '<CARD>')
-                     WHEN cls = 2 THEN replace(t, vi, '<IBAN>')
+                CASE WHEN cls IN (0, 1)
+                       THEN regexp_replace(t, '\b' || vc || '\b',
+                         '<CARD>', 'g')
+                     WHEN cls = 2
+                       THEN regexp_replace(t, '\b' || vi || '\b',
+                         '<IBAN>', 'g')
                      ELSE t END AS clean
          FROM t ORDER BY doc_id""",
 

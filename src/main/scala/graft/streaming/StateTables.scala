@@ -923,12 +923,21 @@ final class BucketedTable(spark: SparkSession, path: String,
         "it; the tables are single-writer by contract")
   }
 
-  /** The clean-abort cleanup shared by the version-writing ops. */
+  /** The clean-abort cleanup shared by the version-writing ops.
+    * Deletes the zones side file too: commitZones lands BEFORE the
+    * post-write guard, so an aborted op has already written
+    * `zones_v<v>` — leaving it behind would let a later commit of the
+    * same version number by a statsCol-less handle serve the aborted
+    * op's zones, and a stale zone can wrongly PRUNE committed rows
+    * from a range read (the one way zones could break correctness).
+    */
   private def dropOrphanVersion(v: Long): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$path/c_$v"))
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$path/manifest_v$v"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$path/zones_v$v"))
   }
 
   private def writePointer(v: Long, batchId: Long, nb: Int, schemaV: Long,
@@ -1021,7 +1030,13 @@ final class BucketedTable(spark: SparkSession, path: String,
   private def commitZones(v: Long, priorV: Option[Long],
       touched: Set[Long], newManifest: Map[Long, String],
       op: String): Unit =
-    statsCol.foreach { c =>
+    if (statsCol.isEmpty)
+      // a statsCol-less handle claiming version v must not leave a
+      // CRASHED op's zones_v<v> describing data this commit replaces —
+      // a stale zone wrongly prunes committed rows from range reads
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/zones_v$v"))
+    else statsCol.foreach { c =>
       val prior = priorV.map(readZones).getOrElse(Map.empty)
       val zones = ((prior -- touched) ++ computeZones(v, c))
         .filter { case (b, _) => newManifest.contains(b) }

@@ -114,9 +114,15 @@ object Pii {
 
   /** doc frame → (id, n_cards, n_card_suspects, n_ibans,
     * n_iban_suspects, clean): checksum-VALID matches are counted and
-    * redacted (`<CARD>`/`<IBAN>` via a literal-replace fold over the
-    * bounded per-doc match list); checksum-FAILING shapes are counted
-    * as suspects and left in place. One projection, shuffle-free.
+    * redacted (`<CARD>`/`<IBAN>` via a fold over the bounded per-doc
+    * match list, each replaced through the SAME `\b`-anchored shape
+    * the extractor matched — a literal replace would also rewrite an
+    * embedded occurrence the extractor deliberately skipped, e.g. the
+    * card digits inside a longer identifier, desynchronizing counts
+    * from redactions; both match families are regex-metacharacter-
+    * free, so the matched string is safe to splice into a pattern);
+    * checksum-FAILING shapes are counted as suspects and left in
+    * place. One projection, shuffle-free.
     */
   def scrubFinancialDocs(idCol: Column, text: Column): Seq[Column] = {
     val cards = regexp_extract_all(text, lit(CardPat), lit(0))
@@ -124,10 +130,12 @@ object Pii {
       c => luhnValid(regexp_replace(c, "-", "")))
     val ibans = regexp_extract_all(text, lit(IbanPat), lit(0))
     val ibansValid = filter(ibans, c => ibanValid(c))
-    val c1 = aggregate(cardsValid, text,
-      (acc, c) => replace(acc, c, lit("<CARD>")))
-    val clean = aggregate(ibansValid, c1,
-      (acc, c) => replace(acc, c, lit("<IBAN>")))
+    val c1 = aggregate(cardsValid, text, (acc, c) =>
+      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")),
+        lit("<CARD>")))
+    val clean = aggregate(ibansValid, c1, (acc, c) =>
+      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")),
+        lit("<IBAN>")))
     Seq(
       idCol,
       size(cardsValid).cast("long").as("n_cards"),

@@ -105,15 +105,13 @@ object UnigramTokenizer {
       j += 1
     }
     var at = n
-    val out = List.newBuilder[String]
     val rev = scala.collection.mutable.ArrayBuffer.empty[String]
     while (at > 0) {
       val i = back(at)
       rev += word.substring(i, at)
       at = i
     }
-    out ++= rev.reverse
-    out.result().toVector
+    rev.reverseIterator.toVector
   }
 
   /** Per-partition encoder slot (the BPE shape): artifact parsed once,

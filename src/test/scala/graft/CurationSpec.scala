@@ -335,7 +335,12 @@ class CurationSpec extends AnyFunSuite {
       (3L, "acct DE89370400440532013000 ok"), // valid mod-97
       (4L, "acct DE89370400440532013001 ok"), // one digit off → suspect
       (5L, "both 5555-5555-5555-4444 and GB29NWBK60161331926819"),
-      (6L, "digits 1234 5678 but no shapes")).toDF("doc_id", "text")
+      (6L, "digits 1234 5678 but no shapes"),
+      // an embedded occurrence (no word boundary before the digits)
+      // is NOT a match — and must NOT be rewritten by the redaction
+      // of the standalone occurrence of the same string
+      (7L, "ref A4111-1111-1111-1111 pay 4111-1111-1111-1111"))
+      .toDF("doc_id", "text")
     val got = rows.select(Pii.scrubFinancialDocs(col("doc_id"),
         col("text")): _*)
       .collect().map(r => r.getLong(0) ->
@@ -348,6 +353,9 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0L, 1L, "acct DE89370400440532013001 ok")))
     assert(got(5L) == ((1L, 0L, 1L, 0L, "both <CARD> and <IBAN>")))
     assert(got(6L) == ((0L, 0L, 0L, 0L, "digits 1234 5678 but no shapes")))
+    assert(got(7L) ==
+      ((1L, 0L, 0L, 0L, "ref A4111-1111-1111-1111 pay <CARD>")),
+      "redaction must not rewrite the embedded non-match")
   }
 
   test("url filter counts urls and blocks only blocklisted hosts") {

@@ -23,6 +23,26 @@ class JsonSchemaSpec extends AnyFunSuite {
     (0 until arr.numElements).map(i => arr.getUTF8String(i).toString)
   }
 
+  test("const/enum use Draft-7 value equality for numbers (1 == 1.0), and an unresolvable $ref fails named instead of NPE-ing") {
+    val s = """{"type":"object","properties":{
+      "n":{"const":1},"m":{"enum":[0,1]}}}"""
+    // jsonschema treats 1 and 1.0 as equal — so must we
+    assert(v("""{"n":1.0,"m":1.0}""", s) == Nil)
+    assert(v("""{"n":2,"m":3}""", s) == Seq("$.n: const", "$.m: enum"))
+    val bad = """{"type":"object","properties":{
+      "x":{"$ref":"#/$defs/typo"}}}"""
+    val e = intercept[IllegalArgumentException] {
+      v("""{"x":1}""", bad)
+    }
+    assert(e.getMessage.contains("unresolvable $ref"))
+    // JSON Pointer unescaping: a $defs key containing '/' resolves
+    val esc = """{"type":"object","properties":{
+      "x":{"$ref":"#/$defs/a~1b"}},
+      "$defs":{"a/b":{"type":"number"}}}"""
+    assert(v("""{"x":1}""", esc) == Nil)
+    assert(v("""{"x":"s"}""", esc) == Seq("$.x: type"))
+  }
+
   test("each supported keyword fires with its path, and a type mismatch stops the descent") {
     val s = """{"type":"object","required":["a","b"],
       "additionalProperties":false,"properties":{

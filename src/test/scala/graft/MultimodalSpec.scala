@@ -1225,20 +1225,8 @@ class MultimodalSpec extends AnyFunSuite {
     val s = TestSpark.spark
     import s.implicits._
     import org.apache.spark.sql.functions.col
-    val media = (0L until 16L).map { d =>
-      val base = d / 4
-      val word = Fixtures.patternWord(base)
-      (d % 4) match {
-        case 0 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
-          Fixtures.blockPx(word, 2)))
-        case 1 => (d, "png", Fixtures.pngBytesOf(24, 24,
-          Fixtures.blockPx(word, 3)))
-        case 2 => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
-          Fixtures.blockPx(word ^ (1L << (base % 60 + 2).toInt), 2)))
-        case _ => (d, "png", Fixtures.pngBytesOf(16, 16,
-          Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
-      }
-    }.toDF("media_id", "format", "bytes")
+    val media = (0L until 16L).map(Fixtures.imageVariant)
+      .toDF("media_id", "format", "bytes")
     val hashes = graft.multimodal.Multimodal.imageHashes(media).toDF()
       .select(col("mediaId").as("doc_id"), col("aHash").as("fp"),
         (col("w") * col("h")).as("pixels"))

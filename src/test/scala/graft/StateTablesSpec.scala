@@ -826,6 +826,31 @@ class StateTablesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a statsCol-less commit clears a crashed op's stale zones for the version it claims (stale zones must never prune committed rows)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bt_zone_stale").toString
+    val tz = new BucketedTable(spark, s"$root/t", "k", 4,
+      statsCol = Some("v"))
+    tz.merge(Seq((1L, 100L), (2L, 50L)).toDF("k", "v"), 0L)
+    // simulate a stats-handle merge that wrote zones_v1 then crashed
+    // before its pointer move: the zone claims every bucket ⊆ [0, 1]
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/zones_v1"),
+      "0,0,1\n1,0,1\n2,0,1\n3,0,1".getBytes("UTF-8"))
+    // a statsCol-less handle (the mixed-deployment case) claims v1
+    new BucketedTable(spark, s"$root/t", "k", 4)
+      .merge(Seq((3L, 999L)).toDF("k", "v"), 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/t/zones_v1")),
+      "the claimed version's stale zones file must be cleared")
+    // without the clear, the stale zone [0,1] would prune every
+    // bucket and silently drop the committed row from the range read
+    assert(tz.readRange(900L, 1000L).get.collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("BucketedTable zone maps: range reads open only overlapping buckets; zones carry forward, recompute on rebucket/restore, and vacuum collects stale files") {
     val s = spark
     import s.implicits._
