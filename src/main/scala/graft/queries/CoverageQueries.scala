@@ -192,6 +192,35 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // J6 ui-channel render: the SECOND render channel a card consumer
+    // hits — HTML via the four .ui.j2 templates under the AUTOESCAPING
+    // _env_ui environment (reference api/cards/render_pipeline.py:45,
+    // 49-66; primary and secondary templates are byte-identical). Same
+    // integer-rule context as the tg gate plus ui-only wrinkles that
+    // plant HTML-escapable characters and the cache/dex footer keys,
+    // so the hash compare pins markupsafe escaping, the degraded-
+    // render fallback (primary card with no contract address), Jinja
+    // dict truthiness of token_info, and every untrimmed-tag
+    // whitespace run. The static HTML is folded from the SAME segment
+    // resources on both engines (CardRenderUi.render / .oracleExpr).
+    // Map-side only: zero joins, zero shuffles before the gate's sort.
+    "q_j6_card_render_ui" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
+          .as("event_key"),
+        col("event_id").as("E"), col("user_id").as("U"),
+        get_json_object(col("props"), "$.k").cast("long").as("K"),
+        col("event_type"),
+        date_format(timestamp_micros(expr("ts_ns div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("data_as_of"))
+      graft.operators.CardRenderUi.renderUi(
+        graft.operators.CardRenderUi.uiWrinkle(
+          graft.operators.CardRender.applyGuardrail(
+            graft.operators.CardRender.deriveContext(e))))
+        .select("event_key", "card_type", "render_ui")
+        .orderBy("event_key")
+    }),
+
     // P6+ card schema conformance (reference api/cards/build.py:578-583
     // validates every card doc against schemas/cards.schema.json before
     // render): the Draft-7-subset validator (expressions/JsonSchema
@@ -1102,7 +1131,11 @@ object CoverageQueries {
     * newline character below (valid inside DuckDB string literals) so
     * the Scala source stays single-line readable.
     */
-  private val renderOracleSql: String =
+  /** Shared context-derivation CTEs (events → wrinkle-free card
+    * context incl. the SOL-green guardrail) — the prelude of both the
+    * tg and ui render oracles.
+    */
+  private val renderCtxPrelude: String =
     """WITH e AS (
          SELECT 'EV:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS event_key,
                 event_id AS E, user_id AS U,
@@ -1136,7 +1169,10 @@ object CoverageQueries {
          SELECT *,
                 CASE WHEN guardrail THEN 'yellow' ELSE risk_level0 END AS risk_level,
                 (E % 9 = 0 OR guardrail) AS degrade
-         FROM c2),
+         FROM c2)"""
+
+  private val renderOracleSql: String =
+    (renderCtxPrelude + """,
        r AS (
          SELECT *,
                 CASE risk_level WHEN 'red' THEN '🔴 **高风险警报**'
@@ -1249,7 +1285,169 @@ object CoverageQueries {
                              WHEN 'secondary' THEN secondary_tg
                              WHEN 'topic' THEN topic_tg
                              ELSE market_risk_tg END AS render_tg
-       FROM r3 ORDER BY event_key""".replace("@NL", "\n")
+       FROM r3 ORDER BY event_key""").replace("@NL", "\n")
+
+  /** DuckDB escape mirroring markupsafe (& first, numeric quotes). */
+  private def uiEsc(x: String): String =
+    s"""replace(replace(replace(replace(replace($x, '&', '&amp;'), """ +
+      """'<', '&lt;'), '>', '&gt;'), '"', '&#34;'), '''', '&#39;')"""
+
+  /** DuckDB oracle for `q_j6_card_render_ui`: the shared context
+    * prelude + the ui wrinkle CTE, then the three template bodies
+    * folded from the SAME segment resources the Spark renderer uses
+    * ([[graft.operators.CardRenderUi.oracleExpr]]) — the static HTML
+    * exists once; only the dynamic token expressions are re-stated
+    * here in DuckDB SQL.
+    */
+  private def renderUiOracleSql: String = {
+    import graft.operators.CardRenderUi.oracleExpr
+    val legalDefault = "本信息仅为风险线索与技术判断，不构成投资建议。"
+    val primaryToks = Map(
+      "color" -> ("CASE risk_level WHEN 'red' THEN '#ff4444' " +
+        "WHEN 'yellow' THEN '#ffaa00' WHEN 'gray' THEN '#808080' " +
+        "ELSE '#44ff44' END"),
+      "warnbg" -> ("CASE risk_level WHEN 'red' THEN '#fee' " +
+        "WHEN 'yellow' THEN '#fff3cd' WHEN 'gray' THEN '#f0f0f0' " +
+        "ELSE '#d4edda' END"),
+      "badge" -> ("CASE risk_level WHEN 'red' THEN '高风险@NL            ' " +
+        "WHEN 'yellow' THEN '中风险@NL            ' " +
+        "WHEN 'gray' THEN '服务降级@NL            ' ELSE '低风险' END"),
+      "symbol_e" -> uiEsc("symbol_u"),
+      "chain_up_e" -> uiEsc("upper(chain)"),
+      "ca8" -> uiEsc("substr(ca, 1, 8)"),
+      "ca_6" -> uiEsc("substr(ca, 37, 6)"),
+      "risk_warn" -> ("CASE WHEN risk_level IN ('red','yellow','gray') THEN " +
+        "'@NL        <div class=\"risk-warning\">@NL            " +
+        "<strong>⚠️ 风险提示:</strong> ' || " +
+        s"coalesce(${uiEsc("risk_note_u")}, '') || " +
+        "'@NL        </div>' END"),
+      "price_cell" -> ("CASE WHEN price IS NOT NULL AND price <> 0 " +
+        "THEN '$' || printf('%.6f', price) ELSE '待获取' END"),
+      "liq_cell" -> ("CASE WHEN liq IS NOT NULL AND liq <> 0 THEN '$' || " +
+        "format('{:,}', CAST(round(liq) AS BIGINT)) ELSE '待获取' END"),
+      "fdv_cell" -> ("CASE WHEN fdv IS NOT NULL AND fdv <> 0 THEN '$' || " +
+        "format('{:,}', CAST(round(fdv) AS BIGINT)) ELSE '待获取' END"),
+      "h24_block" -> ("CASE WHEN h24_o IS NOT NULL AND h24_o <> 0 AND " +
+        "h24_c IS NOT NULL AND h24_c <> 0 THEN " +
+        "'@NL            <div class=\"metric-item\">@NL                " +
+        "<div class=\"metric-label\">24h 变化</div>@NL                " +
+        "<div class=\"metric-value\">' || " +
+        "printf('%.2f', (h24_c - h24_o) / h24_o * 100) || " +
+        "'%</div>@NL            </div>' END"),
+      "degrade_block" -> ("CASE WHEN degrade THEN " +
+        "'@NL        <div class=\"degraded-warning\">@NL            " +
+        "⚠️ <strong>服务降级提示:</strong> " +
+        "部分数据服务暂时不可用，显示结果基于缓存或降级策略@NL        </div>' END"),
+      "verify_e" -> uiEsc("verify_u"),
+      "asof_e" -> uiEsc("data_as_of"),
+      "legal_e" -> s"coalesce(${uiEsc("legal_u")}, '$legalDefault')",
+      "secsrc_e" -> uiEsc("sec_src"),
+      "dexsrc_e" -> uiEsc("dex_src"),
+      "cache_sfx" -> "CASE WHEN cache_state THEN ' (缓存)' END",
+      "rules_json" -> ("CASE WHEN E % 3 = 0 THEN '[\"R' || " +
+        "CAST(E % 5 AS VARCHAR) || '\"]' ELSE '[]' END"),
+      "secsrc_raw" -> uiEsc("coalesce(sec_src, '')"))
+    val tokenBlockSql = "CASE WHEN token_present THEN " +
+      "'@NL  <div class=\"token-info\">@NL    <strong>候选代币:</strong> ' || " +
+      s"${uiEsc("coalesce(symbol_u, 'UNKNOWN')")} || ' (' || " +
+      s"${uiEsc("upper(coalesce(chain, 'eth'))")} || ')@NL    ' || " +
+      "coalesce('@NL    <br><strong>合约地址:</strong> <code>' || " +
+      s"${uiEsc("substr(ca, 1, 6)")} || '...' || " +
+      s"${uiEsc("substr(ca, 39, 4)")} || '</code>@NL    ', '') || " +
+      "'@NL  </div>@NL  ' END"
+    val degradeAlertSql = "CASE WHEN degrade THEN " +
+      "'@NL  <div class=\"alert alert-warning\">@NL    " +
+      "⚠️ <strong>服务降级提示:</strong> " +
+      "部分数据服务暂时不可用，显示结果基于缓存或降级策略@NL  </div>@NL  ' END"
+    val footerToks = Map(
+      "token_block" -> tokenBlockSql,
+      "degrade_alert" -> degradeAlertSql,
+      "verify_def" -> uiEsc("verify_u"),
+      "asof_def" -> uiEsc("data_as_of"),
+      "legal_def" -> s"coalesce(${uiEsc("legal_u")}, '$legalDefault')")
+    def item(cond: String, label: String, body: String): String =
+      s"CASE WHEN $cond THEN '@NL      <li><strong>$label:</strong> ' || " +
+        s"$body || '</li>@NL      ' END"
+    val topicToks = footerToks ++ Map(
+      "topic_id_item" -> item("K % 3 = 0", "话题ID",
+        "'T' || CAST(K AS VARCHAR)"),
+      "entities_item" -> item("E % 8 > 0", "相关实体",
+        "array_to_string(list_transform(range(least(E % 8, 5)), " +
+          "j -> 'E' || CAST((K + j) % 50 AS VARCHAR)), ', ')"),
+      "keywords_item" -> item("U % 7 > 0", "关键词",
+        "array_to_string(list_transform(range(least(U % 7, 5)), " +
+          "j -> 'kw' || CAST((E + j) % 40 AS VARCHAR)), ', ')"),
+      "mention" -> ("CASE WHEN E % 5 <> 1 THEN CAST(E % 500 AS VARCHAR) " +
+        "ELSE 'N/A' END"),
+      "confidence" -> ("CASE WHEN U % 4 <> 1 THEN printf('%.1f', " +
+        "CAST(U % 101 AS DOUBLE) / 100.0 * 100) || '%' ELSE '待计算' END"),
+      "sources_item" -> item("(E + U) % 4 > 0", "来源",
+        "array_to_string(list_transform(range((E + U) % 4), " +
+          "j -> 'src' || CAST(j AS VARCHAR)), ', ')"),
+      "links_item" -> ("CASE WHEN E % 7 > 0 THEN " +
+        "'@NL      <li><strong>证据:</strong>@NL        ' || " +
+        "array_to_string(list_transform(range(least(E % 7, 5)), j -> " +
+        "'@NL        <a href=\"https://x.example/s/' || " +
+        "CAST(E + j AS VARCHAR) || '\">证据' || CAST(j + 1 AS VARCHAR) || " +
+        "'</a>' || (CASE WHEN j < least(E % 7, 5) - 1 THEN ', ' " +
+        "ELSE '' END) || '@NL        '), '') || " +
+        "'@NL      </li>@NL      ' END"))
+    def mrSpan(cls: String, txt: String): String =
+      s"'@NL    <span class=\"badge badge-$cls\">$txt</span>@NL    '"
+    val mrToks = footerToks ++ Map(
+      "mr_badge" -> ("CASE risk_mr " +
+        s"WHEN 'red' THEN ${mrSpan("danger", "🔴 高风险警报")} " +
+        s"WHEN 'yellow' THEN ${mrSpan("warning", "🟡 中风险提示")} " +
+        s"WHEN 'gray' THEN ${mrSpan("secondary", "⚫ 服务降级")} " +
+        s"ELSE ${mrSpan("success", "🟢 低风险信号")} END"),
+      "mr_risk_note" -> ("CASE WHEN risk_note_u IS NOT NULL AND " +
+        "risk_note_u <> '' THEN " +
+        "'@NL  <div class=\"alert alert-warning\">@NL    " +
+        s"⚠️ <strong>风险提示:</strong> ' || ${uiEsc("risk_note_u")} || " +
+        "'@NL  </div>@NL  ' END"),
+      "mr_goplus" -> ("CASE risk_mr WHEN 'red' THEN '🔴 高风险' " +
+        "WHEN 'yellow' THEN '🟡 中风险' WHEN 'green' THEN '🟢 低风险' " +
+        "ELSE '⚫ 未知' END"),
+      "buy_tax" -> ("CASE WHEN U % 6 <> 1 THEN printf('%.1f', " +
+        "CAST(U % 300 AS DOUBLE) / 10.0) || '%' ELSE '-' END"),
+      "sell_tax" -> ("CASE WHEN U % 6 <> 2 THEN printf('%.1f', " +
+        "CAST(U % 250 AS DOUBLE) / 10.0) || '%' ELSE '-' END"),
+      "lp_lock" -> ("CASE WHEN E % 7 <> 6 AND (E % 40 - 5) > 0 THEN " +
+        "CAST(E % 40 - 5 AS VARCHAR) || ' 天' ELSE '未锁定' END"),
+      "honeypot" -> ("CASE WHEN E % 3 <> 2 THEN (CASE WHEN U % 2 = 0 " +
+        "THEN '是' ELSE '否' END) ELSE '未知' END"),
+      "mr_sec_src" -> uiEsc(
+        "coalesce(sec_src, CASE WHEN U % 5 = 3 THEN 'cache' END, '-')"))
+    (renderCtxPrelude + s""",
+       u AS (
+         SELECT *,
+                CASE WHEN U % 13 = 5 AND symbol IS NOT NULL
+                     THEN symbol || ' <A&B>"q''' ELSE symbol END AS symbol_u,
+                CASE WHEN E % 11 = 7 AND risk_note IS NOT NULL
+                     THEN risk_note || ' <b>&"x"''' ELSE risk_note END AS risk_note_u,
+                '/ev/' || CAST(E AS VARCHAR) ||
+                  CASE WHEN E % 12 = 5 THEN '?a=1&b=<2>' ELSE '' END AS verify_u,
+                CASE WHEN U % 14 = 7 AND legal IS NOT NULL
+                     THEN legal || ' <i>&注</i>' ELSE legal END AS legal_u,
+                CASE WHEN U % 4 = 2 THEN 'dex<screener>&v1' END AS dex_src,
+                (U % 9 = 4) AS cache_state,
+                has_token AND (symbol IS NOT NULL OR chain IS NOT NULL
+                               OR ca IS NOT NULL) AS token_present,
+                coalesce(CASE WHEN E % 16 <> 7 THEN risk_level0 END,
+                         risk_level, 'gray') AS risk_mr
+         FROM c3)
+       SELECT event_key, card_type,
+              CASE WHEN card_type IN ('primary','secondary') AND ca IS NULL
+                   THEN card_type || ' Card (Degraded)@NLSymbol: ' ||
+                        coalesce(symbol_u, 'UNKNOWN') || '@NLRisk: ' || risk_level
+                   WHEN card_type IN ('primary','secondary')
+                   THEN ${oracleExpr("primary_card", primaryToks)}
+                   WHEN card_type = 'topic'
+                   THEN ${oracleExpr("topic_card", topicToks)}
+                   ELSE ${oracleExpr("market_risk_card", mrToks)}
+              END AS render_ui
+       FROM u ORDER BY event_key""").replace("@NL", "\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_f4_symbol_norm" ->
@@ -1547,6 +1745,7 @@ object CoverageQueries {
     // format('{:,}') the same grouping as Python's {:,.0f} (fixture
     // fractions are .25 so the round() tie rule never fires).
     "q_j6_card_render" -> renderOracleSql,
+    "q_j6_card_render_ui" -> renderUiOracleSql,
 
     // the oracle RE-DERIVES the validator's verdict analytically from
     // the planted fixture class — it never runs a validator, so the

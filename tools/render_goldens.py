@@ -18,6 +18,9 @@ from jinja2 import Environment, FileSystemLoader
 ENV = Environment(
     loader=FileSystemLoader("/root/reference/templates/cards"),
     autoescape=False)  # tg channel env (render_pipeline.py:44)
+ENV_UI = Environment(
+    loader=FileSystemLoader("/root/reference/templates/cards"),
+    autoescape=True)  # ui channel env (render_pipeline.py:45 _env_ui)
 
 CARD_TYPES = ["primary", "secondary", "topic", "market_risk"]
 RISKS = ["red", "yellow", "gray", "green"]
@@ -141,6 +144,43 @@ def render(card_type, ctx):
     return tpl.render(card_data=ctx)
 
 
+def ui_context(E, U, K):
+    """UI-channel fixture = the shared context + ui-only wrinkles that
+    plant HTML-escapable characters and the cache/dex footer keys the
+    tg templates never read — so the autoescape semantics
+    (render_pipeline.py:45) are actually exercised, without touching
+    the tg goldens."""
+    ct, ctx = context(E, U, K)
+    ti = ctx.get("token_info", {})
+    if U % 13 == 5 and "symbol" in ti:
+        ti["symbol"] += " <A&B>\"q'"
+    if E % 11 == 7 and "risk_note" in ctx:
+        ctx["risk_note"] += " <b>&\"x\"'"
+    if E % 12 == 5:
+        ctx["verify_path"] += "?a=1&b=<2>"
+    if U % 14 == 7 and "legal_note" in ctx:
+        ctx["legal_note"] += " <i>&注</i>"
+    if U % 4 == 2:
+        ctx["sources"]["dex_source"] = "dex<screener>&v1"
+    if U % 9 == 4:
+        ctx["states"]["cache"] = True
+    return ct, ctx
+
+
+def render_ui(card_type, ctx):
+    """render_template(payload, 'ui') incl. its degradation contract:
+    any template exception (e.g. Undefined[:8] when ca_norm is absent
+    on a primary card) falls back to _render_degraded's plain-text ui
+    form (render_pipeline.py:124-132,135-154)."""
+    try:
+        tpl = ENV_UI.get_template(f"{card_type}_card.ui.j2")
+        return tpl.render(card_data=ctx)
+    except Exception:
+        sym = ctx.get("token_info", {}).get("symbol", "UNKNOWN")
+        risk = ctx.get("risk_level", "unknown")
+        return f"{card_type} Card (Degraded)\nSymbol: {sym}\nRisk: {risk}"
+
+
 # Tuples chosen to cover every template branch (type = E % 4):
 # primary (E%4==0): ambiguous block (E%10==0), degrade (E%9==0), no-ca
 # (E%5==2), all risk colors, 0-price, missing metrics, ohlc o==0 (E%34==0)
@@ -164,6 +204,24 @@ TUPLES = [
     (54, 2, 21),  # topic without sources ((E+U)%4==0), conf present
 ]
 
+# Extra ui-channel tuples: escape wrinkles on every template
+# (U%13==5), the degraded primary fallback (E%5==2, plain and with a
+# wrinkled symbol), verify/legal/dex/cache wrinkles, the empty-but-
+# present token_info dict (falsy in Jinja: 22,33), token-less topic
+# and market_risk (U%3==1), the SOL-green guardrail on topic (14,3),
+# and the wrinkled risk_note in a shown warning block (40,6 / 29,1).
+UI_EXTRA = [
+    (20, 5, 1), (13, 5, 0), (14, 5, 2), (27, 5, 3),  # symbol escapes
+    (12, 5, 0),                                      # degraded + wrinkle
+    (17, 7, 2), (17, 2, 1),                          # verify + legal/dex
+    (1, 7, 0), (2, 7, 3),                            # legal wrinkle
+    (5, 2, 0), (8, 4, 0), (16, 4, 2),                # dex + cache
+    (22, 33, 1),                                     # empty token_info
+    (27, 4, 0), (14, 4, 2),                          # token-less mr/topic
+    (14, 3, 1),                                      # guardrail on topic
+    (40, 6, 0), (29, 1, 0),                          # wrinkled risk_note
+]
+
 if __name__ == "__main__":
     out = []
     for (E, U, K) in TUPLES:
@@ -175,6 +233,17 @@ if __name__ == "__main__":
         for r in out:
             f.write(json.dumps(r, ensure_ascii=False) + "\n")
     print(f"wrote {len(out)} goldens to {path}")
+
+    out_ui = []
+    for (E, U, K) in TUPLES + UI_EXTRA:
+        ct, ctx = ui_context(E, U, K)
+        out_ui.append({"e": E, "u": U, "k": K, "card_type": ct,
+                       "rendered": render_ui(ct, ctx)})
+    path_ui = "src/test/resources/card_render_ui_golden.jsonl"
+    with open(path_ui, "w") as f:
+        for r in out_ui:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    print(f"wrote {len(out_ui)} ui goldens to {path_ui}")
     # eyeball one per type
     seen = set()
     for r in out:
