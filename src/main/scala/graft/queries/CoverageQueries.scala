@@ -221,6 +221,35 @@ object CoverageQueries {
         .orderBy("event_key")
     }),
 
+    // J6 pushcard envelope: the LEGACY wire shape a push consumer
+    // receives — to_pushcard's struct re-nesting over (card context +
+    // tg render), then the pushcard.schema.json check the pipeline
+    // runs before enqueueing (reference api/cards/transformers.py:
+    // 10-77, render_pipeline.py:272-296). The envelope mirrors the
+    // reference's real quirks (top-level metric reads → nulls,
+    // ohlc {}, extra event_key/rendered keys), so EVERY envelope
+    // fails validation and degrade flips true — the violation list is
+    // the per-row fingerprint the oracle re-derives analytically
+    // (root additionalProperties in doc order, schema-order descent,
+    // per-key required). Map-side, zero shuffles.
+    "q_j6_pushcard" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
+          .as("event_key"),
+        col("event_id").as("E"), col("user_id").as("U"),
+        get_json_object(col("props"), "$.k").cast("long").as("K"),
+        col("event_type"),
+        date_format(timestamp_micros(expr("ts_ns div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("data_as_of"))
+      graft.operators.Pushcard.envelope(
+        graft.operators.CardRender.renderTg(
+          graft.operators.CardRender.applyGuardrail(
+            graft.operators.CardRender.deriveContext(e))))
+        .select("event_key", "card_type", "pushcard_json", "schema_ok",
+          "violations_str", "degrade_final")
+        .orderBy("event_key")
+    }),
+
     // P6+ card schema conformance (reference api/cards/build.py:578-583
     // validates every card doc against schemas/cards.schema.json before
     // render): the Draft-7-subset validator (expressions/JsonSchema
@@ -1171,7 +1200,11 @@ object CoverageQueries {
                 (E % 9 = 0 OR guardrail) AS degrade
          FROM c2)"""
 
-  private val renderOracleSql: String =
+  /** tg-render CTE chain (r..r3 over the prelude) — shared by the tg
+    * render oracle and the pushcard-envelope oracle, which wraps the
+    * rendered string instead of selecting it.
+    */
+  private val renderTgCtes: String =
     (renderCtxPrelude + """,
        r AS (
          SELECT *,
@@ -1279,12 +1312,17 @@ object CoverageQueries {
                   || '@NL• 安全源: '
                   || coalesce(sec_src, CASE WHEN U % 5 = 3 THEN 'cache' END, '-')
                   || degr || tail AS market_risk_tg
-         FROM r2)
-       SELECT event_key, card_type,
-              CASE card_type WHEN 'primary' THEN primary_tg
-                             WHEN 'secondary' THEN secondary_tg
-                             WHEN 'topic' THEN topic_tg
-                             ELSE market_risk_tg END AS render_tg
+         FROM r2)""")
+
+  private val renderTgCase: String =
+    """CASE card_type WHEN 'primary' THEN primary_tg
+                      WHEN 'secondary' THEN secondary_tg
+                      WHEN 'topic' THEN topic_tg
+                      ELSE market_risk_tg END"""
+
+  private val renderOracleSql: String =
+    (renderTgCtes + s"""
+       SELECT event_key, card_type, $renderTgCase AS render_tg
        FROM r3 ORDER BY event_key""").replace("@NL", "\n")
 
   /** DuckDB escape mirroring markupsafe (& first, numeric quotes). */
@@ -1447,6 +1485,91 @@ object CoverageQueries {
                    ELSE ${oracleExpr("market_risk_card", mrToks)}
               END AS render_ui
        FROM u ORDER BY event_key""").replace("@NL", "\n")
+  }
+
+  /** DuckDB oracle for `q_j6_pushcard`: the tg-render CTE chain, then
+    * the envelope JSON re-assembled byte-for-byte (Python dict
+    * insertion order, explicit nulls, conditional keys) and the
+    * validator's violation list re-derived ANALYTICALLY from the
+    * fixture rules — the oracle never runs a validator, so the gate
+    * cross-checks graft's JsonSchemaValidate walk order (root
+    * additionalProperties in doc order, then schema-order descent
+    * with per-key required emissions) against closed-form SQL.
+    */
+  private def pushcardOracleSql: String = {
+    // `raw` interpolator: the s-interpolator processes \-escapes even
+    // inside triple quotes, which would hand DuckDB real newlines
+    def jEsc(x: String): String =
+      raw"""replace(replace(replace($x, '\', '\\'), '"', '\"'), chr(10), '\n')"""
+    val tokenInfo = """CASE WHEN NOT has_token THEN '{}' ELSE
+              '{' || concat_ws(',',
+                CASE WHEN symbol IS NOT NULL THEN '"symbol":"' || """ +
+      jEsc("symbol") + """ || '"' END,
+                CASE WHEN chain IS NOT NULL THEN '"chain":"' || chain || '"' END,
+                CASE WHEN ca IS NOT NULL THEN '"ca_norm":"' || ca || '"' END)
+              || '}' END"""
+    (renderTgCtes + s""",
+       p AS (
+         SELECT *, $renderTgCase AS render_tg FROM r3)
+       SELECT event_key, card_type,
+              '{' || concat_ws(',',
+                '"type":"' || card_type || '"',
+                '"event_key":"' || event_key || '"',
+                '"risk_level":"' || risk_level || '"',
+                '"token_info":' || ($tokenInfo),
+                '"metrics":{"price_usd":null,"liquidity_usd":null,"fdv":null,"ohlc":{}}',
+                '"sources":{"security_source":"' ||
+                  coalesce(CASE WHEN U % 5 = 3 THEN 'cache' END, '') ||
+                  '","dex_source":""}',
+                '"states":{"cache":false,"degrade":false,"stale":false,"reason":""}',
+                '"evidence":{"goplus_raw":{"summary":""}}',
+                '"risk_note":"' || coalesce(${jEsc("risk_note")}, '') || '"',
+                '"verify_path":"/ev/' || CAST(E AS VARCHAR) || '"',
+                '"data_as_of":"' || data_as_of || '"',
+                '"rendered":{"tg":"' || ${jEsc("render_tg")} || '"}',
+                CASE WHEN E % 3 = 0 THEN '"rules_fired":["R' ||
+                  CAST(E % 5 AS VARCHAR) || '"]' END,
+                CASE WHEN U % 7 = 0 THEN '"legal_note":"LEGAL-' ||
+                  CAST(U AS VARCHAR) || '"' END,
+                CASE WHEN card_type = 'secondary'
+                     THEN '"source_level":"rumor"' END,
+                CASE WHEN card_type = 'secondary'
+                     THEN '"features_snapshot":{}' END,
+                CASE WHEN card_type = 'topic' THEN '"topic_id":' ||
+                  (CASE WHEN K % 3 = 0 THEN '"T' || CAST(K AS VARCHAR) || '"'
+                        ELSE 'null' END) END,
+                CASE WHEN card_type = 'topic' THEN '"topic_entities":[' ||
+                  array_to_string(list_transform(range(E % 8),
+                    j -> '"E' || CAST((K + j) % 50 AS VARCHAR) || '"'), ',')
+                  || ']' END,
+                CASE WHEN card_type = 'topic' THEN '"topic_mention_count":' ||
+                  (CASE WHEN E % 5 <> 1 THEN CAST(E % 500 AS VARCHAR)
+                        ELSE 'null' END) END)
+              || '}' AS pushcard_json,
+              FALSE AS schema_ok,
+              concat_ws('; ',
+                '$$.event_key: additionalProperties',
+                '$$.rendered: additionalProperties',
+                CASE WHEN card_type = 'topic' THEN
+                  '$$.topic_id: additionalProperties; ' ||
+                  '$$.topic_entities: additionalProperties; ' ||
+                  '$$.topic_mention_count: additionalProperties' END,
+                CASE WHEN card_type IN ('topic','market_risk')
+                     THEN '$$.type: enum' END,
+                CASE WHEN NOT has_token OR symbol IS NULL
+                     THEN '$$.token_info.symbol: required' END,
+                CASE WHEN NOT has_token OR chain IS NULL
+                     THEN '$$.token_info.chain: required' END,
+                '$$.metrics.ohlc.m5: required',
+                '$$.metrics.ohlc.h1: required',
+                '$$.metrics.ohlc.h24: required',
+                CASE WHEN card_type = 'secondary' THEN
+                  '$$.features_snapshot.active_addrs: required; ' ||
+                  '$$.features_snapshot.top10_share: required; ' ||
+                  '$$.features_snapshot.growth_30m: required; ' ||
+                  '$$.features_snapshot.stale: required' END) AS violations_str,
+              TRUE AS degrade_final
+       FROM p ORDER BY event_key""").replace("@NL", "\n")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1746,6 +1869,7 @@ object CoverageQueries {
     // fractions are .25 so the round() tie rule never fires).
     "q_j6_card_render" -> renderOracleSql,
     "q_j6_card_render_ui" -> renderUiOracleSql,
+    "q_j6_pushcard" -> pushcardOracleSql,
 
     // the oracle RE-DERIVES the validator's verdict analytically from
     // the planted fixture class — it never runs a validator, so the
