@@ -66,6 +66,48 @@ object PipelineQueries {
                 fmod(value, 100) / 100 - 0.5 AS last_sentiment_score
          FROM events)"""
 
+  /** Per-(day, topic) candidate frame for the topic-push gates — the
+    * shape `push_topic_candidates.py` finds in its cache keys
+    * (entities / mention_count / latest_ts), derived deterministically
+    * from `events` with every formatter branch planted: empty entities
+    * (topic_id%11==3), absent mention_count (%13==4), absent latest_ts
+    * (%17==6). ~83 topics/day so the cap-20 digest always overflows.
+    */
+  private def topicCandidates(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("day",
+        date_format(timestamp_micros(expr("ts_ns div 1000")), "yyyyMMdd"))
+      .withColumn("topic_id", col("user_id") % 83)
+      .groupBy("day", "topic_id")
+      .agg(
+        count(lit(1)).as("cnt"),
+        array_sort(collect_set(col("event_type"))).as("ents0"),
+        max(expr("ts_ns div 1000")).as("last_us"))
+      .select(
+        col("day"), col("topic_id"),
+        when(col("topic_id") % 13 =!= 4, col("cnt")).as("mention_count"),
+        when(col("topic_id") % 11 === 3, array().cast("array<string>"))
+          .otherwise(col("ents0")).as("entities"),
+        when(col("topic_id") % 17 =!= 6,
+          date_format(timestamp_micros(col("last_us")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("latest_ts"))
+
+  private val TopicCandCteSql =
+    """t0 AS (
+         SELECT strftime(ts, '%Y%m%d') AS day, user_id % 83 AS topic_id,
+                count(*) AS cnt,
+                list_sort(list(DISTINCT event_type)) AS ents0,
+                strftime(make_timestamp(max(epoch_us(ts))),
+                         '%Y-%m-%dT%H:%M:%SZ') AS last_iso
+         FROM events GROUP BY 1, 2),
+       cand AS (
+         SELECT day, topic_id,
+                CASE WHEN topic_id % 13 <> 4 THEN cnt END AS mention_count,
+                CASE WHEN topic_id % 11 = 3 THEN []::VARCHAR[]
+                     ELSE ents0 END AS entities,
+                CASE WHEN topic_id % 17 <> 6 THEN last_iso END AS latest_ts
+         FROM t0)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // R1: scoring rules engine, full front-end — the bundled
@@ -289,6 +331,29 @@ object PipelineQueries {
             flatten(collect_list(col("__ents"))))), ",").as("entities"),
           max("__last").as("last_ts_us")))
         .orderBy("topic_id")
+    }),
+
+    // F25: per-topic Telegram push text (reference worker/jobs/
+    // push_topic_candidates.py:84-103 format_topic_message): top-5
+    // entity list or (无), mention count defaulting 0, latest-ts line,
+    // fixed anti-impersonation footer. Fixture plants every branch:
+    // empty entities (topic_id%11==3), absent mention_count (%13==4),
+    // absent latest_ts (%17==6). One shuffle (the day+topic groupBy).
+    "q_f25_topic_push" -> ((s, dir) => {
+      graft.operators.TopicDigest.pushText(topicCandidates(s, dir))
+        .select("day", "topic_id", "push_text")
+        .orderBy("day", "topic_id")
+    }),
+
+    // O7: the per-day digest rollup of topics BEYOND the daily push
+    // cap (reference push_topic_candidates.py:122-160): header, top-10
+    // overflow topics as numbered "{entities} ({n} mentions)" lines,
+    // total overflow count, footer. Ranking owned here (count desc,
+    // topic_id asc); the window exchange on `day` is reused by the
+    // groupBy, and the per-day collect_list is bounded at 10.
+    "q_o_topic_digest" -> ((s, dir) => {
+      graft.operators.TopicDigest.digest(topicCandidates(s, dir))
+        .orderBy("day")
     }),
 
     // A14: evidence-completion metric — fraction satisfying a predicate.
@@ -659,6 +724,47 @@ object PipelineQueries {
                 string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS entities,
                 max(epoch_us(ts)) AS last_ts_us
          FROM events GROUP BY 1 ORDER BY topic_id""",
+
+    // Python's f-string lines re-assembled with chr(10); entity slices
+    // are 1-based inclusive in DuckDB (entities[1:5] = Python [:5]).
+    "q_f25_topic_push" ->
+      s"""WITH $TopicCandCteSql,
+         e AS (
+           SELECT *, CASE WHEN len(entities) > 0
+                          THEN array_to_string(entities[1:5], ', ')
+                          ELSE '(无)' END AS eshow
+           FROM cand)
+         SELECT day, topic_id,
+                '🔥 热点话题：' || eshow || chr(10) ||
+                '📊 24h 提及：' || CAST(coalesce(mention_count, 0) AS VARCHAR) || chr(10) ||
+                '🏷️ 实体：' || eshow || chr(10) ||
+                '🕒 最新：' || coalesce(latest_ts, '') || chr(10) ||
+                '⚠️ 未落地为币，谨防仿冒' AS push_text
+         FROM e ORDER BY day, topic_id""",
+
+    "q_o_topic_digest" ->
+      s"""WITH $TopicCandCteSql,
+         o AS (
+           SELECT *, row_number() OVER (PARTITION BY day
+                       ORDER BY coalesce(mention_count, 0) DESC, topic_id)
+                     AS rn
+           FROM cand),
+         ov AS (SELECT *, rn - 20 AS orn FROM o WHERE rn > 20)
+         SELECT day,
+                '📋 *Daily Topic Digest*' || chr(10) || '📅 ' || day ||
+                chr(10) || chr(10) || 'Top topics beyond daily cap:' ||
+                chr(10) || chr(10) ||
+                string_agg(CASE WHEN orn <= 10 THEN
+                  CAST(orn AS VARCHAR) || '. ' ||
+                  coalesce(array_to_string(entities, ', '), '') || ' (' ||
+                  CAST(coalesce(mention_count, 0) AS VARCHAR) ||
+                  ' mentions)' END, chr(10) ORDER BY orn) ||
+                chr(10) || chr(10) || 'Total overflow topics: ' ||
+                CAST(count(*) AS VARCHAR) || chr(10) || chr(10) ||
+                '_Daily cap reached. These topics were aggregated._'
+                  AS digest_text,
+                count(*) AS total_overflow
+         FROM ov GROUP BY day ORDER BY day""",
 
     "q_a14_completion" ->
       """SELECT event_type,
