@@ -42,6 +42,7 @@ object PlanAudit {
     "q_t_quality_pr" -> "cumulative sweep window over ≤100 score-bin summary rows + 1-row totals broadcast (the bucket-offsets pattern)",
     "q_c_epoch_waterfill" -> "saturation-order window over one-row-per-source mixture rows + 1-row totals broadcasts (the L45 shape)",
     "q_t_score_psi" -> "1-row totals broadcasts over the ≤10 score-bin summary rows",
+    "q_m_quality_psi" -> "same scorePsi machinery over the ≤10 luma-bin summary rows (1-row totals broadcasts)",
     "q_s_cluster_entropy" -> "1-row totals broadcasts over the ≤nlist cell rows")
 
   /** A window with NO partition columns serializes its input through

@@ -757,18 +757,39 @@ object Dedup {
     * Output: (a = batch doc, b = ref doc, hamming).
     */
   def crossNearPairsOf(bFp: DataFrame, rFp: DataFrame,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "byte banding guarantees only d <= 3")
+      maxDist: Int = 3): DataFrame =
+    crossBandedPairsOf(bFp, rFp, "simhash", bandBits = 8, maxDist)
+
+  /** [[crossNearPairsOf]] for FULL 64-bit perceptual fingerprints
+    * (column `fp`, 4×16-bit bands — the cross twin of
+    * [[hash64NearDupPairs]], same pigeonhole guarantee): batch↔stored
+    * media-index edges for the media ingest loop, cost ∝ batch with
+    * the stored side never reshuffled under a bucketed layout.
+    */
+  def hash64CrossNearPairsOf(bFp: DataFrame, rFp: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    crossBandedPairsOf(bFp, rFp, "fp", bandBits = 16, maxDist)
+
+  /** The cross-corpus banded-hamming core shared by the 32-bit simhash
+    * (4×8-bit bands) and 64-bit perceptual (4×16-bit bands) widths —
+    * the cross twin of [[bandedPairsOf]], identical collapse-first /
+    * first-matching-band scheme across two frames.
+    */
+  private def crossBandedPairsOf(bFp: DataFrame, rFp: DataFrame,
+      fpCol: String, bandBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"$bandBits-bit banding guarantees only d <= 3")
+    val mask = (1L << bandBits) - 1L
     val bM = bFp.withColumn("rep",
-      min("doc_id").over(Window.partitionBy("simhash"))).localCheckpoint()
+      min("doc_id").over(Window.partitionBy(fpCol))).localCheckpoint()
     val rM = rFp.withColumn("rep",
-      min("doc_id").over(Window.partitionBy("simhash"))).localCheckpoint()
+      min("doc_id").over(Window.partitionBy(fpCol))).localCheckpoint()
     def bandedReps(m: DataFrame, fpAlias: String, idAlias: String) = {
       val reps = m.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id").as(idAlias), col("simhash").as(fpAlias))
+        .select(col("doc_id").as(idAlias), col(fpCol).as(fpAlias))
       val bandStructs = array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col(fpAlias), b * 8).bitwiseAND(lit(255L))
+          shiftright(col(fpAlias), b * bandBits).bitwiseAND(lit(mask))
             .as("band_val"))): _*)
       reps.select(col(idAlias), col(fpAlias), explode(bandStructs).as("band"))
         .select(col(idAlias), col(fpAlias),
@@ -777,8 +798,8 @@ object Dedup {
     }
     val firstBandOnly = (0 until 4).map { j =>
       when(col("band_id") > j,
-        shiftright(col("bfp"), j * 8).bitwiseAND(lit(255L)) =!=
-          shiftright(col("rfp"), j * 8).bitwiseAND(lit(255L)))
+        shiftright(col("bfp"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("rfp"), j * bandBits).bitwiseAND(lit(mask)))
         .otherwise(lit(true))
     }.reduce(_ && _)
     val repPairs = bandedReps(bM, "bfp", "ra")

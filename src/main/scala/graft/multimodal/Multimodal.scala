@@ -1745,7 +1745,8 @@ object Multimodal {
       mediaId: Long,
       pixels: Long,
       fp: Long,
-      qualityOk: Boolean)
+      qualityOk: Boolean,
+      meanLuma: Long)
 
   def imageCurationPass(media: DataFrame, minDim: Int = 8,
       maxAspect: Int = 3, darkMeanLt: Int = 60,
@@ -1779,7 +1780,9 @@ object Multimodal {
           n * l2sum - lsum * lsum >= flatVarLt.toLong * n * n &&
           math.min(w, h) >= minDim &&
           w <= maxAspect.toLong * h && h <= maxAspect.toLong * w
-        ImageCuration(id, n, perceptualHashes(w, h, px)._1, ok)
+        // floored whole-image mean luma (0..255) rides along for the
+        // media drift gate's histogram — same decode, zero extra work
+        ImageCuration(id, n, perceptualHashes(w, h, px)._1, ok, lsum / n)
       })
   }
 

@@ -717,6 +717,90 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // Media quality drift (PSI over the decoded luma distribution) —
+    // the image-source face of the L69 monitor: a drifting camera /
+    // crawl source shows up as the per-asset mean-luma histogram
+    // moving, measured by the SAME fixed-point PSI machinery the text
+    // filter monitors scores with (ClassifierEval.scorePsi; score =
+    // meanLuma/256, exact in double). Constant-gray fixtures make the
+    // decoded mean luma BE the planted value (real BMP decode, luma
+    // of (v,v,v) = v exactly), so the oracle re-derives bins and the
+    // psi/ln fixed-point chain without seeing an image; the planted
+    // +30 shift on the cur side pushes mass up-bin and into a bin the
+    // reference never populated (the unseen-mass blind spot carried
+    // as its own column downstream). Map-side decode + one ≤nBins
+    // groupBy — the monitor's cost shape at any corpus size.
+    "q_m_quality_psi" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val v0 = (20L + (d * 7L) % 200L).toInt
+          val v = if (d % 2 == 1 && d % 3 == 0) math.min(255, v0 + 30)
+            else v0
+          (d, "bmp", Fixtures.bmpBytesOf(8, 8, (_, _) => (v, v, v)))
+        })
+        .toDF("media_id", "format", "bytes")
+      val scored = Multimodal.imageCurationPass(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          (col("meanLuma") / lit(256.0)).as("score"))
+        .localCheckpoint() // one decode feeds both sides' histograms
+      graft.text.ClassifierEval.scorePsi(
+          scored.filter(col("doc_id") % 2 === 0),
+          scored.filter(col("doc_id") % 2 === 1), "score", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // INCREMENTAL media dedup — the L40/L53 shape at the perceptual-
+    // fingerprint layer, run through the REAL media ingest loop
+    // (streaming/MediaIngest.scala): two batches of image assets flow
+    // through decode-once → quality gate → banded probe against the
+    // STORED fp index → ClusterMaintain merge, into the same
+    // three-table batch-id-idempotent state the text loop uses; batch
+    // 1 then REPLAYS (a durable no-op, proven because the read-back
+    // still matches). The quarter slice (doc_id%4==2, re-indexed
+    // j = doc_id div 4 so the variant algebra keeps its period)
+    // carries the pipeline fixture: v0 bmp 16×16 + v1 png 24×24 of
+    // the SAME pattern (a cross-batch near-dup pair whenever j%10
+    // splits them), v2 flat (quality-rejected — never enters state),
+    // v3 unrelated. Output = the canonical keep-best read of the
+    // stored tables; oracle = from-scratch word-algebra CC over the
+    // slice's quality passers — the convergence contract in SQL.
+    "q_m_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      import graft.streaming.MediaIngest
+      val media = docs(s, dir).filter(col("doc_id") % 4 === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val j = d / 4
+          val base = j / 4
+          val word = Fixtures.patternWord(base)
+          (j % 4) match {
+            case 0 => (d, "bmp",
+              Fixtures.bmpBytesOf(16, 16, Fixtures.blockPx(word, 2)))
+            case 1 => (d, "png",
+              Fixtures.pngBytesOf(24, 24, Fixtures.blockPx(word, 3)))
+            case 2 => (d, "png",
+              Fixtures.pngBytesOf(16, 16, (_, _) => (20, 20, 20)))
+            case _ => (d, "bmp", Fixtures.bmpBytesOf(16, 16,
+              Fixtures.blockPx(Fixtures.patternWord(base + 1000003L), 2)))
+          }
+        })
+        .toDF("media_id", "format", "bytes")
+      val b0 = media.filter(expr("media_id div 4") % 10 =!= 0)
+      val b1 = media.filter(expr("media_id div 4") % 10 === 0)
+      val src = new java.io.File(graft.Tables.path(dir, "documents"))
+      val state = graft.Sessions.perRunScratch("media_ingest",
+        src.getParentFile.getName)
+      MediaIngest.processBatch(b0, 0L, state, 3)
+      MediaIngest.processBatch(b1, 1L, state, 3)
+      MediaIngest.processBatch(b1, 1L, state, 3) // replay → no-op
+      MediaIngest.canonical(s, state)
+        .select("doc_id", "cluster_id", "cluster_size", "pixels", "keep")
+        .orderBy("doc_id")
+    }),
+
     // Canonical media selection — the step AFTER near-dup pairing
     // that a real asset store runs: pairs → connected components →
     // keep each cluster's best member, where "best" for media is the
@@ -2292,6 +2376,122 @@ object CoverageQueries {
                 coalesce(j.cluster_id, -1)::BIGINT AS cluster_id,
                 coalesce(j.rn = 1, FALSE) AS kept
          FROM q LEFT JOIN j USING (doc_id)
+         ORDER BY doc_id""",
+
+    // planted luma values re-derived analytically (constant gray ⇒
+    // mean luma = v), then the exact scorePsi chain: score-bin via
+    // the 1e-6 quantization, full-outer bin counts, fixed-point ln
+    // and psi summands, exact total
+    "q_m_quality_psi" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0
+                       THEN least(255, 20 + (doc_id * 7) % 200 + 30)
+                       ELSE 20 + (doc_id * 7) % 200 END AS luma
+           FROM documents),
+         b AS (
+           SELECT doc_id, least(CAST(floor(CAST(luma AS DOUBLE) / 256.0
+                    * 1000000.0 + 0.5) AS BIGINT) // 100000, 9) AS bin
+           FROM v),
+         bins AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+                  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cur
+           FROM b GROUP BY bin),
+         tot AS (
+           SELECT CAST(sum(n_ref) AS BIGINT) AS nt_ref,
+                  CAST(sum(n_cur) AS BIGINT) AS nt_cur
+           FROM bins),
+         w AS (
+           SELECT bin, n_ref, n_cur,
+                  CAST(n_ref AS DOUBLE) / CAST(nt_ref AS DOUBLE) AS p_ref_raw,
+                  CAST(n_cur AS DOUBLE) / CAST(nt_cur AS DOUBLE) AS p_cur_raw,
+                  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                    CAST(floor(ln(CAST(n_ref * nt_cur AS DOUBLE)
+                      / CAST(n_cur * nt_ref AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)
+                  END AS ln_u
+           FROM bins, tot),
+         w2 AS (
+           SELECT *,
+                  CASE WHEN ln_u IS NOT NULL THEN
+                    CAST(floor((p_ref_raw - p_cur_raw)
+                      * CAST(ln_u AS DOUBLE) + 0.5) AS BIGINT)
+                  END AS psi_u
+           FROM w),
+         pt AS (
+           SELECT CAST(coalesce(sum(psi_u), 0) AS BIGINT) AS psi_total_u
+           FROM w2)
+         SELECT bin, n_ref, n_cur,
+                floor(p_ref_raw * 1000000.0 + 0.5) / 1000000.0 AS p_ref,
+                floor(p_cur_raw * 1000000.0 + 0.5) / 1000000.0 AS p_cur,
+                CAST(psi_u AS DOUBLE) / 1000000.0 AS psi,
+                CAST(psi_total_u AS DOUBLE) / 1000000.0 AS psi_total
+         FROM w2, pt ORDER BY bin""",
+
+    // from-scratch CC over the slice's quality passers — the ingest
+    // loop's labels must be a pure function of the admitted doc set,
+    // whatever the batch split (same algebra as q_m_media_pipeline,
+    // re-indexed j = doc_id // 4 on the doc_id % 4 = 2 slice)
+    "q_m_incremental_dedup" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, (doc_id // 4) // 4 AS base,
+                  (doc_id // 4) % 4 AS v
+           FROM documents WHERE doc_id % 4 = 2),
+         f0 AS (
+           SELECT doc_id, v, base,
+                  (((base * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 123456789) * 2654435761) % 4294967296) AS raw,
+                  ((((base + 1000003) * 2654435761) % 2147483648) * 4294967296
+                    + ((base + 1000003 + 123456789) * 2654435761) % 4294967296) AS raw3
+           FROM w),
+         f AS (
+           SELECT doc_id, v,
+                  CASE v WHEN 3 THEN (raw3 & -2) | 2
+                         WHEN 2 THEN 0
+                         ELSE (raw & -2) | 2 END AS fp,
+                  CASE v WHEN 1 THEN 576 ELSE 256 END::BIGINT AS pixels,
+                  bit_count((raw & -2) | 2)::BIGINT AS k,
+                  bit_count((raw3 & -2) | 2)::BIGINT AS k3
+           FROM f0),
+         q AS (
+           SELECT doc_id, fp, pixels,
+                  CASE v
+                    WHEN 0 THEN NOT (10240 + 640 * k < 15360)
+                      AND NOT (256 * (409600 + 153600 * k)
+                        - (10240 + 640 * k) * (10240 + 640 * k) < 6553600)
+                    WHEN 1 THEN NOT (23040 + 1440 * k < 34560)
+                      AND NOT (576 * (921600 + 345600 * k)
+                        - (23040 + 1440 * k) * (23040 + 1440 * k)
+                        < 33177600)
+                    WHEN 3 THEN NOT (10240 + 640 * k3 < 15360)
+                      AND NOT (256 * (409600 + 153600 * k3)
+                        - (10240 + 640 * k3) * (10240 + 640 * k3)
+                        < 6553600)
+                    ELSE FALSE
+                  END AS quality_ok
+           FROM f),
+         p AS (SELECT doc_id, fp, pixels FROM q WHERE quality_ok),
+         pr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM p a JOIN p b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         e AS (SELECT ida AS a, idb AS b FROM pr
+               UNION ALL SELECT idb, ida FROM pr),
+         r AS (
+           SELECT doc_id AS id, doc_id AS reach FROM p
+           UNION
+           SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach),
+         lab AS (SELECT id AS doc_id, min(reach) AS cluster_id
+                 FROM r GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab GROUP BY 1)
+         SELECT p.doc_id, lab.cluster_id, sz.cluster_size, p.pixels,
+                (row_number() OVER (PARTITION BY lab.cluster_id
+                   ORDER BY p.pixels DESC, p.doc_id ASC)) = 1 AS keep
+         FROM p JOIN lab USING (doc_id) JOIN sz USING (cluster_id)
          ORDER BY doc_id""",
 
     // word-algebra fingerprints → brute-force pairs → recursive-CTE
