@@ -1322,6 +1322,219 @@ object Multimodal {
       else "unknown"
     }
 
+    /** Parsed Exif facts of one JPEG: IFD0 orientation/timestamp and
+      * the GPS sub-IFD's raw components (degree/minute/second
+      * numerators with denominator-1 rationals in the fixture —
+      * surfaced RAW so every downstream comparison stays exact
+      * integer arithmetic).
+      */
+    final case class ExifInfo(
+        orientation: Option[Int],
+        dateTime: Option[String],
+        hasGps: Boolean,
+        latRef: Option[String], latDms: Option[(Long, Long, Long)],
+        lonRef: Option[String], lonDms: Option[(Long, Long, Long)])
+
+    private val ExifTypeSize =
+      Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1, 9 -> 4, 10 -> 8)
+
+    /** The APP1 Exif identifier: "Exif" + double NUL. */
+    private val ExifIdent: Array[Byte] =
+      Array('E'.toByte, 'x'.toByte, 'i'.toByte, 'f'.toByte, 0.toByte,
+        0.toByte)
+
+    /** Locate the Exif APP1 segment: returns (segStart, segEnd,
+      * tiffStart) byte offsets, or None when the JPEG carries no Exif
+      * (the marker walk itself validates SOI and segment lengths —
+      * same discipline as the pixel decoder's walk,
+      * reference: the public JPEG/Exif specs; the repo's L20 family).
+      */
+    private[graft] def findExifApp1(mediaId: Long,
+        bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8, s"not a JPEG (no SOI): media $mediaId")
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        require((bytes(off) & 0xff) == 0xff,
+          s"expected JPEG marker at offset $off: media $mediaId")
+        val marker = bytes(off + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        require(len >= 2 && off + 2 + len <= bytes.length,
+          s"JPEG segment 0x${marker.toHexString} length $len out of " +
+            s"bounds: media $mediaId")
+        if (marker == 0xe1 && len >= 8 &&
+            (0 until 6).forall(i =>
+              bytes(off + 4 + i) == ExifIdent(i)))
+          return Some((off, off + 2 + len, off + 10))
+        off += 2 + len
+      }
+      None
+    }
+
+    /** Walk the TIFF structure inside the Exif APP1 (both byte
+      * orders): IFD0's Orientation (0x0112), DateTime (0x0132) and
+      * GPSInfo pointer (0x8825) → the GPS sub-IFD's
+      * LatRef/Lat/LonRef/Lon (0x0001–0x0004, rationals read as
+      * (deg, min, sec) numerators — fixture denominators are 1 and a
+      * non-1 denominator fails NAMED rather than silently rounding).
+      */
+    def exifInfo(mediaId: Long, bytes: Array[Byte]): ExifInfo =
+      findExifApp1(mediaId, bytes) match {
+        case None => ExifInfo(None, None, hasGps = false,
+          None, None, None, None)
+        case Some((_, segEnd, tiff)) =>
+          val little = (bytes(tiff) & 0xff) == 0x49
+          require(little || (bytes(tiff) & 0xff) == 0x4d,
+            s"bad TIFF byte order: media $mediaId")
+          def u16(o: Int): Int =
+            if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+              ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+            else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+              ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+          require(u16(tiff + 2) == 42, s"bad TIFF magic: media $mediaId")
+          def entries(ifdOff: Int): Seq[(Int, Int, Long, Int)] = {
+            val base = tiff + ifdOff
+            require(base + 2 <= segEnd, s"IFD out of segment: media $mediaId")
+            val n = u16(base)
+            (0 until n).map { i =>
+              val e = base + 2 + i * 12
+              (u16(e), u16(e + 2), u32(e + 4), e + 8)
+            }
+          }
+          def ascii(valOff: Int, count: Long, inlineAt: Int): String = {
+            val o = if (count <= 4) inlineAt else tiff + u32(inlineAt).toInt
+            new String(bytes, o, count.toInt - 1, "US-ASCII")
+          }
+          def rational3(inlineAt: Int): (Long, Long, Long) = {
+            val o = tiff + u32(inlineAt).toInt
+            val vs = (0 until 3).map { i =>
+              val num = u32(o + i * 8)
+              val den = u32(o + i * 8 + 4)
+              require(den == 1L,
+                s"non-unit GPS rational denominator $den: media $mediaId")
+              num
+            }
+            (vs(0), vs(1), vs(2))
+          }
+          var orientation: Option[Int] = None
+          var dateTime: Option[String] = None
+          var gpsOff: Option[Int] = None
+          entries(u32(tiff + 4).toInt).foreach {
+            case (0x0112, _, _, at) => orientation = Some(u16(at))
+            case (0x0132, _, count, at) => dateTime = Some(ascii(at, count, at))
+            case (0x8825, _, _, at) => gpsOff = Some(u32(at).toInt)
+            case _ => ()
+          }
+          gpsOff match {
+            case None => ExifInfo(orientation, dateTime, hasGps = false,
+              None, None, None, None)
+            case Some(g) =>
+              var latRef: Option[String] = None
+              var lonRef: Option[String] = None
+              var lat: Option[(Long, Long, Long)] = None
+              var lon: Option[(Long, Long, Long)] = None
+              entries(g).foreach {
+                case (0x0001, _, count, at) => latRef = Some(ascii(at, count, at))
+                case (0x0002, _, _, at) => lat = Some(rational3(at))
+                case (0x0003, _, count, at) => lonRef = Some(ascii(at, count, at))
+                case (0x0004, _, _, at) => lon = Some(rational3(at))
+                case _ => ()
+              }
+              ExifInfo(orientation, dateTime, hasGps = true,
+                latRef, lat, lonRef, lon)
+          }
+      }
+
+    /** Strip the GPS sub-IFD from a JPEG's Exif: rebuild the APP1
+      * segment with IFD0 minus the GPSInfo pointer, re-packing every
+      * surviving entry's out-of-line data (offsets recomputed), and
+      * splice it between the untouched byte prefix and suffix — the
+      * entropy-coded image data is never touched, so the stripped
+      * file decodes to the identical raster. No-Exif and no-GPS
+      * inputs return unchanged. Sub-IFD pointers other than GPS
+      * (e.g. the Exif IFD 0x8769) would dangle after a naive re-pack
+      * and fail NAMED — the library's honest boundary, like the
+      * codec stub.
+      */
+    def stripGps(mediaId: Long, bytes: Array[Byte]): Array[Byte] =
+      findExifApp1(mediaId, bytes) match {
+        case None => bytes
+        case Some((segStart, segEnd, tiff)) =>
+          val little = (bytes(tiff) & 0xff) == 0x49
+          def u16(o: Int): Int =
+            if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+              ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+            else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+              ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+          val ifd0 = tiff + u32(tiff + 4).toInt
+          val n = u16(ifd0)
+          val keep = (0 until n).map(i => ifd0 + 2 + i * 12).filter { e =>
+            val tag = u16(e)
+            require(tag != 0x8769 && tag != 0xa005,
+              s"sub-IFD pointer tag 0x${tag.toHexString} beyond the " +
+                s"GPS-strip surface: media $mediaId")
+            tag != 0x8825
+          }
+          if (keep.length == n) return bytes // no GPS pointer → no-op
+          // rebuild: header(8) + count(2) + entries + next(4) + data
+          val out = new java.io.ByteArrayOutputStream()
+          def w16(v: Int): Unit =
+            if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+            else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+          def w32(v: Long): Unit =
+            if (little) { out.write((v & 0xff).toInt)
+              out.write(((v >> 8) & 0xff).toInt)
+              out.write(((v >> 16) & 0xff).toInt)
+              out.write(((v >> 24) & 0xff).toInt) }
+            else { out.write(((v >> 24) & 0xff).toInt)
+              out.write(((v >> 16) & 0xff).toInt)
+              out.write(((v >> 8) & 0xff).toInt)
+              out.write((v & 0xff).toInt) }
+          out.write(bytes, tiff, 4) // byte order + magic
+          w32(8L) // IFD0 at offset 8
+          w16(keep.length)
+          var dataOff = 8L + 2L + keep.length * 12L + 4L
+          val data = new java.io.ByteArrayOutputStream()
+          keep.foreach { e =>
+            val typ = u16(e + 2)
+            val count = u32(e + 4)
+            val sz = ExifTypeSize.getOrElse(typ,
+              throw new IllegalArgumentException(
+                s"unknown Exif type $typ: media $mediaId")) * count
+            w16(u16(e)); w16(typ); w32(count)
+            if (sz <= 4) out.write(bytes, e + 8, 4) // inline value verbatim
+            else {
+              w32(dataOff)
+              data.write(bytes, tiff + u32(e + 8).toInt, sz.toInt)
+              dataOff += sz
+            }
+          }
+          w32(0L) // no next IFD
+          data.toByteArray.foreach(out.write(_))
+          val tiffBytes = out.toByteArray
+          val app1 = new java.io.ByteArrayOutputStream()
+          app1.write(0xff); app1.write(0xe1)
+          val len = 2 + 6 + tiffBytes.length
+          app1.write((len >> 8) & 0xff); app1.write(len & 0xff)
+          ExifIdent.foreach(b => app1.write(b & 0xff))
+          tiffBytes.foreach(app1.write(_))
+          val rebuilt = app1.toByteArray
+          val res = new Array[Byte](segStart + rebuilt.length +
+            (bytes.length - segEnd))
+          System.arraycopy(bytes, 0, res, 0, segStart)
+          System.arraycopy(rebuilt, 0, res, segStart, rebuilt.length)
+          System.arraycopy(bytes, segEnd, res, segStart + rebuilt.length,
+            bytes.length - segEnd)
+          res
+      }
+
     /** STUB — deterministic fake decode. Real implementation would
       * decode `bytes` with an image/audio codec; the container has
       * none, so features derive from the bytes deterministically
@@ -1783,6 +1996,58 @@ object Multimodal {
         // floored whole-image mean luma (0..255) rides along for the
         // media drift gate's histogram — same decode, zero extra work
         ImageCuration(id, n, perceptualHashes(w, h, px)._1, ok, lsum / n)
+      })
+  }
+
+  /** One asset's Exif/GPS-PII verdict: the surfaced metadata
+    * (orientation, timestamp, raw GPS DMS components — exact
+    * integers), the strip receipt (byte sizes before/after), and the
+    * two verifications a PII audit needs: the STRIPPED bytes re-parse
+    * with no GPS, and the raster decodes byte-identically (the
+    * surgery never touches entropy data).
+    */
+  final case class ExifPii(
+      mediaId: Long,
+      orientation: Option[Int],
+      dateTime: Option[String],
+      hasGps: Boolean,
+      latRef: Option[String], latDeg: Option[Long], latMin: Option[Long],
+      latSec: Option[Long],
+      lonRef: Option[String], lonDeg: Option[Long], lonMin: Option[Long],
+      lonSec: Option[Long],
+      bytesBefore: Long,
+      bytesAfter: Long,
+      gpsGone: Boolean,
+      rasterIntact: Boolean)
+
+  /** EXIF metadata + GPS-PII scrub over (media_id, bytes) JPEGs — the
+    * L21×L20 crossover a real crawl needs: walk the APP1/TIFF
+    * structure ([[MediaCodec.exifInfo]]), strip the GPS sub-IFD by
+    * rebuilding the segment ([[MediaCodec.stripGps]] — offsets
+    * recomputed, image data untouched), then VERIFY both claims
+    * in-row: re-parse says no GPS, and before/after rasters are
+    * byte-identical. Map-side; bytes never leave the partition. The
+    * double decode is the audit cost — a 100 TB run samples it, the
+    * correctness gate pays it on every row.
+    */
+  def exifPiiScan(media: DataFrame): Dataset[ExifPii] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = MediaCodec.exifInfo(id, bytes)
+        val stripped = MediaCodec.stripGps(id, bytes)
+        val after = MediaCodec.exifInfo(id, stripped)
+        val (_, _, px0) = MediaCodec.pixelsJpeg(id, bytes)
+        val (_, _, px1) = MediaCodec.pixelsJpeg(id, stripped)
+        ExifPii(id, info.orientation, info.dateTime, info.hasGps,
+          info.latRef, info.latDms.map(_._1), info.latDms.map(_._2),
+          info.latDms.map(_._3),
+          info.lonRef, info.lonDms.map(_._1), info.lonDms.map(_._2),
+          info.lonDms.map(_._3),
+          bytes.length.toLong, stripped.length.toLong,
+          gpsGone = !after.hasGps,
+          rasterIntact = java.util.Arrays.equals(px0, px1))
       })
   }
 
@@ -2563,6 +2828,92 @@ object Multimodal {
       require(bytes.length == 148 + 3 * n,
         s"JPEG fixture size ${bytes.length} != ${148 + 3 * n}: id $id")
       bytes
+    }
+
+    /** [[jpegBytes]] with a REAL Exif APP1 spliced after SOI — the
+      * GPS-PII fixture. Fixed TIFF layout so every byte offset and
+      * the total size stay closed-form: byte order II (even id) / MM
+      * (odd — both endians exercised), IFD0 = Orientation 1+id%8,
+      * DateTime "2024:01:<1+id%28> 10:30:00", and (iff id%3 ≠ 1) a
+      * GPSInfo pointer to a GPS sub-IFD carrying LatRef N/S (id%2),
+      * Lat (id%90, id%60, id·31%60) and LonRef E/W (id%4<2), Lon
+      * (id%180, id·7%60, id·13%60) as denominator-1 rationals.
+      * Sizes: APP1 = 68 bytes without GPS, 182 with (8 TIFF header +
+      * 30/42 IFD0 + 20 datetime [+ 54 GPS IFD + 48 rationals] + 10
+      * marker/len/ident), so the file is 148+3n + 68 or 182.
+      */
+    def exifJpegBytes(id: Long): Array[Byte] = {
+      val base = jpegBytes(id)
+      val little = id % 2 == 0
+      val hasGps = id % 3 != 1
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Long): Unit =
+        if (little) { out.write((v & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 24) & 0xff).toInt) }
+        else { out.write(((v >> 24) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt)
+          out.write((v & 0xff).toInt) }
+      def entry(tag: Int, typ: Int, count: Long)(value: => Unit): Unit = {
+        w16(tag); w16(typ); w32(count)
+        val before = out.size()
+        value
+        while (out.size() < before + 4) out.write(0)
+      }
+      // TIFF header
+      val bo = if (little) 0x49 else 0x4d
+      out.write(bo); out.write(bo); w16(42); w32(8L)
+      val nIfd0 = if (hasGps) 3 else 2
+      val dtOff = 8L + 2L + nIfd0 * 12L + 4L
+      val gpsOff = dtOff + 20L
+      w16(nIfd0)
+      entry(0x0112, 3, 1L) { w16((1 + id % 8).toInt) } // Orientation
+      entry(0x0132, 2, 20L) { w32(dtOff) } // DateTime → data
+      if (hasGps) entry(0x8825, 4, 1L) { w32(gpsOff) }
+      w32(0L) // next IFD
+      val dt = f"2024:01:${1 + id % 28}%02d 10:30:00"
+      dt.foreach(c => out.write(c.toInt)); out.write(0)
+      if (hasGps) {
+        val latOff = gpsOff + 2L + 4L * 12L + 4L
+        val lonOff = latOff + 24L
+        w16(4)
+        entry(0x0001, 2, 2L) {
+          out.write(if (id % 2 == 0) 'N'.toInt else 'S'.toInt)
+          out.write(0)
+        }
+        entry(0x0002, 5, 3L) { w32(latOff) }
+        entry(0x0003, 2, 2L) {
+          out.write(if (id % 4 < 2) 'E'.toInt else 'W'.toInt)
+          out.write(0)
+        }
+        entry(0x0004, 5, 3L) { w32(lonOff) }
+        w32(0L)
+        Seq(id % 90, id % 60, id * 31 % 60).foreach { v =>
+          w32(v); w32(1L) }
+        Seq(id % 180, id * 7 % 60, id * 13 % 60).foreach { v =>
+          w32(v); w32(1L) }
+      }
+      val tiff = out.toByteArray
+      val app1 = new java.io.ByteArrayOutputStream()
+      app1.write(0xff); app1.write(0xe1)
+      val len = 2 + 6 + tiff.length
+      app1.write((len >> 8) & 0xff); app1.write(len & 0xff)
+      Seq('E', 'x', 'i', 'f').foreach(c => app1.write(c.toInt))
+      app1.write(0); app1.write(0)
+      tiff.foreach(app1.write(_))
+      val seg = app1.toByteArray
+      require(seg.length == (if (hasGps) 182 else 68),
+        s"Exif fixture segment ${seg.length}: id $id")
+      val res = new Array[Byte](base.length + seg.length)
+      System.arraycopy(base, 0, res, 0, 2) // SOI
+      System.arraycopy(seg, 0, res, 2, seg.length)
+      System.arraycopy(base, 2, res, 2 + seg.length, base.length - 2)
+      res
     }
 
     /** Baseline COLOR JPEG, 4:2:0 — w = 16·(1 + id%2), h = 32, so

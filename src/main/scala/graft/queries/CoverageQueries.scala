@@ -717,6 +717,38 @@ object CoverageQueries {
         .orderBy("doc_id")
     }),
 
+    // EXIF metadata + GPS-PII scrub (the L21×L20 crossover): REAL
+    // JPEGs carrying a REAL Exif APP1 (both TIFF byte orders, planted
+    // per-id) are walked for orientation/timestamp/GPS, the GPS
+    // sub-IFD is stripped by segment rebuild, and BOTH claims verify
+    // in-row: the stripped bytes re-parse GPS-free, and the raster
+    // decodes byte-identically (the splice never touches entropy
+    // data). Fixture offsets are closed-form, so the oracle predicts
+    // every surfaced tag AND both byte sizes analytically — a parser
+    // that mis-walks any offset, or a stripper that disturbs one
+    // byte of image data, hash-fails. Map-side, zero shuffles.
+    "q_m_exif_pii" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.Fixtures
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(d => (d, Fixtures.exifJpegBytes(d))))
+        .toDF("media_id", "bytes")
+      Multimodal.exifPiiScan(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("orientation").cast("long").as("orientation"),
+          col("dateTime").as("date_time"),
+          col("hasGps").as("has_gps"),
+          col("latRef").as("lat_ref"), col("latDeg").as("lat_deg"),
+          col("latMin").as("lat_min"), col("latSec").as("lat_sec"),
+          col("lonRef").as("lon_ref"), col("lonDeg").as("lon_deg"),
+          col("lonMin").as("lon_min"), col("lonSec").as("lon_sec"),
+          col("bytesBefore").as("bytes_before"),
+          col("bytesAfter").as("bytes_after"),
+          col("gpsGone").as("gps_gone"),
+          col("rasterIntact").as("raster_intact"))
+        .orderBy("doc_id")
+    }),
+
     // Media quality drift (PSI over the decoded luma distribution) —
     // the image-source face of the L69 monitor: a drifting camera /
     // crawl source shows up as the per-asset mean-luma histogram
@@ -2377,6 +2409,34 @@ object CoverageQueries {
                 coalesce(j.rn = 1, FALSE) AS kept
          FROM q LEFT JOIN j USING (doc_id)
          ORDER BY doc_id""",
+
+    // every Exif fact and both byte sizes re-derived from the planted
+    // rules: base JPEG 148+3n (n = 2·(2+id%3) blocks), APP1 68/182,
+    // stripped file always base+68 (no-GPS inputs return unchanged)
+    "q_m_exif_pii" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                  || ' 10:30:00' AS date_time,
+                doc_id % 3 <> 1 AS has_gps,
+                CASE WHEN doc_id % 3 <> 1 THEN
+                  CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END END AS lat_ref,
+                CASE WHEN doc_id % 3 <> 1 THEN doc_id % 90 END AS lat_deg,
+                CASE WHEN doc_id % 3 <> 1 THEN doc_id % 60 END AS lat_min,
+                CASE WHEN doc_id % 3 <> 1 THEN (doc_id * 31) % 60 END AS lat_sec,
+                CASE WHEN doc_id % 3 <> 1 THEN
+                  CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END END AS lon_ref,
+                CASE WHEN doc_id % 3 <> 1 THEN doc_id % 180 END AS lon_deg,
+                CASE WHEN doc_id % 3 <> 1 THEN (doc_id * 7) % 60 END AS lon_min,
+                CASE WHEN doc_id % 3 <> 1 THEN (doc_id * 13) % 60 END AS lon_sec,
+                148 + 3 * (2 * (2 + doc_id % 3))
+                  + CASE WHEN doc_id % 3 <> 1 THEN 182 ELSE 68 END
+                  AS bytes_before,
+                CAST(148 + 3 * (2 * (2 + doc_id % 3)) + 68 AS BIGINT)
+                  AS bytes_after,
+                TRUE AS gps_gone,
+                TRUE AS raster_intact
+         FROM documents ORDER BY doc_id""",
 
     // planted luma values re-derived analytically (constant gray ⇒
     // mean luma = v), then the exact scorePsi chain: score-bin via
