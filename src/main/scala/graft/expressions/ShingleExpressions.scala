@@ -646,6 +646,92 @@ object TrainedPoolOps {
   }
 }
 
+object LangIdTrainedOps {
+  /** Hashed code-point char-TRIGRAM buckets — the trained langid's
+    * feature rule, shared by trainer and serving (the
+    * [[DsirBucketOps]] convention) and mirrored in SQL as
+    * `('0x' || substr(md5(gram), 1, 8))::BIGINT % nBuckets` over
+    * `substr(lower(t), i, 3)`: lowercase first, then every
+    * 3-code-point window (code points, not UTF-16 units — DuckDB
+    * substr counts characters, and the zh lexicon is multibyte).
+    */
+  def gramBuckets(text: UTF8String, nBuckets: Int): Array[Int] = {
+    val cps = text.toLowerCase.toString.codePoints().toArray
+    if (cps.length < 3) return Array.emptyIntArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](cps.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (FeatureHashOps.u32(md, new String(cps, i, 3)) %
+        nBuckets).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** All languages scored in ONE gram pass: z_l = bias_l + Σ w_l[b].
+    * Integer 1e-6 fixed point throughout — order-free, exact; argmax
+    * with ties to the LOWEST language index (the rules path's fixed
+    * priority order). Returns (best_idx, z_best, margin, n_grams);
+    * a text with <3 code points scores biases alone.
+    */
+  def score(text: UTF8String, weights: Array[Array[Long]],
+      biases: Array[Long]): InternalRow = {
+    val bs = gramBuckets(text, weights(0).length)
+    val z = biases.clone()
+    var i = 0
+    while (i < bs.length) {
+      var l = 0
+      while (l < z.length) { z(l) += weights(l)(bs(i)); l += 1 }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < z.length) { if (z(l) > z(best)) best = l; l += 1 }
+    var second = Long.MinValue
+    l = 0
+    while (l < z.length) {
+      if (l != best && z(l) > second) second = z(l)
+      l += 1
+    }
+    new GenericInternalRow(Array[Any](best.toLong, z(best),
+      z(best) - second, bs.length.toLong))
+  }
+}
+
+/** Trained language-ID scorer: the committed multiclass artifact
+  * rides into generated code as reference objects (5×nBuckets longs —
+  * broadcast-sized by construction).
+  */
+case class LangIdTrained(child: Expression, weights: Array[Array[Long]],
+    biases: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("best_idx", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("z_best", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("margin", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("n_grams", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "langid_trained"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdTrainedOps.score(input.asInstanceOf[UTF8String], weights, biases)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("lweights", weights, "long[][]")
+    val b = ctx.addReferenceObj("lbiases", biases, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LangIdTrainedOps$$.MODULE$$.score($c, $w, $b)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LangIdTrained = copy(child = newChild)
+}
+
 object TrainedAdmitOps {
   /** Pool + threshold in ONE kernel call: the admission predicate as
     * a single boolean expression, because a pooled-struct projection
@@ -760,6 +846,10 @@ object ShingleFunctions {
 
   def dsirBuckets(c: Column, nBuckets: Int): Column =
     column(DsirBuckets(expression(c), nBuckets))
+
+  def langIdTrained(c: Column, weights: Array[Array[Long]],
+      biases: Array[Long]): Column =
+    column(LangIdTrained(expression(c), weights, biases))
 
   def entityNorm(c: Column, synonyms: Seq[(String, String)],
       stopTerms: Seq[String], k: Int): Column =

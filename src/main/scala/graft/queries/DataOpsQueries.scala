@@ -545,6 +545,35 @@ object DataOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // TRAINED language ID (L10's committed-artifact form, the sixth
+    // model artifact): multiclass LR over hashed char-trigram buckets
+    // (langid-lr-v1.tsv via TrainLangid — trainer featurizes through
+    // the serving kernel, so they cannot drift), served beside the
+    // rules stopword-argmax over the SAME planted multilingual
+    // sentences (LangIdModel.plantedText — doc d speaks lang d%5,
+    // tokens drawn deterministically from the shared 20-word
+    // lexicons; the trainer used a DIFFERENT index stream, so every
+    // gate sentence is held-out). The per-language comparison the
+    // L72 audit applies to tokenizers: trained_ok vs rules_ok per
+    // row — sentences that draw only content words defeat the
+    // stopword argmax ('und') while the char-gram model still reads
+    // the morphology. One codegen'd kernel call per row, map-side.
+    "q_t_langid_trained" -> ((s, dir) => {
+      import graft.text.LangIdModel
+      val planted = docs(s, dir).select(col("doc_id"),
+        LangIdModel.plantedText(col("doc_id")).as("text"),
+        LangIdModel.plantedLang(col("doc_id")).as("lang_planted"))
+      val rules = TextAnalysis.langId(col("text")).getField("lang")
+      LangIdModel.classifyTrained(planted, "text")
+        .select(col("doc_id"), col("lang_planted"),
+          rules.as("lang_rules"),
+          col("lang_trained"), col("z_best"), col("margin"),
+          col("n_grams"),
+          (col("lang_trained") === col("lang_planted")).as("trained_ok"),
+          (rules === col("lang_planted")).as("rules_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Heuristic quality score.
     "q_t_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -899,7 +928,86 @@ object DataOpsQueries {
     (scores, best, cases)
   }
 
+  /** DuckDB oracle for `q_t_langid_trained`: the planted sentences
+    * re-built from the shared lexicon VALUES, char trigrams via
+    * substr, the artifact's non-zero weights joined as a VALUES list
+    * (the trainedScoreCtes convention), per-language z with the
+    * lowest-index tiebreak, and the rules argmax re-derived through
+    * [[langIdSqlParts]] — the whole trained path cross-checked in
+    * closed form.
+    */
+  private def langidTrainedOracleSql: String = {
+    import graft.text.LangIdModel
+    val vocVals = LangIdModel.Vocab.zipWithIndex.map { case (ws, li) =>
+      s"($li, [${ws.map(w => s"'$w'").mkString(", ")}])" }.mkString(", ")
+    val (biases, w) = LangIdModel.loadArtifact()
+    val lwVals = (for {
+      l <- w.indices; b <- 0 until LangIdModel.NBuckets if w(l)(b) != 0L
+    } yield s"($l, $b, ${w(l)(b)}::BIGINT)").mkString(", ")
+    val lbVals = biases.zipWithIndex.map { case (v, l) =>
+      s"($l, ${v}::BIGINT)" }.mkString(", ")
+    val langArr = LangIdModel.Langs.map(l => s"'$l'")
+      .mkString("[", ", ", "]")
+    val (scores, best, cases) = langIdSqlParts("toks")
+    s"""WITH voc(li, v) AS (VALUES $vocVals),
+       lw(li, b, wt) AS (VALUES $lwVals),
+       lb(li, bias) AS (VALUES $lbVals),
+       praw AS (
+         SELECT doc_id, doc_id % 5 AS pl,
+                array_to_string(list_transform(range(8 + doc_id % 7),
+                  i -> v[CAST((doc_id * 13 + i * 7) % 20 + 1 AS INT)]),
+                  ' ') AS t
+         FROM documents JOIN voc ON voc.li = doc_id % 5),
+       g AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           i -> substr(t, CAST(i AS INT), 3))) AS gr
+         FROM praw),
+       f AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(gr), 1, 8))::BIGINT % 256 AS b
+         FROM g),
+       ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM f GROUP BY doc_id),
+       sc AS (
+         SELECT f.doc_id, lb.li,
+                lb.bias + CAST(coalesce(sum(lw.wt), 0) AS BIGINT) AS z
+         FROM f CROSS JOIN lb
+         LEFT JOIN lw ON lw.li = lb.li AND lw.b = f.b
+         GROUP BY f.doc_id, lb.li, lb.bias),
+       rk AS (
+         SELECT doc_id, li, z,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY z DESC, li ASC) AS r
+         FROM sc),
+       tb AS (
+         SELECT doc_id,
+                max(CASE WHEN r = 1 THEN li END) AS bi,
+                max(CASE WHEN r = 1 THEN z END) AS zb,
+                max(CASE WHEN r = 2 THEN z END) AS z2
+         FROM rk GROUP BY doc_id),
+       rtk AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(t), '\\s+'),
+                  x -> x <> '') AS toks
+         FROM praw),
+       rsc AS (SELECT doc_id, $scores FROM rtk),
+       rb AS (SELECT *, $best AS best FROM rsc)
+       SELECT p.doc_id,
+              $langArr[CAST(p.pl + 1 AS INT)] AS lang_planted,
+              CASE $cases ELSE 'und' END AS lang_rules,
+              $langArr[CAST(tb.bi + 1 AS INT)] AS lang_trained,
+              tb.zb AS z_best, tb.zb - tb.z2 AS margin, ng.n_grams,
+              $langArr[CAST(tb.bi + 1 AS INT)]
+                = $langArr[CAST(p.pl + 1 AS INT)] AS trained_ok,
+              (CASE $cases ELSE 'und' END)
+                = $langArr[CAST(p.pl + 1 AS INT)] AS rules_ok
+       FROM praw p JOIN tb USING (doc_id) JOIN ng USING (doc_id)
+       JOIN rb USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_t_langid_trained" -> langidTrainedOracleSql,
     "q_d_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
