@@ -942,8 +942,7 @@ object ScaleRehearsal {
         .simhashClusters(hist, "doc_id", "text", 3).localCheckpoint()
       var edges: DataFrame = null
       val (_, tEdges) = timed {
-        edges = Dedup.crossNearPairsOf(bFp18, hFp, 3)
-          .select(col("a"), col("b"))
+        edges = Dedup.crossNearEdgesOf(bFp18, hFp, 3)
           .union(Dedup.simhashPairsOf(bFp18, 3)
             .select(col("ida").as("a"), col("idb").as("b")))
           .localCheckpoint()

@@ -9,7 +9,7 @@ import graft.expressions.LangIdTrainedOps
 import graft.text.LangIdModel
 
 /** Trainer for the committed langid artifact (langid-lr-v1.tsv —
-  * the sixth model artifact, the TrainQuality convention): multiclass
+  * the seventh model artifact, the TrainQuality convention): multiclass
   * one-vs-rest logistic regression over hashed char-trigram buckets,
   * featurized through the runtime's OWN kernel
   * ([[LangIdTrainedOps.gramBuckets]]) so trainer and serving cannot
@@ -86,13 +86,8 @@ object TrainLangid {
     val train = trainingRows(5000)
     val (biases, w) = fit(train, epochs = 300, lr = 2.0)
     println(f"[train] train-set accuracy: ${accuracy(train, biases, w)}%.4f")
-    // held-out check on the GATE's own index stream
-    val held = (0 until 1000).map { d =>
-      val lang = d % 5
-      val toks = (0 until (8 + d % 7)).map(i =>
-        LangIdModel.Vocab(lang)((d * 13 + i * 7) % 20))
-      (lang, toks.mkString(" "))
-    }
+    // held-out check on the GATE's own index stream (the shared rule)
+    val held = (0L until 1000L).map(LangIdModel.plantedSentence)
     val heldAcc = accuracy(held, biases, w)
     println(f"[train] held-out (gate-stream) accuracy: $heldAcc%.4f")
     require(heldAcc > 0.99, s"langid model failed to separate: $heldAcc")

@@ -142,8 +142,10 @@ object ClusterLabels {
         val batch = docs.join(
           priorSnap.select(col("doc_id")), Seq("doc_id"), "left_anti")
         val bFp = Dedup.withSimhash(batch, "doc_id", "text").localCheckpoint()
-        val edges = Dedup.crossNearPairsOf(bFp, priorFps, maxDist)
-          .select(col("a"), col("b"))
+        // rep-level cross edges: connectivity-equivalent (see
+        // Dedup.crossNearEdgesOf) without re-materializing the
+        // stored index per refresh
+        val edges = Dedup.crossNearEdgesOf(bFp, priorFps, maxDist)
           .union(Dedup.simhashPairsOf(bFp, maxDist)
             .select(col("ida").as("a"), col("idb").as("b")))
         val merged = ClusterMaintain.mergeBatch(

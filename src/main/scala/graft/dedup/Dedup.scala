@@ -770,6 +770,65 @@ object Dedup {
       maxDist: Int = 3): DataFrame =
     crossBandedPairsOf(bFp, rFp, "fp", bandBits = 16, maxDist)
 
+  /** Rep-level cross EDGES for cluster maintenance —
+    * [[crossNearPairsOf]] without either member expansion and without
+    * the ref-side window/localCheckpoint: identical-fp cliques are
+    * already internally connected on both sides (batch: the
+    * within-batch pair pass emits their hamming-0 edges; store:
+    * members were edge-connected when they themselves ingested, so
+    * they share a cluster in the prior labeling), which makes one
+    * edge per near (batch-rep, ref-rep) pair connectivity-equivalent
+    * to the full member pair list for [[ClusterMaintain]] — and the
+    * affected-cluster set is identical, because a rep's cluster IS
+    * its clique's cluster. Both sides collapse with partial-aggregated
+    * groupBys (map-side combine; the store is never window-sorted or
+    * re-materialized per batch — the review fix behind the loops'
+    * ∝-batch probe claim). Output (a = batch rep doc, b = ref rep
+    * doc); pair-list callers that need every member keep
+    * [[crossNearPairsOf]].
+    */
+  def crossNearEdgesOf(bFp: DataFrame, rFp: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    crossBandedEdgesOf(bFp, rFp, "simhash", bandBits = 8, maxDist)
+
+  /** [[crossNearEdgesOf]] for 64-bit perceptual fingerprints (column
+    * `fp`, 4×16-bit bands) — the media ingest loop's stored-index
+    * probe.
+    */
+  def hash64CrossNearEdgesOf(bFp: DataFrame, rFp: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    crossBandedEdgesOf(bFp, rFp, "fp", bandBits = 16, maxDist)
+
+  private def crossBandedEdgesOf(bFp: DataFrame, rFp: DataFrame,
+      fpCol: String, bandBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"$bandBits-bit banding guarantees only d <= 3")
+    val mask = (1L << bandBits) - 1L
+    def bandedReps(m: DataFrame, fpAlias: String, idAlias: String) = {
+      val reps = m.groupBy(fpCol).agg(min("doc_id").as(idAlias))
+        .select(col(idAlias), col(fpCol).as(fpAlias))
+      val bandStructs = array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col(fpAlias), b * bandBits).bitwiseAND(lit(mask))
+            .as("band_val"))): _*)
+      reps.select(col(idAlias), col(fpAlias), explode(bandStructs).as("band"))
+        .select(col(idAlias), col(fpAlias),
+          col("band.band_id").as("band_id"),
+          col("band.band_val").as("band_val"))
+    }
+    val firstBandOnly = (0 until 4).map { j =>
+      when(col("band_id") > j,
+        shiftright(col("bfp"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("rfp"), j * bandBits).bitwiseAND(lit(mask)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    bandedReps(bFp, "bfp", "a")
+      .join(bandedReps(rFp, "rfp", "b"), Seq("band_id", "band_val"))
+      .filter(firstBandOnly)
+      .filter(bit_count(col("bfp").bitwiseXOR(col("rfp"))) <= maxDist)
+      .select("a", "b")
+  }
+
   /** The cross-corpus banded-hamming core shared by the 32-bit simhash
     * (4×8-bit bands) and 64-bit perceptual (4×16-bit bands) widths —
     * the cross twin of [[bandedPairsOf]], identical collapse-first /

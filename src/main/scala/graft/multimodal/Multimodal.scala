@@ -80,6 +80,32 @@ object Multimodal {
       out_width: Long, out_height: Long,
       mean_luma: Double)
 
+  /** Endian-aware TIFF byte writer — ONE copy of the 16/32-bit
+    * little/big-endian write logic, shared by the GPS stripper's
+    * segment rebuild and the Exif fixture builder (two copies would
+    * let an endian fix desynchronize the stripper from its own test
+    * fixture).
+    */
+  private[multimodal] final class TiffOut(little: Boolean) {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 24) & 0xff).toInt)
+      } else {
+        out.write(((v >> 24) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+    def size: Int = out.size()
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
   object MediaCodec {
 
 
@@ -1405,7 +1431,7 @@ object Multimodal {
               (u16(e), u16(e + 2), u32(e + 4), e + 8)
             }
           }
-          def ascii(valOff: Int, count: Long, inlineAt: Int): String = {
+          def ascii(count: Long, inlineAt: Int): String = {
             val o = if (count <= 4) inlineAt else tiff + u32(inlineAt).toInt
             new String(bytes, o, count.toInt - 1, "US-ASCII")
           }
@@ -1425,7 +1451,7 @@ object Multimodal {
           var gpsOff: Option[Int] = None
           entries(u32(tiff + 4).toInt).foreach {
             case (0x0112, _, _, at) => orientation = Some(u16(at))
-            case (0x0132, _, count, at) => dateTime = Some(ascii(at, count, at))
+            case (0x0132, _, count, at) => dateTime = Some(ascii(count, at))
             case (0x8825, _, _, at) => gpsOff = Some(u32(at).toInt)
             case _ => ()
           }
@@ -1438,9 +1464,9 @@ object Multimodal {
               var lat: Option[(Long, Long, Long)] = None
               var lon: Option[(Long, Long, Long)] = None
               entries(g).foreach {
-                case (0x0001, _, count, at) => latRef = Some(ascii(at, count, at))
+                case (0x0001, _, count, at) => latRef = Some(ascii(count, at))
                 case (0x0002, _, _, at) => lat = Some(rational3(at))
-                case (0x0003, _, count, at) => lonRef = Some(ascii(at, count, at))
+                case (0x0003, _, count, at) => lonRef = Some(ascii(count, at))
                 case (0x0004, _, _, at) => lon = Some(rational3(at))
                 case _ => ()
               }
@@ -1475,31 +1501,25 @@ object Multimodal {
               ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
           val ifd0 = tiff + u32(tiff + 4).toInt
           val n = u16(ifd0)
-          val keep = (0 until n).map(i => ifd0 + 2 + i * 12).filter { e =>
+          val all = (0 until n).map(i => ifd0 + 2 + i * 12)
+          val keep = all.filter(e => u16(e) != 0x8825)
+          if (keep.length == n) return bytes // no GPS pointer → no-op
+          // only a REBUILD can dangle a foreign sub-IFD pointer, so
+          // the named refusal fires only when one would actually
+          // happen — a GPS-free file with an Exif IFD passes through
+          // unchanged above (the review fix: refusal used to precede
+          // the no-op check)
+          keep.foreach { e =>
             val tag = u16(e)
             require(tag != 0x8769 && tag != 0xa005,
               s"sub-IFD pointer tag 0x${tag.toHexString} beyond the " +
                 s"GPS-strip surface: media $mediaId")
-            tag != 0x8825
           }
-          if (keep.length == n) return bytes // no GPS pointer → no-op
           // rebuild: header(8) + count(2) + entries + next(4) + data
-          val out = new java.io.ByteArrayOutputStream()
-          def w16(v: Int): Unit =
-            if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-            else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-          def w32(v: Long): Unit =
-            if (little) { out.write((v & 0xff).toInt)
-              out.write(((v >> 8) & 0xff).toInt)
-              out.write(((v >> 16) & 0xff).toInt)
-              out.write(((v >> 24) & 0xff).toInt) }
-            else { out.write(((v >> 24) & 0xff).toInt)
-              out.write(((v >> 16) & 0xff).toInt)
-              out.write(((v >> 8) & 0xff).toInt)
-              out.write((v & 0xff).toInt) }
-          out.write(bytes, tiff, 4) // byte order + magic
-          w32(8L) // IFD0 at offset 8
-          w16(keep.length)
+          val t = new TiffOut(little)
+          t.out.write(bytes, tiff, 4) // byte order + magic
+          t.w32(8L) // IFD0 at offset 8
+          t.w16(keep.length)
           var dataOff = 8L + 2L + keep.length * 12L + 4L
           val data = new java.io.ByteArrayOutputStream()
           keep.foreach { e =>
@@ -1508,17 +1528,17 @@ object Multimodal {
             val sz = ExifTypeSize.getOrElse(typ,
               throw new IllegalArgumentException(
                 s"unknown Exif type $typ: media $mediaId")) * count
-            w16(u16(e)); w16(typ); w32(count)
-            if (sz <= 4) out.write(bytes, e + 8, 4) // inline value verbatim
+            t.w16(u16(e)); t.w16(typ); t.w32(count)
+            if (sz <= 4) t.out.write(bytes, e + 8, 4) // inline value verbatim
             else {
-              w32(dataOff)
+              t.w32(dataOff)
               data.write(bytes, tiff + u32(e + 8).toInt, sz.toInt)
               dataOff += sz
             }
           }
-          w32(0L) // no next IFD
-          data.toByteArray.foreach(out.write(_))
-          val tiffBytes = out.toByteArray
+          t.w32(0L) // no next IFD
+          data.toByteArray.foreach(b => t.w8(b & 0xff))
+          val tiffBytes = t.bytes
           val app1 = new java.io.ByteArrayOutputStream()
           app1.write(0xff); app1.write(0xe1)
           val len = 2 + 6 + tiffBytes.length
@@ -2846,59 +2866,47 @@ object Multimodal {
       val base = jpegBytes(id)
       val little = id % 2 == 0
       val hasGps = id % 3 != 1
-      val out = new java.io.ByteArrayOutputStream()
-      def w16(v: Int): Unit =
-        if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-      def w32(v: Long): Unit =
-        if (little) { out.write((v & 0xff).toInt)
-          out.write(((v >> 8) & 0xff).toInt)
-          out.write(((v >> 16) & 0xff).toInt)
-          out.write(((v >> 24) & 0xff).toInt) }
-        else { out.write(((v >> 24) & 0xff).toInt)
-          out.write(((v >> 16) & 0xff).toInt)
-          out.write(((v >> 8) & 0xff).toInt)
-          out.write((v & 0xff).toInt) }
+      val t = new TiffOut(little)
       def entry(tag: Int, typ: Int, count: Long)(value: => Unit): Unit = {
-        w16(tag); w16(typ); w32(count)
-        val before = out.size()
+        t.w16(tag); t.w16(typ); t.w32(count)
+        val before = t.size
         value
-        while (out.size() < before + 4) out.write(0)
+        while (t.size < before + 4) t.w8(0)
       }
       // TIFF header
       val bo = if (little) 0x49 else 0x4d
-      out.write(bo); out.write(bo); w16(42); w32(8L)
+      t.w8(bo); t.w8(bo); t.w16(42); t.w32(8L)
       val nIfd0 = if (hasGps) 3 else 2
       val dtOff = 8L + 2L + nIfd0 * 12L + 4L
       val gpsOff = dtOff + 20L
-      w16(nIfd0)
-      entry(0x0112, 3, 1L) { w16((1 + id % 8).toInt) } // Orientation
-      entry(0x0132, 2, 20L) { w32(dtOff) } // DateTime → data
-      if (hasGps) entry(0x8825, 4, 1L) { w32(gpsOff) }
-      w32(0L) // next IFD
+      t.w16(nIfd0)
+      entry(0x0112, 3, 1L) { t.w16((1 + id % 8).toInt) } // Orientation
+      entry(0x0132, 2, 20L) { t.w32(dtOff) } // DateTime → data
+      if (hasGps) entry(0x8825, 4, 1L) { t.w32(gpsOff) }
+      t.w32(0L) // next IFD
       val dt = f"2024:01:${1 + id % 28}%02d 10:30:00"
-      dt.foreach(c => out.write(c.toInt)); out.write(0)
+      dt.foreach(c => t.w8(c.toInt)); t.w8(0)
       if (hasGps) {
         val latOff = gpsOff + 2L + 4L * 12L + 4L
         val lonOff = latOff + 24L
-        w16(4)
+        t.w16(4)
         entry(0x0001, 2, 2L) {
-          out.write(if (id % 2 == 0) 'N'.toInt else 'S'.toInt)
-          out.write(0)
+          t.w8(if (id % 2 == 0) 'N'.toInt else 'S'.toInt)
+          t.w8(0)
         }
-        entry(0x0002, 5, 3L) { w32(latOff) }
+        entry(0x0002, 5, 3L) { t.w32(latOff) }
         entry(0x0003, 2, 2L) {
-          out.write(if (id % 4 < 2) 'E'.toInt else 'W'.toInt)
-          out.write(0)
+          t.w8(if (id % 4 < 2) 'E'.toInt else 'W'.toInt)
+          t.w8(0)
         }
-        entry(0x0004, 5, 3L) { w32(lonOff) }
-        w32(0L)
+        entry(0x0004, 5, 3L) { t.w32(lonOff) }
+        t.w32(0L)
         Seq(id % 90, id % 60, id * 31 % 60).foreach { v =>
-          w32(v); w32(1L) }
+          t.w32(v); t.w32(1L) }
         Seq(id % 180, id * 7 % 60, id * 13 % 60).foreach { v =>
-          w32(v); w32(1L) }
+          t.w32(v); t.w32(1L) }
       }
-      val tiff = out.toByteArray
+      val tiff = t.bytes
       val app1 = new java.io.ByteArrayOutputStream()
       app1.write(0xff); app1.write(0xe1)
       val len = 2 + 6 + tiff.length

@@ -63,11 +63,12 @@ object CurationQueries {
         .withSimhash(batch, "doc_id", "text").localCheckpoint()
       val existing = Clusters.simhashClustersOf(hFp, maxDist = 3)
       // the PRODUCTION edge construction (∝ batch): band-probe the
-      // batch fps against the history index (crossNearPairsOf) plus
-      // the batch-internal pairs — never a full-corpus pair pass
+      // batch fps against the history index at REP level
+      // (crossNearEdgesOf — connectivity-equivalent, no window over
+      // the history side) plus the batch-internal pairs — never a
+      // full-corpus pair pass
       val batchEdges = graft.dedup.Dedup
-        .crossNearPairsOf(bFp, hFp, maxDist = 3)
-        .select(col("a"), col("b"))
+        .crossNearEdgesOf(bFp, hFp, maxDist = 3)
         .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
           .select(col("ida").as("a"), col("idb").as("b")))
       graft.dedup.ClusterMaintain.mergeBatch(
@@ -1647,8 +1648,7 @@ object CurationQueries {
     val bFp = graft.dedup.Dedup
       .withSimhash(batch, "doc_id", "text").localCheckpoint()
     val batchEdges = graft.dedup.Dedup
-      .crossNearPairsOf(bFp, hFp, maxDist = 3)
-      .select(col("a"), col("b"))
+      .crossNearEdgesOf(bFp, hFp, maxDist = 3)
       .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
         .select(col("ida").as("a"), col("idb").as("b")))
     // L52: merge the batch into the existing labeling (cost ∝ batch)

@@ -71,7 +71,7 @@ object PipelineQueries {
     * (entities / mention_count / latest_ts), derived deterministically
     * from `events` with every formatter branch planted: empty entities
     * (topic_id%11==3), absent mention_count (%13==4), absent latest_ts
-    * (%17==6). ~83 topics/day so the cap-20 digest always overflows.
+    * (%17==6). ~83 topics/day at sf0.01+ and 11-15 at sf0.001, so the cap-8 digest overflows at every SF.
     */
   private def topicCandidates(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -352,7 +352,10 @@ object PipelineQueries {
     // topic_id asc); the window exchange on `day` is reused by the
     // groupBy, and the per-day collect_list is bounded at 10.
     "q_o_topic_digest" -> ((s, dir) => {
-      graft.operators.TopicDigest.digest(topicCandidates(s, dir))
+      // cap 8: the smallest SF runs 11-15 topics/day, so every day
+      // overflows at every scale (EntrySpec's non-empty guarantee)
+      graft.operators.TopicDigest.digest(topicCandidates(s, dir),
+          dailyCap = 8)
         .orderBy("day")
     }),
 
@@ -749,7 +752,7 @@ object PipelineQueries {
                        ORDER BY coalesce(mention_count, 0) DESC, topic_id)
                      AS rn
            FROM cand),
-         ov AS (SELECT *, rn - 20 AS orn FROM o WHERE rn > 20)
+         ov AS (SELECT *, rn - 8 AS orn FROM o WHERE rn > 8)
          SELECT day,
                 '📋 *Daily Topic Digest*' || chr(10) || '📅 ' || day ||
                 chr(10) || chr(10) || 'Top topics beyond daily cap:' ||

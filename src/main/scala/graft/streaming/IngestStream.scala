@@ -652,9 +652,14 @@ object IngestStream {
     val bFp = Dedup.withSimhash(added, "doc_id", "text").localCheckpoint()
     val emptyEdges = spark.range(0)
       .select(col("id").as("a"), col("id").as("b"))
+    // rep-level cross edges (crossNearEdgesOf): connectivity-
+    // equivalent to the full member pair list — the within-batch pass
+    // below emits each batch clique's hamming-0 pairs, and stored
+    // identical-fp members already share a cluster from their own
+    // ingest — without window-sorting or re-materializing the stored
+    // index every micro-batch (the probe-cost-∝-batch fix)
     val edges = (priorFps match {
-      case Some(idx) => Dedup.crossNearPairsOf(bFp, idx, maxDist)
-        .select(col("a"), col("b"))
+      case Some(idx) => Dedup.crossNearEdgesOf(bFp, idx, maxDist)
       case None => emptyEdges
     }).union(Dedup.simhashPairsOf(bFp, maxDist)
       .select(col("ida").as("a"), col("idb").as("b")))

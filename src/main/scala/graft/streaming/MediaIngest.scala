@@ -200,11 +200,14 @@ object MediaIngest {
     val priorFps = fpsT.read()
     val emptyEdges = spark.range(0)
       .select(col("id").as("a"), col("id").as("b"))
+    // rep-level cross edges (connectivity-equivalent: within-batch
+    // hamming-0 pairs connect each batch clique, stored identical-fp
+    // members already share a cluster) — the store is never
+    // window-sorted or re-materialized per batch
     val edges = (priorFps match {
-      case Some(idx) => Dedup.hash64CrossNearPairsOf(
+      case Some(idx) => Dedup.hash64CrossNearEdgesOf(
           admitted.select("doc_id", "fp"),
           idx.select("doc_id", "fp"), maxDist)
-        .select(col("a"), col("b"))
       case None => emptyEdges
     }).union(Dedup.hash64NearDupPairs(
         admitted.select("doc_id", "fp"), maxDist)

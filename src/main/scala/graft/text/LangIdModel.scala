@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The TRAINED language identifier — L10's committed-artifact form
-  * (the F12/L30 pattern, sixth model artifact): a multiclass logistic
+  * (the F12/L30 pattern, seventh model artifact): a multiclass logistic
   * regression over hashed code-point char-trigram buckets
   * ([[graft.expressions.LangIdTrainedOps]] — the feature rule shared
   * by [[graft.TrainLangid]] and serving, mirrored in SQL by the
@@ -42,10 +42,22 @@ object LangIdModel {
     TextAnalysis.Stopwords.map { case (l, ws) => ws ++ content(l) }
   }
 
-  /** The gate fixture: doc d speaks language d%5 in a deterministic
-    * 8+(d%7)-token sentence, token i = vocab[(d·13 + i·7) % 20] —
-    * pure Column arithmetic, mirrored verbatim in the oracle's
-    * list_transform.
+  /** The gate fixture AS A PLAIN FUNCTION — the single source of the
+    * sentence rule (lang = d%5, 8+(d%7) tokens, token i =
+    * vocab[(d·13 + i·7) % 20]); [[plantedText]] is its Column form,
+    * the oracle's list_transform its SQL form, and the trainer's
+    * held-out check and the spec consume THIS one so a constant
+    * change cannot silently decouple them.
+    */
+  def plantedSentence(d: Long): (Int, String) = {
+    val lang = (d % 5).toInt
+    val s = (0 until (8 + d % 7).toInt)
+      .map(i => Vocab(lang)(((d * 13 + i * 7) % 20).toInt)).mkString(" ")
+    (lang, s)
+  }
+
+  /** [[plantedSentence]] as pure Column arithmetic, mirrored verbatim
+    * in the oracle's list_transform.
     */
   def plantedText(id: Column): Column = {
     val vocabArr = array(Vocab.map(ws => array(ws.map(lit): _*)): _*)

@@ -64,14 +64,24 @@ class ExifSpec extends AnyFunSuite {
     }
   }
 
-  test("a non-GPS sub-IFD pointer refuses by name instead of dangling") {
-    val id = 6L // II, GPS at IFD0 entry 3 → tag bytes at file offset 46
-    val bytes = Fixtures.exifJpegBytes(id).clone()
-    bytes(46) = 0x69.toByte // 0x8825 (25 88 in II) → 0x8769 (Exif IFD)
-    bytes(47) = 0x87.toByte
+  test("a non-GPS sub-IFD pointer refuses by name ONLY when a rebuild would dangle it") {
+    // GPS present + a foreign pointer (Orientation tag at IFD0 entry 1,
+    // file offset 22 in II, patched to the Exif IFD 0x8769): a rebuild
+    // WOULD dangle it → named refusal
+    val id = 6L
+    val withGps = Fixtures.exifJpegBytes(id).clone()
+    withGps(22) = 0x69.toByte // 0x0112 (12 01 in II) → 0x8769
+    withGps(23) = 0x87.toByte
     val e = intercept[IllegalArgumentException] {
-      MediaCodec.stripGps(id, bytes)
+      MediaCodec.stripGps(id, withGps)
     }
     assert(e.getMessage.contains("sub-IFD pointer"))
+    // NO GPS + the same foreign pointer: nothing to strip, nothing can
+    // dangle → identity, not refusal (the review fix: the refusal used
+    // to fire before the no-op check)
+    val noGps = Fixtures.exifJpegBytes(4L).clone() // 4%3=1 → no GPS
+    noGps(22) = 0x69.toByte
+    noGps(23) = 0x87.toByte
+    assert(MediaCodec.stripGps(4L, noGps) eq noGps)
   }
 }

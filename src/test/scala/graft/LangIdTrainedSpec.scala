@@ -28,10 +28,8 @@ class LangIdTrainedSpec extends AnyFunSuite {
 
   test("kernel separates all five languages on held-out sentences; ties break low") {
     val (biases, w) = LangIdModel.loadArtifact()
-    (0 until 500).foreach { d =>
-      val lang = d % 5
-      val s = (0 until (8 + d % 7)).map(i =>
-        LangIdModel.Vocab(lang)((d * 13 + i * 7) % 20)).mkString(" ")
+    (0L until 500L).foreach { d =>
+      val (lang, s) = LangIdModel.plantedSentence(d)
       val r = LangIdTrainedOps.score(UTF8String.fromString(s), w, biases)
       assert(r.getLong(0) == lang.toLong, s"doc $d: got ${r.getLong(0)}")
       assert(r.getLong(2) > 0L, s"doc $d: zero margin")
