@@ -35,9 +35,11 @@ import graft.text.ClassifierEval
   *      loop's stateless-rejection contract — a redelivered reject
   *      re-decodes and re-rejects map-side, deterministic);
   *   5. edges = batch↔stored-index probe
-  *      ([[Dedup.hash64CrossNearPairsOf]], 4×16-bit pigeonhole — cost
-  *      ∝ batch; the stored side never reshuffles under a bucketed
-  *      layout) ∪ within-batch pairs ([[Dedup.hash64NearDupPairs]]);
+  *      ([[Dedup.hash64CrossNearEdgesOf]], 4×16-bit pigeonhole —
+  *      rep-level edges, connectivity-equivalent; the store is never
+  *      window-sorted or re-materialized per batch, and its
+  *      rep-collapse partial-aggregates map-side) ∪ within-batch
+  *      pairs ([[Dedup.hash64NearDupPairs]]);
   *   6. [[ClusterMaintain.mergeBatchDelta]] folds the batch into the
   *      stored labeling (∝ batch), and the three commits are
   *      per-table batch-id idempotent (the EventSink crash contract;
