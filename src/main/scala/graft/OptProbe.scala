@@ -28,6 +28,10 @@ object OptProbe {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
+    // per-call-site stage rollup (wall = submit→complete, sum over
+    // stages; overlapping stages double-count wall, fine for ranking)
+    val bySite = new java.util.concurrent.ConcurrentHashMap[
+      String, (Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -35,6 +39,13 @@ object OptProbe {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        val wall = (for {
+          a <- s.stageInfo.submissionTime; b <- s.stageInfo.completionTime
+        } yield b - a).getOrElse(0L)
+        val key = s.stageInfo.name.takeWhile(_ != '\n')
+        bySite.merge(key,
+          (1, wall, s.stageInfo.taskMetrics.executorRunTime),
+          (x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
       }
     })
 
@@ -45,10 +56,11 @@ object OptProbe {
         catch { case _: Throwable => () }
       }
 
+    val siteDetail = sys.env.contains("OPTPROBE_SITES")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 3).foreach { pass =>
-        jobs.set(0); stages.set(0); taskTimeMs.set(0L)
+        jobs.set(0); stages.set(0); taskTimeMs.set(0L); bySite.clear()
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         val t1 = System.nanoTime()
@@ -67,6 +79,20 @@ object OptProbe {
           s"plan=${s(t3, t4)} exec=${s(t4, t5)} " +
           s"jobs=${jobs.get} stages=${stages.get} " +
           f"taskTime=${taskTimeMs.get / 1e3}%.1fs")
+        if (sys.env.contains("OPTPROBE_PLAN") && pass == 2) {
+          // post-execution: the ADAPTIVE plan is final here, so
+          // WholeStageCodegen wrapping / codegen ids are visible
+          // (pre-execution explain on an AQE plan hides them)
+          println(s"[plan-final] $name\n${qe.executedPlan.toString.take(8000)}")
+        }
+        if (siteDetail && pass == 2) {
+          import scala.jdk.CollectionConverters._
+          bySite.asScala.toSeq.sortBy(-_._2._2).take(30).foreach {
+            case (site, (n, wall, task)) =>
+              println(f"[site] $name n=$n%-4d wall=${wall / 1e3}%7.2fs " +
+                f"task=${task / 1e3}%7.2fs  $site")
+          }
+        }
         System.gc()
       }
     }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // env overrides so optimization rounds can dump plans at the
+    // bench's own scale/core count (partitioning-sensitive rewrites)
+    val cpus = sys.env.getOrElse("PLANDUMP_CPUS", "4")
     val spark = Sessions.builderDefaults(
-      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("PLANDUMP_SF", "/root/testdata/sf0.001")
     args.foreach { name =>
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir)

@@ -50,6 +50,33 @@ object ScaleOps {
     saltedAgg(df, keyCols, col(idCol), saltBuckets)(
       Seq(sum(valueCol).as("__s")), Seq(sum("__s").as(s"sum_$valueCol")))
 
+  /** Fan a compute-heavy, narrow projection out across the session's
+    * cores when its upstream scan yields fewer partitions than the
+    * scheduler has slots (guide §2.5 "input skew — one huge
+    * unsplittable file → repartition immediately after the read").
+    * The driver's testdata parquet is written as ONE row group per
+    * file, so the scan is unsplittable and every map-heavy operator
+    * downstream of it otherwise executes in a single task with the
+    * other cores idle. The round-robin exchange moves only the narrow
+    * pre-projected columns (project-before-exchange, §2.3) and its
+    * row→partition assignment is deterministic (sortBeforeRepartition
+    * stays on, §2.5), so the result SET is unchanged.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * target is the session's defaultParallelism and the exchange is
+    * SKIPPED whenever the upstream already carries at least that many
+    * partitions — a real cluster scan of multi-row-group files takes
+    * the no-op branch, so nothing here pins the plan to local mode.
+    * Call it on a scan-stage frame (no exchange upstream): the
+    * partition count of a pre-shuffle frame is known at plan time, so
+    * the `.rdd.getNumPartitions` peek compiles only the scan+project
+    * subplan and runs no job.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** A6/A7-style window aggregate with an exact / approximate distinct
     * switch — `approx_count_distinct` (HLL++) is the 100 TB path, the
     * exact form is the oracle-checkable one (SURVEY A6 note).

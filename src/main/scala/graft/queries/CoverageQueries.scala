@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Parity
 import graft.multimodal.Multimodal
-import graft.operators.Cards
+import graft.operators.{Cards, ScaleOps}
 import graft.text.TextAnalysis
 
 /** Remaining SURVEY §2 coverage: card assembly (J6/F18/R5), multimodal
@@ -76,7 +76,11 @@ object CoverageQueries {
         upper(col("event_type")).as("symbol"),
         expr("ts_ns div 1000").as("event_us"),
         col("event_id"), col("user_id"), col("value"))
-        .repartition(col("event_key"))
+        // explicit partition count (AQE honors user-specified N, so
+        // byte-based coalescing cannot fold this compute-heavy but
+        // byte-tiny shuffle back to ~3 tasks — guide §2.2/§2.5);
+        // derived from the session, not a local[32] constant
+        .repartition(s.sparkContext.defaultParallelism, col("event_key"))
       val goplus = e.filter(col("event_id") % 4 =!= 1).select(
         col("event_key"),
         when(col("user_id") % 5 === 0, "red")
@@ -185,9 +189,11 @@ object CoverageQueries {
         col("event_type"),
         date_format(timestamp_micros(expr("ts_ns div 1000")),
           "yyyy-MM-dd'T'HH:mm:ss'Z'").as("data_as_of"))
+      // guide §2.5: unsplittable single-row-group scan → the whole
+      // render otherwise runs as ONE task; fan the narrow context out
       graft.operators.CardRender.renderTg(
         graft.operators.CardRender.applyGuardrail(
-          graft.operators.CardRender.deriveContext(e)))
+          graft.operators.CardRender.deriveContext(ScaleOps.fanOut(e))))
         .select("event_key", "card_type", "render_tg")
         .orderBy("event_key")
     }),
@@ -216,7 +222,7 @@ object CoverageQueries {
       graft.operators.CardRenderUi.renderUi(
         graft.operators.CardRenderUi.uiWrinkle(
           graft.operators.CardRender.applyGuardrail(
-            graft.operators.CardRender.deriveContext(e))))
+            graft.operators.CardRender.deriveContext(ScaleOps.fanOut(e)))))
         .select("event_key", "card_type", "render_ui")
         .orderBy("event_key")
     }),
@@ -244,7 +250,7 @@ object CoverageQueries {
       graft.operators.Pushcard.envelope(
         graft.operators.CardRender.renderTg(
           graft.operators.CardRender.applyGuardrail(
-            graft.operators.CardRender.deriveContext(e))))
+            graft.operators.CardRender.deriveContext(ScaleOps.fanOut(e)))))
         .select("event_key", "card_type", "pushcard_json", "schema_ok",
           "violations_str", "degrade_final")
         .orderBy("event_key")
@@ -261,11 +267,11 @@ object CoverageQueries {
     // string the oracle re-derives per class. Map-side, codegen'd.
     "q_p6_schema_validate" -> ((s, dir) => {
       import graft.expressions.{GraftFunctions, JsonSchema}
-      val e = Tables.load(s, dir, "events").select(
+      val e = ScaleOps.fanOut(Tables.load(s, dir, "events").select(
         concat(lit("EV:"), lpad(col("event_id").cast("string"), 8, "0"))
           .as("event_key"),
         col("event_id").as("E"),
-        (col("event_id") % 8).as("cls"))
+        (col("event_id") % 8).as("cls")))
       val cls = col("cls")
       val doc = to_json(struct(
         when(cls === 2, "market_risk")
