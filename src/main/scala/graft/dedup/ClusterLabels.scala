@@ -146,8 +146,7 @@ object ClusterLabels {
         // Dedup.crossNearEdgesOf) without re-materializing the
         // stored index per refresh
         val edges = Dedup.crossNearEdgesOf(bFp, priorFps, maxDist)
-          .union(Dedup.simhashPairsOf(bFp, maxDist)
-            .select(col("ida").as("a"), col("idb").as("b")))
+          .union(Dedup.simhashConnectivityEdgesOf(bFp, maxDist))
         val merged = ClusterMaintain.mergeBatch(
           priorLabels, batch.select(col("doc_id").as("id")), edges)
         (merged, priorFps.unionByName(bFp), "incremental")

@@ -42,13 +42,32 @@ import org.apache.spark.sql.functions._
   * merged cluster ids are again component minima — the invariant the
   * next batch's merge relies on.
   *
-  * `batchEdges` must contain every near-dup pair with ≥ 1 batch
+  * `batchEdges` must CONNECT every near-dup pair with ≥ 1 batch
   * endpoint (batch↔history and batch↔batch, hamming ≤ maxDist,
-  * including identical fingerprints). Production builds it ∝ batch by
-  * band-probing batch fingerprints against the stored fp index — the
-  * L40 probe shape (BucketingSpec: history side never shuffles).
+  * including identical fingerprints) — the full pair list or any
+  * connectivity-equivalent edge set over the same docs (the merge
+  * only ever runs components over it, so [[Dedup
+  * .simhashConnectivityEdgesOf]]'s star+rep form yields identical
+  * labels at linear instead of clique-quadratic edge volume).
+  * Production builds it ∝ batch by band-probing batch fingerprints
+  * against the stored fp index — the L40 probe shape (BucketingSpec:
+  * history side never shuffles).
   */
 object ClusterMaintain {
+
+  /** Bound on the rows the LOCAL contracted-CC fast path may collect
+    * (batch edges, batch node ids — each ∝ batch by the operator's
+    * contract). Same sizing rationale as [[graft.streaming
+    * .IngestStream.LocalRelabelMax]]: below it, the contracted graph
+    * is thousands of rows where the distributed frontier CC pays
+    * several Spark scheduling rounds per iteration for microseconds
+    * of actual work (measured round 15: the CC loop and its
+    * checkpoints were the bulk of every lifecycle gate's per-batch
+    * job count); above it, the distributed path runs unchanged. Both
+    * paths produce identical labels (min-id components over the same
+    * contracted graph — ClusterMaintainSpec pins the equality).
+    */
+  val LocalMergeMax: Long = 100000L
 
   /** @param existing   (doc_id, cluster_id, cluster_size) — prior
     *                   labeling, cluster_id = min member id
@@ -83,7 +102,133 @@ object ClusterMaintain {
     */
   def mergeBatchDelta(existing: DataFrame, batchNodes: DataFrame,
       batchEdges: DataFrame): (DataFrame, DataFrame) = {
-    val edges = batchEdges.select(col("a"), col("b"))
+    // ONE materialization of the ∝-batch edge set, shared by both
+    // paths (lazy checkpoint — the bound probe's count is its first
+    // scan, so no dedicated materialize job; guide §1.2 step 1: the
+    // job COUNT is the lifecycle gates' cost, so the small-batch
+    // common case must not pay the distributed CC's per-round
+    // scheduling floor).
+    val edgesCk = batchEdges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(eager = false)
+    if (edgesCk.count() <= LocalMergeMax) {
+      val batchArr = batchNodes.select(col("id").cast("long"))
+        .limit((LocalMergeMax + 1).min(Int.MaxValue).toInt)
+        .collect().map(_.getLong(0))
+      if (batchArr.length <= LocalMergeMax)
+        return mergeBatchDeltaLocal(existing, batchArr,
+          edgesCk.collect().map(r => (r.getLong(0), r.getLong(1))))
+    }
+    mergeBatchDeltaDistributed(existing, batchNodes, edgesCk)
+  }
+
+  /** Driver-local contracted CC — the bounded fast path. The
+    * contracted graph (affected-cluster reps + batch ids, batch
+    * edges) is ∝ batch by contract; everything except the one
+    * endpoint→prior-cluster lookup and the final member relabel scan
+    * computes on the driver, and the relabel/affected frames land as
+    * LocalRelations whose broadcast builds are job-free. Semantics
+    * are the distributed path's, step for step: endpoints contract to
+    * their prior cluster node (themselves when batch docs), edges
+    * whose contracted endpoint is not a graph node are ignored (the
+    * frontier CC only labels its node set), component label = min
+    * node id = min member id, merged size = Σ constituent prior
+    * cluster sizes + batch members (per OCCURRENCE, matching the
+    * distributed union's row arithmetic). The size fold relies on the
+    * labeling invariant `cluster_size` = member count — every
+    * producer in this repo (simhashClusters*, forget's relabel, this
+    * merge) maintains it, and the distributed path counts the same
+    * members row by row.
+    */
+  private def mergeBatchDeltaLocal(existing: DataFrame,
+      batchArr: Array[Long], edgeArr: Array[(Long, Long)])
+      : (DataFrame, DataFrame) = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val epIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edgeArr.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    // endpoint → (prior cluster, prior size): the one ∝-batch lookup
+    // over the label store (broadcast build over a LocalRelation is
+    // driver-side — no job; the join scan is the job)
+    val epRows =
+      if (epIds.isEmpty) Array.empty[(Long, Long, Long)]
+      else existing
+        .join(broadcast(epIds.toSeq.toDF("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").cast("long"), col("cluster_id").cast("long"),
+          col("cluster_size").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val epCluster = epRows.map(t => t._1 -> t._2).toMap
+    val priorSize = epRows.map(t => t._2 -> t._3).toMap
+    val affectedIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      epRows.foreach(t => s += t._2)
+      s.toArray
+    }
+    // contracted node set: affected cluster reps ∪ batch ids
+    val nodeIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      affectedIds.foreach(s += _); batchArr.foreach(s += _)
+      s.toArray
+    }
+    val idx = nodeIds.zipWithIndex.toMap
+    val parent = Array.tabulate(nodeIds.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      val ca = epCluster.getOrElse(a, a)
+      val cb = epCluster.getOrElse(b, b)
+      if (ca != cb) (idx.get(ca), idx.get(cb)) match {
+        case (Some(x), Some(y)) =>
+          val rx = find(x); val ry = find(y)
+          if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+        case _ => () // endpoint outside the node set: not propagated
+      }
+    }
+    // component label = min node id; merged size = Σ prior sizes of
+    // constituent clusters + batch occurrences in the component
+    val compMin = scala.collection.mutable.HashMap.empty[Int, Long]
+    nodeIds.indices.foreach { i =>
+      val r = find(i)
+      compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), nodeIds(i))
+    }
+    def labelOf(node: Long): Long = compMin(find(idx(node)))
+    val sizeOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    affectedIds.foreach { c =>
+      val l = labelOf(c); sizeOf(l) = sizeOf.getOrElse(l, 0L) + priorSize(c)
+    }
+    batchArr.foreach { b =>
+      val l = labelOf(b); sizeOf(l) = sizeOf.getOrElse(l, 0L) + 1L
+    }
+    // members of affected clusters inherit their cluster's new label
+    // and size via ONE broadcast join over the label store; batch rows
+    // are a LocalRelation
+    val relabelDf = affectedIds.toSeq
+      .map(c => (c, labelOf(c), sizeOf(labelOf(c))))
+      .toDF("cluster_id", "ncid", "nsize")
+    val memberChanged = existing
+      .join(broadcast(relabelDf), Seq("cluster_id"))
+      .select(col("doc_id"), col("ncid").as("cluster_id"),
+        col("nsize").as("cluster_size"))
+    val batchChanged = batchArr.toSeq
+      .map(b => (b, labelOf(b), sizeOf(labelOf(b))))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    (memberChanged.unionByName(batchChanged),
+      affectedIds.toSeq.toDF("cluster_id"))
+  }
+
+  /** The distributed path — unchanged semantics, taken when the batch
+    * outgrows [[LocalMergeMax]].
+    */
+  private[graft] def mergeBatchDeltaDistributed(existing: DataFrame,
+      batchNodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
     val endpoints = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
       .localCheckpoint()

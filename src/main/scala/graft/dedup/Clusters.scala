@@ -79,12 +79,17 @@ object Clusters {
       val prop = e.join(frontier.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("cluster_id").as("cand"))
         .groupBy("id").agg(min("cand").as("cand"))
+      // LAZY checkpoint + count: the convergence probe's full scan
+      // materializes the checkpoint as a side effect — ONE job per
+      // round instead of eager-materialize + isEmpty (the star
+      // scheme's pattern, round 15: CC rounds are pure scheduling
+      // floor on small graphs, so each saved action is wall time)
       val delta = prop.join(labels, "id")
         .filter(col("cand") < col("cluster_id"))
         .select(col("id"), col("cand").as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       onDelta(iter, delta)
-      if (delta.isEmpty) frontier = null
+      if (delta.count() == 0L) frontier = null
       else {
         // Labels stay LAZY (a join chain over the checkpointed tiny
         // deltas) — one materialization per round, not two; the chain

@@ -579,6 +579,50 @@ object Dedup {
   def simhashPairsOf(fingerprints: DataFrame, maxDist: Int = 3): DataFrame =
     bandedPairsOf(fingerprints, "simhash", bandBits = 8, maxDist)
 
+  /** CONNECTIVITY-equivalent near-dup edge list over one fingerprint
+    * set: member→rep star edges within each identical-fp clique
+    * (LINEAR in members) plus rep-level banded near pairs — never the
+    * member-level clique expansion, whose row count is quadratic in
+    * dup depth. For consumers that feed connected components (the
+    * ingest loops' ClusterMaintain merge, forget's survivor relabel)
+    * the components — and therefore the labels — are identical to
+    * feeding [[simhashPairsOf]]'s full pair list: identical-fp members
+    * chain to their rep, and rep↔rep edges carry exactly the
+    * cross-clique hamming relation (hamming between members == hamming
+    * between reps). Round 15: the full pair list made per-batch edge
+    * volume — and the bounded-local merge's collect — scale with
+    * clique size squared (15k member pairs from 500 docs on this
+    * corpus), for a CC that only ever needed the spanning structure.
+    */
+  def simhashConnectivityEdgesOf(fingerprints: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    connectivityEdgesOf(fingerprints, "simhash", bandBits = 8, maxDist)
+
+  /** [[simhashConnectivityEdgesOf]] for 64-bit perceptual
+    * fingerprints (column `fp`, 4×16-bit bands) — the media ingest
+    * loop's within-batch edge set.
+    */
+  def hash64ConnectivityEdgesOf(fingerprints: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    connectivityEdgesOf(fingerprints, "fp", bandBits = 16, maxDist)
+
+  private def connectivityEdgesOf(fingerprints: DataFrame, fpCol: String,
+      bandBits: Int, maxDist: Int): DataFrame = {
+    val reps = fingerprints.groupBy(fpCol).agg(min("doc_id").as("rep"))
+      .localCheckpoint(eager = false)
+    val star = fingerprints.select(col("doc_id"), col(fpCol))
+      .join(reps, fpCol)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
+    // rep set is distinct-fp by construction, so the pair core's
+    // collapse is a no-op and its output is pure rep-level pairs
+    val repPairs = bandedPairsOf(
+      reps.select(col("rep").as("doc_id"), col(fpCol)),
+      fpCol, bandBits, maxDist)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    star.union(repPairs)
+  }
+
   /** The collapse-first banded-hamming core shared by
     * [[simhashPairsOf]] (4×8-bit bands over 32-bit fingerprints) and
     * [[hash64NearDupPairs]] (4×16-bit bands over 64-bit perceptual

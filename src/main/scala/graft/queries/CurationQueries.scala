@@ -69,8 +69,8 @@ object CurationQueries {
       // full-corpus pair pass
       val batchEdges = graft.dedup.Dedup
         .crossNearEdgesOf(bFp, hFp, maxDist = 3)
-        .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
-          .select(col("ida").as("a"), col("idb").as("b")))
+        .union(graft.dedup.Dedup.simhashConnectivityEdgesOf(bFp,
+          maxDist = 3))
       graft.dedup.ClusterMaintain.mergeBatch(
         existing, batch.select(col("doc_id").as("id")), batchEdges)
         .orderBy("doc_id")
@@ -1649,8 +1649,8 @@ object CurationQueries {
       .withSimhash(batch, "doc_id", "text").localCheckpoint()
     val batchEdges = graft.dedup.Dedup
       .crossNearEdgesOf(bFp, hFp, maxDist = 3)
-      .union(graft.dedup.Dedup.simhashPairsOf(bFp, maxDist = 3)
-        .select(col("ida").as("a"), col("idb").as("b")))
+      .union(graft.dedup.Dedup.simhashConnectivityEdgesOf(bFp,
+        maxDist = 3))
     // L52: merge the batch into the existing labeling (cost ∝ batch)
     val labels = graft.dedup.ClusterMaintain.mergeBatch(
       existing, batch.select(col("doc_id").as("id")), batchEdges)

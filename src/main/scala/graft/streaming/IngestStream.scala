@@ -404,30 +404,38 @@ object IngestStream {
         s"batch id (logs at $strictMax, labels at " +
         s"${labelsTable(spark, statePath).lastBatchId}) — a lower id " +
         "would silently skip the label-store relabel")
-    val idSet = ids.select("doc_id").distinct().localCheckpoint()
+    // ONE collect of the forget list (bounded by contract — the shard
+    // path below already collected it whole): as a LocalRelation,
+    // every broadcast of it downstream builds job-free, where the
+    // former checkpointed frame paid a build job per join (round 15 —
+    // per-action scheduling round-trips dominate this gate)
+    val idProj = ids.select("doc_id")
+    val idRows = idProj.distinct().collect()
+    val idSet = spark.createDataFrame(
+      java.util.Arrays.asList(idRows: _*), idProj.schema)
 
     // label store: relabel the affected clusters' survivors
     val labelsT = labelsTable(spark, statePath)
     if (labelsT.lastBatchId < forgetBatchId) {
       labelsT.readKeys(idSet).foreach { hit =>
-        val affected = hit.select("cluster_id").distinct().localCheckpoint()
+        import spark.implicits._
+        // affected cluster ids are bounded by the forget list — one
+        // collect, then a LocalRelation (job-free broadcast builds)
+        val affectedIds = hit.select("cluster_id").distinct()
+          .collect().map(_.getLong(0))
+        val affected = affectedIds.toSeq.toDF("cluster_id")
         // ONE narrow scan of the label store for the affected members
         // (the Delta-DELETE find-touched-files pass)
         val members = labelsT.read().get
           .join(broadcast(affected), Seq("cluster_id"))
           .select("doc_id").localCheckpoint()
-        val survivors = members
+        // survivor set, collected only if it fits the local bound
+        // (limit+1 probes the bound without a separate count)
+        val survTake = members
           .join(broadcast(idSet), Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        // survivor edges come from the STORED fp index — the induced
-        // subgraph of the affected clusters (components are closed
-        // under edges, so no other doc can be involved)
-        val survFps = fpsTable(spark, statePath).read()
-          .map(_.join(broadcast(survivors), Seq("doc_id"), "left_semi"))
-          .getOrElse(spark.range(0).select(col("id").as("doc_id"),
-            col("id").as("simhash")))
-        val nSurv = survivors.count()
-        val relabeled = (if (nSurv <= LocalRelabelMax) {
+          .limit((LocalRelabelMax + 1).min(Int.MaxValue).toInt)
+          .collect()
+        val (relabeled, allKeys) = if (survTake.length <= LocalRelabelMax) {
           // small-subgraph fast path: a forget's affected set is
           // typically thousands of rows, where the distributed
           // frontier CC pays several Spark rounds of scheduling for
@@ -438,26 +446,45 @@ object IngestStream {
           // the loop's invariants, but parity with the distributed
           // path, whose node set is the label store) labels as its
           // own singleton.
-          val withFp = survivors.join(survFps, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("simhash")).collect()
-          val (have, missing) = withFp.partition(!_.isNullAt(1))
+          val survivorIds = survTake.map(_.getLong(0))
+          val survDf = survivorIds.toSeq.toDF("doc_id")
+          val fpMap = fpsTable(spark, statePath).read()
+            .map(_.join(broadcast(survDf), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("simhash")).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+            .getOrElse(Map.empty[Long, Long])
+          val (have, missing) = survivorIds.partition(fpMap.contains)
           val local = graft.dedup.Clusters.simhashComponentsLocal(
-            have.map(r => (r.getLong(0), r.getLong(1))), maxDist) ++
-            missing.map(r => (r.getLong(0), r.getLong(0), 1L))
-          import spark.implicits._
-          local.toDF("doc_id", "cluster_id", "cluster_size")
+            have.map(id => (id, fpMap(id))), maxDist) ++
+            missing.map(id => (id, id, 1L))
+          // allKeys = members ∪ forget ids = survivors ∪ forget ids
+          // (forgotten members are ⊆ the forget list) — local too, so
+          // the MERGE's key broadcast and touched-bucket probe run
+          // over a LocalRelation
+          val keys = (survivorIds ++ idRows.map(_.getLong(0))).distinct
+          (local.toDF("doc_id", "cluster_id", "cluster_size"),
+            keys.toSeq.toDF("doc_id"))
         } else {
-          val edges = Dedup.simhashPairsOf(survFps, maxDist)
-            .select(col("ida").as("a"), col("idb").as("b"))
+          val survivors = members
+            .join(broadcast(idSet), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          // survivor edges come from the STORED fp index — the induced
+          // subgraph of the affected clusters (components are closed
+          // under edges, so no other doc can be involved)
+          val survFps = fpsTable(spark, statePath).read()
+            .map(_.join(broadcast(survivors), Seq("doc_id"), "left_semi"))
+            .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+              col("id").as("simhash")))
+          val edges = Dedup.simhashConnectivityEdgesOf(survFps, maxDist)
           val cc = graft.dedup.Clusters.connectedComponents(
             survivors.select(col("doc_id").as("id")), edges)
           val sizes = cc.groupBy("cluster_id")
             .agg(count(lit(1)).as("cluster_size"))
-          cc.join(sizes, "cluster_id")
+          (cc.join(sizes, "cluster_id")
             .select(col("id").as("doc_id"), col("cluster_id"),
-              col("cluster_size"))
-        }).localCheckpoint()
-        val allKeys = members.unionByName(idSet).distinct().localCheckpoint()
+              col("cluster_size")).localCheckpoint(),
+            members.unionByName(idSet).distinct().localCheckpoint())
+        }
         // allowMissingColumns: a migrated label store's added columns
         // are absent from the relabel — they land null and read back
         // through the declared defaults (the omitting-writer contract)
@@ -505,7 +532,7 @@ object IngestStream {
             col("min_id").cast("long"), col("max_id").cast("long"))
             .collect() // the bounded manifest sidecar
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          val sortedIds = idSet.collect().map(_.getLong(0)).sorted
+          val sortedIds = idRows.map(_.getLong(0)).sorted
           val candidates = candidateShards(ranges, sortedIds)
           all0.filter(col("shard_id").isin(candidates: _*))
         case None => all0
@@ -661,8 +688,7 @@ object IngestStream {
     val edges = (priorFps match {
       case Some(idx) => Dedup.crossNearEdgesOf(bFp, idx, maxDist)
       case None => emptyEdges
-    }).union(Dedup.simhashPairsOf(bFp, maxDist)
-      .select(col("ida").as("a"), col("idb").as("b")))
+    }).union(Dedup.simhashConnectivityEdgesOf(bFp, maxDist))
 
     val emptyLabels = spark.range(0).select(col("id").as("doc_id"),
       col("id").as("cluster_id"), col("id").as("cluster_size"))

@@ -211,9 +211,8 @@ object MediaIngest {
           admitted.select("doc_id", "fp"),
           idx.select("doc_id", "fp"), maxDist)
       case None => emptyEdges
-    }).union(Dedup.hash64NearDupPairs(
-        admitted.select("doc_id", "fp"), maxDist)
-      .select(col("ida").as("a"), col("idb").as("b")))
+    }).union(Dedup.hash64ConnectivityEdgesOf(
+      admitted.select("doc_id", "fp"), maxDist))
 
     val emptyLabels = spark.range(0).select(col("id").as("doc_id"),
       col("id").as("cluster_id"), col("id").as("cluster_size"))

@@ -1363,31 +1363,40 @@ final class BucketedTable(spark: SparkSession, path: String,
     }
   }
 
-  /** The batch key set, materialized ONCE and BOUNDED: distinct keys
-    * truncated at bound+1 rows before the checkpoint, so even a
-    * pathological corpus-as-one-batch input caches at most bound+1
-    * keys (never the whole corpus) — and when the guard passes, the
-    * limit provably did not truncate, so the checkpointed frame IS
-    * the full distinct key set and every later use (guard count,
-    * bucket collect, broadcast join) reuses the one materialization.
+  /** The batch key set, collected ONCE and BOUNDED (round 15: the
+    * former checkpointed frame cost three actions per MERGE/readKeys —
+    * checkpoint, guard count, bucket collect — and every broadcast of
+    * it was its own build job; these per-action scheduling round-trips
+    * were most of the lifecycle gates' wall time). Distinct keys are
+    * truncated at bound+1 rows (a corpus-as-one-batch input never
+    * reaches the driver whole), the guard is the collected length, and
+    * the returned frame is a LocalRelation — the same bytes the
+    * broadcast already shipped, now also giving JOB-FREE broadcast
+    * builds (LocalTableScan collects driver-side). When `nb` is set,
+    * each key's bucket rides along in the same single job.
     */
-  private def boundedKeySet(keys: DataFrame): DataFrame =
-    keys.select(col(keyCol)).distinct()
+  private def collectKeySet(keys: DataFrame, nb: Option[Int], op: String)
+      : (DataFrame, Set[Long]) = {
+    val proj = keys.select(col(keyCol))
+    val bounded = proj.distinct()
       .limit((maxBroadcastKeys + 1).min(Int.MaxValue).toInt)
-      .localCheckpoint()
-
-  /** Fail NAMED (instead of OOMing the driver broadcast) when a batch
-    * key set exceeds the documented bound; `keySet` must be a
-    * [[boundedKeySet]], so the count is over the checkpointed ≤
-    * bound+1 rows — free, not a second pass over the caller's plan.
-    */
-  private def guardKeys(keySet: DataFrame, op: String): Unit = {
-    val n = keySet.count()
-    require(n <= maxBroadcastKeys,
+    val rows = nb match {
+      case Some(n) =>
+        bounded.select(col(keyCol), bucketOf(col(keyCol), n).as("__bucket"))
+          .collect()
+      case None => bounded.collect()
+    }
+    require(rows.length <= maxBroadcastKeys,
       s"BucketedTable.$op: batch key set exceeds the broadcast bound " +
         s"(> $maxBroadcastKeys distinct keys) — split the batch " +
         "upstream (smaller trigger) instead of broadcasting a " +
         "corpus-sized key set")
+    import scala.jdk.CollectionConverters._
+    val keyRows: java.util.List[org.apache.spark.sql.Row] =
+      rows.map(r => org.apache.spark.sql.Row(r.get(0))).toSeq.asJava
+    (spark.createDataFrame(keyRows, proj.schema),
+      if (nb.isDefined) rows.iterator.map(_.getLong(1)).toSet
+      else Set.empty)
   }
 
   /** The stored rows whose key is in `keys` (one column, `keyCol`),
@@ -1404,11 +1413,9 @@ final class BucketedTable(spark: SparkSession, path: String,
     // pointer exists to give; mergeResolve reads once for the same
     // reason)
     case (v, _, nb, sm) =>
-      val keySet = boundedKeySet(keys)
-      guardKeys(keySet, "readKeys")
+      // keys + their buckets in ONE job; the broadcast build is free
+      val (keySet, touched) = collectKeySet(keys, Some(nb), "readKeys")
       val m = manifest(v)
-      val touched = keySet.select(bucketOf(col(keyCol), nb).as("__bucket"))
-        .distinct().collect().map(_.getLong(0)).toSet
       val dirs = touched.toSeq.sorted.flatMap(m.get).distinct
         .map(rel => s"$path/$rel")
       if (dirs.isEmpty) None
@@ -1428,13 +1435,14 @@ final class BucketedTable(spark: SparkSession, path: String,
     mergeResolve(changed, batchId) { (prior, chg) =>
       // chg already carries the live schema: mergeResolve applied the
       // declared columns under the SAME pointer read its commit uses
-      val keySet = boundedKeySet(chg)
-      guardKeys(keySet, "merge")
       prior match {
-        case Some(p) => p
-          .join(broadcast(keySet), Seq(keyCol), "left_anti")
-          .unionByName(chg)
-        case None => chg
+        case Some(p) =>
+          val (keySet, _) = collectKeySet(chg, None, "merge")
+          p.join(broadcast(keySet), Seq(keyCol), "left_anti")
+            .unionByName(chg)
+        case None => chg // fresh table: nothing to anti-join, and
+        // nothing broadcast — the bound exists to protect the
+        // broadcast, so an initial bulk load needn't pay the guard
       }
     }
 

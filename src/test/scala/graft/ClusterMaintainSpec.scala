@@ -100,6 +100,76 @@ class ClusterMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("local fast path == distributed contracted CC, row for row") {
+    // round 15: mergeBatchDelta takes a driver-local union-find path
+    // below LocalMergeMax; this pins its (changed, affected) output to
+    // the distributed path's on random graphs, including duplicate
+    // batch edges, batch-only components, and edge-less singletons
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val nHist = 30 + rnd.nextInt(40)
+      val nBatch = 1 + rnd.nextInt(12)
+      val histIds = (0L until nHist.toLong)
+      val batchIds = (1000L until 1000L + nBatch)
+      val histEdges = Seq.fill(nHist / 2)(
+        (histIds(rnd.nextInt(nHist)), histIds(rnd.nextInt(nHist))))
+        .filter { case (a, b) => a != b }
+      val existing = Clusters.connectedComponents(
+          histIds.toDF("id"), histEdges.toDF("a", "b"))
+        .groupBy("cluster_id").agg(collect_list("id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("cluster_id"),
+          size(col("ids")).cast("long").as("cluster_size"))
+        .localCheckpoint()
+      val batchEdges = Seq.fill(nBatch * 2) {
+        val a = batchIds(rnd.nextInt(nBatch))
+        val b = if (rnd.nextBoolean()) histIds(rnd.nextInt(nHist))
+        else batchIds(rnd.nextInt(nBatch))
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val (lc, la) = ClusterMaintain.mergeBatchDelta(
+        existing, batchIds.toDF("id"), batchEdges.toDF("a", "b"))
+      val (dc, da) = ClusterMaintain.mergeBatchDeltaDistributed(
+        existing, batchIds.toDF("id"),
+        batchEdges.toDF("a", "b").localCheckpoint())
+      assert(rows(lc) == rows(dc), s"trial $trial: changed diverged")
+      assert(la.collect().map(_.getLong(0)).toSet ==
+        da.collect().map(_.getLong(0)).toSet,
+        s"trial $trial: affected diverged")
+    }
+  }
+
+  test("connectivity edge set yields the same CC labels as the full pair list") {
+    // round 15: the ingest loops feed simhashConnectivityEdgesOf
+    // (star + rep pairs, linear in members) instead of the
+    // clique-quadratic member pair list — components must not change.
+    // Real text corpus with planted dup cliques and near-dups.
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 120L).map { i =>
+      val base = s"the quick brown fox ${i % 7} jumps over the lazy dog " +
+        s"lorem ipsum dolor sit amet ${i % 5}"
+      val text = if (i % 3 == 0) base // exact-dup cliques
+      else if (i % 3 == 1) base + s" tail${rnd.nextInt(3)}" // near
+      else s"completely unrelated document number $i with its own words"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val fp = graft.dedup.Dedup.withSimhash(docs, "doc_id", "text")
+      .localCheckpoint()
+    def labelsOf(edges: org.apache.spark.sql.DataFrame) =
+      Clusters.connectedComponents(
+          fp.select(col("doc_id").as("id")), edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labelsOf(graft.dedup.Dedup.simhashPairsOf(fp, 3)
+      .select(col("ida").as("a"), col("idb").as("b")))
+    val conn = labelsOf(
+      graft.dedup.Dedup.simhashConnectivityEdgesOf(fp, 3))
+    assert(conn == full)
+  }
+
   test("empty batch is the identity") {
     import spark.implicits._
     val existing = Seq((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L))
